@@ -1,0 +1,161 @@
+"""VectorIndex contract tests, mirroring the reference test taxonomy
+(SURVEY §5: DDL / validation / ingest+offset / search relevance / delete /
+upsert / guard / persistence — tests/ann/test_weaviate.py)."""
+
+import math
+
+import pytest
+
+from weaviate_txtai_spark import (
+    DEFAULT_SCHEMA,
+    IndexNotFoundError,
+    SchemaValidationError,
+    VectorIndex,
+)
+
+# Hand-built unit vectors with hand-computable cosine ranking
+# (FIXTURES.md A1: model-free replacement for sentence-transformer vectors).
+VECS = [
+    [1.0, 0.0, 0.0],   # docid 0 "fox"
+    [0.0, 1.0, 0.0],   # docid 1 "dog"
+    [0.0, 0.0, 1.0],   # docid 2 "stocks"
+]
+Q_FOXISH = [0.9, 0.1, 0.0]
+Q_DOGISH = [0.1, 0.9, 0.0]
+Q_STOCKISH = [0.0, 0.2, 0.8]
+
+
+@pytest.fixture
+def idx(spark, tmp_path):
+    return VectorIndex(spark, str(tmp_path)).create()
+
+
+def test_create_default_schema(idx, tmp_path):
+    assert idx.exists()
+    assert idx.index_name == "Document"
+    assert idx.offset == 0
+
+
+def test_create_custom_schema(spark, tmp_path):
+    config = {
+        "weaviate": {
+            "schema": {
+                "class": "Post",
+                "properties": [
+                    {"name": "docid", "dataType": ["int"]},
+                    {"name": "content", "dataType": ["text"]},
+                ],
+                "vectorIndexConfig": {"distance": "cosine"},
+            }
+        }
+    }
+    idx = VectorIndex(spark, str(tmp_path), config).create()
+    assert idx.index_name == "Post"
+
+
+@pytest.mark.parametrize(
+    "schema",
+    [
+        # missing docid (reference test :75-85)
+        {"class": "C", "properties": [{"name": "x", "dataType": ["text"]}],
+         "vectorIndexConfig": {"distance": "cosine"}},
+        # non-cosine metric (reference test :116-125 / weaviate.py:101-104)
+        {"class": "C", "properties": [{"name": "docid", "dataType": ["int"]}],
+         "vectorIndexConfig": {"distance": "dot"}},
+    ],
+)
+def test_invalid_schema_rejected(spark, tmp_path, schema):
+    config = {"weaviate": {"schema": schema}}
+    with pytest.raises(SchemaValidationError):
+        VectorIndex(spark, str(tmp_path), config).create()
+
+
+def test_overwrite_semantics(spark, tmp_path):
+    # default: drop-and-recreate (reference tests :88-113)
+    idx = VectorIndex(spark, str(tmp_path)).create()
+    idx.append(VECS)
+    assert idx.count() == 3
+    idx2 = VectorIndex(spark, str(tmp_path)).create()
+    assert idx2.count() == 0
+    # overwrite_index=False: reuse with warning
+    idx2.append(VECS)
+    cfg = {"weaviate": {"overwrite_index": False}}
+    idx3 = VectorIndex(spark, str(tmp_path), cfg).create()
+    assert idx3.count() == 3
+    assert idx3.offset == 3
+
+
+def test_append_offset_and_count(idx):
+    idx.append(VECS)
+    assert idx.count() == 3
+    assert idx.offset == 3
+    idx.append([[1.0, 1.0, 0.0]])
+    assert idx.count() == 4
+    assert idx.offset == 4  # monotonic, never reused (weaviate.py:149)
+    docids = sorted(r["docid"] for r in idx.to_df().collect())
+    assert docids == [0, 1, 2, 3]  # dense
+
+
+def test_search_relevance(idx):
+    # parity with the reference's semantic triple ("vixen"->fox etc.,
+    # tests/ann/test_weaviate.py:151-170) on hand-built vectors
+    idx.append(VECS)
+    res = idx.search([Q_FOXISH, Q_DOGISH, Q_STOCKISH], 2)
+    assert res[0][0][0] == 0
+    assert res[1][0][0] == 1
+    assert res[2][0][0] == 2
+    # scores are cosine similarity (1 - distance), descending
+    for hits in res:
+        assert hits[0][1] >= hits[1][1]
+    assert math.isclose(res[0][0][1], 0.9 / math.sqrt(0.82), rel_tol=1e-6)
+
+
+def test_delete_anti_join(idx):
+    idx.append(VECS)
+    idx.delete([0, 2])
+    assert idx.count() == 1
+    assert [r["docid"] for r in idx.to_df().collect()] == [1]
+    # offset unaffected: new appends continue after 3
+    idx.append([[0.5, 0.5, 0.0]])
+    assert sorted(r["docid"] for r in idx.to_df().collect()) == [1, 3]
+
+
+def test_upsert_merge(idx):
+    # reference upsert round-trip: update changes ranking, delete restores
+    # (tests/ann/test_weaviate.py:254-317)
+    idx.append(VECS)
+    idx.upsert([(0, [0.0, 0.0, 1.0])])  # docid 0 now looks like "stocks"
+    assert idx.count() == 3
+    res = idx.search([Q_STOCKISH], 2)[0]
+    assert {res[0][0], res[1][0]} == {0, 2}
+    idx.upsert([(5, [1.0, 1.0, 1.0])])  # insert-new branch
+    assert idx.count() == 4
+    assert idx.offset == 6
+
+
+def test_existence_guard(spark, tmp_path):
+    idx = VectorIndex(spark, str(tmp_path)).create()
+    idx.append(VECS)
+    import shutil
+
+    shutil.rmtree(idx.path)
+    with pytest.raises(IndexNotFoundError):
+        idx.count()
+    with pytest.raises(IndexNotFoundError):
+        idx.search([Q_FOXISH], 1)
+    with pytest.raises(IndexNotFoundError):
+        idx.delete([0])
+
+
+def test_save_load_noop(spark, tmp_path):
+    # save/load are persistence no-ops; load re-attaches
+    # (weaviate.py:208-224; tests :173-206)
+    idx = VectorIndex(spark, str(tmp_path)).create()
+    idx.append(VECS)
+    idx.save("/tmp/ignored")
+    fresh = VectorIndex(
+        spark, str(tmp_path), {"weaviate": {"overwrite_index": False}}
+    )
+    fresh.load("/tmp/ignored")
+    assert fresh.count() == 3
+    assert fresh.offset == 3

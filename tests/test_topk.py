@@ -1,0 +1,80 @@
+"""Batch kNN: expression path vs GEMM path agree; ranks deterministic."""
+
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.operators import knn_topk, knn_topk_gemm
+from weaviate_txtai_spark.operators.topk import knn_single
+from weaviate_txtai_spark.sources import load_table
+
+
+def _query_df(spark, emb, ids):
+    return (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vector"),
+        )
+    )
+
+
+def test_knn_topk_self_is_top1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _query_df(spark, emb, [0, 1, 2])
+    res = knn_topk(
+        emb, qdf, 5, vector_col="embedding", id_col="vec_id"
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert len(rows) == 5
+        assert rows[0]["vec_id"] == qid  # self-match is top-1 for cosine
+        assert abs(rows[0]["score"] - 1.0) < 1e-9
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_gemm_matches_expression_path(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [0, 7, 42, 99]
+    qdf = _query_df(spark, emb, ids)
+    expr_res = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in knn_topk(
+            emb, qdf, 10, vector_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+    queries = [
+        (r["query_id"], list(r["query_vector"])) for r in qdf.collect()
+    ]
+    gemm_res = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in knn_topk_gemm(
+            emb, queries, 10, vector_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+    assert expr_res == gemm_res
+
+
+def test_knn_single_matches_batch(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    single = knn_single(emb, qv, 5, vector_col="embedding", id_col="vec_id").collect()
+    assert single[0]["vec_id"] == 3
+    assert [r["vec_id"] for r in single] == sorted(
+        [r["vec_id"] for r in single],
+        key=lambda i: next(-r["score"] for r in single if r["vec_id"] == i),
+    )
+
+
+def test_knn_single_plan_is_take_ordered(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [0.1] * 64
+    plan = (
+        knn_single(emb, qv, 5, vector_col="embedding", id_col="vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,88 @@
+"""Vector column expressions — native Catalyst, no Python UDFs.
+
+These are the engine's scoring kernel (reference Q1/Q2: cosine top-k search
+and score normalization, ``/root/reference/weaviate_txtai/ann/weaviate.py:
+17-20,175-201``). Everything here is a pure Column expression built from
+``F.zip_with`` / ``F.aggregate`` higher-order functions, so it executes
+JVM-side inside whole-stage codegen — no Python boundary, no Arrow
+transfer. All arithmetic is promoted to double so results match a
+double-precision oracle (DuckDB ``list_cosine_similarity``) to ~1e-16.
+
+At very large scale the GEMM path in ``operators/topk.py`` (Arrow-batched
+numpy matmul over ``mapInPandas``) beats per-row expression evaluation for
+many-query × many-vector workloads; these exprs remain the canonical,
+oracle-matching definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = "Column | str"
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def dot(a, b) -> Column:
+    """Dot product of two array<numeric> columns, accumulated in double."""
+    a, b = _c(a), _c(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    """Euclidean norm of an array column."""
+    return F.sqrt(dot(a, a))
+
+
+def l2_dist(a, b) -> Column:
+    """Euclidean distance between two array columns."""
+    a, b = _c(a), _c(b)
+    diff_sq = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a, b) -> Column:
+    """Cosine similarity in [-1, 1].
+
+    The only metric the reference backend accepts
+    (weaviate.py:101-104); txtai reports similarity = 1 - distance.
+    """
+    a, b = _c(a), _c(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_dist(a, b) -> Column:
+    """Cosine distance = 1 - cosine similarity (Weaviate's convention)."""
+    return F.lit(1.0) - cosine_sim(a, b)
+
+
+def normalize_cosine_distance(d) -> Column:
+    """Map cosine distance back to txtai similarity: ``1 - d``.
+
+    Parity with the reference's only pure function
+    (``normalize_cosine_distance``, weaviate.py:17-20; unit test
+    tests/ann/test_weaviate.py:249-251).
+    """
+    return F.lit(1.0) - _c(d)
+
+
+def normalize_vec(a) -> Column:
+    """L2-normalize an array column (returns array<double>).
+
+    Pre-normalizing the stored vectors turns cosine into a plain dot
+    product at query time — the standard trick for large-scale cosine
+    search; ``VectorIndex`` stores vectors as-is and normalizes lazily.
+    """
+    a = _c(a)
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)

@@ -1,0 +1,170 @@
+"""Batch kNN top-k search (SURVEY §2.2 Q1/Q2/Q3/Q5 — the flagship operator).
+
+The reference serves ONE query vector per call and silently drops the rest
+(``queries[0]``, /root/reference/weaviate_txtai/ann/weaviate.py:177), asking
+a server-side HNSW for the top ``limit`` by cosine distance, then rescoring
+``1 - distance`` (weaviate.py:193-201). Our operator is batch-first and
+strictly more general: N query vectors × M stored vectors in one plan.
+
+Physical strategy (designed for 100 TB / 1000 executors):
+- The query side is small (human-issued queries) → **broadcast** it; the
+  index side streams through executors partition-by-partition. No shuffle
+  of the big side ever happens.
+- Scoring is a native column expression (JVM, codegen) — see
+  ``functions/vector.py``.
+- Top-k per query = window ``row_number() <= k`` partitioned by query id.
+  The map-side is embarrassingly parallel; the only shuffle is the final
+  (num_queries × k × partitions)-row merge, which AQE coalesces.
+- For a single query we use ``orderBy().limit(k)`` which Catalyst plans as
+  ``TakeOrderedAndProject`` — per-partition heaps + driver merge, zero
+  shuffle.
+- ``knn_topk_gemm`` is the scale path for large query batches: Arrow-batched
+  numpy GEMM over ``mapInPandas`` with per-partition top-k reduction, so the
+  rows crossing the final shuffle are k per (query, partition), never M×N.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+
+
+def knn_topk(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    *,
+    vector_col: str = "vector",
+    id_col: str = "docid",
+    query_vector_col: str = "query_vector",
+    query_id_col: str = "query_id",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors for every query vector.
+
+    Returns columns: ``query_id, docid(id_col), score, rank`` with the
+    deterministic tie-break (score DESC, id ASC) so results are
+    oracle-hashable.
+    """
+    q = F.broadcast(
+        query_df.select(
+            F.col(query_id_col).alias("__qid"), F.col(query_vector_col).alias("__qv")
+        )
+    )
+    scored = index_df.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine_sim(F.col(vector_col), F.col("__qv")).alias("score"),
+    )
+    if score_round is not None:
+        scored = scored.withColumn("score", F.round("score", score_round))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_single(
+    index_df: DataFrame,
+    query_vector: list[float],
+    k: int,
+    *,
+    vector_col: str = "vector",
+    id_col: str = "docid",
+) -> DataFrame:
+    """Single-query top-k, planned as TakeOrderedAndProject (no shuffle).
+
+    This is the exact reference hot path (weaviate.py:175-201): one query
+    vector, ``limit`` results, cosine similarity scores.
+    """
+    qv = F.lit([float(x) for x in query_vector])
+    return (
+        index_df.select(
+            F.col(id_col), cosine_sim(F.col(vector_col), qv).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_topk_gemm(
+    index_df: DataFrame,
+    queries: "list[tuple[int, list[float]]] | pd.DataFrame",
+    k: int,
+    *,
+    vector_col: str = "vector",
+    id_col: str = "docid",
+) -> DataFrame:
+    """Scale-path batch kNN: numpy GEMM per Arrow batch + two-level top-k.
+
+    Why: with Q queries, the expression path evaluates Q × M cosine exprs
+    row-at-a-time; a BLAS matmul on (batch × dim) @ (dim × Q) does the same
+    work vectorized. Queries ship to every task closure (they're small —
+    same broadcast assumption the reference makes with its single query
+    vector). Each partition emits only its local top-k per query, so the
+    final window sees k × Q × num_partitions rows.
+
+    Output: query_id, docid, score, rank — same contract as knn_topk.
+    """
+    import numpy as np
+
+    if isinstance(queries, pd.DataFrame):
+        qids = queries.iloc[:, 0].to_numpy()
+        qmat = np.asarray(list(queries.iloc[:, 1]), dtype=np.float64)
+    else:
+        qids = np.asarray([q[0] for q in queries])
+        qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vector_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (mat / norms) @ qnorm.T  # (batch, Q)
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, sims.shape[0])
+            # local top-k per query via argpartition, then exact sort
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, Q)
+            rows = []
+            for j in range(sims.shape[1]):
+                sel = part[:, j]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            id_col: ids[sel],
+                            "score": sims[sel, j],
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    local = index_df.select(id_col, vector_col).mapInPandas(
+        score_partition, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

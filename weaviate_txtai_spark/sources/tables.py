@@ -1,0 +1,37 @@
+"""Parquet table sources for the driver testdata star schema.
+
+Plain ``spark.read.parquet`` scans — Catalyst handles column pruning and
+predicate pushdown into the Parquet reader automatically (SURVEY §4), which
+is the Spark-native replacement for the reference's server-side projection
+(``properties=["docid"]``, weaviate.py:184) and where-filters
+(weaviate.py:154-161).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
