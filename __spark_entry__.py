@@ -12,18 +12,49 @@ operator).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to Spark's Python workers via addPyFile.
+
+    The driver process may run from any cwd; pandas-UDF/mapInPandas
+    closures are pickled by module reference, so workers need the package
+    importable too — sys.path edits in this process don't reach them."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.join(_REPO_DIR, "weaviate_txtai_spark")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"weaviate_txtai_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _REPO_DIR))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: batch kNN cosine top-k
     (the reference's search hot path, made batch-first)."""
+    _ensure_shipped(spark)
     from weaviate_txtai_spark.plans.queries import knn_batch_q
 
     return knn_batch_q(spark, "/root/testdata/sf0.001")
@@ -33,7 +64,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from weaviate_txtai_spark.plans import queries as q
 
-    return q.queries()
+    def shipped(fn):
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return wrapper
+
+    return {name: shipped(fn) for name, fn in q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

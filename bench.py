@@ -1,0 +1,89 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = full plan execution to a count/collect of the result (Spark is
+lazy; every query is forced). A warmup query spins up the JVM/executors
+before timing starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the operators whose scale behavior matters most —
+# vector search (expr + GEMM paths), similarity join, the dedup family,
+# relational agg/join shapes, streaming-equivalent hourly rollup.
+HEADLINE = [
+    "knn_topk",
+    "knn_batch",
+    "sim_join_topk",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "text_quality",
+    "pricing_summary",
+    "revenue_by_nation",
+    "events_hourly",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("weaviate_txtai_spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from weaviate_txtai_spark.plans.queries import queries
+
+    qs = queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    qs["vector_count"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

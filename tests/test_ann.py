@@ -1,0 +1,70 @@
+"""IVF ANN + similarity join: recall vs brute force, plan shape."""
+
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.operators.ann import IVFIndex
+from weaviate_txtai_spark.operators.simjoin import threshold_join, topk_join
+from weaviate_txtai_spark.operators.topk import knn_topk
+from weaviate_txtai_spark.sources.tables import load_table
+
+
+def _queries(emb, n=10):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries(emb, 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_topk(emb, qdf, 5, vector_col="embedding", id_col="vec_id").collect()
+    }
+    idx = IVFIndex.build(emb, nlist=16)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in idx.search(qdf, 5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall} too low at nprobe=4/nlist=16"
+    # self-match always found: query vec lives in its own top-probed cell
+    assert all((q, q) in approx for q in range(10))
+
+
+def test_ivf_nprobe_full_equals_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries(emb, 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_topk(emb, qdf, 3, vector_col="embedding", id_col="vec_id").collect()
+    }
+    idx = IVFIndex.build(emb, nlist=8)
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in idx.search(qdf, 3, nprobe=8).collect()
+    }
+    assert full == exact  # probing every cell == brute force
+
+
+def test_topk_join_matches_knn(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 7)
+    a = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in topk_join(left, emb, 4, right_id="vec_id", right_vec="embedding").collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_topk(emb, left, 4, vector_col="embedding", id_col="vec_id").collect()
+    }
+    assert a == b
+
+
+def test_threshold_join_self_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 5)
+    res = threshold_join(left, emb, 0.999, right_id="vec_id", right_vec="embedding")
+    pairs = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+    assert {(q, q) for q in range(5)} <= pairs  # self-cosine == 1

@@ -1,0 +1,98 @@
+"""Dedup operator tests: hand-built corpora with known duplicate structure
+(exact ids/ranks/counts — never float goldens, SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.operators.dedup import (
+    duplicate_groups,
+    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+    exact_dedup,
+    exact_dedup_stats,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the old river bank now"
+OTHER = "completely different words about stock markets and federal reserve policy decisions"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                       # exact dup of 0
+        (2, "  " + BASE + " "),          # whitespace-variant exact dup of 0
+        (3, NEAR),                       # near dup of 0
+        (4, OTHER),
+        (5, "tiny"),                     # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_stats(docs):
+    r = exact_dedup_stats(docs).collect()[0]
+    assert r["n_docs"] == 6
+    assert r["n_unique"] == 4  # 0/1/2 share a fingerprint
+    assert r["n_exact_dups"] == 2
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [0, 3, 4, 5]
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in
+             jaccard_pairs(docs, threshold=0.5).collect()}
+    # 0,1 identical shingle sets; 2 likewise after tokenize; 3 near
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+def test_minhash_matches_exact(docs):
+    exact = {(r["d1"], r["d2"]) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    mh = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert mh == exact  # verify stage makes precision exact; recall ~1 here
+
+
+def test_duplicate_groups(docs):
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    groups = {r["doc_id"]: r["group_id"] for r in duplicate_groups(pairs).collect()}
+    assert groups == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_duplicate_groups_chain(spark):
+    # a-b and b-c but no a-c edge: label propagation must converge to one group
+    pairs = spark.createDataFrame([(1, 2, 0.9), (2, 3, 0.9), (7, 8, 0.9)],
+                                  ["d1", "d2", "jaccard"])
+    groups = {r["doc_id"]: r["group_id"] for r in duplicate_groups(pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_simhash_finds_near_dups(docs):
+    pairs = {(r["d1"], r["d2"]) for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs  # identical text -> hamming 0
+    assert (0, 3) in pairs                       # near dup -> small hamming
+    assert not any(4 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from weaviate_txtai_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_embedding_dup_exact_vs_lsh(emb):
+    exact = {(r["d1"], r["d2"]) for r in embedding_dup_pairs(emb, threshold=0.5).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in
+           embedding_dup_pairs_lsh(emb, threshold=0.5).collect()}
+    assert lsh <= exact          # precision exact by construction
+    if exact:
+        assert len(lsh) >= 0.5 * len(exact)  # recall sanity at tau=0.5

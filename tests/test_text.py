@@ -1,0 +1,88 @@
+"""Text-analysis function tests on hand-computable fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.text import (
+    bpe_ish_tokens,
+    fingerprint,
+    lang_id,
+    lexical_diversity,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "a a a a"),
+            (3, "  spaced   out  text "),
+            (4, "word"),
+            (5, "der hund und die katze sind von den besten"),
+            (6, "el perro y la casa de los gatos es grande"),
+        ],
+        ["id", "text"],
+    )
+
+
+def m(df, col):
+    return {r["id"]: r["v"] for r in df.select("id", col.alias("v")).collect()}
+
+
+def test_tokens_and_count(tdf):
+    tc = m(tdf, token_count("text"))
+    assert tc == {1: 6, 2: 4, 3: 3, 4: 1, 5: 9, 6: 10}
+    toks = m(tdf, tokens("text"))
+    assert toks[3] == ["spaced", "out", "text"]  # empties dropped
+
+
+def test_bpe_ish_tokens(tdf):
+    df = tdf.withColumn("text", F.lit("Hello, world! x42abc"))
+    toks = df.select(bpe_ish_tokens("text").alias("v")).head()["v"]
+    assert toks == ["hello", "world", "x42abc"]
+
+
+def test_lexical_diversity(tdf):
+    d = m(tdf, lexical_diversity("text"))
+    assert d[2] == 0.25
+    assert abs(d[1] - 5 / 6) < 1e-9
+    assert d[4] == 1.0
+
+
+def test_stopword_ratio_and_quality(tdf):
+    s = m(tdf, stopword_ratio("text"))
+    assert abs(s[1] - 3 / 6) < 1e-9  # "the" twice + "on" once of 6 tokens
+    q = m(tdf, quality_score("text"))
+    for v in q.values():
+        assert 0.0 <= v <= 1.0
+    assert q[1] > q[2]  # repetitive text scores lower
+
+
+def test_fingerprint_normalizes_whitespace(tdf):
+    f = m(tdf, fingerprint("text"))
+    df2 = tdf.withColumn("text", F.regexp_replace("text", " ", "  "))
+    f2 = m(df2, fingerprint("text"))
+    assert f == f2
+
+
+def test_shingles(tdf):
+    sh = m(tdf, shingles("text", 3))
+    assert sh[1] == [
+        "the cat sat", "cat sat on", "sat on the", "on the mat",
+    ]
+    assert sh[4] == []  # fewer than n tokens
+    assert sh[2] == ["a a a", "a a a"][:1]  # distinct
+
+
+def test_lang_id(tdf):
+    langs = m(tdf, lang_id("text"))
+    assert langs[1] == "en"
+    assert langs[5] == "de"
+    assert langs[6] == "es"
+    assert langs[4] == "und"  # no function words at all

@@ -1,0 +1,117 @@
+"""Text-analysis column expressions for LLM-data-pipeline curation.
+
+Beyond the reference surface (its only derived metadata is ``length``,
+examples/01_simple.ipynb cell 24 — see T5 in SURVEY §2.3); these are the
+operators a 100 TB training-data pipeline needs: token stats, quality
+scoring, language ID, fingerprinting, shingling for near-dup detection.
+
+All pure Column expressions (JVM-side, codegen) unless noted. Tokenization
+is deliberately defined as split-on-single-space + drop-empties so that a
+SQL oracle (``list_filter(string_split(text,' '), x -> x <> '')``) computes
+the identical tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word profiles for the n-gram/stopword language
+# heuristic. Public knowledge (most frequent function words per language).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "es", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"] + ["on", "with", "as", "was", "at", "by"]
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def tokens(text) -> Column:
+    """Whitespace tokens, empties dropped (oracle-parity definition)."""
+    return F.filter(F.split(_c(text), " "), lambda x: x != "")
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text) -> Column:
+    """Sub-word-ish tokenization: split on word boundaries AND digit runs,
+    the standard pre-tokenizer regex shape used by BPE vocabularies.
+    Heavier than ``tokens``; for byte-accurate LLM token counts swap in a
+    real tokenizer via mapInPandas."""
+    return F.filter(
+        F.split(F.lower(_c(text)), r"[^a-z0-9À-ɏ一-鿿]+"),
+        lambda x: x != "",
+    )
+
+
+def lexical_diversity(text) -> Column:
+    """distinct tokens / total tokens — degenerate repetition detector."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def stopword_ratio(text, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
+    t = tokens(text)
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / F.size(t)
+
+
+def mean_token_len(text) -> Column:
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.size(t)
+
+
+def quality_score(text) -> Column:
+    """Heuristic quality in [0,1]: length saturation + lexical diversity +
+    stopword presence (Gopher/C4-style rule-of-thumb filters, re-expressed
+    as one scalar). Deterministic and oracle-expressible."""
+    t = _c(text)
+    length_part = F.least(token_count(t) / F.lit(100.0), F.lit(1.0))
+    diversity_part = lexical_diversity(t)
+    stopword_part = F.least(stopword_ratio(t) * F.lit(5.0), F.lit(1.0))
+    return length_part * 0.4 + diversity_part * 0.3 + stopword_part * 0.3
+
+
+def fingerprint(text) -> Column:
+    """Deterministic document fingerprint: md5 of trimmed,
+    whitespace-normalized lowercase text. Exact-dedup key (md5 exists in
+    every SQL engine)."""
+    return F.md5(F.trim(F.lower(F.regexp_replace(_c(text), r"\s+", " "))))
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; [] when fewer than n tokens."""
+    t = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def lang_id(text) -> Column:
+    """Language-ID heuristic: argmax over per-language function-word hit
+    ratios; 'und' (undetermined) when nothing matches. Pure exprs: builds
+    a (score, lang) struct per language and takes array_max — ties break
+    to the lexicographically larger code, deterministically."""
+    t = tokens(F.lower(_c(text)))
+    scored = []
+    for code, words in LANG_PROFILES.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        scored.append(F.struct(score.alias("score"), F.lit(code).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

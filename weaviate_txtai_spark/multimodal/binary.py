@@ -1,0 +1,110 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (M3.4).
+
+Reference parity: txtai stores binary ``object`` payloads next to vectors
+(examples/01_simple.ipynb cell 29 — an image fetched back via
+``select object from txtai where similar(...)``); Weaviate's blob dataType.
+Spark-side the payload is a ``BinaryType`` column with a metadata struct,
+and media ops run as Arrow-batched ``mapInPandas`` so bytes never cross
+the JVM↔Python boundary row-at-a-time.
+
+The container has no image/audio codecs, so DECODING IS STUBBED:
+``decode_image`` raises NotImplementedError unless ``fake=True``, in which
+case a deterministic fake decode (bytes → seeded pixel stats) exercises
+the real plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — which is the part that matters for the Spark design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAYLOAD_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def attach_fake_payload(
+    docs: DataFrame, *, text_col: str = "text", media_type: str = "image/png"
+) -> DataFrame:
+    """Attach a deterministic fake binary payload derived from the text
+    (sha256 bytes repeated) + typed metadata. Stands in for reading real
+    media files into a BinaryType column (spark.read.format('binaryFile')
+    in production)."""
+    payload = F.sha2(F.col(text_col), 256).cast("binary")
+    return docs.withColumn("payload", payload).withColumn(
+        "payload_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.length(payload).cast("int").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_image(payload: bytes, *, fake: bool = False):
+    """Decode an image payload to a pixel array.
+
+    STUB: real decoding needs an image codec (Pillow/opencv — not in this
+    container). ``fake=True`` returns a deterministic 8x8 'pixel' array
+    derived from the payload bytes, preserving the exact call shape a real
+    decoder would have."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires a codec library; pass fake=True for the "
+            "deterministic test double"
+        )
+    h = hashlib.sha256(payload or b"").digest()
+    # 64 deterministic pseudo-pixels in [0, 255]
+    return [h[i % len(h)] for i in range(64)]
+
+
+def extract_features(
+    df: DataFrame, *, payload_col: str = "payload", id_col: str = "doc_id",
+    dim: int = 8
+) -> DataFrame:
+    """Per-payload feature vector via Arrow-batched mapInPandas.
+
+    The 'feature extractor' is the fake decoder + a byte histogram —
+    deterministic, so tests can assert exact values. Swap the body for a
+    real model (CLIP etc.) without touching the Spark plumbing: same
+    schema, same batch shape, same partitioning.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                pixels = np.asarray(
+                    decode_image(bytes(payload or b""), fake=True), dtype=np.float64
+                )
+                hist, _ = np.histogram(pixels, bins=dim, range=(0, 256))
+                norm = np.linalg.norm(hist)
+                feats.append((hist / (norm or 1.0)).tolist())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        compute, schema=f"{id_col} long, features array<double>"
+    )

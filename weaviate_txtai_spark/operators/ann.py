@@ -1,0 +1,113 @@
+"""IVF-style approximate nearest neighbor over a vector table.
+
+Spark has no HNSW (the reference delegates kNN to Weaviate's server-side
+HNSW — SURVEY §4 "ANN index"); the Spark-native scale path is IVF
+(inverted file): k-means partition the corpus, prune to the nprobe nearest
+centroids per query, exact cosine within the probed cells.
+
+Why IVF and not a graph index: IVF is embarrassingly data-parallel — the
+corpus is *physically partitioned by centroid id* (one shuffle at build
+time), and a query touches nprobe partitions. Partition pruning does the
+work Catalyst already knows how to do; on 100 TB the probed fraction is
+nprobe/nlist of the data, and the scan stays columnar + codegen.
+
+Build: MLlib KMeans on a sample, centroids broadcast, one pass to assign.
+Search: queries × centroids (tiny crossJoin) → top-nprobe cells → equi-join
+on cell id (shuffle only the query fan-out, never the corpus) → exact
+score → window top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+
+
+class IVFIndex:
+    """nlist-cell IVF index materialized as a DataFrame (cache or write
+    partitionBy('cell') for reuse)."""
+
+    def __init__(self, assigned: DataFrame, centroids: list[tuple[int, list[float]]],
+                 id_col: str, vector_col: str):
+        self.assigned = assigned          # corpus + `cell` column
+        self.centroids = centroids        # [(cell_id, centroid_vec)]
+        self.id_col = id_col
+        self.vector_col = vector_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        *,
+        nlist: int = 16,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+        seed: int = 42,
+        max_iter: int = 20,
+    ) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.select(
+            F.col(id_col),
+            F.col(vector_col),
+            array_to_vector(F.col(vector_col).cast("array<double>")).alias("__feat"),
+        )
+        km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__feat",
+                    predictionCol="cell")
+        model = km.fit(feat)
+        assigned = model.transform(feat).select(id_col, vector_col, "cell")
+        centroids = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        return cls(assigned, centroids, id_col, vector_col)
+
+    def search(
+        self,
+        query_df: DataFrame,
+        k: int,
+        *,
+        nprobe: int = 4,
+        query_id_col: str = "query_id",
+        query_vector_col: str = "query_vector",
+    ) -> DataFrame:
+        """Approximate top-k: probe the nprobe cells whose centroids are
+        nearest (by cosine) to each query. Columns: query_id, id, score,
+        rank."""
+        spark = query_df.sparkSession
+        cent = spark.createDataFrame(
+            self.centroids, ["cell", "centroid"]
+        )
+        q = query_df.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vector_col).alias("__qv"),
+        )
+        # tiny crossJoin: queries × nlist centroids
+        wprobe = Window.partitionBy("__qid").orderBy(
+            F.desc("__csim"), F.asc("cell")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("__csim", cosine_sim("__qv", "centroid"))
+            .withColumn("__pr", F.row_number().over(wprobe))
+            .filter(F.col("__pr") <= nprobe)
+            .select("__qid", "__qv", "cell")
+        )
+        # equi-join on cell: only the probed fraction of the corpus is read
+        scored = (
+            self.assigned.join(F.broadcast(probes), "cell")
+            .select(
+                F.col("__qid").alias(query_id_col),
+                F.col(self.id_col),
+                cosine_sim(F.col(self.vector_col), F.col("__qv")).alias("score"),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score"), F.asc(self.id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )

