@@ -1,0 +1,69 @@
+"""Plan-shape regression tests: the scale properties SURVEY §4 promises
+(pushdown, pruning, broadcast, TakeOrderedAndProject, codegen) asserted
+on the actual physical plans."""
+
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.plans import queries as Q
+from weaviate_txtai_spark.plans.explain import (
+    codegen_stage_count,
+    has_pushed_filter,
+    is_take_ordered,
+    physical_plan,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+from weaviate_txtai_spark.sources.tables import load_table
+
+
+def test_metadata_filter_pushed_to_parquet(spark, sf_dir):
+    # similar_sql: n_chars >= 100 must reach the documents scan
+    df = Q.similar_sql_q(spark, sf_dir)
+    assert has_pushed_filter(df, "GreaterThanOrEqual(n_chars,100")
+
+
+def test_shipdate_filter_pushed(spark, sf_dir):
+    df = Q.pricing_summary_q(spark, sf_dir)
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_column_pruning_on_knn(spark, sf_dir):
+    # knn reads only vec_id + embedding, never label
+    df = Q.knn_topk_q(spark, sf_dir)
+    schema = scan_read_schema(df, "embeddings")
+    assert schema and "label" not in schema
+    assert "vec_id" in schema and "embedding" in schema
+
+
+def test_pricing_summary_reads_needed_columns_only(spark, sf_dir):
+    df = Q.pricing_summary_q(spark, sf_dir)
+    schema = scan_read_schema(df, "lineitem")
+    assert schema and "l_orderkey" not in schema and "l_partkey" not in schema
+
+
+def test_single_query_topk_is_take_ordered(spark, sf_dir):
+    assert is_take_ordered(Q.knn_topk_q(spark, sf_dir))
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    df = Q.revenue_by_nation_q(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    # the big fact-fact join must NOT broadcast lineitem
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_relational_plans_are_codegen(spark, sf_dir):
+    assert codegen_stage_count(Q.pricing_summary_q(spark, sf_dir)) >= 1
+    assert codegen_stage_count(Q.events_hourly_q(spark, sf_dir)) >= 1
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    from weaviate_txtai_spark.operators.topk import knn_topk
+
+    qdf = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    df = knn_topk(emb, qdf, 5, vector_col="embedding", id_col="vec_id")
+    assert uses_broadcast_join(df)  # index side is never shuffled pre-window

@@ -111,6 +111,73 @@ def knn_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_index(spark: SparkSession, sf_dir: str):
+    """Temp VectorIndex over the embeddings table with docid == vec_id
+    (vectors appended in vec_id order)."""
+    import tempfile
+
+    from weaviate_txtai_spark.index import VectorIndex
+
+    emb = _emb(spark, sf_dir).orderBy("vec_id").collect()
+    idx = VectorIndex(spark, tempfile.mkdtemp(prefix="gate_idx_")).create()
+    idx.append([list(r["embedding"]) for r in emb])
+    return idx
+
+
+_VECTOR_DELETE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_remaining,
+       CAST(min(vec_id) AS BIGINT) AS min_docid,
+       CAST(max(vec_id) AS BIGINT) AS max_docid
+FROM embeddings WHERE vec_id NOT IN (0,1,2,3,4,5,6,7,8,9)
+"""
+
+
+@register("vector_delete", _VECTOR_DELETE_SQL)
+def vector_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: delete-by-docid as ONE anti-join (vs the reference's 2 HTTP
+    round-trips per id, weaviate.py:167-173)."""
+    idx = _build_index(spark, sf_dir)
+    idx.delete(list(range(10)))
+    return idx.to_df().agg(
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.min("docid").alias("min_docid"),
+        F.max("docid").alias("max_docid"),
+    )
+
+
+_VECTOR_UPSERT_SQL = """
+SELECT e.vec_id AS docid,
+       round(list_cosine_similarity(
+         CAST(CASE WHEN e.vec_id = 0
+              THEN (SELECT embedding FROM embeddings WHERE vec_id = 1)
+              ELSE e.embedding END AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)),
+         6) AS score
+FROM embeddings e
+ORDER BY score DESC, docid ASC
+LIMIT 3
+"""
+
+
+@register("vector_upsert", _VECTOR_UPSERT_SQL)
+def vector_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: upsert docid 0 <- vec 1's embedding, then search with vec 1 as
+    the query: docids 0 and 1 must tie at score 1.0 (reference upsert
+    round-trip semantics, tests/ann/test_weaviate.py:254-317)."""
+    idx = _build_index(spark, sf_dir)
+    rows = (
+        _emb(spark, sf_dir).filter(F.col("vec_id") == 1).collect()
+    )
+    idx.upsert([(0, list(rows[0]["embedding"]))])
+    qdf = idx.to_df().filter(F.col("docid") == 1).select(
+        F.lit(0).alias("query_id"), F.col("vector").alias("query_vector")
+    )
+    from weaviate_txtai_spark.operators.topk import knn_topk
+
+    res = knn_topk(idx.to_df(), qdf, 3)
+    return res.select("docid", F.round("score", 6).alias("score"))
+
+
 _VECTOR_COUNT_SQL = "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings"
 
 
@@ -340,9 +407,159 @@ def orders_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGMENT_SETOPS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_both FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+"""
+
+
+@register("segment_setops", _SEGMENT_SETOPS_SQL)
+def segment_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT) — absent from the reference entirely
+    (SURVEY §2.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o).agg(F.count(F.lit(1)).alias("n_both"))
+
+
+_CUSTOMER_LIFETIME_SQL = """
+SELECT o_custkey, n_orders, total, first_date, last_date FROM (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS total,
+         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_date
+  FROM orders GROUP BY o_custkey
+) ORDER BY total DESC, o_custkey LIMIT 20
+"""
+
+
+@register("customer_lifetime", _CUSTOMER_LIFETIME_SQL)
+def customer_lifetime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderdate").cast("date").cast("string").alias("first_date"),
+            F.max("o_orderdate").cast("date").cast("string").alias("last_date"),
+        )
+        .orderBy(F.desc("total"), "o_custkey")
+        .limit(20)
+    )
+
+
+_RUNNING_REVENUE_SQL = """
+SELECT y, m, monthly, round(sum(monthly) OVER (ORDER BY y, m
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+         round(sum(o_totalprice), 2) AS monthly
+  FROM orders GROUP BY 1, 2
+) ORDER BY y, m
+"""
+
+
+@register("running_revenue", _RUNNING_REVENUE_SQL)
+def running_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window over a pre-aggregated frame (two-level agg:
+    the window input is tiny, so the unpartitioned window is safe)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly"))
+    )
+    w = Window.orderBy("y", "m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        monthly.withColumn("running", F.round(F.sum("monthly").over(w), 2))
+        .orderBy("y", "m")
+    )
+
+
+_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("price_quantiles", _PRICE_QUANTILES_SQL)
+def price_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). At 100 TB you'd swap in approx_percentile and accept
+    the error bound; the exact form is the spec."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # --------------------------------------------------------------------------
 # Events: timestamped table — windowed aggregation + JSON extraction
 # --------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("events_sessionize", _SESSIONIZE_SQL)
+def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + running-sum session ids — the
+    canonical event-pipeline window composition. Partitioned by user_id,
+    so the window shuffles once on the natural key."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count_distinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
 
 _EVENTS_HOURLY_SQL = """
 SELECT CAST(EXTRACT(year FROM ts) AS INT) AS y,
