@@ -147,6 +147,23 @@ def test_existence_guard(spark, tmp_path):
         idx.delete([0])
 
 
+def test_batch_config_parity(spark, tmp_path):
+    # same-keyed config dict as the reference test
+    # (tests/ann/test_weaviate.py:221-237): batch_size 64, dynamic
+    cfg = {"weaviate": {"batch": {"batch_size": 2, "dynamic": True,
+                                  "num_workers": 2}}}
+    idx = VectorIndex(spark, str(tmp_path), cfg).create()
+    assert idx.batch_config["batch_size"] == 2
+    assert idx.batch_config["dynamic"] is True
+    assert idx.batch_config["timeout_retries"] == 3  # default preserved
+    idx.append(VECS + [[0.5, 0.5, 0.0]])
+    assert idx.count() == 4
+    import os
+
+    files = [f for f in os.listdir(idx._data_path()) if f.endswith(".parquet")]
+    assert len(files) >= 2  # batch_size=2 -> multiple files for 4 rows
+
+
 def test_save_load_noop(spark, tmp_path):
     # save/load are persistence no-ops; load re-attaches
     # (weaviate.py:208-224; tests :173-206)

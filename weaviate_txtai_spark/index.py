@@ -55,6 +55,16 @@ from weaviate_txtai_spark.schema import DEFAULT_SCHEMA, validate_schema
 
 logger = logging.getLogger(__name__)
 
+# Same keys as the reference's DEFAULT_BATCH_CONFIG (weaviate.py:29-38);
+# retry knobs are honored-as-no-ops (Spark's task retries subsume them).
+DEFAULT_BATCH_CONFIG = {
+    "batch_size": None,
+    "dynamic": False,
+    "timeout_retries": 3,
+    "connection_error_retries": 3,
+    "num_workers": 1,
+}
+
 _META_FILE = "_meta.json"
 
 _ROW_SCHEMA = StructType(
@@ -102,6 +112,15 @@ class VectorIndex:
         self.overwrite_index = self.config.get("weaviate", {}).get(
             "overwrite_index", True
         )
+        # S4 batch-tuning parity (DEFAULT_BATCH_CONFIG, weaviate.py:29-38;
+        # test config tests/ann/test_weaviate.py:221-237). Spark batches
+        # natively; we honor the same-keyed dict where it maps:
+        #   batch_size      -> rows per written file (maxRecordsPerFile)
+        #   num_workers     -> write parallelism (repartition before write)
+        #   dynamic/timeout_retries/connection_error_retries -> no-ops here
+        #   (Spark's task retry + file-commit protocol replaces them).
+        self.batch_config = dict(DEFAULT_BATCH_CONFIG)
+        self.batch_config.update(self.config.get("weaviate", {}).get("batch", {}))
         self.offset = 0
 
     # ---------------------------------------------------------------- DDL
@@ -196,7 +215,14 @@ class VectorIndex:
             ]
             n = len(rows)
             df = self.spark.createDataFrame(rows, _ROW_SCHEMA)
-        df.write.mode("append").parquet(self._data_path())
+        writer = df
+        workers = self.batch_config.get("num_workers") or 1
+        if workers > 1:
+            writer = writer.repartition(workers)
+        out = writer.write.mode("append")
+        if self.batch_config.get("batch_size"):
+            out = out.option("maxRecordsPerFile", int(self.batch_config["batch_size"]))
+        out.parquet(self._data_path())
         self.offset += n
         self._save_meta()
 

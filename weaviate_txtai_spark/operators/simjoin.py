@@ -35,9 +35,28 @@ def topk_join(
     left_vec: str = "query_vector",
     right_id: str = "docid",
     right_vec: str = "vector",
+    gemm_max_left: int = 20_000,
 ) -> DataFrame:
-    """Broadcast the left side; for each left row return top-k right rows
-    by cosine. Columns: left_id, right_id, score, rank."""
+    """For each left row return top-k right rows by cosine.
+    Columns: left_id, right_id, score, rank.
+
+    Strategy selection: when the left side fits in a task closure
+    (≤ gemm_max_left rows) use the GEMM path — one BLAS matmul per Arrow
+    batch instead of Q scalar cosine exprs per row, ~10× faster for
+    hundreds+ of queries. Either way the big (right) side is never
+    shuffled before its per-partition top-k reduction. Scores agree with
+    the expression path to ~1e-15 (both double; summation order differs).
+    """
+    n_left = left.count()
+    if n_left <= gemm_max_left:
+        queries = [
+            (r[0], list(r[1]))
+            for r in left.select(left_id, left_vec).collect()
+        ]
+        from weaviate_txtai_spark.operators.topk import knn_topk_gemm
+
+        res = knn_topk_gemm(right, queries, k, vector_col=right_vec, id_col=right_id)
+        return res.withColumnRenamed("query_id", left_id)
     return knn_topk(
         right,
         left,

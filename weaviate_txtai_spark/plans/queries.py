@@ -178,6 +178,51 @@ def vector_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("docid", F.round("score", 6).alias("score"))
 
 
+_DOCID_LOOKUP_SQL = """
+SELECT vec_id, label FROM embeddings WHERE vec_id = 123
+"""
+
+
+@register("docid_lookup", _DOCID_LOOKUP_SQL)
+def docid_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: equality-predicate point lookup (the reference's
+    _get_uuid_from_docid GraphQL where-filter, weaviate.py:151-165).
+    The predicate pushes to the parquet scan → row-group skip."""
+    return _emb(spark, sf_dir).filter(F.col("vec_id") == 123).select(
+        "vec_id", "label"
+    )
+
+
+_FULL_SCAN_SQL = """
+SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim
+FROM embeddings ORDER BY vec_id
+"""
+
+
+@register("full_scan", _FULL_SCAN_SQL)
+def full_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: full object scan with vectors present (REST GET /v1/objects
+    parity, api.http:36; tests :143-148) — projected to hashable columns
+    + per-row vector dimensionality."""
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", "label", F.size("embedding").alias("dim"))
+        .orderBy("vec_id")
+    )
+
+
+_SCAN_LIMIT_SQL = """
+SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 25
+"""
+
+
+@register("scan_limit", _SCAN_LIMIT_SQL)
+def scan_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: limit pushdown (the server's QUERY_DEFAULTS_LIMIT=25,
+    docker-compose.yml:9) — plans as TakeOrderedAndProject."""
+    return _emb(spark, sf_dir).select("vec_id", "label").orderBy("vec_id").limit(25)
+
+
 _VECTOR_COUNT_SQL = "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings"
 
 
@@ -965,6 +1010,31 @@ def streaming_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_txtai_spark.streaming.events import run_hourly_available_now
 
     return run_hourly_available_now(spark, sf_dir, table_name="hourly_stream_gate")
+
+
+@register("streaming_sessions", None)  # stateful op: rows-only (non-SQL)
+def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState session windows);
+    equivalence to the batch lag-gap spec is asserted in
+    tests/test_sessions.py."""
+    from weaviate_txtai_spark.streaming.events import stream_events
+    from weaviate_txtai_spark.streaming.sessions import sessionize_stream
+
+    out = sessionize_stream(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("sessions_stream_gate").select(
+        "user_id",
+        F.col("session_start").cast("long").alias("start_s"),
+        F.col("session_end").cast("long").alias("end_s"),
+        "n_events",
+    )
 
 
 @register("multimodal_features", None)  # mapInPandas features: rows-only
