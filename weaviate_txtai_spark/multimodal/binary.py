@@ -105,6 +105,8 @@ def extract_features(
                 {id_col: pdf[id_col], "features": feats}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    from weaviate_txtai_spark.sources.tables import spread
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(
         compute, schema=f"{id_col} long, features array<double>"
     )

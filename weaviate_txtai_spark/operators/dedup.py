@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.functions.text import fingerprint, shingles, tokens
 from weaviate_txtai_spark.functions.vector import cosine_sim
+from weaviate_txtai_spark.sources.tables import spread
 
 
 # ------------------------------------------------------------------ exact
@@ -63,7 +64,7 @@ def exact_dedup(
 def _shingle_table(
     docs: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col).alias("__id"), F.explode(shingles(text_col, n)).alias("__sh")
     )
 
@@ -83,7 +84,7 @@ def jaccard_pairs(
     crossJoin) -> count common -> Jaccard from |A|,|B|,|A∩B|.
     Output: d1, d2 (d1 < d2), jaccard rounded to 6dp.
 
-    Two plan-level optimizations (~3× at sf0.1):
+    Three plan-level optimizations (~4× at sf0.1):
     - shingles are hashed to int64 immediately (xxhash64), so the
       self-join shuffles/compares 8-byte keys, not ~20-byte strings;
       collision probability across D distinct shingles is ~D²/2⁶⁵ —
@@ -92,26 +93,40 @@ def jaccard_pairs(
     - the shingle table feeds three plan branches (join a, join b,
       sizes); it is persisted so tokenize+shingle+hash runs once, not
       three times.
+    - size-band pruning: shingles are DISTINCT per doc, so jaccard(A,B)
+      = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|); a pair can reach the
+      threshold only when t·max ≤ min. Each side carries its shingle
+      count (broadcast join — one row per doc) and the self-join drops
+      size-incompatible pairs BEFORE the pairwise count-aggregate,
+      which is where the quadratic blowup lives.
     """
     sh = _shingle_table(docs, text_col, id_col, n).select(
         "__id", F.xxhash64("__sh").alias("__sh")
     )
     sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    shz = sh.join(F.broadcast(sizes), "__id")
+    a = shz.alias("a")
+    b = shz.alias("b")
+    t = F.lit(threshold)
     common = (
-        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        a.join(
+            b,
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("a.__sz") >= t * F.col("b.__sz"))
+            & (F.col("b.__sz") >= t * F.col("a.__sz")),
+        )
         .groupBy(F.col("a.__id").alias("d1"), F.col("b.__id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("__common"))
+        .agg(
+            F.count(F.lit(1)).alias("__common"),
+            F.first(F.col("a.__sz")).alias("__sz1"),
+            F.first(F.col("b.__sz")).alias("__sz2"),
+        )
     )
-    s1 = sizes.select(F.col("__id").alias("d1"), F.col("__sz").alias("__sz1"))
-    s2 = sizes.select(F.col("__id").alias("d2"), F.col("__sz").alias("__sz2"))
     jac = F.col("__common") / (F.col("__sz1") + F.col("__sz2") - F.col("__common"))
     return (
-        common.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        common.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -211,24 +226,32 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify ONLY the candidates against exact Jaccard (precision = 1.0):
-    # semi-restrict the shingle join to candidate pairs, so verify cost is
-    # O(candidate shingles), not the full inverted-index self-join.
+    # semi-restrict the shingle join to candidate pairs (candidates are a
+    # tiny fraction of all pairs — broadcast them), so verify cost is
+    # O(candidate shingles), not the full inverted-index self-join. Sizes
+    # ride along via broadcast join; F.first pulls them through the
+    # count-aggregate so no post-join with the sizes table is needed.
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    a = sh.withColumnRenamed("__id", "d1")
-    b = sh.withColumnRenamed("__id", "d2")
-    ca = candidates.join(a, "d1").select("d1", "d2", "__sh")
+    shz = sh.join(F.broadcast(sizes), "__id")
+    a = shz.select(
+        F.col("__id").alias("d1"), "__sh", F.col("__sz").alias("__sz1")
+    )
+    b = shz.select(
+        F.col("__id").alias("d2"), "__sh", F.col("__sz").alias("__sz2")
+    )
+    ca = a.join(F.broadcast(candidates), "d1")
     common = (
         ca.join(b, ["d2", "__sh"])
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("__common"))
+        .agg(
+            F.count(F.lit(1)).alias("__common"),
+            F.first("__sz1").alias("__sz1"),
+            F.first("__sz2").alias("__sz2"),
+        )
     )
-    s1 = sizes.select(F.col("__id").alias("d1"), F.col("__sz").alias("__sz1"))
-    s2 = sizes.select(F.col("__id").alias("d2"), F.col("__sz").alias("__sz2"))
     jac = F.col("__common") / (F.col("__sz1") + F.col("__sz2") - F.col("__common"))
     return (
-        common.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jaccard", F.round(jac, 6))
+        common.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
@@ -277,7 +300,7 @@ def simhash_signatures(
     64 per-bit counters don't fit native exprs sensibly)."""
     import numpy as np
 
-    tok = docs.select(
+    tok = spread(docs).select(
         F.col(id_col).alias("__id"),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("__th"),
     )
@@ -401,6 +424,17 @@ def embedding_dup_pairs_lsh(
     bucket int per table. The expression-tree alternative (tables ×
     planes literal-array dot products per row) is interpreted, not
     codegen'd, and runs ~100× slower.
+
+    Verification is bucket-local: vectors ride along with their bucket
+    keys (num_tables× data amplification — the same shuffle MLlib's
+    approxSimilarityJoin pays), and each (table, bucket) group scores
+    its own members with one normalized GEMM inside applyInPandas,
+    emitting only pairs ≥ threshold. The distinct() then runs over
+    surviving pairs (tiny), never over the raw candidate set — the
+    previous plan shuffled every candidate pair through two array
+    joins, which at low thresholds degenerates to worse than brute
+    force. Hot buckets are scored in row-chunks so one skewed bucket
+    costs O(chunk × bucket) memory, not O(bucket²).
     """
     import numpy as np
 
@@ -417,35 +451,47 @@ def embedding_dup_pairs_lsh(
             bits = (mat @ proj) > 0
             bits = bits.reshape(len(pdf), num_tables, num_planes)
             buckets = (bits * weights).sum(axis=2)
+            n = len(pdf)
             yield pd.DataFrame(
                 {
                     "__id": np.repeat(pdf["__id"].to_numpy(), num_tables),
-                    "t": np.tile(np.arange(num_tables, dtype=np.int32), len(pdf)),
+                    "t": np.tile(np.arange(num_tables, dtype=np.int32), n),
                     "bk": buckets.reshape(-1),
+                    "__v": [v for v in pdf["__v"] for _ in range(num_tables)],
                 }
             )
 
-    blocked = emb.select(
-        F.col(id_col).alias("__id"), F.col(vector_col).alias("__v")
-    ).mapInPandas(bucketize, schema="__id long, t int, bk long")
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        mat = np.asarray(list(pdf["__v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms[:, None]
+        out_d1, out_d2, out_cos = [], [], []
+        chunk = 1024
+        for lo in range(0, len(ids), chunk):
+            sims = mat[lo : lo + chunk] @ mat.T
+            r, c = np.nonzero(sims >= threshold)
+            keep = ids[r + lo] < ids[c]
+            r, c = r[keep], c[keep]
+            out_d1.append(ids[r + lo])
+            out_d2.append(ids[c])
+            out_cos.append(sims[r, c])
+        if not out_d1:
+            return pd.DataFrame({"d1": [], "d2": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "d1": np.concatenate(out_d1),
+                "d2": np.concatenate(out_d2),
+                "cosine": np.round(np.concatenate(out_cos), 6),
+            }
         )
-        .select(F.col("a.__id").alias("d1"), F.col("b.__id").alias("d2"))
-        .distinct()
-    )
-    v1 = emb.select(F.col(id_col).alias("d1"), F.col(vector_col).alias("__v1"))
-    v2 = emb.select(F.col(id_col).alias("d2"), F.col(vector_col).alias("__v2"))
+
+    blocked = spread(
+        emb.select(F.col(id_col).alias("__id"), F.col(vector_col).alias("__v"))
+    ).mapInPandas(bucketize, schema="__id long, t int, bk long, __v array<float>")
     return (
-        candidates.join(v1, "d1")
-        .join(v2, "d2")
-        .withColumn("cosine", F.round(cosine_sim("__v1", "__v2"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("d1", "d2", "cosine")
+        blocked.groupBy("t", "bk")
+        .applyInPandas(score_bucket, schema="d1 long, d2 long, cosine double")
+        .distinct()
     )

@@ -163,7 +163,9 @@ def knn_topk_gemm(
                 )
             yield pd.concat(rows, ignore_index=True)
 
-    local = index_df.select(id_col, vector_col).mapInPandas(
+    from weaviate_txtai_spark.sources.tables import spread
+
+    local = spread(index_df.select(id_col, vector_col)).mapInPandas(
         score_partition, schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))

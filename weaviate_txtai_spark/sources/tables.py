@@ -28,6 +28,24 @@ TABLES = [
 ]
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than the
+    cluster has cores.
+
+    The driver testdata is one single-row-group parquet file per table, so a
+    plain scan yields ONE input partition and every downstream narrow
+    transformation (tokenize/shingle/explode, mapInPandas GEMM) serializes
+    onto one core. Per-row-heavy operators call this before their hot map
+    stage. At real scale inputs arrive in many splits and this is a no-op —
+    it never *reduces* parallelism and never adds a shuffle when the scan
+    is already wide."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)
