@@ -15,8 +15,6 @@ from __future__ import annotations
 import functools
 import os
 import sys
-import tempfile
-import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,31 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO_DIR)
 
-_SHIPPED: set[int] = set()
-
-
 def _ensure_shipped(spark: SparkSession) -> None:
     """Ship the package to Spark's Python workers via addPyFile.
 
     The driver process may run from any cwd; pandas-UDF/mapInPandas
     closures are pickled by module reference, so workers need the package
     importable too — sys.path edits in this process don't reach them."""
-    key = id(spark.sparkContext)
-    if key in _SHIPPED:
-        return
-    pkg_dir = os.path.join(_REPO_DIR, "weaviate_txtai_spark")
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"weaviate_txtai_spark_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, _REPO_DIR))
-    spark.sparkContext.addPyFile(zpath)
-    _SHIPPED.add(key)
+    from weaviate_txtai_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

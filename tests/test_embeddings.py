@@ -1,0 +1,160 @@
+"""txtai-level Embeddings facade tests — mirrors the reference's test
+taxonomy (reference tests/ann/test_weaviate.py): index/count/offset,
+search relevance, SQL dialect incl. embedded similar('…'), aggregates,
+delete, upsert round-trip, ad-hoc similarity.
+
+Relevance assertions use the deterministic HashingEncoder: lexical
+overlap drives cosine, so ranks are reproducible without any model.
+Like the reference, assertions are ids/ranks/counts — never absolute
+float scores (SURVEY §5).
+"""
+
+import pytest
+
+from weaviate_txtai_spark.embeddings import Embeddings, rewrite_similar_sql
+
+# the reference notebook corpus (examples/01_simple.ipynb cell 5)
+DATA = [
+    "US tops 5 million confirmed virus cases",
+    "Canada's last fully intact ice shelf has suddenly collapsed, "
+    "forming a Manhattan-sized iceberg",
+    "Beijing mobilises invasion craft along coast as Taiwan tensions escalate",
+    "The National Park Service warns against sacrificing slower friends "
+    "in a bear attack",
+    "Maine man wins $1M from $25 lottery ticket",
+    "Make huge profits without work, earn up to $100,000 a day",
+]
+
+
+@pytest.fixture()
+def emb(spark):
+    e = Embeddings(spark)
+    e.index([(i, t, None) for i, t in enumerate(DATA)])
+    return e
+
+
+def test_index_count_offset(emb):
+    assert emb.count() == len(DATA)
+    assert emb.offset == len(DATA)
+
+
+def test_search_returns_id_score(emb):
+    res = emb.search("lottery ticket win", 3)
+    assert len(res) == 3
+    assert res[0][0] == "4"  # the lottery doc
+    assert all(isinstance(s, float) for _, s in res)
+    # scores sorted descending
+    assert [s for _, s in res] == sorted((s for _, s in res), reverse=True)
+
+
+def test_search_string_ids(spark):
+    e = Embeddings(spark)
+    e.index([("foo", "the quick brown fox", None), ("bar", "wall street", None)])
+    assert e.search("fox jumps", 1)[0][0] == "foo"
+    assert e.search("wall street banker", 1)[0][0] == "bar"
+
+
+def test_sql_similar_with_metadata_predicate(emb):
+    # reference examples/01_simple.ipynb cells 25-26
+    rows = emb.search(
+        "select text, score from txtai where similar('huge profits') "
+        "and score >= 0.0 and length >= 40",
+        limit=10,
+    )
+    assert rows, "similar + metadata predicate returned nothing"
+    assert rows[0]["text"] == DATA[5]
+    for r in rows:
+        assert len(r["text"]) >= 40 and r["score"] >= 0.0
+
+
+def test_sql_aggregates(emb):
+    # reference examples/01_simple.ipynb cell 27
+    rows = emb.search(
+        "select count(*) as n, min(length) as mn, max(length) as mx, "
+        "sum(length) as total from txtai"
+    )
+    assert rows == [
+        {
+            "n": len(DATA),
+            "mn": min(len(t) for t in DATA),
+            "mx": max(len(t) for t in DATA),
+            "total": sum(len(t) for t in DATA),
+        }
+    ]
+
+
+def test_sql_order_by_score_asc_limit(emb):
+    # reference examples/01_simple.ipynb cell 29 shape
+    rows = emb.search(
+        "select id, score from txtai where similar('lottery win') "
+        "order by score asc limit 1"
+    )
+    assert len(rows) == 1
+    # ranks not ids: several docs tie at the minimum score, so assert the
+    # returned row carries the minimum score (reference-style rank assert)
+    all_scored = emb.search("lottery win", len(DATA))
+    assert rows[0]["score"] == min(s for _, s in all_scored)
+
+
+def test_delete_by_id(emb):
+    emb.delete([0, 1])
+    assert emb.count() == len(DATA) - 2
+    assert all(r[0] not in ("0", "1") for r in emb.search("virus cases", 10))
+
+
+def test_upsert_roundtrip(emb):
+    # reference tests/ann/test_weaviate.py:254-317: update visibility,
+    # then delete restores the original ranking
+    top_before = emb.search("feel good story", 1)[0][0]
+    emb.upsert([("maine", "Maine man wins lottery, feel good story", None)])
+    assert emb.count() == len(DATA) + 1
+    assert emb.search("feel good story", 1)[0][0] == "maine"
+    emb.delete(["maine"])
+    assert emb.search("feel good story", 1)[0][0] == top_before
+    # docids stay dense-monotonic: upsert consumed one offset slot
+    assert emb.offset == len(DATA) + 1
+
+
+def test_upsert_replaces_existing_id(emb):
+    emb.upsert([("2", "totally new content about gardening tulips", None)])
+    assert emb.count() == len(DATA)  # replaced, not appended
+    assert emb.search("gardening tulips", 1)[0][0] == "2"
+
+
+def test_similarity_adhoc(spark):
+    e = Embeddings(spark)
+    res = e.similarity(
+        "feel good story",
+        ["bad news about the virus", "Maine man wins lottery feel good story"],
+    )
+    assert res[0][0] == 1
+    assert len(res) == 2
+    assert res[0][1] >= res[1][1]
+
+
+def test_rewrite_similar_sql():
+    sql, text = rewrite_similar_sql(
+        "select text, score from txtai where similar('hiking danger') "
+        "and score >= 0.15"
+    )
+    assert text == "hiking danger"
+    assert "similar" not in sql.lower()
+    assert "TRUE" in sql
+    sql2, text2 = rewrite_similar_sql("select count(*) from txtai")
+    assert text2 is None and "count(*)" in sql2
+    with pytest.raises(ValueError):
+        rewrite_similar_sql(
+            "select 1 from txtai where similar('a') and similar('b')"
+        )
+
+
+def test_metadata_dict_documents(spark):
+    e = Embeddings(spark)
+    e.index(
+        [
+            ("a", {"text": "spark engine", "lang": "en"}, None),
+            ("b", {"text": "moteur spark", "lang": "fr"}, None),
+        ]
+    )
+    rows = e.search("select id, lang from txtai where lang = 'en'")
+    assert rows == [{"id": "a", "lang": "en"}]

@@ -16,6 +16,7 @@ Design rules (see SURVEY.md §4):
   AQE for skew.
 """
 
+from weaviate_txtai_spark.embeddings import Embeddings, rewrite_similar_sql
 from weaviate_txtai_spark.index import VectorIndex, IndexNotFoundError
 from weaviate_txtai_spark.schema import (
     DEFAULT_SCHEMA,
@@ -27,6 +28,8 @@ from weaviate_txtai_spark.schema import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "Embeddings",
+    "rewrite_similar_sql",
     "VectorIndex",
     "IndexNotFoundError",
     "DEFAULT_SCHEMA",

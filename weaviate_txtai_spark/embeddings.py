@@ -1,0 +1,225 @@
+"""txtai-level ``Embeddings`` facade: the user-facing API of the reference.
+
+The reference backend serves txtai's ``Embeddings`` object, whose surface
+the tests and notebook exercise end-to-end (reference
+tests/ann/test_weaviate.py:135-170,209-218,254-317 and
+examples/01_simple.ipynb cells 7-29):
+
+- ``index([(id, data, tags), ...])``  — encode + store, dense docids
+- ``upsert([...])``                   — replace by id / append new
+- ``delete([id, ...])``               — by user id
+- ``search(text, limit)``             — kNN, returns [(id, score)]
+- ``search("select ... where similar('x') ...")`` — txtai SQL dialect
+- ``similarity(query, texts)``        — ad-hoc brute force, no index
+- ``count()``
+
+Spark-first design decisions:
+
+- **id ↔ docid mapping** lives as plain columns (``id: string``,
+  ``docid: long``) in one DataFrame — the join the reference does
+  through two systems (txtai SQLite + Weaviate) collapses into column
+  projection (SURVEY §1.1).
+- docids are **dense** and assigned ``row_number() - 1 + offset`` over
+  the ingest order, matching the reference's running-offset counter
+  (reference weaviate_txtai/ann/weaviate.py:67,143,149). Never
+  ``monotonically_increasing_id`` — it's non-dense by design.
+- mutations are **set-oriented**: delete/upsert are anti-join + union,
+  one shuffle for any number of ids, instead of the reference's N+1
+  HTTP round-trips (weaviate.py:167-173, TODO at :170-171).
+- ``similar('…')`` inside SQL text is rewritten into a score-column
+  attachment on the ``txtai`` view; every other SQL feature (metadata
+  predicates, aggregates, ORDER BY score, LIMIT) is plain Spark SQL.
+
+The encoder is pluggable; the default ``HashingEncoder`` is
+deterministic (token hash → signed buckets), so tests need no model
+downloads and relevance assertions are reproducible.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.encoders import HashingEncoder
+from weaviate_txtai_spark.functions.vector import cosine_sim
+
+_SIMILAR_RE = re.compile(r"similar\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE)
+
+
+def rewrite_similar_sql(sql: str) -> tuple[str, str | None]:
+    """Split txtai's ``similar('…')`` predicate out of a SQL string.
+
+    Returns (rewritten_sql, similar_text). The predicate itself becomes
+    TRUE — in txtai it *drives scoring*, it does not filter; score
+    thresholds arrive as separate ``score >= x`` conjuncts
+    (reference examples/01_simple.ipynb cell 25).
+    """
+    found: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        found.append(m.group(1))
+        return "TRUE"
+
+    rewritten = _SIMILAR_RE.sub(repl, sql)
+    if len(found) > 1:
+        raise ValueError("only one similar('…') clause is supported")
+    return rewritten, (found[0] if found else None)
+
+
+class Embeddings:
+    """In-memory/cached txtai-style embeddings index over Spark.
+
+    ``documents`` items are ``(id, data, tags)`` like txtai: ``data`` is
+    the text, or a dict of ``{"text": ..., **metadata}``; tags are
+    ignored (parity: the reference never uses them).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        encoder: HashingEncoder | None = None,
+    ):
+        from weaviate_txtai_spark.ship import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.encoder = encoder or HashingEncoder()
+        self._df: DataFrame | None = None
+        self._meta_cols: list[str] = []
+        # reference parity: running offset so docids never collide across
+        # appends (weaviate.py:67,149; asserted tests/ann/test_weaviate.py:141)
+        self.offset = 0
+
+    # ------------------------------------------------------------ ingest
+
+    def _to_rows(self, documents: Iterable) -> list[dict[str, Any]]:
+        rows = []
+        for item in documents:
+            uid, data = item[0], item[1]
+            if isinstance(data, dict):
+                row = dict(data)
+                text = row.pop("text", "")
+            else:
+                row, text = {}, str(data)
+            # T5 parity: derived metadata computed at ingest
+            # (examples/01_simple.ipynb cell 24 stores length=len(text))
+            row.setdefault("length", len(text))
+            rows.append({"id": str(uid), "text": text, **row})
+        return rows
+
+    def _encode_df(self, rows: list[dict[str, Any]], start: int) -> DataFrame:
+        df = self.spark.createDataFrame([Row(**r) for r in rows])
+        w = Window.orderBy(F.monotonically_increasing_id())
+        # row_number over the ingest frame → dense docids; the single-stage
+        # window shuffle is confined to the (small) ingest batch, never the
+        # stored table (SURVEY §7 hard-parts list).
+        df = df.withColumn("docid", F.row_number().over(w) - 1 + start)
+        return self.encoder.encode_df(df, text_col="text")
+
+    def index(self, documents: Iterable) -> None:
+        """Drop any existing data and ingest (reference `index` ==
+        drop-and-recreate, weaviate.py:112-135)."""
+        rows = self._to_rows(documents)
+        self.offset = 0
+        self._df = self._encode_df(rows, 0).cache()
+        self.offset = len(rows)
+        self._meta_cols = [
+            c for c in self._df.columns if c not in ("id", "docid", "vector")
+        ]
+
+    def upsert(self, documents: Iterable) -> None:
+        """Replace rows whose id matches; append the rest. One anti-join +
+        union — the set-oriented form of txtai's delete-then-append loop
+        (reference tests/ann/test_weaviate.py:254-317)."""
+        if self._df is None:
+            return self.index(documents)
+        rows = self._to_rows(documents)
+        fresh = self._encode_df(rows, self.offset)
+        self.offset += len(rows)
+        kept = self._df.join(fresh.select("id"), "id", "left_anti")
+        self._df = kept.unionByName(
+            fresh.select(kept.columns), allowMissingColumns=False
+        ).cache()
+
+    def delete(self, ids: Sequence) -> None:
+        """Anti-join delete by user id — one shuffle for any number of
+        ids (vs the reference's two HTTP round-trips per id)."""
+        if self._df is None:
+            return
+        ids_df = self.spark.createDataFrame(
+            [(str(i),) for i in ids], schema="id string"
+        )
+        self._df = self._df.join(ids_df, "id", "left_anti").cache()
+
+    # ------------------------------------------------------------- query
+
+    def count(self) -> int:
+        return 0 if self._df is None else self._df.count()
+
+    def _scored(self, text: str) -> DataFrame:
+        qv = F.lit([float(x) for x in self.encoder.encode(text)])
+        return self._df.withColumn(
+            "score", F.round(cosine_sim(F.col("vector"), qv), 6)
+        )
+
+    def search(self, query: str, limit: int = 3) -> list:
+        """Text query → [(id, score)] top-limit by cosine; SQL query
+        (starts with 'select') → list of row dicts, txtai-style."""
+        if self._df is None:
+            return []
+        if query.strip().lower().startswith("select"):
+            return self._search_sql(query, limit)
+        out = (
+            self._scored(query)
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(limit)
+            .select("id", "score")
+            .collect()
+        )
+        return [(r["id"], r["score"]) for r in out]
+
+    def _search_sql(self, query: str, limit: int) -> list[dict]:
+        rewritten, similar_text = rewrite_similar_sql(query)
+        base = (
+            self._scored(similar_text) if similar_text is not None else self._df
+        )
+        base.createOrReplaceTempView("txtai")
+        # txtai ranks by score implicitly whenever similar() drives the
+        # query; an explicit ORDER BY wins (cell 29 uses `order by score
+        # asc`). Injected before any trailing LIMIT so the SQL stays valid.
+        if similar_text is not None and not re.search(
+            r"\border\s+by\b", rewritten, re.IGNORECASE
+        ):
+            m = re.search(r"\blimit\s+\d+\s*$", rewritten, re.IGNORECASE)
+            if m:
+                rewritten = (
+                    rewritten[: m.start()]
+                    + " ORDER BY score DESC "
+                    + rewritten[m.start() :]
+                )
+            else:
+                rewritten += " ORDER BY score DESC"
+        df = self.spark.sql(rewritten)
+        if not re.search(r"\blimit\b", rewritten, re.IGNORECASE):
+            df = df.limit(limit)
+        return [r.asDict() for r in df.collect()]
+
+    def similarity(self, query: str, texts: Sequence[str]) -> list:
+        """Ad-hoc brute-force scoring, no stored index (reference Q9,
+        examples/01_simple.ipynb cell 7): [(index, score)] sorted desc —
+        the same cosine code path as search, over a throwaway frame."""
+        data = self.spark.createDataFrame(
+            list(enumerate(texts)), schema="idx int, text string"
+        )
+        scored = self.encoder.encode_df(data, text_col="text")
+        qv = F.lit([float(x) for x in self.encoder.encode(query)])
+        out = (
+            scored.withColumn("score", F.round(cosine_sim("vector", qv), 6))
+            .orderBy(F.desc("score"), F.asc("idx"))
+            .select("idx", "score")
+            .collect()
+        )
+        return [(r["idx"], r["score"]) for r in out]

@@ -52,6 +52,9 @@ class TxtaiSQL:
     """
 
     def __init__(self, spark: SparkSession, encoder: HashingEncoder | None = None):
+        from weaviate_txtai_spark.ship import ensure_shipped
+
+        ensure_shipped(spark)
         self.spark = spark
         self.encoder = encoder or HashingEncoder()
         self._indexed: DataFrame | None = None
