@@ -424,6 +424,118 @@ def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUPPLIER_REGION_SQL = """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_balance,
+       round(avg(s.s_acctbal), 2) AS avg_balance
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register("supplier_region_balance", _SUPPLIER_REGION_SQL)
+def supplier_region_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure dimension snowflake (supplier->nation->region): every join
+    broadcasts, so the whole plan is map-side + one tiny agg shuffle —
+    the shape survives any scale-up of the supplier table."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_balance"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_PART_BRAND_SQL = """
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_quantity), 1) AS total_qty
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY revenue DESC, p.p_brand
+"""
+
+
+@register("part_brand_revenue", _PART_BRAND_SQL)
+def part_brand_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x small-dim: part broadcasts (it's 1/30th of lineitem and
+    only p_brand survives pruning), so lineitem never shuffles before
+    the partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 1).alias("total_qty"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+    )
+
+
+_SUPPLIER_SHARE_SQL = """
+WITH sup_rev AS (
+  SELECT n.n_name, s.s_name,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, s_name,
+       round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY n_name), 6) AS share
+FROM sup_rev
+ORDER BY n_name, revenue DESC, s_name
+"""
+
+
+@register("supplier_share", _SUPPLIER_SHARE_SQL)
+def supplier_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-window: revenue per (nation, supplier), then each
+    supplier's share of its nation via a window sum. The window runs
+    over the aggregated table (one row per supplier), never the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    w = Window.partitionBy("n_name")
+    return (
+        rev.select(
+            "n_name",
+            "s_name",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+        )
+        .orderBy("n_name", F.desc("revenue"), "s_name")
+    )
+
+
 _ORDERS_ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
