@@ -1,0 +1,58 @@
+"""Skew-aware join: salting for hot keys (scale path, SURVEY §4).
+
+AQE's skew-join handles skew *inside* sort-merge joins automatically when
+statistics notice it; salting is the explicit form for the cases AQE can't
+fix — a handful of keys so hot that one task would receive gigabytes (the
+classic 100 TB-pipeline failure: a null-ish default key, one viral
+document id).
+
+``salted_join``: the big/skewed side gets a uniform random salt in
+[0, salt_factor); the smaller (but not broadcastable) side is replicated
+``salt_factor`` times, once per salt value, via a tiny literal-range
+explode. The join key becomes (key, salt), spreading each hot key over
+``salt_factor`` tasks. Replication multiplies the small side's shuffle
+volume by salt_factor — that's the price, choose salt_factor ≈ the
+worst-key imbalance ratio.
+
+Results are identical to the plain equi-join (inner/left) — only the
+physical distribution changes; a property test asserts that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "inner",
+    salt_factor: int = 16,
+    seed: int | None = None,
+) -> DataFrame:
+    """Equi-join with the skewed side salted over ``salt_factor`` buckets.
+
+    ``on`` is a column name (or list) present in both frames, like the
+    string form of ``DataFrame.join``. ``how`` supports the outer-safe
+    subset: 'inner' and 'left' (the salted side is the left/preserved
+    side; 'right'/'full' would need the replicated side preserved, which
+    salting breaks by construction).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    rand = F.rand(seed) if seed is not None else F.rand()
+    left = skewed.withColumn(
+        _SALT, (rand * salt_factor).cast("int")
+    )
+    right = other.withColumn(
+        _SALT,
+        F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))),
+    )
+    joined = left.join(right, keys + [_SALT], how)
+    return joined.drop(_SALT)

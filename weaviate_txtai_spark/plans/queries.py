@@ -424,6 +424,41 @@ def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIM_BRUTE_SQL = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)),
+             6) AS score
+FROM embeddings e
+WHERE e.vec_id < 100
+ORDER BY score DESC, e.vec_id
+"""
+
+
+@register("similarity_brute", _SIM_BRUTE_SQL)
+def similarity_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q9: txtai similarity(query, data) — ad-hoc brute-force
+    scoring of a candidate list with NO stored index and NO top-k cut;
+    every candidate comes back scored, ordered. Same cosine expression
+    as the indexed path (Q1) over a filtered frame."""
+    emb = _emb(spark, sf_dir)
+    qv = (
+        emb.filter(F.col("vec_id") == 7)
+        .select("embedding")
+        .head()[0]
+    )
+    adhoc = emb.filter(F.col("vec_id") < 100)
+    return (
+        adhoc.select(
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding"), F.lit([float(x) for x in qv])), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
+
+
 _SUPPLIER_REGION_SQL = """
 SELECT r.r_name,
        CAST(count(*) AS BIGINT) AS n_suppliers,
