@@ -1,0 +1,65 @@
+"""Streaming ingest → VectorIndex: dense docids across micro-batches,
+search over streamed data, batch/stream parity via availableNow."""
+
+import os
+
+import pytest
+from pyspark.sql.types import StringType, StructField, StructType
+
+from weaviate_txtai_spark.functions.encoders import HashingEncoder
+from weaviate_txtai_spark.index import VectorIndex
+from weaviate_txtai_spark.streaming.ingest import stream_ingest
+
+SCHEMA = StructType(
+    [StructField("id", StringType()), StructField("text", StringType())]
+)
+
+
+@pytest.fixture()
+def source_dir(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    texts = [(str(i), f"document number {i} about topic {i % 3}") for i in range(20)]
+    # two files → at least one micro-batch each under availableNow
+    spark.createDataFrame(texts[:10], SCHEMA).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    spark.createDataFrame(texts[10:], SCHEMA).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    return str(src)
+
+
+def test_stream_ingest_dense_docids_and_search(spark, tmp_path, source_dir):
+    idx = VectorIndex(spark, str(tmp_path / "idx")).create()
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(source_dir + "/*")
+    )
+    q = stream_ingest(
+        stream, idx, checkpoint=str(tmp_path / "cp")
+    )
+    q.awaitTermination(120)
+    assert idx.count() == 20
+    assert idx.offset == 20
+    # dense, collision-free docids across micro-batches
+    docids = sorted(r["docid"] for r in idx.to_df().select("docid").collect())
+    assert docids == list(range(20))
+    # the streamed vectors are searchable
+    enc = HashingEncoder()
+    res = idx.search([enc.encode("document number 7 about topic 1")], limit=3)
+    assert len(res[0]) == 3
+
+
+def test_checkpoint_prevents_replay(spark, tmp_path, source_dir):
+    idx = VectorIndex(spark, str(tmp_path / "idx2")).create()
+    cp = str(tmp_path / "cp2")
+    stream = spark.readStream.schema(SCHEMA).parquet(source_dir + "/*")
+    stream_ingest(stream, idx, checkpoint=cp).awaitTermination(120)
+    assert idx.count() == 20
+    # second drain over the same checkpoint: nothing new to process
+    stream2 = spark.readStream.schema(SCHEMA).parquet(source_dir + "/*")
+    stream_ingest(stream2, idx, checkpoint=cp).awaitTermination(120)
+    assert idx.count() == 20
+    assert idx.offset == 20

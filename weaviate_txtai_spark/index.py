@@ -202,7 +202,10 @@ class VectorIndex:
                 .select(
                     F.expr("uuid()").alias("uuid"),
                     (F.col("__rn") - 1 + F.lit(self.offset)).alias("docid"),
-                    F.col("vector").cast(ArrayType(FloatType(), False)),
+                    # plain "array<float>": a cast to a containsNull=false
+                    # array is rejected by the analyzer when the input is
+                    # nullable (e.g. encoder output inside foreachBatch)
+                    F.col("vector").cast("array<float>"),
                 )
             )
             n = vectors.count()

@@ -1159,6 +1159,39 @@ def streaming_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_available_now(spark, sf_dir, table_name="hourly_stream_gate")
 
 
+_STREAM_INGEST_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS docid
+FROM documents
+ORDER BY docid
+"""
+
+
+@register("streaming_ingest", _STREAM_INGEST_SQL)
+def streaming_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a VectorIndex (M4): file stream over the
+    documents table → Arrow-batched encode → foreachBatch append with
+    running-offset docids. The oracle checks the ingest invariant the
+    reference enforces with its offset counter (weaviate.py:67,149):
+    docids come out dense 0..N-1 regardless of micro-batch boundaries."""
+    import os
+    import tempfile
+
+    from weaviate_txtai_spark.index import VectorIndex
+    from weaviate_txtai_spark.streaming.ingest import stream_ingest
+
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    work = tempfile.mkdtemp(prefix="wts_stream_ingest_")
+    idx = VectorIndex(spark, os.path.join(work, "idx")).create()
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(sf_dir, "documents.parque*")
+    )
+    q = stream_ingest(stream, idx, checkpoint=os.path.join(work, "cp"))
+    q.awaitTermination()
+    return idx.to_df().select("docid").orderBy("docid")
+
+
 @register("streaming_sessions", None)  # stateful op: rows-only (non-SQL)
 def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState session windows);
