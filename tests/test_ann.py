@@ -68,3 +68,27 @@ def test_threshold_join_self_pairs(spark, sf_dir):
     res = threshold_join(left, emb, 0.999, right_id="vec_id", right_vec="embedding")
     pairs = {(r["query_id"], r["vec_id"]) for r in res.collect()}
     assert {(q, q) for q in range(5)} <= pairs  # self-cosine == 1
+
+
+def test_ivf_save_load_partition_pruning(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries(emb, 5)
+    idx = IVFIndex.build(emb, nlist=8)
+    before = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in idx.search(qdf, 3, nprobe=2).collect()
+    )
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IVFIndex.load(spark, path)
+    after = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in loaded.search(qdf, 3, nprobe=2).collect()
+    )
+    assert before == after
+    # the saved layout is partitioned by cell and the probed search scans
+    # with a partition filter on cell (static pruning, not a full listing)
+    import os
+    assert any(d.startswith("cell=") for d in os.listdir(os.path.join(path, "cells")))
+    plan = loaded.search(qdf, 3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan

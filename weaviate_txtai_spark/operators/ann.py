@@ -19,7 +19,10 @@ score → window top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.functions.vector import cosine_sim
@@ -64,6 +67,34 @@ class IVFIndex:
         ]
         return cls(assigned, centroids, id_col, vector_col)
 
+    def save(self, path: str) -> None:
+        """Materialize the index partitioned BY CELL on disk.
+
+        ``partitionBy('cell')`` makes the cell id part of the directory
+        layout (``cell=0/``, ``cell=1/`` …), so a probed search's
+        ``cell IN (...)`` predicate becomes *partition pruning*: Spark
+        lists only the probed directories and never opens the rest —
+        the IVF promise (read nprobe/nlist of the data) enforced by the
+        file layout itself, not just the join."""
+        self.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "cells")
+        )
+        meta = {
+            "id_col": self.id_col,
+            "vector_col": self.vector_col,
+            "centroids": self.centroids,
+        }
+        with open(os.path.join(path, "ivf_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        with open(os.path.join(path, "ivf_meta.json")) as f:
+            meta = json.load(f)
+        assigned = spark.read.parquet(os.path.join(path, "cells"))
+        centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+        return cls(assigned, centroids, meta["id_col"], meta["vector_col"])
+
     def search(
         self,
         query_df: DataFrame,
@@ -95,9 +126,18 @@ class IVFIndex:
             .filter(F.col("__pr") <= nprobe)
             .select("__qid", "__qv", "cell")
         )
+        # The union of probed cells is collected driver-side (≤ nlist ints,
+        # one tiny job over queries × centroids) and applied as a static
+        # IN-filter BEFORE the join: on a saved index (partitionBy('cell'))
+        # this is partition pruning — unprobed directories are never listed.
+        # With enough queries the union approaches all cells and the filter
+        # degrades gracefully to a no-op.
+        probes = probes.persist()
+        probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+        corpus = self.assigned.filter(F.col("cell").isin(probed_cells))
         # equi-join on cell: only the probed fraction of the corpus is read
         scored = (
-            self.assigned.join(F.broadcast(probes), "cell")
+            corpus.join(F.broadcast(probes), "cell")
             .select(
                 F.col("__qid").alias(query_id_col),
                 F.col(self.id_col),
