@@ -1159,6 +1159,80 @@ def streaming_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_available_now(spark, sf_dir, table_name="hourly_stream_gate")
 
 
+_EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2)
+         AS purchase_value
+FROM events
+WHERE user_id < 50
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_pivot", _EVENTS_PIVOT_SQL)
+def events_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into wide per-user columns. Spark's
+    groupBy().pivot(values=...) with explicit values stays a single
+    hash aggregate (no extra pass to discover the pivot domain)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("val"),
+        )
+    )
+    return (
+        wide.select(
+            "user_id",
+            F.coalesce("click_n", F.lit(0)).alias("clicks"),
+            F.coalesce("view_n", F.lit(0)).alias("views"),
+            F.coalesce("purchase_n", F.lit(0)).alias("purchases"),
+            F.coalesce("purchase_val", F.lit(0.0)).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(avg(c.c_acctbal), 2) AS avg_balance
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("active_customer_segments", _SEMI_JOIN_SQL)
+def active_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery shape as a left-semi join: the orders side is
+    filtered + deduped by the semi join itself, customers never
+    duplicate. Semi joins broadcast their right side when small."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    return (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 _STREAM_INGEST_SQL = """
 SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS docid
 FROM documents
