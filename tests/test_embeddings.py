@@ -158,3 +158,19 @@ def test_metadata_dict_documents(spark):
     )
     rows = e.search("select id, lang from txtai where lang = 'en'")
     assert rows == [{"id": "a", "lang": "en"}]
+
+
+def test_save_load_reattach(spark, tmp_path, emb):
+    # reference shard-reuse semantics (tests/ann/test_weaviate.py:187-206):
+    # a reloaded handle serves the same data and keeps the offset counter
+    path = str(tmp_path / "emb")
+    emb.save(path)
+    loaded = Embeddings.load(spark, path)
+    assert loaded.count() == emb.count()
+    assert loaded.offset == emb.offset
+    assert loaded.search("lottery ticket win", 1)[0][0] == "4"
+    # appends after reload continue the docid sequence without collision
+    loaded.upsert([("new", "brand new appended document", None)])
+    docids = {r["docid"] for r in loaded._df.select("docid").collect()}
+    assert len(docids) == loaded.count()
+    assert loaded.offset == len(DATA) + 1

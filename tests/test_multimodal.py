@@ -8,6 +8,8 @@ from weaviate_txtai_spark.multimodal.binary import (
     attach_fake_payload,
     decode_image,
     extract_features,
+    resize_images,
+    sample_frames,
 )
 from weaviate_txtai_spark.sources.tables import load_table
 
@@ -41,3 +43,31 @@ def test_attach_and_extract(spark, sf_dir):
     # determinism: same payload -> same features on a second run
     feats2 = {r["doc_id"]: r["features"] for r in extract_features(with_payload).collect()}
     assert {r["doc_id"]: r["features"] for r in feats} == feats2
+
+
+def test_resize_images_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    with_payload = attach_fake_payload(docs)
+    out = resize_images(with_payload, width=4, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["resized"]) == 16  # 4x4 uint8
+        assert r["width"] == 4 and r["height"] == 4
+    # deterministic: same input -> same bytes
+    again = {r["doc_id"]: r["resized"] for r in
+             resize_images(with_payload, width=4, height=4).collect()}
+    assert all(again[r["doc_id"]] == r["resized"] for r in rows)
+
+
+def test_sample_frames_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    with_payload = attach_fake_payload(docs, media_type="video/mp4")
+    out = sample_frames(with_payload, n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 40  # one row per (doc, frame)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+    assert all(1 <= len(r["frame"]) <= 8 for r in rows)

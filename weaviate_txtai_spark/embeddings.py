@@ -37,6 +37,8 @@ downloads and relevance assertions are reproducible.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 from typing import Any, Iterable, Sequence
 
@@ -206,6 +208,42 @@ class Embeddings:
         if not re.search(r"\blimit\b", rewritten, re.IGNORECASE):
             df = df.limit(limit)
         return [r.asDict() for r in df.collect()]
+
+    # ------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Persist index data + offset.
+
+        The reference's ANN-level save is a deliberate no-op ("storage
+        is external", weaviate.py:208-224) and its tests assert that a
+        reloaded handle re-attaches to the still-existing data
+        (tests/ann/test_weaviate.py:187-206). Columnar Spark gives both
+        semantics at once: the parquet write IS the external store, and
+        ``load`` re-attaches to it."""
+        if self._df is None:
+            raise RuntimeError("nothing indexed")
+        self._df.write.mode("overwrite").parquet(os.path.join(path, "data"))
+        with open(os.path.join(path, "embeddings_meta.json"), "w") as f:
+            json.dump(
+                {"offset": self.offset, "encoder_dim": self.encoder.dim}, f
+            )
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        encoder: HashingEncoder | None = None,
+    ) -> "Embeddings":
+        with open(os.path.join(path, "embeddings_meta.json")) as f:
+            meta = json.load(f)
+        self = cls(spark, encoder or HashingEncoder(meta["encoder_dim"]))
+        self._df = spark.read.parquet(os.path.join(path, "data")).cache()
+        self.offset = meta["offset"]
+        self._meta_cols = [
+            c for c in self._df.columns if c not in ("id", "docid", "vector")
+        ]
+        return self
 
     def similarity(self, query: str, texts: Sequence[str]) -> list:
         """Ad-hoc brute-force scoring, no stored index (reference Q9,

@@ -77,6 +77,93 @@ def decode_image(payload: bytes, *, fake: bool = False):
     return [h[i % len(h)] for i in range(64)]
 
 
+def resize_images(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Batch image resize over Arrow batches (decode stubbed).
+
+    Real pipeline shape: decode → resample → re-encode per payload, all
+    inside one mapInPandas pass so pixels stay in the Python worker and
+    only the (smaller) output bytes return through Arrow. The fake
+    decoder stands in for the codec; the resample is a real block-mean
+    over the fake 8x8 pixel grid, so output values are deterministic
+    and size-reduction is observable in tests."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                px = np.asarray(
+                    decode_image(bytes(payload or b""), fake=True),
+                    dtype=np.float64,
+                ).reshape(8, 8)
+                bh, bw = 8 // height, 8 // width
+                small = px.reshape(height, bh, width, bw).mean(axis=(1, 3))
+                out.append(small.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    from weaviate_txtai_spark.sources.tables import spread
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(
+        compute,
+        schema=f"{id_col} long, resized binary, width int, height int",
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Frame sampling for video payloads (decode stubbed): one output row
+    per sampled frame — the standard explode shape for frame-level
+    downstream ops (captioning, embedding, dedup).
+
+    The fake 'video' treats the payload as a byte stream and samples
+    n_frames evenly-spaced 8-byte windows as 'frames'; a real
+    implementation swaps the window slicing for a demuxer keyframe read,
+    keeping schema (id, frame_idx, frame) and batch shape identical."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload or b"")
+                if not data:
+                    continue
+                step = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    lo = min(i * step, max(len(data) - 8, 0))
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(data[lo : lo + 8])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    from weaviate_txtai_spark.sources.tables import spread
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(
+        compute, schema=f"{id_col} long, frame_idx int, frame binary"
+    )
+
+
 def extract_features(
     df: DataFrame, *, payload_col: str = "payload", id_col: str = "doc_id",
     dim: int = 8
