@@ -174,3 +174,21 @@ def test_save_load_reattach(spark, tmp_path, emb):
     docids = {r["docid"] for r in loaded._df.select("docid").collect()}
     assert len(docids) == loaded.count()
     assert loaded.offset == len(DATA) + 1
+
+
+def test_binary_object_column_t4(spark):
+    # reference T4 (examples/01_simple.ipynb cell 29): binary `object`
+    # payloads stored next to text, fetched back through scored SQL
+    e = Embeddings(spark)
+    e.index(
+        [
+            ("img1", {"text": "a photo of a red fox", "object": b"\x89PNGfox"}, None),
+            ("img2", {"text": "stock market chart", "object": b"\x89PNGchart"}, None),
+        ]
+    )
+    rows = e.search(
+        "select id, object from txtai where similar('fox photo') "
+        "order by score desc limit 1"
+    )
+    assert rows[0]["id"] == "img1"
+    assert bytes(rows[0]["object"]) == b"\x89PNGfox"

@@ -71,3 +71,20 @@ def test_sample_frames_shape(spark, sf_dir):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
     assert all(1 <= len(r["frame"]) <= 8 for r in rows)
+
+
+def test_load_media_dir(spark, tmp_path):
+    from weaviate_txtai_spark.sources.media import load_media_dir
+
+    for i in range(3):
+        (tmp_path / f"img{i}.bin").write_bytes(bytes([i]) * (10 + i))
+    df = load_media_dir(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {len(r["payload"]) for r in rows} == {10, 11, 12}
+    for r in rows:
+        assert r["payload_meta"]["n_bytes"] == len(r["payload"])
+        assert r["doc_id"] >= 0
+    # payloads flow straight into the multimodal feature extractor
+    feats = extract_features(df).collect()
+    assert len(feats) == 3
