@@ -86,3 +86,17 @@ def test_lang_id(tdf):
     assert langs[5] == "de"
     assert langs[6] == "es"
     assert langs[4] == "und"  # no function words at all
+
+
+def test_rolling_fingerprint_position_sensitive(spark):
+    from weaviate_txtai_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "beta alpha gamma"), ("c", "alpha beta gamma")],
+        "id string, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in
+           df.select("id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert fps["a"] == fps["c"]       # identical text -> identical fp
+    assert fps["a"] != fps["b"]       # token swap changes the hash
+    assert all(0 <= v < 1_000_000_007 for v in fps.values())

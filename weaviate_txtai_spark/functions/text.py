@@ -90,6 +90,31 @@ def fingerprint(text) -> Column:
     return F.md5(F.trim(F.lower(F.regexp_replace(_c(text), r"\s+", " "))))
 
 
+def rolling_fingerprint(text, base: int = 131, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling-hash fingerprint over the token stream.
+
+    fp = fold(tokens, acc -> (acc·base + h(tok)) mod M) with
+    h(tok) = ascii(first char)·31 + length — position-sensitive (token
+    swaps change the hash, unlike a bag-of-words md5), cheap (pure
+    codegen exprs, no UDF), and expressible identically in any SQL
+    engine for oracle checks. M·base ≈ 1.3e11 stays far under int64 so
+    the fold never overflows even under ANSI arithmetic.
+
+    Complements ``fingerprint`` (md5 of normalized text): that one is
+    the exact-dup key; this one is the streaming-friendly form a
+    rolling/content-defined-chunking pipeline would maintain per chunk.
+    """
+    toks = tokens(text)
+    h = F.transform(
+        toks, lambda t: F.ascii(t) * 31 + F.length(t)
+    )
+    return F.aggregate(
+        h,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * base + x, F.lit(mod).cast("long")),
+    )
+
+
 def shingles(text, n: int = 3) -> Column:
     """Distinct word n-gram shingles; [] when fewer than n tokens."""
     t = tokens(text)

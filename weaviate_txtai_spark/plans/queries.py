@@ -1159,6 +1159,31 @@ def streaming_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_available_now(spark, sf_dir, table_name="hourly_stream_gate")
 
 
+_ROLLING_FP_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_filter(string_split(text, ' '), x -> x <> ''),
+             t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("doc_fingerprint_rolling", _ROLLING_FP_SQL)
+def doc_fingerprint_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (position-sensitive, pure
+    codegen fold — no UDF); the md5 form is covered by text_stats."""
+    from weaviate_txtai_spark.functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
 _EVENTS_PIVOT_SQL = """
 SELECT user_id,
        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
@@ -1262,7 +1287,10 @@ def streaming_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "documents.parque*")
     )
     q = stream_ingest(stream, idx, checkpoint=os.path.join(work, "cp"))
-    q.awaitTermination()
+    # bounded wait: an availableNow drain of one file finishes in seconds;
+    # never hang the driver harness if the stream wedges
+    q.awaitTermination(600)
+    q.stop()
     return idx.to_df().select("docid").orderBy("docid")
 
 
