@@ -1159,6 +1159,39 @@ def streaming_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_available_now(spark, sf_dir, table_name="hourly_stream_gate")
 
 
+_RETURNS_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("returns_cube", _RETURNS_CUBE_SQL)
+def returns_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (rollup is covered by orders_rollup): all four
+    grouping combinations in ONE aggregate pass — Spark expands the
+    grouping sets map-side, so the fact table is still read once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
 _ROLLING_FP_SQL = """
 SELECT doc_id,
        list_reduce(
