@@ -13,7 +13,7 @@ pandas_udf that calls the model per Arrow batch; everything downstream
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Sequence
+from typing import Sequence
 
 import pandas as pd
 

@@ -19,7 +19,7 @@ Strategies, by scale of the LEFT (query) side:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.functions.vector import cosine_sim

@@ -16,7 +16,7 @@ no matter how long the stream runs — the watermark bounds retention.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import pandas as pd
 
