@@ -64,7 +64,7 @@ def main() -> None:
     qs["vector_count"](spark, SF_DIR).collect()
     qs["knn_topk"](spark, SF_DIR).count()
 
-    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
