@@ -192,3 +192,19 @@ def test_binary_object_column_t4(spark):
     )
     assert rows[0]["id"] == "img1"
     assert bytes(rows[0]["object"]) == b"\x89PNGfox"
+
+
+def test_heterogeneous_metadata(spark):
+    e = Embeddings(spark)
+    e.index(
+        [
+            ("a", {"text": "doc with tags", "tag": "news"}, None),
+            ("b", "plain text doc", None),
+            ("c", {"text": "doc with author", "author": "kim"}, None),
+        ]
+    )
+    assert e.count() == 3
+    rows = e.search("select id, tag, author from txtai order by id")
+    assert rows[0] == {"id": "a", "tag": "news", "author": None}
+    assert rows[1] == {"id": "b", "tag": None, "author": None}
+    assert rows[2] == {"id": "c", "tag": None, "author": "kim"}

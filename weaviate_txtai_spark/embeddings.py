@@ -113,6 +113,14 @@ class Embeddings:
         return rows
 
     def _encode_df(self, rows: list[dict[str, Any]], start: int) -> DataFrame:
+        # txtai allows per-document metadata variance; unify the key set
+        # (missing fields -> NULL) so one schema covers the batch
+        keys: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        rows = [{k: r.get(k) for k in keys} for r in rows]
         df = self.spark.createDataFrame([Row(**r) for r in rows])
         w = Window.orderBy(F.monotonically_increasing_id())
         # row_number over the ingest frame → dense docids; the single-stage

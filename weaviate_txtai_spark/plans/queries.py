@@ -1132,7 +1132,37 @@ def tokens_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id", None)  # heuristic profiles: no SQL oracle, rows-only
+def _lang_id_oracle() -> str:
+    """Build the DuckDB argmax-over-profiles SQL from the SAME
+    LANG_PROFILES dict the Spark expression uses — one source of truth,
+    the oracle can't drift from the engine. Struct max() compares
+    (score, lang) fields in order in both engines, so ties break
+    identically (lexicographically larger code)."""
+    from weaviate_txtai_spark.functions.text import LANG_PROFILES
+
+    entries = ", ".join(
+        "{'s': len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], x))), 'lang': '" + code + "'}"
+        for code, words in LANG_PROFILES.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+), best AS (
+  SELECT doc_id, max(s) AS b
+  FROM (SELECT doc_id, unnest([{entries}]) AS s FROM toks)
+  GROUP BY doc_id
+)
+SELECT CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS detected_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM best GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("lang_id", _lang_id_oracle())
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_txtai_spark.functions.text import lang_id
 
