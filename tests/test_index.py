@@ -176,3 +176,20 @@ def test_save_load_noop(spark, tmp_path):
     fresh.load("/tmp/ignored")
     assert fresh.count() == 3
     assert fresh.offset == 3
+
+
+def test_search_gemm_path_matches_expr_path(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 16)).tolist()
+    idx = VectorIndex(spark, str(tmp_path / "gemmidx")).create()
+    idx.append(vecs)
+    queries = vecs[:20]  # >= 16 -> GEMM path
+    gemm = idx.search(queries, limit=5)
+    # force the expression path on the same queries for comparison
+    expr = [idx.search([q], limit=5)[0] for q in queries]
+    for g, e in zip(gemm, expr):
+        assert [d for d, _ in g] == [d for d, _ in e]
+        for (_, sg), (_, se) in zip(g, e):
+            assert abs(sg - se) < 1e-6

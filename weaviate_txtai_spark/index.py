@@ -242,8 +242,23 @@ class VectorIndex:
         """Batch top-k: returns [[(docid, score)], ...] one list per query.
 
         Unlike the reference (drops all but queries[0], weaviate.py:177)
-        every query vector is answered, in one Spark job.
+        every query vector is answered, in one Spark job. Small batches
+        take the JVM-only expression path (no Python workers to spin
+        up); large batches switch to the Arrow GEMM path, where one
+        BLAS matmul replaces Q per-row cosine expressions.
         """
+        if len(queries) >= 16:
+            from weaviate_txtai_spark.operators.topk import knn_topk_gemm
+
+            res = knn_topk_gemm(
+                self.to_df(),
+                [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+                limit,
+            ).collect()
+            out: list[list[tuple[int, float]]] = [[] for _ in queries]
+            for row in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+                out[row["query_id"]].append((row["docid"], row["score"]))
+            return out
         qdf = self.spark.createDataFrame(
             [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
             StructType(
