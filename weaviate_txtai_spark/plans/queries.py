@@ -1287,6 +1287,34 @@ def events_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANTI_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("inactive_customer_segments", _ANTI_JOIN_SQL)
+def inactive_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join — the same shape VectorIndex.delete
+    uses for set-oriented deletion (reference does this as N+1 HTTP
+    round-trips, weaviate.py:167-173)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+        .orderBy("c_mktsegment")
+    )
+
+
 _SEMI_JOIN_SQL = """
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_active,
