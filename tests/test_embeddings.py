@@ -208,3 +208,26 @@ def test_heterogeneous_metadata(spark):
     assert rows[0] == {"id": "a", "tag": "news", "author": None}
     assert rows[1] == {"id": "b", "tag": None, "author": None}
     assert rows[2] == {"id": "c", "tag": None, "author": "kim"}
+
+
+def test_many_mutations_stay_correct(spark):
+    # 40 mutations cross the lineage-truncation boundary twice; state
+    # must stay exact throughout
+    e = Embeddings(spark)
+    e.index([(i, f"base document {i}", None) for i in range(10)])
+    for i in range(30):
+        e.upsert([(f"u{i}", f"updated doc number {i}", None)])
+    for i in range(0, 30, 3):
+        e.delete([f"u{i}"])
+    assert e.count() == 10 + 30 - 10
+    assert e.search("updated doc number 29", 1)[0][0] == "u29"
+    ids = {r["id"] for r in e._df.select("id").collect()}
+    assert "u0" not in ids and "u29" in ids and "5" in ids
+
+
+def test_upsert_without_metadata_into_metadata_index(spark):
+    e = Embeddings(spark)
+    e.index([("a", {"text": "tagged doc", "tag": "news"}, None)])
+    e.upsert([("b", "untagged doc", None)])
+    rows = e.search("select id, tag from txtai order by id")
+    assert rows == [{"id": "a", "tag": "news"}, {"id": "b", "tag": None}]

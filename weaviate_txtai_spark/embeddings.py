@@ -94,6 +94,7 @@ class Embeddings:
         # reference parity: running offset so docids never collide across
         # appends (weaviate.py:67,149; asserted tests/ann/test_weaviate.py:141)
         self.offset = 0
+        self._mutations = 0
 
     # ------------------------------------------------------------ ingest
 
@@ -150,9 +151,18 @@ class Embeddings:
         fresh = self._encode_df(rows, self.offset)
         self.offset += len(rows)
         kept = self._df.join(fresh.select("id"), "id", "left_anti")
+        # conform the batch to the indexed schema: metadata columns the
+        # new documents don't carry become NULL (novel columns would need
+        # a reindex — same rule as any declared-schema store, SURVEY §1.2)
+        for c in kept.columns:
+            if c not in fresh.columns:
+                fresh = fresh.withColumn(c, F.lit(None))
+        old = self._df
         self._df = kept.unionByName(
             fresh.select(kept.columns), allowMissingColumns=False
         ).cache()
+        old.unpersist()
+        self._truncate_lineage()
 
     def delete(self, ids: Sequence) -> None:
         """Anti-join delete by user id — one shuffle for any number of
@@ -162,7 +172,22 @@ class Embeddings:
         ids_df = self.spark.createDataFrame(
             [(str(i),) for i in ids], schema="id string"
         )
-        self._df = self._df.join(ids_df, "id", "left_anti").cache()
+        old = self._df
+        self._df = old.join(ids_df, "id", "left_anti").cache()
+        old.unpersist()
+        self._truncate_lineage()
+
+    def _truncate_lineage(self) -> None:
+        """Every N mutations, cut the plan lineage with an eager
+        localCheckpoint. Each upsert/delete stacks an anti-join + union
+        on the previous plan; after hundreds of mutations the lineage
+        alone costs analysis time and a failure would recompute the
+        whole chain. Checkpointing materializes the current state and
+        restarts the chain from it — the micro-scale analog of
+        compaction in a Delta/Iceberg table."""
+        self._mutations += 1
+        if self._mutations % 8 == 0 and self._df is not None:
+            self._df = self._df.localCheckpoint(eager=True)
 
     # ------------------------------------------------------------- query
 
