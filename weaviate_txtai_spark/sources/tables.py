@@ -55,7 +55,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's reader refuses
     (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to micros — the
-    same conversion DuckDB applies when it loads the file."""
+    same conversion DuckDB applies when it loads the file. Session TZ is
+    pinned to UTC here so timestamp-returning queries hash identically to
+    the oracle regardless of the host/driver session timezone."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
