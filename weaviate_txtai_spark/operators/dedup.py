@@ -240,8 +240,12 @@ def minhash_lsh_pairs(
         F.col("__id").alias("d2"), "__sh", F.col("__sz").alias("__sz2")
     )
     ca = a.join(F.broadcast(candidates), "d1")
+    # restrict BOTH sides to candidate docs before the shingle equi-join:
+    # without this, the d2 side shuffles every document's shingles even
+    # though only candidate pairs can match
+    cb = b.join(F.broadcast(candidates.select("d2").distinct()), "d2")
     common = (
-        ca.join(b, ["d2", "__sh"])
+        ca.join(cb, ["d2", "__sh"])
         .groupBy("d1", "d2")
         .agg(
             F.count(F.lit(1)).alias("__common"),
