@@ -1428,6 +1428,204 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Temporal joins (north-star; reference has no joins at all — SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value AS click_value FROM events
+           WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       round(p.value, 4) AS purchase_value,
+       round(coalesce(c.click_value, 0), 4) AS click_value,
+       coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@register("events_asof", _ASOF_SQL)
+def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution: for every purchase, the latest click of the same
+    user at-or-before the purchase (backward as-of LEFT join). One shuffle
+    on user_id, no range explosion — operators/asof.py."""
+    from weaviate_txtai_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    res = asof_join(
+        purchases, clicks, on=["user_id"], matched_ts_col="click_ts"
+    )
+    # NULL-free gate projection: the driver's row-sort comparator chokes
+    # on None mixed into a typed column, so unmatched rows carry sentinels
+    # (epoch-0 ts, 0 value, -1 gap) on BOTH engines.
+    return res.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round(F.coalesce("click_value", F.lit(0.0)), 4).alias("click_value"),
+        F.coalesce(
+            "click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("click_ts"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("click_ts"), F.lit(-1)
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+_RANGE_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id,
+       CAST(count(r.event_id) AS BIGINT) AS n_follow,
+       round(coalesce(sum(r.value), 0), 4) AS sum_follow
+FROM e LEFT JOIN events r
+  ON r.user_id = e.user_id
+ AND epoch_us(r.ts) > epoch_us(e.ts)
+ AND epoch_us(r.ts) <= epoch_us(e.ts) + 600000000
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
+@register("events_range_join", _RANGE_JOIN_SQL)
+def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window follow-up: per error event, count/sum of the same
+    user's events in the next 10 minutes. Epoch-bucketed equi-join
+    (operators/asof.range_join) — linear shuffle, never the quadratic
+    inequality cross-join Catalyst would plan."""
+    from weaviate_txtai_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    follow = ev.select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    pairs = range_join(
+        errors,
+        follow,
+        window_seconds=600,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="r_ts",
+    )
+    counts = pairs.groupBy("event_id", "user_id").agg(
+        F.count("r_event_id").alias("n_follow"),
+        F.round(F.sum("r_value"), 4).alias("sum_follow"),
+    )
+    return (
+        errors.select("event_id", "user_id")
+        .join(counts, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.coalesce("sum_follow", F.lit(0.0)).alias("sum_follow"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped relational coverage: Q3 shipping priority, Q14 promo share
+# --------------------------------------------------------------------------
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", _SHIPPING_PRIORITY_SQL)
+def shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact⋈fact
+    join, grouped revenue, top-10. customer (dim) broadcasts; the
+    lineitem⋈orders shuffle is the co-bucketing candidate
+    (sources/bucketed.py)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_PROMO_REVENUE_SQL = """
+SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+              / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+         AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01'
+  AND l.l_shipdate < DATE '1995-10-01'
+"""
+
+
+@register("promo_revenue", _PROMO_REVENUE_SQL)
+def promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: month-sliced fact scan, broadcast part dim,
+    conditional aggregate ratio — the date filter pushes into the
+    parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), net).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(net), 6).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
