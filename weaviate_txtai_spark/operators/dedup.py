@@ -187,30 +187,40 @@ def minhash_lsh_pairs(
     rows + the verify join on candidates only.
     """
     rows = num_perms // bands
-    # ONE hashed-shingle table feeds signatures, sizes, and the verify
-    # join — persisted so tokenize+shingle+hash runs once.
+    # ONE pass over the shingles: a single groupBy(doc) computes the
+    # num_perms signature mins AND the doc's hashed-shingle set together.
+    # All of them are map-side partial aggregates, so the only wide
+    # shuffle carries (num_perms longs + the distinct-shingle set) per doc
+    # — the set is exactly what the verify stage needs anyway — and the
+    # corpus-sized shingle table is never persisted (at 100 TB caching it
+    # would be hostile; the per-doc table is docs-sized and caches
+    # cheaply).
     sh = _shingle_table(docs, text_col, id_col, n).select(
         "__id", F.xxhash64("__sh").alias("__sh")
     )
-    sh = sh.persist()
-    aggs = [
-        F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
-        for p in range(num_perms)
-    ]
-    sig = sh.groupBy("__id").agg(*aggs).select(
-        "__id",
-        F.array(*[F.col(f"__m{p}") for p in range(num_perms)]).alias("__sig"),
+    per_doc = (
+        sh.groupBy("__id")
+        .agg(
+            F.collect_set("__sh").alias("__set"),
+            *[
+                F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
+                for p in range(num_perms)
+            ],
+        )
+        .persist()
     )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(F.slice("__sig", b * rows + 1, rows)).alias("bh"),
+                F.hash(
+                    *[F.col(f"__m{b * rows + r}") for r in range(rows)]
+                ).alias("bh"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sig.select(
+    buckets = per_doc.select(
         "__id", F.explode(band_structs).alias("bb")
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     x = buckets.alias("x")
@@ -225,37 +235,26 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("d1"), F.col("y.__id").alias("d2"))
         .distinct()
     )
-    # verify ONLY the candidates against exact Jaccard (precision = 1.0):
-    # semi-restrict the shingle join to candidate pairs (candidates are a
-    # tiny fraction of all pairs — broadcast them), so verify cost is
-    # O(candidate shingles), not the full inverted-index self-join. Sizes
-    # ride along via broadcast join; F.first pulls them through the
-    # count-aggregate so no post-join with the sizes table is needed.
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    shz = sh.join(F.broadcast(sizes), "__id")
-    a = shz.select(
-        F.col("__id").alias("d1"), "__sh", F.col("__sz").alias("__sz1")
+    # verify ONLY the candidates against exact Jaccard (precision = 1.0),
+    # at PAIR granularity: attach both docs' shingle sets (already sitting
+    # in the cached per-doc table) to each candidate pair and intersect in
+    # a single codegen'd array_intersect. Joins are on d1/d2 doc ids, so
+    # shuffle volume is O(candidate pairs + docs) rows — never a
+    # shingle-row-granularity join. AQE picks broadcast for whichever side
+    # is small at runtime; at 100 TB both joins degrade gracefully to
+    # shuffle joins, still linear.
+    doc_sets = per_doc.select("__id", "__set")
+    paired = candidates.join(
+        doc_sets.select(F.col("__id").alias("d1"), F.col("__set").alias("__s1")),
+        "d1",
+    ).join(
+        doc_sets.select(F.col("__id").alias("d2"), F.col("__set").alias("__s2")),
+        "d2",
     )
-    b = shz.select(
-        F.col("__id").alias("d2"), "__sh", F.col("__sz").alias("__sz2")
-    )
-    ca = a.join(F.broadcast(candidates), "d1")
-    # restrict BOTH sides to candidate docs before the shingle equi-join:
-    # without this, the d2 side shuffles every document's shingles even
-    # though only candidate pairs can match
-    cb = b.join(F.broadcast(candidates.select("d2").distinct()), "d2")
-    common = (
-        ca.join(cb, ["d2", "__sh"])
-        .groupBy("d1", "d2")
-        .agg(
-            F.count(F.lit(1)).alias("__common"),
-            F.first("__sz1").alias("__sz1"),
-            F.first("__sz2").alias("__sz2"),
-        )
-    )
-    jac = F.col("__common") / (F.col("__sz1") + F.col("__sz2") - F.col("__common"))
+    inter = F.size(F.array_intersect("__s1", "__s2"))
+    jac = inter / (F.size("__s1") + F.size("__s2") - inter)
     return (
-        common.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
