@@ -35,7 +35,10 @@ HEADLINE = [
     "text_quality",
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority",
     "events_hourly",
+    "events_asof",
+    "events_range_join",
 ]
 
 
