@@ -21,3 +21,44 @@ def test_streaming_hourly_equals_batch(spark, sf_dir):
         for r in events_hourly_q(spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_streaming_interval_join_equals_batch_range_join(spark, sf_dir):
+    """The watermarked stream-stream self-join must produce exactly the
+    pairs of the batch epoch-bucketed range_join (inner form)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_txtai_spark.operators.asof import range_join
+    from weaviate_txtai_spark.sources.tables import load_table
+    from weaviate_txtai_spark.streaming.joins import run_error_follow_join
+
+    stream_pairs = {
+        (r["event_id"], r["r_event_id"])
+        for r in run_error_follow_join(
+            spark, sf_dir, table_name="interval_join_test"
+        ).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    follow = ev.select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    batch_pairs = {
+        (r["event_id"], r["r_event_id"])
+        for r in range_join(
+            errors,
+            follow,
+            window_seconds=600,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="r_ts",
+        ).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert stream_pairs  # non-degenerate: the window does catch followers

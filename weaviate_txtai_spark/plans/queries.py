@@ -1538,6 +1538,41 @@ def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_INTERVAL_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id,
+       CAST(count(*) AS BIGINT) AS n_follow,
+       round(sum(r.value), 4) AS sum_follow
+FROM e JOIN events r
+  ON r.user_id = e.user_id
+ AND epoch_us(r.ts) > epoch_us(e.ts)
+ AND epoch_us(r.ts) <= epoch_us(e.ts) + 600000000
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
+@register("streaming_interval_join", _STREAM_INTERVAL_JOIN_SQL)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join (streaming/joins.py) drained
+    with availableNow, aggregated batch-side — must equal the static
+    inequality join (streaming correctness = batch equivalence). Inner
+    join, so zero-follower errors drop (unlike events_range_join)."""
+    from weaviate_txtai_spark.streaming.joins import run_error_follow_join
+
+    pairs = run_error_follow_join(
+        spark, sf_dir, table_name="interval_join_gate"
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            F.round(F.sum("r_value"), 4).alias("sum_follow"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H-shaped relational coverage: Q3 shipping priority, Q14 promo share
 # --------------------------------------------------------------------------

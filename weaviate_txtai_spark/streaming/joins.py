@@ -1,0 +1,78 @@
+"""Stream-stream interval (range) join — Structured Streaming extension.
+
+The reference has no streaming and no joins (SURVEY §2.4); this is the
+streaming twin of ``operators.asof.range_join``: for every error event,
+the same user's events in the following ``window_seconds``, computed as a
+watermarked stream-stream self-join.
+
+Scale design: Spark's stream-stream join keys state by the equality
+column (user_id) and evicts rows once they age past the watermark plus
+the join's time range — so state is bounded by (input rate × window),
+not by history. The range predicate on both event-time columns is what
+lets the state store GC both sides; without it the join would buffer
+forever. This is the standard interval-join recipe (same semantics as
+Flink's interval join), expressed with public Structured Streaming APIs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def interval_join_stream(
+    errors: DataFrame,
+    follow: DataFrame,
+    *,
+    window_seconds: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Joined (error, follower) pairs: same user, follower strictly after
+    the error and within ``window_seconds``. Both inputs are streaming
+    DataFrames with event-time columns ``ts`` (errors) / ``r_ts``
+    (follow)."""
+    e = errors.withWatermark("ts", watermark)
+    f = follow.withWatermark("r_ts", watermark)
+    cond = (
+        (e["user_id"] == f["r_user_id"])
+        & (f["r_ts"] > e["ts"])
+        & (f["r_ts"] <= e["ts"] + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return e.join(f, cond, "inner")
+
+
+def run_error_follow_join(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window_seconds: int = 600,
+    table_name: str = "interval_join_stream",
+) -> DataFrame:
+    """Drain the self-joined events stream with availableNow and return
+    the joined pairs as a batch DataFrame (streaming correctness = batch
+    equivalence; the aggregation over pairs happens batch-side)."""
+    from weaviate_txtai_spark.streaming.events import stream_events
+
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    errors = ev1.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    follow = ev2.select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    joined = interval_join_stream(
+        errors, follow, window_seconds=window_seconds
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
