@@ -92,3 +92,50 @@ def test_ivf_save_load_partition_pruning(spark, sf_dir, tmp_path):
     assert any(d.startswith("cell=") for d in os.listdir(os.path.join(path, "cells")))
     plan = loaded.search(qdf, 3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan
+
+
+def test_topk_join_ivf_full_probe_equals_exact(spark, sf_dir):
+    """IVF-routed similarity join with nprobe == nlist must equal the
+    exact join — the co-partitioned cell equi-join loses nothing."""
+    from weaviate_txtai_spark.operators.simjoin import topk_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 8)
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in topk_join(
+            left, emb, 3, right_id="vec_id", right_vec="embedding"
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in topk_join_ivf(
+            left, emb, 3, right_id="vec_id", right_vec="embedding",
+            nlist=8, nprobe=8,
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_topk_join_ivf_recall(spark, sf_dir):
+    from weaviate_txtai_spark.operators.simjoin import topk_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 20)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_join(
+            left, emb, 5, right_id="vec_id", right_vec="embedding"
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_join_ivf(
+            left, emb, 5, right_id="vec_id", right_vec="embedding",
+            nlist=16, nprobe=4,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF join recall {recall} too low"
+    # every query's own vector is found (it lives in the top-probed cell)
+    assert all((q, q) in approx for q in range(20))

@@ -103,10 +103,20 @@ class IVFIndex:
         nprobe: int = 4,
         query_id_col: str = "query_id",
         query_vector_col: str = "query_vector",
+        broadcast_queries: bool = True,
     ) -> DataFrame:
         """Approximate top-k: probe the nprobe cells whose centroids are
         nearest (by cosine) to each query. Columns: query_id, id, score,
-        rank."""
+        rank.
+
+        ``broadcast_queries=True`` (default, human-issued query batches):
+        the probe fan-out broadcasts and the union of probed cells becomes
+        a driver-side static IN-filter — partition pruning on a saved
+        index. ``False`` (huge query side, i.e. a similarity JOIN): both
+        sides shuffle by cell id into a co-partitioned equi-join and no
+        driver-side collect happens — with millions of queries every cell
+        is probed anyway, so pruning would be a no-op and the broadcast
+        would OOM."""
         spark = query_df.sparkSession
         cent = spark.createDataFrame(
             self.centroids, ["cell", "centroid"]
@@ -126,18 +136,25 @@ class IVFIndex:
             .filter(F.col("__pr") <= nprobe)
             .select("__qid", "__qv", "cell")
         )
-        # The union of probed cells is collected driver-side (≤ nlist ints,
-        # one tiny job over queries × centroids) and applied as a static
-        # IN-filter BEFORE the join: on a saved index (partitionBy('cell'))
-        # this is partition pruning — unprobed directories are never listed.
-        # With enough queries the union approaches all cells and the filter
-        # degrades gracefully to a no-op.
-        probes = probes.persist()
-        probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
-        corpus = self.assigned.filter(F.col("cell").isin(probed_cells))
-        # equi-join on cell: only the probed fraction of the corpus is read
+        if broadcast_queries:
+            # The union of probed cells is collected driver-side (≤ nlist
+            # ints, one tiny job over queries × centroids) and applied as a
+            # static IN-filter BEFORE the join: on a saved index
+            # (partitionBy('cell')) this is partition pruning — unprobed
+            # directories are never listed. With enough queries the union
+            # approaches all cells and the filter degrades to a no-op.
+            probes = probes.persist()
+            probed_cells = [
+                r["cell"] for r in probes.select("cell").distinct().collect()
+            ]
+            corpus = self.assigned.filter(F.col("cell").isin(probed_cells))
+            probes = F.broadcast(probes)
+        else:
+            corpus = self.assigned
+        # equi-join on cell: only the probed fraction of the corpus meets
+        # each query; non-broadcast mode co-partitions both sides by cell
         scored = (
-            corpus.join(F.broadcast(probes), "cell")
+            corpus.join(probes, "cell")
             .select(
                 F.col("__qid").alias(query_id_col),
                 F.col(self.id_col),

@@ -68,6 +68,42 @@ def topk_join(
     )
 
 
+def topk_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    *,
+    left_id: str = "query_id",
+    left_vec: str = "query_vector",
+    right_id: str = "docid",
+    right_vec: str = "vector",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Both-sides-huge similarity join: cluster the right side into nlist
+    k-means cells, route every left row to its nprobe nearest centroids,
+    then equi-join on cell id — both sides shuffle ONLY by cell, never a
+    crossJoin. Approximate: recall is controlled by nprobe/nlist (exact
+    when nprobe == nlist); scoring within probed cells is exact cosine.
+
+    Columns: left_id, right_id, score, rank — same contract as topk_join.
+    """
+    from weaviate_txtai_spark.operators.ann import IVFIndex
+
+    idx = IVFIndex.build(
+        right, nlist=nlist, id_col=right_id, vector_col=right_vec, seed=seed
+    )
+    return idx.search(
+        left,
+        k,
+        nprobe=nprobe,
+        query_id_col=left_id,
+        query_vector_col=left_vec,
+        broadcast_queries=False,
+    )
+
+
 def threshold_join(
     left: DataFrame,
     right: DataFrame,

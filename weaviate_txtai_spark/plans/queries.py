@@ -919,6 +919,26 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_join_ivf", None)  # approximate (recall < 1 by design): rows-only
+def sim_join_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-sides-huge similarity join, IVF-routed: the whole embeddings
+    table joins itself through k-means cells — both sides shuffle only by
+    cell id, never a crossJoin. nprobe==nlist equality and recall bounds
+    pinned in tests/test_ann.py."""
+    from weaviate_txtai_spark.operators.simjoin import topk_join_ivf
+
+    emb = _emb(spark, sf_dir)
+    left = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = topk_join_ivf(
+        left, emb, 3, right_id="vec_id", right_vec="embedding", nlist=16, nprobe=4
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # Dedup suite (north-star M3): exact, n-gram Jaccard, MinHash LSH,
 # SimHash, embedding cosine
