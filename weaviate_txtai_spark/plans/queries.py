@@ -1558,6 +1558,98 @@ def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus statistics: TF-IDF and n-gram frequency (text-pipeline vocabulary)
+# --------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf,
+         CAST(row_number() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) DESC,
+                      tf.term ASC) AS INT) AS rank
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+) WHERE rank <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Two partial-agg shuffles (doc-term
+    tf, then term df); the df table and the corpus-count scalar broadcast
+    back onto tf, so the scoring join never shuffles the big side; the
+    final window partitions by doc_id."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_raw"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rank")
+    )
+
+
+_BIGRAM_SQL = """
+WITH bg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS bigram
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs
+FROM bg GROUP BY bigram
+ORDER BY n_docs DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@register("bigram_top", _BIGRAM_SQL)
+def bigram_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by document frequency (shingles are distinct per
+    doc, so count(*) = doc frequency). orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    from weaviate_txtai_spark.functions.text import shingles
+    from weaviate_txtai_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = spread(docs).select(F.explode(shingles("text", 2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 _STREAM_INTERVAL_JOIN_SQL = """
 WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
 SELECT e.event_id, e.user_id,
