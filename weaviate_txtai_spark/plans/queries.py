@@ -111,6 +111,65 @@ def knn_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_L2_SQL = """
+SELECT e.vec_id,
+       round(list_distance(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS dist
+FROM embeddings e
+ORDER BY dist ASC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_l2", _KNN_L2_SQL)
+def knn_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by L2 distance — the multi-metric path the reference's
+    validator rejects (cosine-only, weaviate.py:101-104) but its README
+    custom schema implies (README.md:27-28). Same TakeOrderedAndProject
+    shape as knn_topk."""
+    from weaviate_txtai_spark.functions.vector import l2_dist
+
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.crossJoin(q)
+        .select("vec_id", F.round(l2_dist("embedding", "qv"), 6).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_KNN_DOT_SQL = """
+SELECT e.vec_id,
+       round(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS score
+FROM embeddings e
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_dot", _KNN_DOT_SQL)
+def knn_dot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by inner product (maximum-inner-product search)."""
+    from weaviate_txtai_spark.functions.vector import dot
+
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.crossJoin(q)
+        .select("vec_id", F.round(dot("embedding", "qv"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def _build_index(spark: SparkSession, sf_dir: str):
     """Temp VectorIndex over the embeddings table with docid == vec_id
     (vectors appended in vec_id order)."""
