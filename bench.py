@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_exact",
     "text_quality",
+    "tfidf_top_terms",
     "pricing_summary",
     "revenue_by_nation",
     "shipping_priority",

@@ -1654,7 +1654,15 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = spread(docs).select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the scoring join and the df aggregate; without persist
+    # the tokenize+explode+agg lineage runs twice (plan showed 2 extra
+    # document scans). At 100 TB swap persist() for a disk checkpoint —
+    # the doc-term table is corpus-sized.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
