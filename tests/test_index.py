@@ -193,3 +193,31 @@ def test_search_gemm_path_matches_expr_path(spark, tmp_path):
         assert [d for d, _ in g] == [d for d, _ in e]
         for (_, sg), (_, se) in zip(g, e):
             assert abs(sg - se) < 1e-6
+
+
+def test_compact_preserves_data_and_reduces_files(spark, tmp_path):
+    import os
+
+    idx = VectorIndex(
+        spark, str(tmp_path), config={"weaviate": {"batch": {"batch_size": 2}}}
+    ).create()
+    # 5 appends × batch_size 2 → ≥ 10 fragment files
+    for i in range(5):
+        idx.append([[float(i), float(j), 1.0] for j in range(4)])
+    data_dir = idx._data_path()
+    before = sum(1 for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    assert before >= 10
+    pre_rows = {(r["docid"], tuple(r["vector"])) for r in idx.to_df().collect()}
+    pre_top = idx.search([Q_FOXISH], 3)[0]
+
+    n_files = idx.compact(target_rows_per_file=1000)
+    assert n_files == 1
+    after = sum(1 for f in os.listdir(data_dir) if f.endswith(".parquet"))
+    assert after == 1
+    assert idx.count() == 20
+    assert {(r["docid"], tuple(r["vector"])) for r in idx.to_df().collect()} == pre_rows
+    assert idx.search([Q_FOXISH], 3)[0] == pre_top
+    # append after compaction continues the dense docid sequence
+    idx.append([[9.9, 0.0, 0.0]])
+    assert idx.count() == 21
+    assert idx.to_df().agg({"docid": "max"}).collect()[0][0] == 20

@@ -321,6 +321,32 @@ class VectorIndex:
             self.offset = max_id
             self._save_meta()
 
+    @check_index_exists
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Bin-pack the index into ~target_rows_per_file files and rewrite.
+
+        Streaming ingest (streaming/ingest.py) and small appends accumulate
+        one-file-per-micro-batch fragments; scan cost at scale is dominated
+        by file count (driver listing + footer reads + task scheduling per
+        split). Compaction is the standard maintenance op (Delta OPTIMIZE's
+        bin-packing, re-expressed on plain Parquet with the same
+        copy-on-write swap the mutations use). Rows, docids, and vectors
+        are unchanged — only the file layout. Returns the new file count.
+        """
+        df = self.to_df()
+        n = df.count()
+        n_files = max(1, -(-n // int(target_rows_per_file)))
+        # repartition(docid): deterministic hash placement co-locates
+        # nothing in particular but keeps file sizes balanced; the sort
+        # within partitions keeps parquet min/max docid stats tight so
+        # docid-predicate row-group skipping survives compaction.
+        self._rewrite(
+            df.repartition(n_files, "docid").sortWithinPartitions("docid")
+        )
+        return sum(
+            1 for f in os.listdir(self._data_path()) if f.endswith(".parquet")
+        )
+
     def _rewrite(self, df: DataFrame) -> None:
         """Copy-on-write: materialize to a temp dir, then swap atomically
         (single-writer). Delta/Iceberg MERGE is the cluster-scale analog."""
