@@ -231,3 +231,26 @@ def test_upsert_without_metadata_into_metadata_index(spark):
     e.upsert([("b", "untagged doc", None)])
     rows = e.search("select id, tag from txtai order by id")
     assert rows == [{"id": "a", "tag": "news"}, {"id": "b", "tag": None}]
+
+
+def test_content_mode_returns_row_dicts(spark):
+    """content=True search returns [{id, text, score}] like txtai with
+    content storage enabled (reference examples/01_simple.ipynb cells
+    21-22: embeddings.search(...)[0]["text"])."""
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    emb = Embeddings(spark, config={"content": True, "objects": True})
+    emb.index(
+        [
+            (0, "the quick brown fox jumps", None),
+            (1, "stock markets rallied on friday", None),
+        ]
+    )
+    hit = emb.search("fox", 1)[0]
+    assert isinstance(hit, dict)
+    assert hit["text"] == "the quick brown fox jumps"
+    assert set(hit) == {"id", "text", "score"}
+    # default (no content) keeps the (id, score) tuple contract
+    emb2 = Embeddings(spark)
+    emb2.index([(0, "the quick brown fox jumps", None)])
+    assert isinstance(emb2.search("fox", 1)[0], tuple)

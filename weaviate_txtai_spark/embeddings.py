@@ -83,12 +83,19 @@ class Embeddings:
         self,
         spark: SparkSession,
         encoder: HashingEncoder | None = None,
+        config: dict | None = None,
     ):
         from weaviate_txtai_spark.ship import ensure_shipped
 
         ensure_shipped(spark)
         self.spark = spark
         self.encoder = encoder or HashingEncoder()
+        # txtai-style config dict (examples/01_simple.ipynb cell 21:
+        # content/objects flags). Columnar storage stores content either
+        # way (SURVEY T6); the flag only changes the search RESULT SHAPE:
+        # content=True returns row dicts with text, like txtai.
+        self.config = dict(config or {})
+        self.content = bool(self.config.get("content"))
         self._df: DataFrame | None = None
         self._meta_cols: list[str] = []
         # reference parity: running offset so docids never collide across
@@ -207,13 +214,17 @@ class Embeddings:
             return []
         if query.strip().lower().startswith("select"):
             return self._search_sql(query, limit)
-        out = (
+        top = (
             self._scored(query)
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(limit)
-            .select("id", "score")
-            .collect()
         )
+        if self.content:
+            # content mode returns row dicts with the stored text, txtai
+            # style: search(...)[0]["text"] (notebook cell 22)
+            out = top.select("id", "text", "score").collect()
+            return [r.asDict() for r in out]
+        out = top.select("id", "score").collect()
         return [(r["id"], r["score"]) for r in out]
 
     def _search_sql(self, query: str, limit: int) -> list[dict]:
