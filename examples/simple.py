@@ -69,6 +69,13 @@ def main() -> None:
         ),
     )
 
+    # cells 21-22: content storage mode — search returns row dicts
+    emb_content = Embeddings(spark, config={"content": True, "objects": True})
+    emb_content.index([(i, t, None) for i, t in enumerate(DATA)])
+    print(
+        "content mode:", emb_content.search("feel good story", 1)[0]["text"][:50]
+    )
+
     # cell 29: binary object payloads through scored SQL
     emb.index(
         [
