@@ -1,0 +1,107 @@
+"""Training-data curation pipeline: the LLM-data workflow the engine's
+north-star operators exist for, composed end-to-end over the driver's
+documents + embeddings tables.
+
+Stages (each one a documented operator with its own correctness gate):
+  1. text stats + quality score       (functions/text, oracle: text_quality)
+  2. language filter                  (lang_id argmax heuristic)
+  3. exact dedup                      (fingerprint groupBy)
+  4. near-dup groups via MinHash LSH  (verified Jaccard >= 0.8 + components)
+  5. embedding near-dup cross-check   (hyperplane LSH + bucket GEMM verify)
+  6. curated output + summary
+
+Run: python examples/curation_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("curation-pipeline-example")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from weaviate_txtai_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from weaviate_txtai_spark.operators.dedup import (
+        duplicate_groups,
+        embedding_dup_pairs_lsh,
+        minhash_lsh_pairs,
+    )
+    from weaviate_txtai_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+
+    # 1-2. annotate: token count, quality in [0,1], language guess —
+    # all native column exprs, one map-only pass
+    annotated = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.round(quality_score("text"), 4).alias("quality"),
+        lang_id("text").alias("lang_guess"),
+        fingerprint("text").alias("fp"),
+    ).persist()
+
+    kept_quality = annotated.filter(
+        (F.col("quality") >= 0.2) & (F.col("n_tokens") >= 5)
+    )
+    n1 = kept_quality.count()
+
+    # 3. exact dedup: keep lowest doc_id per normalized fingerprint
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_unique = (
+        kept_quality.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    n2 = exact_unique.count()
+
+    # 4. near-dup: MinHash-LSH candidates verified at Jaccard >= 0.8,
+    # connected components, keep one representative per group
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    groups = duplicate_groups(pairs)
+    drop = groups.filter(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    curated = exact_unique.join(drop, "doc_id", "left_anti")
+    n3 = curated.count()
+
+    # 5. embedding-space cross-check (different signal than lexical):
+    # how many near-dup pairs does cosine-LSH flag among the survivors?
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb_pairs = embedding_dup_pairs_lsh(emb, threshold=0.95)
+    n_emb_pairs = emb_pairs.count()
+
+    # 6. summary
+    print(f"documents            {n0:>8}")
+    print(f"quality/len filter   {n1:>8}  (-{n0 - n1})")
+    print(f"exact dedup          {n2:>8}  (-{n1 - n2})")
+    print(f"near-dup (minhash)   {n3:>8}  (-{n2 - n3})")
+    print(f"embedding pairs @.95 {n_emb_pairs:>8} (cross-check signal)")
+    curated.groupBy("lang_guess").count().orderBy("lang_guess").show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
