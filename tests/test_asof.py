@@ -109,3 +109,25 @@ def test_asof_plan_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The epoch-bucket rewrite must plan as an equi-join — never the
+    BroadcastNestedLoopJoin/CartesianProduct Catalyst produces for raw
+    inequality conditions."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10.0))], "k int, lid int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, _ts(30.0))], "k int, rid int, r_ts timestamp"
+    )
+    plan = (
+        range_join(
+            left, right, window_seconds=60, on=["k"], left_ts="ts", right_ts="r_ts"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
