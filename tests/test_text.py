@@ -100,3 +100,33 @@ def test_rolling_fingerprint_position_sensitive(spark):
     assert fps["a"] == fps["c"]       # identical text -> identical fp
     assert fps["a"] != fps["b"]       # token swap changes the hash
     assert all(0 <= v < 1_000_000_007 for v in fps.values())
+
+
+def test_deterministic_split_stable_under_partitioning(spark, sf_dir):
+    """assign_split must be a pure function of the id: identical labels
+    no matter how the data is partitioned (the property randomSplit
+    lacks), with roughly the requested fractions."""
+    from pyspark.sql import functions as F
+
+    from weaviate_txtai_spark.functions.sampling import assign_split
+    from weaviate_txtai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in docs.withColumn("split", assign_split("doc_id"))
+        .select("doc_id", "split")
+        .collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in docs.repartition(13, "lang")
+        .withColumn("split", assign_split("doc_id"))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train < 0.9
+    assert set(a.values()) <= {"train", "valid", "test"}

@@ -1,0 +1,56 @@
+"""Deterministic dataset splitting / sampling for training pipelines.
+
+``randomSplit``/``sample`` are partitioning-dependent (reshuffling the
+input changes which rows land where), which is unacceptable for a
+reproducible 100 TB pipeline: the split must be a pure function of the
+row's identity. The standard fix is multiplicative (Knuth/Fibonacci)
+hashing of a stable id into [0, 1) — identical results on any engine,
+any partitioning, any day, and fully expressible in ANSI SQL for the
+DuckDB oracle (unlike xxhash64/rand, whose implementations differ
+between engines).
+
+Not cryptographic — fine for splits, wrong for adversarial sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative hash constant: floor(2^32 / phi), coprime to 2^32.
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def split_fraction(id_col) -> Column:
+    """Deterministic uniform-ish fraction in [0, 1) from an integer id.
+
+    Caveat: exact only while id * 2654435761 fits in int64 — ids up to
+    ~3.4e9. For wider ids, pre-fold with ``pmod(id, 2^32)`` (also
+    oracle-expressible) before multiplying.
+    """
+    return (F.pmod(_c(id_col) * F.lit(_KNUTH), F.lit(_MOD))) / F.lit(float(_MOD))
+
+
+def assign_split(
+    id_col,
+    *,
+    train: float = 0.8,
+    valid: float = 0.1,
+) -> Column:
+    """'train' / 'valid' / 'test' label from the deterministic fraction.
+
+    Fractions are [0,train) / [train,train+valid) / rest — every row gets
+    exactly one label, and re-running on re-partitioned (or re-ingested,
+    same-id) data reproduces the same assignment.
+    """
+    f = split_fraction(id_col)
+    return (
+        F.when(f < train, F.lit("train"))
+        .when(f < train + valid, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )

@@ -1617,6 +1617,41 @@ def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAIN_TEST_SPLIT_SQL = """
+WITH labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8
+                THEN 'train'
+              WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9
+                THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM labeled GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+@register("train_test_split", _TRAIN_TEST_SPLIT_SQL)
+def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split via multiplicative hashing of doc_id
+    (functions/sampling.py) — reproducible under any partitioning, unlike
+    randomSplit; the oracle runs the identical integer arithmetic."""
+    from weaviate_txtai_spark.functions.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", assign_split("doc_id"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 _RETURNED_ITEMS_SQL = """
 SELECT c.c_custkey, c.c_name,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
