@@ -1,0 +1,51 @@
+"""Error-bound contracts for the sketch aggregates.
+
+The sketch queries (approx_distinct_users, approx_price_quantiles) are
+rows-only in the driver gate because HLL++/GK internals are
+engine-specific; these tests pin their accuracy against the exact
+queries instead, which is the actual contract a pipeline relies on.
+"""
+
+import pytest
+
+from weaviate_txtai_spark.plans import queries as q
+
+
+def _by_key(rows, key, val):
+    return {r[key]: r[val] for r in rows}
+
+
+def test_hll_distinct_within_relative_error(spark, sf_dir):
+    exact = _by_key(
+        q.events_distinct_users_q(spark, sf_dir).collect(), "event_type", "n_users"
+    )
+    approx = _by_key(
+        q.approx_distinct_users_q(spark, sf_dir).collect(),
+        "event_type",
+        "n_users_approx",
+    )
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        # rsd=0.02 → 3-sigma ≈ 6%; generous but a real bound.
+        assert abs(approx[et] - n) <= max(1, 0.06 * n), (et, approx[et], n)
+
+
+def test_approx_quantiles_rank_accuracy(spark, sf_dir):
+    """GK with accuracy=10000 on ~6k rows must land within a tight rank
+    band of the exact quantile: check the approximate value's true rank."""
+    li = q.load_table(spark, sf_dir, "lineitem")
+    prices = sorted(r[0] for r in li.select("l_extendedprice").collect())
+    n = len(prices)
+    got = q.approx_price_quantiles_q(spark, sf_dir).collect()
+    assert [r["q_idx"] for r in got] == [0, 1, 2, 3]
+    for q_idx, target in zip(range(4), [0.25, 0.5, 0.75, 0.95]):
+        v = got[q_idx]["price_approx"]
+        rank = sum(1 for p in prices if p <= v) / n
+        assert abs(rank - target) <= 0.01, (target, rank, v)
+
+
+def test_sketches_are_rows_only_in_registry():
+    oracles = q.oracle_sql()
+    assert "approx_distinct_users" not in oracles
+    assert "approx_price_quantiles" not in oracles
+    assert "events_distinct_users" in oracles

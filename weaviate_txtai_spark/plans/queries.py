@@ -1928,6 +1928,417 @@ def promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Classic decision-support join/agg shapes (TPC-H Q4/Q7/Q11/Q15/Q17/Q18/
+# Q19/Q22 analogues on the driver's star schema) — breadth of the SQL
+# surface the reference's txtai dialect can never express (SURVEY §2.4).
+# --------------------------------------------------------------------------
+
+_NATION_TRADE_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+"""
+# revenue sums land exactly on the 2dp rounding boundary for a few of the
+# 1200 groups, so double accumulation order flips the last cent: sum in
+# DECIMAL (exact, order-independent) on both engines, round, cast back.
+_NATION_TRADE_SQL = _NATION_TRADE_SQL.replace(
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)",
+    "CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)"
+    " AS DECIMAL(28,8))), 2) AS DOUBLE)",
+)
+
+
+@register("nation_trade_volume", _NATION_TRADE_SQL)
+def nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume. Two fact-side shuffle
+    joins (lineitem⋈orders, +customer); supplier and both nation roles
+    broadcast. The nation inequality filters post-join on broadcast
+    columns — no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(big.total_qty, 1) AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("large_orders", _LARGE_ORDERS_SQL)
+def large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders. The HAVING aggregate runs
+    first (partial map-side sums), shrinking the fact to a handful of
+    orderkeys; AQE then broadcasts that survivor set onto orders —
+    order of magnitude less shuffle than joining before aggregating."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("__qty", 1).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_DISJUNCTIVE_SQL = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity <= 15)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 25)
+"""
+
+
+@register("disjunctive_selection", _DISJUNCTIVE_SQL)
+def disjunctive_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjuncts selection. The brand IN-list (the
+    disjunction's common factor) is applied to part BEFORE the join, so
+    it pushes into the part scan and shrinks the broadcast; the mixed
+    part/lineitem disjunction evaluates post-join in codegen."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & (q <= 15))
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 25)
+        )
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & (q >= 25))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_LAPSED_SQL = """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+GROUP BY 1
+"""
+
+
+@register("lapsed_high_value_customers", _LAPSED_SQL)
+def lapsed_high_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders. The global-average scalar broadcasts as a 1-row crossJoin;
+    the NOT EXISTS is a left_anti join against the date-filtered orders
+    (filter pushed to the orders scan, shrinking the anti side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_PART_SHARE_SQL = """
+WITH pr AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(val) AS t FROM pr)
+SELECT pr.l_partkey, round(pr.val, 2) AS val
+FROM pr, tot
+WHERE pr.val > 0.0007 * tot.t
+ORDER BY val DESC, l_partkey
+"""
+
+
+@register("part_revenue_share", _PART_SHARE_SQL)
+def part_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
+    corpus total. One shuffle (groupBy partkey); the total re-aggregates
+    the already-small per-part table and broadcasts back as a 1-row
+    crossJoin — the fact is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__val")
+    )
+    tot = pr.agg(F.sum("__val").alias("__t"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("__val") > 0.0007 * F.col("__t"))
+        .select("l_partkey", F.round("__val", 2).alias("val"))
+        .orderBy(F.desc("val"), F.asc("l_partkey"))
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_rev
+FROM supplier s
+JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@register("top_revenue_supplier", _TOP_SUPPLIER_SQL)
+def top_revenue_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarter revenue. The scalar
+    max re-aggregates the per-supplier table (already shuffled once) and
+    broadcasts; revenue is rounded BEFORE the max-equality so Spark and
+    the oracle compare identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+_SMALL_QTY_SQL = """
+WITH pa AS (
+  SELECT l.l_partkey, 0.2 * avg(l.l_quantity) AS lim
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23'
+  GROUP BY 1
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.lim
+"""
+
+
+@register("small_quantity_revenue", _SMALL_QTY_SQL)
+def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-avg-quantity lineitems of one
+    brand. The correlated avg subquery decorrelates into a per-part
+    aggregate over the brand-restricted fact (brand filter broadcast
+    onto lineitem first), then broadcasts back onto the same restricted
+    fact — the full lineitem is never shuffled."""
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = brand_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("__lim")
+    )
+    return (
+        brand_li.join(F.broadcast(pa), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_LATE_SHIP_SQL = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("late_shipment_priority", _LATE_SHIP_SQL)
+def late_shipment_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipped line, counted
+    by priority. The correlated EXISTS is a left_semi join whose
+    non-equi part (l_shipdate > o_orderdate + 60 days) evaluates inside
+    the join; semi-join semantics dedupe multi-line matches for free."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch / approximate aggregates (training-pipeline corpus profiling):
+# exact versions are oracle-gated; the sketch versions are rows-only with
+# pytest error-bound tests (tests/test_sketches.py) because HLL /
+# KLL implementations differ across engines by design.
+# --------------------------------------------------------------------------
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_distinct_users", _DISTINCT_USERS_SQL)
+def events_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per group — Spark expands
+    count_distinct into a two-phase aggregate (partial dedupe map-side,
+    then count), the pattern the HLL sketch below replaces at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("approx_distinct_users", None)  # sketch: engine-specific → rows-only
+def approx_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct cardinality per group. At 100 TB this is
+    THE distinct-count: fixed ~1.5 KB of state per group instead of a
+    shuffle of every distinct key; mergeable across partitions.
+    Bounded-error contract pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@register("approx_price_quantiles", None)  # sketch: engine-specific → rows-only
+def approx_price_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of l_extendedprice via Greenwald-Khanna
+    (percentile_approx). Mergeable fixed-size sketch vs. the exact
+    percentile's full sort; accuracy contract in tests/test_sketches.py
+    against the exact `price_quantiles` query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+    ).alias("__qs")
+    return (
+        li.agg(qs)
+        .select(
+            F.posexplode("__qs").alias("q_idx", "price_approx")
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
