@@ -62,3 +62,26 @@ def test_streaming_interval_join_equals_batch_range_join(spark, sf_dir):
     }
     assert stream_pairs == batch_pairs
     assert stream_pairs  # non-degenerate: the window does catch followers
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    """dropDuplicates over the stream (availableNow) emits exactly the
+    batch DISTINCT (user_id, event_type) set."""
+    from weaviate_txtai_spark.sources.tables import load_table
+    from weaviate_txtai_spark.streaming.dedup import stream_distinct_pairs
+
+    stream_pairs = {
+        (r["user_id"], r["event_type"])
+        for r in stream_distinct_pairs(
+            spark, sf_dir, table_name="dedup_stream_test"
+        ).collect()
+    }
+    batch_pairs = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > len({p[1] for p in stream_pairs})

@@ -2339,6 +2339,120 @@ def approx_price_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Window-frame / bucketing / grouping-set breadth + streaming dedup
+# --------------------------------------------------------------------------
+
+_ROLLING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_avg
+FROM events
+"""
+
+
+@register("events_rolling_avg", _ROLLING_AVG_SQL)
+def events_rolling_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs. the ROWS frame in running_revenue):
+    per-user 1-hour trailing average. Spark's rangeBetween needs a
+    numeric ordering key, so ts casts to epoch seconds — one shuffle on
+    user_id, then a sorted in-partition frame scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
+    )
+
+
+_DECILES_SQL = """
+WITH ranked AS (
+  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+  FROM customer
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+       round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("customer_value_deciles", _DECILES_SQL)
+def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (equi-depth histogram of customer value). ntile
+    needs a global order — a single-partition sort, the one window shape
+    that does NOT scale by partitioning alone; at 100 TB the same
+    histogram comes from approx quantile boundaries + a range join
+    (see approx_price_quantiles), which is why both live in the repo."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+_DOCS_GROUPING_SETS_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (lang, source), ())
+ORDER BY lang, source
+"""
+
+
+@register("docs_grouping_sets", _DOCS_GROUPING_SETS_SQL)
+def docs_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind orders_rollup's
+    ROLLUP and returns_cube's CUBE): three chosen granularities in one
+    aggregate pass over a single scan of the table."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM __docs_gs
+        GROUP BY GROUPING SETS ((lang), (lang, source), ())
+        ORDER BY lang, source
+        """
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("streaming_dedup", _STREAM_DEDUP_SQL)
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over the event stream
+    (availableNow) must emit exactly the batch DISTINCT pairs — the
+    post-aggregation runs batch-side on the materialized sink. See
+    streaming/dedup.py for the state-size / watermark tradeoff."""
+    from weaviate_txtai_spark.streaming.dedup import stream_distinct_pairs
+
+    pairs = stream_distinct_pairs(spark, sf_dir, table_name="dedup_stream_gate")
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
