@@ -1,0 +1,59 @@
+"""Invariants for chunk_docs / pack_sequences (operators/chunking.py)."""
+
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.operators.chunking import chunk_docs, pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_chunks_cover_and_overlap(spark):
+    text = "abcdefghij" * 25  # 250 chars
+    df = _docs(spark, [(1, "s", text)])
+    chunks = chunk_docs(df, size=100, stride=50).orderBy("chunk_id").collect()
+    # starts at 0,50,100,150,200 → 5 chunks; last is short (50 chars)
+    assert [c["chunk_id"] for c in chunks] == [0, 1, 2, 3, 4]
+    assert [c["chunk_len"] for c in chunks] == [100, 100, 100, 100, 50]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a["chunk_text"][50:] == b["chunk_text"][: len(a["chunk_text"][50:])]
+    # stride == size → exact partition, lossless reassembly
+    exact = chunk_docs(df, size=50, stride=50).orderBy("chunk_id").collect()
+    assert "".join(c["chunk_text"] for c in exact) == text
+
+
+def test_empty_doc_yields_one_empty_chunk(spark):
+    chunks = chunk_docs(_docs(spark, [(1, "s", "")]), size=10, stride=5).collect()
+    assert len(chunks) == 1 and chunks[0]["chunk_len"] == 0
+
+
+def test_pack_budget_invariant(spark, sf_dir):
+    from weaviate_txtai_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 128
+    packs = pack_sequences(docs, budget=budget)
+    stats = (
+        packs.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        # a pack overflows only by the doc that crossed the boundary
+        assert r["tot"] < budget + r["mx"] or r["tot"] == r["mx"]
+    # pack ids per source start at 0 and are monotone in doc order
+    per_source = (
+        packs.groupBy("source")
+        .agg(F.min("pack_id").alias("mn"), F.max("pack_id").alias("mx"))
+        .collect()
+    )
+    for r in per_source:
+        assert r["mn"] == 0
+    rows = packs.orderBy("source", "doc_id").collect()
+    last = {}
+    for r in rows:
+        prev = last.get(r["source"], 0)
+        assert r["pack_id"] >= prev
+        last[r["source"]] = r["pack_id"]

@@ -2453,6 +2453,98 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Chunking / packing / repetition (LLM training-data preparation)
+# --------------------------------------------------------------------------
+
+_DOC_CHUNKS_SQL = """
+SELECT d.doc_id, CAST(s.start // 100 AS INT) AS chunk_id,
+       substr(d.text, CAST(s.start AS INT) + 1, 200) AS chunk_text,
+       CAST(length(substr(d.text, CAST(s.start AS INT) + 1, 200)) AS INT)
+         AS chunk_len
+FROM documents d,
+     unnest(generate_series(0, greatest(length(d.text) - 1, 0), 100)) AS s(start)
+"""
+
+
+@register("doc_chunks", _DOC_CHUNKS_SQL)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char windows with stride 100 — map-only
+    explode(sequence)+substring, zero shuffles; chunk_id is the window
+    ordinal so downstream joins can reconstruct overlap adjacency."""
+    from weaviate_txtai_spark.operators.chunking import chunk_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_docs(docs, size=200, stride=100)
+
+
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(length(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+@register("pack_sequences", _PACK_SEQUENCES_SQL)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing into 512-token budgets per
+    source (operators/chunking.py) — one window shuffle on source."""
+    from weaviate_txtai_spark.operators.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512)
+
+
+_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tc AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_ratio,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+FROM tc GROUP BY 1
+"""
+
+
+@register("docs_repetition", _REPETITION_SQL)
+def docs_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals (Gopher-style quality rules): most
+    frequent token's share + type/token ratio. Both aggregates are
+    partial-aggregatable: the doc-term counts shuffle once on doc_id
+    and the per-doc reduction is map-side after that."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c").cast("double")
+    return tc.groupBy("doc_id").agg(
+        F.round(F.max("c") / total, 6).alias("top_token_ratio"),
+        F.round(F.count(F.lit(1)) / total, 6).alias("type_token_ratio"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
