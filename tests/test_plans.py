@@ -67,3 +67,30 @@ def test_knn_broadcasts_query_side(spark, sf_dir):
     )
     df = knn_topk(emb, qdf, 5, vector_col="embedding", id_col="vec_id")
     assert uses_broadcast_join(df)  # index side is never shuffled pre-window
+
+
+def test_late_shipment_exists_is_semi_join(spark, sf_dir):
+    # the correlated EXISTS must plan as a semi join, never a full join
+    # followed by distinct
+    plan = physical_plan(Q.late_shipment_priority_q(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_disjunctive_brand_filter_pushed_and_broadcast(spark, sf_dir):
+    df = Q.disjunctive_selection_q(spark, sf_dir)
+    # the common-factor brand IN-list reaches the part parquet scan
+    assert has_pushed_filter(df, "p_brand")
+    assert uses_broadcast_join(df)
+
+
+def test_doc_chunks_is_map_only(spark, sf_dir):
+    # explode+substring chunking must not shuffle at all
+    plan = physical_plan(Q.doc_chunks_q(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_rolling_avg_single_shuffle_on_user(spark, sf_dir):
+    plan = physical_plan(Q.events_rolling_avg_q(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:200]
