@@ -40,6 +40,10 @@ HEADLINE = [
     "events_hourly",
     "events_asof",
     "events_range_join",
+    "nation_trade_volume",
+    "doc_chunks",
+    "pack_sequences",
+    "events_rolling_avg",
 ]
 
 

@@ -2545,6 +2545,77 @@ def docs_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Stratified sampling + centroid aggregation
+# --------------------------------------------------------------------------
+
+# per-language keep rates: downsample the dominant language, keep the rest
+_STRATA_RATES = {"en": 0.2, "zh": 0.5}
+_STRATA_DEFAULT = 0.8
+
+_STRATIFIED_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS min_id
+FROM (
+  SELECT lang, doc_id,
+         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
+  FROM documents
+)
+WHERE f < (CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.5 ELSE 0.8 END)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("stratified_sample", _STRATIFIED_SQL)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep-rate varies by language,
+    membership is a pure function of doc_id (multiplicative hash —
+    functions/sampling.py), so the sample is reproducible under any
+    partitioning and composes with the train/valid/test split (the two
+    decisions use the same fraction, so a row's sample fate and split
+    fate are consistent across reruns). Map-only: filter + aggregate,
+    one partial-agg shuffle."""
+    from weaviate_txtai_spark.functions.sampling import split_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(_STRATA_RATES["en"])).when(
+        F.col("lang") == "zh", F.lit(_STRATA_RATES["zh"])
+    ).otherwise(F.lit(_STRATA_DEFAULT))
+    return (
+        docs.filter(split_fraction("doc_id") < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
+_LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(t.i AS INT) AS dim_idx,
+       round(avg(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)), 6)
+         AS centroid_val
+FROM embeddings e, unnest(generate_series(1, 4)) AS t(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("label_centroids", _LABEL_CENTROIDS_SQL)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (the k-means/IVF training reduction) computed
+    relationally: posexplode the vector, average per (label, dim). The
+    elementwise avg is partial-aggregatable — each partition reduces its
+    own rows before the single shuffle on (label, dim) — exactly how a
+    distributed k-means iteration aggregates at 100 TB (ann.IVFIndex
+    uses the in-Python GEMM variant of the same reduction; first 4 dims
+    projected here to keep the gate output small)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("__i", "__x"))
+        .filter(F.col("__i") < 4)
+        .groupBy("label", (F.col("__i") + 1).cast("int").alias("dim_idx"))
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("centroid_val"))
+        .orderBy("label", "dim_idx")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
