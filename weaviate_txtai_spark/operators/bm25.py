@@ -1,0 +1,69 @@
+"""Batch BM25 scoring and hybrid (lexical + vector) retrieval.
+
+txtai's SQL surface exposes `similar()` (vector-only); its ecosystem
+pairs that with lexical scoring and hybrid fusion. Here both are batch
+DataFrame plans:
+
+- ``bm25_scores``: Okapi BM25 (Lucene's idf variant: ln(1 + (N-df+0.5)/
+  (df+0.5))) for a fixed query-term set against the whole corpus.
+  Shuffle profile: one groupBy(doc_id, term) for tf (partial-agg), one
+  tiny groupBy(term) for df (broadcast back), one groupBy(doc_id) for
+  doc length (reuses the tf table), then a map-side score join. The
+  corpus-sized tables shuffle once each; everything query-sized
+  broadcasts.
+- Scores are rounded BEFORE ranking wherever ranks feed downstream
+  fusion, so rank order is reproducible across engines (float sum order
+  never flips a rank).
+
+Reciprocal-rank fusion then needs only the two rank columns:
+rrf = Σ 1/(k + rank) over each retriever's top list — implemented
+directly in the gate query (plans/queries.py: hybrid_rrf) as an outer
+join of the two ranked lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from weaviate_txtai_spark.functions.text import tokens
+from weaviate_txtai_spark.sources.tables import spread
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for ``query_terms`` (docs containing none
+    of the terms are absent). Returns (doc_id, score) with score rounded
+    to 6dp."""
+    tok = spread(docs).select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+    )
+    tf = tok.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    tf = tf.persist()  # feeds doclen, df, and the score join
+    doclen = tf.groupBy("__id").agg(F.sum("__tf").alias("__len"))
+    n_avg = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__len").alias("__avgdl")
+    )
+    qtf = tf.filter(F.col("__t").isin(query_terms))
+    dfreq = qtf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_norm = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf") + k1 * (1 - b + b * F.col("__len") / F.col("__avgdl"))
+    )
+    return (
+        qtf.join(F.broadcast(dfreq), "__t")
+        .join(doclen, "__id")
+        .crossJoin(F.broadcast(n_avg))
+        .withColumn("__s", idf * tf_norm)
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )

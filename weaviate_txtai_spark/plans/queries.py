@@ -2616,6 +2616,137 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Lexical scoring (BM25) + hybrid reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "vector", "join"]
+
+_BM25_CORE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
+), doclen AS (
+  SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, avg(len) AS avgdl FROM doclen
+), qtf AS (
+  SELECT * FROM tf WHERE t IN ('spark', 'vector', 'join')
+), dfreq AS (
+  SELECT t, count(*) AS df FROM qtf GROUP BY 1
+), scored AS (
+  SELECT qtf.doc_id,
+         round(sum(
+           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * qtf.tf * (1.2 + 1)
+           / (qtf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.len / stats.avgdl))
+         ), 6) AS score
+  FROM qtf
+  JOIN dfreq ON qtf.t = dfreq.t
+  JOIN doclen ON qtf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+)
+"""
+
+_BM25_TOPK_SQL = (
+    _BM25_CORE_SQL
+    + "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+)
+
+
+@register("bm25_topk", _BM25_TOPK_SQL)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term query (operators/bm25.py).
+    Corpus-sized tables shuffle once each (tf, doclen); term stats
+    broadcast; top-k is TakeOrderedAndProject."""
+    from weaviate_txtai_spark.operators.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_HYBRID_RRF_SQL = (
+    _BM25_CORE_SQL
+    + """
+, bmr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
+  FROM scored ORDER BY score DESC, doc_id LIMIT 50
+), cos AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+               6) AS cs
+  FROM embeddings
+), cr AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS INT) AS r
+  FROM cos ORDER BY cs DESC, vec_id LIMIT 50
+)
+SELECT coalesce(bmr.doc_id, cr.vec_id) AS doc_id,
+       round(coalesce(1.0 / (60 + bmr.r), 0) + coalesce(1.0 / (60 + cr.r), 0), 6)
+         AS rrf
+FROM bmr FULL JOIN cr ON bmr.doc_id = cr.vec_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+)
+
+
+@register("hybrid_rrf", _HYBRID_RRF_SQL)
+def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranks fused with cosine vector
+    ranks by reciprocal-rank fusion (k=60). Each retriever prunes to
+    its top-50 FIRST (TakeOrderedAndProject — per-partition heaps, no
+    global sort of the corpus); row_number then runs on 50 rows in one
+    tiny partition, and the fusion join is 50×50 at most. Scores are
+    rounded before ranking so rank order — hence the fused output — is
+    bit-identical across engines. Docs and vectors share ids 0..499
+    (FIXTURES.md); the outer join keeps items surfaced by only one
+    retriever."""
+    from weaviate_txtai_spark.operators.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+
+    bm_top = (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm_top.select("doc_id", F.row_number().over(w_bm).cast("int").alias("__rb"))
+
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cos_top = (
+        emb.crossJoin(qv)
+        .select("vec_id", F.round(cosine_sim("embedding", "qv"), 6).alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(50)
+    )
+    w_cos = Window.orderBy(F.desc("cs"), F.asc("vec_id"))
+    cr = cos_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_cos).cast("int").alias("__rc"),
+    )
+
+    rrf = F.coalesce(1.0 / (60 + F.col("__rb")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("__rc")), F.lit(0.0)
+    )
+    return (
+        bmr.join(cr, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
