@@ -254,3 +254,22 @@ def test_content_mode_returns_row_dicts(spark):
     emb2 = Embeddings(spark)
     emb2.index([(0, "the quick brown fox jumps", None)])
     assert isinstance(emb2.search("fox", 1)[0], tuple)
+
+
+def test_batchsearch_matches_sequential_search(emb):
+    queries = ["lottery ticket win", "bear attack warning"]
+    batch = emb.batchsearch(queries, 3)
+    assert len(batch) == 2
+    for q, got in zip(queries, batch):
+        assert got == emb.search(q, 3)
+    assert batch[0][0][0] == "4"  # lottery doc tops query 0
+
+
+def test_batchsimilarity_matches_sequential(spark):
+    e = Embeddings(spark)
+    texts = ["bad news about the virus", "Maine man wins lottery feel good story"]
+    queries = ["feel good story", "public health story"]
+    batch = e.batchsimilarity(queries, texts)
+    assert len(batch) == 2
+    for q, got in zip(queries, batch):
+        assert got == e.similarity(q, texts)

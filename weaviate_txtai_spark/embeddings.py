@@ -289,6 +289,68 @@ class Embeddings:
         ]
         return self
 
+    def batchsearch(self, queries: Sequence[str], limit: int = 3) -> list:
+        """txtai ``batchsearch``: N text queries in ONE Spark job — the
+        batch-first design the reference cannot express (it drops all
+        but queries[0], weaviate.py:177). Query vectors broadcast onto a
+        single scan of the index; per-query top-k via a window ranked
+        inside each query partition. Returns a list of ``search``-shaped
+        result lists, in query order."""
+        if self._df is None or not queries:
+            return [[] for _ in queries]
+        qrows = [
+            (i, [float(x) for x in self.encoder.encode(q)])
+            for i, q in enumerate(queries)
+        ]
+        qdf = self.spark.createDataFrame(qrows, "qid int, qv array<float>")
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        top = (
+            self._df.crossJoin(F.broadcast(qdf))
+            .withColumn("score", F.round(cosine_sim("vector", "qv"), 6))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= limit)
+        )
+        cols = ["qid", "id", "text", "score"] if self.content else ["qid", "id", "score"]
+        rows = top.select(*cols).orderBy("qid", "__rn").collect()
+        out: list[list] = [[] for _ in queries]
+        for r in rows:
+            if self.content:
+                d = r.asDict()
+                d.pop("qid")
+                out[r["qid"]].append(d)
+            else:
+                out[r["qid"]].append((r["id"], r["score"]))
+        return out
+
+    def batchsimilarity(
+        self, queries: Sequence[str], texts: Sequence[str]
+    ) -> list:
+        """txtai ``batchsimilarity``: score every query against every
+        ad-hoc text in one crossJoin job; returns per-query
+        [(index, score)] sorted desc."""
+        if not queries:
+            return []
+        data = self.spark.createDataFrame(
+            list(enumerate(texts)), schema="idx int, text string"
+        )
+        scored = self.encoder.encode_df(data, text_col="text")
+        qrows = [
+            (i, [float(x) for x in self.encoder.encode(q)])
+            for i, q in enumerate(queries)
+        ]
+        qdf = self.spark.createDataFrame(qrows, "qid int, qv array<float>")
+        rows = (
+            scored.crossJoin(F.broadcast(qdf))
+            .withColumn("score", F.round(cosine_sim("vector", "qv"), 6))
+            .select("qid", "idx", "score")
+            .orderBy("qid", F.desc("score"), F.asc("idx"))
+            .collect()
+        )
+        out: list[list] = [[] for _ in queries]
+        for r in rows:
+            out[r["qid"]].append((r["idx"], r["score"]))
+        return out
+
     def similarity(self, query: str, texts: Sequence[str]) -> list:
         """Ad-hoc brute-force scoring, no stored index (reference Q9,
         examples/01_simple.ipynb cell 7): [(index, score)] sorted desc —
