@@ -1,0 +1,108 @@
+"""Regenerate PLANS.md: the physical-plan evidence for the engine's
+scale claims, straight from `explain("formatted")`.
+
+For each flagship query this dumps the formatted physical plan and a
+one-line digest (exchanges, broadcasts, codegen stages, pushed filters),
+so a reviewer can check — without running anything — that filters reach
+scans, dims broadcast, top-k avoids global sorts, and hot paths stay in
+whole-stage codegen. Usage: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# flagship set: one per operator family, chosen for plan readability
+FLAGSHIPS = [
+    ("knn_topk", "vector top-k: map-only scan + TakeOrderedAndProject"),
+    ("knn_batch", "batch kNN: broadcast queries, per-query window rank"),
+    ("pricing_summary", "scan-heavy aggregate: pushdown + partial agg"),
+    ("revenue_by_nation", "star join: broadcast dims onto the fact"),
+    ("late_shipment_priority", "correlated EXISTS as a semi join"),
+    ("large_orders", "HAVING-then-join: aggregate before the join"),
+    ("doc_chunks", "chunking: map-only, zero exchanges"),
+    ("events_rolling_avg", "RANGE window: single shuffle on the key"),
+    ("events_asof", "as-of join: union + windowed last(ignorenulls)"),
+    ("dedup_exact", "fingerprint distinct-count"),
+    ("bm25_topk", "BM25: tf/doclen shuffles + broadcast stats"),
+]
+
+
+def digest(plan: str) -> str:
+    # digest the FINAL adaptive plan tree only: drop the pre-AQE section
+    # and count tree nodes ("+- Op (n)"), not the per-node detail blocks
+    final = plan.split("== Initial Plan ==")[0]
+    ex = len(re.findall(r"- Exchange[ (]", final))
+    bc = len(
+        re.findall(
+            r"- \*?\s*(?:BroadcastHashJoin|BroadcastNestedLoopJoin)", final
+        )
+    )
+    wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+    top = "TakeOrderedAndProject" in final
+    return (
+        f"shuffle_exchanges={ex} broadcast_joins={bc} codegen_stages={wsc} "
+        f"scans_with_pushed_filters={pushed} take_ordered={top}"
+    )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from weaviate_txtai_spark.plans.explain import formatted_plan
+    from weaviate_txtai_spark.plans.queries import queries
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    out = [
+        "# PLANS — physical-plan evidence (auto-generated)",
+        "",
+        "Regenerate with `python tools/dump_plans.py` (plans from "
+        f"`{SF_DIR}`; shapes are sf-independent). Each section is the "
+        "`explain('formatted')` output plus a digest line. The same "
+        "properties are asserted as regression tests in "
+        "`tests/test_plans.py`.",
+        "",
+    ]
+    for name, why in FLAGSHIPS:
+        df = qs[name](spark, SF_DIR)
+        # execute first: under AQE the finalized plan (with codegen ids
+        # and runtime-chosen join strategies) only exists after the run
+        df.collect()
+        plan = formatted_plan(df)
+        out += [
+            f"## {name}",
+            "",
+            f"*{why}*",
+            "",
+            f"`{digest(plan)}`",
+            "",
+            "```",
+            plan.rstrip(),
+            "```",
+            "",
+        ]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
