@@ -2357,13 +2357,16 @@ FROM events
 def events_rolling_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (vs. the ROWS frame in running_revenue):
     per-user 1-hour trailing average. Spark's rangeBetween needs a
-    numeric ordering key, so ts casts to epoch seconds — one shuffle on
-    user_id, then a sorted in-partition frame scan."""
+    numeric ordering key, so ts maps to epoch MICROSECONDS — full
+    timestamp precision; truncating to seconds silently moves events
+    across the frame boundary (caught at sf0.1, where sub-second
+    spacing appears). One shuffle on user_id, then a sorted
+    in-partition frame scan."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
