@@ -2137,28 +2137,29 @@ _PART_SHARE_SQL = """
 WITH pr AS (
   SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
   FROM lineitem GROUP BY 1
-), tot AS (SELECT sum(val) AS t FROM pr)
+), tot AS (SELECT sum(val) AS t, count(*) AS np FROM pr)
 SELECT pr.l_partkey, round(pr.val, 2) AS val
 FROM pr, tot
-WHERE pr.val > 0.0007 * tot.t
+WHERE pr.val > 1.5 * tot.t / tot.np
 ORDER BY val DESC, l_partkey
 """
 
 
 @register("part_revenue_share", _PART_SHARE_SQL)
 def part_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
-    corpus total. One shuffle (groupBy partkey); the total re-aggregates
-    the already-small per-part table and broadcasts back as a 1-row
-    crossJoin — the fact is scanned once."""
+    """TPC-H Q11 shape: parts earning more than 1.5x the average part
+    revenue — a scale-invariant threshold (a fixed share-of-total goes
+    degenerate as the part count grows). One shuffle (groupBy partkey);
+    the total re-aggregates the already-small per-part table and
+    broadcasts back as a 1-row crossJoin — the fact is scanned once."""
     li = load_table(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__val")
     )
-    tot = pr.agg(F.sum("__val").alias("__t"))
+    tot = pr.agg(F.sum("__val").alias("__t"), F.count(F.lit(1)).alias("__np"))
     return (
         pr.crossJoin(F.broadcast(tot))
-        .filter(F.col("__val") > 0.0007 * F.col("__t"))
+        .filter(F.col("__val") > 1.5 * F.col("__t") / F.col("__np"))
         .select("l_partkey", F.round("__val", 2).alias("val"))
         .orderBy(F.desc("val"), F.asc("l_partkey"))
     )
