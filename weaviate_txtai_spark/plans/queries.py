@@ -2751,6 +2751,40 @@ def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TOKENS_SQL = """
+SELECT source,
+       CAST(sum(length(list_filter(
+         regexp_split_to_array(lower(text), '[^a-z0-9à-ɏ一-鿿]+'),
+         x -> x <> ''))) AS BIGINT) AS bpe_tokens,
+       CAST(max(length(list_filter(
+         regexp_split_to_array(lower(text), '[^a-z0-9à-ɏ一-鿿]+'),
+         x -> x <> ''))) AS BIGINT) AS max_doc_tokens
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("bpe_token_counts", _BPE_TOKENS_SQL)
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token accounting per source (functions/text.py
+    bpe_ish_tokens: the BPE pre-tokenizer regex — word chars + digit
+    runs, latin + CJK ranges). The budget column a pretraining mixture
+    planner actually consumes; swap in a real tokenizer via mapInPandas
+    for byte-accurate counts. Map-side lengths, one partial-agg
+    shuffle."""
+    from weaviate_txtai_spark.functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(bpe_ish_tokens("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(n).cast("long").alias("bpe_tokens"),
+            F.max(n).cast("long").alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
