@@ -93,12 +93,48 @@ def main() -> None:
     emb_pairs = embedding_dup_pairs_lsh(emb, threshold=0.95)
     n_emb_pairs = emb_pairs.count()
 
-    # 6. summary
+    # 6. chunk the curated survivors into model windows, pack short
+    # chunks into fixed token budgets, and stamp the reproducible
+    # train/valid/test split — the batch shapes a pretraining data
+    # loader reads directly
+    from weaviate_txtai_spark.functions.sampling import assign_split
+    from weaviate_txtai_spark.operators.chunking import chunk_docs, pack_sequences
+
+    chunks = chunk_docs(
+        curated.select("doc_id", "text"), size=200, stride=100
+    ).filter(F.col("chunk_len") > 0)
+    n_chunks = chunks.count()
+    packs = pack_sequences(
+        curated.select("doc_id", "source", "text"), budget=512
+    )
+    n_packs = packs.select("source", "pack_id").distinct().count()
+    split_counts = dict(
+        curated.withColumn("split", assign_split("doc_id"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+
+    # 7. retrieval sanity over the curated corpus: BM25 lexical top-5
+    from weaviate_txtai_spark.operators.bm25 import bm25_scores
+
+    top_lex = (
+        bm25_scores(curated.select("doc_id", "text"), ["spark", "vector", "join"])
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(5)
+        .collect()
+    )
+
+    # 8. summary
     print(f"documents            {n0:>8}")
     print(f"quality/len filter   {n1:>8}  (-{n0 - n1})")
     print(f"exact dedup          {n2:>8}  (-{n1 - n2})")
     print(f"near-dup (minhash)   {n3:>8}  (-{n2 - n3})")
     print(f"embedding pairs @.95 {n_emb_pairs:>8} (cross-check signal)")
+    print(f"chunks (200/100)     {n_chunks:>8}")
+    print(f"packs (512 tokens)   {n_packs:>8}")
+    print(f"split                {split_counts}")
+    print(f"bm25 top-5           {[(r['doc_id'], r['score']) for r in top_lex]}")
     curated.groupBy("lang_guess").count().orderBy("lang_guess").show()
     spark.stop()
 
