@@ -94,3 +94,22 @@ def test_rolling_avg_single_shuffle_on_user(spark, sf_dir):
     plan = physical_plan(Q.events_rolling_avg_q(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:200]
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    """write_partitioned: a lang= equality predicate must become a
+    PartitionFilter on the scan (directory pruning), not a data filter."""
+    from weaviate_txtai_spark.sources.tables import load_table, write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, partition_cols=["lang"], sort_cols=["doc_id"])
+
+    scan = spark.read.parquet(path).filter(F.col("lang") == "en").select("doc_id")
+    plan = physical_plan(scan)
+    assert "PartitionFilters" in plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "lang" in pf_line.split("PartitionFilters", 1)[1]
+    # and the pruned read returns exactly the en docs
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert scan.count() == n_en

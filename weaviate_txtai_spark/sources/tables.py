@@ -72,3 +72,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int = 0,
+) -> None:
+    """Hive-style partitioned layout: ``partition_cols`` become directory
+    keys (``lang=en/``...), so equality/IN predicates on them are
+    *partition pruning* — unmatched directories are never listed, the
+    same mechanism IVFIndex.save uses for cells. ``sort_cols`` sorts
+    within each task's output files (sortWithinPartitions — no extra
+    shuffle), tightening parquet min/max row-group stats for range
+    predicates on those columns."""
+    if sort_cols:
+        df = df.sortWithinPartitions(*partition_cols, *sort_cols)
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_cols).parquet(path)
