@@ -2785,6 +2785,53 @@ def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HARD_NEGATIVES_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id IN (0, 1, 2)) q
+  WHERE e.label <> q.label
+) WHERE rank <= 3
+"""
+
+
+@register("hard_negatives", _HARD_NEGATIVES_SQL)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most similar vectors with a DIFFERENT label. Same broadcast +
+    map-only-scan + per-anchor window as knn_batch; the label
+    inequality evaluates pre-window inside the join filter, so
+    negatives-only rows ever reach the rank."""
+    emb = _emb(spark, sf_dir)
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(anchors)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
