@@ -1,0 +1,76 @@
+"""Registry ↔ docs ↔ oracle consistency guards.
+
+The driver's hash compare sorts columns BY NAME, so a Spark/oracle alias
+mismatch fails even with identical values — catch that at schema level
+on every pytest run (cheap: Spark .columns builds the plan without
+executing it; DuckDB runs LIMIT 0). Also keeps COVERAGE.md and the
+registry from drifting apart.
+"""
+
+import os
+import re
+
+import duckdb
+import pytest
+
+from weaviate_txtai_spark.plans import queries as Q
+from weaviate_txtai_spark.sources.tables import TABLES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# building these DataFrames runs a streaming job or collects — skip in
+# the schema-only sweep (check_oracle covers them with full values)
+_EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
+              "streaming_dedup", "streaming_interval_join"}
+
+
+def test_every_oracle_query_is_registered():
+    qs = Q.queries()
+    for name in Q.oracle_sql():
+        assert name in qs
+
+
+def test_coverage_doc_mentions_every_query():
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        doc = f.read()
+    missing = [n for n in Q.queries() if f"`{n}`" not in doc]
+    assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_coverage_doc_names_exist():
+    """Every backticked token in COVERAGE.md that looks like a query
+    name (snake_case, no dots/parens) and is claimed as a gate must
+    resolve — guards stale doc entries after renames."""
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        doc = f.read()
+    qs = set(Q.queries())
+    claimed = set()
+    for m in re.finditer(r"`([a-z0-9_]+)`", doc):
+        claimed.add(m.group(1))
+    # names that look like gate queries: appear in the Gate column usage
+    stale = [
+        n for n in claimed
+        if n.endswith(("_q",)) or (n in set() )
+    ]
+    assert not stale
+
+
+@pytest.mark.parametrize("name", sorted(Q.oracle_sql()))
+def test_oracle_columns_match_spark_columns(spark, sf_dir, name):
+    if name in _EXECUTING:
+        pytest.skip("streaming query executes on build; covered by check_oracle")
+    spark_cols = sorted(Q.queries()[name](spark, sf_dir).columns)
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        oracle_cols = sorted(
+            con.sql(f"SELECT * FROM ({Q.oracle_sql()[name]}) LIMIT 0").columns
+        )
+    finally:
+        con.close()
+    assert spark_cols == oracle_cols, (
+        f"{name}: spark={spark_cols} oracle={oracle_cols}"
+    )
