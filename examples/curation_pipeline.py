@@ -125,7 +125,25 @@ def main() -> None:
         .collect()
     )
 
-    # 8. summary
+    # 8. materialize training shards: Hive-partitioned by split/lang so
+    # a loader reads train/ without listing valid/ or test/ (directory
+    # pruning), docid-sorted within files for tight row-group stats
+    import tempfile
+
+    from weaviate_txtai_spark.sources.tables import write_partitioned
+
+    shard_dir = os.path.join(tempfile.mkdtemp(), "shards")
+    write_partitioned(
+        curated.withColumn("split", assign_split("doc_id")),
+        shard_dir,
+        partition_cols=["split", "lang_guess"],
+        sort_cols=["doc_id"],
+    )
+    n_train = (
+        spark.read.parquet(shard_dir).filter(F.col("split") == "train").count()
+    )
+
+    # 9. summary
     print(f"documents            {n0:>8}")
     print(f"quality/len filter   {n1:>8}  (-{n0 - n1})")
     print(f"exact dedup          {n2:>8}  (-{n1 - n2})")
@@ -134,6 +152,7 @@ def main() -> None:
     print(f"chunks (200/100)     {n_chunks:>8}")
     print(f"packs (512 tokens)   {n_packs:>8}")
     print(f"split                {split_counts}")
+    print(f"train shard rows     {n_train:>8}  ({shard_dir})")
     print(f"bm25 top-5           {[(r['doc_id'], r['score']) for r in top_lex]}")
     curated.groupBy("lang_guess").count().orderBy("lang_guess").show()
     spark.stop()
