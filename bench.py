@@ -44,6 +44,7 @@ HEADLINE = [
     "doc_chunks",
     "pack_sequences",
     "events_rolling_avg",
+    "bm25_topk",
 ]
 
 
