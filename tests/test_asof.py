@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.operators.asof import asof_join, range_join
 

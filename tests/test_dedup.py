@@ -2,7 +2,6 @@
 (exact ids/ranks/counts — never float goldens, SURVEY §5)."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.operators.dedup import (
     duplicate_groups,

@@ -7,7 +7,6 @@ import math
 import pytest
 
 from weaviate_txtai_spark import (
-    DEFAULT_SCHEMA,
     IndexNotFoundError,
     SchemaValidationError,
     VectorIndex,

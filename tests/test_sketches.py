@@ -6,8 +6,6 @@ engine-specific; these tests pin their accuracy against the exact
 queries instead, which is the actual contract a pipeline relies on.
 """
 
-import pytest
-
 from weaviate_txtai_spark.plans import queries as q
 
 

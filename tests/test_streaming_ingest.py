@@ -1,7 +1,6 @@
 """Streaming ingest → VectorIndex: dense docids across micro-batches,
 search over streamed data, batch/stream parity via availableNow."""
 
-import os
 
 import pytest
 from pyspark.sql.types import StringType, StructField, StructType

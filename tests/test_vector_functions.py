@@ -6,7 +6,6 @@ hand-built unit vectors, never golden floats from models)."""
 import math
 
 import pytest
-from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.functions import (
     cosine_dist,

@@ -13,7 +13,6 @@ whole file costs a handful of jobs, not hypothesis-iterations many.
 import math
 
 import numpy as np
-import pytest
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
