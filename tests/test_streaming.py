@@ -85,3 +85,29 @@ def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
     }
     assert stream_pairs == batch_pairs
     assert len(stream_pairs) > len({p[1] for p in stream_pairs})
+
+
+def test_watermarked_dedup_covers_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark trades exactness for bounded state:
+    it may re-emit a key whose duplicates arrive further apart than the
+    delay, but must (a) cover every true distinct pair and (b) never
+    invent pairs."""
+    from weaviate_txtai_spark.sources.tables import load_table
+    from weaviate_txtai_spark.streaming.dedup import (
+        stream_distinct_pairs_watermarked,
+    )
+
+    emitted = [
+        (r["user_id"], r["event_type"])
+        for r in stream_distinct_pairs_watermarked(
+            spark, sf_dir, table_name="dedup_wm_test"
+        ).collect()
+    ]
+    batch_pairs = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(emitted) == batch_pairs  # coverage + no invented pairs

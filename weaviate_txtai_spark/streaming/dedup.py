@@ -37,3 +37,31 @@ def stream_distinct_pairs(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def stream_distinct_pairs_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    delay: str = "1 hour",
+    table_name: str = "dedup_stream_wm",
+) -> DataFrame:
+    """Bounded-state variant: ``dropDuplicatesWithinWatermark`` evicts a
+    key's state once the watermark passes ``delay`` beyond its event
+    time, so duplicates arriving further apart than the delay are
+    re-emitted — the deliberate exactness-for-bounded-state trade.
+    Guarantees (pinned in tests): every batch-distinct pair appears at
+    least once; no pair that doesn't exist in the batch is invented."""
+    ev = stream_events(spark, sf_dir).select("ts", "user_id", "event_type")
+    q = (
+        ev.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
