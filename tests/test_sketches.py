@@ -47,3 +47,22 @@ def test_sketches_are_rows_only_in_registry():
     assert "approx_distinct_users" not in oracles
     assert "approx_price_quantiles" not in oracles
     assert "events_distinct_users" in oracles
+
+
+def test_approx_deciles_equidepth_within_tolerance(spark, sf_dir):
+    """Sketch-boundary histogram: 10 contiguous buckets, sizes within a
+    few % of n/10, all rows accounted for — the scale path asserted
+    against what exact ntile guarantees by construction."""
+    rows = q.approx_value_deciles_q(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n = sum(r["n_cust"] for r in rows)
+    target = n / 10
+    for r in rows:
+        assert abs(r["n_cust"] - target) <= max(2, 0.05 * target), (
+            r["decile"],
+            r["n_cust"],
+            target,
+        )
+    # buckets are ordered and non-overlapping in value space
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_bal"] <= b["min_bal"]

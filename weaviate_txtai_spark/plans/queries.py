@@ -2832,6 +2832,40 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_value_deciles", None)  # sketch boundaries: rows-only
+def approx_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path customer_value_deciles' docstring promises: an
+    equi-depth histogram WITHOUT a global sort. Decile boundaries come
+    from the GK quantile sketch (one partial-agg pass, mergeable);
+    bucket assignment is a broadcast of 9 doubles + a codegen'd count
+    of boundaries below each value — map-only. Error is bounded by the
+    sketch accuracy (bucket sizes within ~±1% of n/10 at accuracy 1e4,
+    pinned in tests/test_sketches.py) vs ntile's exact single-partition
+    sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = cust.agg(
+        F.percentile_approx(
+            "c_acctbal", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("__bounds")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.filter("__bounds", lambda b: b < F.col("c_acctbal")),
+        F.lit(0),
+        lambda acc, _: acc + 1,
+    )
+    return (
+        cust.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("int").alias("decile"), "c_acctbal")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
