@@ -273,3 +273,11 @@ def test_batchsimilarity_matches_sequential(spark):
     assert len(batch) == 2
     for q, got in zip(queries, batch):
         assert got == e.similarity(q, texts)
+
+
+def test_delete_returns_deleted_ids(emb):
+    # txtai contract: report present ids back, ignore absent ones
+    deleted = emb.delete(["0", "no-such-id"])
+    assert deleted == ["0"]
+    assert emb.count() == len(DATA) - 1
+    assert emb.delete(["no-such-id"]) == []

@@ -171,18 +171,27 @@ class Embeddings:
         old.unpersist()
         self._truncate_lineage()
 
-    def delete(self, ids: Sequence) -> None:
+    def delete(self, ids: Sequence) -> list:
         """Anti-join delete by user id — one shuffle for any number of
-        ids (vs the reference's two HTTP round-trips per id)."""
+        ids (vs the reference's two HTTP round-trips per id). Returns
+        the ids actually deleted (txtai's Embeddings.delete contract:
+        absent ids are ignored, present ones are reported back)."""
         if self._df is None:
-            return
+            return []
         ids_df = self.spark.createDataFrame(
             [(str(i),) for i in ids], schema="id string"
         )
+        deleted = [
+            r["id"]
+            for r in self._df.join(ids_df, "id", "left_semi")
+            .select("id")
+            .collect()
+        ]
         old = self._df
         self._df = old.join(ids_df, "id", "left_anti").cache()
         old.unpersist()
         self._truncate_lineage()
+        return deleted
 
     def _truncate_lineage(self) -> None:
         """Every N mutations, cut the plan lineage with an eager
