@@ -281,3 +281,8 @@ def test_delete_returns_deleted_ids(emb):
     assert deleted == ["0"]
     assert emb.count() == len(DATA) - 1
     assert emb.delete(["no-such-id"]) == []
+
+
+def test_exists(spark, emb):
+    assert emb.exists()
+    assert not Embeddings(spark).exists()

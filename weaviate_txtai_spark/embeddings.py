@@ -210,6 +210,10 @@ class Embeddings:
     def count(self) -> int:
         return 0 if self._df is None else self._df.count()
 
+    def exists(self) -> bool:
+        """txtai parity: True once an index has been built or loaded."""
+        return self._df is not None
+
     def _scored(self, text: str) -> DataFrame:
         qv = F.lit([float(x) for x in self.encoder.encode(text)])
         return self._df.withColumn(
