@@ -2866,6 +2866,50 @@ def approx_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAMINATION_SQL = _JACCARD_CTE + """
+, sides AS (
+  SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 AS side FROM documents
+)
+SELECT p.d1, p.d2, p.jaccard,
+       CAST(sa.side AS INT) AS side1, CAST(sb.side AS INT) AS side2
+FROM pairs p
+JOIN sides sa ON p.d1 = sa.doc_id
+JOIN sides sb ON p.d2 = sb.doc_id
+WHERE p.jaccard >= 0.8 AND sa.side <> sb.side
+"""
+
+
+@register("contamination_check", _CONTAMINATION_SQL)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination: near-dup pairs that CROSS a corpus
+    boundary (here: even- vs odd-numbered sources standing in for
+    train vs eval). Reuses the MinHash-LSH scale path — the side
+    predicate filters the verified pairs, so the expensive stages are
+    shared with in-corpus dedup and the check costs one extra broadcast
+    join. The exact-Jaccard oracle proves no cross-side pair escapes
+    the LSH bands at this threshold."""
+    from weaviate_txtai_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sides = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 2).cast("int").alias("side"),
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    return (
+        pairs.join(
+            F.broadcast(sides.select(F.col("doc_id").alias("d1"),
+                                     F.col("side").alias("side1"))), "d1"
+        )
+        .join(
+            F.broadcast(sides.select(F.col("doc_id").alias("d2"),
+                                     F.col("side").alias("side2"))), "d2"
+        )
+        .filter(F.col("side1") != F.col("side2"))
+        .select("d1", "d2", "jaccard", "side1", "side2")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
