@@ -6,11 +6,11 @@ DataFrame plans:
 
 - ``bm25_scores``: Okapi BM25 (Lucene's idf variant: ln(1 + (N-df+0.5)/
   (df+0.5))) for a fixed query-term set against the whole corpus.
-  Shuffle profile: one groupBy(doc_id, term) for tf (partial-agg), one
-  tiny groupBy(term) for df (broadcast back), one groupBy(doc_id) for
-  doc length (reuses the tf table), then a map-side score join. The
-  corpus-sized tables shuffle once each; everything query-sized
-  broadcasts.
+  Shuffle profile: the corpus NEVER shuffles at term granularity — doc
+  length is a map-only token_count carried through the explode, so the
+  only shuffles are the groupBy over query-term hits (O(docs
+  containing a query term) rows, not O(docs × vocabulary)), the tiny
+  per-term df aggregate (broadcast back), and the 1-row corpus stats.
 - Scores are rounded BEFORE ranking wherever ranks feed downstream
   fusion, so rank order is reproducible across engines (float sum order
   never flips a rank).
@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from weaviate_txtai_spark.functions.text import tokens
+from weaviate_txtai_spark.functions.text import token_count, tokens
 from weaviate_txtai_spark.sources.tables import spread
 
 
@@ -41,16 +41,24 @@ def bm25_scores(
     """Per-document BM25 score for ``query_terms`` (docs containing none
     of the terms are absent). Returns (doc_id, score) with score rounded
     to 6dp."""
-    tok = spread(docs).select(
-        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__t")
+    base = spread(docs).select(
+        F.col(id_col).alias("__id"),
+        token_count(text_col).alias("__len"),
+        tokens(text_col).alias("__toks"),
     )
-    tf = tok.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
-    tf = tf.persist()  # feeds doclen, df, and the score join
-    doclen = tf.groupBy("__id").agg(F.sum("__tf").alias("__len"))
-    n_avg = doclen.agg(
+    # doc length rides along through the explode — no doc-term tf table,
+    # no corpus-granularity shuffle; only query-term hits survive the
+    # filter and reach an aggregate
+    qtf = (
+        base.select("__id", "__len", F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(query_terms))
+        .groupBy("__id", "__len", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    qtf = qtf.persist()  # feeds df and the score aggregate
+    n_avg = base.agg(
         F.count(F.lit(1)).alias("__n"), F.avg("__len").alias("__avgdl")
     )
-    qtf = tf.filter(F.col("__t").isin(query_terms))
     dfreq = qtf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     idf = F.log(
         F.lit(1.0)
@@ -61,7 +69,6 @@ def bm25_scores(
     )
     return (
         qtf.join(F.broadcast(dfreq), "__t")
-        .join(doclen, "__id")
         .crossJoin(F.broadcast(n_avg))
         .withColumn("__s", idf * tf_norm)
         .groupBy(F.col("__id").alias(id_col))
