@@ -2,6 +2,8 @@
 (pushdown, pruning, broadcast, TakeOrderedAndProject, codegen) asserted
 on the actual physical plans."""
 
+import re
+
 from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.plans import queries as Q
@@ -113,3 +115,20 @@ def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly the en docs
     n_en = docs.filter(F.col("lang") == "en").count()
     assert scan.count() == n_en
+
+
+def test_bm25_has_no_corpus_vocabulary_shuffle(spark, sf_dir):
+    """BM25's shuffles aggregate query-term hits and the final per-doc
+    sum — never a full doc-term tf table. Bound the exchange count so a
+    regression back to the corpus-granularity plan fails."""
+    plan = physical_plan(Q.bm25_topk_q(spark, sf_dir))
+    shuffle_ids = set()
+    for line in plan.splitlines():
+        m = re.search(r"- Exchange hashpartitioning.*plan_id=(\d+)", line)
+        if m:
+            shuffle_ids.add(m.group(1))
+    # exactly: qtf groupBy (query-term hits), dfreq groupBy (tiny), and
+    # the final per-doc sum — a fourth hash shuffle would mean the
+    # corpus-wide doc-term tf aggregate came back
+    assert len(shuffle_ids) <= 3, plan
+    assert "TakeOrderedAndProject" in plan

@@ -30,7 +30,7 @@ FLAGSHIPS = [
     ("events_rolling_avg", "RANGE window: single shuffle on the key"),
     ("events_asof", "as-of join: union + windowed last(ignorenulls)"),
     ("dedup_exact", "fingerprint distinct-count"),
-    ("bm25_topk", "BM25: tf/doclen shuffles + broadcast stats"),
+    ("bm25_topk", "BM25: query-term-hit shuffles only, broadcast stats"),
 ]
 
 
