@@ -2910,6 +2910,83 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_FILTERED_SQL = """
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS score
+FROM embeddings e
+WHERE e.label IN (1, 2, 3)
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_filtered", _KNN_FILTERED_SQL)
+def knn_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the classic hard case for graph ANN
+    indexes (pre- vs post-filter recall trade) is trivial here: the
+    label predicate pushes into the parquet scan BEFORE scoring, so
+    only matching rows are ever scored and top-k recall over the
+    filtered set is exact by construction. Same map-only
+    TakeOrderedAndProject plan as knn_topk."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.filter(F.col("label").isin(1, 2, 3))
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_KNN_DIVERSE_SQL = """
+SELECT label, vec_id, score, label_rank FROM (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+               6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY e.label
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 0)) DESC,
+                      e.vec_id ASC) AS INT) AS label_rank
+  FROM embeddings e
+) WHERE label_rank <= 2
+"""
+
+
+@register("knn_diverse", _KNN_DIVERSE_SQL)
+def knn_diverse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: top-2 nearest PER LABEL for one query —
+    group-quota results (the cheap deterministic cousin of MMR). One
+    window partitioned by label over map-only scores; at scale the
+    per-label rank is a partial top-k inside each label partition."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(q)
+        .select(
+            "label",
+            "vec_id",
+            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
+        )
+        .withColumn("label_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("label_rank") <= 2)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
