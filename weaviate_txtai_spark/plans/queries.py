@@ -2987,6 +2987,56 @@ def knn_diverse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_SAMPLE_SQL = """
+WITH q AS (
+  SELECT doc_id, source,
+         round(least(len(toks) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
+               + least((len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for',
+                    'on','with','as','was','at','by'], x))) * 1.0 / len(toks))
+                   * 5.0, 1.0) * 0.3,
+               6) AS quality,
+         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f < quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(quality), 6) AS avg_quality
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("quality_weighted_sample", _QUALITY_SAMPLE_SQL)
+def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling (the FineWeb/DCLM-style curation
+    move): each doc survives with probability equal to its quality
+    score, decided by the deterministic multiplicative hash — so the
+    sample is reproducible under any partitioning AND the keep decision
+    is auditable per row. Map-only scoring + one partial-agg shuffle.
+    Both sides round quality to 6dp before the comparison so the keep
+    boundary is engine-identical."""
+    from weaviate_txtai_spark.functions.sampling import split_fraction
+    from weaviate_txtai_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_score("text"), 6)
+    kept = (split_fraction("doc_id") < q).cast("long")
+    return (
+        docs.select("source", q.alias("__q"), kept.alias("__k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__k").alias("n_kept"),
+            F.round(F.avg("__q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
