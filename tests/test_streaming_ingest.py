@@ -62,3 +62,46 @@ def test_checkpoint_prevents_replay(spark, tmp_path, source_dir):
     stream_ingest(stream2, idx, checkpoint=cp).awaitTermination(120)
     assert idx.count() == 20
     assert idx.offset == 20
+
+
+def test_stream_upsert_last_writer_wins(spark, tmp_path):
+    import os
+
+    from weaviate_txtai_spark.streaming.ingest import stream_upsert
+
+    idx = VectorIndex(spark, str(tmp_path / "idx3")).create()
+    idx.append([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]])  # docids 0,1,2
+
+    # CDC feed: two files -> two micro-batches; docid 1 updated twice
+    # (later ts must win), docid 3 is a fresh insert
+    cdc_dir = str(tmp_path / "cdc")
+    os.makedirs(cdc_dir)
+    spark.createDataFrame(
+        [(1, [9.0, 9.0], 10), (3, [7.0, 7.0], 10)],
+        "docid long, vector array<float>, ts long",
+    ).coalesce(1).write.parquet(cdc_dir + "/b1")
+    spark.createDataFrame(
+        [(1, [5.0, 5.0], 20)],
+        "docid long, vector array<float>, ts long",
+    ).coalesce(1).write.parquet(cdc_dir + "/b2")
+
+    stream = (
+        spark.readStream.schema("docid long, vector array<float>, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_dir + "/*")
+    )
+    stream_upsert(
+        stream, idx, checkpoint=str(tmp_path / "cp3")
+    ).awaitTermination(120)
+
+    rows = {
+        r["docid"]: [round(float(x), 1) for x in r["vector"]]
+        for r in idx.to_df().collect()
+    }
+    assert rows[3] == [7.0, 7.0]          # insert landed
+    assert rows[1] == [5.0, 5.0]          # ts=20 beat ts=10
+    assert rows[0] == [1.0, 0.0]          # untouched rows survive
+    assert idx.count() == 4
+    st = idx.stats()
+    assert st["rows"] == 4 and st["files"] >= 1 and st["bytes"] > 0
+    assert st["offset"] == 4              # max docid + 1 after upsert

@@ -347,6 +347,21 @@ class VectorIndex:
             1 for f in os.listdir(self._data_path()) if f.endswith(".parquet")
         )
 
+    @check_index_exists
+    def stats(self) -> dict:
+        """Operational stats for maintenance decisions (compaction
+        cadence, file-count alarms): rows, parquet file count, total
+        bytes, and the persisted offset."""
+        import glob
+
+        files = glob.glob(os.path.join(self._data_path(), "*.parquet"))
+        return {
+            "rows": self.count() if self._has_data() else 0,
+            "files": len(files),
+            "bytes": sum(os.path.getsize(f) for f in files),
+            "offset": self.offset,
+        }
+
     def _rewrite(self, df: DataFrame) -> None:
         """Copy-on-write: materialize to a temp dir, then swap atomically
         (single-writer). Delta/Iceberg MERGE is the cluster-scale analog."""
@@ -376,3 +391,4 @@ class VectorIndex:
         )
         if self.exists():
             self._load_meta()
+

@@ -56,3 +56,51 @@ def stream_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    index: VectorIndex,
+    *,
+    docid_col: str = "docid",
+    vector_col: str = "vector",
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CDC-style streaming merge: each micro-batch of (docid, vector)
+    changes is MERGEd into the index (replace matching docids, insert
+    new ones) via ``VectorIndex.upsert``.
+
+    Within a micro-batch the same docid may appear multiple times (rapid
+    updates); last-writer-wins is enforced by keeping the max-``ts``
+    row per docid when a ``ts`` column exists, else an arbitrary single
+    row (dropDuplicates) — the deterministic variant a real CDC feed
+    gets from its log sequence number. Batches apply in order, so
+    cross-batch last-writer-wins follows from per-batch application.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if "ts" in batch_df.columns:
+            w = Window.partitionBy(docid_col).orderBy(F.desc("ts"))
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates([docid_col])
+        items = [
+            (r[docid_col], list(r[vector_col])) for r in batch_df.collect()
+        ]
+        index.upsert(items)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
