@@ -286,3 +286,13 @@ def test_delete_returns_deleted_ids(emb):
 def test_exists(spark, emb):
     assert emb.exists()
     assert not Embeddings(spark).exists()
+
+
+def test_transform_batchtransform(spark):
+    e = Embeddings(spark)
+    v = e.transform("the quick brown fox")
+    assert len(v) == e.encoder.dim and any(x != 0 for x in v)
+    assert e.transform(("id0", "the quick brown fox", None)) == v
+    assert e.transform(("id0", {"text": "the quick brown fox"}, None)) == v
+    batch = e.batchtransform(["the quick brown fox", "stock markets rally"])
+    assert batch[0] == v and batch[1] != v

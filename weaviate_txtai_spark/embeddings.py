@@ -214,6 +214,18 @@ class Embeddings:
         """txtai parity: True once an index has been built or loaded."""
         return self._df is not None
 
+    def transform(self, document) -> list[float]:
+        """txtai parity: encode one document (tuple or raw text) to its
+        vector."""
+        text = document[1] if isinstance(document, (tuple, list)) else document
+        if isinstance(text, dict):
+            text = text.get("text", "")
+        return [float(x) for x in self.encoder.encode(str(text))]
+
+    def batchtransform(self, documents) -> list[list[float]]:
+        """txtai parity: encode a batch of documents to vectors."""
+        return [self.transform(d) for d in documents]
+
     def _scored(self, text: str) -> DataFrame:
         qv = F.lit([float(x) for x in self.encoder.encode(text)])
         return self._df.withColumn(
