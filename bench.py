@@ -73,7 +73,10 @@ def main() -> None:
     qs["vector_count"](spark, SF_DIR).collect()
     qs["knn_topk"](spark, SF_DIR).count()
 
-    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # best-of-5: this box shares cores with noisy neighbors (observed
+    # load spikes of 8-12 from other tenants mid-run); a larger sample
+    # keeps the reported minimum close to the true steady state
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
