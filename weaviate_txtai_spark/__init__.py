@@ -18,6 +18,7 @@ Design rules (see SURVEY.md §4):
 
 from weaviate_txtai_spark.embeddings import Embeddings, rewrite_similar_sql
 from weaviate_txtai_spark.index import VectorIndex, IndexNotFoundError
+from weaviate_txtai_spark.workflow import Workflows
 from weaviate_txtai_spark.schema import (
     DEFAULT_SCHEMA,
     SchemaValidationError,
@@ -29,6 +30,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Embeddings",
+    "Workflows",
     "rewrite_similar_sql",
     "VectorIndex",
     "IndexNotFoundError",
