@@ -3037,6 +3037,76 @@ def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REVENUE_PERCENTILE_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS total
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey,
+       round(total, 2) AS total,
+       round(percent_rank() OVER (ORDER BY total, o_custkey), 6) AS pct_rank,
+       round(cume_dist() OVER (ORDER BY total, o_custkey), 6) AS cume
+FROM rev
+ORDER BY total DESC, o_custkey
+LIMIT 25
+"""
+
+
+@register("revenue_percentile", _REVENUE_PERCENTILE_SQL)
+def revenue_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist window shapes (the remaining rank-family
+    functions). They need a total order over the aggregated per-customer
+    table — already 100x smaller than the fact after the groupBy; at
+    larger cardinalities the sketch-histogram path (approx_value_deciles)
+    replaces the exact global sort. Tie-break on the key keeps both
+    engines' ranks identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__total"))
+    w = Window.orderBy(F.asc("__total"), F.asc("o_custkey"))
+    return (
+        rev.select(
+            "o_custkey",
+            F.round("__total", 2).alias("total"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy(F.desc("total"), F.asc("o_custkey"))
+        .limit(25)
+    )
+
+
+_FUZZY_MATCH_SQL = """
+SELECT a.source AS s1, b.source AS s2,
+       CAST(levenshtein(a.source, b.source) AS INT) AS edit_dist
+FROM (SELECT DISTINCT source FROM documents) a
+JOIN (SELECT DISTINCT source FROM documents) b
+  ON a.source < b.source AND levenshtein(a.source, b.source) <= 1
+ORDER BY s1, s2
+"""
+
+
+@register("fuzzy_source_match", _FUZZY_MATCH_SQL)
+def fuzzy_source_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by edit distance: near-identical source names
+    (levenshtein <= 1) — the dedup move for entity/metadata columns
+    rather than content. The DISTINCT shrinks each side to unique keys
+    BEFORE the quadratic comparison, so the crossJoin is over the key
+    dictionary (tiny), never the corpus; at larger dictionaries the
+    blocking trick is the SimHash/MinHash banding already in
+    operators/dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("source").distinct()
+    a = src.select(F.col("source").alias("s1"))
+    b = src.select(F.col("source").alias("s2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("s1") < F.col("s2"))
+        .withColumn("edit_dist", F.levenshtein("s1", "s2").cast("int"))
+        .filter(F.col("edit_dist") <= 1)
+        .orderBy("s1", "s2")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
