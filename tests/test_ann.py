@@ -139,3 +139,24 @@ def test_topk_join_ivf_recall(spark, sf_dir):
     assert recall >= 0.6, f"IVF join recall {recall} too low"
     # every query's own vector is found (it lives in the top-probed cell)
     assert all((q, q) in approx for q in range(20))
+
+
+def test_tune_nprobe_meets_target_with_minimal_probes(spark, sf_dir):
+    from weaviate_txtai_spark.operators.ann import IVFIndex, tune_nprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex.build(emb, nlist=8)
+    queries = _queries(emb, n=8)
+    nprobe, curve = tune_nprobe(idx, queries, k=5, recall_target=0.9)
+    assert curve[nprobe] >= 0.9
+    # minimality: every smaller measured nprobe missed the target
+    for p, r in curve.items():
+        if p < nprobe:
+            assert r < 0.9
+    # curve is monotone non-decreasing in probes (more cells, more recall)
+    probes = sorted(curve)
+    for a, b in zip(probes, probes[1:]):
+        assert curve[b] >= curve[a] - 1e-9
+    # full probe == exact -> recall 1.0 at nprobe=nlist if reached
+    if 8 in curve:
+        assert curve[8] == 1.0

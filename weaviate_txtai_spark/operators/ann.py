@@ -168,3 +168,64 @@ class IVFIndex:
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+
+
+def tune_nprobe(
+    index: "IVFIndex",
+    sample_queries: DataFrame,
+    k: int,
+    *,
+    recall_target: float = 0.9,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "query_vector",
+) -> tuple[int, dict[int, float]]:
+    """Smallest nprobe meeting ``recall_target`` on a held-out sample.
+
+    Ground truth is the exact brute-force top-k over the same corpus
+    (one scan per measurement, fine on a sample). Probes nprobe =
+    1, 2, 4, ... nlist doubling, measuring mean per-query recall@k;
+    returns (chosen_nprobe, {nprobe: recall}). Deterministic: ties in
+    the top-k break on id on both the exact and approximate side, so a
+    recall number is reproducible. Run this once per index build on a
+    few hundred sampled queries; the measured curve is the artifact
+    that justifies the production nprobe — at 100 TB you cannot afford
+    to guess it.
+    """
+    from weaviate_txtai_spark.operators.topk import knn_topk
+
+    exact = knn_topk(
+        index.assigned.select(
+            F.col(index.id_col).alias("docid"),
+            F.col(index.vector_col).alias("vector"),
+        ),
+        sample_queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vector_col).alias("query_vector"),
+        ),
+        k,
+    )
+    truth: dict = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["docid"])
+
+    nlist = len(index.centroids)
+    curve: dict[int, float] = {}
+    nprobe = 1
+    chosen = nlist
+    while nprobe <= nlist:
+        got: dict = {}
+        res = index.search(
+            sample_queries, k, nprobe=nprobe,
+            query_id_col=query_id_col, query_vector_col=query_vector_col,
+        )
+        for r in res.collect():
+            got.setdefault(r[query_id_col], set()).add(r[index.id_col])
+        recalls = [
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ]
+        curve[nprobe] = sum(recalls) / len(recalls)
+        if curve[nprobe] >= recall_target:
+            chosen = nprobe
+            break
+        nprobe *= 2
+    return chosen, curve
