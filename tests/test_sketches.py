@@ -66,3 +66,27 @@ def test_approx_deciles_equidepth_within_tolerance(spark, sf_dir):
     # buckets are ordered and non-overlapping in value space
     for a, b in zip(rows, rows[1:]):
         assert a["max_bal"] <= b["min_bal"]
+
+
+def test_quantile_buckets_general(spark, sf_dir):
+    """The reusable bucketing works for any column/bucket count and
+    stays map-only after the sketch (no hash shuffle for assignment)."""
+    from weaviate_txtai_spark.functions.sampling import quantile_buckets
+    from weaviate_txtai_spark.plans.explain import physical_plan
+
+    li = q.load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    b = quantile_buckets(li, "l_extendedprice", n_buckets=4)
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["bucket"]: r["n"]
+        for r in b.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {1, 2, 3, 4}
+    n = sum(counts.values())
+    for c in counts.values():
+        assert abs(c - n / 4) <= 0.05 * n
+    # assignment itself adds no hash shuffle: only the sketch's
+    # single-partition agg exchange appears
+    plan = physical_plan(b)
+    assert "hashpartitioning" not in plan

@@ -54,3 +54,34 @@ def assign_split(
         .when(f < train + valid, F.lit("valid"))
         .otherwise(F.lit("test"))
     )
+
+
+def quantile_buckets(
+    df,
+    value_col: str,
+    *,
+    n_buckets: int = 10,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+):
+    """Equi-depth bucketing without a global sort (the scale path for
+    ntile): boundaries from the Greenwald-Khanna sketch (one mergeable
+    partial-agg pass), then a broadcast of n-1 doubles and a codegen'd
+    count-of-boundaries-below per row — map-only assignment. Bucket ids
+    are 1..n_buckets; sizes deviate from n/n_buckets only by the sketch
+    error. Used by the approx_value_deciles gate query; tested there
+    and in tests/test_sketches.py."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("__bounds")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.filter("__bounds", lambda b: b < F.col(value_col)),
+        F.lit(0),
+        lambda acc, _: acc + 1,
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("__bounds")
+    )

@@ -2842,20 +2842,14 @@ def approx_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch accuracy (bucket sizes within ~±1% of n/10 at accuracy 1e4,
     pinned in tests/test_sketches.py) vs ntile's exact single-partition
     sort."""
+    from weaviate_txtai_spark.functions.sampling import quantile_buckets
+
     cust = load_table(spark, sf_dir, "customer")
-    bounds = cust.agg(
-        F.percentile_approx(
-            "c_acctbal", [i / 10.0 for i in range(1, 10)], 10000
-        ).alias("__bounds")
-    )
-    bucket = F.lit(1) + F.aggregate(
-        F.filter("__bounds", lambda b: b < F.col("c_acctbal")),
-        F.lit(0),
-        lambda acc, _: acc + 1,
-    )
     return (
-        cust.crossJoin(F.broadcast(bounds))
-        .select(bucket.cast("int").alias("decile"), "c_acctbal")
+        quantile_buckets(
+            cust.select("c_acctbal"), "c_acctbal", n_buckets=10,
+            bucket_col="decile",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
