@@ -3101,6 +3101,36 @@ def fuzzy_source_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTISET_SETOPS_SQL = """
+WITH h1 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+     h2 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2))
+    AS n_except_all,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2))
+    AS n_intersect_all
+"""
+
+
+@register("multiset_setops", _MULTISET_SETOPS_SQL)
+def multiset_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset semantics (each occurrence
+    counts), vs segment_setops' distinct INTERSECT. Spark plans both as
+    a single aggregate of signed counts per key, not a join per
+    duplicate — one shuffle each."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    h1 = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    h2 = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    ex = h1.exceptAll(h2).count()
+    inter = h1.intersectAll(h2).count()
+    return spark.createDataFrame(
+        [(ex, inter)], "n_except_all long, n_intersect_all long"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
