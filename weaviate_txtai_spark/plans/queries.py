@@ -3131,6 +3131,58 @@ def multiset_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FK_INTEGRITY_SQL = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    AS orphan_customers,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE l_quantity IS NULL OR l_extendedprice IS NULL OR l_discount IS NULL)
+    AS null_measures
+"""
+
+
+@register("fk_integrity", _FK_INTEGRITY_SQL)
+def fk_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the dbt-test shape a pipeline runs
+    before trusting a drop of data): each orphan count is a left_anti
+    join — at scale the dim side broadcasts or co-partitions, and a
+    non-zero count is the alarm, so the query stays cheap precisely
+    when the data is healthy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orphan_li = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey",
+        "left_anti",
+    ).count()
+    orphan_o = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+        "left_anti",
+    ).count()
+    orphan_c = cust.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"))),
+        "c_nationkey", "left_anti",
+    ).count()
+    nulls = li.filter(
+        F.col("l_quantity").isNull()
+        | F.col("l_extendedprice").isNull()
+        | F.col("l_discount").isNull()
+    ).count()
+    return spark.createDataFrame(
+        [(orphan_li, orphan_o, orphan_c, nulls)],
+        "orphan_lineitems long, orphan_orders long, "
+        "orphan_customers long, null_measures long",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
