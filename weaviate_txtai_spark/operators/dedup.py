@@ -260,6 +260,95 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an existing corpus — the
+    daily-ingest production shape: old×old pairs are never generated,
+    so a day's batch dedups against 100 TB of history at the cost of
+    the batch, not the history.
+
+    Mechanics: both sides get the same banded signatures; the bucket
+    join is bipartite (new side × corpus side only). At scale the
+    corpus signatures are computed once and stored with the index (they
+    are a pure function of the text), so the recurring cost is
+    signatures for the new batch + a bucket join whose left side is
+    batch-sized. Verification is the same pair-granularity
+    array_intersect as ``minhash_lsh_pairs`` — precision exact, recall
+    = banding recall. Output: new_id, corpus_id, jaccard.
+    """
+    rows = num_perms // bands
+
+    def per_doc(docs: DataFrame) -> DataFrame:
+        sh = _shingle_table(docs, text_col, id_col, n).select(
+            "__id", F.xxhash64("__sh").alias("__sh")
+        )
+        return sh.groupBy("__id").agg(
+            F.collect_set("__sh").alias("__set"),
+            *[
+                F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
+                for p in range(num_perms)
+            ],
+        )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.col(f"__m{b * rows + r}") for r in range(rows)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+    def buckets(per: DataFrame) -> DataFrame:
+        return per.select("__id", F.explode(band_structs).alias("bb")).select(
+            "__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+        )
+
+    new_pd = per_doc(new_docs).persist()
+    old_pd = per_doc(corpus).persist()
+    cand = (
+        buckets(new_pd)
+        .alias("x")
+        .join(
+            buckets(old_pd).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh")),
+        )
+        .select(
+            F.col("x.__id").alias("new_id"), F.col("y.__id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    paired = cand.join(
+        new_pd.select(F.col("__id").alias("new_id"), F.col("__set").alias("__s1")),
+        "new_id",
+    ).join(
+        old_pd.select(
+            F.col("__id").alias("corpus_id"), F.col("__set").alias("__s2")
+        ),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("__s1", "__s2"))
+    jac = inter / (F.size("__s1") + F.size("__s2") - inter)
+    return (
+        paired.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def duplicate_groups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     """Connected components over the dup-pair graph via iterative
     label propagation (min-id), the standard Spark pattern for small

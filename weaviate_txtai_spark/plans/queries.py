@@ -3183,6 +3183,36 @@ def fk_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_INCREMENTAL_SQL = _JACCARD_CTE + """
+, cut AS (SELECT CAST(0.9 * max(doc_id) AS BIGINT) AS c FROM documents)
+SELECT CASE WHEN p.d1 > cut.c THEN p.d1 ELSE p.d2 END AS new_id,
+       CASE WHEN p.d1 > cut.c THEN p.d2 ELSE p.d1 END AS corpus_id,
+       p.jaccard
+FROM pairs p, cut
+WHERE p.jaccard >= 0.8
+  AND ((p.d1 > cut.c) <> (p.d2 > cut.c))
+"""
+
+
+@register("dedup_incremental", _DEDUP_INCREMENTAL_SQL)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the newest 10% of doc ids (the 'daily batch')
+    against the older 90% (the 'corpus'). Old×old pairs are never
+    generated — the recurring cost of production dedup is the batch,
+    not the history (operators/dedup.minhash_lsh_pairs_incremental).
+    Oracle: the exact-Jaccard pair set restricted to pairs crossing
+    the cut."""
+    from weaviate_txtai_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = int(docs.agg(F.max("doc_id")).head()[0] * 0.9)
+    new_docs = docs.filter(F.col("doc_id") > cut)
+    corpus = docs.filter(F.col("doc_id") <= cut)
+    return minhash_lsh_pairs_incremental(new_docs, corpus, threshold=0.8)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
