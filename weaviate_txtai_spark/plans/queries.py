@@ -3213,6 +3213,47 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_incremental(new_docs, corpus, threshold=0.8)
 
 
+_EVENTS_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN round((e.value - s.mu) / s.sigma, 6) > 3.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max((e.value - s.mu) / s.sigma), 6) AS max_zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_outliers", _EVENTS_OUTLIERS_SQL)
+def events_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier monitoring per event type (stddev_samp — the
+    variance family's gate). Two passes over events: per-type moments
+    (partial-agg shuffle on ~5 groups), broadcast back, then a map-side
+    z-score + one more tiny aggregate. The z-score rounds to 6dp before
+    the 3-sigma comparison so the kept set is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"), F.stddev_samp("value").alias("__sigma")
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.round(z, 6) > 3.0, 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.round(F.max(z), 6).alias("max_zscore"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
