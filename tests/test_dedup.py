@@ -95,3 +95,35 @@ def test_embedding_dup_exact_vs_lsh(emb):
     assert lsh <= exact          # precision exact by construction
     if exact:
         assert len(lsh) >= 0.5 * len(exact)  # recall sanity at tau=0.5
+
+
+def test_incremental_with_precomputed_signatures(spark, sf_dir):
+    """The stored-signature path must give identical pairs to computing
+    corpus signatures on the fly (and round-trip through parquet)."""
+    from weaviate_txtai_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signatures_with_sets,
+    )
+    from weaviate_txtai_spark.sources.tables import load_table
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = int(docs.agg({"doc_id": "max"}).head()[0] * 0.8)
+    new_docs = docs.filter(f"doc_id > {cut}")
+    corpus = docs.filter(f"doc_id <= {cut}")
+
+    direct = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash_lsh_pairs_incremental(new_docs, corpus).collect()
+    }
+
+    path = tempfile.mkdtemp() + "/sigs"
+    minhash_signatures_with_sets(corpus).write.parquet(path)
+    stored = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash_lsh_pairs_incremental(
+            new_docs, corpus, corpus_signatures=spark.read.parquet(path)
+        ).collect()
+    }
+    assert direct == stored
+    assert direct  # non-degenerate at the test dup rate

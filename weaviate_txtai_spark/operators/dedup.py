@@ -260,6 +260,31 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures_with_sets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perms: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature columns (__m0..__m{P-1}) plus the hashed
+    shingle set (__set) — the reusable artifact for incremental dedup.
+    Pure function of the text: write it parquet alongside the corpus
+    once (`df.write.parquet(...)`) and a daily batch never re-reads the
+    corpus text, only this table (~(P+S) longs per doc)."""
+    sh = _shingle_table(docs, text_col, id_col, n).select(
+        "__id", F.xxhash64("__sh").alias("__sh")
+    )
+    return sh.groupBy("__id").agg(
+        F.collect_set("__sh").alias("__set"),
+        *[
+            F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
+            for p in range(num_perms)
+        ],
+    )
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -270,6 +295,7 @@ def minhash_lsh_pairs_incremental(
     threshold: float = 0.8,
     num_perms: int = 64,
     bands: int = 16,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an existing corpus — the
     daily-ingest production shape: old×old pairs are never generated,
@@ -277,26 +303,19 @@ def minhash_lsh_pairs_incremental(
     the batch, not the history.
 
     Mechanics: both sides get the same banded signatures; the bucket
-    join is bipartite (new side × corpus side only). At scale the
-    corpus signatures are computed once and stored with the index (they
-    are a pure function of the text), so the recurring cost is
-    signatures for the new batch + a bucket join whose left side is
-    batch-sized. Verification is the same pair-granularity
+    join is bipartite (new side × corpus side only). Pass
+    ``corpus_signatures`` (a stored ``minhash_signatures_with_sets``
+    table) and the corpus TEXT is never read at all — the recurring
+    cost is signatures for the new batch + a bucket join whose left
+    side is batch-sized. Verification is the same pair-granularity
     array_intersect as ``minhash_lsh_pairs`` — precision exact, recall
     = banding recall. Output: new_id, corpus_id, jaccard.
     """
     rows = num_perms // bands
 
     def per_doc(docs: DataFrame) -> DataFrame:
-        sh = _shingle_table(docs, text_col, id_col, n).select(
-            "__id", F.xxhash64("__sh").alias("__sh")
-        )
-        return sh.groupBy("__id").agg(
-            F.collect_set("__sh").alias("__set"),
-            *[
-                F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
-                for p in range(num_perms)
-            ],
+        return minhash_signatures_with_sets(
+            docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
         )
 
     band_structs = F.array(
@@ -317,7 +336,9 @@ def minhash_lsh_pairs_incremental(
         )
 
     new_pd = per_doc(new_docs).persist()
-    old_pd = per_doc(corpus).persist()
+    old_pd = (
+        corpus_signatures if corpus_signatures is not None else per_doc(corpus)
+    ).persist()
     cand = (
         buckets(new_pd)
         .alias("x")
