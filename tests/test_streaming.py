@@ -111,3 +111,31 @@ def test_watermarked_dedup_covers_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert set(emitted) == batch_pairs  # coverage + no invented pairs
+
+
+def test_streaming_parquet_sink_partitioned_and_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    from weaviate_txtai_spark.sources.tables import load_table
+    from weaviate_txtai_spark.streaming.events import stream_events_to_parquet
+
+    out = str(tmp_path / "events_out")
+    cp = str(tmp_path / "events_cp")
+    back = stream_events_to_parquet(spark, sf_dir, out, cp)
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert back.count() == n_batch
+    # partitioned layout on disk: event_date=... directories exist
+    import os
+
+    parts = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(parts) >= 1
+    # re-running over the same checkpoint adds nothing (exactly-once)
+    again = stream_events_to_parquet(spark, sf_dir, out, cp)
+    assert again.count() == n_batch
+    # date predicate prunes directories (PartitionFilters on the scan)
+    from weaviate_txtai_spark.plans.explain import physical_plan
+    from pyspark.sql import functions as F
+
+    some_date = back.select("event_date").head()[0]
+    scan = spark.read.parquet(out).filter(F.col("event_date") == F.lit(some_date))
+    assert "PartitionFilters" in physical_plan(scan)

@@ -94,3 +94,29 @@ def run_hourly_available_now(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def stream_events_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Production-shaped streaming file sink: events stream → parquet
+    partitioned by event date, exactly-once via the file-sink commit log
+    + checkpoint. A loader prunes directories by date predicate, same
+    mechanism as sources.tables.write_partitioned. Returns the result
+    of reading back the committed output."""
+    ev = stream_events(spark, sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
