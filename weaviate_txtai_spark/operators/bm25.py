@@ -41,23 +41,26 @@ def bm25_scores(
     """Per-document BM25 score for ``query_terms`` (docs containing none
     of the terms are absent). Returns (doc_id, score) with score rounded
     to 6dp."""
-    base = spread(docs).select(
-        F.col(id_col).alias("__id"),
-        token_count(text_col).alias("__len"),
-        tokens(text_col).alias("__toks"),
-    )
     # doc length rides along through the explode — no doc-term tf table,
     # no corpus-granularity shuffle; only query-term hits survive the
-    # filter and reach an aggregate
+    # filter and reach an aggregate. spread() only wraps the explode
+    # branch: the stats branch is a plain map-side aggregate and needs
+    # no repartition.
     qtf = (
-        base.select("__id", "__len", F.explode("__toks").alias("__t"))
+        spread(docs)
+        .select(
+            F.col(id_col).alias("__id"),
+            token_count(text_col).alias("__len"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
         .filter(F.col("__t").isin(query_terms))
         .groupBy("__id", "__len", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
     qtf = qtf.persist()  # feeds df and the score aggregate
-    n_avg = base.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__len").alias("__avgdl")
+    n_avg = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(token_count(text_col)).alias("__avgdl"),
     )
     dfreq = qtf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     idf = F.log(
