@@ -74,3 +74,16 @@ def test_failfast_mode_raises(spark, tmp_path):
     p.write_text('{"doc_id": 1}\nnot json\n')
     with pytest.raises(Exception):
         read_jsonl(spark, str(p), DOC_SCHEMA, mode="FAILFAST").collect()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from weaviate_txtai_spark.plans.explain import physical_plan
+    from weaviate_txtai_spark.sources.text_formats import read_orc
+
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "docs.orc")
+    docs.write.orc(path)
+    back = read_orc(spark, path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+    scan = read_orc(spark, path).filter(F.col("n_chars") > 100).select("doc_id")
+    assert "PushedFilters" in physical_plan(scan)

@@ -62,3 +62,17 @@ def read_csv(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
     return reader.csv(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """ORC source — columnar like parquet (pushdown/pruning work the
+    same); schema optional since ORC files carry their own, passed only
+    to assert an expected contract."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
