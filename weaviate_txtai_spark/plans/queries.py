@@ -3254,6 +3254,44 @@ def events_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANK_TIES_SQL = """
+WITH daily AS (
+  SELECT l_returnflag, CAST(l_quantity AS INT) AS qty, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, qty, n,
+         CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY n DESC) AS INT)
+           AS rnk,
+         CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY n DESC) AS INT)
+           AS drnk
+  FROM daily
+)
+SELECT l_returnflag, qty, n, rnk, drnk
+FROM ranked WHERE drnk <= 3
+ORDER BY l_returnflag, drnk, qty
+"""
+
+
+@register("quantity_rank_ties", _RANK_TIES_SQL)
+def quantity_rank_ties_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank under ties (the remaining rank-family pair:
+    equal counts share a rank, rank leaves gaps, dense_rank doesn't).
+    Ordering by the non-unique count makes ties real; the output key
+    set is still deterministic because the filter is on dense_rank and
+    the final sort includes qty."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"))
+    return (
+        daily.withColumn("rnk", F.rank().over(w).cast("int"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("int"))
+        .filter(F.col("drnk") <= 3)
+        .orderBy("l_returnflag", "drnk", "qty")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
