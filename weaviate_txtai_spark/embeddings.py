@@ -19,9 +19,10 @@ Spark-first design decisions:
   ``docid: long``) in one DataFrame — the join the reference does
   through two systems (txtai SQLite + Weaviate) collapses into column
   projection (SURVEY §1.1).
-- docids are **dense** and assigned ``row_number() - 1 + offset`` over
-  the ingest order, matching the reference's running-offset counter
-  (reference weaviate_txtai/ann/weaviate.py:67,143,149). Never
+- docids are **dense** from the running offset, matching the reference's
+  counter (reference weaviate_txtai/ann/weaviate.py:67,143,149), and
+  assigned by the parallel two-pass scheme in ``operators/ids`` — no
+  global-order window (single-task), and never raw
   ``monotonically_increasing_id`` — it's non-dense by design.
 - mutations are **set-oriented**: delete/upsert are anti-join + union,
   one shuffle for any number of ids, instead of the reference's N+1
@@ -130,11 +131,12 @@ class Embeddings:
                     keys.append(k)
         rows = [{k: r.get(k) for k in keys} for r in rows]
         df = self.spark.createDataFrame([Row(**r) for r in rows])
-        w = Window.orderBy(F.monotonically_increasing_id())
-        # row_number over the ingest frame → dense docids; the single-stage
-        # window shuffle is confined to the (small) ingest batch, never the
-        # stored table (SURVEY §7 hard-parts list).
-        df = df.withColumn("docid", F.row_number().over(w) - 1 + start)
+        # dense docids via the parallel two-pass scheme (operators/ids) —
+        # no global-order window, so ingest stays parallel at any batch
+        # size (SURVEY §7 hard-parts list).
+        from weaviate_txtai_spark.operators.ids import with_dense_ids
+
+        df, _ = with_dense_ids(df, start=start, id_col="docid")
         return self.encoder.encode_df(df, text_col="text")
 
     def index(self, documents: Iterable) -> None:

@@ -191,24 +191,27 @@ class VectorIndex:
 
         ``vectors`` is a sequence/ndarray of float vectors (the txtai ANN
         contract: embeddings already encoded upstream) or a DataFrame with
-        a ``vector`` column. docids use row_number(), never
+        a ``vector`` column. docids are dense from the persisted offset,
+        assigned by the two-pass per-partition scheme in ``operators/ids``
+        — never a global-order window (single-task) and never raw
         monotonically_increasing_id (non-dense — SURVEY §7 watch list).
         """
         if isinstance(vectors, DataFrame):
-            w = Window.orderBy(F.monotonically_increasing_id())
-            df = (
-                vectors.select(F.col("vector"))
-                .withColumn("__rn", F.row_number().over(w))
-                .select(
-                    F.expr("uuid()").alias("uuid"),
-                    (F.col("__rn") - 1 + F.lit(self.offset)).alias("docid"),
-                    # plain "array<float>": a cast to a containsNull=false
-                    # array is rejected by the analyzer when the input is
-                    # nullable (e.g. encoder output inside foreachBatch)
-                    F.col("vector").cast("array<float>"),
-                )
+            from weaviate_txtai_spark.operators.ids import with_dense_ids
+
+            tagged, n = with_dense_ids(
+                vectors.select(F.col("vector")),
+                start=self.offset,
+                id_col="docid",
             )
-            n = vectors.count()
+            df = tagged.select(
+                F.expr("uuid()").alias("uuid"),
+                F.col("docid"),
+                # plain "array<float>": a cast to a containsNull=false
+                # array is rejected by the analyzer when the input is
+                # nullable (e.g. encoder output inside foreachBatch)
+                F.col("vector").cast("array<float>"),
+            )
         else:
             rows = [
                 (str(uuidlib.uuid5(uuidlib.NAMESPACE_DNS, str(uuidlib.uuid4()))),
