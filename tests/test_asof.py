@@ -130,3 +130,22 @@ def test_range_join_plan_has_no_nested_loop(spark):
     )
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_rejects_payload_column_collision(spark):
+    """A right payload column named like a left non-key column would emit
+    a duplicate output column (ADVICE r1); asof_join now raises."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 10, "x")], "k long, ts long, val string"
+    )
+    right = spark.createDataFrame(
+        [(1, 9, "y")], "k long, ts long, val string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"])
+    # non-colliding payload still works
+    right_ok = right.withColumnRenamed("val", "rval")
+    out = asof_join(left, right_ok, on=["k"]).collect()
+    assert out[0]["rval"] == "y"

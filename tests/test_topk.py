@@ -78,3 +78,32 @@ def test_knn_single_plan_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gemm_tie_break_matches_expression_path(spark):
+    """Score-tied groups straddling the k boundary must resolve the same
+    way on both paths: (score DESC, id ASC). The GEMM path's naive
+    argpartition kept arbitrary tie members (ADVICE r1); this pins the
+    deterministic widen-then-lexsort fix."""
+    # 20 docs in two tie groups: ids 0-9 identical vector A, 10-19 vector B.
+    a, b = [1.0, 0.0], [0.8, 0.6]
+    docs = spark.createDataFrame(
+        [(i, a if i < 10 else b) for i in range(20)],
+        "docid long, vector array<float>",
+    ).repartition(3)
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vector array<float>"
+    )
+    k = 7  # cuts through the first tie group
+    expr = [
+        (r["rank"], r["docid"])
+        for r in knn_topk(docs, qdf, k).orderBy("rank").collect()
+    ]
+    gemm = [
+        (r["rank"], r["docid"])
+        for r in knn_topk_gemm(docs, [(0, [1.0, 0.0])], k)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert expr == gemm
+    assert [d for _, d in expr] == [0, 1, 2, 3, 4, 5, 6]  # id ASC within tie

@@ -51,9 +51,25 @@ def asof_join(
     expected unique per (keys…, ts); if a right payload value is itself
     NULL the window skips to the previous non-null one — pre-coalesce
     payloads if that distinction matters.
+
+    A right payload column sharing a name with a left non-key column
+    would produce an ambiguous duplicate output column; that collision
+    raises ``ValueError`` (rename on either side first) rather than
+    silently dropping data the way ``range_join``'s exclusion does.
     """
     keys = list(on)
     payload = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = sorted(set(payload) & {c for c in left.columns if c not in keys})
+    if clash:
+        raise ValueError(
+            "asof_join: right payload column(s) collide with left "
+            f"columns: {clash}; rename them on one side before joining"
+        )
+    if matched_ts_col in left.columns or matched_ts_col in payload:
+        raise ValueError(
+            f"asof_join: matched_ts_col {matched_ts_col!r} collides with "
+            "an input column; pick a different name"
+        )
 
     lhs = left.select(
         *[F.col(k) for k in keys],

@@ -422,7 +422,11 @@ def simhash_signatures(
         for pdf in batches:
             out = []
             for _id, hashes in zip(pdf["__id"], pdf["__th"]):
-                h = np.asarray(hashes, dtype=np.uint64)
+                # xxhash64 yields signed int64s; go through int64 then
+                # .view(uint64) for well-defined wrapping — a direct
+                # negative-int → uint64 asarray raises OverflowError on
+                # NumPy >= 2.0 (deprecated since 1.24).
+                h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
                 if h.size == 0:
                     out.append((_id, 0))
                     continue

@@ -47,8 +47,13 @@ def topk_join(
     shuffled before its per-partition top-k reduction. Scores agree with
     the expression path to ~1e-15 (both double; summation order differs).
     """
-    n_left = left.count()
-    if n_left <= gemm_max_left:
+    # Strategy probe, not a full count: scanning gemm_max_left+1 rows
+    # answers "does the left side fit in a task closure" without a whole
+    # pass over a potentially huge left table.
+    fits_gemm = (
+        left.select(left_id).limit(gemm_max_left + 1).count() <= gemm_max_left
+    )
+    if fits_gemm:
         queries = [
             (r[0], list(r[1]))
             for r in left.select(left_id, left_vec).collect()

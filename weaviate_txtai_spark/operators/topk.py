@@ -147,11 +147,21 @@ def knn_topk_gemm(
             sims = (mat / norms) @ qnorm.T  # (batch, Q)
             ids = pdf[id_col].to_numpy()
             kk = min(k, sims.shape[0])
-            # local top-k per query via argpartition, then exact sort
+            # Local top-k per query. argpartition alone keeps ARBITRARY
+            # members of a score-tied group at the k boundary, which would
+            # make results differ from knn_topk's deterministic
+            # (score DESC, id ASC) tie-break depending on which path
+            # VectorIndex.search picks. So: partition for the threshold,
+            # widen to ALL rows at-or-above it (ties included), then
+            # lexsort (id ASC within score DESC) before cutting to k —
+            # bit-identical to the expression path for any tie pattern.
             part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, Q)
             rows = []
             for j in range(sims.shape[1]):
-                sel = part[:, j]
+                thresh = sims[part[:, j], j].min()
+                cand = np.flatnonzero(sims[:, j] >= thresh)
+                order = np.lexsort((ids[cand], -sims[cand, j]))[:kk]
+                sel = cand[order]
                 rows.append(
                     pd.DataFrame(
                         {

@@ -49,15 +49,33 @@ def spread(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_ntz(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session-TZ, pinned UTC).
+
+    The driver testdata has shipped both tz-aware and naive parquet
+    timestamps across rounds; naive loads as TIMESTAMP_NTZ in Spark 4,
+    which ``unix_micros``/range frames reject. With the session TZ at
+    UTC the cast is value-identical and matches DuckDB's naive reading,
+    so oracle hashes are unaffected — this just pins ONE type at the
+    single load choke point instead of per-query special-casing."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader refuses
-    (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to micros — the
-    same conversion DuckDB applies when it loads the file. Session TZ is
-    pinned to UTC here so timestamp-returning queries hash identically to
-    the oracle regardless of the host/driver session timezone."""
+    """events.parquet has shipped TIMESTAMP(NANOS) (which Spark's reader
+    refuses — PARQUET_TYPE_ILLEGAL) and naive micros across driver rounds.
+    Read nanos as long and truncate to micros — the same conversion DuckDB
+    applies — and normalize naive to session-TZ. Session TZ is pinned to
+    UTC here so timestamp-returning queries hash identically to the
+    oracle regardless of the host/driver session timezone."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -65,7 +83,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
         )
-    return df
+    return _normalize_ntz(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -20,39 +20,32 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# events.parquet physical schema with TIMESTAMP(NANOS) read as long
-# (spark.sql.legacy.parquet.nanosAsLong — see sources/tables.py).
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet, ts normalized to TIMESTAMP.
+
+    File streams require an explicit schema, but the driver testdata has
+    shipped ``ts`` as TIMESTAMP(NANOS) (only readable as long via
+    nanosAsLong), naive micros (TIMESTAMP_NTZ), and tz-aware micros across
+    rounds — so probe the physical schema with a (footer-only) batch read
+    and adapt, exactly like the batch loader in sources/tables.py.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file streams require a directory basePath; the glob keeps the match
     # to events.parquet while making basePath = sf_dir
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(os.path.join(sf_dir, "events.parque*"))
+    raw = spark.readStream.schema(physical).parquet(
+        os.path.join(sf_dir, "events.parque*")
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
