@@ -127,3 +127,56 @@ def test_incremental_with_precomputed_signatures(spark, sf_dir):
     }
     assert direct == stored
     assert direct  # non-degenerate at the test dup rate
+
+
+def test_jaccard_max_doc_freq_cap(spark):
+    """Opt-in stopword-shingle DF cap (VERDICT r1 item 7): default off is
+    exact (oracle pins it); with a cap, hot shingles are dropped before
+    the pair join and Jaccard is computed consistently over the capped
+    universe."""
+    from weaviate_txtai_spark.operators.dedup import jaccard_pairs
+
+    # 4 docs: a/b near-dups sharing rare shingles; every doc shares the
+    # hot shingle "the quick fox" (df=4)
+    rows = [
+        (0, "the quick fox alpha beta gamma delta eps zeta eta"),
+        (1, "the quick fox alpha beta gamma delta eps zeta theta"),
+        (2, "the quick fox completely different words here now one"),
+        (3, "the quick fox unrelated text again other tokens two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5, max_doc_freq=3).collect()
+    }
+    assert (0, 1) in uncapped and (0, 1) in capped  # near-dups survive cap
+    # the hot shingle counted for the uncapped pair but not the capped one
+    assert capped[(0, 1)] != uncapped[(0, 1)]
+    assert len(capped) == 1  # unrelated docs never pair once hot keys drop
+
+
+def test_simhash_md5_mode_matches_xxhash_structure(spark):
+    """32-bit md5 SimHash (the oracle-able mode) finds the same planted
+    near-dups as the 64-bit xxhash64 production mode."""
+    from weaviate_txtai_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (0, "one two three four five six seven eight nine ten " * 5),
+        (1, "one two three four five six seven eight nine zzz " * 5),
+        (2, "totally different content with other words entirely " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in (
+        {},
+        {"bits": 32, "token_hash": "md5"},
+    ):
+        pairs = {
+            (r["d1"], r["d2"])
+            for r in simhash_pairs(docs, max_hamming=8, **kw).collect()
+        }
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
