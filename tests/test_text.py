@@ -130,3 +130,32 @@ def test_deterministic_split_stable_under_partitioning(spark, sf_dir):
     train = sum(1 for v in a.values() if v == "train") / n
     assert 0.7 < train < 0.9
     assert set(a.values()) <= {"train", "valid", "test"}
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from weaviate_txtai_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@example.co.uk or call +1 (555) 010-2030 now"),
+            (1, "no pii here, just words and the number 7"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["red"], r["c"]["n_emails"], r["c"]["n_phones"])
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            pii_counts("text").alias("c"),
+        ).collect()
+    }
+    red0, ne0, np0 = out[0]
+    assert "[EMAIL]" in red0 and "[PHONE]" in red0
+    assert "example.co.uk" not in red0 and "555" not in red0
+    assert (ne0, np0) == (1, 1)
+    red1, ne1, np1 = out[1]
+    assert red1 == "no pii here, just words and the number 7"  # untouched
+    assert (ne1, np1) == (0, 0)

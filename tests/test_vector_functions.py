@@ -75,3 +75,26 @@ def test_normalize_vec(vec_df):
     m = collect_map(vec_df.withColumn("n", normalize_vec("a")), l2_norm("n"))
     for v in m.values():
         assert math.isclose(v, 1.0)
+
+
+def test_int8_quantize_roundtrip(spark):
+    from weaviate_txtai_spark.functions.vector import int8_quantize, int8_scale
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "id long, v array<double>",
+    )
+    rows = {
+        r["id"]: (list(r["q"]), r["s"])
+        for r in df.select(
+            "id", int8_quantize("v").alias("q"), int8_scale("v").alias("s")
+        ).collect()
+    }
+    q0, s0 = rows[0]
+    assert q0 == [127, -64, 32, 0]  # round(127*x/max|x|)
+    assert abs(s0 - 1.0 / 127.0) < 1e-12
+    # reconstruction error bounded by scale/2 per component
+    recon = [x * s0 for x in q0]
+    for orig, rec in zip([1.0, -0.5, 0.25, 0.0], recon):
+        assert abs(orig - rec) <= s0 / 2 + 1e-12
+    assert rows[1] == ([0, 0, 0, 0], 0.0)  # zero vector stays zero

@@ -140,3 +140,32 @@ def lang_id(text) -> Column:
         scored.append(F.struct(score.alias("score"), F.lit(code).alias("lang")))
     best = F.array_max(F.array(*scored))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# Dialect-safe PII patterns: identical semantics under Java regex (Spark)
+# and RE2-ish (DuckDB) — no lookarounds, no backrefs, explicit classes.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d ()-]{6,}\d"
+
+
+def redact_pii(text) -> Column:
+    """Replace emails with [EMAIL] and phone-shaped digit runs with
+    [PHONE] — the standard pre-training scrub pass. Native regexp_replace
+    (codegen, map-only); order matters (emails first so their digit runs
+    are gone before the phone pass)."""
+    t = F.regexp_replace(_c(text), EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(t, PHONE_RE, "[PHONE]")
+
+
+def pii_counts(text) -> Column:
+    """struct(n_emails, n_phones) found in the text (audit metric for the
+    scrub pass)."""
+    t = _c(text)
+    return F.struct(
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), F.lit(PHONE_RE), F.lit(0)
+            )
+        ).alias("n_phones"),
+    )

@@ -3493,6 +3493,96 @@ def vector_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Training-data prep: int8 quantization + PII scrub (round-2 widening)
+# --------------------------------------------------------------------------
+
+_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
+  FROM embeddings
+)
+SELECT vec_id,
+       round(ma / 127.0, 6) AS scale,
+       CAST(list_sum(list_transform(v, x ->
+           CASE WHEN ma = 0 THEN 0
+                ELSE CAST(round(127.0 * x / ma) AS BIGINT) END)) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(v, x ->
+           CASE WHEN ma = 0 THEN 0
+                ELSE CAST(abs(round(127.0 * x / ma)) AS BIGINT) END)) AS BIGINT) AS q_l1
+FROM m ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize", _QUANTIZE_SQL)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (FAISS-SQ8 shape): 4× index shrink for
+    vector search at scale. The oracle recomputes every quantized
+    component in DuckDB and checks integer checksums (sum + L1) per
+    vector — bit-exact machinery, no float-tolerance hand-waving."""
+    from weaviate_txtai_spark.functions.vector import int8_quantize, int8_scale
+
+    emb = _emb(spark, sf_dir)
+    q = int8_quantize("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(int8_scale("embedding"), 6).alias("scale"),
+            F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+                "q_sum"
+            ),
+            F.aggregate(
+                q, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
+            ).alias("q_l1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# PII is injected deterministically (same expression in both engines) so
+# the scrub machinery is exercised on text guaranteed to contain matches —
+# the synthetic corpus itself has none.
+_PII_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       md5(regexp_replace(regexp_replace(aug,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\\+?\\d[\\d ()-]{6,}\\d', '[PHONE]', 'g')) AS redacted_fp
+FROM (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 010-2030' AS aug
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+@register("docs_redact_pii", _PII_SQL)
+def docs_redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate: email + phone redaction over the documents table
+    with deterministically injected PII; the md5 of the redacted text
+    hash-checks every byte of the replacement output across engines.
+    Map-only (regexp_replace is codegen; no shuffle before the sort)."""
+    from weaviate_txtai_spark.functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-2030"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            pii_counts(aug)["n_emails"].alias("n_emails"),
+            F.md5(redact_pii(aug)).alias("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
