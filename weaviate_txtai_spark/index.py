@@ -51,7 +51,7 @@ import shutil
 import uuid as uuidlib
 from typing import Any, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -232,14 +232,19 @@ class VectorIndex:
         — never a global-order window (single-task) and never raw
         monotonically_increasing_id (non-dense — SURVEY §7 watch list).
         """
+        src = None
         if isinstance(vectors, DataFrame):
+            from pyspark.storagelevel import StorageLevel
+
             from weaviate_txtai_spark.operators.ids import with_dense_ids
 
-            tagged, n = with_dense_ids(
-                vectors.select(F.col("vector")),
-                start=self.offset,
-                id_col="docid",
+            # persist across the two id-assignment passes: the input
+            # lineage may contain an encoder UDF (foreachBatch ingest),
+            # which would otherwise run twice per batch
+            src = vectors.select(F.col("vector")).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
+            tagged, n = with_dense_ids(src, start=self.offset, id_col="docid")
             df = tagged.select(
                 F.expr("uuid()").alias("uuid"),
                 F.col("docid"),
@@ -269,6 +274,8 @@ class VectorIndex:
         if self.n_buckets:
             out = out.partitionBy("bucket")
         out.parquet(self._data_path())
+        if src is not None:
+            src.unpersist()
         self.offset += n
         self._save_meta()
 
@@ -320,11 +327,16 @@ class VectorIndex:
             if hi is not None:
                 self.offset = max(self.offset, int(hi) + 1)
         else:
+            from pyspark.storagelevel import StorageLevel
+
             from weaviate_txtai_spark.operators.ids import with_dense_ids
 
-            tagged, n = with_dense_ids(
-                vectors.select(F.col("vector")), start=self.offset, id_col="docid"
+            # persist across the two id passes — the stream batch carries
+            # the encoder UDF in its lineage
+            src = vectors.select(F.col("vector")).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
+            tagged, n = with_dense_ids(src, start=self.offset, id_col="docid")
             df = tagged.select(
                 F.expr("uuid()").alias("uuid"),
                 F.col("docid"),
@@ -335,6 +347,7 @@ class VectorIndex:
                 shutil.rmtree(stage)
             os.makedirs(self._data_path(), exist_ok=True)
             df.write.mode("overwrite").parquet(stage)
+            src.unpersist()
             os.replace(stage, commit)
             self.offset += n
         self.stream_state[key] = int(batch_id)

@@ -48,6 +48,13 @@ def with_dense_ids(
     Returns ``(tagged_df, n)`` — the row count falls out of pass 2 for
     free, saving callers the separate ``df.count()`` job they previously
     ran alongside the window.
+
+    The two passes evaluate the input lineage twice; a caller whose
+    lineage is expensive to recompute (e.g. an Arrow-batched encoder UDF
+    on the ingest path) should ``persist()`` the input first and
+    unpersist after materializing the result — that also discharges the
+    determinism requirement (see module docstring). ``VectorIndex``'s
+    ingest paths do exactly this.
     """
     spark = df.sparkSession
     tagged = df.withColumn("__mid", F.monotonically_increasing_id())
