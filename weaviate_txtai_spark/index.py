@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    ByteType,
     FloatType,
     LongType,
     StringType,
@@ -84,6 +85,17 @@ _ROW_SCHEMA = StructType(
         StructField("uuid", StringType(), False),
         StructField("docid", LongType(), False),
         StructField("vector", ArrayType(FloatType(), False), True),
+    ]
+)
+
+# storage schema in quantized mode (weaviate.quantize: true): int8
+# components + one float scale — (dim + 4) bytes/vector vs 4·dim
+_Q_ROW_SCHEMA = StructType(
+    [
+        StructField("uuid", StringType(), False),
+        StructField("docid", LongType(), False),
+        StructField("qvec", ArrayType(ByteType(), False), True),
+        StructField("qscale", FloatType(), True),
     ]
 )
 
@@ -136,6 +148,12 @@ class VectorIndex:
         # Opt-in bucketed layout: docids hash into N Hive partition dirs so
         # mutations rewrite only touched buckets. 0 = flat legacy layout.
         self.n_buckets = int(self.config.get("weaviate", {}).get("buckets", 0))
+        # Opt-in int8 storage (FAISS-SQ8 shape): vectors stored as int8 +
+        # per-vector scale, ~4× less scan I/O; scores become approximate
+        # (reconstruction error ≤ scale/2 per component — recall bound
+        # pinned in tests). All mutation/search paths see float vectors:
+        # encode at every write, decode at every read.
+        self.quantize = bool(self.config.get("weaviate", {}).get("quantize", False))
         self.offset = 0
         # per-stream last applied micro-batch id (exactly-once bookkeeping)
         self.stream_state: dict[str, int] = {}
@@ -175,6 +193,7 @@ class VectorIndex:
             ),
             "offset": self.offset,
             "buckets": self.n_buckets,
+            "quantize": self.quantize,
             "streams": self.stream_state,
         }
         tmp = self._meta_path() + ".tmp"
@@ -187,6 +206,7 @@ class VectorIndex:
             meta = json.load(f)
         self.offset = meta["offset"]
         self.n_buckets = meta.get("buckets", self.n_buckets)
+        self.quantize = meta.get("quantize", self.quantize)
         self.stream_state = meta.get("streams", {})
 
     def _data_path(self) -> str:
@@ -262,7 +282,7 @@ class VectorIndex:
             ]
             n = len(rows)
             df = self.spark.createDataFrame(rows, _ROW_SCHEMA)
-        writer = df
+        writer = self._to_storage(df)
         workers = self.batch_config.get("num_workers") or 1
         if workers > 1:
             writer = writer.repartition(workers)
@@ -281,6 +301,41 @@ class VectorIndex:
 
     def _bucket_of(self, col: str):
         return F.pmod(F.col(col), F.lit(self.n_buckets)).cast("int")
+
+    # ------------------------------------------------- quantized storage
+
+    def _row_schema(self) -> StructType:
+        return _Q_ROW_SCHEMA if self.quantize else _ROW_SCHEMA
+
+    def _to_storage(self, df: DataFrame) -> DataFrame:
+        """Float-vector frame → storage schema. Quantization is exactly
+        idempotent through a decode/encode round trip (q → q·s → q), so
+        mutations/compaction never accumulate drift."""
+        if not self.quantize:
+            return df
+        from weaviate_txtai_spark.functions.vector import int8_quantize, int8_scale
+
+        return df.select(
+            "uuid",
+            "docid",
+            int8_quantize("vector").cast("array<tinyint>").alias("qvec"),
+            int8_scale("vector").cast("float").alias("qscale"),
+        )
+
+    def _from_storage(self, df: DataFrame) -> DataFrame:
+        """Storage schema → float-vector frame (dequantize lazily: a
+        narrow codegen projection fused into whatever scan follows)."""
+        if not self.quantize:
+            return df
+        return df.select(
+            "uuid",
+            "docid",
+            F.transform(
+                "qvec", lambda x: x.cast("double") * F.col("qscale").cast("double")
+            )
+            .cast("array<float>")
+            .alias("vector"),
+        )
 
     @check_index_exists
     def append_stream_batch(
@@ -319,7 +374,7 @@ class VectorIndex:
         if os.path.exists(commit):
             # files already published by a crashed attempt: recover offset
             hi = (
-                self.spark.read.schema(_ROW_SCHEMA)
+                self.spark.read.schema(self._row_schema())
                 .parquet(commit)
                 .agg(F.max("docid"))
                 .collect()[0][0]
@@ -346,7 +401,7 @@ class VectorIndex:
             if os.path.exists(stage):
                 shutil.rmtree(stage)
             os.makedirs(self._data_path(), exist_ok=True)
-            df.write.mode("overwrite").parquet(stage)
+            self._to_storage(df).write.mode("overwrite").parquet(stage)
             src.unpersist()
             os.replace(stage, commit)
             self.offset += n
@@ -357,13 +412,15 @@ class VectorIndex:
 
     @check_index_exists
     def to_df(self) -> DataFrame:
+        """Logical float-vector view (uuid, docid, vector) regardless of
+        the physical layout (flat/bucketed, float/int8)."""
         if not self._has_data():
             return self.spark.createDataFrame([], _ROW_SCHEMA)
         # recursiveFileLookup: data files may sit in bucket=*/ partition
         # dirs and/or streaming commit dirs; the bucket is derivable from
         # docid, so no partition-column inference is needed.
-        return (
-            self.spark.read.schema(_ROW_SCHEMA)
+        return self._from_storage(
+            self.spark.read.schema(self._row_schema())
             .option("recursiveFileLookup", "true")
             .parquet(self._data_path())
         )
@@ -434,7 +491,9 @@ class VectorIndex:
         paths = [d for b in buckets if os.path.exists(d := self._bucket_dir(b))]
         if not paths:
             return self.spark.createDataFrame([], _ROW_SCHEMA)
-        return self.spark.read.schema(_ROW_SCHEMA).parquet(*paths)
+        return self._from_storage(
+            self.spark.read.schema(self._row_schema()).parquet(*paths)
+        )
 
     @check_index_exists
     def delete(self, ids: Sequence[int]) -> None:
@@ -515,7 +574,8 @@ class VectorIndex:
             # commit dirs back into the canonical bucket=* layout.
             tmp = self._data_path() + ".tmp"
             (
-                df.withColumn("bucket", self._bucket_of("docid"))
+                self._to_storage(df)
+                .withColumn("bucket", self._bucket_of("docid"))
                 .repartition(self.n_buckets, "bucket")
                 .sortWithinPartitions("docid")
                 .write.mode("overwrite")
@@ -558,16 +618,17 @@ class VectorIndex:
         On a bucketed index the rewrite re-normalizes the layout into
         ``bucket=*`` partition dirs."""
         tmp = self._data_path() + ".tmp"
+        stored = self._to_storage(df)
         if self.n_buckets:
             (
-                df.withColumn("bucket", self._bucket_of("docid"))
+                stored.withColumn("bucket", self._bucket_of("docid"))
                 .repartition(self.n_buckets, "bucket")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(tmp)
             )
         else:
-            df.write.mode("overwrite").parquet(tmp)
+            stored.write.mode("overwrite").parquet(tmp)
         old = self._data_path()
         if os.path.exists(old):
             shutil.rmtree(old)
@@ -581,7 +642,8 @@ class VectorIndex:
         same caveat as the full-dir swap)."""
         tmp = self._data_path() + ".tmp"
         (
-            df.withColumn("bucket", self._bucket_of("docid"))
+            self._to_storage(df)
+            .withColumn("bucket", self._bucket_of("docid"))
             .repartition(max(len(buckets), 1), "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
