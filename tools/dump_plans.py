@@ -31,6 +31,9 @@ FLAGSHIPS = [
     ("events_asof", "as-of join: union + windowed last(ignorenulls)"),
     ("dedup_exact", "fingerprint distinct-count"),
     ("bm25_topk", "BM25: query-term-hit shuffles only, broadcast stats"),
+    ("embedding_quantize", "int8 quantization: map-only native exprs"),
+    ("docs_redact_pii", "PII scrub: codegen regexp_replace, map-only"),
+    ("events_cohort_salted", "salted join: salt-invariant aggregate"),
 ]
 
 
