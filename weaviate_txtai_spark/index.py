@@ -284,10 +284,17 @@ class VectorIndex:
             df = self.spark.createDataFrame(rows, _ROW_SCHEMA)
         writer = self._to_storage(df)
         workers = self.batch_config.get("num_workers") or 1
-        if workers > 1:
+        if workers > 1 and not self.n_buckets:
             writer = writer.repartition(workers)
         if self.n_buckets:
-            writer = writer.withColumn("bucket", self._bucket_of("docid"))
+            # shuffle the batch by bucket before the partitioned write
+            # (Delta's "optimized write"): without it every task writes a
+            # file into every bucket dir — tasks × buckets small files per
+            # batch, millions at cluster scale. One batch-sized shuffle
+            # bounds it at ~1 file per non-empty bucket per append.
+            writer = writer.withColumn(
+                "bucket", self._bucket_of("docid")
+            ).repartition(self.n_buckets, "bucket")
         out = writer.write.mode("append")
         if self.batch_config.get("batch_size"):
             out = out.option("maxRecordsPerFile", int(self.batch_config["batch_size"]))
