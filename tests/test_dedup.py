@@ -180,3 +180,22 @@ def test_simhash_md5_mode_matches_xxhash_structure(spark):
         }
         assert (0, 1) in pairs
         assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_dedup_survivors_keeps_min_and_singletons(spark):
+    """End-product semantics: min-id per group survives; docs in no pair
+    survive untouched; chain components collapse to one survivor."""
+    from weaviate_txtai_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    # component {1,2,3} as a CHAIN (1-2, 2-3): 3 never pairs with 1
+    # directly, the fixpoint must still drop it; 0, 4, 5 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85)], "d1 long, d2 long, jaccard double"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_survivors(docs, pairs).collect()
+    )
+    assert kept == [0, 1, 4, 5]

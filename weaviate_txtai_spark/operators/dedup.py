@@ -422,6 +422,26 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("grp").alias("group_id"))
 
 
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup end-product: the corpus with duplicates DROPPED, keeping
+    the min-id member of every duplicate group.
+
+    Composition, not new machinery: ``duplicate_groups`` (connected
+    components over near-dup pairs) gives (doc, group); every doc whose
+    label differs from its own id is a non-representative duplicate and
+    is anti-joined out. Docs in no pair never enter the component table
+    and survive by construction — the anti-join touches only the pair
+    graph (tiny vs the corpus), so the corpus shuffles zero times here.
+    """
+    groups = duplicate_groups(pairs)
+    drop = groups.filter(F.col("group_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash_signatures(

@@ -1094,6 +1094,38 @@ def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(pairs)
 
 
+_SURVIVORS_SQL = _JACCARD_CTE + """
+, edges AS (
+  SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT d2 FROM edges)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_survivors", _SURVIVORS_SQL)
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END-PRODUCT: the corpus minus non-representative
+    duplicates (keep min-id per near-dup group). Oracle drops every d2
+    of the pair graph — valid because planted dup clusters are
+    min-id-star-shaped (same assumption `dedup_groups` pins); the Spark
+    side runs the general connected-components fixpoint + anti-join."""
+    from weaviate_txtai_spark.operators.dedup import (
+        dedup_survivors,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8)
+    return (
+        dedup_survivors(docs, pairs)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 _EMB_DUP_SQL = """
 SELECT a.vec_id AS d1, b.vec_id AS d2,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
