@@ -439,7 +439,10 @@ def dedup_survivors(
     drop = groups.filter(F.col("group_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    # NO forced broadcast: at corpus scale the drop set can be a large
+    # fraction of the corpus (dup-heavy crawls run >50%); AQE broadcasts
+    # it when it is actually small, else this is one hash anti-join.
+    return docs.join(drop, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------- SimHash
