@@ -142,3 +142,30 @@ def test_stream_state_separate_per_stream(spark, tmp_path):
     idx.append_stream_batch(b, stream_key="cpB", batch_id=0)  # distinct stream
     assert idx.count() == 2
     assert idx.stream_state == {"cpA": 0, "cpB": 0}
+
+
+def test_create_resets_stream_watermarks(spark, tmp_path):
+    """Drop-and-recreate must clear per-stream watermarks: a restarted
+    stream (fresh checkpoint, batch ids from 0) would otherwise be
+    silently skipped against stale state (review finding r2)."""
+    idx = VectorIndex(spark, str(tmp_path / "widx")).create()
+    b = spark.createDataFrame([([1.0, 2.0],)], "vector array<float>")
+    idx.append_stream_batch(b, stream_key="cp", batch_id=5)
+    assert idx.stream_state == {"cp": 5}
+    idx.create()  # drop and recreate
+    assert idx.stream_state == {}
+    idx.append_stream_batch(b, stream_key="cp", batch_id=0)
+    assert idx.count() == 1  # batch 0 applied, not skipped
+
+
+def test_stream_commit_dirs_keyed_by_full_key(spark, tmp_path):
+    """Two streams whose checkpoint paths share a long suffix must not
+    collide on the same commit dir (review finding r2)."""
+    idx = VectorIndex(spark, str(tmp_path / "cidx")).create()
+    a = spark.createDataFrame([([1.0, 0.0],)], "vector array<float>")
+    b = spark.createDataFrame([([0.0, 1.0],), ([1.0, 1.0],)], "vector array<float>")
+    shared_tail = "ingest-stream-checkpoint-directory-that-is-long-v1"
+    idx.append_stream_batch(a, stream_key=f"/data/tenant1/{shared_tail}", batch_id=0)
+    idx.append_stream_batch(b, stream_key=f"/data/tenant2/{shared_tail}", batch_id=0)
+    assert idx.count() == 3  # both streams' batches landed
+    assert idx.offset == 3

@@ -179,6 +179,10 @@ class VectorIndex:
                 return self
         os.makedirs(self.path, exist_ok=True)
         self.offset = 0
+        # fresh index = fresh stream watermarks: carrying them over would
+        # make a restarted stream (fresh checkpoint, batch ids from 0)
+        # silently skip every batch at-or-below the stale watermark
+        self.stream_state = {}
         self._save_meta()
         return self
 
@@ -370,11 +374,19 @@ class VectorIndex:
         re-derived from the published docids and only the meta commit is
         redone. Docids stay dense across batches.
         """
+        import hashlib
+
         key = str(stream_key)
         self._load_meta()  # refresh watermark: restart holds stale memory
         if int(batch_id) <= int(self.stream_state.get(key, -1)):
             return
-        safe = "".join(c if c.isalnum() else "_" for c in key)[-40:]
+        # collision-resistant commit-dir name: a readable suffix for
+        # humans plus a hash of the FULL key — suffix truncation alone
+        # would collide two streams whose checkpoint paths share a tail,
+        # silently discarding one stream's batches
+        tail = "".join(c if c.isalnum() else "_" for c in key)[-24:]
+        digest = hashlib.sha256(key.encode()).hexdigest()[:12]
+        safe = f"{tail}_{digest}"
         commit = os.path.join(
             self._data_path(), f"ingest_{safe}_{int(batch_id):020d}"
         )
@@ -579,21 +591,11 @@ class VectorIndex:
             # bucketed layout: one task per bucket, docid-sorted files,
             # maxRecordsPerFile bounds file size; also folds any streaming
             # commit dirs back into the canonical bucket=* layout.
-            tmp = self._data_path() + ".tmp"
-            (
-                self._to_storage(df)
-                .withColumn("bucket", self._bucket_of("docid"))
-                .repartition(self.n_buckets, "bucket")
-                .sortWithinPartitions("docid")
-                .write.mode("overwrite")
-                .option("maxRecordsPerFile", int(target_rows_per_file))
-                .partitionBy("bucket")
-                .parquet(tmp)
+            self._rewrite(
+                df,
+                sort_docids=True,
+                max_records_per_file=int(target_rows_per_file),
             )
-            old = self._data_path()
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            os.replace(tmp, old)
             return len(self._data_files())
         n = df.count()
         n_files = max(1, -(-n // int(target_rows_per_file)))
@@ -619,23 +621,37 @@ class VectorIndex:
             "offset": self.offset,
         }
 
-    def _rewrite(self, df: DataFrame) -> None:
+    def _rewrite(
+        self,
+        df: DataFrame,
+        *,
+        sort_docids: bool = False,
+        max_records_per_file: int | None = None,
+    ) -> None:
         """Copy-on-write: materialize to a temp dir, then swap atomically
         (single-writer). Delta/Iceberg MERGE is the cluster-scale analog.
         On a bucketed index the rewrite re-normalizes the layout into
-        ``bucket=*`` partition dirs."""
+        ``bucket=*`` partition dirs. ``sort_docids``/``max_records_per_file``
+        are compaction's knobs — ONE swap protocol for every rewrite."""
         tmp = self._data_path() + ".tmp"
         stored = self._to_storage(df)
         if self.n_buckets:
-            (
-                stored.withColumn("bucket", self._bucket_of("docid"))
-                .repartition(self.n_buckets, "bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(tmp)
-            )
+            stored = stored.withColumn(
+                "bucket", self._bucket_of("docid")
+            ).repartition(self.n_buckets, "bucket")
+            if sort_docids:
+                stored = stored.sortWithinPartitions("docid")
+            out = stored.write.mode("overwrite")
+            if max_records_per_file:
+                out = out.option("maxRecordsPerFile", int(max_records_per_file))
+            out.partitionBy("bucket").parquet(tmp)
         else:
-            stored.write.mode("overwrite").parquet(tmp)
+            if sort_docids:
+                stored = stored.sortWithinPartitions("docid")
+            out = stored.write.mode("overwrite")
+            if max_records_per_file:
+                out = out.option("maxRecordsPerFile", int(max_records_per_file))
+            out.parquet(tmp)
         old = self._data_path()
         if os.path.exists(old):
             shutil.rmtree(old)

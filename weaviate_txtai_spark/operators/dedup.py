@@ -115,13 +115,17 @@ def jaccard_pairs(
     sh = _shingle_table(docs, text_col, id_col, n).select(
         "__id", F.xxhash64("__sh").alias("__sh")
     )
+    # persist BEFORE the df-cap branch: the cap's frequency aggregate and
+    # the capped table's own materialization would otherwise each re-run
+    # the tokenize+shingle+hash pipeline — the dominant map-side cost
+    sh = sh.persist()
     if max_doc_freq is not None:
         df_counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = (
             sh.join(df_counts.filter(F.col("__df") <= int(max_doc_freq)), "__sh")
             .select("__id", "__sh")
+            .persist()
         )
-    sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     shz = sh.join(F.broadcast(sizes), "__id")
     a = shz.alias("a")

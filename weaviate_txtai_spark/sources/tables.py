@@ -69,6 +69,23 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to session-TZ TIMESTAMP across every
+    physical dialect the driver testdata has shipped: TIMESTAMP(NANOS)
+    read as long (nanosAsLong), naive micros (TIMESTAMP_NTZ), and
+    tz-aware micros. The SHARED helper for the batch and stream loaders —
+    the format has already changed once between rounds, so there must be
+    exactly one place to fix next time."""
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":  # TIMESTAMP(NANOS) read as long
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000").cast("long"))
+        )
+    elif t == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet has shipped TIMESTAMP(NANOS) (which Spark's reader
     refuses — PARQUET_TYPE_ILLEGAL) and naive micros across driver rounds.
@@ -79,11 +96,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
-    return _normalize_ntz(df)
+    return _normalize_ntz(normalize_ts(df))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -30,6 +30,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds — so probe the physical schema with a (footer-only) batch read
     and adapt, exactly like the batch loader in sources/tables.py.
     """
+    from weaviate_txtai_spark.sources.tables import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -38,14 +40,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(physical).parquet(
         os.path.join(sf_dir, "events.parque*")
     )
-    ts_type = dict(raw.dtypes)["ts"]
-    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-        )
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_ts(raw)
 
 
 def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
