@@ -199,3 +199,77 @@ def test_dedup_survivors_keeps_min_and_singletons(spark):
         r["doc_id"] for r in dedup_survivors(docs, pairs).collect()
     )
     assert kept == [0, 1, 4, 5]
+
+
+def test_simhash_blocking_complete_beyond_hamming_3(spark):
+    """Pigeonhole blocking must scale its block count with max_hamming:
+    signatures differing by 1 bit in each of 4 fixed quarters have
+    hamming 4 and share no quarter — the generalized h+1-block scheme
+    still finds them (review finding r2)."""
+    from weaviate_txtai_spark.operators.dedup import simhash_pairs
+
+    # craft docs whose signatures differ in exactly 4 spread-out bits is
+    # hard via text; instead verify against brute force on real text
+    rows = [(i, f"shared base text tokens {'x' * (i % 3)} tail {i % 2}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for h in (3, 4, 6):
+        pairs = simhash_pairs(docs, max_hamming=h)
+        got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+        # brute force over all signatures
+        from weaviate_txtai_spark.operators.dedup import simhash_signatures
+
+        sigs = {
+            r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()
+        }
+        expect = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= h
+        }
+        assert got == expect, f"max_hamming={h}"
+
+
+def test_incremental_no_self_pairs(spark):
+    from weaviate_txtai_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = spark.createDataFrame(
+        [(i, "the same text repeated for everyone here now ok") for i in range(4)],
+        "doc_id long, text string",
+    )
+    # replayed batch: new == corpus, overlapping ids
+    out = minhash_lsh_pairs_incremental(docs, docs, threshold=0.5).collect()
+    assert all(r["new_id"] != r["corpus_id"] for r in out)
+    assert len(out) > 0  # cross-doc dups still found
+
+
+def test_duplicate_groups_raises_on_nonconvergence(spark):
+    import pytest
+
+    from weaviate_txtai_spark.operators.dedup import duplicate_groups
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(8)], "d1 long, d2 long, jaccard double"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        duplicate_groups(chain, max_iter=2)
+    # enough iterations: one component labeled 0
+    groups = duplicate_groups(chain, max_iter=20).collect()
+    assert {r["group_id"] for r in groups} == {0}
+
+
+def test_simhash_md5_rejects_wide_bits(spark):
+    import pytest
+
+    from weaviate_txtai_spark.operators.dedup import simhash_signatures
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bits"):
+        simhash_signatures(docs, token_hash="md5", bits=64)
+
+
+def test_embedding_lsh_empty_input(spark):
+    from weaviate_txtai_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_dup_pairs_lsh(empty).count() == 0

@@ -84,13 +84,22 @@ class IVFIndex:
             "vector_col": self.vector_col,
             "centroids": self.centroids,
         }
-        with open(os.path.join(path, "ivf_meta.json"), "w") as f:
-            json.dump(meta, f)
+        # meta goes through a Spark writer too: builtin open() only works
+        # on the driver's local filesystem, but index paths are
+        # hdfs://-or-s3a://-shaped at scale — the cells and the meta must
+        # land on the SAME filesystem or load() finds a half-usable index
+        spark = self.assigned.sparkSession
+        (
+            spark.createDataFrame([(json.dumps(meta),)], "meta string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(os.path.join(path, "ivf_meta"))
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
-        with open(os.path.join(path, "ivf_meta.json")) as f:
-            meta = json.load(f)
+        meta_rows = spark.read.text(os.path.join(path, "ivf_meta")).collect()
+        meta = json.loads(meta_rows[0]["value"])
         assigned = spark.read.parquet(os.path.join(path, "cells"))
         centroids = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
         return cls(assigned, centroids, meta["id_col"], meta["vector_col"])
@@ -207,12 +216,21 @@ def tune_nprobe(
     truth: dict = {}
     for r in exact.collect():
         truth.setdefault(r["query_id"], set()).add(r["docid"])
+    if not truth:
+        raise ValueError(
+            "tune_nprobe: no ground truth (empty sample_queries or corpus) "
+            "— nothing to measure"
+        )
 
     nlist = len(index.centroids)
     curve: dict[int, float] = {}
+    # probe 1, 2, 4, ... capped at nlist so the final measurement is the
+    # exhaustive one even when nlist is not a power of two — the chosen
+    # value always has a supporting curve entry
     nprobe = 1
     chosen = nlist
-    while nprobe <= nlist:
+    while True:
+        nprobe = min(nprobe, nlist)
         got: dict = {}
         res = index.search(
             sample_queries, k, nprobe=nprobe,
@@ -224,7 +242,7 @@ def tune_nprobe(
             len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
         ]
         curve[nprobe] = sum(recalls) / len(recalls)
-        if curve[nprobe] >= recall_target:
+        if curve[nprobe] >= recall_target or nprobe == nlist:
             chosen = nprobe
             break
         nprobe *= 2

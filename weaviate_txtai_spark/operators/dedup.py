@@ -166,8 +166,12 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature as array<long>, native exprs only.
 
-    Permutation i = xxhash64(shingle, seed=i); signature[i] = min over the
-    doc's shingles.
+    Permutation i = xxhash64(shingle, seed=i); signature[i] = min over
+    the doc's RAW shingle strings. NOTE: NOT interchangeable with
+    ``minhash_signatures_with_sets`` (which permutes the pre-hashed
+    int64 shingles and carries the set columns) — never feed a table
+    built here into the LSH/incremental family; store
+    ``minhash_signatures_with_sets`` output instead.
 
     Shape: explode shingles once, hash each (shingle, perm) exactly once,
     then groupBy(doc) with num_perms min() aggregates. The min is computed
@@ -209,28 +213,17 @@ def minhash_lsh_pairs(
     rows + the verify join on candidates only.
     """
     rows = num_perms // bands
-    # ONE pass over the shingles: a single groupBy(doc) computes the
-    # num_perms signature mins AND the doc's hashed-shingle set together.
-    # All of them are map-side partial aggregates, so the only wide
-    # shuffle carries (num_perms longs + the distinct-shingle set) per doc
-    # — the set is exactly what the verify stage needs anyway — and the
+    # ONE pass over the shingles (minhash_signatures_with_sets): a single
+    # groupBy(doc) computes the num_perms signature mins AND the doc's
+    # hashed-shingle set together. All map-side partial aggregates, so
+    # the only wide shuffle carries (num_perms longs + the set) per doc —
+    # the set is exactly what the verify stage needs anyway — and the
     # corpus-sized shingle table is never persisted (at 100 TB caching it
     # would be hostile; the per-doc table is docs-sized and caches
     # cheaply).
-    sh = _shingle_table(docs, text_col, id_col, n).select(
-        "__id", F.xxhash64("__sh").alias("__sh")
-    )
-    per_doc = (
-        sh.groupBy("__id")
-        .agg(
-            F.collect_set("__sh").alias("__set"),
-            *[
-                F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
-                for p in range(num_perms)
-            ],
-        )
-        .persist()
-    )
+    per_doc = minhash_signatures_with_sets(
+        docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
+    ).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -367,7 +360,11 @@ def minhash_lsh_pairs_incremental(
         .join(
             buckets(old_pd).alias("y"),
             (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh")),
+            & (F.col("x.bh") == F.col("y.bh"))
+            # a batch replayed after its append (or an overlapping id
+            # space) would otherwise self-pair every doc at jaccard 1.0
+            # and a drop-if-matched consumer would delete the whole batch
+            & (F.col("x.__id") != F.col("y.__id")),
         )
         .select(
             F.col("x.__id").alias("new_id"), F.col("y.__id").alias("corpus_id")
@@ -392,11 +389,18 @@ def minhash_lsh_pairs_incremental(
     )
 
 
-def duplicate_groups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def duplicate_groups(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over the dup-pair graph via iterative
     label propagation (min-id), the standard Spark pattern for small
     diameter graphs (near-dup clusters are tiny). Returns (doc_id,
-    group_id=min doc_id in component)."""
+    group_id=min doc_id in component).
+
+    Raises ``RuntimeError`` if the fixpoint hasn't converged within
+    ``max_iter`` (labels move one hop per iteration, so max_iter bounds
+    the component diameter) — returning unconverged labels would make
+    downstream ``dedup_survivors`` silently keep multiple
+    "representatives" of one group."""
+    converged = False
     edges = pairs.select("d1", "d2").union(pairs.select("d2", "d1")).distinct()
     labels = (
         pairs.select(F.col("d1").alias("id"))
@@ -420,9 +424,16 @@ def duplicate_groups(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .count()
         )
         if not changed:
+            converged = True
             break
         # truncate the growing iterative lineage (standard Spark pattern)
         labels = new.localCheckpoint()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_groups: label propagation did not converge in "
+            f"{max_iter} iterations — a component has diameter > {max_iter}; "
+            "raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("grp").alias("group_id"))
 
 
@@ -474,6 +485,14 @@ def simhash_signatures(
     if token_hash == "xxhash64":
         th = lambda t: F.xxhash64(t)  # noqa: E731
     elif token_hash == "md5":
+        if bits > 60:
+            # 16 hex chars reach 2^64-1: conv() values >= 2^63 overflow
+            # the signed-long cast (NULL or ANSI error → UDF crash).
+            # 15 hex chars (60 bits) is the widest exact-long md5 prefix.
+            raise ValueError(
+                "token_hash='md5' supports bits <= 60 (signed-long range); "
+                "use bits=32 for the oracle-parity mode or xxhash64 for 64"
+            )
         th = lambda t: F.conv(  # noqa: E731
             F.substring(F.md5(t), 1, bits // 4), 16, 10
         ).cast("long")
@@ -523,22 +542,32 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    Scale path: block on bits/4-wide quarters — two signatures within
-    hamming 3 must agree on at least one of 4 quarters (pigeonhole), so
-    the join only meets docs sharing a quarter. Output: d1, d2, hamming.
+    Scale path: pigeonhole blocking on ``max_hamming + 1`` disjoint bit
+    blocks — two signatures within hamming h differ in at most h blocks,
+    so they MUST agree on at least one of h+1 blocks; the join only
+    meets docs sharing a block value. The block count scales with
+    max_hamming (a fixed 4-block split is complete only for h <= 3 and
+    silently loses pairs beyond that). Output: d1, d2, hamming.
     """
     sig = simhash_signatures(
         docs, text_col=text_col, id_col=id_col, bits=bits, token_hash=token_hash
     )
-    qw = bits // 4
-    qmask = (1 << qw) - 1
+    nblocks = int(max_hamming) + 1
+    if nblocks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more blocks than bits={bits}")
+    base = bits // nblocks
+    # distribute the remainder so every bit belongs to exactly one block
+    widths = [base + (1 if q < bits % nblocks else 0) for q in range(nblocks)]
+    offsets = [sum(widths[:q]) for q in range(nblocks)]
     quarters = F.array(
         *[
             F.struct(
                 F.lit(q).alias("q"),
-                F.shiftright("simhash", q * qw).bitwiseAND(F.lit(qmask)).alias("qh"),
+                F.shiftright("simhash", offsets[q])
+                .bitwiseAND(F.lit((1 << widths[q]) - 1))
+                .alias("qh"),
             )
-            for q in range(4)
+            for q in range(nblocks)
         ]
     )
     blocked = sig.select(
@@ -630,7 +659,12 @@ def embedding_dup_pairs_lsh(
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    dim = len(emb.select(vector_col).head()[0])
+    head = emb.select(vector_col).head()
+    if head is None:  # empty input: no pairs, don't crash planning
+        return emb.sparkSession.createDataFrame(
+            [], "d1 long, d2 long, cosine double"
+        )
+    dim = len(head[0])
     proj = rng.standard_normal((dim, num_tables * num_planes))
     weights = np.asarray([1 << p for p in range(num_planes)], dtype=np.int64)
 
@@ -662,7 +696,11 @@ def embedding_dup_pairs_lsh(
         chunk = 1024
         for lo in range(0, len(ids), chunk):
             sims = mat[lo : lo + chunk] @ mat.T
-            r, c = np.nonzero(sims >= threshold)
+            # threshold on the 6dp-ROUNDED value, matching the exact
+            # spec (embedding_dup_pairs) and its oracle — filtering the
+            # raw cosine would drop pairs that round up to the boundary
+            # and break planes=0 exactness-mode parity
+            r, c = np.nonzero(np.round(sims, 6) >= threshold)
             keep = ids[r + lo] < ids[c]
             r, c = r[keep], c[keep]
             out_d1.append(ids[r + lo])
@@ -678,9 +716,15 @@ def embedding_dup_pairs_lsh(
             }
         )
 
+    # __v stays array<double>: a float32 Arrow hop would truncate
+    # double-typed embeddings in flight and move verify-stage cosines off
+    # the exact path's 6dp values
     blocked = spread(
-        emb.select(F.col(id_col).alias("__id"), F.col(vector_col).alias("__v"))
-    ).mapInPandas(bucketize, schema="__id long, t int, bk long, __v array<float>")
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vector_col).cast("array<double>").alias("__v"),
+        )
+    ).mapInPandas(bucketize, schema="__id long, t int, bk long, __v array<double>")
     return (
         blocked.groupBy("t", "bk")
         .applyInPandas(score_bucket, schema="d1 long, d2 long, cosine double")
