@@ -296,3 +296,45 @@ def test_transform_batchtransform(spark):
     assert e.transform(("id0", {"text": "the quick brown fox"}, None)) == v
     batch = e.batchtransform(["the quick brown fox", "stock markets rally"])
     assert batch[0] == v and batch[1] != v
+
+
+def test_text_query_starting_with_select_word(spark):
+    """'selecting…' is a TEXT query, not SQL (review finding r2)."""
+    emb = Embeddings(spark)
+    emb.index([(i, f"document about topic {i}", None) for i in range(5)])
+    res = emb.search("selecting the best topic 3", limit=2)
+    assert len(res) == 2  # ranked hits, no ParseException
+
+
+def test_similar_with_group_by_aggregate(spark):
+    """similar() + GROUP BY must not get ORDER BY score injected
+    (review finding r2)."""
+    emb = Embeddings(spark, config={"content": True})
+    emb.index(
+        [(i, {"text": f"text {i}", "cat": "a" if i < 3 else "b"}, None)
+         for i in range(6)]
+    )
+    rows = emb.search(
+        "select cat, count(*) as n from txtai where similar('text 1') "
+        "group by cat"
+    )
+    assert {r["cat"]: r["n"] for r in rows} == {"a": 3, "b": 3}
+
+
+def test_save_load_preserves_content_config(spark, tmp_path):
+    """content=True must survive the save/load round trip: it changes
+    the search RESULT SHAPE (review finding r2)."""
+    emb = Embeddings(spark, config={"content": True})
+    emb.index([(i, {"text": f"doc {i}"}, None) for i in range(4)])
+    emb.save(str(tmp_path / "emb"))
+    emb2 = Embeddings.load(spark, str(tmp_path / "emb"))
+    hits = emb2.search("doc 2", limit=1)
+    assert isinstance(hits[0], dict) and "text" in hits[0]
+
+
+def test_index_all_null_metadata_field(spark):
+    """A metadata field that is None in EVERY row of the batch must not
+    break schema inference (review finding r2)."""
+    emb = Embeddings(spark, config={"content": True})
+    emb.index([(i, {"text": f"doc {i}", "tag": None}, None) for i in range(3)])
+    assert emb.count() == 3

@@ -220,3 +220,33 @@ def test_compact_preserves_data_and_reduces_files(spark, tmp_path):
     idx.append([[9.9, 0.0, 0.0]])
     assert idx.count() == 21
     assert idx.to_df().agg({"docid": "max"}).collect()[0][0] == 20
+
+
+def test_upsert_empty_items_is_noop(spark, tmp_path):
+    idx = VectorIndex(spark, str(tmp_path / "e")).create()
+    idx.append([[1.0, 0.0]])
+    files = sorted(idx._data_files())
+    idx.upsert([])  # review finding r2: crashed in max() after a rewrite
+    assert sorted(idx._data_files()) == files
+    assert idx.count() == 1
+
+
+def test_upsert_df_matches_upsert(spark, tmp_path):
+    """The distributed CDC merge gives identical results to the
+    driver-side items form."""
+    a = VectorIndex(spark, str(tmp_path / "a")).create()
+    b = VectorIndex(spark, str(tmp_path / "b")).create()
+    vecs = [[float(i), 1.0] for i in range(10)]
+    a.append(vecs)
+    b.append(vecs)
+    items = [(3, [9.0, 9.0]), (42, [7.0, 7.0])]
+    a.upsert(items)
+    b.upsert_df(
+        spark.createDataFrame(
+            [(d, v) for d, v in items], "docid long, vector array<float>"
+        )
+    )
+    ra = {r["docid"]: list(r["vector"]) for r in a.to_df().collect()}
+    rb = {r["docid"]: list(r["vector"]) for r in b.to_df().collect()}
+    assert ra == rb
+    assert a.offset == b.offset == 43

@@ -1,6 +1,8 @@
 """Stateful streaming sessionization: streaming result == batch spec for
 all sessions the watermark has closed."""
 
+import datetime as dt
+
 from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.sources.tables import load_table
@@ -50,3 +52,50 @@ def test_streaming_sessions_match_batch_spec(spark, sf_dir):
         if s[2] + dt.timedelta(seconds=gap) < wm
     }
     assert closable <= streamed
+
+
+def test_streaming_sessions_merge_late_events(spark, tmp_path):
+    """Out-of-order events ACROSS micro-batches (review finding r2):
+    a late event within the gap extends session_start backward; one
+    older than start - gap forms its own session — matching the batch
+    spec instead of being folded into the newer session."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long"
+    # batch 1: event at 10:00. batch 2 (late): 09:45 (merges, start moves
+    # back) and 07:00 (own session, > gap before start)
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0), 1)], schema
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [
+            (2, dt.datetime(2024, 1, 1, 9, 45, 0), 1),
+            (3, dt.datetime(2024, 1, 1, 7, 0, 0), 1),
+            # a far-future event closes everything via the watermark
+            (4, dt.datetime(2024, 1, 2, 12, 0, 0), 1),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["session_start"].strftime("%H:%M"), r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.table("late_sessions").collect()
+    }
+    assert ("09:45", "10:00", 2) in got  # late event extended start back
+    assert ("07:00", "07:00", 1) in got  # old event = its own session

@@ -130,7 +130,26 @@ class Embeddings:
                 if k not in keys:
                     keys.append(k)
         rows = [{k: r.get(k) for k in keys} for r in rows]
-        df = self.spark.createDataFrame([Row(**r) for r in rows])
+        # explicit schema: inference fails on a field that is None in
+        # EVERY row of the batch (a legal txtai metadata shape); type
+        # each field from its first non-null value, string if none
+        fields = []
+        for k in keys:
+            sample = next((r[k] for r in rows if r.get(k) is not None), None)
+            if isinstance(sample, bool):
+                t = "boolean"
+            elif isinstance(sample, int):
+                t = "bigint"
+            elif isinstance(sample, float):
+                t = "double"
+            elif isinstance(sample, (bytes, bytearray)):
+                t = "binary"
+            else:
+                t = "string"
+            fields.append(f"`{k}` {t}")
+        df = self.spark.createDataFrame(
+            [Row(**r) for r in rows], ", ".join(fields)
+        )
         # dense docids via the parallel two-pass scheme (operators/ids) —
         # no global-order window, so ingest stays parallel at any batch
         # size (SURVEY §7 hard-parts list).
@@ -239,7 +258,9 @@ class Embeddings:
         (starts with 'select') → list of row dicts, txtai-style."""
         if self._df is None:
             return []
-        if query.strip().lower().startswith("select"):
+        # word-boundary match: "selecting the best trail" is a TEXT query;
+        # bare startswith("select") would route it to spark.sql and crash
+        if re.match(r"^\s*select\b", query, re.IGNORECASE):
             return self._search_sql(query, limit)
         top = (
             self._scored(query)
@@ -262,9 +283,14 @@ class Embeddings:
         base.createOrReplaceTempView("txtai")
         # txtai ranks by score implicitly whenever similar() drives the
         # query; an explicit ORDER BY wins (cell 29 uses `order by score
-        # asc`). Injected before any trailing LIMIT so the SQL stays valid.
-        if similar_text is not None and not re.search(
-            r"\border\s+by\b", rewritten, re.IGNORECASE
+        # asc`). Injected before any trailing LIMIT so the SQL stays
+        # valid. NOT injected into aggregate queries (GROUP BY / no
+        # per-row score in scope) — ordering an aggregate by the
+        # non-grouped score column would be an analysis error.
+        if (
+            similar_text is not None
+            and not re.search(r"\border\s+by\b", rewritten, re.IGNORECASE)
+            and not re.search(r"\bgroup\s+by\b", rewritten, re.IGNORECASE)
         ):
             m = re.search(r"\blimit\s+\d+\s*$", rewritten, re.IGNORECASE)
             if m:
@@ -296,7 +322,15 @@ class Embeddings:
         self._df.write.mode("overwrite").parquet(os.path.join(path, "data"))
         with open(os.path.join(path, "embeddings_meta.json"), "w") as f:
             json.dump(
-                {"offset": self.offset, "encoder_dim": self.encoder.dim}, f
+                {
+                    "offset": self.offset,
+                    "encoder_dim": self.encoder.dim,
+                    # persist the config too: content=True changes the
+                    # RESULT SHAPE of search; silently dropping it on
+                    # reload would break callers indexing r["text"]
+                    "config": self.config,
+                },
+                f,
             )
 
     @classmethod
@@ -308,7 +342,11 @@ class Embeddings:
     ) -> "Embeddings":
         with open(os.path.join(path, "embeddings_meta.json")) as f:
             meta = json.load(f)
-        self = cls(spark, encoder or HashingEncoder(meta["encoder_dim"]))
+        self = cls(
+            spark,
+            encoder or HashingEncoder(meta["encoder_dim"]),
+            config=meta.get("config") or None,
+        )
         self._df = spark.read.parquet(os.path.join(path, "data")).cache()
         self.offset = meta["offset"]
         self._meta_cols = [

@@ -544,6 +544,8 @@ class VectorIndex:
         (tests/ann/test_weaviate.py:254-317); we do it as one merge plan:
         new rows UNION (old rows anti-joined on the new docids).
         """
+        if not items:
+            return  # empty change set: nothing to merge, skip the rewrite
         new_rows = [
             (str(uuidlib.uuid5(uuidlib.NAMESPACE_DNS, str(docid))),
              int(docid),
@@ -551,28 +553,68 @@ class VectorIndex:
             for docid, vec in items
         ]
         new_df = self.spark.createDataFrame(new_rows, _ROW_SCHEMA)
-        if self._is_fully_bucketed():
-            # partial merge: only the buckets the upserted docids hash
-            # into are read + rewritten (the CDC micro-batch cost bound)
-            touched = sorted({int(d) % self.n_buckets for d, _ in items})
-            old = self._read_buckets(touched)
-            merged = new_df.unionByName(
-                old.join(
-                    F.broadcast(new_df.select("docid")), "docid", "left_anti"
-                )
-            )
-            self._rewrite_buckets(merged, touched)
-        else:
-            merged = new_df.unionByName(
-                self.to_df().join(
-                    F.broadcast(new_df.select("docid")), "docid", "left_anti"
-                )
-            )
-            self._rewrite(merged)
+        touched = sorted({int(d) % self.n_buckets for d, _ in items}) if self.n_buckets else []
+        self._merge_df(new_df, touched)
         max_id = max(int(d) for d, _ in items) + 1
         if max_id > self.offset:
             self.offset = max_id
             self._save_meta()
+
+    @check_index_exists
+    def upsert_df(
+        self,
+        changes: DataFrame,
+        *,
+        docid_col: str = "docid",
+        vector_col: str = "vector",
+    ) -> None:
+        """Distributed merge: same semantics as ``upsert`` for a
+        DataFrame of (docid, vector) changes that never touches the
+        driver — the CDC-at-scale path (``stream_upsert`` uses this so a
+        multi-million-row micro-batch isn't collect()ed into driver
+        memory). One small driver-side agg extracts max docid + touched
+        buckets (≤ n_buckets ints)."""
+        from pyspark.storagelevel import StorageLevel
+
+        new_df = changes.select(
+            F.expr("uuid()").alias("uuid"),
+            F.col(docid_col).cast("long").alias("docid"),
+            F.col(vector_col).cast("array<float>").alias("vector"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        bucket_expr = (
+            self._bucket_of("docid") if self.n_buckets else F.lit(0)
+        )
+        stats = new_df.agg(
+            F.max("docid").alias("mx"),
+            F.collect_set(bucket_expr).alias("bks"),
+        ).collect()[0]
+        if stats["mx"] is None:  # empty micro-batch
+            new_df.unpersist()
+            return
+        touched = sorted(int(b) for b in stats["bks"]) if self.n_buckets else []
+        self._merge_df(new_df, touched)
+        new_df.unpersist()
+        max_id = int(stats["mx"]) + 1
+        if max_id > self.offset:
+            self.offset = max_id
+            self._save_meta()
+
+    def _merge_df(self, new_df: DataFrame, touched: Sequence[int]) -> None:
+        """Shared merge plan: new rows UNION (old rows anti-joined on the
+        new docids); bucket-scoped when the layout allows it."""
+        if self._is_fully_bucketed():
+            # partial merge: only the buckets the upserted docids hash
+            # into are read + rewritten (the CDC micro-batch cost bound)
+            old = self._read_buckets(touched)
+            merged = new_df.unionByName(
+                old.join(new_df.select("docid"), "docid", "left_anti")
+            )
+            self._rewrite_buckets(merged, touched)
+        else:
+            merged = new_df.unionByName(
+                self.to_df().join(new_df.select("docid"), "docid", "left_anti")
+            )
+            self._rewrite(merged)
 
     @check_index_exists
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:

@@ -127,6 +127,8 @@ class TxtaiSQL:
 
     def search(self, text: str, limit: int = 3) -> list[tuple]:
         """embeddings.search parity: top-limit (id-ish row, score)."""
+        if self._indexed is None:
+            raise RuntimeError("call index() first")
         df = (
             attach_scores(self._indexed, self.encoder.encode(text), view=None)
             .orderBy(F.desc("score"))

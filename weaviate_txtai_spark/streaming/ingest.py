@@ -98,9 +98,14 @@ def stream_upsert(
     Cost bound at scale: create the index with ``weaviate.buckets: N``
     and each micro-batch rewrites ONLY the buckets its docids hash into
     — O(index/N × distinct touched buckets), not O(index) (VERDICT r1
-    item 2). Replayed batches are skipped via the persisted per-stream
-    watermark; a replay that races the watermark save re-applies an
-    idempotent merge (see module docstring).
+    item 2). Caveat: ``stream_ingest``'s flat commit dirs break the
+    canonical bucket layout, so an index receiving BOTH streaming
+    appends and CDC upserts degrades to full (atomic) rewrites until
+    ``compact()`` folds the layout back — run the two pipelines on
+    separate indexes or schedule compaction between them. Replayed
+    batches are skipped via the persisted per-stream watermark; a
+    replay that races the watermark save re-applies an idempotent merge
+    (see module docstring).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -121,10 +126,12 @@ def stream_upsert(
                 )
             else:
                 batch_df = batch_df.dropDuplicates([docid_col])
-            items = [
-                (r[docid_col], list(r[vector_col])) for r in batch_df.collect()
-            ]
-            index.upsert(items)
+            # distributed merge: the micro-batch never lands on the
+            # driver — a multi-million-row CDC batch would OOM a
+            # collect()-based sink
+            index.upsert_df(
+                batch_df, docid_col=docid_col, vector_col=vector_col
+            )
         index.stream_state[checkpoint] = int(batch_id)
         index._save_meta()
 

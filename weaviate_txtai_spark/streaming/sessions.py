@@ -67,23 +67,35 @@ def _sessionize_group(
             closed.append((user_id, start_us, last_us, n))
             state.remove()
     else:
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = None, None, 0
+        # Interval-merge formulation: the open session from state is just
+        # another run; fold the sorted (start, last, n) items, merging
+        # whenever the next run starts within gap of the current run's
+        # end. This handles out-of-order events ACROSS micro-batches the
+        # naive "t - last <= gap" walk got wrong: a late event now
+        # extends session_start backward, merges late events among
+        # themselves, and never folds an event older than start - gap
+        # into a newer session (batch-spec semantics).
         events = pd.concat(list(pdfs))
-        ts_us = (
-            events["ts"].astype("int64") // 1000
-        ).sort_values().tolist()  # ns -> us
-        for t in ts_us:
-            if start_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us <= gap_us:
-                last_us, n = max(last_us, t), n + 1
+        items = [
+            (t, t, 1)
+            for t in (events["ts"].astype("int64") // 1000).sort_values()
+        ]  # ns -> us
+        if state.exists:
+            s0, l0, n0 = state.get
+            items.append((int(s0), int(l0), int(n0)))
+            items.sort(key=lambda it: it[0])
+        cur = None
+        for it in items:
+            if cur is None:
+                cur = list(it)
+            elif it[0] <= cur[1] + gap_us:
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
             else:
-                closed.append((user_id, start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-        if start_us is not None:
+                closed.append((user_id, cur[0], cur[1], cur[2]))
+                cur = list(it)
+        if cur is not None:
+            start_us, last_us, n = cur
             state.update((int(start_us), int(last_us), int(n)))
             # flush via timeout once the watermark passes last event + gap
             state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
@@ -132,8 +144,13 @@ def sessionize_batch(
     from pyspark.sql import Window
 
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
-    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # microsecond precision: the streaming path compares in micros, and
+    # whole-second truncation disagrees with it (and with the gate SQL's
+    # INTERVAL comparison) on sub-second gaps
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    new_session = F.when(
+        gap.isNull() | (gap > int(gap_seconds) * 1_000_000), 1
+    ).otherwise(0)
     wrun = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
