@@ -84,7 +84,10 @@ def test_load_media_dir(spark, tmp_path):
     assert {len(r["payload"]) for r in rows} == {10, 11, 12}
     for r in rows:
         assert r["payload_meta"]["n_bytes"] == len(r["payload"])
-        assert r["doc_id"] >= 0
+    # raw xxhash64 ids (signed; abs() would ANSI-overflow on MIN_VALUE):
+    # unique per path, source_path stays the authoritative key
+    assert len({r["doc_id"] for r in rows}) == 3
+    assert len({r["source_path"] for r in rows}) == 3
     # payloads flow straight into the multimodal feature extractor
     feats = extract_features(df).collect()
     assert len(feats) == 3

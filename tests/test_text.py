@@ -159,3 +159,38 @@ def test_redact_pii_and_counts(spark):
     red1, ne1, np1 = out[1]
     assert red1 == "no pii here, just words and the number 7"  # untouched
     assert (ne1, np1) == (0, 0)
+
+
+def test_quality_functions_empty_text(spark):
+    """Empty/whitespace-only docs score 0.0 instead of crashing with
+    ANSI DIVIDE_BY_ZERO (review finding r3)."""
+    from weaviate_txtai_spark.functions.text import (
+        lexical_diversity,
+        mean_token_len,
+        quality_score,
+        stopword_ratio,
+    )
+
+    df = spark.createDataFrame([("",), ("   ",), ("real text here",)], "text string")
+    rows = df.select(
+        lexical_diversity("text").alias("d"),
+        stopword_ratio("text").alias("s"),
+        mean_token_len("text").alias("m"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert rows[0]["d"] == rows[0]["s"] == rows[0]["m"] == 0.0
+    assert rows[1]["d"] == 0.0
+    assert rows[2]["d"] > 0
+
+
+def test_lang_id_chinese_containment(spark):
+    """Unsegmented scripts: Chinese text must be detected via character
+    containment, not labeled 'und' (review finding r3)."""
+    from weaviate_txtai_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [("我有一个苹果，他就在那里",), ("the cat sat on the mat and it is fine",)],
+        "text string",
+    )
+    got = [r["l"] for r in df.select(lang_id("text").alias("l")).collect()]
+    assert got == ["zh", "en"]

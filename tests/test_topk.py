@@ -107,3 +107,19 @@ def test_gemm_tie_break_matches_expression_path(spark):
     ]
     assert expr == gemm
     assert [d for _, d in expr] == [0, 1, 2, 3, 4, 5, 6]  # id ASC within tie
+
+
+def test_gemm_zero_query_and_string_ids(spark):
+    """Zero query vectors score 0 (not NaN-dropped) and string ids ride
+    through the GEMM path (review finding r3)."""
+    docs = spark.createDataFrame(
+        [(f"doc{i}", [float(i + 1), 1.0]) for i in range(5)],
+        "docid string, vector array<float>",
+    )
+    res = knn_topk_gemm(docs, [(0, [0.0, 0.0]), (1, [1.0, 0.0])], 2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}  # zero query NOT silently dropped
+    assert all(r["score"] == 0.0 for r in by_q[0])
+    assert all(isinstance(r["docid"], str) for r in res)

@@ -98,3 +98,35 @@ def test_int8_quantize_roundtrip(spark):
     for orig, rec in zip([1.0, -0.5, 0.25, 0.0], recon):
         assert abs(orig - rec) <= s0 / 2 + 1e-12
     assert rows[1] == ([0, 0, 0, 0], 0.0)  # zero vector stays zero
+
+
+def test_cosine_sim_zero_vector_scores_zero(spark):
+    """ANSI mode: a zero vector (empty-doc encoder output) must score 0,
+    not DIVIDE_BY_ZERO-crash the whole search job (review finding r3)."""
+    from weaviate_txtai_spark.functions.vector import cosine_sim, normalize_vec
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        cosine_sim("a", "b").alias("c"), normalize_vec("a").alias("n")
+    ).collect()
+    assert rows[0]["c"] == 0.0 and rows[0]["n"] == [0.0, 0.0]
+    assert abs(rows[1]["c"] - 1.0) < 1e-12
+
+
+def test_split_fraction_wide_ids_no_overflow(spark):
+    """Hash-shaped ids near 2^63 must not ARITHMETIC_OVERFLOW, and small
+    ids keep their original assignment (review finding r3)."""
+    from weaviate_txtai_spark.functions.sampling import split_fraction
+
+    K, M = 2654435761, 1 << 32
+    ids = [0, 1, 12345, 3_000_000_000, (1 << 62) + 987654321, (1 << 63) - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", split_fraction("id").alias("f")).collect()
+    }
+    for i in ids:
+        assert abs(got[i] - ((i * K) % M) / M) < 1e-12

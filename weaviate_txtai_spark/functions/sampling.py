@@ -29,11 +29,23 @@ def _c(x) -> Column:
 def split_fraction(id_col) -> Column:
     """Deterministic uniform-ish fraction in [0, 1) from an integer id.
 
-    Caveat: exact only while id * 2654435761 fits in int64 — ids up to
-    ~3.4e9. For wider ids, pre-fold with ``pmod(id, 2^32)`` (also
-    oracle-expressible) before multiplying.
+    Computed as a split modular multiply (hi·2^16 and lo halves, each
+    product reduced mod 2^32 before recombining) so it never leaves
+    int64 for ANY long id — dense ids past 3.4e9 rows or hash-shaped
+    ids near 2^63 would otherwise kill the job with ANSI
+    ARITHMETIC_OVERFLOW (on by default in Spark 4). Value-identical to
+    the naive ``pmod(id * K, 2^32)`` wherever that didn't overflow, so
+    existing assignments and oracles are unchanged.
     """
-    return (F.pmod(_c(id_col) * F.lit(_KNUTH), F.lit(_MOD))) / F.lit(float(_MOD))
+    folded = F.pmod(_c(id_col), F.lit(_MOD))
+    hi = F.floor(folded / F.lit(65536))
+    lo = folded - hi * F.lit(65536)
+    term = F.pmod(
+        F.pmod(hi * F.lit(_KNUTH), F.lit(_MOD)) * F.lit(65536)
+        + lo * F.lit(_KNUTH),
+        F.lit(_MOD),
+    )
+    return term / F.lit(float(_MOD))
 
 
 def assign_split(

@@ -53,23 +53,32 @@ def bpe_ish_tokens(text) -> Column:
     )
 
 
+def _per_token(num: Column, t: Column) -> Column:
+    """num / token-count with the empty-text guard: real corpora contain
+    empty/whitespace-only docs, and ANSI mode turns the bare division
+    into a job-killing DIVIDE_BY_ZERO on exactly the rows a quality pass
+    exists to score. Empty text scores 0.0."""
+    n = F.size(t)
+    return F.when(n == 0, F.lit(0.0)).otherwise(num / n)
+
+
 def lexical_diversity(text) -> Column:
     """distinct tokens / total tokens — degenerate repetition detector."""
     t = tokens(text)
-    return F.size(F.array_distinct(t)) / F.size(t)
+    return _per_token(F.size(F.array_distinct(t)), t)
 
 
 def stopword_ratio(text, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(s) for s in (stopwords or EN_STOPWORDS)])
     t = tokens(text)
-    return F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / F.size(t)
+    return _per_token(F.size(F.filter(t, lambda x: F.array_contains(sw, x))), t)
 
 
 def mean_token_len(text) -> Column:
     t = tokens(text)
-    return F.aggregate(
-        t, F.lit(0.0), lambda acc, x: acc + F.length(x)
-    ) / F.size(t)
+    return _per_token(
+        F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x)), t
+    )
 
 
 def quality_score(text) -> Column:
@@ -127,16 +136,32 @@ def shingles(text, n: int = 3) -> Column:
     )
 
 
+# Profiles whose scripts are written WITHOUT spaces: token-equality
+# scoring never fires on them (the whole sentence is one "token"), so
+# they score by substring containment of their function characters.
+UNSEGMENTED_LANGS = {"zh"}
+
+
 def lang_id(text) -> Column:
     """Language-ID heuristic: argmax over per-language function-word hit
-    ratios; 'und' (undetermined) when nothing matches. Pure exprs: builds
+    counts; 'und' (undetermined) when nothing matches. Pure exprs: builds
     a (score, lang) struct per language and takes array_max — ties break
-    to the lexicographically larger code, deterministically."""
-    t = tokens(F.lower(_c(text)))
+    to the lexicographically larger code, deterministically. Unsegmented
+    scripts (zh) score by character containment instead of token
+    equality — whitespace tokenization leaves Chinese text as one giant
+    token that can never equal a profile word."""
+    lower = F.lower(_c(text))
+    t = tokens(lower)
     scored = []
     for code, words in LANG_PROFILES.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        score = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        if code in UNSEGMENTED_LANGS:
+            score = sum(
+                (F.when(F.contains(lower, F.lit(w)), 1).otherwise(0) for w in words),
+                F.lit(0),
+            )
+        else:
+            sw = F.array(*[F.lit(w) for w in words])
+            score = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
         scored.append(F.struct(score.alias("score"), F.lit(code).alias("lang")))
     best = F.array_max(F.array(*scored))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -58,7 +58,11 @@ def cosine_sim(a, b) -> Column:
     (weaviate.py:101-104); txtai reports similarity = 1 - distance.
     """
     a, b = _c(a), _c(b)
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # zero-norm guard: ANSI mode (Spark 4 default) turns x/0 into a job-
+    # killing DIVIDE_BY_ZERO; a zero vector (e.g. HashingEncoder on an
+    # empty document) scores 0 against everything instead
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def cosine_dist(a, b) -> Column:
@@ -85,7 +89,8 @@ def normalize_vec(a) -> Column:
     """
     a = _c(a)
     n = l2_norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)  # zero vec stays zeros
+    return F.transform(a, lambda x: x.cast("double") / safe)
 
 
 def int8_quantize(a) -> Column:

@@ -93,6 +93,12 @@ def resize_images(
     over the fake 8x8 pixel grid, so output values are deterministic
     and size-reduction is observable in tests."""
 
+    if 8 % width or 8 % height:
+        raise ValueError(
+            f"resize_images: width/height must divide the 8x8 source grid "
+            f"(got {width}x{height}) — the fake decode is block-mean only"
+        )
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 

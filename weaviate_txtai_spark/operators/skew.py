@@ -46,10 +46,19 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
     keys = [on] if isinstance(on, str) else list(on)
-    rand = F.rand(seed) if seed is not None else F.rand()
-    left = skewed.withColumn(
-        _SALT, (rand * salt_factor).cast("int")
+    # DETERMINISTIC per-row salt (hash of the full row, seedable), never
+    # F.rand(): rand is re-evaluated on stage retry, so a shuffle-fetch
+    # failure recomputes lost map tasks with DIFFERENT salts and rows go
+    # missing or duplicate vs the plain join. Hashing the row content is
+    # retry-stable; rows with the same key still spread across buckets
+    # whenever any other column differs (exact full-row duplicates share
+    # a bucket — they'd collide under any content-deterministic scheme).
+    salt_src = (
+        F.xxhash64(*skewed.columns, F.lit(int(seed)))
+        if seed is not None
+        else F.xxhash64(*skewed.columns)
     )
+    left = skewed.withColumn(_SALT, F.pmod(salt_src, F.lit(salt_factor)).cast("int"))
     right = other.withColumn(
         _SALT,
         F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1))),

@@ -127,12 +127,28 @@ def knn_topk_gemm(
     else:
         qids = np.asarray([q[0] for q in queries])
         qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # zero-norm guard matches the index side below: a zero query vector
+    # must score 0 everywhere (deterministic output), not NaN — NaN made
+    # the local top-k select nothing and SILENTLY dropped the query
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    qnorm = qmat / qn
 
+    # derive id types from the inputs: hardcoding LongType crashed the
+    # Arrow serializer for string ids, making topk_join succeed or fail
+    # depending on which strategy its row-count probe picked
+    from pyspark.sql.types import StringType
+
+    idx_id_type = index_df.schema[id_col].dataType
+    q_id_type = (
+        LongType()
+        if len(qids) and isinstance(qids[0].item() if hasattr(qids[0], "item") else qids[0], int)
+        else StringType()
+    )
     out_schema = StructType(
         [
-            StructField("query_id", LongType()),
-            StructField(id_col, LongType()),
+            StructField("query_id", q_id_type),
+            StructField(id_col, idx_id_type),
             StructField("score", DoubleType()),
         ]
     )

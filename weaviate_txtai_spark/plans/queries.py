@@ -1248,18 +1248,33 @@ def _lang_id_oracle() -> str:
     LANG_PROFILES dict the Spark expression uses — one source of truth,
     the oracle can't drift from the engine. Struct max() compares
     (score, lang) fields in order in both engines, so ties break
-    identically (lexicographically larger code)."""
-    from weaviate_txtai_spark.functions.text import LANG_PROFILES
+    identically (lexicographically larger code). Unsegmented scripts
+    (UNSEGMENTED_LANGS) score by character containment, mirroring the
+    Spark expression."""
+    from weaviate_txtai_spark.functions.text import (
+        LANG_PROFILES,
+        UNSEGMENTED_LANGS,
+    )
+
+    def entry(code: str, words: list[str]) -> str:
+        if code in UNSEGMENTED_LANGS:
+            score = " + ".join(
+                f"(CASE WHEN contains(lt, '{w}') THEN 1 ELSE 0 END)"
+                for w in words
+            )
+            return "{'s': " + score + ", 'lang': '" + code + "'}"
+        return (
+            "{'s': len(list_filter(t, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], x))), 'lang': '" + code + "'}"
+        )
 
     entries = ", ".join(
-        "{'s': len(list_filter(t, x -> list_contains(["
-        + ", ".join(f"'{w}'" for w in words)
-        + "], x))), 'lang': '" + code + "'}"
-        for code, words in LANG_PROFILES.items()
+        entry(code, words) for code, words in LANG_PROFILES.items()
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id,
+  SELECT doc_id, lower(text) AS lt,
          list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
   FROM documents
 ), best AS (

@@ -34,7 +34,13 @@ def load_media_dir(
     raw = reader.load(path)
     w_path = F.col("path")
     return raw.select(
-        F.abs(F.xxhash64(w_path)).alias("doc_id"),
+        # raw xxhash64 (possibly negative): abs() would both overflow
+        # under ANSI on Long.MIN_VALUE and halve the id space. The hash
+        # id is a convenience key — source_path stays the authoritative
+        # unique key (64-bit birthday collisions silently merge files at
+        # billions-of-files scale; join on source_path where that
+        # matters).
+        F.xxhash64(w_path).alias("doc_id"),
         w_path.alias("source_path"),
         F.col("content").alias("payload"),
         F.struct(

@@ -38,10 +38,22 @@ def spread(df: DataFrame) -> DataFrame:
     onto one core. Per-row-heavy operators call this before their hot map
     stage. At real scale inputs arrive in many splits and this is a no-op —
     it never *reduces* parallelism and never adds a shuffle when the scan
-    is already wide."""
+    is already wide.
+
+    Width is estimated from ``inputFiles()`` (a listing, no job) rather
+    than ``df.rdd.getNumPartitions()``: under AQE (on by default),
+    ``.rdd`` finalizes the adaptive plan by EXECUTING upstream shuffle
+    stages, so probing a join/aggregate output's width would run the
+    expensive part of the job twice. Frames with no file lineage
+    (post-shuffle) pass through untouched — they are already
+    shuffle.partitions wide."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
