@@ -17,6 +17,7 @@ embeddings) — it is the *specification*; the Spark side is the *engine*.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -177,9 +178,18 @@ def _build_index(spark: SparkSession, sf_dir: str):
 
     from weaviate_txtai_spark.index import VectorIndex
 
-    emb = _emb(spark, sf_dir).orderBy("vec_id").collect()
+    # distributed append: the table never lands on the driver. orderBy +
+    # coalesce(1) pins a deterministic ingest order so docid == vec_id
+    # (the dense-id scheme numbers by (partition, position)); the gate
+    # table is small, and the oracle depends on that mapping.
+    vecs = (
+        _emb(spark, sf_dir)
+        .coalesce(1)
+        .sortWithinPartitions("vec_id")
+        .select(F.col("embedding").alias("vector"))
+    )
     idx = VectorIndex(spark, tempfile.mkdtemp(prefix="gate_idx_")).create()
-    idx.append([list(r["embedding"]) for r in emb])
+    idx.append(vecs)
     return idx
 
 
@@ -213,9 +223,17 @@ SELECT e.vec_id AS docid,
          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)),
          6) AS score
 FROM embeddings e
-ORDER BY score DESC, docid ASC
+ORDER BY list_cosine_similarity(
+         CAST(CASE WHEN e.vec_id = 0
+              THEN (SELECT embedding FROM embeddings WHERE vec_id = 1)
+              ELSE e.embedding END AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1))
+         DESC, docid ASC
 LIMIT 3
 """
+# ORDER BY repeats the RAW cosine (not the rounded alias): the Spark side
+# ranks unrounded (knn_topk score_round=None), and an alias-bound sort
+# would flip 6dp-boundary ties.
 
 
 @register("vector_upsert", _VECTOR_UPSERT_SQL)
@@ -793,9 +811,12 @@ def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the window shuffles once on the natural key."""
     ev = load_table(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    # microsecond gap: the oracle compares the exact INTERVAL, and
+    # whole-second truncation flips gap detection on sub-second data
+    # (the events_rolling_avg lesson, NOTES.md)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1161,11 +1182,14 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis suite (north-star M3)
 # --------------------------------------------------------------------------
 
+# empty-doc guard in the SQL mirrors the Spark side's _per_token (0.0, not x/0)
 _TEXT_STATS_SQL = """
 SELECT doc_id,
        CAST(len(toks) AS INT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS INT) AS n_unique,
-       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS diversity,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+       END AS diversity,
        md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
 FROM (SELECT doc_id, text,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1194,13 +1218,14 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_QUALITY_SQL = """
 SELECT doc_id,
+       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
        round(least(len(toks) / 100.0, 1.0) * 0.4
              + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
              + least((len(list_filter(toks, x -> list_contains(
                  ['the','a','of','and','to','in','is','that','it','for',
                   'on','with','as','was','at','by'], x))) * 1.0 / len(toks))
                  * 5.0, 1.0) * 0.3,
-             6) AS quality
+             6) END AS quality
 FROM (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks
       FROM documents)
@@ -2673,6 +2698,10 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["spark", "vector", "join"]
 
+# term list interpolated from _BM25_TERMS (single source of truth — a
+# hardcoded IN-list silently desyncs when the Python list changes);
+# doclen LEFT JOINs from documents so zero-token docs stay in n/avgdl,
+# matching the Spark side's docs.agg over ALL documents.
 _BM25_CORE_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
@@ -2680,11 +2709,12 @@ WITH tok AS (
 ), tf AS (
   SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
 ), doclen AS (
-  SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1
+  SELECT d.doc_id, coalesce(sum(tf.tf), 0) AS len
+  FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id GROUP BY 1
 ), stats AS (
   SELECT count(*) AS n, avg(len) AS avgdl FROM doclen
 ), qtf AS (
-  SELECT * FROM tf WHERE t IN ('spark', 'vector', 'join')
+  SELECT * FROM tf WHERE t IN (__TERMS__)
 ), dfreq AS (
   SELECT t, count(*) AS df FROM qtf GROUP BY 1
 ), scored AS (
@@ -2700,7 +2730,7 @@ WITH tok AS (
   CROSS JOIN stats
   GROUP BY 1
 )
-"""
+""".replace("__TERMS__", ", ".join(f"'{t}'" for t in _BM25_TERMS))
 
 _BM25_TOPK_SQL = (
     _BM25_CORE_SQL
@@ -2801,10 +2831,10 @@ def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TOKENS_SQL = """
 SELECT source,
        CAST(sum(length(list_filter(
-         regexp_split_to_array(lower(text), '[^a-z0-9à-ɏ一-鿿]+'),
+         regexp_split_to_array(lower(text), '[^a-z0-9À-ɏ一-鿿]+'),
          x -> x <> ''))) AS BIGINT) AS bpe_tokens,
        CAST(max(length(list_filter(
-         regexp_split_to_array(lower(text), '[^a-z0-9à-ɏ一-鿿]+'),
+         regexp_split_to_array(lower(text), '[^a-z0-9À-ɏ一-鿿]+'),
          x -> x <> ''))) AS BIGINT) AS max_doc_tokens
 FROM documents GROUP BY 1 ORDER BY 1
 """
@@ -2865,17 +2895,21 @@ def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("qlabel"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    # rank on the RAW score (the oracle's row_number orders by the raw
+    # cosine); round only for output — ranking the rounded value would
+    # flip tie-breaks at the 6dp boundary
+    w = Window.partitionBy("query_id").orderBy(F.desc("__raw"), F.asc("vec_id"))
     return (
         emb.crossJoin(anchors)
         .filter(F.col("label") != F.col("qlabel"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
+            cosine_sim("embedding", "qv").alias("__raw"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", F.round("__raw", 6).alias("score"), "rank")
     )
 
 
@@ -3015,29 +3049,31 @@ def knn_diverse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     )
-    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    # rank on the RAW score (matches the oracle's window); round for
+    # output only — ranking the rounded value flips 6dp-boundary ties
+    w = Window.partitionBy("label").orderBy(F.desc("__raw"), F.asc("vec_id"))
     return (
         emb.crossJoin(q)
-        .select(
-            "label",
-            "vec_id",
-            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
-        )
+        .select("label", "vec_id", cosine_sim("embedding", "qv").alias("__raw"))
         .withColumn("label_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("label_rank") <= 2)
+        .select(
+            "label", "vec_id", F.round("__raw", 6).alias("score"), "label_rank"
+        )
     )
 
 
 _QUALITY_SAMPLE_SQL = """
 WITH q AS (
   SELECT doc_id, source,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
          round(least(len(toks) / 100.0, 1.0) * 0.4
                + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
                + least((len(list_filter(toks, x -> list_contains(
                    ['the','a','of','and','to','in','is','that','it','for',
                     'on','with','as','was','at','by'], x))) * 1.0 / len(toks))
                    * 5.0, 1.0) * 0.3,
-               6) AS quality,
+               6) END AS quality,
          (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
   FROM (SELECT doc_id, source,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -3254,7 +3290,9 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    cut = int(docs.agg(F.max("doc_id")).head()[0] * 0.9)
+    # round-half-up matches the oracle's CAST(0.9*max AS BIGINT)
+    # (DuckDB rounds to nearest; Python int() truncates)
+    cut = math.floor(docs.agg(F.max("doc_id")).head()[0] * 0.9 + 0.5)
     new_docs = docs.filter(F.col("doc_id") > cut)
     corpus = docs.filter(F.col("doc_id") <= cut)
     return minhash_lsh_pairs_incremental(new_docs, corpus, threshold=0.8)
