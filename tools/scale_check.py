@@ -1,0 +1,128 @@
+"""Measured scaling evidence: run the heavy operators at 1x and 2x the
+sf0.1 corpus and report the runtime ratio.
+
+The 100 TB claims in SCALING.md are plan arguments; this tool is the
+empirical check that doubling the data does not quadruple the time. The
+2x corpus is the sf0.1 table unioned with an id-shifted copy (same
+distribution, disjoint ids, so dedup pair counts grow ~2x for planted
+dups, ~4x only if an operator is accidentally all-pairs — which is
+exactly what the ratio detects).
+
+Usage: python tools/scale_check.py  -> one JSON line + SCALE_CHECK.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scale-check")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from weaviate_txtai_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from weaviate_txtai_spark.operators.simjoin import topk_join_ivf
+    from weaviate_txtai_spark.sources.tables import load_table
+
+    docs1 = load_table(spark, SF_DIR, "documents")
+    n_docs = docs1.count()
+    docs2 = docs1.unionByName(
+        docs1.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    emb2 = emb1.unionByName(
+        emb1.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+
+    def q_jaccard(d):
+        return jaccard_pairs(d, threshold=0.8)
+
+    def q_minhash(d):
+        return minhash_lsh_pairs(d, threshold=0.8)
+
+    def q_simhash(d):
+        return simhash_pairs(d, max_hamming=3)
+
+    def q_simjoin(nlist):
+        # nlist scales with the corpus (constant cell size): IVF probe
+        # cost is Q x nprobe x cell_size, so fixed nlist at 2x data
+        # doubles BOTH the query count and every cell - the operational
+        # rule is nlist ∝ corpus (SCALING.md)
+        def inner(e):
+            left = e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vector"),
+            )
+            return topk_join_ivf(
+                left, e, 3, right_id="vec_id", right_vec="embedding",
+                nlist=nlist, nprobe=4,
+            )
+
+        return inner
+
+    cases = [
+        ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
+        ("dedup_minhash", q_minhash, q_minhash, docs1, docs2),
+        ("dedup_simhash", q_simhash, q_simhash, docs1, docs2),
+        ("sim_join_ivf", q_simjoin(16), q_simjoin(32), emb1, emb2),
+    ]
+
+    def run(fn, data) -> tuple[float, int]:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = fn(data).count()
+        return time.time() - t0, n
+
+    out = {}
+    for name, fn1, fn2, d1, d2 in cases:
+        run(fn1, d1)  # warm (JIT, file listing)
+        t1, n1 = run(fn1, d1)
+        t2, n2 = run(fn2, d2)
+        out[name] = {
+            "t_1x": round(t1, 3),
+            "t_2x": round(t2, 3),
+            "ratio": round(t2 / t1, 2) if t1 > 0 else None,
+            "rows_1x": n1,
+            "rows_2x": n2,
+        }
+
+    result = {
+        "metric": "scale_ratio_2x",
+        "sf": SF_DIR,
+        "n_docs_1x": n_docs,
+        "cases": out,
+    }
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE_CHECK.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
