@@ -41,6 +41,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from weaviate_txtai_spark.operators.dedup import (
+        embedding_dup_pairs_lsh,
         jaccard_pairs,
         minhash_lsh_pairs,
         simhash_pairs,
@@ -88,6 +89,8 @@ def main() -> None:
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_minhash", q_minhash, q_minhash, docs1, docs2),
         ("dedup_simhash", q_simhash, q_simhash, docs1, docs2),
+        ("dedup_embedding_lsh", embedding_dup_pairs_lsh,
+         embedding_dup_pairs_lsh, emb1, emb2),
         ("sim_join_ivf", q_simjoin(16), q_simjoin(32), emb1, emb2),
     ]
 
