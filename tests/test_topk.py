@@ -123,3 +123,48 @@ def test_gemm_zero_query_and_string_ids(spark):
     assert set(by_q) == {0, 1}  # zero query NOT silently dropped
     assert all(r["score"] == 0.0 for r in by_q[0])
     assert all(isinstance(r["docid"], str) for r in res)
+
+
+def test_blocked_join_matches_broadcast_join(spark, sf_dir):
+    """topk_join_blocked (hash blocks, repeated right scans) must equal
+    topk_join exactly — block decomposition is result-invariant."""
+    from weaviate_txtai_spark.operators.simjoin import (
+        topk_join,
+        topk_join_blocked,
+    )
+    from weaviate_txtai_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    a = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in topk_join(
+            left, emb, 5, right_id="vec_id", right_vec="embedding"
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 9))
+        for r in topk_join_blocked(
+            left, emb, 5, right_id="vec_id", right_vec="embedding", block_size=7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_blocked_join_rejects_unbounded_left(spark):
+    import pytest
+
+    from weaviate_txtai_spark.operators.simjoin import topk_join_blocked
+
+    left = spark.range(0, 200).select(
+        F.col("id").alias("query_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("query_vector"),
+    )
+    right = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "docid long, vector array<float>"
+    )
+    with pytest.raises(ValueError, match="64 blocks"):
+        topk_join_blocked(left, right, 1, block_size=2)

@@ -18,3 +18,6 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
 
 echo "== bench (sf0.1) =="
 python bench.py
+
+echo "== scale ratios (sf0.1 x2) =="
+python tools/scale_check.py

@@ -7,14 +7,17 @@ reference answers one query vector per HTTP call; a batch pipeline needs
 Strategies, by scale of the LEFT (query) side:
 - ``topk_join``: left side small enough to broadcast → identical plan to
   knn_topk (broadcast + map-only scan + window). Use when |A| ≲ 10⁵.
-- ``topk_join_gemm``: both sides large → shuffle-free blocked GEMM. B is
-  re-read per left-block; blocks chosen so the arrow batches fit executor
-  memory. On a cluster this is the "broadcast-block nested-loop with BLAS"
-  pattern.
+- ``topk_join_blocked``: both sides large, EXACT → the left side is
+  processed in driver-bounded blocks; each block ships to the GEMM
+  kernel and B streams through once per block ("broadcast-block nested
+  loop with BLAS"). Cost is |blocks| scans of B — the honest price of
+  exactness without a crossJoin shuffle; use IVF when approximate
+  recall is acceptable.
 - ``topk_join_ivf``: both sides huge → cluster B with k-means (see
   ``ann.py``), route each A-row to its nprobe nearest centroids, shuffle
-  ONLY by centroid id (co-partitioned equi-join, no crossJoin), exact
-  scoring within each probe. Approximate: recall controlled by nprobe.
+  ONLY by centroid id (salted co-partitioned equi-join, no crossJoin),
+  exact scoring within each probe. Approximate: recall controlled by
+  nprobe.
 """
 
 from __future__ import annotations
@@ -71,6 +74,68 @@ def topk_join(
         query_vector_col=left_vec,
         query_id_col=left_id,
     )
+
+
+def topk_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    *,
+    left_id: str = "query_id",
+    left_vec: str = "query_vector",
+    right_id: str = "docid",
+    right_vec: str = "vector",
+    block_size: int = 10_000,
+) -> DataFrame:
+    """EXACT both-sides-large top-k join: the left side is split into
+    hash blocks of ~``block_size`` rows; each block is collected (driver
+    memory bounded by one block), scored against the full right side via
+    the Arrow GEMM kernel, and the per-block results union into one
+    plan.
+
+    Trade: the right side is scanned once per block — |A|/block_size
+    passes. That is the exact-join floor without a crossJoin shuffle
+    (which would move |A|×|B| rows); when |A| is truly huge and
+    approximate recall is fine, ``topk_join_ivf`` replaces the repeated
+    scans with one clustered shuffle. Deterministic: hash-blocking is
+    content-stable and each block's top-k is independent of the others.
+    """
+    from weaviate_txtai_spark.operators.topk import knn_topk_gemm
+
+    n = left.select(left_id).limit(block_size * 64 + 1).count()
+    if n > block_size * 64:
+        raise ValueError(
+            "topk_join_blocked: left side exceeds 64 blocks — the "
+            "repeated right-side scans would dominate; use topk_join_ivf"
+        )
+    n_blocks = max(1, -(-n // block_size))
+    parts = []
+    for b in range(n_blocks):
+        chunk = (
+            left.filter(
+                F.pmod(F.xxhash64(F.col(left_id)), F.lit(n_blocks)) == b
+            )
+            .select(left_id, left_vec)
+            .collect()
+        )
+        if not chunk:
+            continue
+        queries = [(r[0], list(r[1])) for r in chunk]
+        parts.append(
+            knn_topk_gemm(
+                right, queries, k, vector_col=right_vec, id_col=right_id
+            ).withColumnRenamed("query_id", left_id)
+        )
+    if not parts:
+        return (
+            right.sparkSession.createDataFrame(
+                [], f"{left_id} long, {right_id} long, score double, rank int"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def topk_join_ivf(

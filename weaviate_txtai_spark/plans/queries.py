@@ -982,6 +982,27 @@ def sim_join_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_join_blocked", _SIM_JOIN_SQL)
+def sim_join_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-GEMM exact similarity join (the both-sides-large EXACT
+    strategy): left side processed in hash blocks, right side scanned
+    per block. Same oracle as `sim_join_topk` — the block decomposition
+    must be result-invariant. block_size forced small so the gate
+    exercises multiple blocks."""
+    from weaviate_txtai_spark.operators.simjoin import topk_join_blocked
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = topk_join_blocked(
+        left, emb, 3, right_id="vec_id", right_vec="embedding", block_size=16
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 @register("ann_ivf", None)  # approximate (recall < 1 by design): rows-only
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells + nprobe pruning, exact cosine within probes.
