@@ -338,3 +338,18 @@ def test_index_all_null_metadata_field(spark):
     emb = Embeddings(spark, config={"content": True})
     emb.index([(i, {"text": f"doc {i}", "tag": None}, None) for i in range(3)])
     assert emb.count() == 3
+
+
+def test_metadata_arrays_survive_as_arrays(spark):
+    """List metadata must infer as array columns, not repr strings
+    (review finding r4); all-None fields coexist with inference."""
+    emb = Embeddings(spark, config={"content": True})
+    emb.index(
+        [(i, {"text": f"doc {i}", "tags": ["a", f"t{i}"], "opt": None}, None)
+         for i in range(3)]
+    )
+    rows = emb.search(
+        "select id, tags from txtai where array_contains(tags, 'a')"
+    )
+    assert len(rows) == 3
+    assert isinstance(rows[0]["tags"], list) and "a" in rows[0]["tags"]

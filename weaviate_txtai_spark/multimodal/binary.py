@@ -93,7 +93,7 @@ def resize_images(
     over the fake 8x8 pixel grid, so output values are deterministic
     and size-reduction is observable in tests."""
 
-    if 8 % width or 8 % height:
+    if width <= 0 or height <= 0 or 8 % width or 8 % height:
         raise ValueError(
             f"resize_images: width/height must divide the 8x8 source grid "
             f"(got {width}x{height}) — the fake decode is block-mean only"

@@ -127,10 +127,25 @@ def topk_join_blocked(
             ).withColumnRenamed("query_id", left_id)
         )
     if not parts:
-        return (
-            right.sparkSession.createDataFrame(
-                [], f"{left_id} long, {right_id} long, score double, rank int"
-            )
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        # derive id types from the inputs (a hardcoded long would make
+        # string-id pipelines fail only when the left side is empty)
+        return right.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(left_id, left.schema[left_id].dataType),
+                    StructField(right_id, right.schema[right_id].dataType),
+                    StructField("score", DoubleType()),
+                    StructField("rank", LongType()),
+                ]
+            ),
         )
     out = parts[0]
     for p in parts[1:]:

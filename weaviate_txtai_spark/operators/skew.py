@@ -46,17 +46,31 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
     keys = [on] if isinstance(on, str) else list(on)
-    # DETERMINISTIC per-row salt (hash of the full row, seedable), never
-    # F.rand(): rand is re-evaluated on stage retry, so a shuffle-fetch
-    # failure recomputes lost map tasks with DIFFERENT salts and rows go
-    # missing or duplicate vs the plain join. Hashing the row content is
-    # retry-stable; rows with the same key still spread across buckets
-    # whenever any other column differs (exact full-row duplicates share
-    # a bucket — they'd collide under any content-deterministic scheme).
+    # DETERMINISTIC per-row salt (hash of the row's hashable columns,
+    # seedable), never F.rand(): rand is re-evaluated on stage retry, so
+    # a shuffle-fetch failure recomputes lost map tasks with DIFFERENT
+    # salts and rows go missing or duplicate vs the plain join. Hashing
+    # row content is retry-stable; rows with the same key still spread
+    # whenever any hashable column differs. MapType columns are excluded
+    # (xxhash64 rejects maps); rows identical in every hashable column
+    # share a bucket — unavoidable under any content-deterministic
+    # scheme.
+    def _hashable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    hash_cols = [f.name for f in skewed.schema.fields if _hashable(f.dataType)]
     salt_src = (
-        F.xxhash64(*skewed.columns, F.lit(int(seed)))
+        F.xxhash64(*hash_cols, F.lit(int(seed)))
         if seed is not None
-        else F.xxhash64(*skewed.columns)
+        else F.xxhash64(*hash_cols)
     )
     left = skewed.withColumn(_SALT, F.pmod(salt_src, F.lit(salt_factor)).cast("int"))
     right = other.withColumn(

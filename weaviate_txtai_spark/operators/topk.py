@@ -127,6 +127,19 @@ def knn_topk_gemm(
     else:
         qids = np.asarray([q[0] for q in queries])
         qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    if len(qids) == 0:
+        # empty query set → empty result, not an AxisError mid-pipeline
+        return index_df.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", LongType()),
+                    StructField(id_col, index_df.schema[id_col].dataType),
+                    StructField("score", DoubleType()),
+                    StructField("rank", LongType()),
+                ]
+            ),
+        )
     # zero-norm guard matches the index side below: a zero query vector
     # must score 0 everywhere (deterministic output), not NaN — NaN made
     # the local top-k select nothing and SILENTLY dropped the query

@@ -818,7 +818,10 @@ def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
-    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # same (ts, event_id) tiebreak as the lag window: an orderBy("ts")
+    # prefix sum breaks duplicate-ts ties arbitrarily and can flip
+    # session ids vs the flag assignment
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     sessions = ev.withColumn("new_session", new_session).withColumn(

@@ -40,20 +40,38 @@ def spread(df: DataFrame) -> DataFrame:
     it never *reduces* parallelism and never adds a shuffle when the scan
     is already wide.
 
-    Width is estimated from ``inputFiles()`` (a listing, no job) rather
-    than ``df.rdd.getNumPartitions()``: under AQE (on by default),
-    ``.rdd`` finalizes the adaptive plan by EXECUTING upstream shuffle
-    stages, so probing a join/aggregate output's width would run the
-    expensive part of the job twice. Frames with no file lineage
-    (post-shuffle) pass through untouched — they are already
-    shuffle.partitions wide."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    Width is estimated from ``inputFiles()`` sizes (a listing, no job)
+    rather than ``df.rdd.getNumPartitions()``: under AQE (on by
+    default), ``.rdd`` finalizes the adaptive plan by EXECUTING upstream
+    shuffle stages, so probing a join/aggregate output's width would run
+    the expensive part of the job twice. Split count ≈ Σ ceil(bytes /
+    maxPartitionBytes) — a few LARGE parquet files are already wide via
+    128 MB splits and must not trigger a shuffle (raw file COUNT would).
+    Frames with no file lineage (post-shuffle), or non-local files whose
+    sizes we can't stat cheaply, pass through untouched."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if 0 < n_files < target:
+        files = []
+    if not files:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.strip().lower().removesuffix("b")
+    max_bytes = (
+        int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s or 0)
+    ) or 134217728
+    splits = 0
+    for f in files:
+        local = f[7:] if f.startswith("file:") and f[5:7] == "//" else (
+            f[5:] if f.startswith("file:") else f
+        )
+        if not os.path.exists(local):
+            return df  # non-local FS: can't stat cheaply, leave as-is
+        splits += max(1, -(-os.path.getsize(local) // max_bytes))
+    if splits < target:
         return df.repartition(target)
     return df
 

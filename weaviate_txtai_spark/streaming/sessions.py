@@ -10,8 +10,10 @@ session's last event + gap (state timeout). Open sessions survive in the
 state store across micro-batches.
 
 Scale: state is partitioned by user_id (the natural shuffle key); each
-group's state is O(1) (one open session), so the state store stays tiny
-no matter how long the stream runs — the watermark bounds retention.
+group holds its OPEN runs only — sessions not yet sealed by the
+watermark — so per-user state is bounded by watermark_delay / gap runs
+(typically one or two) and the store stays tiny no matter how long the
+stream runs.
 """
 
 from __future__ import annotations
@@ -39,12 +41,17 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
-# state: (session_start_us, last_ts_us, n_events)
+# state: parallel arrays of OPEN session runs (start_us, last_us, n) —
+# multiple runs, not one: a late-event cluster spanning micro-batches
+# must accumulate in state until the watermark seals it, or it would be
+# emitted as split/overlapping fragments
+from pyspark.sql.types import ArrayType
+
 STATE_SCHEMA = StructType(
     [
-        StructField("session_start_us", LongType()),
-        StructField("last_ts_us", LongType()),
-        StructField("n_events", LongType()),
+        StructField("starts_us", ArrayType(LongType())),
+        StructField("lasts_us", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -61,44 +68,55 @@ def _sessionize_group(
     gap_us = gap_seconds * 1_000_000
     closed: list[tuple[int, int, int, int]] = []
 
-    if state.hasTimedOut:
-        if state.exists:
-            start_us, last_us, n = state.get
-            closed.append((user_id, start_us, last_us, n))
-            state.remove()
-    else:
-        # Interval-merge formulation: the open session from state is just
-        # another run; fold the sorted (start, last, n) items, merging
-        # whenever the next run starts within gap of the current run's
-        # end. This handles out-of-order events ACROSS micro-batches the
-        # naive "t - last <= gap" walk got wrong: a late event now
-        # extends session_start backward, merges late events among
-        # themselves, and never folds an event older than start - gap
-        # into a newer session (batch-spec semantics).
+    # Interval-merge over ALL open runs: state runs + this batch's events
+    # fold into maximal runs (sorted by start, merge when the next run
+    # starts within gap of the current end). A run is emitted ONLY when
+    # the event-time watermark passes its end + gap — never eagerly on a
+    # later event's arrival — so out-of-order events across micro-batches
+    # keep accumulating in state instead of emitting split/overlapping
+    # fragments (batch-spec semantics). Events BELOW the watermark may be
+    # dropped by the engine before reaching this function (standard
+    # stateful-operator late-data semantics); everything at-or-above it
+    # is merged exactly.
+    runs: list[list[int]] = []
+    if state.exists:
+        starts, lasts, ns = state.get
+        runs = [[int(s), int(l), int(c)] for s, l, c in zip(starts, lasts, ns)]
+    if not state.hasTimedOut:
         events = pd.concat(list(pdfs))
-        items = [
-            (t, t, 1)
-            for t in (events["ts"].astype("int64") // 1000).sort_values()
-        ]  # ns -> us
-        if state.exists:
-            s0, l0, n0 = state.get
-            items.append((int(s0), int(l0), int(n0)))
-            items.sort(key=lambda it: it[0])
-        cur = None
-        for it in items:
-            if cur is None:
-                cur = list(it)
-            elif it[0] <= cur[1] + gap_us:
-                cur[1] = max(cur[1], it[1])
-                cur[2] += it[2]
-            else:
-                closed.append((user_id, cur[0], cur[1], cur[2]))
-                cur = list(it)
-        if cur is not None:
-            start_us, last_us, n = cur
-            state.update((int(start_us), int(last_us), int(n)))
-            # flush via timeout once the watermark passes last event + gap
-            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if len(events):
+            runs.extend(
+                [int(t), int(t), 1]
+                for t in (events["ts"].astype("int64") // 1000)  # ns -> us
+            )
+    runs.sort(key=lambda r: r[0])
+    merged: list[list[int]] = []
+    for r in runs:
+        if merged and r[0] <= merged[-1][1] + gap_us:
+            merged[-1][1] = max(merged[-1][1], r[1])
+            merged[-1][2] += r[2]
+        else:
+            merged.append(list(r))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    open_runs = []
+    for r in merged:
+        if r[1] + gap_us < wm_us:  # watermark sealed this run
+            closed.append((user_id, r[0], r[1], r[2]))
+        else:
+            open_runs.append(r)
+    if open_runs:
+        state.update(
+            (
+                [r[0] for r in open_runs],
+                [r[1] for r in open_runs],
+                [r[2] for r in open_runs],
+            )
+        )
+        # wake when the watermark can seal the earliest open run
+        earliest_end_ms = min(r[1] for r in open_runs) // 1000
+        state.setTimeoutTimestamp(earliest_end_ms + gap_seconds * 1000 + 1)
+    elif state.exists:
+        state.remove()
 
     if closed:
         yield pd.DataFrame(
