@@ -91,3 +91,68 @@ def test_index_append_plan_stays_parallel(spark, tmp_path):
     assert idx.offset == 502
     got = sorted(r["docid"] for r in idx.to_df().collect())
     assert got == list(range(502))
+
+
+# ------------------------------------------------------- deterministic uuids
+
+
+def test_uuid5_dns_matches_python_uuid5(spark):
+    """The codegen uuid5 expression is bit-for-bit Python's
+    uuid.uuid5(NAMESPACE_DNS, str(docid)) (ADVICE r2)."""
+    import uuid as uuidlib
+
+    from weaviate_txtai_spark.operators.ids import uuid5_dns
+
+    ids = [0, 1, 7, 42, 999999, 2**40 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], "docid long")
+    got = {
+        r["docid"]: r["u"]
+        for r in df.select("docid", uuid5_dns("docid").alias("u")).collect()
+    }
+    for d in ids:
+        assert got[d] == str(uuidlib.uuid5(uuidlib.NAMESPACE_DNS, str(d)))
+
+
+def test_upsert_df_uuid_agrees_with_driver_upsert(spark, tmp_path):
+    """The distributed merge and the driver-side upsert must assign the
+    SAME uuid to the same docid — and re-running the identical change set
+    must leave rows byte-identical (idempotent by value, ADVICE r2)."""
+    import uuid as uuidlib
+
+    from weaviate_txtai_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "u5")).create()
+    idx.append([[1.0, 0.0], [0.0, 1.0]])
+    changes = spark.createDataFrame(
+        [(0, [9.0, 9.0]), (5, [3.0, 4.0])], "docid long, vector array<float>"
+    )
+    idx.upsert_df(changes)
+    rows1 = {r["docid"]: (r["uuid"], list(r["vector"])) for r in idx.to_df().collect()}
+    for d in (0, 5):
+        assert rows1[d][0] == str(uuidlib.uuid5(uuidlib.NAMESPACE_DNS, str(d)))
+    # driver-side upsert of docid 0 yields the same uuid
+    idx.upsert([(0, [9.0, 9.0])])
+    rows2 = {r["docid"]: (r["uuid"], list(r["vector"])) for r in idx.to_df().collect()}
+    assert rows2 == rows1
+    # replaying the distributed change set is a value-level no-op
+    idx.upsert_df(changes)
+    rows3 = {r["docid"]: (r["uuid"], list(r["vector"])) for r in idx.to_df().collect()}
+    assert rows3 == rows1
+
+
+def test_stream_batch_uuids_deterministic(spark, tmp_path):
+    """Streaming appends derive uuid from docid, so a crash-window replay
+    rewrites identical rows."""
+    import uuid as uuidlib
+
+    from weaviate_txtai_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "s5")).create()
+    batch = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], "vector array<float>"
+    )
+    idx.append_stream_batch(batch, stream_key="cp", batch_id=0)
+    for r in idx.to_df().collect():
+        assert r["uuid"] == str(
+            uuidlib.uuid5(uuidlib.NAMESPACE_DNS, str(r["docid"]))
+        )

@@ -169,3 +169,71 @@ def test_stream_commit_dirs_keyed_by_full_key(spark, tmp_path):
     idx.append_stream_batch(b, stream_key=f"/data/tenant2/{shared_tail}", batch_id=0)
     assert idx.count() == 3  # both streams' batches landed
     assert idx.offset == 3
+
+
+# ------------------------------------------------- crash-safe rewrite swap
+
+
+def test_bucket_swap_crash_before_rename_rolls_back(spark, tmp_path, bidx):
+    """Crash window: bucket moved aside but replacement never renamed in
+    (ADVICE r2 — the old rmtree-then-move protocol lost the bucket here).
+    Recovery on re-attach must restore the moved-aside bucket."""
+    import shutil
+
+    data = bidx._data_path()
+    b1 = os.path.join(data, "bucket=1")
+    os.replace(b1, os.path.join(data, ".bucket=1.old"))  # dst aside, crash
+    # the abandoned replacement lives in data.tmp, as in a real crash
+    os.makedirs(data + ".tmp", exist_ok=True)
+    idx2 = VectorIndex(spark, str(tmp_path / "bidx"))
+    idx2.load("ignored")
+    assert os.path.exists(b1)
+    assert not os.path.exists(os.path.join(data, ".bucket=1.old"))
+    assert not os.path.exists(data + ".tmp")
+    assert sorted(r["docid"] for r in idx2.to_df().collect()) == list(range(40))
+    shutil.rmtree(data + ".tmp", ignore_errors=True)
+
+
+def test_bucket_swap_crash_after_rename_drops_old(spark, tmp_path, bidx):
+    """Crash window: replacement renamed in but the .old not yet deleted.
+    Recovery keeps the new rows and deletes the leftover .old."""
+    data = bidx._data_path()
+    b2 = os.path.join(data, "bucket=2")
+    aside = os.path.join(data, ".bucket=2.old")
+    # committed-swap case: bucket=2 (new) and its aside (old) both exist,
+    # crash happened before the aside cleanup — recovery drops the aside
+    os.makedirs(aside)
+    bidx2 = VectorIndex(spark, str(tmp_path / "bidx"))
+    bidx2.load("ignored")
+    assert os.path.exists(b2) and not os.path.exists(aside)
+    assert bidx2.count() == 40
+
+
+def test_full_swap_crash_before_rename_rolls_back(spark, tmp_path):
+    """Flat-layout rewrite: crash after data -> data.old with data.tmp
+    still holding the replacement. Recovery restores data from .old."""
+    idx = VectorIndex(spark, str(tmp_path / "fidx")).create()
+    idx.append([[1.0, 0.0], [0.0, 1.0]])
+    data = idx._data_path()
+    os.replace(data, data + ".old")
+    os.makedirs(data + ".tmp", exist_ok=True)
+    idx2 = VectorIndex(spark, str(tmp_path / "fidx"))
+    idx2.load("ignored")
+    assert os.path.exists(data)
+    assert not os.path.exists(data + ".old")
+    assert not os.path.exists(data + ".tmp")
+    assert idx2.count() == 2
+
+
+def test_old_dirs_invisible_to_reads_and_mutations(spark, tmp_path, bidx):
+    """A not-yet-recovered .old dir must not be scanned or counted as a
+    bucket: reads and the bucketed-layout check ignore it."""
+    data = bidx._data_path()
+    b3 = os.path.join(data, "bucket=3")
+    aside = os.path.join(data, ".bucket=3.old")
+    import shutil
+
+    shutil.copytree(b3, aside)  # duplicate rows in a mid-swap aside dir
+    assert bidx.count() == 40  # aside files not scanned (hidden to Spark)
+    assert bidx._is_fully_bucketed()  # aside not treated as a bucket
+    shutil.rmtree(aside)

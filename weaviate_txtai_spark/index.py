@@ -63,6 +63,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from weaviate_txtai_spark.operators.ids import uuid5_dns
 from weaviate_txtai_spark.operators.topk import knn_topk
 from weaviate_txtai_spark.schema import DEFAULT_SCHEMA, validate_schema
 
@@ -212,6 +213,49 @@ class VectorIndex:
         self.n_buckets = meta.get("buckets", self.n_buckets)
         self.quantize = meta.get("quantize", self.quantize)
         self.stream_state = meta.get("streams", {})
+        self._recover_swaps()
+
+    def _recover_swaps(self) -> None:
+        """Crash recovery for the copy-on-write swap protocol (ADVICE r2).
+
+        Both rewrite paths move the live target aside (``<target>.old``)
+        BEFORE renaming the replacement into place, so a crash at any
+        point leaves one of three recoverable states, never a lost
+        target:
+
+        - completed swap + leftover ``*.old`` → delete the ``*.old``;
+        - target moved aside but replacement never renamed in → roll the
+          ``*.old`` back (the mutation simply never committed — all rows
+          are intact, the change set is reapplied by the caller's retry);
+        - a stale ``data.tmp`` from before any swap began → delete it
+          (the live target was never touched).
+
+        Mirrors the streaming commit-dir recovery in
+        ``append_stream_batch``; runs on every re-attach (``_load_meta``)
+        and defensively at the start of each rewrite.
+        """
+        data = self._data_path()
+        aside_full = data + ".old"
+        if os.path.exists(aside_full):
+            if os.path.exists(data):
+                shutil.rmtree(aside_full)
+            else:
+                os.replace(aside_full, data)
+        if os.path.isdir(data):
+            for entry in os.listdir(data):
+                # per-bucket asides are dot-prefixed (".bucket=N.old") so
+                # Spark's hidden-file filter never scans them mid-swap
+                if not (entry.startswith(".") and entry.endswith(".old")):
+                    continue
+                aside = os.path.join(data, entry)
+                dst = os.path.join(data, entry[1 : -len(".old")])
+                if os.path.exists(dst):
+                    shutil.rmtree(aside)
+                else:
+                    os.replace(aside, dst)
+        tmp = data + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
 
     def _data_path(self) -> str:
         return os.path.join(self.path, "data")
@@ -224,7 +268,7 @@ class VectorIndex:
         if not os.path.exists(p):
             return out
         for root, _dirs, files in os.walk(p):
-            if root.endswith(".tmp") or "/stage-" in root:
+            if root.endswith((".tmp", ".old")) or "/stage-" in root:
                 continue
             out.extend(
                 os.path.join(root, f) for f in files if f.endswith(".parquet")
@@ -411,8 +455,11 @@ class VectorIndex:
                 StorageLevel.MEMORY_AND_DISK
             )
             tagged, n = with_dense_ids(src, start=self.offset, id_col="docid")
+            # uuid5(docid), not uuid(): a crash-window replay of this
+            # micro-batch must produce byte-identical rows, and uuids must
+            # agree with upsert()'s uuid5 scheme (ADVICE r2)
             df = tagged.select(
-                F.expr("uuid()").alias("uuid"),
+                uuid5_dns("docid").alias("uuid"),
                 F.col("docid"),
                 F.col("vector").cast("array<float>"),
             )
@@ -499,7 +546,7 @@ class VectorIndex:
         ok = False
         for entry in os.listdir(p):
             full = os.path.join(p, entry)
-            if entry.endswith(".tmp") or entry.startswith(("_", ".")):
+            if entry.endswith((".tmp", ".old")) or entry.startswith(("_", ".")):
                 continue
             if not (os.path.isdir(full) and entry.startswith("bucket=")):
                 return False
@@ -576,8 +623,11 @@ class VectorIndex:
         buckets (≤ n_buckets ints)."""
         from pyspark.storagelevel import StorageLevel
 
+        # uuid5(docid): deterministic so replaying the same micro-batch
+        # rewrites identical rows, and so the distributed path agrees with
+        # the driver-side upsert()'s uuidlib.uuid5 scheme (ADVICE r2)
         new_df = changes.select(
-            F.expr("uuid()").alias("uuid"),
+            uuid5_dns(F.col(docid_col).cast("long")).alias("uuid"),
             F.col(docid_col).cast("long").alias("docid"),
             F.col(vector_col).cast("array<float>").alias("vector"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -674,7 +724,14 @@ class VectorIndex:
         (single-writer). Delta/Iceberg MERGE is the cluster-scale analog.
         On a bucketed index the rewrite re-normalizes the layout into
         ``bucket=*`` partition dirs. ``sort_docids``/``max_records_per_file``
-        are compaction's knobs — ONE swap protocol for every rewrite."""
+        are compaction's knobs — ONE swap protocol for every rewrite.
+
+        Swap is crash-safe via move-aside renames: ``data`` → ``data.old``,
+        ``data.tmp`` → ``data``, delete ``data.old``. A crash anywhere in
+        that sequence is recovered by ``_recover_swaps`` on the next
+        attach — the live rows are never in an unlinked state (ADVICE r2;
+        the old rmtree-before-move had a window that lost the target)."""
+        self._recover_swaps()
         tmp = self._data_path() + ".tmp"
         stored = self._to_storage(df)
         if self.n_buckets:
@@ -695,16 +752,26 @@ class VectorIndex:
                 out = out.option("maxRecordsPerFile", int(max_records_per_file))
             out.parquet(tmp)
         old = self._data_path()
+        aside = old + ".old"
         if os.path.exists(old):
-            shutil.rmtree(old)
+            os.replace(old, aside)
         os.replace(tmp, old)
+        shutil.rmtree(aside, ignore_errors=True)
 
     def _rewrite_buckets(self, df: DataFrame, buckets: Sequence[int]) -> None:
         """Partial copy-on-write: ``df`` holds the new full content of
         exactly ``buckets``; swap only those ``bucket=*`` dirs and leave
-        every other bucket's files byte-identical. The per-bucket swap is
-        atomic per bucket (single-writer covers the cross-bucket window —
-        same caveat as the full-dir swap)."""
+        every other bucket's files byte-identical.
+
+        Each bucket swaps via move-aside renames (``bucket=b`` →
+        ``.bucket=b.old``, new dir renamed in, then the aside deleted):
+        a crash at any point is recovered by ``_recover_swaps`` —
+        completed swaps keep the new rows, interrupted ones roll back to
+        the old rows; no state loses the bucket (ADVICE r2). Single-writer
+        covers the cross-bucket window: a crash mid-loop may leave some
+        buckets committed and later ones rolled back, which reads as a
+        partially-applied mutation the caller's replay makes whole."""
+        self._recover_swaps()
         tmp = self._data_path() + ".tmp"
         (
             self._to_storage(df)
@@ -717,10 +784,14 @@ class VectorIndex:
         for b in buckets:
             src = os.path.join(tmp, f"bucket={b}")
             dst = self._bucket_dir(b)
+            # dot-prefixed aside: hidden from Spark's file index, so a
+            # concurrent-with-crash reader never double-counts the bucket
+            aside = os.path.join(self._data_path(), f".bucket={b}.old")
             if os.path.exists(dst):
-                shutil.rmtree(dst)
+                os.replace(dst, aside)
             if os.path.exists(src):
-                shutil.move(src, dst)
+                os.replace(src, dst)
+            shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
     # -------------------------------------------------------- persistence

@@ -33,11 +33,54 @@ should persist it first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # monotonically_increasing_id packs the partition id above bit 33
 _LOCAL_MASK = (1 << 33) - 1
+
+# RFC-4122 DNS namespace, the same constant uuid.NAMESPACE_DNS holds
+_DNS_NS_HEX = "6ba7b8109dad11d180b400c04fd430c8"
+
+
+def uuid5_dns(col) -> Column:
+    """RFC-4122 version-5 UUID of ``str(col)`` under NAMESPACE_DNS, as a
+    pure codegen expression — bit-for-bit equal to Python's
+    ``uuid.uuid5(uuid.NAMESPACE_DNS, str(value))``.
+
+    Why: mutation paths that run on executors (``upsert_df``, streaming
+    ingest) need uuids that are a FUNCTION of the docid, not fresh
+    randomness — a crash-window replay of the same micro-batch must
+    rewrite byte-identical rows ("idempotent by value"), and the
+    distributed path must agree with the driver-side ``upsert()``'s
+    ``uuidlib.uuid5`` scheme (ADVICE r2). uuid5 = SHA-1(namespace_bytes
+    || name) with the version/variant bits patched in, which maps to
+    ``sha1`` plus string surgery on the hex form.
+    """
+    name = F.col(col) if isinstance(col, str) else col
+    h = F.sha1(
+        F.concat(
+            F.to_binary(F.lit(_DNS_NS_HEX), F.lit("hex")),
+            F.encode(name.cast("string"), "UTF-8"),
+        )
+    )
+    # variant nibble: (x & 0b0011) | 0b1000  -> one of 8,9,a,b
+    variant = F.lower(
+        F.hex(
+            F.conv(F.substring(h, 17, 1), 16, 10)
+            .cast("int")
+            .bitwiseAND(F.lit(3))
+            .bitwiseOR(F.lit(8))
+        )
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),  # version nibble := 5
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
 
 
 def with_dense_ids(
