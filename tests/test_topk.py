@@ -168,3 +168,60 @@ def test_blocked_join_rejects_unbounded_left(spark):
     )
     with pytest.raises(ValueError, match="64 blocks"):
         topk_join_blocked(left, right, 1, block_size=2)
+
+
+# -------------------------------------------------- gemm query-id typing
+
+
+def test_gemm_rejects_bool_and_float_ids(spark):
+    """Unsupported id types raise a clear TypeError instead of silently
+    serializing as StringType and dying inside Arrow (ADVICE r2)."""
+    import pytest
+
+    from weaviate_txtai_spark.operators.topk import knn_topk_gemm
+
+    idx = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "docid long, vector array<float>"
+    )
+    with pytest.raises(TypeError, match="boolean"):
+        knn_topk_gemm(idx, [(True, [1.0, 0.0])], 1)
+    with pytest.raises(TypeError, match="unsupported query id type"):
+        knn_topk_gemm(idx, [(1.5, [1.0, 0.0])], 1)
+
+
+def test_gemm_explicit_query_id_type(spark):
+    """An explicit DataType overrides inference — including for the
+    empty-queries early return, which previously hardcoded LongType."""
+    from pyspark.sql.types import StringType
+
+    from weaviate_txtai_spark.operators.topk import knn_topk_gemm
+
+    idx = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "docid string, vector array<float>"
+    )
+    res = knn_topk_gemm(
+        idx, [("q1", [1.0, 0.0])], 1, query_id_type=StringType()
+    )
+    assert [r["docid"] for r in res.collect()] == ["a"]
+    empty = knn_topk_gemm(idx, [], 1, query_id_type=StringType())
+    assert empty.schema["query_id"].dataType == StringType()
+    assert empty.count() == 0
+    # and the two union cleanly (the practical reason the types must agree)
+    assert res.unionByName(empty).count() == 1
+
+
+def test_gemm_numpy_int_ids_infer_long(spark):
+    """numpy integer ids (the common .to_numpy() shape) infer LongType."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType
+
+    from weaviate_txtai_spark.operators.topk import knn_topk_gemm
+
+    idx = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "docid long, vector array<float>"
+    )
+    res = knn_topk_gemm(idx, [(np.int32(7), [0.0, 1.0])], 1)
+    assert res.schema["query_id"].dataType == LongType()
+    rows = res.collect()
+    assert rows[0]["query_id"] == 7 and rows[0]["docid"] == 2

@@ -3,10 +3,21 @@ sf0.1 corpus and report the runtime ratio.
 
 The 100 TB claims in SCALING.md are plan arguments; this tool is the
 empirical check that doubling the data does not quadruple the time. The
-2x corpus is the sf0.1 table unioned with an id-shifted copy (same
-distribution, disjoint ids, so dedup pair counts grow ~2x for planted
-dups, ~4x only if an operator is accidentally all-pairs — which is
-exactly what the ratio detects).
+2x corpus is the sf0.1 table unioned with an id-shifted, CONTENT-PERTURBED
+copy: token order reversed for text, component order reversed for
+embeddings. The perturbation keeps the size/length distribution but makes
+each clone NOT a near-dup of its original (a byte-identical copy made
+every doc an exact duplicate, inflating pair counts ~24x and making the
+2x run structurally denser than a real doubled corpus — ADVICE r2).
+Planted dup clusters are cloned intact (both members get the same
+transform), so pair counts grow ~2x, ~4x only if an operator is
+accidentally all-pairs — which is exactly what the ratio detects.
+
+A separate Zipf-skew block measures the documented hot-shingle failure
+mode: a corpus where every doc shares one boilerplate sentence (df = N
+shingles). ``max_doc_freq`` must (a) keep the 1x->2x ratio ~linear and
+(b) beat the uncapped run at the same N — the measured effect is
+recorded in the output under ``skew``.
 
 Usage: python tools/scale_check.py  -> one JSON line + SCALE_CHECK.json
 """
@@ -51,12 +62,20 @@ def main() -> None:
 
     docs1 = load_table(spark, SF_DIR, "documents")
     n_docs = docs1.count()
+    # perturbed clone: reversed token order kills every 3-gram shingle
+    # (and the simhash) without changing length/token distributions
     docs2 = docs1.unionByName(
         docs1.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn(
+            "text", F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+        )
     )
     emb1 = load_table(spark, SF_DIR, "embeddings")
+    # reversed component order: same norm, ~orthogonal direction for
+    # generic vectors, so the clone is not an embedding near-dup either
     emb2 = emb1.unionByName(
         emb1.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+        .withColumn("embedding", F.reverse("embedding"))
     )
 
     def q_jaccard(d):
@@ -113,11 +132,50 @@ def main() -> None:
             "rows_2x": n2,
         }
 
+    # ---- Zipf-skew block: the hot-shingle failure mode, measured -------
+    # Every doc shares one 12-token boilerplate sentence (each of its
+    # shingles has df = N → O(N²) candidate pairs uncapped) plus a
+    # unique 20-token tail. max_doc_freq drops exactly the hot shingles.
+    def skew_corpus(n: int):
+        boiler = F.lit(
+            "terms of service apply to all content on this page as follows"
+        )
+        tail = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(20)),
+                lambda j: F.concat(
+                    F.lit("t"), (F.col("id") * 20 + j).cast("string")
+                ),
+            ),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", boiler, tail).alias("text"),
+        )
+
+    N_SKEW = 2000
+    capped = lambda d: jaccard_pairs(d, threshold=0.8, max_doc_freq=50)
+    uncapped = lambda d: jaccard_pairs(d, threshold=0.8)
+    run(capped, skew_corpus(N_SKEW))  # warm
+    tc1, _ = run(capped, skew_corpus(N_SKEW))
+    tc2, _ = run(capped, skew_corpus(2 * N_SKEW))
+    tu1, _ = run(uncapped, skew_corpus(N_SKEW))
+    skew = {
+        "n_docs_1x": N_SKEW,
+        "capped_t_1x": round(tc1, 3),
+        "capped_t_2x": round(tc2, 3),
+        "capped_ratio": round(tc2 / tc1, 2) if tc1 > 0 else None,
+        "uncapped_t_1x": round(tu1, 3),
+        "cap_speedup_1x": round(tu1 / tc1, 2) if tc1 > 0 else None,
+    }
+
     result = {
         "metric": "scale_ratio_2x",
         "sf": SF_DIR,
         "n_docs_1x": n_docs,
         "cases": out,
+        "skew": skew,
     }
     line = json.dumps(result)
     print(line)

@@ -63,7 +63,16 @@ def topk_join(
         ]
         from weaviate_txtai_spark.operators.topk import knn_topk_gemm
 
-        res = knn_topk_gemm(right, queries, k, vector_col=right_vec, id_col=right_id)
+        res = knn_topk_gemm(
+            right,
+            queries,
+            k,
+            vector_col=right_vec,
+            id_col=right_id,
+            # the left frame knows its own id type — never re-infer it
+            # from a collected Python value (ADVICE r2)
+            query_id_type=left.schema[left_id].dataType,
+        )
         return res.withColumnRenamed("query_id", left_id)
     return knn_topk(
         right,
@@ -123,7 +132,12 @@ def topk_join_blocked(
         queries = [(r[0], list(r[1])) for r in chunk]
         parts.append(
             knn_topk_gemm(
-                right, queries, k, vector_col=right_vec, id_col=right_id
+                right,
+                queries,
+                k,
+                vector_col=right_vec,
+                id_col=right_id,
+                query_id_type=left.schema[left_id].dataType,
             ).withColumnRenamed("query_id", left_id)
         )
     if not parts:

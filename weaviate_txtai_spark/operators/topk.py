@@ -100,6 +100,38 @@ def knn_single(
     )
 
 
+def _infer_query_id_type(qids):
+    """Map the first query id's Python/numpy type onto a Spark DataType.
+
+    Only int (→ Long) and str (→ String) ids are supported — anything
+    else (float, bytes, bool …) raises instead of silently serializing
+    as StringType and dying later inside Arrow (ADVICE r2). Callers that
+    know the type (topk_join passes the left frame's schema) skip this.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import StringType
+
+    first = qids[0]
+    if hasattr(first, "item"):  # unwrap numpy scalar
+        first = first.item()
+    # bool is an int subclass in Python AND np.bool_.item() is bool —
+    # check it first so boolean ids fail loudly, not as LongType
+    if isinstance(first, bool):
+        raise TypeError(
+            "knn_topk_gemm: boolean query ids are not supported; pass "
+            "query_id_type explicitly if the ids are genuinely 0/1 ints"
+        )
+    if isinstance(first, int):
+        return LongType()
+    if isinstance(first, str):
+        return StringType()
+    raise TypeError(
+        f"knn_topk_gemm: unsupported query id type {type(first).__name__}; "
+        "pass query_id_type= (a pyspark DataType) explicitly"
+    )
+
+
 def knn_topk_gemm(
     index_df: DataFrame,
     queries: "list[tuple[int, list[float]]] | pd.DataFrame",
@@ -107,6 +139,7 @@ def knn_topk_gemm(
     *,
     vector_col: str = "vector",
     id_col: str = "docid",
+    query_id_type=None,
 ) -> DataFrame:
     """Scale-path batch kNN: numpy GEMM per Arrow batch + two-level top-k.
 
@@ -116,6 +149,12 @@ def knn_topk_gemm(
     same broadcast assumption the reference makes with its single query
     vector). Each partition emits only its local top-k per query, so the
     final window sees k × Q × num_partitions rows.
+
+    ``query_id_type``: Spark DataType of ``query_id`` in the output.
+    Callers holding the query frame should pass its schema type
+    (``left.schema[left_id].dataType``); when omitted it is inferred from
+    the first id — int → Long, str → String, anything else raises
+    (ADVICE r2: silent StringType fallback crashed Arrow for float ids).
 
     Output: query_id, docid, score, rank — same contract as knn_topk.
     """
@@ -128,12 +167,14 @@ def knn_topk_gemm(
         qids = np.asarray([q[0] for q in queries])
         qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
     if len(qids) == 0:
-        # empty query set → empty result, not an AxisError mid-pipeline
+        # empty query set → empty result, not an AxisError mid-pipeline;
+        # the id type honors query_id_type instead of hardcoding Long so
+        # empty and non-empty results union cleanly in string-id pipelines
         return index_df.sparkSession.createDataFrame(
             [],
             StructType(
                 [
-                    StructField("query_id", LongType()),
+                    StructField("query_id", query_id_type or LongType()),
                     StructField(id_col, index_df.schema[id_col].dataType),
                     StructField("score", DoubleType()),
                     StructField("rank", LongType()),
@@ -150,14 +191,8 @@ def knn_topk_gemm(
     # derive id types from the inputs: hardcoding LongType crashed the
     # Arrow serializer for string ids, making topk_join succeed or fail
     # depending on which strategy its row-count probe picked
-    from pyspark.sql.types import StringType
-
     idx_id_type = index_df.schema[id_col].dataType
-    q_id_type = (
-        LongType()
-        if len(qids) and isinstance(qids[0].item() if hasattr(qids[0], "item") else qids[0], int)
-        else StringType()
-    )
+    q_id_type = query_id_type or _infer_query_id_type(qids)
     out_schema = StructType(
         [
             StructField("query_id", q_id_type),

@@ -1111,25 +1111,40 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
-_DEDUP_GROUPS_SQL = _JACCARD_CTE + """
+# True connected components over the undirected pair graph: a recursive
+# CTE enumerating every (node, reachable id) and taking the min. Valid
+# for ANY graph shape — the previous single-hop-min form silently assumed
+# min-id-star clusters and would reject correct engine output on e.g.
+# pairs (1,3),(2,3) with no (1,2) (ADVICE r2).
+_CC_SQL_TAIL = """
 , edges AS (
   SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8
-), nodes AS (
-  SELECT DISTINCT id FROM (SELECT d1 AS id FROM edges
-                           UNION ALL SELECT d2 FROM edges)
+), undirected AS (
+  SELECT d1 AS a, d2 AS b FROM edges
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM edges
+), reach AS (
+  SELECT a AS node, a AS r FROM undirected
+  UNION
+  SELECT u.b AS node, reach.r AS r
+  FROM reach JOIN undirected u ON reach.node = u.a
 )
-SELECT n.id AS doc_id,
-       least(n.id, coalesce(min(e2.d1), n.id)) AS group_id
-FROM nodes n LEFT JOIN edges e2 ON n.id = e2.d2
-GROUP BY n.id
 """
+
+_DEDUP_GROUPS_SQL = (
+    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + _CC_SQL_TAIL
+    + """
+SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node
+"""
+)
 
 
 @register("dedup_groups", _DEDUP_GROUPS_SQL)
 def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected duplicate groups (min-id label propagation). Oracle is
-    single-hop min — valid because planted dup clusters are
-    min-id-star-shaped; the Spark side computes the general fixpoint."""
+    a recursive-CTE connected components — exact for any pair-graph
+    shape, same fixpoint the Spark side computes."""
     from weaviate_txtai_spark.operators.dedup import (
         duplicate_groups,
         jaccard_pairs,
@@ -1139,24 +1154,27 @@ def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(pairs)
 
 
-_SURVIVORS_SQL = _JACCARD_CTE + """
-, edges AS (
-  SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8
-)
+_SURVIVORS_SQL = (
+    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + _CC_SQL_TAIL
+    + """
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
-WHERE doc_id NOT IN (SELECT d2 FROM edges)
+WHERE doc_id NOT IN (
+  SELECT node FROM reach GROUP BY node HAVING min(r) < node
+)
 ORDER BY doc_id
 """
+)
 
 
 @register("dedup_survivors", _SURVIVORS_SQL)
 def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END-PRODUCT: the corpus minus non-representative
-    duplicates (keep min-id per near-dup group). Oracle drops every d2
-    of the pair graph — valid because planted dup clusters are
-    min-id-star-shaped (same assumption `dedup_groups` pins); the Spark
-    side runs the general connected-components fixpoint + anti-join."""
+    duplicates (keep min-id per near-dup group). Oracle computes true
+    connected components via recursive CTE and drops every node whose
+    component min is below it — exact for any pair-graph shape, matching
+    the Spark side's connected-components fixpoint + anti-join."""
     from weaviate_txtai_spark.operators.dedup import (
         dedup_survivors,
         jaccard_pairs,
