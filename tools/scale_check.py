@@ -170,12 +170,48 @@ def main() -> None:
         "cap_speedup_1x": round(tu1 / tc1, 2) if tc1 > 0 else None,
     }
 
+    # ---- pack_sequences shard block: single-source serialization ------
+    # One giant source: the default plan funnels every row through ONE
+    # window task; shards=N splits it into N parallel sub-streams
+    # (VERDICT r2 item 2). Measured here so the fix has numbers.
+    from weaviate_txtai_spark.operators.chunking import pack_sequences
+
+    def single_source(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the_one_source").alias("source"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(30)),
+                    lambda j: F.concat(F.lit("w"), j.cast("string")),
+                ),
+            ).alias("text"),
+        )
+
+    N_PACK = 400_000
+    packed = lambda sh: (
+        lambda d: pack_sequences(d, budget=512, shards=sh)
+        if sh
+        else pack_sequences(d, budget=512)
+    )
+    run(packed(None), single_source(N_PACK))  # warm
+    tp_serial, _ = run(packed(None), single_source(N_PACK))
+    tp_shard, _ = run(packed(int(CPUS)), single_source(N_PACK))
+    pack = {
+        "n_docs": N_PACK,
+        "t_unsalted": round(tp_serial, 3),
+        "t_sharded": round(tp_shard, 3),
+        "speedup": round(tp_serial / tp_shard, 2) if tp_shard > 0 else None,
+    }
+
     result = {
         "metric": "scale_ratio_2x",
         "sf": SF_DIR,
         "n_docs_1x": n_docs,
         "cases": out,
         "skew": skew,
+        "pack": pack,
     }
     line = json.dumps(result)
     print(line)

@@ -18,8 +18,10 @@ they are DuckDB-oracle-able:
   batches: no pack exceeds budget + max_doc_tokens, and every pack
   except the last is at least budget-full in the cumulative stream.
   Skew note: partitioning by source means one giant source serializes
-  into one task; at scale, salt the window key with a coarse
-  date/shard column and renumber packs by (salt, pack) afterwards.
+  into one task; the opt-in ``shards``/``salt_col`` parameter splits
+  each source into independent sub-streams (salted window key) and
+  renumbers packs densely per source via a tiny per-(source, shard)
+  offset table — see ``pack_sequences``.
 """
 
 from __future__ import annotations
@@ -65,24 +67,84 @@ def pack_sequences(
     id_col: str = "doc_id",
     group_col: str = "source",
     budget: int = 512,
+    shards: int | None = None,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Assign each doc to a pack: docs stream through a group in id
     order; a doc opens a new pack when the tokens already streamed
-    (exclusive prefix sum) cross a multiple of the budget."""
+    (exclusive prefix sum) cross a multiple of the budget.
+
+    Default (``shards=None``): one window per group — exact, oracled,
+    but a single giant source serializes into ONE task (the prefix sum
+    is inherently sequential per window key).
+
+    Scale path (opt-in, VERDICT r2 item 2): pass ``shards=N`` (each
+    source split into N deterministic sub-streams by ``xxhash64(id) mod
+    N``) or ``salt_col=`` (an existing coarse column, e.g. ingest date).
+    Each (group, salt) sub-stream packs independently and in parallel;
+    pack ids are then renumbered densely per group by offsetting each
+    shard with the cumulative pack counts of the shards before it — a
+    per-(group, salt) aggregate of ≤ groups×shards rows, broadcast back,
+    NOT a second group-wide window. Invariants preserved per pack: no
+    pack exceeds budget + max_doc_tokens, pack ids are dense from 0 per
+    group. Trade: which docs share a pack differs from the unsalted
+    order (each shard is its own cumulative stream), and up to
+    ``shards`` packs per group may be under-full instead of one — the
+    standard price of parallel packing.
+    """
     toks = token_count(text_col)
+    if shards is None and salt_col is None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_before: Column = F.coalesce(F.sum("__toks").over(w), F.lit(0))
+        return (
+            docs.select(group_col, id_col, toks.alias("__toks"))
+            .withColumn("pack_id", F.floor(cum_before / budget))
+            .select(
+                group_col,
+                F.col(id_col),
+                F.col("__toks").alias("n_tokens"),
+                "pack_id",
+            )
+        )
+    if salt_col is not None:
+        salt = F.col(salt_col)
+    else:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shards))).cast("int")
+    base = docs.select(
+        group_col, id_col, toks.alias("__toks"), salt.alias("__salt")
+    )
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(group_col, "__salt")
         .orderBy(F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before: Column = F.coalesce(F.sum("__toks").over(w), F.lit(0))
-    return (
-        docs.select(group_col, id_col, toks.alias("__toks"))
-        .withColumn("pack_id", F.floor(cum_before / budget))
-        .select(
-            group_col,
-            F.col(id_col),
-            F.col("__toks").alias("n_tokens"),
-            "pack_id",
-        )
+    cum_before = F.coalesce(F.sum("__toks").over(w), F.lit(0))
+    local = base.withColumn("__lpack", F.floor(cum_before / budget))
+    # dense renumbering: cumulative pack-count offsets over a TINY
+    # (groups × shards)-row aggregate; the window below runs per group
+    # over ≤ shards rows, then broadcasts back — no group-wide window
+    # ever sees the doc-cardinality rows
+    counts = local.groupBy(group_col, "__salt").agg(
+        (F.max("__lpack") + 1).alias("__npacks")
+    )
+    ow = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc("__salt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__npacks").over(ow), F.lit(0))
+    )
+    return local.join(
+        F.broadcast(offsets.select(group_col, "__salt", "__off")),
+        [group_col, "__salt"],
+    ).select(
+        group_col,
+        F.col(id_col),
+        F.col("__toks").alias("n_tokens"),
+        (F.col("__off") + F.col("__lpack")).alias("pack_id"),
     )
