@@ -16,6 +16,7 @@ Design rules (see SURVEY.md §4):
   AQE for skew.
 """
 
+from weaviate_txtai_spark.cache import cache_scope, scoped_persist
 from weaviate_txtai_spark.embeddings import Embeddings, rewrite_similar_sql
 from weaviate_txtai_spark.index import VectorIndex, IndexNotFoundError
 from weaviate_txtai_spark.workflow import Workflows
@@ -29,6 +30,8 @@ from weaviate_txtai_spark.schema import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "cache_scope",
+    "scoped_persist",
     "Embeddings",
     "Workflows",
     "rewrite_similar_sql",

@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from weaviate_txtai_spark.cache import scoped_persist
 from weaviate_txtai_spark.functions.vector import cosine_sim
 
 
@@ -163,7 +164,7 @@ class IVFIndex:
             # (partitionBy('cell')) this is partition pruning — unprobed
             # directories are never listed. With enough queries the union
             # approaches all cells and the filter degrades to a no-op.
-            probes = probes.persist()
+            probes = scoped_persist(probes)
             probed_cells = [
                 r["cell"] for r in probes.select("cell").distinct().collect()
             ]

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from weaviate_txtai_spark.cache import scoped_persist
 from weaviate_txtai_spark.functions.text import token_count, tokens
 from weaviate_txtai_spark.sources.tables import spread
 
@@ -57,7 +58,7 @@ def bm25_scores(
         .groupBy("__id", "__len", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    qtf = qtf.persist()  # feeds df and the score aggregate
+    qtf = scoped_persist(qtf)  # feeds df and the score aggregate
     n_avg = docs.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg(token_count(text_col)).alias("__avgdl"),

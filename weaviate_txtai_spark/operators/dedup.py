@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from weaviate_txtai_spark.cache import scoped_persist
 from weaviate_txtai_spark.functions.text import fingerprint, shingles, tokens
 from weaviate_txtai_spark.functions.vector import cosine_sim
 from weaviate_txtai_spark.sources.tables import spread
@@ -118,13 +119,12 @@ def jaccard_pairs(
     # persist BEFORE the df-cap branch: the cap's frequency aggregate and
     # the capped table's own materialization would otherwise each re-run
     # the tokenize+shingle+hash pipeline — the dominant map-side cost
-    sh = sh.persist()
+    sh = scoped_persist(sh)
     if max_doc_freq is not None:
         df_counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
-        sh = (
+        sh = scoped_persist(
             sh.join(df_counts.filter(F.col("__df") <= int(max_doc_freq)), "__sh")
             .select("__id", "__sh")
-            .persist()
         )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     shz = sh.join(F.broadcast(sizes), "__id")
@@ -221,9 +221,9 @@ def minhash_lsh_pairs(
     # corpus-sized shingle table is never persisted (at 100 TB caching it
     # would be hostile; the per-doc table is docs-sized and caches
     # cheaply).
-    per_doc = minhash_signatures_with_sets(
+    per_doc = scoped_persist(minhash_signatures_with_sets(
         docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
-    ).persist()
+    ))
     band_structs = F.array(
         *[
             F.struct(
@@ -350,10 +350,10 @@ def minhash_lsh_pairs_incremental(
             "__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
         )
 
-    new_pd = per_doc(new_docs).persist()
-    old_pd = (
+    new_pd = scoped_persist(per_doc(new_docs))
+    old_pd = scoped_persist(
         corpus_signatures if corpus_signatures is not None else per_doc(corpus)
-    ).persist()
+    )
     cand = (
         buckets(new_pd)
         .alias("x")

@@ -1970,10 +1970,11 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenize+explode+agg lineage runs twice (plan showed 2 extra
     # document scans). At 100 TB swap persist() for a disk checkpoint —
     # the doc-term table is corpus-sized.
-    tf = (
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    tf = scoped_persist(
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
