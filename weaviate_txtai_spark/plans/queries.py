@@ -2612,15 +2612,23 @@ FROM ranked GROUP BY 1 ORDER BY 1
 
 @register("customer_value_deciles", _DECILES_SQL)
 def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing (equi-depth histogram of customer value). ntile
-    needs a global order — a single-partition sort, the one window shape
-    that does NOT scale by partitioning alone; at 100 TB the same
-    histogram comes from approx quantile boundaries + a range join
-    (see approx_price_quantiles), which is why both live in the repo."""
+    """ntile bucketing (equi-depth histogram of customer value). Routed
+    through the exact_ntile guardrail (VERDICT r2 item 6): ntile needs a
+    global order — a single-partition sort, the one window shape that
+    does NOT scale by partitioning alone — so the helper warns above a
+    row threshold and points to quantile_buckets / approx_value_deciles,
+    the same histogram without the global sort."""
+    from weaviate_txtai_spark.functions.sampling import exact_ntile
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
-        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        exact_ntile(
+            cust.select("c_acctbal", "c_custkey"),
+            10,
+            F.desc("c_acctbal"),
+            F.asc("c_custkey"),
+            bucket_col="decile",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
