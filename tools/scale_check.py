@@ -62,20 +62,37 @@ def main() -> None:
 
     docs1 = load_table(spark, SF_DIR, "documents")
     n_docs = docs1.count()
-    # perturbed clone: reversed token order kills every 3-gram shingle
-    # (and the simhash) without changing length/token distributions
+    # perturbed clone: every token prefixed with 'x' — changes every
+    # token HASH (simhash is bag-of-tokens, so mere reordering would be
+    # invisible to it) and every shingle, while keeping token counts and
+    # lengths essentially unchanged
     docs2 = docs1.unionByName(
         docs1.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
         .withColumn(
-            "text", F.concat_ws(" ", F.reverse(F.split(F.col("text"), " ")))
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(F.lit("x"), t),
+                ),
+            ),
         )
     )
     emb1 = load_table(spark, SF_DIR, "embeddings")
-    # reversed component order: same norm, ~orthogonal direction for
-    # generic vectors, so the clone is not an embedding near-dup either
+    # alternate sign flip: same norm, near-orthogonal direction for any
+    # vector with balanced even/odd energy (reversal stayed correlated
+    # on the structured testdata vectors), so the clone is not an
+    # embedding near-dup
     emb2 = emb1.unionByName(
         emb1.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
-        .withColumn("embedding", F.reverse("embedding"))
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i % 2 == 0, x).otherwise(-x),
+            ).cast("array<float>"),
+        )
     )
 
     def q_jaccard(d):
@@ -113,15 +130,22 @@ def main() -> None:
         ("sim_join_ivf", q_simjoin(16), q_simjoin(32), emb1, emb2),
     ]
 
-    def run(fn, data) -> tuple[float, int]:
+    def run_once(fn, data) -> tuple[float, int]:
         spark.catalog.clearCache()
         t0 = time.time()
         n = fn(data).count()
         return time.time() - t0, n
 
+    def run(fn, data) -> tuple[float, int]:
+        # min of 2: this box shares cores with noisy neighbors; a single
+        # sample has shown 5x spikes that invert the 1x/2x ratio
+        a = run_once(fn, data)
+        b = run_once(fn, data)
+        return min(a[0], b[0]), a[1]
+
     out = {}
     for name, fn1, fn2, d1, d2 in cases:
-        run(fn1, d1)  # warm (JIT, file listing)
+        run_once(fn1, d1)  # warm (JIT, file listing)
         t1, n1 = run(fn1, d1)
         t2, n2 = run(fn2, d2)
         out[name] = {
@@ -154,10 +178,14 @@ def main() -> None:
             F.concat_ws(" ", boiler, tail).alias("text"),
         )
 
-    N_SKEW = 2000
+    # sized so the uncapped hot-shingle join REALLY hurts: each of the
+    # ~10 boilerplate shingles yields N²/2 candidate pairs (at N=6000
+    # that's ~180M pair rows into the aggregate); the capped run drops
+    # those keys before the join and stays corpus-linear
+    N_SKEW = 6000
     capped = lambda d: jaccard_pairs(d, threshold=0.8, max_doc_freq=50)
     uncapped = lambda d: jaccard_pairs(d, threshold=0.8)
-    run(capped, skew_corpus(N_SKEW))  # warm
+    run_once(capped, skew_corpus(N_SKEW))  # warm
     tc1, _ = run(capped, skew_corpus(N_SKEW))
     tc2, _ = run(capped, skew_corpus(2 * N_SKEW))
     tu1, _ = run(uncapped, skew_corpus(N_SKEW))
@@ -189,15 +217,34 @@ def main() -> None:
             ).alias("text"),
         )
 
-    N_PACK = 400_000
-    packed = lambda sh: (
-        lambda d: pack_sequences(d, budget=512, shards=sh)
-        if sh
-        else pack_sequences(d, budget=512)
-    )
-    run(packed(None), single_source(N_PACK))  # warm
-    tp_serial, _ = run(packed(None), single_source(N_PACK))
-    tp_shard, _ = run(packed(int(CPUS)), single_source(N_PACK))
+    N_PACK = 3_000_000
+
+    # materialize the corpus to parquet first: a real corpus is a scan,
+    # not a codegen generator whose recompute cost pollutes the ratio
+    import tempfile
+
+    pack_dir = tempfile.mkdtemp(prefix="scale_pack_")
+    single_source(N_PACK).write.mode("overwrite").parquet(pack_dir)
+    pack_src = spark.read.parquet(pack_dir)
+
+    # force real execution: a bare count() lets Catalyst prune the
+    # unused window, and count() over a global aggregate constant-folds
+    # to 1 — both "measured" a 3M-row global sort in 0.13 s that never
+    # ran. collect()ing the aggregate values runs the actual plan.
+    def run_pack_once(sh) -> float:
+        spark.catalog.clearCache()
+        p = (
+            pack_sequences(pack_src, budget=512, shards=sh)
+            if sh
+            else pack_sequences(pack_src, budget=512)
+        )
+        t0 = time.time()
+        p.agg(F.sum("pack_id"), F.max("pack_id")).collect()
+        return time.time() - t0
+
+    run_pack_once(None)  # warm
+    tp_serial = min(run_pack_once(None), run_pack_once(None))
+    tp_shard = min(run_pack_once(int(CPUS)), run_pack_once(int(CPUS)))
     pack = {
         "n_docs": N_PACK,
         "t_unsalted": round(tp_serial, 3),
@@ -218,6 +265,9 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE_CHECK.json"), "w") as f:
         f.write(line + "\n")
+    import shutil
+
+    shutil.rmtree(pack_dir, ignore_errors=True)
     spark.stop()
 
 

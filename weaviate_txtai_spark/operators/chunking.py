@@ -114,8 +114,16 @@ def pack_sequences(
         salt = F.col(salt_col)
     else:
         salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shards))).cast("int")
-    base = docs.select(
-        group_col, id_col, toks.alias("__toks"), salt.alias("__salt")
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    # base feeds BOTH the window branch and the pack-count aggregate;
+    # without the persist the tokenize lineage runs twice. The cached
+    # rows are narrow (group, id, token count, salt — no text), ~40
+    # bytes/doc. Released by the caller's cache_scope.
+    base = scoped_persist(
+        docs.select(
+            group_col, id_col, toks.alias("__toks"), salt.alias("__salt")
+        )
     )
     w = (
         Window.partitionBy(group_col, "__salt")
@@ -127,9 +135,24 @@ def pack_sequences(
     # dense renumbering: cumulative pack-count offsets over a TINY
     # (groups × shards)-row aggregate; the window below runs per group
     # over ≤ shards rows, then broadcasts back — no group-wide window
-    # ever sees the doc-cardinality rows
-    counts = local.groupBy(group_col, "__salt").agg(
-        (F.max("__lpack") + 1).alias("__npacks")
+    # ever sees the doc-cardinality rows.
+    #
+    # Pack counts come from a CLOSED FORM over a plain aggregate, not
+    # from max(__lpack): the last doc's pack is floor((T - L)/budget)
+    # where T = shard token total and L = the last (max-id) doc's
+    # tokens, so npacks = that + 1. Aggregating `local` instead would
+    # re-run the whole shuffle+sort+window pipeline a second time for
+    # the broadcast side (Spark shares no common subplans across join
+    # inputs) — measured 4x slower than the unsalted path it was meant
+    # to beat.
+    counts = base.groupBy(group_col, "__salt").agg(
+        (
+            F.floor(
+                (F.sum("__toks") - F.max_by("__toks", F.col(id_col)))
+                / budget
+            )
+            + 1
+        ).alias("__npacks")
     )
     ow = (
         Window.partitionBy(group_col)
