@@ -110,6 +110,23 @@ def test_pack_salt_col_invariants(spark):
     _pack_invariants(packs, docs, 25)
 
 
+def test_pack_oversize_doc_density(spark):
+    """A doc spanning several budget multiples must not leave pack-id
+    holes (floor of the prefix sum alone would skip ids; dense_rank
+    closes them) — in both the unsalted and the sharded path."""
+    rows = [
+        (1, "s", " ".join(f"a{j}" for j in range(1200))),  # ~2.3x budget
+        (2, "s", " ".join(f"b{j}" for j in range(10))),
+        (3, "s", " ".join(f"c{j}" for j in range(10))),
+        (4, "s", " ".join(f"d{j}" for j in range(2000))),  # ~4x budget
+        (5, "s", " ".join(f"e{j}" for j in range(10))),
+    ]
+    docs = _docs(spark, rows)
+    for kwargs in ({}, {"shards": 2}):
+        packs = pack_sequences(docs, budget=512, **kwargs)
+        _pack_invariants(packs, docs, 512)
+
+
 def test_pack_salted_parallelism(spark):
     """The salted plan partitions the heavy window by (group, salt) —
     a single-source corpus no longer funnels into one window partition."""

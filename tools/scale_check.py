@@ -4,14 +4,22 @@ sf0.1 corpus and report the runtime ratio.
 The 100 TB claims in SCALING.md are plan arguments; this tool is the
 empirical check that doubling the data does not quadruple the time. The
 2x corpus is the sf0.1 table unioned with an id-shifted, CONTENT-PERTURBED
-copy: token order reversed for text, component order reversed for
-embeddings. The perturbation keeps the size/length distribution but makes
-each clone NOT a near-dup of its original (a byte-identical copy made
-every doc an exact duplicate, inflating pair counts ~24x and making the
-2x run structurally denser than a real doubled corpus — ADVICE r2).
-Planted dup clusters are cloned intact (both members get the same
-transform), so pair counts grow ~2x, ~4x only if an operator is
-accidentally all-pairs — which is exactly what the ratio detects.
+copy: every text token prefixed with 'x' (mere reordering is invisible to
+bag-of-tokens simhash), every embedding given alternate sign flips (same
+norm; reversal stayed correlated on the structured testdata vectors). The
+perturbation keeps the size/length distribution but makes each clone NOT
+a near-dup of its original (a byte-identical copy made every doc an exact
+duplicate, inflating pair counts ~24x and making the 2x run structurally
+denser than a real doubled corpus — ADVICE r2). Planted dup clusters are
+cloned intact (both members get the same transform), so exact-threshold
+pair counts (jaccard, minhash) grow ~2x. Caveat on the fuzzy ops, visible
+in the committed output: simhash clone pairs can land past the hamming
+cutoff (the prefix shifts every token hash, so rows_2x under-doubles) and
+alternate sign-flip clones of unbalanced-energy vectors stay correlated
+with their originals (embedding-LSH rows_2x over-doubles). The RUNTIME
+ratio is still the signal — candidate generation is driven by bucket
+structure, not by how many verified pairs survive — but rows_2x for those
+two cases is not a "~2x pairs" check.
 
 A separate Zipf-skew block measures the documented hot-shingle failure
 mode: a corpus where every doc shares one boilerplate sentence (df = N
@@ -223,51 +231,53 @@ def main() -> None:
     # not a codegen generator whose recompute cost pollutes the ratio
     import tempfile
 
-    pack_dir = tempfile.mkdtemp(prefix="scale_pack_")
-    single_source(N_PACK).write.mode("overwrite").parquet(pack_dir)
-    pack_src = spark.read.parquet(pack_dir)
-
-    # force real execution: a bare count() lets Catalyst prune the
-    # unused window, and count() over a global aggregate constant-folds
-    # to 1 — both "measured" a 3M-row global sort in 0.13 s that never
-    # ran. collect()ing the aggregate values runs the actual plan.
-    def run_pack_once(sh) -> float:
-        spark.catalog.clearCache()
-        p = (
-            pack_sequences(pack_src, budget=512, shards=sh)
-            if sh
-            else pack_sequences(pack_src, budget=512)
-        )
-        t0 = time.time()
-        p.agg(F.sum("pack_id"), F.max("pack_id")).collect()
-        return time.time() - t0
-
-    run_pack_once(None)  # warm
-    tp_serial = min(run_pack_once(None), run_pack_once(None))
-    tp_shard = min(run_pack_once(int(CPUS)), run_pack_once(int(CPUS)))
-    pack = {
-        "n_docs": N_PACK,
-        "t_unsalted": round(tp_serial, 3),
-        "t_sharded": round(tp_shard, 3),
-        "speedup": round(tp_serial / tp_shard, 2) if tp_shard > 0 else None,
-    }
-
-    result = {
-        "metric": "scale_ratio_2x",
-        "sf": SF_DIR,
-        "n_docs_1x": n_docs,
-        "cases": out,
-        "skew": skew,
-        "pack": pack,
-    }
-    line = json.dumps(result)
-    print(line)
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALE_CHECK.json"), "w") as f:
-        f.write(line + "\n")
     import shutil
 
-    shutil.rmtree(pack_dir, ignore_errors=True)
+    pack_dir = tempfile.mkdtemp(prefix="scale_pack_")
+    try:
+        single_source(N_PACK).write.mode("overwrite").parquet(pack_dir)
+        pack_src = spark.read.parquet(pack_dir)
+
+        # force real execution: a bare count() lets Catalyst prune the
+        # unused window, and count() over a global aggregate constant-folds
+        # to 1 — both "measured" a 3M-row global sort in 0.13 s that never
+        # ran. collect()ing the aggregate values runs the actual plan.
+        def run_pack_once(sh) -> float:
+            spark.catalog.clearCache()
+            p = (
+                pack_sequences(pack_src, budget=512, shards=sh)
+                if sh
+                else pack_sequences(pack_src, budget=512)
+            )
+            t0 = time.time()
+            p.agg(F.sum("pack_id"), F.max("pack_id")).collect()
+            return time.time() - t0
+
+        run_pack_once(None)  # warm
+        tp_serial = min(run_pack_once(None), run_pack_once(None))
+        tp_shard = min(run_pack_once(int(CPUS)), run_pack_once(int(CPUS)))
+        pack = {
+            "n_docs": N_PACK,
+            "t_unsalted": round(tp_serial, 3),
+            "t_sharded": round(tp_shard, 3),
+            "speedup": round(tp_serial / tp_shard, 2) if tp_shard > 0 else None,
+        }
+
+        result = {
+            "metric": "scale_ratio_2x",
+            "sf": SF_DIR,
+            "n_docs_1x": n_docs,
+            "cases": out,
+            "skew": skew,
+            "pack": pack,
+        }
+        line = json.dumps(result)
+        print(line)
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "SCALE_CHECK.json"), "w") as f:
+            f.write(line + "\n")
+    finally:
+        shutil.rmtree(pack_dir, ignore_errors=True)
     spark.stop()
 
 

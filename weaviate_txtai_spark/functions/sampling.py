@@ -128,7 +128,11 @@ def exact_ntile(
 
     from pyspark.sql import Window
 
-    if warn_rows is not None and df.limit(int(warn_rows) + 1).count() > warn_rows:
+    # probe on a 1-column projection: GlobalLimit funnels up to
+    # warn_rows+1 rows per input partition into one task, so strip the
+    # payload columns before they ride that shuffle
+    probe = df.select(F.lit(1).alias("__one")) if warn_rows is not None else None
+    if warn_rows is not None and probe.limit(int(warn_rows) + 1).count() > warn_rows:
         warnings.warn(
             f"exact_ntile over more than {warn_rows:,} rows plans as a "
             "single-partition global sort; use quantile_buckets "

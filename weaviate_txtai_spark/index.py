@@ -206,14 +206,24 @@ class VectorIndex:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
 
-    def _load_meta(self) -> None:
+    def _load_meta(self, recover: bool = True) -> None:
+        """Refresh driver state from the meta sidecar.
+
+        ``recover=False`` skips :meth:`_recover_swaps` — required on the
+        streaming micro-batch path (``append_stream_batch``), which runs on
+        a foreachBatch thread and only needs the watermark: running swap
+        recovery there could rmtree a ``data.tmp`` (or roll back a mid-swap
+        ``*.old``) belonging to a compact/upsert/delete concurrently
+        executing on the main driver thread.
+        """
         with open(self._meta_path()) as f:
             meta = json.load(f)
         self.offset = meta["offset"]
         self.n_buckets = meta.get("buckets", self.n_buckets)
         self.quantize = meta.get("quantize", self.quantize)
         self.stream_state = meta.get("streams", {})
-        self._recover_swaps()
+        if recover:
+            self._recover_swaps()
 
     def _recover_swaps(self) -> None:
         """Crash recovery for the copy-on-write swap protocol (ADVICE r2).
@@ -231,8 +241,11 @@ class VectorIndex:
           (the live target was never touched).
 
         Mirrors the streaming commit-dir recovery in
-        ``append_stream_batch``; runs on every re-attach (``_load_meta``)
-        and defensively at the start of each rewrite.
+        ``append_stream_batch``; runs on re-attach (``_load_meta``) and
+        defensively at the start of each rewrite — but NOT on the
+        streaming micro-batch watermark refresh (``_load_meta(recover=
+        False)``), which may run concurrently with a maintenance rewrite
+        on another thread.
         """
         data = self._data_path()
         aside_full = data + ".old"
@@ -421,7 +434,10 @@ class VectorIndex:
         import hashlib
 
         key = str(stream_key)
-        self._load_meta()  # refresh watermark: restart holds stale memory
+        # refresh watermark only (restart holds stale memory); recovery is
+        # skipped here — this runs on a foreachBatch thread and must never
+        # mutate swap state owned by a concurrent maintenance op
+        self._load_meta(recover=False)
         if int(batch_id) <= int(self.stream_state.get(key, -1)):
             return
         # collision-resistant commit-dir name: a readable suffix for

@@ -12,7 +12,8 @@ they are DuckDB-oracle-able:
   100 TB it parallelizes with the scan and the output partitioning
   inherits the input's.
 - ``pack_sequences``: concat-then-split style packing — docs ordered by
-  id within a source, running token count, pack = cumsum div budget.
+  id within a source, running token count, pack = cumsum div budget,
+  then dense_rank to close the id gaps oversize docs would leave.
   One shuffle (window partitioned by source). This is the standard
   deterministic approximation of bin packing used for pretraining
   batches: no pack exceeds budget + max_doc_tokens, and every pack
@@ -100,9 +101,18 @@ def pack_sequences(
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         cum_before: Column = F.coalesce(F.sum("__toks").over(w), F.lit(0))
+        # raw = floor(prefix/budget) can SKIP values when one doc spans
+        # several budget multiples (a 1200-token doc at budget 512 jumps
+        # the counter by 2); dense_rank over the raw value closes the
+        # gaps so pack ids really are dense from 0 per group. Same window
+        # key, and raw is monotone in the existing sort order, so the
+        # second window adds no exchange.
+        dw = Window.partitionBy(group_col).orderBy("__rawpack")
         return (
             docs.select(group_col, id_col, toks.alias("__toks"))
-            .withColumn("pack_id", F.floor(cum_before / budget))
+            .withColumn("__rawpack", F.floor(cum_before / budget))
+            # cast: dense_rank is int, but pack_id was (and stays) long
+            .withColumn("pack_id", (F.dense_rank().over(dw) - 1).cast("long"))
             .select(
                 group_col,
                 F.col(id_col),
@@ -116,43 +126,41 @@ def pack_sequences(
         salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shards))).cast("int")
     from weaviate_txtai_spark.cache import scoped_persist
 
-    # base feeds BOTH the window branch and the pack-count aggregate;
-    # without the persist the tokenize lineage runs twice. The cached
-    # rows are narrow (group, id, token count, salt — no text), ~40
-    # bytes/doc. Released by the caller's cache_scope.
-    base = scoped_persist(
-        docs.select(
-            group_col, id_col, toks.alias("__toks"), salt.alias("__salt")
-        )
-    )
     w = (
         Window.partitionBy(group_col, "__salt")
         .orderBy(F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("__toks").over(w), F.lit(0))
-    local = base.withColumn("__lpack", F.floor(cum_before / budget))
-    # dense renumbering: cumulative pack-count offsets over a TINY
-    # (groups × shards)-row aggregate; the window below runs per group
-    # over ≤ shards rows, then broadcasts back — no group-wide window
-    # ever sees the doc-cardinality rows.
-    #
-    # Pack counts come from a CLOSED FORM over a plain aggregate, not
-    # from max(__lpack): the last doc's pack is floor((T - L)/budget)
-    # where T = shard token total and L = the last (max-id) doc's
-    # tokens, so npacks = that + 1. Aggregating `local` instead would
-    # re-run the whole shuffle+sort+window pipeline a second time for
-    # the broadcast side (Spark shares no common subplans across join
-    # inputs) — measured 4x slower than the unsalted path it was meant
-    # to beat.
-    counts = base.groupBy(group_col, "__salt").agg(
-        (
-            F.floor(
-                (F.sum("__toks") - F.max_by("__toks", F.col(id_col)))
-                / budget
-            )
-            + 1
-        ).alias("__npacks")
+    # `local` feeds BOTH the output branch and the pack-count aggregate;
+    # Spark shares no common subplans across join inputs, so without the
+    # persist the shuffle+sort+window pipeline would run TWICE (measured
+    # 4x slower than the unsalted path it was meant to beat). Persisting
+    # AFTER the window (not just the tokenize base) matters because the
+    # offsets need countDistinct(__lpack) — the number of packs a shard
+    # actually uses has no closed form once floor() can skip values for
+    # oversize docs. Cached rows are narrow (group, id, token count,
+    # salt, pack — no text), ~48 bytes/doc. Released by the caller's
+    # cache_scope.
+    local = scoped_persist(
+        docs.select(
+            group_col, id_col, toks.alias("__toks"), salt.alias("__salt")
+        ).withColumn("__lpack", F.floor(cum_before / budget))
+    )
+    # per-shard dense ids: floor(prefix/budget) skips values when one doc
+    # spans several budget multiples; dense_rank closes the gaps. The
+    # cache preserves the (group, salt) hash partitioning, so this second
+    # window sorts within partitions without a new exchange.
+    dw = Window.partitionBy(group_col, "__salt").orderBy("__lpack")
+    dense = local.withColumn(
+        "__dpack", (F.dense_rank().over(dw) - 1).cast("long")
+    )
+    # dense renumbering across shards: cumulative pack-count offsets over
+    # a TINY (groups × shards)-row aggregate read from the cache; the
+    # window below runs per group over ≤ shards rows, then broadcasts
+    # back — no group-wide window ever sees the doc-cardinality rows.
+    counts = local.groupBy(group_col, "__salt").agg(
+        F.countDistinct("__lpack").alias("__npacks")
     )
     ow = (
         Window.partitionBy(group_col)
@@ -162,12 +170,12 @@ def pack_sequences(
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__npacks").over(ow), F.lit(0))
     )
-    return local.join(
+    return dense.join(
         F.broadcast(offsets.select(group_col, "__salt", "__off")),
         [group_col, "__salt"],
     ).select(
         group_col,
         F.col(id_col),
         F.col("__toks").alias("n_tokens"),
-        (F.col("__off") + F.col("__lpack")).alias("pack_id"),
+        (F.col("__off") + F.col("__dpack")).alias("pack_id"),
     )

@@ -108,8 +108,6 @@ def _infer_query_id_type(qids):
     as StringType and dying later inside Arrow (ADVICE r2). Callers that
     know the type (topk_join passes the left frame's schema) skip this.
     """
-    import numpy as np
-
     from pyspark.sql.types import StringType
 
     first = qids[0]

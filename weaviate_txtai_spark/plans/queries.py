@@ -2628,6 +2628,9 @@ def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("c_acctbal"),
             F.asc("c_custkey"),
             bucket_col="decile",
+            # the input is one row per customer of a fixed sf table —
+            # known far below the threshold, so skip the probe job
+            warn_rows=None,
         )
         .groupBy("decile")
         .agg(
@@ -2728,10 +2731,15 @@ WITH t AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS cum_before
   FROM t
+), r AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(cum_before / 512.0) AS BIGINT) AS raw_pack
+  FROM c
 )
 SELECT source, doc_id, n_tokens,
-       CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id
-FROM c
+       CAST(dense_rank() OVER (PARTITION BY source ORDER BY raw_pack) - 1
+            AS BIGINT) AS pack_id
+FROM r
 """
 
 
