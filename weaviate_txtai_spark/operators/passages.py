@@ -1,0 +1,156 @@
+"""Repeated-passage detection across a corpus (sub-document dedup).
+
+Whole-document dedup (operators/dedup.py) misses the dominant failure
+mode of web-scale training corpora: *passages* — boilerplate sentences,
+license headers, navigation chrome — repeated verbatim across millions
+of otherwise-distinct documents ("Deduplicating Training Data Makes
+Language Models Better", Lee et al. 2021, which finds them with suffix
+arrays on a single machine). The distributed re-expression here is the
+standard n-gram-window form: every k-token window is hashed, window
+hashes are counted across the corpus, and a window that occurs in
+``min_docs`` distinct documents is a repeated passage. Per-doc output is
+the fraction of window positions covered by repeated passages plus a
+C4-style keep flag.
+
+Scale shape (the reason this survives 100 TB where a suffix array
+cannot): the window table is ~tokens-per-corpus rows but every operation
+on it is an AGGREGATE or an equi-join on the window hash — never a
+pair-join — so a boilerplate window shared by 10M docs costs 10M rows
+through a map-side-combined count, not 10M² candidate pairs. Two
+shuffles total: (doc, hash) distinct-count, then the hash-keyed join
+back. Both AQE-skew-splittable because hot hashes only ever meet a
+1-row-per-hash frequency table.
+
+The reference has no sub-document operator at all (its unit is the
+Weaviate object, `/root/reference/weaviate_txtai/ann/weaviate.py:140-147`);
+this is a north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.text import tokens
+
+
+def _window_hash(win: Column, hash_mode: str) -> Column:
+    if hash_mode == "md5":
+        # oracle mode: DuckDB computes the identical hex digest, so the
+        # whole operator is value-checkable end-to-end
+        return F.md5(win)
+    if hash_mode == "xxhash64":
+        # production mode: 8-byte int keys shuffle ~4x less than 32-char
+        # hex strings. Same semantics (counts of equal windows) — pytest
+        # pins md5-mode == xxhash64-mode results.
+        return F.xxhash64(win)
+    raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', got {hash_mode!r}")
+
+
+def window_doc_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(doc, window-hash, occurrence-count) for every distinct k-token
+    window of every doc. Docs shorter than k tokens contribute nothing.
+
+    Map-side explode then one aggregate; grouping to (doc, hash) BEFORE
+    any corpus-wide step collapses intra-doc repeats early (the same
+    window repeated 50x inside one page shuffles once, with n_occ=50).
+    """
+    tok = tokens(text_col)
+    # 1-based slice starts over the materialized token array
+    starts = F.sequence(F.lit(1), F.size("__tok") - (k - 1))
+    win = F.concat_ws(" ", F.slice(F.col("__tok"), F.col("__s"), k))
+    return (
+        docs.select(F.col(id_col), tok.alias("__tok"))
+        .filter(F.size("__tok") >= k)
+        .select(id_col, F.explode(starts).alias("__s"), F.col("__tok"))
+        .select(id_col, _window_hash(win, hash_mode).alias("wh"))
+        .groupBy(id_col, "wh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+def repeated_passage_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    max_ratio: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc repeated-passage profile: (doc_id, n_windows, n_repeated,
+    repeated_ratio, keep).
+
+    ``n_windows`` counts window POSITIONS (a window repeated inside one
+    doc counts each occurrence); ``n_repeated`` counts positions whose
+    window occurs in >= ``min_docs`` DISTINCT docs; ``keep`` is the
+    C4-style doc filter ``repeated_ratio <= max_ratio``. Docs with fewer
+    than k tokens have zero windows and are kept (ratio 0).
+    """
+    pairs = window_doc_pairs(
+        docs, text_col=text_col, id_col=id_col, k=k, hash_mode=hash_mode
+    )
+    # frequency table: 1 row per distinct window hash. NOT broadcast —
+    # a web corpus has ~tokens/10 distinct windows; this is a hash-keyed
+    # sort-merge/shuffle join both sides of which are already (wh)-keyed
+    # aggregates, so the join reuses the aggregation's partitioning.
+    dfreq = pairs.groupBy("wh").agg(
+        F.count(F.lit(1)).alias("__df")  # pairs is distinct on (doc, wh)
+    )
+    rep = (
+        pairs.join(dfreq, "wh")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("__nw"),
+            F.sum(F.when(F.col("__df") >= min_docs, F.col("n_occ")).otherwise(0))
+            .alias("__nr"),
+        )
+    )
+    ratio = F.when(
+        F.coalesce(F.col("__nw"), F.lit(0)) > 0,
+        F.col("__nr") / F.col("__nw"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(rep, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__nw"), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("__nr"), F.lit(0)).cast("long").alias("n_repeated"),
+            F.round(ratio, 6).alias("repeated_ratio"),
+            (F.round(ratio, 6) <= max_ratio).alias("keep"),
+        )
+    )
+
+
+def repeated_passages(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The repeated passages themselves: (wh, n_docs, n_occ) for every
+    window occurring in >= min_docs distinct docs — the corpus-level
+    boilerplate inventory (feeds blocklists / redaction passes)."""
+    pairs = window_doc_pairs(
+        docs, text_col=text_col, id_col=id_col, k=k, hash_mode=hash_mode
+    )
+    return (
+        pairs.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_occ").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

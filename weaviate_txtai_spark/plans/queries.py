@@ -3706,6 +3706,112 @@ def docs_redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPEATED_PASSAGE_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+), w AS (
+  SELECT doc_id, md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
+  FROM t, unnest(generate_series(1, len(tok) - 7)) AS s(x)
+  WHERE len(tok) >= 8
+), p AS (
+  SELECT doc_id, wh, count(*) AS n_occ FROM w GROUP BY 1, 2
+), f AS (
+  SELECT wh, count(*) AS dfq FROM p GROUP BY 1
+), r AS (
+  SELECT p.doc_id,
+         sum(p.n_occ) AS nw,
+         sum(CASE WHEN f.dfq >= 2 THEN p.n_occ ELSE 0 END) AS nr
+  FROM p JOIN f USING (wh) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.nw, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(r.nr, 0) AS BIGINT) AS n_repeated,
+       round(CASE WHEN coalesce(r.nw, 0) > 0
+                  THEN CAST(r.nr AS DOUBLE) / r.nw ELSE 0.0 END, 6)
+         AS repeated_ratio,
+       round(CASE WHEN coalesce(r.nw, 0) > 0
+                  THEN CAST(r.nr AS DOUBLE) / r.nw ELSE 0.0 END, 6) <= 0.5
+         AS keep
+FROM documents d LEFT JOIN r USING (doc_id)
+"""
+
+
+@register("repeated_passage_stats", _REPEATED_PASSAGE_STATS_SQL)
+def repeated_passage_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal (Lee et al. 2021 shape): fraction of
+    each doc's 8-token windows that recur in other docs, plus the
+    C4-style keep flag. Gate runs md5 hash mode so DuckDB reproduces the
+    window hashes byte-for-byte; production xxhash64 mode (8-byte keys,
+    ~4x less shuffle than hex digests) is pinned equal in pytest. All
+    corpus-wide steps are aggregates or hash-equi-joins — a boilerplate
+    window in 10M docs costs 10M rows through a map-side-combined count,
+    never 10M² pairs."""
+    from weaviate_txtai_spark.operators.passages import repeated_passage_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_passage_stats(
+        docs, k=8, min_docs=2, max_ratio=0.5, hash_mode="md5"
+    )
+
+
+_REPEATED_PASSAGES_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+), w AS (
+  SELECT doc_id, md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
+  FROM t, unnest(generate_series(1, len(tok) - 7)) AS s(x)
+  WHERE len(tok) >= 8
+), p AS (
+  SELECT doc_id, wh, count(*) AS n_occ FROM w GROUP BY 1, 2
+)
+SELECT wh,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_occ) AS BIGINT) AS n_occ
+FROM p GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+@register("repeated_passages", _REPEATED_PASSAGES_SQL)
+def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level boilerplate inventory: every 8-token window
+    occurring in >= 2 distinct docs, with doc- and occurrence-counts
+    (feeds blocklists / redaction passes)."""
+    from weaviate_txtai_spark.operators.passages import repeated_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_passages(docs, k=8, min_docs=2, hash_mode="md5")
+
+
+_TOP_TOKENS_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+FROM tok GROUP BY 1
+ORDER BY n_occ DESC, term ASC
+LIMIT 20
+"""
+
+
+@register("token_heavy_hitters", _TOP_TOKENS_SQL)
+def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-20 terms via the two-phase Misra–Gries plan
+    (operators/heavy_hitters.py): bounded-memory per-partition candidate
+    summaries, then exact verify counts for candidates only — the
+    shuffle carries capacity x partitions partial counts instead of the
+    full web-scale vocabulary. The guarantee check makes the result
+    EXACT (falls back to the plain aggregate when capacity is too small
+    for the distribution), which is why a plain SQL top-k is a valid
+    oracle for the approximating machinery."""
+    from weaviate_txtai_spark.operators.heavy_hitters import exact_top_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_top_tokens(docs, 20, capacity=4096)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
