@@ -53,7 +53,9 @@ def test_int8_quantize_invariants(spark, vec):
     q, s = list(row["q"]), row["s"]
     assert all(-127 <= x <= 127 for x in q)  # symmetric range
     ma = max(abs(x) for x in vec)
-    if ma == 0:
+    if ma / 127.0 == 0.0:
+        # zero vector, or denormal max|x| whose scale underflows to 0.0:
+        # codes must stay consistent with the zero scale
         assert q == [0] * len(vec) and s == 0.0
     else:
         # reconstruction error bound: |x - q*s| <= s/2 per component

@@ -1,0 +1,168 @@
+"""Deterministic Lloyd's k-means + SemDeDup semantic dedup.
+
+Pins: expr/gemm assignment parity, lowest-cid tie-break, empty-cluster
+centroid retention, inertia monotonicity, partitioning-invariance, and
+the semantic-dedup pair/survivor contracts (chain case: neighbor-based,
+not connected-component)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.operators.kmeans import (
+    KMeansModel,
+    assign_clusters,
+    inertia,
+    lloyd,
+    semantic_dedup_pairs,
+    semantic_dedup_survivors,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_assign_expr_ties_to_lowest_cid(spark):
+    df = _df(spark, [(0, [0.0, 0.0])])
+    cents = [(1, [1.0, 0.0]), (0, [0.0, 1.0])]  # equidistant
+    row = assign_clusters(df, cents, strategy="expr").collect()[0]
+    assert row["cluster"] == 0
+
+
+def test_assign_gemm_matches_expr(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    cents = [
+        (i, [float(v) for v in r["embedding"]])
+        for i, r in enumerate(emb.orderBy("vec_id").limit(3).collect())
+    ]
+    for rd in (None, 6):
+        e = assign_clusters(
+            emb, cents, strategy="expr", dist_round_decimals=rd
+        ).select("vec_id", "cluster")
+        g = assign_clusters(
+            emb, cents, strategy="gemm", dist_round_decimals=rd
+        ).select("vec_id", "cluster")
+        assert sorted(e.collect()) == sorted(g.collect())
+
+
+def test_assign_validates_inputs(spark):
+    df = _df(spark, [(0, [0.0, 0.0])])
+    with pytest.raises(ValueError, match="empty centroid"):
+        assign_clusters(df, [])
+    with pytest.raises(ValueError, match="dims differ"):
+        assign_clusters(df, [(0, [1.0]), (1, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="unknown strategy"):
+        assign_clusters(df, [(0, [1.0, 0.0])], strategy="nope")
+
+
+def test_lloyd_converges_and_inertia_monotone(spark):
+    # two tight blobs; k=2 must separate them and inertia must not rise
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
+        (100 + i, [5.0 + i * 0.01, 5.0]) for i in range(10)
+    ]
+    df = _df(spark, rows)
+    prev = None
+    for it in (1, 2, 4):
+        m = lloyd(df, k=2, iters=it)
+        j = inertia(m.assigned, m.centroids)
+        if prev is not None:
+            assert j <= prev + 1e-9
+        prev = j
+        assert sorted(m.sizes.values()) == [10, 10]
+    # blob separation: every row of the second blob in one cluster
+    m = lloyd(df, k=2, iters=4)
+    got = {
+        r["vec_id"]: r["cluster"] for r in m.assigned.select("vec_id", "cluster").collect()
+    }
+    assert len({got[i] for i in range(10)}) == 1
+    assert len({got[100 + i] for i in range(10)}) == 1
+    assert got[0] != got[100]
+
+
+def test_lloyd_partitioning_invariant(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = lloyd(emb, k=3, iters=2, quantize_decimals=6, dist_round_decimals=6)
+    b = lloyd(
+        emb.repartition(7), k=3, iters=2, quantize_decimals=6, dist_round_decimals=6
+    )
+    assert a.centroids == b.centroids
+    assert sorted(a.assigned.select("vec_id", "cluster").collect()) == sorted(
+        b.assigned.select("vec_id", "cluster").collect()
+    )
+
+
+def test_lloyd_empty_cluster_keeps_centroid(spark):
+    # far-away seed never wins a point: its centroid must survive verbatim
+    df = _df(spark, [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.2, 0.0])])
+    far = (99, [1000.0, 1000.0])
+    m = lloyd(df, init_centroids=[(0, [0.0, 0.0]), far], iters=3)
+    cents = dict(m.centroids)
+    assert cents[99] == [1000.0, 1000.0]
+    assert m.sizes.get(99, 0) == 0
+
+
+def test_lloyd_seed_validation(spark):
+    df = _df(spark, [(0, [0.0, 0.0]), (1, [1.0, 1.0])])
+    with pytest.raises(ValueError, match="not found"):
+        lloyd(df, seed_ids=[0, 7], iters=1)
+    with pytest.raises(ValueError, match="only 2 rows"):
+        lloyd(df, k=3, iters=1)
+    with pytest.raises(ValueError, match="pass k"):
+        lloyd(df, iters=1)
+
+
+def test_lloyd_model_assign_roundtrip(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = lloyd(emb, k=2, iters=1)
+    assert isinstance(m, KMeansModel)
+    re = m.assign(emb).select("vec_id", "cluster")
+    assert sorted(re.collect()) == sorted(
+        m.assigned.select("vec_id", "cluster").collect()
+    )
+
+
+def test_semantic_dedup_chain_is_neighbor_based(spark):
+    # a–b similar, b–c similar, a–c NOT: b and c both have a lower-id
+    # neighbor, so only a survives (one-shot rule, no fixpoint — c is
+    # dropped even though its only neighbor b was itself dropped)
+    # (unit vectors 10° apart: cos 10° ≈ 0.985 ≥ 0.97 > cos 20° ≈ 0.940)
+    import math
+
+    a, b, c = (
+        [math.cos(math.radians(d)), math.sin(math.radians(d))] for d in (0, 10, 20)
+    )
+    df = _df(spark, [(1, a), (2, b), (3, c)])
+    pairs = semantic_dedup_pairs(
+        df, k=1, iters=1, threshold=0.97, seed_ids=[1]
+    )
+    got = sorted((r["d1"], r["d2"]) for r in pairs.collect())
+    assert got == [(1, 2), (2, 3)]
+    surv = semantic_dedup_survivors(df, pairs)
+    assert sorted(r["vec_id"] for r in surv.collect()) == [1]
+    # fixpoint semantics via CC composition: also keeps only the min id
+    from weaviate_txtai_spark.operators.dedup import dedup_survivors
+
+    cc = dedup_survivors(df.withColumnRenamed("vec_id", "doc_id"),
+                         pairs.select("d1", "d2"))
+    assert sorted(r["doc_id"] for r in cc.collect()) == [1]
+
+
+def test_semantic_dedup_only_pairs_within_cluster(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = semantic_dedup_pairs(
+        emb, k=4, iters=1, threshold=0.45, quantize_decimals=6,
+        dist_round_decimals=6,
+    )
+    m = lloyd(emb, k=4, iters=1, quantize_decimals=6, dist_round_decimals=6)
+    cl = {r["vec_id"]: r["cluster"] for r in m.assigned.select("vec_id", "cluster").collect()}
+    rows = pairs.collect()
+    assert all(cl[r["d1"]] == cl[r["d2"]] == r["cluster"] for r in rows)
+    assert all(r["d1"] < r["d2"] for r in rows)
+    # subset of the global (cluster-free) pair set at the same threshold
+    from weaviate_txtai_spark.operators.dedup import embedding_dup_pairs
+
+    global_pairs = {
+        (r["d1"], r["d2"]) for r in embedding_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert {(r["d1"], r["d2"]) for r in rows} <= global_pairs

@@ -105,12 +105,21 @@ def int8_quantize(a) -> Column:
     component. Pure native exprs (transform/aggregate) — codegen, no
     Python. Oracle-checkable because round-half-away-from-zero agrees
     between Spark and DuckDB and the accumulation is order-identical.
+
+    The zero-branch keys on the SCALE (max|x|/127) underflowing to 0.0,
+    not on max|x| == 0: for denormal inputs (max|x| < ~6.3e-322) the
+    scale is exactly 0.0, and emitting nonzero codes with a zero scale
+    would break reconstruction. Such vectors quantize to all-zeros with
+    scale 0 (reconstruction error < 2^-1070 — below any metric's noise
+    floor). For any normally-ranged input the branch is identical to
+    the max|x| == 0 test, so oracles are unaffected.
     """
     a = _c(a)
     ma = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    sc = ma / F.lit(127.0)
     return F.transform(
         a,
-        lambda x: F.when(ma == 0.0, F.lit(0).cast("bigint")).otherwise(
+        lambda x: F.when(sc == 0.0, F.lit(0).cast("bigint")).otherwise(
             F.round(F.lit(127.0) * x.cast("double") / ma).cast("bigint")
         ),
     )

@@ -3812,6 +3812,184 @@ def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_top_tokens(docs, 20, capacity=4096)
 
 
+# --------------------------------------------------------------------------
+# Deterministic k-means + SemDeDup semantic dedup (operators/kmeans.py)
+# --------------------------------------------------------------------------
+
+# Shared oracle skeleton: seeds = the 4 smallest vec_ids relabelled
+# 0..3, one Lloyd update (assign → 6-dp-quantized means), then the
+# closing assignment against the updated centroids — the exact
+# transcription of lloyd(k=4, iters=1, quantize_decimals=6,
+# dist_round_decimals=6). Distances are the same in-order fold both
+# engines use (list_zip square-diff sum), rounded to 6 dp before the
+# argmin; ties break to the lowest cluster id via (dist, cid) order.
+_KMEANS_CTE = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+d1 AS (
+  SELECT e.vec_id, s.cid,
+         round(list_sum(list_transform(
+               list_zip(CAST(e.embedding AS DOUBLE[]), s.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+  FROM embeddings e CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cluster, pos, round(avg(val), 6) AS v FROM (
+    SELECT a1.cluster,
+           generate_subscripts(CAST(e.embedding AS DOUBLE[]), 1) AS pos,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS val
+    FROM a1 JOIN embeddings e USING (vec_id)
+  ) GROUP BY cluster, pos
+),
+cvecs AS (
+  SELECT cluster, list(v ORDER BY pos) AS cvec FROM cent GROUP BY cluster
+),
+d2 AS (
+  SELECT e.vec_id, c.cluster AS cid,
+         round(list_sum(list_transform(
+               list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+  FROM embeddings e CROSS JOIN cvecs c
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+"""
+
+_KMEANS_PARAMS = dict(
+    k=4, iters=1, quantize_decimals=6, dist_round_decimals=6
+)
+
+
+def _kmeans_model(spark: SparkSession, sf_dir: str):
+    from weaviate_txtai_spark.operators.kmeans import lloyd
+
+    return lloyd(_emb(spark, sf_dir), **_KMEANS_PARAMS)
+
+
+_KMEANS_ASSIGN_SQL = _KMEANS_CTE + """
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2 ORDER BY vec_id
+"""
+
+
+@register("kmeans_assign", _KMEANS_ASSIGN_SQL)
+def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means, full machinery under the oracle at
+    its production shape (no exactness-mode escape hatch needed —
+    seeding, ties, and 6-dp centroid quantization make the trajectory
+    engine-independent). Per iteration: map-only assignment (centroids
+    travel as literals — no join, no shuffle) + one k×dim-key
+    partial-agg shuffle for the means; the oracle replays the identical
+    trajectory in SQL."""
+    m = _kmeans_model(spark, sf_dir)
+    return m.assigned.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    ).orderBy("vec_id")
+
+
+_KMEANS_CENTROIDS_SQL = _KMEANS_CTE + """
+SELECT a2.cluster, CAST(count(*) AS BIGINT) AS size,
+       CAST(len(c.cvec) AS INT) AS dim,
+       round(list_sum(c.cvec), 6) AS checksum
+FROM a2 JOIN cvecs c USING (cluster)
+GROUP BY a2.cluster, c.cvec ORDER BY a2.cluster
+"""
+
+
+@register("kmeans_centroids", _KMEANS_CENTROIDS_SQL)
+def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final centroids (6-dp quantized) + final-assignment sizes. The
+    centroid list lives on the driver (k×dim doubles — same bounded
+    contract as ann.IVFIndex), so the gate frame is built from it; the
+    sizes come from the distributed closing assignment."""
+    m = _kmeans_model(spark, sf_dir)
+    rows = [
+        (cid, int(m.sizes.get(cid, 0)), len(vec), round(sum(vec), 6))
+        for cid, vec in m.centroids
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, size long, dim int, checksum double"
+    ).orderBy("cluster")
+
+
+_SEMANTIC_DEDUP_SQL = _KMEANS_CTE + """
+SELECT x.vec_id AS d1, y.vec_id AS d2,
+       CAST(ax.cluster AS INT) AS cluster,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS cosine
+FROM a2 ax JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+JOIN embeddings x ON x.vec_id = ax.vec_id
+JOIN embeddings y ON y.vec_id = ay.vec_id
+WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                   CAST(y.embedding AS DOUBLE[])), 6) >= 0.45
+"""
+
+
+@register("semantic_dedup", _SEMANTIC_DEDUP_SQL)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-dup pairs WITHIN k-means
+    clusters only — the quadratic is bounded by cluster size, and k is
+    the knob that keeps |cluster|² flat as the corpus grows. Unlike the
+    LSH dedup gates this is oracle-checked at its production
+    parameterization, because the whole pipeline (clustering included)
+    is deterministic."""
+    from weaviate_txtai_spark.operators.kmeans import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _emb(spark, sf_dir), threshold=0.45, **_KMEANS_PARAMS
+    ).select("d1", "d2", F.col("cluster").cast("int").alias("cluster"), "cosine")
+
+
+_SEMANTIC_SURVIVORS_SQL = _KMEANS_CTE + """
+, pairs AS (
+  SELECT y.vec_id AS d2
+  FROM a2 ax JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+  JOIN embeddings x ON x.vec_id = ax.vec_id
+  JOIN embeddings y ON y.vec_id = ay.vec_id
+  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                     CAST(y.embedding AS DOUBLE[])), 6) >= 0.45
+)
+SELECT e.vec_id, CAST(e.label AS INT) AS label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT d2 FROM pairs)
+ORDER BY e.vec_id
+"""
+
+
+@register("semantic_dedup_survivors", _SEMANTIC_SURVIVORS_SQL)
+def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup end-product: corpus minus rows with a lower-id
+    near-dup in their cluster (one anti-join on the distinct d2 set —
+    NOT IN d2 is exactly the engine's rule here, no connected-components
+    subtlety, unlike dedup_survivors' recursive-CTE oracle)."""
+    from weaviate_txtai_spark.operators.kmeans import (
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = semantic_dedup_pairs(emb, threshold=0.45, **_KMEANS_PARAMS)
+    return (
+        semantic_dedup_survivors(emb, pairs)
+        .select("vec_id", F.col("label").cast("int").alias("label"))
+        .orderBy("vec_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
