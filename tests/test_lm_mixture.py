@@ -1,0 +1,125 @@
+"""Unigram LM scoring (operators/lm.py) and deterministic mixture
+sampling (functions/sampling.py): hand-computed probabilities, empty-doc
+surfacing, unseen-token floor, quota arithmetic, nesting, determinism."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.sampling import (
+    mixture_quotas,
+    mixture_sample,
+)
+from weaviate_txtai_spark.operators.lm import (
+    nll_quality_filter,
+    train_unigram,
+    unigram_nll,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_nll_hand_computed(spark):
+    df = _docs(spark, [(1, "a a b"), (2, "a b")])
+    # counts a:3 b:2, T=5, V=2, alpha=1 -> p(a)=4/7, p(b)=3/7
+    la, lb = math.log(4 / 7), math.log(3 / 7)
+    got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+    assert got[1]["nll"] == pytest.approx(-(2 * la + lb) / 3)
+    assert got[2]["nll"] == pytest.approx(-(la + lb) / 2)
+
+
+def test_unigram_nll_empty_doc_surfaced(spark):
+    df = _docs(spark, [(1, "a b"), (2, "   "), (3, "")])
+    got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["n_tokens"] == 0 and got[2]["nll"] is None
+    assert got[3]["n_tokens"] == 0 and got[3]["nll"] is None
+
+
+def test_unigram_cross_corpus_floor(spark):
+    train = _docs(spark, [(1, "a a b")])  # T=3 V=2: p(a)=4/5 p(b)=2/5... alpha=1
+    model = train_unigram(train)
+    assert model.floor_logp == pytest.approx(math.log(1 / 5))
+    score = _docs(spark, [(10, "a zzz")])  # zzz unseen -> floor
+    row = unigram_nll(score, model=model).collect()[0]
+    la = math.log((2 + 1) / 5)  # c(a)=2, T=3, V=2 -> (2+1)/(3+2)
+    assert row["nll"] == pytest.approx(-(la + math.log(1 / 5)) / 2)
+
+
+def test_train_unigram_rejects_empty(spark):
+    with pytest.raises(ValueError, match="no tokens"):
+        train_unigram(_docs(spark, [(1, " ")]))
+
+
+def test_nll_quality_filter_mean_threshold(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = nll_quality_filter(docs, round_decimals=6)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    nlls = [r["nll"] for r in rows if r["nll"] is not None]
+    mean = round(sum(nlls) / len(nlls), 6)
+    for r in rows:
+        expect = r["nll"] is not None and r["nll"] <= mean
+        assert r["keep"] == expect
+
+
+def test_mixture_quotas_arithmetic():
+    q = mixture_quotas({"a": 25, "b": 25}, {"a": 0.8, "b": 0.2})
+    # lambda = min(25/0.8, 25/0.2) = 31.25 -> floor(25.0)=25, floor(6.25)=6
+    assert q == {"a": 25, "b": 6}
+    with pytest.raises(ValueError, match="empty weights"):
+        mixture_quotas({"a": 1}, {})
+    with pytest.raises(ValueError, match="non-positive"):
+        mixture_quotas({"a": 1}, {"a": 0.0})
+    with pytest.raises(ValueError, match="absent"):
+        mixture_quotas({"a": 1}, {"a": 0.5, "zz": 0.5})
+
+
+def test_mixture_sample_exact_counts_and_nesting(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = docs.groupBy("source").count().collect()
+    n = {r["source"]: r["count"] for r in per}
+    w_tight = {"src0": 0.8, "src1": 0.2}
+    w_loose = {"src0": 0.6, "src1": 0.4}
+    kept_tight = mixture_sample(docs, w_tight).select("doc_id", "source").collect()
+    kept_loose = mixture_sample(docs, w_loose).select("doc_id", "source").collect()
+    qt = mixture_quotas({s: n[s] for s in w_tight}, w_tight)
+    ql = mixture_quotas({s: n[s] for s in w_loose}, w_loose)
+    got_t = {}
+    for r in kept_tight:
+        got_t.setdefault(r["source"], set()).add(r["doc_id"])
+    got_l = {}
+    for r in kept_loose:
+        got_l.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in got_t.items()} == qt
+    assert {s: len(v) for s, v in got_l.items()} == ql
+    # nesting: src1's quota grew -> its tight sample is inside the loose one
+    assert qt["src1"] < ql["src1"]
+    assert got_t["src1"] <= got_l["src1"]
+
+
+def test_mixture_sample_partitioning_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"src0": 0.7, "src2": 0.3}
+    a = sorted(r["doc_id"] for r in mixture_sample(docs, w).collect())
+    b = sorted(
+        r["doc_id"] for r in mixture_sample(docs.repartition(7), w).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_mixture_sample_approx_path(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"src0": 0.5, "src1": 0.5}
+    out = mixture_sample(docs, w, exact=False)
+    rows = out.collect()
+    # map-only filter: deterministic and within the stratum's population
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in mixture_sample(docs.repartition(5), w, exact=False).collect()
+    )
+    assert {r["source"] for r in rows} <= set(w)

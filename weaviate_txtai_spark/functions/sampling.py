@@ -14,6 +14,8 @@ Not cryptographic — fine for splits, wrong for adversarial sampling.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -143,3 +145,90 @@ def exact_ntile(
         )
     w = Window.orderBy(*order_cols)
     return df.withColumn(bucket_col, F.ntile(int(n_buckets)).over(w))
+
+
+def mixture_quotas(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, int]:
+    """Largest exact-count mixture achievable from the available strata.
+
+    Given per-stratum row counts and target proportions, the binding
+    stratum is the one that runs out first: λ = min_s(n_s / w_s), and
+    each stratum contributes floor(λ·w_s) rows (≤ n_s by construction).
+    Flooring can leave the realized mix a row short of the exact ratio —
+    the standard largest-feasible-mixture rule (how data-mixture specs
+    like "50% web / 30% books / 20% code" are materialized when one
+    source is the bottleneck). Pure driver-side arithmetic on ≤|strata|
+    numbers.
+    """
+    if not weights:
+        raise ValueError("mixture_quotas: empty weights")
+    bad = {s: w for s, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"mixture_quotas: non-positive weights: {bad}")
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"mixture_quotas: strata absent from data: {missing}")
+    lam = min(counts[s] / w for s, w in weights.items())
+    return {s: int(math.floor(lam * w)) for s, w in weights.items()}
+
+
+def mixture_sample(
+    df,
+    weights: dict[str, float],
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    exact: bool = True,
+):
+    """Deterministic data-mixture sampling: draw rows so the kept set
+    follows the target per-stratum proportions, reproducibly.
+
+    Selection within a stratum is by ascending deterministic fraction
+    (``split_fraction``) with the id as tie-break — a pure function of
+    row identity, so re-partitioning, re-ingesting, or re-running yields
+    the SAME sample, and the sample NESTS: raising a stratum's quota
+    keeps every previously chosen row (the fraction order is a fixed
+    permutation per stratum). Strata not in ``weights`` are excluded.
+
+    exact=True: quota per stratum via :func:`mixture_quotas` (one
+    ≤|strata|-row count collect), then a rank-within-stratum window —
+    exact counts, but each stratum sorts within its window partition;
+    fine while every stratum fits a task's spill budget.
+    exact=False: the scale path — keep rows with fraction < quota/n,
+    a MAP-ONLY filter with binomial (not exact) per-stratum counts;
+    the same trade ``quantile_buckets`` makes vs ``exact_ntile``.
+
+    Driver-side state is ≤|strata| numbers either way — never row data.
+    """
+    from pyspark.sql import Window
+
+    in_scope = df.filter(_c(strata_col).isin(list(weights)))
+    counts = {
+        r[0]: r[1]
+        for r in in_scope.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # strata with zero rows surface as absent keys -> explicit error
+    quotas = mixture_quotas(
+        {s: counts.get(s, 0) for s in weights if s in counts}, weights
+    )
+    quota_col = F.lit(None).cast("long")
+    for s, q in quotas.items():
+        quota_col = F.when(_c(strata_col) == s, F.lit(q)).otherwise(quota_col)
+    if exact:
+        w = Window.partitionBy(_c(strata_col)).orderBy(
+            split_fraction(id_col).asc(), _c(id_col).asc()
+        )
+        return (
+            in_scope.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= quota_col)
+            .drop("__rk")
+        )
+    rate_col = F.lit(None).cast("double")
+    for s, q in quotas.items():
+        rate_col = F.when(
+            _c(strata_col) == s, F.lit(q / counts[s] if counts[s] else 0.0)
+        ).otherwise(rate_col)
+    return in_scope.filter(split_fraction(id_col) < rate_col)

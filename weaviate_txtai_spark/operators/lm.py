@@ -1,0 +1,191 @@
+"""Corpus-trained unigram language-model scoring (CCNet-style quality).
+
+The CCNet / Gopher pipelines rank web documents by LM perplexity and
+keep the low-perplexity head. The full KenLM 5-gram isn't available in
+this container, but the distributed SHAPE of the operator — train token
+statistics over the corpus in one pass, broadcast-or-join them back,
+score every document — is the same for any order-n model, and the
+unigram version is useful on its own (it flags gibberish, wrong-language
+and boilerplate-token documents, and is the standard smoke-level
+quality score). Swapping a real LM in changes only the per-token logp
+table, not the plan.
+
+Plan shape (corpus of N docs, V distinct tokens, T total tokens):
+- token stream: one narrow explode (no shuffle);
+- counts: ONE partial-agg shuffle on token (map-side combine collapses
+  each partition to its local vocabulary first);
+- scalars (T, V): one tiny agg, broadcast back as a literal-free
+  crossJoin of a 1-row frame (the same broadcast-scalar idiom the BM25
+  operator uses);
+- scoring: token stream ⋈ counts on token — AQE broadcasts the counts
+  side when V is small, else both sides hash-shuffle on token (the
+  unavoidable join for corpus-frequency scoring; identical to BM25's
+  df-join) — then one partial-agg shuffle on doc_id for the mean.
+
+No Python in the hot path: ln/avg are codegen'd; the whole operator is
+four exchanges end-to-end regardless of N.
+
+Smoothing is add-alpha: logp(t) = ln((c_t + α) / (T + α·V)). Unseen
+tokens (scoring a NEW frame against a trained model) get the α-floor
+ln(α / (T + α·V)).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.text import tokens
+
+
+@dataclass
+class UnigramModel:
+    """A trained unigram LM: the per-token logp table plus the smoothing
+    floor for tokens never seen in training — ln(α / (T + α·V)). The
+    floor is driver-side state (one double, from a 1-row collect) so
+    scoring a foreign corpus never silently drops unseen tokens from
+    the mean."""
+
+    logprobs: DataFrame  # term, logp
+    floor_logp: float
+
+
+def unigram_counts(
+    docs: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(per-token counts, 1-row scalars frame with total tokens T and
+    vocabulary size V). Counts carry ``term, c``; scalars carry
+    ``total_t, vocab_v``."""
+    tok = docs.select(F.explode(tokens(text_col)).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    scalars = counts.agg(
+        F.sum("c").alias("total_t"), F.count(F.lit(1)).alias("vocab_v")
+    )
+    return counts, scalars
+
+
+def unigram_logprobs(
+    docs: DataFrame, *, text_col: str = "text", alpha: float = 1.0
+) -> DataFrame:
+    """Per-token log probability under the corpus unigram model:
+    ``term, logp`` with add-alpha smoothing."""
+    counts, scalars = unigram_counts(docs, text_col=text_col)
+    return counts.crossJoin(F.broadcast(scalars)).select(
+        "term",
+        F.log(
+            (F.col("c") + F.lit(alpha))
+            / (F.col("total_t") + F.lit(alpha) * F.col("vocab_v"))
+        ).alias("logp"),
+    )
+
+
+def train_unigram(
+    docs: DataFrame, *, text_col: str = "text", alpha: float = 1.0
+) -> UnigramModel:
+    """Train a reusable unigram model (the CCNet move: train on a
+    REFERENCE corpus — Wikipedia — then score crawls against it). One
+    extra 1-row collect vs :func:`unigram_logprobs` to fix the
+    unseen-token floor driver-side."""
+    counts, scalars = unigram_counts(docs, text_col=text_col)
+    row = scalars.collect()[0]
+    t, v = int(row["total_t"] or 0), int(row["vocab_v"] or 0)
+    if t == 0:
+        raise ValueError("train_unigram: training corpus has no tokens")
+    lp = counts.select(
+        "term",
+        F.log((F.col("c") + F.lit(alpha)) / F.lit(t + alpha * v)).alias("logp"),
+    )
+    return UnigramModel(logprobs=lp, floor_logp=math.log(alpha / (t + alpha * v)))
+
+
+def unigram_nll(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    model: Optional[UnigramModel] = None,
+    round_decimals: Optional[int] = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram model —
+    low = head (ordinary text), high = tail (gibberish, wrong-language,
+    rare-token soup). ``exp(nll)`` is the unigram perplexity if a
+    familiar unit is wanted.
+
+    ``model``: a :class:`UnigramModel` trained on a REFERENCE corpus
+    (:func:`train_unigram`) — the CCNet move of scoring a crawl against
+    Wikipedia's model. Tokens the model never saw get its smoothing
+    floor (never silently dropped from the mean). Default: self-trained
+    on ``docs``, where every token is in-vocabulary by construction.
+
+    Output: ``id_col, n_tokens, nll`` (tokenless docs: n_tokens=0,
+    nll NULL — surfaced, not silently dropped).
+    """
+    if model is not None:
+        lp, logp = model.logprobs, F.coalesce("logp", F.lit(model.floor_logp))
+    else:
+        lp = unigram_logprobs(docs, text_col=text_col, alpha=alpha)
+        logp = F.col("logp")
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    per_tok = tok.join(lp, on="term", how="left")
+    nll = -F.avg(logp)
+    if round_decimals is not None:
+        nll = F.round(nll, round_decimals)
+    scored = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), nll.alias("nll")
+    )
+    # docs whose token list is empty never reach the explode — restore
+    # them with n_tokens=0 / NULL nll so the output covers every input row
+    empties = (
+        docs.filter(F.size(tokens(text_col)) == 0)
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("double").alias("nll"),
+        )
+    )
+    return scored.unionByName(empties)
+
+
+def nll_quality_filter(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    round_decimals: Optional[int] = None,
+) -> DataFrame:
+    """CCNet-style head selection with a mean threshold: keep documents
+    whose nll is at or below the corpus mean (the full CCNet recipe cuts
+    at perplexity terciles; the scale-safe tercile machinery already
+    exists as ``functions.sampling.quantile_buckets`` — compose it over
+    the ``nll`` column for head/middle/tail splits).
+
+    The corpus mean is one scalar agg broadcast back — map-only keep
+    flag, no sort, no window. Output: ``id_col, n_tokens, nll, keep``
+    (tokenless docs keep=false: no evidence of quality)."""
+    scored = unigram_nll(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        alpha=alpha,
+        round_decimals=round_decimals,
+    )
+    mean = scored.agg(F.avg("nll").alias("mean_nll"))
+    if round_decimals is not None:
+        mean = mean.select(F.round("mean_nll", round_decimals).alias("mean_nll"))
+    return (
+        scored.crossJoin(F.broadcast(mean))
+        .select(
+            id_col,
+            "n_tokens",
+            "nll",
+            F.coalesce(F.col("nll") <= F.col("mean_nll"), F.lit(False)).alias(
+                "keep"
+            ),
+        )
+    )

@@ -3990,6 +3990,92 @@ def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Unigram-LM quality scoring + deterministic mixture sampling
+# --------------------------------------------------------------------------
+
+_UNIGRAM_NLL_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+sc AS (SELECT sum(c) AS total_t, count(*) AS vocab_v FROM cnt),
+lp AS (
+  SELECT term, ln((c + 1.0) / (total_t + 1.0 * vocab_v)) AS logp FROM cnt, sc
+),
+scored AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-avg(lp.logp), 6) AS nll
+  FROM tok t JOIN lp USING (term) GROUP BY t.doc_id
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+),
+m AS (SELECT round(avg(nll), 6) AS mean_nll FROM scored)
+SELECT s.doc_id, s.n_tokens, s.nll,
+       coalesce(s.nll <= m.mean_nll, false) AS keep
+FROM scored s, m ORDER BY s.doc_id
+"""
+
+
+@register("docs_unigram_nll", _UNIGRAM_NLL_SQL)
+def docs_unigram_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: per-doc mean negative log-likelihood
+    under the corpus-trained unigram LM, plus the head-selection keep
+    flag (nll ≤ corpus mean — one broadcast scalar, no sort). Four
+    exchanges end-to-end regardless of corpus size (operators/lm.py);
+    the tercile split CCNet uses composes via quantile_buckets over the
+    nll column."""
+    from weaviate_txtai_spark.operators.lm import nll_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nll_quality_filter(docs, round_decimals=6).orderBy("doc_id")
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+_MIXTURE_SQL = """
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+n AS (
+  SELECT d.source, count(*) AS n FROM documents d JOIN w USING (source)
+  GROUP BY d.source
+),
+lam AS (SELECT min(n.n / w.wt) AS l FROM n JOIN w USING (source)),
+q AS (SELECT w.source, CAST(floor(lam.l * w.wt) AS BIGINT) AS quota FROM w, lam),
+r AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY (d.doc_id * 2654435761 % 4294967296) / 4294967296.0,
+                    d.doc_id
+         ) AS rk
+  FROM documents d JOIN w USING (source)
+)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+WHERE r.rk <= q.quota ORDER BY r.doc_id
+"""
+
+
+@register("mixture_sample", _MIXTURE_SQL)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture materialization: the largest sample following target
+    per-source proportions (50/30/20), selected by the deterministic
+    split_fraction order so the draw is identical on any partitioning
+    and NESTS under quota growth. Driver state is ≤|strata| counters;
+    the oracle replays quota arithmetic + rank selection in SQL."""
+    from weaviate_txtai_spark.functions.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, _MIXTURE_WEIGHTS)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
