@@ -166,3 +166,26 @@ def test_semantic_dedup_only_pairs_within_cluster(spark, sf_dir):
         (r["d1"], r["d2"]) for r in embedding_dup_pairs(emb, threshold=0.45).collect()
     }
     assert {(r["d1"], r["d2"]) for r in rows} <= global_pairs
+
+
+def test_assign_rejects_null_and_wrong_dim(spark):
+    # both strategies must fail loudly, not silently bucket to cluster 0
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    bad = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
+    with pytest.raises(Exception, match="NULL or non-2-dim"):
+        assign_clusters(bad, cents, strategy="expr").collect()
+    with pytest.raises(Exception, match="NULL or non-2-dim"):
+        assign_clusters(bad, cents, strategy="gemm").collect()
+
+
+def test_inertia_rejects_foreign_assignment(spark):
+    df = _df(spark, [(0, [0.0, 0.0]), (1, [5.0, 5.0])])
+    m = lloyd(df, k=2, iters=1)
+    with pytest.raises(ValueError, match="different models"):
+        inertia(m.assigned, m.centroids[:1])

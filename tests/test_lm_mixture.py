@@ -123,3 +123,12 @@ def test_mixture_sample_approx_path(spark, sf_dir):
         r["doc_id"] for r in mixture_sample(docs.repartition(5), w, exact=False).collect()
     )
     assert {r["source"] for r in rows} <= set(w)
+
+
+def test_unigram_nll_null_text_surfaced(spark):
+    df = _docs(spark, [(1, "a b"), (2, None)])
+    got = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[2]["n_tokens"] == 0 and got[2]["nll"] is None
+    flt = {r["doc_id"]: r for r in nll_quality_filter(df).collect()}
+    assert flt[2]["keep"] is False

@@ -210,14 +210,13 @@ def mixture_sample(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    # strata with zero rows surface as absent keys -> explicit error
-    quotas = mixture_quotas(
-        {s: counts.get(s, 0) for s in weights if s in counts}, weights
-    )
-    quota_col = F.lit(None).cast("long")
-    for s, q in quotas.items():
-        quota_col = F.when(_c(strata_col) == s, F.lit(q)).otherwise(quota_col)
+    # strata with zero rows surface as absent keys -> mixture_quotas
+    # raises its explicit absent-stratum error
+    quotas = mixture_quotas({s: n for s, n in counts.items()}, weights)
     if exact:
+        quota_col = F.lit(None).cast("long")
+        for s, q in quotas.items():
+            quota_col = F.when(_c(strata_col) == s, F.lit(q)).otherwise(quota_col)
         w = Window.partitionBy(_c(strata_col)).orderBy(
             split_fraction(id_col).asc(), _c(id_col).asc()
         )
@@ -228,7 +227,8 @@ def mixture_sample(
         )
     rate_col = F.lit(None).cast("double")
     for s, q in quotas.items():
+        # counts[s] > 0 here: a zero-count stratum never reaches quotas
         rate_col = F.when(
-            _c(strata_col) == s, F.lit(q / counts[s] if counts[s] else 0.0)
+            _c(strata_col) == s, F.lit(q / counts[s])
         ).otherwise(rate_col)
     return in_scope.filter(split_fraction(id_col) < rate_col)

@@ -125,7 +125,26 @@ def assign_clusters(
                 for cid, c in cents
             ]
         )
-        return df.withColumn(cluster_col, F.array_min(structs)["c"])
+        # NULL vectors / wrong-dim vectors make every distance NULL, and
+        # struct(NULL, cid) sorts BELOW real distances in array_min — the
+        # row would silently land in the lowest cluster id. Fail loudly
+        # instead (one size comparison per row — noise next to the k
+        # distance folds); the gemm path raises on the same input inside
+        # numpy, so both strategies agree: garbage in → error out.
+        valid = vec.isNotNull() & (F.size(vec) == F.lit(dim))
+        guarded = F.when(valid, F.array_min(structs)["c"]).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"assign_clusters: NULL or non-{dim}-dim vector in "
+                        f"'{vector_col}' (size="
+                    ),
+                    F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+                    F.lit(")"),
+                )
+            ).cast("int")
+        )
+        return df.withColumn(cluster_col, guarded)
 
     if strategy != "gemm":
         raise ValueError(f"assign_clusters: unknown strategy {strategy!r}")
@@ -144,6 +163,17 @@ def assign_clusters(
         for pdf in batches:
             if pdf.empty:
                 continue
+            bad = pdf[vector_col].map(
+                lambda v: v is None or len(v) != dim
+            )
+            if bad.any():
+                # mirror the expr path's loud failure (numpy would raise
+                # an opaque 'inhomogeneous shape' or produce a ragged
+                # object array on the same input)
+                raise ValueError(
+                    f"assign_clusters: NULL or non-{dim}-dim vector in "
+                    f"'{vector_col}' ({int(bad.sum())} rows in batch)"
+                )
             mat = np.asarray(list(pdf[vector_col]), dtype=np.float64)  # (n, dim)
             # |x-c|^2 = |x|^2 - 2 x·c + |c|^2; |x|^2 is constant per row so
             # argmin needs only the last two terms — one GEMM per batch
@@ -257,11 +287,9 @@ def lloyd(
             .collect()
         )  # ≤ k×dim rows — bounded, like ann.py's centroid collect
         by_cluster: dict[int, list[float]] = {}
-        counts: dict[int, int] = {}
         for r in stats:
             vec = by_cluster.setdefault(r["cluster"], [0.0] * dim)
             vec[r["pos"]] = r["s"] / r["n"]
-            counts[r["cluster"]] = r["n"]
         new_cents = []
         for cid, prev in cents:
             if cid in by_cluster:
@@ -292,15 +320,35 @@ def lloyd(
 def inertia(assigned: DataFrame, centroids: Centroids, *, vector_col: str = "embedding") -> float:
     """Sum of squared distances to the assigned centroid — the Lloyd's
     objective; one map + one scalar agg. Monotone non-increasing over
-    iterations (pinned in tests/test_kmeans.py)."""
+    iterations (pinned in tests/test_kmeans.py).
+
+    Raises if any assigned cluster id has no centroid in ``centroids``
+    (stale/subset centroids from a different run): the unmatched rows
+    would otherwise fall out of the sum as NULLs and report a
+    spuriously LOW objective — the silent failure mode that defeats a
+    monotonicity check."""
     vec = _vec(vector_col)
+    cents = sorted((int(i), list(c)) for i, c in centroids)
     cases = None
-    for cid, c in sorted((int(i), list(c)) for i, c in centroids):
+    for cid, c in cents:
         d = _sq_dist(vec, c, None)
         cases = F.when(F.col("cluster") == cid, d) if cases is None else cases.when(
             F.col("cluster") == cid, d
         )
-    row = assigned.agg(F.sum(cases).alias("j")).collect()[0]
+    row = assigned.agg(
+        F.sum(cases).alias("j"),
+        F.sum(
+            F.when(
+                ~F.col("cluster").isin([cid for cid, _ in cents]), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("unmatched"),
+    ).collect()[0]
+    if row["unmatched"]:
+        raise ValueError(
+            f"inertia: {row['unmatched']} rows assigned to cluster ids "
+            "absent from the centroid list — assignment and centroids "
+            "are from different models"
+        )
     return float(row["j"] or 0.0)
 
 
@@ -315,7 +363,7 @@ def semantic_dedup_pairs(
     seed_ids: Optional[Sequence[int]] = None,
     quantize_decimals: Optional[int] = None,
     dist_round_decimals: Optional[int] = None,
-    score_decimals: int = 6,
+    score_decimals: Optional[int] = 6,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the corpus, then find
     cosine near-duplicates ONLY within each cluster — the quadratic is
@@ -335,6 +383,14 @@ def semantic_dedup_pairs(
     parameterization, not only in an exactness mode.
 
     Output: d1 < d2, cluster, cosine (rounded to ``score_decimals``).
+    The threshold is applied to the ROUNDED cosine — deliberately: the
+    rounded value is the deterministic cross-engine contract (two
+    engines' unrounded doubles can disagree in the last bits and flip a
+    boundary pair), so a pair whose true cosine is within
+    0.5·10^-score_decimals below ``threshold`` does count as a
+    near-dup. Pass ``score_decimals=None`` to threshold on the raw
+    double when exact caller semantics matter more than cross-engine
+    reproducibility.
     """
     model = lloyd(
         df,
@@ -355,7 +411,9 @@ def semantic_dedup_pairs(
     right = a.select(
         F.col("__id").alias("d2"), F.col("__vec").alias("__v2"), "cluster"
     )
-    score = F.round(cosine_sim("__v1", "__v2"), score_decimals)
+    score = cosine_sim("__v1", "__v2")
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
     return (
         left.join(right, on="cluster")
         .filter(F.col("d1") < F.col("d2"))

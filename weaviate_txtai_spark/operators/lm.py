@@ -138,10 +138,15 @@ def unigram_nll(
     scored = per_tok.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"), nll.alias("nll")
     )
-    # docs whose token list is empty never reach the explode — restore
-    # them with n_tokens=0 / NULL nll so the output covers every input row
+    # docs whose token list is empty (or whose text is NULL — tokens()
+    # is NULL there and explode drops the row, while size(NULL) is
+    # never == 0, so a bare size test would miss them) never reach the
+    # explode — restore them with n_tokens=0 / NULL nll so the output
+    # covers every input row
     empties = (
-        docs.filter(F.size(tokens(text_col)) == 0)
+        docs.filter(
+            F.col(text_col).isNull() | (F.size(tokens(text_col)) == 0)
+        )
         .select(
             F.col(id_col),
             F.lit(0).cast("long").alias("n_tokens"),
