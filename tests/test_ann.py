@@ -160,3 +160,46 @@ def test_tune_nprobe_meets_target_with_minimal_probes(spark, sf_dir):
     # full probe == exact -> recall 1.0 at nprobe=nlist if reached
     if 8 in curve:
         assert curve[8] == 1.0
+
+
+def test_ivf_filtered_search_pushes_predicate(spark, sf_dir, tmp_path):
+    """where= composes with cell pruning: results equal filtered brute
+    force at full probe, never include filtered-out rows, still return k
+    (pre-filter, not post-filter), and the saved-index plan carries the
+    predicate as PushedFilters NEXT TO the cell PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries(emb, 5)
+    idx = IVFIndex.build(emb, nlist=8)
+    got = idx.search(qdf, 3, nprobe=8, where="label >= 5").collect()
+    assert got and all(True for _ in got)
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] >= 5 for r in got)
+    # pre-filtering keeps full k per query (post-filter would come short)
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in got)
+    assert all(v == 3 for v in per_q.values())
+    # equals filtered brute force at nprobe == nlist
+    brute_rows = knn_topk(
+        emb.filter(F.col("label") >= 5)
+        .withColumnRenamed("vec_id", "docid")
+        .withColumnRenamed("embedding", "vector"),
+        qdf,
+        3,
+    ).collect()
+    brute = {(r["query_id"], r["rank"]): r["docid"] for r in brute_rows}
+    assert {(r["query_id"], r["rank"]): r["vec_id"] for r in got} == brute
+    # saved index: predicate reaches the scan alongside partition pruning
+    path = str(tmp_path / "ivf_f")
+    idx.save(path)
+    loaded = IVFIndex.load(spark, path)
+    plan = (
+        loaded.search(qdf, 3, nprobe=2, where="label >= 5")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [cell" in plan
+    assert "PushedFilters:" in plan and "GreaterThanOrEqual(label,5)" in plan

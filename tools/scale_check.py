@@ -129,6 +129,29 @@ def main() -> None:
 
         return inner
 
+    def q_semantic(k):
+        # k ∝ corpus (the SemDeDup operational rule): cluster size stays
+        # constant, so the per-cluster all-pairs join stage is linear in
+        # the corpus. The assignment stage is then N·k FLOPs (4x at 2x
+        # data + 2x k) — negligible at this size and GEMM-vectorized at
+        # scale; SCALING.md carries the k ≈ √N balance point where the
+        # whole operator is N^1.5.
+        def inner(e):
+            from weaviate_txtai_spark.operators.kmeans import (
+                semantic_dedup_pairs,
+            )
+
+            return semantic_dedup_pairs(
+                e, k=k, iters=2, threshold=0.45, strategy="gemm"
+            )
+
+        return inner
+
+    def q_unigram(d):
+        from weaviate_txtai_spark.operators.lm import nll_quality_filter
+
+        return nll_quality_filter(d)
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_minhash", q_minhash, q_minhash, docs1, docs2),
@@ -136,6 +159,8 @@ def main() -> None:
         ("dedup_embedding_lsh", embedding_dup_pairs_lsh,
          embedding_dup_pairs_lsh, emb1, emb2),
         ("sim_join_ivf", q_simjoin(16), q_simjoin(32), emb1, emb2),
+        ("semantic_dedup", q_semantic(8), q_semantic(16), emb1, emb2),
+        ("docs_unigram_nll", q_unigram, q_unigram, docs1, docs2),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:

@@ -54,15 +54,16 @@ class IVFIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        feat = df.select(
-            F.col(id_col),
-            F.col(vector_col),
-            array_to_vector(F.col(vector_col).cast("array<double>")).alias("__feat"),
+        feat = df.withColumn(
+            "__feat", array_to_vector(F.col(vector_col).cast("array<double>"))
         )
         km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__feat",
                     predictionCol="cell")
         model = km.fit(feat)
-        assigned = model.transform(feat).select(id_col, vector_col, "cell")
+        # keep EVERY input column (not just id+vector): metadata rides
+        # along into the cell layout so filtered search (`where=`) can
+        # push its predicate into the same scan as the cell pruning
+        assigned = model.transform(feat).drop("__feat")
         centroids = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
@@ -115,10 +116,24 @@ class IVFIndex:
         query_vector_col: str = "query_vector",
         broadcast_queries: bool = True,
         cell_salt: int | None = None,
+        where=None,
     ) -> DataFrame:
         """Approximate top-k: probe the nprobe cells whose centroids are
         nearest (by cosine) to each query. Columns: query_id, id, score,
         rank.
+
+        ``where``: optional predicate (Column or SQL string) over corpus
+        columns, applied BEFORE scoring — filtered vector search at the
+        index level. Catalyst folds it into the cell scan, so on a saved
+        index the plan carries BOTH partition pruning (probed cells) and
+        PushedFilters (the predicate) on the same parquet scan: the
+        filter costs no extra pass, and top-k slots are never wasted on
+        rows the caller would discard (post-filtering top-k instead
+        silently returns < k rows — the classic filtered-ANN bug).
+        Heavily selective predicates reduce per-cell candidate counts;
+        recall still degrades with nprobe exactly as unfiltered (the
+        probe set is chosen before the filter — same contract as FAISS
+        IDSelector / Weaviate's filtered HNSW fallback).
 
         ``broadcast_queries=True`` (default, human-issued query batches):
         the probe fan-out broadcasts and the union of probed cells becomes
@@ -139,6 +154,11 @@ class IVFIndex:
         salt count (queries × nprobe × S — the small side); the corpus
         still shuffles exactly once."""
         spark = query_df.sparkSession
+        base = self.assigned
+        if where is not None:
+            base = base.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
         cent = spark.createDataFrame(
             self.centroids, ["cell", "centroid"]
         )
@@ -168,7 +188,7 @@ class IVFIndex:
             probed_cells = [
                 r["cell"] for r in probes.select("cell").distinct().collect()
             ]
-            corpus = self.assigned.filter(F.col("cell").isin(probed_cells))
+            corpus = base.filter(F.col("cell").isin(probed_cells))
             probes = F.broadcast(probes)
             join_keys = ["cell"]
         else:
@@ -182,7 +202,7 @@ class IVFIndex:
                 max(len(self.centroids), 1) * nsalt,
                 spark.sparkContext.defaultParallelism * 4,
             )
-            corpus = self.assigned.withColumn(
+            corpus = base.withColumn(
                 "__salt",
                 F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(nsalt)).cast("int"),
             ).repartition(nparts, "cell", "__salt")

@@ -364,6 +364,7 @@ def semantic_dedup_pairs(
     quantize_decimals: Optional[int] = None,
     dist_round_decimals: Optional[int] = None,
     score_decimals: Optional[int] = 6,
+    strategy: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the corpus, then find
     cosine near-duplicates ONLY within each cluster — the quadratic is
@@ -401,9 +402,17 @@ def semantic_dedup_pairs(
         seed_ids=seed_ids,
         quantize_decimals=quantize_decimals,
         dist_round_decimals=dist_round_decimals,
+        strategy=strategy,
     )
-    a = model.assigned.select(
-        F.col(id_col).alias("__id"), F.col(vector_col).alias("__vec"), "cluster"
+    # the self-join consumes the assignment once per side and Spark
+    # shares no common subplans — without the persist the closing
+    # N·k-FLOP assignment pass runs TWICE (release via cache_scope)
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    a = scoped_persist(
+        model.assigned.select(
+            F.col(id_col).alias("__id"), F.col(vector_col).alias("__vec"), "cluster"
+        )
     )
     left = a.select(
         F.col("__id").alias("d1"), F.col("__vec").alias("__v1"), "cluster"

@@ -39,6 +39,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from weaviate_txtai_spark.cache import scoped_persist
 from weaviate_txtai_spark.functions.text import tokens
 
 
@@ -72,8 +73,14 @@ def unigram_logprobs(
     docs: DataFrame, *, text_col: str = "text", alpha: float = 1.0
 ) -> DataFrame:
     """Per-token log probability under the corpus unigram model:
-    ``term, logp`` with add-alpha smoothing."""
+    ``term, logp`` with add-alpha smoothing.
+
+    ``counts`` feeds two consumers (the T/V scalar agg and the logp
+    projection) and Spark shares no common subplans across join inputs —
+    without the persist the corpus explode + term shuffle runs TWICE
+    (the measured r3 hazard class; release via ``cache_scope``)."""
     counts, scalars = unigram_counts(docs, text_col=text_col)
+    counts = scoped_persist(counts)
     return counts.crossJoin(F.broadcast(scalars)).select(
         "term",
         F.log(
@@ -171,14 +178,21 @@ def nll_quality_filter(
     the ``nll`` column for head/middle/tail splits).
 
     The corpus mean is one scalar agg broadcast back — map-only keep
-    flag, no sort, no window. Output: ``id_col, n_tokens, nll, keep``
-    (tokenless docs keep=false: no evidence of quality)."""
-    scored = unigram_nll(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        alpha=alpha,
-        round_decimals=round_decimals,
+    flag, no sort, no window. ``scored`` is persisted (N small rows)
+    because it feeds both the mean agg and the output projection —
+    Spark would otherwise re-run the whole tokenize-join-aggregate
+    lineage for the one-row mean (measured: the plan carried its
+    exchanges twice). Release via ``cache_scope``. Output: ``id_col,
+    n_tokens, nll, keep`` (tokenless docs keep=false: no evidence of
+    quality)."""
+    scored = scoped_persist(
+        unigram_nll(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            alpha=alpha,
+            round_decimals=round_decimals,
+        )
     )
     mean = scored.agg(F.avg("nll").alias("mean_nll"))
     if round_decimals is not None:

@@ -4076,6 +4076,48 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Filtered ANN search (predicate composed with cell pruning)
+# --------------------------------------------------------------------------
+
+_ANN_IVF_FILTERED_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+  WHERE e.label >= 5
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_filtered", _ANN_IVF_FILTERED_SQL)
+def ann_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search through the IVF index: the metadata
+    predicate is applied before scoring, inside the cell scan, so top-k
+    slots are never wasted on rows the caller would discard (the
+    post-filter variant silently returns < k). Gated at nprobe == nlist
+    so the machinery must equal exact filtered brute force; the
+    pruning+PushedFilters plan shape is asserted in tests/test_ann.py."""
+    from weaviate_txtai_spark.operators.ann import IVFIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IVFIndex.build(emb, nlist=16)
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = idx.search(qdf, 5, nprobe=16, where="label >= 5")
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
