@@ -273,3 +273,41 @@ def test_embedding_lsh_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert embedding_dup_pairs_lsh(empty).count() == 0
+
+
+def test_dedup_survivors_by_quality(spark):
+    from weaviate_txtai_spark.operators.dedup import dedup_survivors_by
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10),   # group {1,2,3}: 2 is longest -> keep 2
+            (2, 50),
+            (3, 50),   # ties with 2 -> lower id 2 wins
+            (7, 5),    # singleton, never in a pair -> survives
+            (8, None), # group {8,9}: all-NULL quality -> min id 8
+            (9, None),
+        ],
+        "doc_id long, n_chars int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "d1 long, d2 long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors_by(
+            docs, pairs, quality_col="n_chars", keep="max"
+        ).collect()
+    )
+    assert kept == [2, 7, 8]
+    # keep='min': shortest member wins -> 1; NULL group still min-id
+    kept_min = sorted(
+        r["doc_id"]
+        for r in dedup_survivors_by(
+            docs, pairs, quality_col="n_chars", keep="min"
+        ).collect()
+    )
+    assert kept_min == [1, 7, 8]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max|min"):
+        dedup_survivors_by(docs, pairs, quality_col="n_chars", keep="best")

@@ -460,6 +460,55 @@ def dedup_survivors(
     return docs.join(drop, id_col, "left_anti")
 
 
+def dedup_survivors_by(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    quality_col: str,
+    id_col: str = "doc_id",
+    keep: str = "max",
+) -> DataFrame:
+    """Dedup end-product with a QUALITY survivor policy: per duplicate
+    group keep the member with the best ``quality_col`` (``keep='max'``
+    — longest text, highest quality score; ``'min'`` — e.g. lowest
+    perplexity), ties to the lowest id. Production pipelines keep the
+    best member, not the arbitrary min-id one — min-id is a fine
+    canonical REPRESENTATIVE (``dedup_survivors``) but a poor KEEP rule
+    when members differ (truncated vs full copies of the same page).
+
+    Plan: the group table (paired docs only — tiny vs the corpus) joins
+    the corpus once to fetch quality (AQE broadcasts the group side),
+    best-per-group is two aggregates OVER THE GROUP TABLE (max quality,
+    then min id among the maximal — two steps instead of one
+    ``max_by(struct)`` so no negation/overflow games for the id
+    tie-break), and the corpus is touched only by the final anti-join.
+    NULL quality never wins in either direction (aggregates skip
+    NULLs); an all-NULL group falls back to min-id survival via the
+    null-safe equality below.
+    """
+    if keep not in ("max", "min"):
+        raise ValueError(f"dedup_survivors_by: keep must be max|min, got {keep!r}")
+    groups = duplicate_groups(pairs)
+    mq = groups.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q")),
+        on="doc_id",
+    )
+    agg = F.max("__q") if keep == "max" else F.min("__q")
+    bq = mq.groupBy("group_id").agg(agg.alias("__bq"))
+    best = (
+        mq.join(bq, "group_id")
+        .filter(F.col("__q").eqNullSafe(F.col("__bq")))
+        .groupBy("group_id")
+        .agg(F.min("doc_id").alias("__best_id"))
+    )
+    drop = (
+        mq.join(best, "group_id")
+        .filter(F.col("doc_id") != F.col("__best_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash_signatures(

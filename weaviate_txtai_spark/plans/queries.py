@@ -4118,6 +4118,58 @@ def ann_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Quality-policy dedup survivors (keep best member per duplicate group)
+# --------------------------------------------------------------------------
+
+_SURVIVORS_BY_SQL = (
+    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + _CC_SQL_TAIL
+    + """
+, members AS (
+  SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node
+), mq AS (
+  SELECT m.group_id, m.doc_id, d.n_chars
+  FROM members m JOIN documents d USING (doc_id)
+), bq AS (
+  SELECT group_id, max(n_chars) AS bq FROM mq GROUP BY group_id
+), best AS (
+  SELECT mq.group_id, min(mq.doc_id) AS best_id
+  FROM mq JOIN bq ON mq.group_id = bq.group_id AND mq.n_chars = bq.bq
+  GROUP BY mq.group_id
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id NOT IN (
+  SELECT mq.doc_id FROM mq JOIN best USING (group_id)
+  WHERE mq.doc_id <> best.best_id
+)
+ORDER BY doc_id
+"""
+)
+
+
+@register("dedup_survivors_longest", _SURVIVORS_BY_SQL)
+def dedup_survivors_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup end-product with the production KEEP rule: per duplicate
+    group keep the LONGEST member (n_chars, ties to min id) instead of
+    the arbitrary min-id one — truncated copies lose to full copies.
+    Oracle: recursive-CTE connected components + the same two-step
+    argmax (max quality, then min id among the maximal)."""
+    from weaviate_txtai_spark.operators.dedup import (
+        dedup_survivors_by,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8)
+    return (
+        dedup_survivors_by(docs, pairs, quality_col="n_chars", keep="max")
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
