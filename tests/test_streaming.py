@@ -139,3 +139,63 @@ def test_streaming_parquet_sink_partitioned_and_exactly_once(
     some_date = back.select("event_date").head()[0]
     scan = spark.read.parquet(out).filter(F.col("event_date") == F.lit(some_date))
     assert "PartitionFilters" in physical_plan(scan)
+
+
+def test_stream_near_dedup_two_batches(spark, tmp_path):
+    """Two deterministic micro-batches (maxFilesPerTrigger=1, distinct
+    mtimes): in-batch near-dups drop by the lower-id rule, cross-batch
+    near-dups drop against the signature store, unrelated docs survive,
+    and the store never re-reads prior batch text."""
+    import os
+    import time
+
+    from weaviate_txtai_spark.streaming.dedup import stream_near_dedup
+
+    base = "spark shuffle partition codegen catalyst tungsten arrow " * 4
+    other = "completely different words about cooking pasta tonight " * 4
+    third = "yet another unrelated passage regarding alpine hiking trails " * 4
+    b1 = [
+        (1, base),            # survives (lowest id of its group)
+        (2, base + "extra"),  # near-dup of 1 in SAME batch -> drops
+        (3, other),           # survives
+    ]
+    b2 = [
+        (10, base + "tail"),  # near-dup of stored 1 -> drops
+        (11, third),          # survives
+        (12, third + "x"),    # near-dup of 11 in same batch -> drops
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f2"))
+    # file source orders by modification time: force f1 strictly older
+    now = time.time()
+    for root, age in ((src / "f1", 200), (src / "f2", 100)):
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (now - age, now - age))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_near_dedup(
+        stream,
+        store_dir=str(tmp_path / "store"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination()
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == [1, 3, 11]
+    # store holds signatures for exactly the survivors
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert sorted(r["__id"] for r in store.select("__id").collect()) == [1, 3, 11]

@@ -4170,6 +4170,88 @@ def dedup_survivors_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Streaming near-dup dedup (continuous-ingest incremental MinHash)
+# --------------------------------------------------------------------------
+
+# Oracle replays the two-micro-batch semantics in SQL over the EXACT
+# jaccard pair set (LSH recall == exact at the testdata dup rate — the
+# same equivalence the dedup_minhash gate rests on): batch 1 = even
+# ids, batch 2 = odd ids; within a batch the lower-id member of a pair
+# survives; batch-2 docs also drop against batch-1 SURVIVORS (not
+# batch-1 dropped docs — the store only ever holds survivors).
+_STREAM_NEAR_DEDUP_SQL = (
+    _JACCARD_CTE
+    + """
+, p08 AS (
+  SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8
+), s1 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0 AND doc_id NOT IN (
+    SELECT d2 FROM p08 WHERE d1 % 2 = 0 AND d2 % 2 = 0)
+), odd_drop AS (
+  SELECT d2 AS doc_id FROM p08 WHERE d1 % 2 = 1 AND d2 % 2 = 1
+  UNION
+  SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS doc_id
+  FROM p08
+  WHERE (d1 % 2) <> (d2 % 2)
+    AND (CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END) IN (SELECT doc_id FROM s1)
+)
+SELECT doc_id, source FROM documents
+WHERE (doc_id % 2 = 0 AND doc_id IN (SELECT doc_id FROM s1))
+   OR (doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM odd_drop))
+ORDER BY doc_id
+"""
+)
+
+
+@register("streaming_near_dedup", _STREAM_NEAR_DEDUP_SQL)
+def streaming_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest NEAR-dup dedup: a real two-micro-batch stream
+    (maxFilesPerTrigger=1, mtime-ordered files) through
+    streaming.dedup.stream_near_dedup — in-batch MinHash dedup, then a
+    bipartite LSH join against the survivor signature store (prior
+    batch text is never re-read). The oracle replays the sequential
+    semantics over the exact pair set."""
+    import os
+    import tempfile
+    import time
+
+    from weaviate_txtai_spark.streaming.dedup import stream_near_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    tmp = tempfile.mkdtemp(prefix="snd_gate_")
+    src = os.path.join(tmp, "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    now = time.time()
+    for sub, age in (("a", 200), ("b", 100)):
+        for dirpath, _, files in os.walk(os.path.join(src, sub)):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (now - age, now - age))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = stream_near_dedup(
+        stream,
+        store_dir=os.path.join(tmp, "store"),
+        out_dir=os.path.join(tmp, "out"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        threshold=0.8,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(tmp, "out"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -18,6 +18,7 @@ semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.streaming.events import stream_events
 
@@ -65,3 +66,111 @@ def stream_distinct_pairs_watermarked(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def stream_near_dedup(
+    doc_stream: DataFrame,
+    *,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perms: int = 64,
+    bands: int = 16,
+):
+    """Streaming NEAR-duplicate dedup: each micro-batch is deduped
+    against everything that has already survived, using the stored
+    MinHash signatures — the continuous-ingest version of
+    ``minhash_lsh_pairs_incremental`` (the reference has no analogue;
+    this is the production crawl-ingest shape).
+
+    Per micro-batch (foreachBatch, sequential by contract):
+    1. batch-INTERNAL near-dup pairs (``minhash_lsh_pairs``) → drop
+       every doc with a lower-id near-dup in its own batch (the same
+       one-shot rule as ``semantic_dedup_survivors``);
+    2. remaining docs × SIGNATURE STORE (``…_incremental`` with
+       ``corpus_signatures``) → drop any doc near-dupping a PRIOR
+       SURVIVOR. The corpus text is never re-read — recurring cost is
+       O(batch) signatures + a bipartite bucket join;
+    3. survivors append to ``out_dir``; their signatures append to
+       ``store_dir`` — both written into a ``batch=<id>/`` subdirectory
+       with overwrite, so a replayed micro-batch rewrites the same
+       content into the same directory (idempotent, no commit-marker
+       protocol needed). A replay may see ITS OWN batch=<id> store
+       directory from before the crash: that is harmless because the
+       incremental join excludes same-id pairs, and stage 1 already
+       guaranteed the batch's survivors are mutually below-threshold —
+       so self-comparison drops nothing and the rewrite is identical.
+
+    State grows with the number of distinct survivors — the honest cost
+    of exact-history dedup (same argument as exact streaming distinct
+    above); production bounds it by date-partitioning the store and
+    aging out old partitions.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    import os
+
+    from weaviate_txtai_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_signatures_with_sets,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        stage1 = survivors = None
+        try:
+            internal = minhash_lsh_pairs(
+                batch_df, text_col=text_col, id_col=id_col, n=n,
+                threshold=threshold, num_perms=num_perms, bands=bands,
+            )
+            drops = internal.select(F.col("d2").alias(id_col)).distinct()
+            stage1 = batch_df.join(drops, id_col, "left_anti").persist()
+            prior_batches = [
+                d for d in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
+                if d.startswith("batch=")
+            ]
+            if prior_batches:
+                store = spark.read.parquet(
+                    *[os.path.join(store_dir, d) for d in prior_batches]
+                )
+                vs_store = minhash_lsh_pairs_incremental(
+                    stage1, None, text_col=text_col, id_col=id_col, n=n,
+                    threshold=threshold, num_perms=num_perms, bands=bands,
+                    corpus_signatures=store,
+                )
+                drops2 = vs_store.select(
+                    F.col("new_id").alias(id_col)
+                ).distinct()
+                survivors = stage1.join(drops2, id_col, "left_anti")
+            else:
+                survivors = stage1
+            survivors = survivors.persist()
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+            sigs = minhash_signatures_with_sets(
+                survivors, text_col=text_col, id_col=id_col, n=n,
+                num_perms=num_perms,
+            )
+            sigs.write.mode("overwrite").parquet(
+                os.path.join(store_dir, f"batch={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+            if stage1 is not None:
+                stage1.unpersist()
+            if survivors is not None and survivors is not stage1:
+                survivors.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
