@@ -4252,6 +4252,70 @@ def streaming_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Distributed PCA (operators/pca.py)
+# --------------------------------------------------------------------------
+
+_COV_SQL = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+mu AS (SELECT pos, avg(val) AS m FROM x GROUP BY pos),
+xy AS (
+  SELECT a.pos AS i, b.pos AS j, avg(a.val * b.val) AS exy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id
+  WHERE a.pos <= 16 AND b.pos <= 16
+  GROUP BY a.pos, b.pos
+)
+SELECT CAST(xy.i - 1 AS INT) AS i, CAST(xy.j - 1 AS INT) AS j,
+       round(xy.exy - ma.m * mb.m, 6) AS cov
+FROM xy JOIN mu ma ON xy.i = ma.pos JOIN mu mb ON xy.j = mb.pos
+ORDER BY i, j
+"""
+
+
+@register("embedding_covariance", _COV_SQL)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed HALF of PCA under the oracle: the one-pass
+    Gram/mean/count accumulation (per-batch BLAS partials + one bounded
+    partial-agg shuffle — operators/pca.py). The gate surfaces the
+    16×16 leading block of cov = E[xxᵀ] − μμᵀ; the SQL oracle computes
+    the same entries from first principles (positional unnest self-join).
+    The eigendecomposition half is driver-side numpy and is pinned by
+    invariants in tests/test_pca.py instead (not SQL-expressible)."""
+    import numpy as np
+
+    from weaviate_txtai_spark.operators.pca import _moments
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    n, s, g = _moments(emb, "embedding", dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6)) for i in range(16) for j in range(16)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double").orderBy("i", "j")
+
+
+@register("embedding_pca", None)
+def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA end-to-end (rows-only: eigenvectors aren't SQL-expressible;
+    orthonormality/variance/reconstruction invariants are pytest-pinned).
+    Fit top-4 components, project the corpus map-only (zero exchanges,
+    plan-asserted)."""
+    from weaviate_txtai_spark.operators.pca import pca_fit, pca_transform
+
+    emb = _emb(spark, sf_dir)
+    model = pca_fit(emb, 4)
+    return pca_transform(emb, model, round_decimals=6).select(
+        "vec_id", "pca"
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
