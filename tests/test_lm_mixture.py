@@ -132,3 +132,41 @@ def test_unigram_nll_null_text_surfaced(spark):
     assert got[2]["n_tokens"] == 0 and got[2]["nll"] is None
     flt = {r["doc_id"]: r for r in nll_quality_filter(df).collect()}
     assert flt[2]["keep"] is False
+
+
+def test_bigram_nll_hand_computed(spark):
+    from weaviate_txtai_spark.operators.lm import bigram_nll
+
+    # corpus "a b a b" + "a b": bigrams (a,b):3 (b,a):1; c(a)=3 c(b)=3 V=2
+    df = _docs(spark, [(1, "a b a b"), (2, "a b")])
+    pab = math.log((3 + 1) / (3 + 2))  # c(a,b)+1 / (c(a)+V)
+    pba = math.log((1 + 1) / (3 + 2))
+    got = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
+    assert got[1]["nll"] == pytest.approx(-(2 * pab + pba) / 3)
+    assert got[2]["nll"] == pytest.approx(-pab)
+
+
+def test_bigram_flags_scrambled_text(spark):
+    from weaviate_txtai_spark.operators.lm import bigram_nll, unigram_nll
+
+    # doc 99 reuses the corpus vocabulary with broken transitions: the
+    # unigram score cannot tell it apart, the bigram score must
+    sent = "the quick brown fox jumps over the lazy dog"
+    corpus = [(i, sent) for i in range(10)]
+    scrambled = "dog the over quick lazy fox the jumps brown"
+    df = _docs(spark, corpus + [(99, scrambled)])
+    uni = {r["doc_id"]: r["nll"] for r in unigram_nll(df).collect()}
+    big = {r["doc_id"]: r["nll"] for r in bigram_nll(df).collect()}
+    assert uni[99] == pytest.approx(uni[0], abs=1e-9)  # unigram is blind
+    assert big[99] > big[0] + 0.5  # bigram sees the damage
+
+
+def test_bigram_short_docs_surfaced(spark):
+    from weaviate_txtai_spark.operators.lm import bigram_nll
+
+    df = _docs(spark, [(1, "a b"), (2, "solo"), (3, ""), (4, None)])
+    got = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for i in (2, 3, 4):
+        assert got[i]["n_bigrams"] == 0 and got[i]["nll"] is None

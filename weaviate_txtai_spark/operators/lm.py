@@ -208,3 +208,79 @@ def nll_quality_filter(
             ),
         )
     )
+
+
+def bigram_nll(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    round_decimals: Optional[int] = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus-trained
+    BIGRAM model — one order closer to CCNet's KenLM than the unigram
+    score, and it catches what unigrams cannot: scrambled/shuffled text
+    reuses a corpus's vocabulary perfectly but breaks its transitions.
+
+    p(t_i | t_{i-1}) = (c(t_{i-1}, t_i) + α) / (c(t_{i-1}) + α·V),
+    add-alpha smoothed against the unigram context count; a document
+    scores the mean over its len−1 transitions (docs with < 2 tokens:
+    n_bigrams=0, NULL nll — surfaced like tokenless docs in
+    :func:`unigram_nll`).
+
+    Plan shape: the bigram stream is the SAME narrow explode as the
+    token stream (zip tokens with their own tail — no join, no extra
+    pass over the text); counts are one partial-agg shuffle on the
+    bigram key; scoring joins the bigram stream with bigram counts and
+    the context's unigram counts (two term-keyed joins, both
+    AQE-broadcastable when the vocab is small), then one doc-key mean.
+    The bigram count table is the scale risk (|bigrams| >> |vocab|) —
+    it stays shuffle-side data, never driver-side, and both count
+    tables are persisted because each feeds the join AND the scalar agg
+    (the no-common-subplan rule; release via ``cache_scope``).
+    """
+    toks = tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = docs.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    uni = scoped_persist(
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bcounts = scoped_persist(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vocab_v"))
+    scored = (
+        big.join(bcounts, ["w1", "w2"])
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.col("cb") + F.lit(alpha))
+                / (F.col("cu") + F.lit(alpha) * F.col("vocab_v"))
+            ).alias("logp"),
+        )
+    )
+    nll = -F.avg("logp")
+    if round_decimals is not None:
+        nll = F.round(nll, round_decimals)
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), nll.alias("nll")
+    )
+    shorts = docs.filter(
+        F.col(text_col).isNull() | (F.size(toks) < 2)
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("nll"),
+    )
+    return out.unionByName(shorts)

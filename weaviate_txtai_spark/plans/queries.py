@@ -4316,6 +4316,47 @@ def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_BIGRAM_NLL_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tok[s.x] AS w1, tok[s.x + 1] AS w2
+  FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+  WHERE len(tok) >= 2
+),
+cu AS (
+  SELECT term, count(*) AS cu FROM (SELECT unnest(tok) AS term FROM t)
+  GROUP BY 1
+),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+v AS (SELECT count(*) AS vv FROM cu)
+SELECT * FROM (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(-avg(ln((cb.cb + 1.0) / (cu.cu + 1.0 * v.vv))), 6) AS nll
+  FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.term, v
+  GROUP BY bg.doc_id
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM t WHERE len(tok) < 2
+) ORDER BY doc_id
+"""
+
+
+@register("docs_bigram_nll", _BIGRAM_NLL_SQL)
+def docs_bigram_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — one order closer to CCNet's KenLM
+    than the unigram gate; catches scrambled text that reuses the
+    vocabulary but breaks transitions (pinned in pytest). The bigram
+    stream is the same narrow explode as tokens (zip with own tail, no
+    join); counts are one partial-agg shuffle on the bigram key."""
+    from weaviate_txtai_spark.operators.lm import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs, round_decimals=6).orderBy("doc_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
