@@ -199,3 +199,6 @@ def test_stream_near_dedup_two_batches(spark, tmp_path):
     # store holds signatures for exactly the survivors
     store = spark.read.parquet(str(tmp_path / "store"))
     assert sorted(r["__id"] for r in store.select("__id").collect()) == [1, 3, 11]
+    # the per-batch cache_scope released every operator-internal persist:
+    # a continuous stream must not accumulate signature caches
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0

@@ -203,6 +203,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_perms: int = 64,
     bands: int = 16,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -211,6 +212,12 @@ def minhash_lsh_pairs(
     exact shingle Jaccard, so precision is exact and output ==
     ``jaccard_pairs`` up to LSH recall. Shuffle: O(docs × bands) bucket
     rows + the verify join on candidates only.
+
+    ``signatures``: a precomputed ``minhash_signatures_with_sets`` table
+    (the caller manages its persistence) — pass it when the same batch's
+    signatures feed several consumers (the streaming near-dedup sink
+    computes them once for in-batch pairs, the store join, AND the store
+    write); ``docs`` is ignored then.
     """
     rows = num_perms // bands
     # ONE pass over the shingles (minhash_signatures_with_sets): a single
@@ -221,9 +228,11 @@ def minhash_lsh_pairs(
     # corpus-sized shingle table is never persisted (at 100 TB caching it
     # would be hostile; the per-doc table is docs-sized and caches
     # cheaply).
-    per_doc = scoped_persist(minhash_signatures_with_sets(
-        docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
-    ))
+    per_doc = signatures if signatures is not None else scoped_persist(
+        minhash_signatures_with_sets(
+            docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
+        )
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -311,6 +320,7 @@ def minhash_lsh_pairs_incremental(
     num_perms: int = 64,
     bands: int = 16,
     corpus_signatures: DataFrame | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an existing corpus — the
     daily-ingest production shape: old×old pairs are never generated,
@@ -350,9 +360,17 @@ def minhash_lsh_pairs_incremental(
             "__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
         )
 
-    new_pd = scoped_persist(per_doc(new_docs))
-    old_pd = scoped_persist(
-        corpus_signatures if corpus_signatures is not None else per_doc(corpus)
+    # either side accepts a precomputed signature table (caller manages
+    # its persistence); text is only read for sides without one
+    new_pd = (
+        new_signatures
+        if new_signatures is not None
+        else scoped_persist(per_doc(new_docs))
+    )
+    old_pd = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else scoped_persist(per_doc(corpus))
     )
     cand = (
         buckets(new_pd)
@@ -489,9 +507,16 @@ def dedup_survivors_by(
     if keep not in ("max", "min"):
         raise ValueError(f"dedup_survivors_by: keep must be max|min, got {keep!r}")
     groups = duplicate_groups(pairs)
-    mq = groups.join(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q")),
-        on="doc_id",
+    # persisted: mq feeds three branches (bq, best, drop) and Spark
+    # shares no common subplans — unpersisted, the corpus-side quality
+    # join would re-execute once per branch (release via cache_scope)
+    mq = scoped_persist(
+        groups.join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q")
+            ),
+            on="doc_id",
+        )
     )
     agg = F.max("__q") if keep == "max" else F.min("__q")
     bq = mq.groupBy("group_id").agg(agg.alias("__bq"))

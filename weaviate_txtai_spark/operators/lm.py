@@ -236,9 +236,11 @@ def bigram_nll(
     the context's unigram counts (two term-keyed joins, both
     AQE-broadcastable when the vocab is small), then one doc-key mean.
     The bigram count table is the scale risk (|bigrams| >> |vocab|) —
-    it stays shuffle-side data, never driver-side, and both count
-    tables are persisted because each feeds the join AND the scalar agg
-    (the no-common-subplan rule; release via ``cache_scope``).
+    it stays shuffle-side data, never driver-side, and is NOT persisted
+    (single consumer — pinning the operator's largest table in storage
+    memory would buy nothing). Only the unigram counts persist: they
+    feed the scoring join AND the vocab scalar (the no-common-subplan
+    rule; release via ``cache_scope``).
     """
     toks = tokens(text_col)
     bigrams = F.zip_with(
@@ -254,9 +256,7 @@ def bigram_nll(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    bcounts = scoped_persist(
-        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    )
+    bcounts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab_v"))
     scored = (
         big.join(bcounts, ["w1", "w2"])

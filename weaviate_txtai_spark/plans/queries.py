@@ -4010,9 +4010,12 @@ scored AS (
          round(-avg(lp.logp), 6) AS nll
   FROM tok t JOIN lp USING (term) GROUP BY t.doc_id
   UNION ALL
+  -- text IS NULL covers the rows a bare len(...) = 0 misses
+  -- (string_split(NULL) -> NULL); the engine surfaces those too
   SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
   FROM documents
-  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+  WHERE text IS NULL
+     OR len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
 ),
 m AS (SELECT round(avg(nll), 6) AS mean_nll FROM scored)
 SELECT s.doc_id, s.n_tokens, s.nll,
@@ -4134,8 +4137,13 @@ _SURVIVORS_BY_SQL = (
 ), bq AS (
   SELECT group_id, max(n_chars) AS bq FROM mq GROUP BY group_id
 ), best AS (
+  -- IS NOT DISTINCT FROM, not '=': an all-NULL-quality group has
+  -- bq NULL, and a NULL-unsafe join would emit no best row for it —
+  -- every member would survive, diverging from the engine's
+  -- eqNullSafe min-id fallback (pinned in pytest)
   SELECT mq.group_id, min(mq.doc_id) AS best_id
-  FROM mq JOIN bq ON mq.group_id = bq.group_id AND mq.n_chars = bq.bq
+  FROM mq JOIN bq ON mq.group_id = bq.group_id
+                 AND mq.n_chars IS NOT DISTINCT FROM bq.bq
   GROUP BY mq.group_id
 )
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
@@ -4338,8 +4346,10 @@ SELECT * FROM (
   FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.term, v
   GROUP BY bg.doc_id
   UNION ALL
+  -- tok IS NULL covers NULL text (string_split(NULL) -> NULL, which
+  -- fails len(tok) < 2); the engine surfaces those rows too
   SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
-  FROM t WHERE len(tok) < 2
+  FROM t WHERE tok IS NULL OR len(tok) < 2
 ) ORDER BY doc_id
 """
 

@@ -119,54 +119,74 @@ def stream_near_dedup(
         minhash_lsh_pairs_incremental,
         minhash_signatures_with_sets,
     )
+    from weaviate_txtai_spark.cache import cache_scope, scoped_persist
+
+    def _prior_batches(spark) -> list[str]:
+        # Hadoop FS listing, not os.listdir: the store may live on
+        # hdfs://-or-s3a://-shaped paths where a driver-local listdir
+        # silently returns nothing and every batch would skip
+        # cross-batch dedup without any error
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = path.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        )
+        if not fs.exists(path):
+            return []
+        return [
+            st.getPath().toString()
+            for st in fs.listStatus(path)
+            if st.isDirectory() and st.getPath().getName().startswith("batch=")
+        ]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        stage1 = survivors = None
-        try:
+        # cache_scope releases every operator-internal persist when the
+        # micro-batch completes — a continuous stream would otherwise
+        # accumulate per-batch signature caches forever (the handler
+        # runs in one thread, so the thread-local scope covers the
+        # operator calls below)
+        with cache_scope():
+            # signatures computed ONCE per batch: they feed the
+            # in-batch pairs, the store join, AND the store write —
+            # tokenize+shingle+hash is the dominant map-side cost and
+            # ran three times before this was hoisted
+            sigs_all = scoped_persist(
+                minhash_signatures_with_sets(
+                    batch_df, text_col=text_col, id_col=id_col, n=n,
+                    num_perms=num_perms,
+                )
+            )
             internal = minhash_lsh_pairs(
                 batch_df, text_col=text_col, id_col=id_col, n=n,
                 threshold=threshold, num_perms=num_perms, bands=bands,
+                signatures=sigs_all,
             )
-            drops = internal.select(F.col("d2").alias(id_col)).distinct()
-            stage1 = batch_df.join(drops, id_col, "left_anti").persist()
-            prior_batches = [
-                d for d in (os.listdir(store_dir) if os.path.isdir(store_dir) else [])
-                if d.startswith("batch=")
-            ]
-            if prior_batches:
-                store = spark.read.parquet(
-                    *[os.path.join(store_dir, d) for d in prior_batches]
-                )
+            drops = internal.select(F.col("d2").alias("__id")).distinct()
+            stage1_sigs = scoped_persist(
+                sigs_all.join(drops, "__id", "left_anti")
+            )
+            prior = _prior_batches(spark)
+            if prior:
+                store = spark.read.parquet(*prior)
                 vs_store = minhash_lsh_pairs_incremental(
-                    stage1, None, text_col=text_col, id_col=id_col, n=n,
+                    None, None, text_col=text_col, id_col=id_col, n=n,
                     threshold=threshold, num_perms=num_perms, bands=bands,
-                    corpus_signatures=store,
+                    corpus_signatures=store, new_signatures=stage1_sigs,
                 )
-                drops2 = vs_store.select(
-                    F.col("new_id").alias(id_col)
-                ).distinct()
-                survivors = stage1.join(drops2, id_col, "left_anti")
+                drops2 = vs_store.select(F.col("new_id").alias("__id")).distinct()
+                surv_sigs = scoped_persist(
+                    stage1_sigs.join(drops2, "__id", "left_anti")
+                )
             else:
-                survivors = stage1
-            survivors = survivors.persist()
-            survivors.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch={batch_id}")
-            )
-            sigs = minhash_signatures_with_sets(
-                survivors, text_col=text_col, id_col=id_col, n=n,
-                num_perms=num_perms,
-            )
-            sigs.write.mode("overwrite").parquet(
+                surv_sigs = stage1_sigs
+            surv_ids = surv_sigs.select(F.col("__id").alias(id_col))
+            batch_df.join(surv_ids, id_col, "left_semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
+            surv_sigs.write.mode("overwrite").parquet(
                 os.path.join(store_dir, f"batch={batch_id}")
             )
-        finally:
-            batch_df.unpersist()
-            if stage1 is not None:
-                stage1.unpersist()
-            if survivors is not None and survivors is not stage1:
-                survivors.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(handle)
