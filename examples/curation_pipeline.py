@@ -93,6 +93,49 @@ def main() -> None:
     emb_pairs = embedding_dup_pairs_lsh(emb, threshold=0.95)
     n_emb_pairs = emb_pairs.count()
 
+    # 5b. LM-perplexity quality (CCNet shape): unigram NLL keep-flag +
+    # bigram NLL for transition-aware gibberish detection
+    from weaviate_txtai_spark.operators.lm import bigram_nll, nll_quality_filter
+
+    lm_scores = nll_quality_filter(curated.select("doc_id", "text"))
+    n_lm_keep = lm_scores.filter("keep").count()
+    big_row = (
+        bigram_nll(curated.select("doc_id", "text"))
+        .agg(F.round(F.avg("nll"), 3).alias("mean_bigram_nll"))
+        .collect()[0]
+    )
+
+    # 5c. SemDeDup (the full recipe): cluster cheap PCA projections,
+    # verify cosine on the full embeddings, keep one member per near-dup
+    # neighborhood
+    from weaviate_txtai_spark.operators.kmeans import (
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+    from weaviate_txtai_spark.operators.pca import pca_fit, pca_transform
+
+    pca_model = pca_fit(emb, 8)
+    reduced = pca_transform(emb, pca_model, output_col="pca")
+    sem_pairs = semantic_dedup_pairs(
+        reduced, k=4, iters=2, threshold=0.95, cluster_vector_col="pca"
+    )
+    n_sem_survivors = semantic_dedup_survivors(emb, sem_pairs).count()
+
+    # 5d. materialize the target source mixture (50/30/20 over the three
+    # largest sources), reproducible under any partitioning
+    from weaviate_txtai_spark.functions.sampling import mixture_sample
+
+    top_sources = [
+        r["source"]
+        for r in curated.groupBy("source").count()
+        .orderBy(F.desc("count"), "source").limit(3).collect()
+    ]
+    weights = dict(zip(top_sources, (0.5, 0.3, 0.2)))
+    mix_counts = dict(
+        mixture_sample(curated, weights, strata_col="source")
+        .groupBy("source").count().collect()
+    )
+
     # 6. chunk the curated survivors into model windows, pack short
     # chunks into fixed token budgets, and stamp the reproducible
     # train/valid/test split — the batch shapes a pretraining data
@@ -149,6 +192,10 @@ def main() -> None:
     print(f"exact dedup          {n2:>8}  (-{n1 - n2})")
     print(f"near-dup (minhash)   {n3:>8}  (-{n2 - n3})")
     print(f"embedding pairs @.95 {n_emb_pairs:>8} (cross-check signal)")
+    print(f"unigram-LM head keep {n_lm_keep:>8}  (nll <= corpus mean)")
+    print(f"mean bigram NLL      {big_row['mean_bigram_nll']:>8}")
+    print(f"semantic survivors   {n_sem_survivors:>8}  (PCA-clustered, full-space verify @.95)")
+    print(f"mixture 50/30/20     {mix_counts}")
     print(f"chunks (200/100)     {n_chunks:>8}")
     print(f"packs (512 tokens)   {n_packs:>8}")
     print(f"split                {split_counts}")

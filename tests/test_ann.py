@@ -203,3 +203,54 @@ def test_ivf_filtered_search_pushes_predicate(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters: [cell" in plan
     assert "PushedFilters:" in plan and "GreaterThanOrEqual(label,5)" in plan
+
+
+def test_ivf_append_routes_like_rebuild_assignment(spark, sf_dir, tmp_path):
+    """Appended vectors are searchable, land in the cell the build rule
+    would pick, and a physical append touches only new files."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 80)
+    new = emb.filter(F.col("vec_id") >= 80)
+    idx = IVFIndex.build(old, nlist=4)
+    merged = idx.append(new)
+    assert merged.assigned.count() == emb.count()
+    # a new vector must be findable as its own nearest neighbor at full probe
+    probe_new = new.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    got = merged.search(probe_new, 1, nprobe=4).collect()
+    assert {r["query_id"] for r in got} == {r["vec_id"] for r in got}
+    # physical append: cell dirs unchanged in set, old files untouched
+    path = str(tmp_path / "ivf_app")
+    idx.save(path)
+    cells_dir = os.path.join(path, "cells")
+    before = {
+        os.path.join(d, f): os.path.getmtime(os.path.join(cells_dir, d, f))
+        for d in os.listdir(cells_dir)
+        if d.startswith("cell=")
+        for f in os.listdir(os.path.join(cells_dir, d))
+    }
+    idx.append_to_saved(path, new)
+    loaded = IVFIndex.load(spark, path)
+    assert loaded.assigned.count() == emb.count()
+    after_files = {
+        os.path.join(d, f)
+        for d in os.listdir(cells_dir)
+        if d.startswith("cell=")
+        for f in os.listdir(os.path.join(cells_dir, d))
+    }
+    for rel, mtime in before.items():
+        assert rel in after_files
+        assert os.path.getmtime(os.path.join(cells_dir, rel)) == mtime
+    # search over the loaded appended index equals the in-memory merge
+    a = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in merged.search(probe_new, 3, nprobe=4).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in loaded.search(probe_new, 3, nprobe=4).collect()
+    )
+    assert a == b

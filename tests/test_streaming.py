@@ -183,6 +183,9 @@ def test_stream_near_dedup_two_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src / "*"))
     )
+    # session is shared across the suite: measure cache GROWTH, not
+    # absolute emptiness (other tests' operator caches may linger)
+    cached_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     q = stream_near_dedup(
         stream,
         store_dir=str(tmp_path / "store"),
@@ -201,4 +204,5 @@ def test_stream_near_dedup_two_batches(spark, tmp_path):
     assert sorted(r["__id"] for r in store.select("__id").collect()) == [1, 3, 11]
     # the per-batch cache_scope released every operator-internal persist:
     # a continuous stream must not accumulate signature caches
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+    cached_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert cached_after <= cached_before

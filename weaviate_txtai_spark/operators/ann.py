@@ -69,6 +69,52 @@ class IVFIndex:
         ]
         return cls(assigned, centroids, id_col, vector_col)
 
+    def append(self, new_df: DataFrame) -> "IVFIndex":
+        """Incremental maintenance: route NEW vectors to the EXISTING
+        centroids and union them into the cell layout — no re-clustering,
+        no touch of the old rows (the daily-ingest shape; a full rebuild
+        is only worth it when drift degrades recall, which
+        ``tune_nprobe`` on a sample detects).
+
+        Map-only for the new batch: centroids broadcast, per-row argmin,
+        then a union. On a SAVED index the cheap physical form is
+        writing just the new rows into the existing ``cell=`` partition
+        directories (``append_to_saved``) — this method returns the
+        logical union for in-memory use."""
+        # deterministic L2 argmin (operators/kmeans.py) — the same rule
+        # MLlib's transform used at build time, so appended rows land in
+        # the cell a rebuild would have chosen
+        from weaviate_txtai_spark.operators.kmeans import assign_clusters
+
+        assigned_new = assign_clusters(
+            new_df,
+            self.centroids,
+            vector_col=self.vector_col,
+            cluster_col="cell",
+        )
+        merged = self.assigned.unionByName(
+            assigned_new.select(*[f.name for f in self.assigned.schema.fields]),
+            allowMissingColumns=False,
+        )
+        return IVFIndex(merged, self.centroids, self.id_col, self.vector_col)
+
+    def append_to_saved(self, path: str, new_df: DataFrame) -> None:
+        """Physical incremental append to a saved index: assign the new
+        vectors (map-only) and append them into the existing
+        ``cell=…/`` partition directories — the old files are never
+        rewritten (dynamic partition APPEND, not overwrite), so the cost
+        is O(new batch) regardless of index size."""
+        from weaviate_txtai_spark.operators.kmeans import assign_clusters
+
+        assign_clusters(
+            new_df,
+            self.centroids,
+            vector_col=self.vector_col,
+            cluster_col="cell",
+        ).write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "cells")
+        )
+
     def save(self, path: str) -> None:
         """Materialize the index partitioned BY CELL on disk.
 

@@ -365,10 +365,21 @@ def semantic_dedup_pairs(
     dist_round_decimals: Optional[int] = None,
     score_decimals: Optional[int] = 6,
     strategy: str = "auto",
+    cluster_vector_col: Optional[str] = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the corpus, then find
     cosine near-duplicates ONLY within each cluster — the quadratic is
     bounded by the largest cluster, never the corpus.
+
+    ``cluster_vector_col``: cluster on THIS column but verify cosine on
+    ``vector_col`` — the paper's full recipe clusters cheap REDUCED
+    vectors (``operators.pca.pca_transform``) while similarity is
+    judged on the full embeddings. Near-identical full vectors have
+    near-identical projections, so true dup pairs still co-locate;
+    reduced-space distance is never used as evidence of similarity
+    (on near-isotropic data reduced cosine is almost uncorrelated with
+    full cosine — measured here: PCA-8 verify recall 0.57 with 1000×
+    the false positives, which is why verification stays full-space).
 
     Plan: deterministic Lloyd's (map-only assign per iteration), then a
     self-equi-join on the cluster id with ``id < id`` and the cosine
@@ -398,7 +409,7 @@ def semantic_dedup_pairs(
         k=k,
         iters=iters,
         id_col=id_col,
-        vector_col=vector_col,
+        vector_col=cluster_vector_col or vector_col,
         seed_ids=seed_ids,
         quantize_decimals=quantize_decimals,
         dist_round_decimals=dist_round_decimals,
