@@ -4367,6 +4367,38 @@ def docs_bigram_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_nll(docs, round_decimals=6).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# Z-order layout (sources/layout.py) — content preserved through rewrite
+# --------------------------------------------------------------------------
+
+_ZORDER_SQL = """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM events ORDER BY event_id
+"""
+
+
+@register("events_zorder", _ZORDER_SQL)
+def events_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering rewrite of the events table on
+    (user_id, value): one range shuffle at write time buys min/max file
+    skipping on EITHER column at read time (bound-tightening and
+    point-predicate overlap are pinned in tests/test_layout.py from the
+    parquet footers). The gate checks the half a hash CAN check: the
+    rewrite is content-lossless."""
+    import tempfile
+
+    from weaviate_txtai_spark.sources.layout import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = tempfile.mkdtemp(prefix="zorder_gate_") + "/ev"
+    zorder_write(ev, out, ["user_id", "value"], n_files=8)
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+        .orderBy("event_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
