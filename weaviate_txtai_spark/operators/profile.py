@@ -1,0 +1,101 @@
+"""One-pass table profiling: the data-quality report every pipeline
+runs before trusting an input (row/null/distinct counts, ranges, means
+per column).
+
+Scale shape: ONE aggregate job for the whole report — every statistic
+for every column lives in a single ``agg`` (partial-aggregatable, one
+shuffle of a single combined row per partition). Exact distincts use
+Spark's multi-count-distinct EXPAND plan (one pass, rows × profiled
+columns — exact but the expensive mode); ``approx=True`` switches to
+HLL++ (``approx_count_distinct``) which keeps the pass cheap at any
+cardinality — the same exact/approx pairing as
+``events_distinct_users`` / ``approx_distinct_users``.
+
+The report itself is ≤ #columns rows, so it is assembled driver-side
+from the one collected aggregate row — bounded like every other
+driver-side artifact in this repo (centroids, quotas, offsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    TimestampType,
+)
+
+_NUMERIC = (
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+    DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column profile: ``column, dtype, n_rows, n_nulls, n_distinct,
+    min_str, max_str, min_num, max_num, mean``.
+
+    ``min_str``/``max_str`` are engine-formatted strings (any orderable
+    type); ``min_num``/``max_num``/``mean`` are doubles, NULL for
+    non-numeric columns — gates compare the numeric forms (string
+    formatting of doubles is not a cross-engine contract).
+    """
+    cols = columns or [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in types]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        distinct = (
+            F.approx_count_distinct(c, rsd) if approx else F.countDistinct(c)
+        )
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            distinct.alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mins_{c}"),
+            F.max(c).cast("string").alias(f"__maxs_{c}"),
+        ]
+        if isinstance(types[c], _NUMERIC):
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__minn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__maxn_{c}"),
+                F.avg(F.col(c).cast("double")).alias(f"__mean_{c}"),
+            ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        numeric = isinstance(types[c], _NUMERIC)
+        out.append(
+            (
+                c,
+                types[c].simpleString(),
+                int(row["__n"]),
+                int(row[f"__nn_{c}"]),
+                int(row[f"__nd_{c}"]),
+                row[f"__mins_{c}"],
+                row[f"__maxs_{c}"],
+                float(row[f"__minn_{c}"]) if numeric and row[f"__minn_{c}"] is not None else None,
+                float(row[f"__maxn_{c}"]) if numeric and row[f"__maxn_{c}"] is not None else None,
+                float(row[f"__mean_{c}"]) if numeric and row[f"__mean_{c}"] is not None else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "n_distinct long, min_str string, max_str string, "
+        "min_num double, max_num double, mean double",
+    )

@@ -4399,6 +4399,61 @@ def events_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Table profiling (operators/profile.py)
+# --------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+         round(min(CAST(l_quantity AS DOUBLE)), 2) AS min_num,
+         round(max(CAST(l_quantity AS DOUBLE)), 2) AS max_num,
+         round(avg(CAST(l_quantity AS DOUBLE)), 4) AS mean
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+         round(min(CAST(l_extendedprice AS DOUBLE)), 2),
+         round(max(CAST(l_extendedprice AS DOUBLE)), 2),
+         round(avg(CAST(l_extendedprice AS DOUBLE)), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         round(min(CAST(l_orderkey AS DOUBLE)), 2),
+         round(max(CAST(l_orderkey AS DOUBLE)), 2),
+         round(avg(CAST(l_orderkey AS DOUBLE)), 4)
+  FROM lineitem
+) ORDER BY "column"
+"""
+
+
+@register("lineitem_profile", _PROFILE_SQL)
+def lineitem_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile (operators/profile.py): every
+    statistic for every profiled column in a SINGLE aggregate job
+    (multi-count-distinct EXPAND plan — the exact mode; approx=True is
+    the HLL++ scale mode, pytest-bounded). Gate compares the numeric
+    forms; string formatting of doubles is not a cross-engine contract."""
+    from weaviate_txtai_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = profile_table(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
+    return prof.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round("min_num", 2).alias("min_num"),
+        F.round("max_num", 2).alias("max_num"),
+        F.round("mean", 4).alias("mean"),
+    ).orderBy("column")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
