@@ -130,7 +130,8 @@ def main() -> None:
         for r in curated.groupBy("source").count()
         .orderBy(F.desc("count"), "source").limit(3).collect()
     ]
-    weights = dict(zip(top_sources, (0.5, 0.3, 0.2)))
+    target = (0.5, 0.3, 0.2)[: len(top_sources)]
+    weights = dict(zip(top_sources, target))
     mix_counts = dict(
         mixture_sample(curated, weights, strata_col="source")
         .groupBy("source").count().collect()
@@ -195,7 +196,7 @@ def main() -> None:
     print(f"unigram-LM head keep {n_lm_keep:>8}  (nll <= corpus mean)")
     print(f"mean bigram NLL      {big_row['mean_bigram_nll']:>8}")
     print(f"semantic survivors   {n_sem_survivors:>8}  (PCA-clustered, full-space verify @.95)")
-    print(f"mixture 50/30/20     {mix_counts}")
+    print(f"mixture {weights}   -> {mix_counts}")
     print(f"chunks (200/100)     {n_chunks:>8}")
     print(f"packs (512 tokens)   {n_packs:>8}")
     print(f"split                {split_counts}")

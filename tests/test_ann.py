@@ -221,7 +221,7 @@ def test_ivf_append_routes_like_rebuild_assignment(spark, sf_dir, tmp_path):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
     )
     got = merged.search(probe_new, 1, nprobe=4).collect()
-    assert {r["query_id"] for r in got} == {r["vec_id"] for r in got}
+    assert got and all(r["query_id"] == r["vec_id"] for r in got)
     # physical append: cell dirs unchanged in set, old files untouched
     path = str(tmp_path / "ivf_app")
     idx.save(path)

@@ -28,9 +28,41 @@ def test_profile_basics_and_nulls(spark):
 
 
 def test_profile_single_job_one_pass(spark, sf_dir):
+    # pin the scale contract, not just the row count: profiling more
+    # columns must NOT launch more jobs (AQE splits one query into a
+    # few stage-jobs, so the invariant is job count INDEPENDENT of
+    # column count — a per-column/per-stat split would scale with it)
+    sc = spark.sparkContext
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    prof = profile_table(li, ["l_quantity", "l_orderkey"])
-    assert prof.count() == 2
+
+    def jobs_for(cols, tag):
+        sc.setJobGroup(tag, "profile test")
+        try:
+            prof = profile_table(li, cols)
+        finally:
+            sc.setJobGroup("", "")
+        return prof, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    p1, j1 = jobs_for(["l_quantity"], "profile-1col")
+    p3, j3 = jobs_for(
+        ["l_quantity", "l_orderkey", "l_extendedprice"], "profile-3col"
+    )
+    assert j3 == j1, f"jobs grew with columns: {j1} -> {j3}"
+    assert p1.count() == 1 and p3.count() == 3
+
+
+def test_profile_map_column_does_not_poison(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": "b"}), (2, None)], "k long, m map<string,string>"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    # the unorderable column reports rows/nulls only...
+    m = prof["m"]
+    assert (m["n_rows"], m["n_nulls"]) == (2, 1)
+    assert m["n_distinct"] is None and m["min_str"] is None
+    # ...and the orderable column's stats are unharmed
+    k = prof["k"]
+    assert (k["n_distinct"], k["min_num"], k["max_num"]) == (2, 1.0, 2.0)
 
 
 def test_profile_approx_mode_close(spark, sf_dir):

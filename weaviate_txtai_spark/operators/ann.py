@@ -106,8 +106,20 @@ class IVFIndex:
         is O(new batch) regardless of index size."""
         from weaviate_txtai_spark.operators.kmeans import assign_clusters
 
+        # align to the saved schema BEFORE the write, like append():
+        # parquet append accepts mixed-schema files silently, and load()
+        # (no mergeSchema) resolves columns from whichever footer wins —
+        # a missing metadata column must fail HERE, not at search time
+        expected = [
+            f.name for f in self.assigned.schema.fields if f.name != "cell"
+        ]
+        missing = set(expected) - set(new_df.columns)
+        if missing:
+            raise ValueError(
+                f"append_to_saved: new rows lack index columns {sorted(missing)}"
+            )
         assign_clusters(
-            new_df,
+            new_df.select(*expected),
             self.centroids,
             vector_col=self.vector_col,
             cluster_col="cell",

@@ -22,14 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ByteType,
-    DateType,
     DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     ShortType,
-    TimestampType,
 )
 
 _NUMERIC = (
@@ -51,24 +50,35 @@ def profile_table(
     ``min_str``/``max_str`` are engine-formatted strings (any orderable
     type); ``min_num``/``max_num``/``mean`` are doubles, NULL for
     non-numeric columns — gates compare the numeric forms (string
-    formatting of doubles is not a cross-engine contract).
+    formatting of doubles is not a cross-engine contract). Unorderable
+    columns (maps) report rows/nulls only, with NULL distinct/range —
+    they must not abort the profile of every other column.
     """
     cols = columns or [f.name for f in df.schema.fields]
     types = {f.name: f.dataType for f in df.schema.fields}
     missing = [c for c in cols if c not in types]
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
+    # MapType is unorderable and not count-distinct-able in Spark: one
+    # such column would abort the WHOLE aggregate — profile it with
+    # rows/nulls only instead of poisoning the report for every column
+    orderable = {
+        c: not isinstance(types[c], MapType) for c in cols
+    }
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        distinct = (
-            F.approx_count_distinct(c, rsd) if approx else F.countDistinct(c)
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")
         )
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            distinct.alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__mins_{c}"),
-            F.max(c).cast("string").alias(f"__maxs_{c}"),
-        ]
+        if orderable[c]:
+            distinct = (
+                F.approx_count_distinct(c, rsd) if approx else F.countDistinct(c)
+            )
+            aggs += [
+                distinct.alias(f"__nd_{c}"),
+                F.min(c).cast("string").alias(f"__mins_{c}"),
+                F.max(c).cast("string").alias(f"__maxs_{c}"),
+            ]
         if isinstance(types[c], _NUMERIC):
             aggs += [
                 F.min(F.col(c).cast("double")).alias(f"__minn_{c}"),
@@ -85,9 +95,9 @@ def profile_table(
                 types[c].simpleString(),
                 int(row["__n"]),
                 int(row[f"__nn_{c}"]),
-                int(row[f"__nd_{c}"]),
-                row[f"__mins_{c}"],
-                row[f"__maxs_{c}"],
+                int(row[f"__nd_{c}"]) if orderable[c] else None,
+                row[f"__mins_{c}"] if orderable[c] else None,
+                row[f"__maxs_{c}"] if orderable[c] else None,
                 float(row[f"__minn_{c}"]) if numeric and row[f"__minn_{c}"] is not None else None,
                 float(row[f"__maxn_{c}"]) if numeric and row[f"__maxn_{c}"] is not None else None,
                 float(row[f"__mean_{c}"]) if numeric and row[f"__mean_{c}"] is not None else None,

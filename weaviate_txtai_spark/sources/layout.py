@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -43,7 +43,7 @@ def with_zorder_key(
     df: DataFrame,
     cols: Sequence[str],
     *,
-    bits_per_col: int = 12,
+    bits_per_col: int = 8,
     accuracy: int = 10000,
     key_col: str = "__z",
 ) -> DataFrame:
@@ -52,9 +52,11 @@ def with_zorder_key(
     long. The boundary arrays ride along as ``__b_<col>`` columns
     (dropped by :func:`zorder_write`).
 
-    ``bits_per_col × len(cols)`` must fit in 63 bits; 12 bits × up to 5
-    columns covers 4096 buckets per dimension — far finer than the file
-    count any sane layout produces.
+    ``bits_per_col × len(cols)`` must fit in 63 bits. The encode is a
+    LINEAR boundary scan per row per column (2^bits comparisons), so
+    resolution is paid for in map-side CPU: the default 8 bits (256
+    buckets per dimension) is already ~16× finer than any sane file
+    count needs; raise it only if file counts reach the thousands.
     """
     if not cols:
         raise ValueError("zorder_key: need at least one column")
@@ -96,7 +98,7 @@ def zorder_write(
     cols: Sequence[str],
     *,
     n_files: int = 16,
-    bits_per_col: int = 12,
+    bits_per_col: int = 8,
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as parquet clustered by the Morton key of ``cols``.
