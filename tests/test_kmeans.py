@@ -224,3 +224,22 @@ def test_semantic_dedup_clusters_on_reduced_verifies_on_full(spark, sf_dir):
     # and it finds at least as many true pairs as the full-space
     # clustering at this tiny k (near-identical vectors co-locate)
     assert len(via_reduced) >= len(full) - 1
+
+
+def test_cluster_top_terms_counts_and_ties(spark):
+    from weaviate_txtai_spark.operators.kmeans import cluster_top_terms
+
+    assigned = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "vec_id long, cluster int"
+    )
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "q q"), (4, "unassigned ignored")],
+        "doc_id long, text string",
+    )
+    rows = cluster_top_terms(assigned, docs, n_terms=2).collect()
+    got = {(r["cluster"], r["rank"]): (r["term"], r["n_occ"]) for r in rows}
+    # cluster 0: x:2 y:2 z:1 -> tie x/y breaks lexicographically
+    assert got[(0, 1)] == ("x", 2) and got[(0, 2)] == ("y", 2)
+    assert got[(1, 1)] == ("q", 2)
+    # docs with no assignment never contribute
+    assert all(r["term"] != "unassigned" for r in rows)

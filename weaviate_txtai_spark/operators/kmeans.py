@@ -44,7 +44,7 @@ from typing import Iterator, Optional, Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -466,3 +466,47 @@ def semantic_dedup_survivors(
     """
     drops = pairs.select(F.col("d2").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti")
+
+
+def cluster_top_terms(
+    assigned: DataFrame,
+    docs: DataFrame,
+    *,
+    n_terms: int = 5,
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Label clusters with their most frequent terms — the human-readable
+    summary step after any clustering run ("what IS cluster 3?"), and
+    the cheap sanity check that a clustering is semantic at all.
+
+    Cross-modal composition: the assignment came from EMBEDDINGS, the
+    labels come from TEXT — joined on the shared id. Plan: one id-keyed
+    join (AQE broadcasts the assignment side when small), a narrow token
+    explode, one partial-agg shuffle on (cluster, term), and a window
+    partitioned by cluster (k partitions — each holds its own vocabulary,
+    never the corpus). Ties break to the lexicographically first term so
+    the output is deterministic and oracle-able.
+
+    Output: cluster, rank (1..n_terms), term, n_occ.
+    """
+    from weaviate_txtai_spark.functions.text import tokens
+
+    joined = docs.select(
+        F.col(doc_id_col).alias("__did"), F.col(text_col).alias("__text")
+    ).join(
+        assigned.select(F.col(id_col).alias("__did"), cluster_col), "__did"
+    )
+    counts = (
+        joined.select(cluster_col, F.explode(tokens("__text")).alias("term"))
+        .groupBy(cluster_col, "term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.partitionBy(cluster_col).orderBy(F.desc("n_occ"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_terms)
+        .select(cluster_col, "rank", "term", "n_occ")
+    )

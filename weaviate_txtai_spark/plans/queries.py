@@ -4454,6 +4454,50 @@ def lineitem_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+_CLUSTER_TOP_TERMS_SQL = _KMEANS_CTE + """
+, terms AS (
+  SELECT a2.cluster,
+         unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS term
+  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+),
+cnt AS (
+  SELECT cluster, term, count(*) AS n_occ FROM terms GROUP BY 1, 2
+)
+SELECT CAST(cluster AS INT) AS cluster, CAST(rank AS INT) AS rank,
+       term, CAST(n_occ AS BIGINT) AS n_occ
+FROM (
+  SELECT cluster, term, n_occ,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY n_occ DESC, term ASC
+         ) AS rank
+  FROM cnt
+) WHERE rank <= 5 ORDER BY cluster, rank
+"""
+
+
+@register("cluster_top_terms", _CLUSTER_TOP_TERMS_SQL)
+def cluster_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling — the step after any clustering run: what IS
+    each cluster, in words? Cross-modal: the assignment came from the
+    EMBEDDING k-means (same deterministic trajectory as kmeans_assign),
+    the labels come from the TEXT, joined on the shared id. One id join
+    + one (cluster, term) partial-agg shuffle + a k-partition window."""
+    from weaviate_txtai_spark.operators.kmeans import cluster_top_terms
+
+    m = _kmeans_model(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cluster_top_terms(m.assigned, docs, n_terms=5)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+        .orderBy("cluster", "rank")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
