@@ -34,6 +34,10 @@ FLAGSHIPS = [
     ("embedding_quantize", "int8 quantization: map-only native exprs"),
     ("docs_redact_pii", "PII scrub: codegen regexp_replace, map-only"),
     ("events_cohort_salted", "salted join: salt-invariant aggregate"),
+    ("kmeans_assign", "k-means: map-only argmin (the one exchange is the gate output sort)"),
+    ("docs_unigram_nll", "LM scoring: term-keyed joins + doc mean, no sort"),
+    ("mixture_sample", "mixture: per-stratum rank window, quota broadcast"),
+    ("lineitem_profile", "profiling: one EXPAND aggregate for all stats"),
 ]
 
 
