@@ -170,3 +170,40 @@ def test_bigram_short_docs_surfaced(spark):
     assert set(got) == {1, 2, 3, 4}
     for i in (2, 3, 4):
         assert got[i]["n_bigrams"] == 0 and got[i]["nll"] is None
+
+
+def test_mixture_quotas_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        counts=st.dictionaries(
+            keys=st.sampled_from(list("abcdef")),
+            values=st.integers(1, 10**6),
+            min_size=1,
+            max_size=6,
+        ),
+        data=st.data(),
+    )
+    def inner(counts, data):
+        weights = {
+            s: data.draw(
+                st.floats(0.01, 10, allow_nan=False, allow_infinity=False)
+            )
+            for s in counts
+        }
+        q = mixture_quotas(counts, weights)
+        assert set(q) == set(weights)
+        # feasibility: never over-draw a stratum
+        assert all(0 <= q[s] <= counts[s] for s in weights)
+        # maximality: the binding stratum is exhausted up to one row of
+        # float slack ((n_b / w_b) * w_b can land one ulp under n_b)
+        lam = min(counts[s] / w for s, w in weights.items())
+        binding = min(weights, key=lambda s: counts[s] / weights[s])
+        assert q[binding] >= counts[binding] - 1
+        # proportionality: each quota is within one row of lambda * w
+        for s, w in weights.items():
+            assert abs(q[s] - lam * w) <= 1.0
+
+    inner()
