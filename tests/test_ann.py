@@ -254,3 +254,19 @@ def test_ivf_append_routes_like_rebuild_assignment(spark, sf_dir, tmp_path):
         for r in loaded.search(probe_new, 3, nprobe=4).collect()
     )
     assert a == b
+
+
+def test_ivf_append_to_saved_rejects_schema_drift(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFIndex.build(emb.filter(F.col("vec_id") < 50), nlist=2)
+    path = str(tmp_path / "ivf_drift")
+    idx.save(path)
+    new = emb.filter(F.col("vec_id") >= 50).limit(5)
+    with _pytest.raises(ValueError, match="lack index columns"):
+        idx.append_to_saved(path, new.drop("label"))
+    with _pytest.raises(ValueError, match="types differ"):
+        idx.append_to_saved(
+            path, new.withColumn("vec_id", F.col("vec_id").cast("int"))
+        )

@@ -79,3 +79,12 @@ def test_profile_validates_columns(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="unknown columns"):
         profile_table(df, ["nope"])
+
+
+def test_profile_nested_map_does_not_poison(spark):
+    df = spark.createDataFrame(
+        [(1, [{"a": "b"}])], "k long, am array<map<string,string>>"
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["am"]["n_distinct"] is None
+    assert prof["k"]["n_distinct"] == 1

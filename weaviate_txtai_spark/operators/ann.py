@@ -111,13 +111,28 @@ class IVFIndex:
         # (no mergeSchema) resolves columns from whichever footer wins —
         # a missing metadata column must fail HERE, not at search time
         expected = [
-            f.name for f in self.assigned.schema.fields if f.name != "cell"
+            f for f in self.assigned.schema.fields if f.name != "cell"
         ]
-        missing = set(expected) - set(new_df.columns)
+        missing = {f.name for f in expected} - set(new_df.columns)
         if missing:
             raise ValueError(
                 f"append_to_saved: new rows lack index columns {sorted(missing)}"
             )
+        # names are not enough: a present-but-differently-typed column
+        # (int32 ids, float32 vectors) would append mixed-type footers
+        # that only blow up at load()/search — validate types too
+        new_types = {f.name: f.dataType for f in new_df.schema.fields}
+        mismatched = [
+            (f.name, f.dataType.simpleString(), new_types[f.name].simpleString())
+            for f in expected
+            if new_types[f.name] != f.dataType
+        ]
+        if mismatched:
+            raise ValueError(
+                "append_to_saved: column types differ from the saved index "
+                f"(column, saved, new): {mismatched} — cast before appending"
+            )
+        expected = [f.name for f in expected]
         assign_clusters(
             new_df.select(*expected),
             self.centroids,

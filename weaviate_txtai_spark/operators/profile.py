@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     ByteType,
     DecimalType,
     DoubleType,
@@ -29,6 +30,7 @@ from pyspark.sql.types import (
     LongType,
     MapType,
     ShortType,
+    StructType,
 )
 
 _NUMERIC = (
@@ -59,12 +61,21 @@ def profile_table(
     missing = [c for c in cols if c not in types]
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
-    # MapType is unorderable and not count-distinct-able in Spark: one
-    # such column would abort the WHOLE aggregate — profile it with
-    # rows/nulls only instead of poisoning the report for every column
-    orderable = {
-        c: not isinstance(types[c], MapType) for c in cols
-    }
+    # A map ANYWHERE in the type tree (map, array<map>, struct with a
+    # map field) makes the column unorderable and not
+    # count-distinct-able in Spark: one such column would abort the
+    # WHOLE aggregate — profile it with rows/nulls only instead of
+    # poisoning the report for every column
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    orderable = {c: not _has_map(types[c]) for c in cols}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(
