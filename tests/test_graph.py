@@ -1,0 +1,102 @@
+"""PageRank + kNN graph: hand-computed values, rank-mass conservation,
+dangling handling, partitioning-invariance, self-exclusion."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.operators.graph import knn_graph, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_hand_computed_cycle(spark):
+    # 3-cycle: symmetric structure -> ranks stay exactly 1/3 forever
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    got = {r["id"]: r["rank"] for r in pagerank(e, iters=4).collect()}
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, abs=1e-8)
+
+
+def test_pagerank_hand_computed_star(spark):
+    # 1->3, 2->3: after one iteration (d=0.85, N=3, r0=1/3):
+    # r(3) = 0.15/3 + 0.85*(1/3 + 1/3 + dangling(3)*1/3 ... ) with 3 dangling
+    e = _edges(spark, [(1, 3), (2, 3)])
+    got = {r["id"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    base, d = 0.15 / 3, 0.85
+    dangling = (1 / 3) / 3  # node 3 has no out-edges; its mass spreads
+    assert got[1] == pytest.approx(base + d * dangling, abs=1e-8)
+    assert got[2] == pytest.approx(base + d * dangling, abs=1e-8)
+    assert got[3] == pytest.approx(base + d * (2 / 3 + dangling), abs=1e-8)
+    # total mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_mass_conserved_and_invariant(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _edges(spark, pairs)
+    r1 = {r["id"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    r2 = {
+        r["id"]: r["rank"]
+        for r in pagerank(e.repartition(7), iters=3).collect()
+    }
+    assert r1 == r2  # rounded trajectory identical under repartitioning
+    assert sum(r1.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_empty_raises(spark):
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(_edges(spark, []), iters=1)
+
+
+def test_knn_graph_excludes_self_and_is_k_regular(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    g = knn_graph(emb, 3)
+    rows = g.collect()
+    assert all(r["src"] != r["dst"] for r in rows)
+    from collections import Counter
+
+    deg = Counter(r["src"] for r in rows)
+    assert set(deg.values()) == {3}  # every node has exactly k out-edges
+    # centrality over the graph: ranks exist for every node, mass ~1
+    pr = pagerank(g, iters=3).collect()
+    assert len(pr) == emb.count()
+    assert sum(r["rank"] for r in pr) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_exact_matches_float_and_is_bit_stable(spark):
+    import random
+
+    from weaviate_txtai_spark.operators.graph import pagerank_exact
+
+    rng = random.Random(11)
+    pairs = [(a, b) for a, b in {(rng.randrange(25), rng.randrange(25))
+                                 for _ in range(70)} if a != b]
+    e = _edges(spark, pairs)
+    fp = {r["id"]: r["rank_fp"] for r in pagerank_exact(e, iters=3).collect()}
+    fl = {r["id"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    scale = 10**12
+    # integer trajectory tracks the float one to ~floor-division leakage
+    for i, v in fp.items():
+        assert v / scale == pytest.approx(fl[i], abs=1e-6)
+    # bit-stable under repartitioning: EXACT equality, not approx
+    fp2 = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_exact(e.repartition(9), iters=3).collect()
+    }
+    assert fp == fp2
+
+
+def test_pagerank_exact_validation(spark):
+    from weaviate_txtai_spark.operators.graph import pagerank_exact
+
+    with pytest.raises(ValueError, match="invalid damping"):
+        pagerank_exact(_edges(spark, [(1, 2)]), damping_num=101)
+    with pytest.raises(ValueError, match="empty"):
+        pagerank_exact(_edges(spark, []))

@@ -1,0 +1,219 @@
+"""Iterative graph algebra over edge DataFrames: PageRank.
+
+Why an LLM-data engine carries it: centrality over the kNN graph of an
+embedding corpus ranks documents by how "representative" their
+neighborhood is — the signal behind graph-based coreset selection and
+density-aware curation (a high-centrality doc speaks for many
+neighbors; isolated points are outliers or noise). The same operator
+runs over any (src, dst) edge frame — citation graphs, link graphs,
+co-occurrence graphs.
+
+Scale shape (E edges, V nodes, per iteration):
+- one groupBy(dst) partial-agg shuffle carrying rank/degree mass — the
+  canonical power-iteration join (edges ⋈ ranks on src is
+  AQE-broadcastable while ranks stay small, else a hash join keyed on
+  src); out-degrees are computed ONCE and cached;
+- dangling mass (nodes with no out-edges) is folded back uniformly via
+  ONE scalar agg broadcast — no driver-side row data;
+- the rank frame is V rows × 2 columns; iterations chain lazily and a
+  fixed small iteration count keeps the lineage shallow (the
+  to-fixpoint variant with localCheckpoint is ``dedup.duplicate_groups``'
+  pattern — reuse it if you need convergence detection).
+
+Determinism: every iteration rounds ranks to ``round_decimals`` so the
+trajectory is identical across partitionings and engines (partial-sum
+order perturbs doubles at ~1e-16; rounding at 1e-9 absorbs it) — the
+same contract that makes the k-means gates oracle-able.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.cache import scoped_persist
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_decimals: Optional[int] = 9,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge frame.
+
+    Nodes are every distinct id appearing as src OR dst; dangling nodes
+    (no out-edges) contribute their mass uniformly each iteration (the
+    standard stochastic-matrix completion). Output: ``id, rank`` with
+    ranks summing to ~1.
+
+    Fixed ``iters`` (not to-fixpoint): curation signals need the
+    ordering, which stabilizes in a handful of iterations; a fixed
+    count also keeps the result a pure deterministic function of the
+    edge set — oracle-checkable by replaying the iterations in SQL.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = scoped_persist(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge frame")
+    deg = scoped_persist(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+
+    def _round(c):
+        return F.round(c, round_decimals) if round_decimals is not None else c
+
+    ranks = nodes.select(
+        "id", _round(F.lit(1.0 / n_nodes)).alias("rank")
+    )
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks.id == deg.src, "left")
+        # dangling mass: ranks of nodes with no out-edges, one scalar
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                _round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank: every rank is a scaled LONG and every step
+    is integer arithmetic (``div``), so the trajectory is identical TO
+    THE BIT on any engine, any partitioning, any iteration count — the
+    float variant above can differ across engines by one rounding-grid
+    step when a partial sum lands within ~1e-15 of a rounding boundary
+    (observed in gate testing; a contraction keeps the flip bounded but
+    never heals it). Exactness makes this the ORACLE-GRADE variant;
+    the float one is marginally cheaper and fine when ranks feed a
+    threshold rather than a hash comparison.
+
+    Semantics: r_{t+1} = (1-d)·S/N + d·Σ (r_u div deg_u) + d·(dangling
+    div N), with every division a floor division — mass leaks a few
+    units of 1/scale per iteration (deterministically, identically on
+    both engines), which is noise at scale=1e12. Output: ``id,
+    rank_fp`` (long, fixed-point; divide by ``scale`` for the float
+    rank).
+    """
+    if scale <= 0 or damping_den <= 0 or not (0 <= damping_num <= damping_den):
+        raise ValueError("pagerank_exact: invalid damping/scale")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = scoped_persist(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank_exact: empty edge frame")
+    deg = scoped_persist(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
+    ranks = nodes.select("id", F.lit(scale // n_nodes).alias("r"))
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks.id == deg.src, "left")
+        dangling = with_deg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+        )
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * (coalesce(mass, 0L) "
+                        f"+ (dm div {n_nodes}))) div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Directed kNN graph: each node points at its k nearest neighbors
+    by cosine (self excluded; ties score DESC then id ASC — the repo's
+    standard deterministic ordering). Output: ``src, dst, score``.
+
+    Built on the similarity-join machinery (`operators.simjoin`), so
+    the same GEMM/blocked/IVF strategies apply as the corpus grows.
+    """
+    from weaviate_txtai_spark.operators.simjoin import topk_join
+
+    left = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vector_col).alias("query_vector")
+    )
+    # k+1 then drop self: the nearest neighbor of any point is itself
+    hits = topk_join(
+        left,
+        emb,
+        k + 1,
+        left_id="query_id",
+        left_vec="query_vector",
+        right_id=id_col,
+        right_vec=vector_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        hits.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col(id_col).alias("dst"),
+            F.round("score", score_decimals).alias("score"),
+        )
+    )

@@ -4498,6 +4498,92 @@ def cluster_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Graph centrality over the kNN graph (operators/graph.py)
+# --------------------------------------------------------------------------
+
+# fixed-point iteration: every op is integer arithmetic (// is floor
+# division on BIGINT in DuckDB, `div` in Spark) — bit-identical across
+# engines, no rounding-boundary coin flips (a float 9-dp-rounded
+# trajectory flipped on ~0.4% of nodes in testing: partial sums landing
+# within float noise of a rounding boundary round differently per
+# engine, and the contraction preserves the flip instead of healing it)
+_PR_ITER = """
+, r{next} AS (
+  SELECT nd.id,
+         CAST((15 * 1000000000000) // (100 * nn.n)
+              + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS id, CAST(sum(r{cur}.r // dg.d) AS BIGINT) AS mass
+    FROM edges e JOIN r{cur} ON r{cur}.id = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) m ON m.id = nd.id
+)
+"""
+
+_DOC_CENTRALITY_SQL = (
+    """
+WITH sims AS (
+  SELECT q.vec_id AS src, e.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id
+),
+edges AS (SELECT src, dst FROM sims WHERE rk <= 3),
+nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+r0 AS (
+  SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+)
+"""
+    + _PR_ITER.format(cur=0, next=1)
+    + _PR_ITER.format(cur=1, next=2)
+    + _PR_ITER.format(cur=2, next=3)
+    + """
+SELECT id AS vec_id, r AS centrality_fp FROM r3 ORDER BY vec_id
+"""
+)
+
+
+@register("doc_centrality", _DOC_CENTRALITY_SQL)
+def doc_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based curation signal: PageRank over the directed 3-NN
+    cosine graph — high centrality = the document's neighborhood is
+    dense and it "speaks for" many neighbors (coreset selection);
+    near-zero in-degree = outlier. Per power iteration: one
+    groupBy(dst) partial-agg shuffle. The gate runs the FIXED-POINT
+    variant (scaled longs, floor division) — bit-identical across
+    engines, where the float trajectory flipped a rounding grid step on
+    ~0.4% of nodes (see _PR_ITER comment). The kNN graph has no
+    dangling nodes (every node emits exactly k edges); the operator's
+    dangling handling is pytest-pinned on general graphs. The oracle
+    replays the kNN build and all three integer iterations in SQL."""
+    from weaviate_txtai_spark.operators.graph import knn_graph, pagerank_exact
+
+    emb = _emb(spark, sf_dir)
+    g = knn_graph(emb, 3)
+    return (
+        pagerank_exact(g, iters=3)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("rank_fp").alias("centrality_fp"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
