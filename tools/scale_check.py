@@ -152,6 +152,13 @@ def main() -> None:
 
         return nll_quality_filter(d)
 
+    def q_centrality(e):
+        # kNN build (GEMM similarity join) + 3 fixed-point power
+        # iterations — both linear in edges (E = 3N)
+        from weaviate_txtai_spark.operators.graph import knn_graph, pagerank_exact
+
+        return pagerank_exact(knn_graph(e, 3), iters=3)
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_minhash", q_minhash, q_minhash, docs1, docs2),
@@ -161,6 +168,7 @@ def main() -> None:
         ("sim_join_ivf", q_simjoin(16), q_simjoin(32), emb1, emb2),
         ("semantic_dedup", q_semantic(8), q_semantic(16), emb1, emb2),
         ("docs_unigram_nll", q_unigram, q_unigram, docs1, docs2),
+        ("doc_centrality", q_centrality, q_centrality, emb1, emb2),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:
