@@ -4584,6 +4584,73 @@ def doc_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q21 analogue: sole-fault supplier (EXISTS + NOT EXISTS pair)
+# --------------------------------------------------------------------------
+
+_SOLE_FAULT_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_sole_fault
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY n_sole_fault DESC, s.s_name
+LIMIT 20
+"""
+
+
+@register("sole_fault_supplier", _SOLE_FAULT_SQL)
+def sole_fault_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE return-flagged
+    supplier in multi-supplier finished orders — the classic correlated
+    EXISTS + NOT EXISTS pair against the same fact table.
+
+    The oracle keeps the textbook subquery form (the spec); the engine
+    runs the aggregate DECORRELATION: one pass over lineitem computes
+    both subqueries at once per order (distinct suppliers ≥ 2 ⇔ the
+    EXISTS; distinct R-flagged suppliers == 1 ⇔ the NOT EXISTS, given
+    l1 itself is R-flagged) — two correlated scans of the fact table
+    collapse into one groupBy(orderkey) partial agg plus one equi-join
+    back, the rewrite that matters when lineitem is the 100 TB table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    faulted = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    )
+    return (
+        faulted.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_fault"))
+        .orderBy(F.desc("n_sole_fault"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
