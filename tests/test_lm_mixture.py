@@ -207,3 +207,34 @@ def test_mixture_quotas_properties():
             assert abs(q[s] - lam * w) <= 1.0
 
     inner()
+
+
+def test_uniform_sample_k_nests_and_takeordered(spark, sf_dir):
+    from weaviate_txtai_spark.functions.sampling import uniform_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s10 = {r["doc_id"] for r in uniform_sample_k(docs, 10).collect()}
+    s30 = {r["doc_id"] for r in uniform_sample_k(docs, 30).collect()}
+    assert len(s10) == 10 and len(s30) == 30 and s10 <= s30
+    # same sample under repartitioning
+    s10b = {r["doc_id"] for r in uniform_sample_k(docs.repartition(7), 10).collect()}
+    assert s10 == s10b
+    plan = uniform_sample_k(docs, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_weighted_sample_k_prefers_heavy_and_excludes_nonpositive(spark):
+    from weaviate_txtai_spark.functions.sampling import weighted_sample_k
+
+    rows = [(i, 0.001) for i in range(1, 50)] + [(99, 1e9), (100, 0.0), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    top1 = weighted_sample_k(df, 1, "w").collect()
+    assert top1[0]["doc_id"] == 99  # u^(1/1e9) ~ 1 dominates
+    got = {r["doc_id"] for r in weighted_sample_k(df, 49, "w").collect()}
+    assert 100 not in got and 101 not in got  # nonpositive/NULL never win
+    # exact count + determinism under repartitioning
+    a = sorted(r["doc_id"] for r in weighted_sample_k(df, 20, "w").collect())
+    b = sorted(
+        r["doc_id"] for r in weighted_sample_k(df.repartition(5), 20, "w").collect()
+    )
+    assert a == b and len(a) == 20

@@ -232,3 +232,59 @@ def mixture_sample(
             _c(strata_col) == s, F.lit(q / counts[s])
         ).otherwise(rate_col)
     return in_scope.filter(split_fraction(id_col) < rate_col)
+
+
+def sample_fraction_open(id_col) -> Column:
+    """Deterministic fraction strictly inside (0, 1): (h + 0.5) / 2^32
+    over the multiplicative hash — ``split_fraction`` can return exactly
+    0.0, which breaks log/pow-based sampling keys (ln 0, 0^x)."""
+    return (
+        split_fraction(id_col) * F.lit(float(_MOD)) + F.lit(0.5)
+    ) / F.lit(float(_MOD) + 1.0)
+
+
+def uniform_sample_k(df, k: int, *, id_col: str = "doc_id"):
+    """EXACTLY k rows, uniform over the table, deterministic, no global
+    sort: order by the hash fraction and take k — Spark plans
+    ``orderBy().limit(k)`` as TakeOrderedAndProject (per-partition
+    heaps + one k-row merge on the driver-side reduce), so the cost is
+    one scan regardless of table size. Unlike ``sample(fraction)`` the
+    count is exact; unlike a window rank there is no shuffle. The draw
+    NESTS: k' > k extends the same sample (fixed hash permutation)."""
+    return df.orderBy(
+        split_fraction(id_col).asc(), _c(id_col).asc()
+    ).limit(int(k))
+
+
+def weighted_sample_k(
+    df,
+    k: int,
+    weight_col,
+    *,
+    id_col: str = "doc_id",
+    key_decimals: int | None = 9,
+):
+    """EXACTLY k rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis–Spirakis A-ES: each row
+    gets key u^(1/w) for a uniform u and the k largest keys are the
+    sample. Deterministic (u is the hash fraction), exact-k, and still
+    just TakeOrderedAndProject — the curation move for "keep the k
+    best-quality documents, biased but not hard-thresholded".
+
+    Zero/negative weights never win (key forced to -1, below every
+    valid key in [0,1]); rows with NULL weight are treated the same.
+    ``key_decimals`` rounds the key before ordering (ties then break on
+    id) so the chosen set is identical across engines — libm ``pow``
+    may differ in the last ulp between implementations.
+    """
+    w = _c(weight_col).cast("double")
+    u = sample_fraction_open(id_col)
+    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
+    if key_decimals is not None:
+        key = F.round(key, key_decimals)
+    return (
+        df.withColumn("__aes_key", key)
+        .orderBy(F.desc("__aes_key"), _c(id_col).asc())
+        .limit(int(k))
+        .drop("__aes_key")
+    )

@@ -4651,6 +4651,61 @@ def sole_fault_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Exact-k sampling via TakeOrdered (functions/sampling.py)
+# --------------------------------------------------------------------------
+
+_UNIFORM_K_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
+  FROM documents
+) ORDER BY f, doc_id LIMIT 40
+"""
+
+
+@register("uniform_sample_k", _UNIFORM_K_SQL)
+def uniform_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k uniform sample with no global sort: order by the hash
+    fraction + limit plans as TakeOrderedAndProject (per-partition
+    heaps), one scan at any table size; draws nest as k grows (fixed
+    hash permutation). sample(fraction) gives binomial counts and a
+    window rank costs a shuffle — this is the exact-count scale path."""
+    from weaviate_txtai_spark.functions.sampling import uniform_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return uniform_sample_k(docs, 40).select("doc_id", "source")
+
+
+_WEIGHTED_K_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN n_chars > 0 THEN
+           round(pow(((doc_id * 2654435761 % 4294967296) + 0.5) / 4294967297.0,
+                     1.0 / n_chars), 9)
+         ELSE -1.0 END AS k
+  FROM documents
+) ORDER BY k DESC, doc_id LIMIT 30
+"""
+
+
+@register("weighted_sample_k", _WEIGHTED_K_SQL)
+def weighted_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    exactly k rows with inclusion probability ∝ weight (n_chars here —
+    "prefer longer documents, but not exclusively"), via the u^(1/w)
+    key and the same TakeOrderedAndProject plan as the uniform gate.
+    Deterministic u (hash fraction) makes the DRAW itself reproducible
+    and oracle-able — the rarely-appreciated payoff of hash-based
+    randomness over rand()."""
+    from weaviate_txtai_spark.functions.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(docs, 30, "n_chars").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
