@@ -4706,6 +4706,27 @@ def weighted_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_token_counts", None)
+def approx_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries for the exact top-20 tokens:
+    build the depth×width sketch in one pass, then estimate the heavy
+    hitters' frequencies from it — rows-only (xxhash64 has no DuckDB
+    twin, same class as dedup_simhash's production mode); the
+    never-undercount and εN bounds are pinned in tests/test_cms.py.
+    Composition note: exact top-k comes from the Misra–Gries gate
+    (token_heavy_hitters); CMS answers the complementary question —
+    frequency of an ARBITRARY queried item from a mergeable summary."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.cms import build_cms, estimate_df
+    from weaviate_txtai_spark.operators.heavy_hitters import exact_top_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    cms = build_cms(tok, "term", width=2048, depth=5)
+    top = exact_top_tokens(docs, 20, capacity=4096).select("term")
+    return estimate_df(cms, top, "term").orderBy("term")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
