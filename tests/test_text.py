@@ -194,3 +194,22 @@ def test_lang_id_chinese_containment(spark):
     )
     got = [r["l"] for r in df.select(lang_id("text").alias("l")).collect()]
     assert got == ["zh", "en"]
+
+
+def test_normalize_text_semantics(spark):
+    from weaviate_txtai_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\t\tWorld  "),
+            (2, "a​b‌c﻿d"),   # zero-width chars vanish
+            (3, "MiXeD\x00Case\x1f!"),        # control chars vanish
+            (4, None),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", normalize_text("t").alias("n")).collect()}
+    assert got[1] == "hello world"
+    assert got[2] == "abcd"
+    assert got[3] == "mixedcase!"
+    assert got[4] is None

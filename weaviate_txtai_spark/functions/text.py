@@ -194,3 +194,24 @@ def pii_counts(text) -> Column:
             )
         ).alias("n_phones"),
     )
+
+
+def normalize_text(text) -> Column:
+    """Pre-tokenization cleanup, all native codegen exprs (the standard
+    crawl-text normalization pass): strip control and zero-width
+    characters, collapse whitespace runs to single spaces, trim, then
+    lowercase. Deterministic and byte-identical across engines (the
+    character classes use \\x{...} escapes valid in both Java regex and
+    RE2), so the gate compares md5 of the normalized text — the same
+    byte-exact contract as ``redact_pii``. Unicode NFC normalization is
+    deliberately NOT included: Spark has no native normalizer and a
+    Python UDF would leave codegen for a step most corpora don't need —
+    when required, do it at INGEST in the source decoder."""
+    c = _c(text)
+    c = F.regexp_replace(
+        # \x09-\x0d (tab/LF/VT/FF/CR) are EXCLUDED from the strip:
+        # they are whitespace and must survive into the collapse step
+        c, "[\\x00-\\x08\\x0e-\\x1f\\x7f\\x{200B}-\\x{200D}\\x{FEFF}]", ""
+    )
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.lower(F.trim(c))

@@ -4727,6 +4727,30 @@ def approx_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimate_df(cms, top, "term").orderBy("term")
 
 
+_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x08\x0e-\x1f\x7f\x{200B}-\x{200D}\x{FEFF}]',
+                          '', 'g'),
+           '\s+', ' ', 'g')))) AS norm_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("docs_normalize", _NORMALIZE_SQL)
+def docs_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization (control/zero-width strip,
+    whitespace collapse, trim, lowercase) — native codegen exprs,
+    byte-exact across engines; the gate hashes the normalized text
+    (md5), the same contract as docs_redact_pii."""
+    from weaviate_txtai_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(normalize_text("text")).alias("norm_md5")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
