@@ -4751,6 +4751,92 @@ def docs_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# End-to-end composition: the pretraining manifest
+# --------------------------------------------------------------------------
+
+_MANIFEST_SQL = (
+    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + _CC_SQL_TAIL
+    + """
+, surv AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id NOT IN (
+    SELECT node FROM reach GROUP BY node HAVING min(r) < node
+  )
+),
+stok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM surv
+),
+scnt AS (SELECT term, count(*) AS c FROM stok GROUP BY 1),
+ssc AS (SELECT sum(c) AS total_t, count(*) AS vocab_v FROM scnt),
+slp AS (
+  SELECT term, ln((c + 1.0) / (total_t + 1.0 * vocab_v)) AS logp
+  FROM scnt, ssc
+),
+sscored AS (
+  SELECT t.doc_id, round(-avg(slp.logp), 6) AS nll
+  FROM stok t JOIN slp USING (term) GROUP BY t.doc_id
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS DOUBLE) FROM surv
+  WHERE text IS NULL
+     OR len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+),
+sm AS (SELECT round(avg(nll), 6) AS mean_nll FROM sscored)
+SELECT s.doc_id, s.source,
+       CASE WHEN f < 0.8 THEN 'train'
+            WHEN f < 0.9 THEN 'valid'
+            ELSE 'test' END AS split,
+       sc.nll,
+       coalesce(sc.nll <= sm.mean_nll, false) AS keep
+FROM (
+  SELECT doc_id, source,
+         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
+  FROM surv
+) s
+JOIN sscored sc USING (doc_id), sm
+ORDER BY s.doc_id
+"""
+)
+
+
+@register("pretraining_manifest", _MANIFEST_SQL)
+def pretraining_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT, composed: near-dup survivors (MinHash-verified
+    Jaccard + connected components) → LM-quality keep flag (unigram nll
+    vs the SURVIVOR corpus mean — the model trains on what remains, so
+    the threshold is computed post-dedup) → reproducible split label.
+    One gate proving the pipeline STAGES compose correctly, not just
+    pass individually — the oracle rebuilds the whole chain in SQL
+    (recursive-CTE components, survivor-trained unigram model, hash
+    split)."""
+    from weaviate_txtai_spark.functions.sampling import assign_split
+    from weaviate_txtai_spark.operators.dedup import (
+        dedup_survivors,
+        jaccard_pairs,
+    )
+    from weaviate_txtai_spark.operators.lm import nll_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dedup_survivors(docs, jaccard_pairs(docs, threshold=0.8))
+    flags = nll_quality_filter(
+        surv.select("doc_id", "text"), round_decimals=6
+    )
+    return (
+        surv.join(flags.select("doc_id", "nll", "keep"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            assign_split("doc_id").alias("split"),
+            "nll",
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
