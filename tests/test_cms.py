@@ -77,3 +77,12 @@ def test_cms_validation(spark, sf_dir):
         build_cms(tok, "term", width=0)
     empty = build_cms(tok.filter(F.lit(False)), "term", width=64, depth=2)
     assert empty.total == 0 and empty.estimate("anything") == 0
+
+
+def test_cms_estimate_df_null_items(spark, sf_dir):
+    tok = _tokens(spark, sf_dir)
+    cms = build_cms(tok, "term", width=256, depth=3)
+    items = spark.createDataFrame([("the",), (None,)], "term string")
+    got = {r["term"]: r["est"] for r in estimate_df(cms, items, "term").collect()}
+    assert got[None] is None
+    assert got["the"] is not None and got["the"] >= 0

@@ -238,3 +238,14 @@ def test_weighted_sample_k_prefers_heavy_and_excludes_nonpositive(spark):
         r["doc_id"] for r in weighted_sample_k(df.repartition(5), 20, "w").collect()
     )
     assert a == b and len(a) == 20
+
+
+def test_weighted_sample_k_no_padding_below_k(spark):
+    from weaviate_txtai_spark.functions.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0), (3, 0.0), (4, None)], "doc_id long, w double"
+    )
+    got = weighted_sample_k(df, 4, "w").collect()
+    # only the positive-weight rows can appear — no padding to k
+    assert sorted(r["doc_id"] for r in got) == [1, 2]

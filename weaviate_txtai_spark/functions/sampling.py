@@ -262,28 +262,34 @@ def weighted_sample_k(
     weight_col,
     *,
     id_col: str = "doc_id",
-    key_decimals: int | None = 9,
 ):
-    """EXACTLY k rows sampled WITHOUT replacement with probability
-    proportional to ``weight_col`` — Efraimidis–Spirakis A-ES: each row
-    gets key u^(1/w) for a uniform u and the k largest keys are the
-    sample. Deterministic (u is the hash fraction), exact-k, and still
-    just TakeOrderedAndProject — the curation move for "keep the k
-    best-quality documents, biased but not hard-thresholded".
+    """At most k rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis–Spirakis A-ES in LOG
+    form: key = ln(u)/w for a uniform u (same ordering as the textbook
+    u^(1/w) since ln is monotone; the log form keeps keys spread at any
+    weight magnitude, where rounding or float saturation of u^(1/w)
+    collapses all heavy-weight rows to 1.0 and the draw goes
+    weight-blind). The k largest keys (closest to 0) are the sample —
+    still one TakeOrderedAndProject, no global sort.
 
-    Zero/negative weights never win (key forced to -1, below every
-    valid key in [0,1]); rows with NULL weight are treated the same.
-    ``key_decimals`` rounds the key before ordering (ties then break on
-    id) so the chosen set is identical across engines — libm ``pow``
-    may differ in the last ulp between implementations.
+    Rows with zero/negative/NULL weight have inclusion probability 0
+    and are FILTERED, not padded in: if fewer than k rows carry
+    positive weight the result has fewer than k rows (padding with
+    impossible rows would violate ∝-weight semantics silently).
+
+    Keys are compared unrounded with the id as tie-break — the same
+    contract as the kNN score ordering (libm ``log`` may differ in the
+    last ulp across engines, which flips a pair only when two keys are
+    within one ulp — a near-tie where both choices are valid draws; a
+    decimal rounding grid is NOT used because it provably collapses
+    keys for very large or very small weights).
     """
     w = _c(weight_col).cast("double")
     u = sample_fraction_open(id_col)
-    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
-    if key_decimals is not None:
-        key = F.round(key, key_decimals)
+    key = F.log(u) / w
     return (
-        df.withColumn("__aes_key", key)
+        df.filter(w > 0)
+        .withColumn("__aes_key", key)
         .orderBy(F.desc("__aes_key"), _c(id_col).asc())
         .limit(int(k))
         .drop("__aes_key")

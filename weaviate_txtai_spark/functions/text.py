@@ -213,5 +213,8 @@ def normalize_text(text) -> Column:
         # they are whitespace and must survive into the collapse step
         c, "[\\x00-\\x08\\x0e-\\x1f\\x7f\\x{200B}-\\x{200D}\\x{FEFF}]", ""
     )
-    c = F.regexp_replace(c, "\\s+", " ")
+    # explicit whitespace class, NOT \s: Java regex \s includes
+    # vertical tab (\x0b) but RE2's does not — \s here would break the
+    # byte-exact cross-engine contract on any corpus containing VT
+    c = F.regexp_replace(c, "[ \\x09\\x0a\\x0b\\x0c\\x0d]+", " ")
     return F.lower(F.trim(c))

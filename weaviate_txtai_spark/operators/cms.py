@@ -81,16 +81,17 @@ def _buckets(item: str, depth: int, width: int) -> "list[int]":
 def estimate_df(
     cms: CountMinSketch, items: DataFrame, col: str
 ) -> DataFrame:
-    """Distributed point queries: one job for any number of items. The
-    sketch table travels as a literal 2-D array (depth×width longs —
-    tens of KB in the plan, the broadcast-small-dim move); each row
-    takes the min over its depth cells, pure codegen."""
-    tbl = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in cms.table]
-    )
+    """Distributed point queries: one job for any number of items. Each
+    depth's row travels as ONE literal array indexed exactly once
+    (width longs × depth — embedding the full 2-D table once per depth
+    would multiply the plan size by depth); each item takes the min
+    over its depth cells, pure codegen. NULL items get NULL estimates —
+    the build skipped NULLs, and xxhash64 silently hashing a
+    missing child would otherwise return some arbitrary cell's count
+    for a value the sketch never saw."""
     cells = F.array(
         *[
-            tbl[d][
+            F.array(*[F.lit(v) for v in cms.table[d]])[
                 F.pmod(
                     F.xxhash64(F.col(col).cast("string"), F.lit(d)),
                     F.lit(cms.width),
@@ -99,7 +100,8 @@ def estimate_df(
             for d in range(cms.depth)
         ]
     )
-    return items.withColumn("est", F.array_min(cells))
+    est = F.when(F.col(col).isNull(), F.lit(None)).otherwise(F.array_min(cells))
+    return items.withColumn("est", est.cast("long"))
 
 
 def build_cms(

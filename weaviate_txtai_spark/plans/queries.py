@@ -4680,11 +4680,9 @@ def uniform_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEIGHTED_K_SQL = """
 SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,
-         CASE WHEN n_chars > 0 THEN
-           round(pow(((doc_id * 2654435761 % 4294967296) + 0.5) / 4294967297.0,
-                     1.0 / n_chars), 9)
-         ELSE -1.0 END AS k
-  FROM documents
+         ln(((doc_id * 2654435761 % 4294967296) + 0.5) / 4294967297.0)
+           / n_chars AS k
+  FROM documents WHERE n_chars > 0
 ) ORDER BY k DESC, doc_id LIMIT 30
 """
 
@@ -4692,12 +4690,12 @@ SELECT doc_id, source, n_chars FROM (
 @register("weighted_sample_k", _WEIGHTED_K_SQL)
 def weighted_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement:
-    exactly k rows with inclusion probability ∝ weight (n_chars here —
-    "prefer longer documents, but not exclusively"), via the u^(1/w)
-    key and the same TakeOrderedAndProject plan as the uniform gate.
-    Deterministic u (hash fraction) makes the DRAW itself reproducible
-    and oracle-able — the rarely-appreciated payoff of hash-based
-    randomness over rand()."""
+    k rows with inclusion probability ∝ weight (n_chars here — "prefer
+    longer documents, but not exclusively"), via the log-form key
+    ln(u)/w and the same TakeOrderedAndProject plan as the uniform
+    gate. Deterministic u (hash fraction) makes the DRAW itself
+    reproducible and oracle-able — the rarely-appreciated payoff of
+    hash-based randomness over rand()."""
     from weaviate_txtai_spark.functions.sampling import weighted_sample_k
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4732,7 +4730,7 @@ SELECT doc_id,
        md5(lower(trim(regexp_replace(
            regexp_replace(text, '[\x00-\x08\x0e-\x1f\x7f\x{200B}-\x{200D}\x{FEFF}]',
                           '', 'g'),
-           '\s+', ' ', 'g')))) AS norm_md5
+           '[ \x09\x0a\x0b\x0c\x0d]+', ' ', 'g')))) AS norm_md5
 FROM documents ORDER BY doc_id
 """
 
