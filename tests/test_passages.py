@@ -1,5 +1,7 @@
 """Repeated-passage detection (operators/passages.py)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.operators.passages import (
@@ -68,3 +70,39 @@ def test_hash_modes_agree(spark, sf_dir):
     a = repeated_passage_stats(docs, k=8, hash_mode="md5")
     b = repeated_passage_stats(docs, k=8, hash_mode="xxhash64")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ngram_containment_scores(spark):
+    from weaviate_txtai_spark.operators.passages import ngram_containment
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h i j"),   # fully contained -> 1.0
+            (11, "a b c d e f g h zz yy"), # 1 of 3 windows hit
+            (12, "q r s t u v w x y z"),   # novel -> 0.0
+            (13, "too short"),             # < k tokens -> surfaced NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_containment(evals, train, k=8).collect()
+    }
+    assert got[10]["containment"] == 1.0
+    assert got[11]["n_windows"] == 3 and got[11]["n_hit"] == 1
+    assert got[11]["containment"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[12]["containment"] == 0.0 and got[12]["n_hit"] == 0
+    assert got[13]["n_windows"] == 0 and got[13]["containment"] is None
+    # md5 oracle mode == xxhash64 production mode
+    md5 = sorted(
+        (r["doc_id"], r["n_hit"])
+        for r in ngram_containment(evals, train, k=8, hash_mode="md5").collect()
+    )
+    xx = sorted(
+        (r["doc_id"], r["n_hit"])
+        for r in ngram_containment(evals, train, k=8, hash_mode="xxhash64").collect()
+    )
+    assert md5 == xx

@@ -154,3 +154,76 @@ def repeated_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def ngram_containment(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """GRADED decontamination: per eval document, the fraction of its
+    distinct k-token windows that appear ANYWHERE in the training
+    corpus — the GPT-3/PaLM-style containment metric. The MinHash
+    cross-corpus check (``contamination_check``) finds whole-document
+    near-dups; containment catches the harder case of an eval QUESTION
+    embedded inside an otherwise-novel training page, and returns a
+    score to threshold rather than a pair list.
+
+    Plan: the training side collapses to a DISTINCT window-hash set
+    (aggregate — never pair-joined); the eval side's windows LEFT-SEMI
+    join it on the hash (hot boilerplate hashes meet a 1-row-per-hash
+    set, AQE-skew-splittable), then one per-doc ratio. Eval docs
+    shorter than k tokens are surfaced with n_windows=0 / NULL
+    containment, not dropped.
+
+    Output: ``id_col, n_windows, n_hit, containment``.
+    """
+    ev = window_doc_pairs(
+        eval_docs, text_col=text_col, id_col=id_col, k=k, hash_mode=hash_mode
+    ).select(id_col, "wh")
+    train_set = (
+        window_doc_pairs(
+            train_docs, text_col=text_col, id_col=id_col, k=k,
+            hash_mode=hash_mode,
+        )
+        .select("wh")
+        .distinct()
+    )
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    # ev feeds both the totals and the hit counts — persist (tiny:
+    # distinct windows of the EVAL side only; release via cache_scope)
+    ev = scoped_persist(ev)
+    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    hits = (
+        ev.join(train_set, "wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.col("n_hit") / F.col("n_windows")
+    if round_decimals is not None:
+        ratio = F.round(ratio, round_decimals)
+    scored = (
+        totals.join(hits, id_col, "left")
+        # coalesce BEFORE the ratio: a zero-hit doc's left-join NULL
+        # would otherwise make containment NULL instead of 0.0
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .select(id_col, "n_windows", "n_hit", ratio.alias("containment"))
+    )
+    shorts = (
+        eval_docs.filter(
+            F.col(text_col).isNull() | (F.size(tokens(text_col)) < k)
+        )
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_windows"),
+            F.lit(0).cast("long").alias("n_hit"),
+            F.lit(None).cast("double").alias("containment"),
+        )
+    )
+    return scored.unionByName(shorts)

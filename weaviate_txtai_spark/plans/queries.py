@@ -4835,6 +4835,63 @@ def pretraining_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(substring(source, 4, 10) AS INT) % 2 AS side,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id, side, md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
+  FROM t, unnest(generate_series(1, len(tok) - 7)) AS s(x)
+  WHERE len(tok) >= 8
+),
+dw AS (SELECT DISTINCT doc_id, side, wh FROM w),
+train_set AS (SELECT DISTINCT wh FROM dw WHERE side = 0),
+ev AS (SELECT doc_id, wh FROM dw WHERE side = 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM ev GROUP BY 1),
+hit AS (
+  SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM ev JOIN train_set USING (wh) GROUP BY 1
+)
+SELECT tot.doc_id, tot.n_windows,
+       CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(hit.n_hit, 0) * 1.0 / tot.n_windows, 6) AS containment
+FROM tot LEFT JOIN hit USING (doc_id)
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+FROM t WHERE side = 1 AND (tok IS NULL OR len(tok) < 8)
+ORDER BY doc_id
+"""
+
+
+@register("eval_containment", _CONTAINMENT_SQL)
+def eval_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED decontamination (GPT-3/PaLM containment): per eval doc
+    (odd sources), the fraction of its distinct 8-token windows found
+    anywhere in the training side (even sources). Complements
+    contamination_check's whole-document pair list — this catches an
+    eval question embedded in an otherwise-novel page and yields a
+    thresholdable score. Train side collapses to a distinct hash SET
+    (never pair-joined); eval windows semi-join it. md5 mode for the
+    byte-exact oracle; xxhash64 production mode pinned equal in
+    pytest."""
+    from weaviate_txtai_spark.operators.passages import ngram_containment
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
+    tagged = docs.select("doc_id", "text", side)
+    return (
+        ngram_containment(
+            tagged.filter(F.col("side") == 1),
+            tagged.filter(F.col("side") == 0),
+            k=8,
+            hash_mode="md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
