@@ -175,9 +175,10 @@ def ngram_containment(
     score to threshold rather than a pair list.
 
     Plan: the training side collapses to a DISTINCT window-hash set
-    (aggregate — never pair-joined); the eval side's windows LEFT-SEMI
-    join it on the hash (hot boilerplate hashes meet a 1-row-per-hash
-    set, AQE-skew-splittable), then one per-doc ratio. Eval docs
+    (aggregate — never pair-joined); the eval side's windows LEFT join
+    it 1:1 on the hash with a hit flag (hot boilerplate hashes meet a
+    1-row-per-hash set, AQE-skew-splittable), and ONE per-doc groupBy
+    yields totals and hit counts together. Eval docs
     shorter than k tokens are surfaced with n_windows=0 / NULL
     containment, not dropped.
 
@@ -194,25 +195,20 @@ def ngram_containment(
         .select("wh")
         .distinct()
     )
-    from weaviate_txtai_spark.cache import scoped_persist
-
-    # ev feeds both the totals and the hit counts — persist (tiny:
-    # distinct windows of the EVAL side only; release via cache_scope)
-    ev = scoped_persist(ev)
-    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
-    hits = (
-        ev.join(train_set, "wh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
+    # ONE left join carries both answers: train_set is distinct on wh,
+    # so the join is 1:1 and a hit flag per window feeds totals and hit
+    # counts from the same groupBy — no second aggregation, no re-join,
+    # no persist (a semi-join + separate totals needed ev twice)
     ratio = F.col("n_hit") / F.col("n_windows")
     if round_decimals is not None:
         ratio = F.round(ratio, round_decimals)
     scored = (
-        totals.join(hits, id_col, "left")
-        # coalesce BEFORE the ratio: a zero-hit doc's left-join NULL
-        # would otherwise make containment NULL instead of 0.0
-        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        ev.join(train_set.withColumn("__hit", F.lit(1)), "wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
         .select(id_col, "n_windows", "n_hit", ratio.alias("containment"))
     )
     shorts = (
