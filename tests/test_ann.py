@@ -70,6 +70,88 @@ def test_threshold_join_self_pairs(spark, sf_dir):
     assert {(q, q) for q in range(5)} <= pairs  # self-cosine == 1
 
 
+def test_threshold_join_bucketed_exactness_mode_equals_broadcast(spark, sf_dir):
+    """Forced non-broadcast path with num_planes=0 (single bucket = the
+    full cross product distributed through one group) must reproduce the
+    broadcast-nested-loop result exactly (VERDICT r3 item 2 done-gate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 20)
+    kw = dict(right_id="vec_id", right_vec="embedding")
+    bcast = sorted(
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in threshold_join(left, emb, 0.3, **kw).collect()
+    )
+    bucketed = sorted(
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in threshold_join(
+            left, emb, 0.3, strategy="bucketed",
+            num_planes=0, num_tables=1, **kw,
+        ).collect()
+    )
+    assert bucketed == bcast
+    assert len(bcast) > 0
+
+
+def test_threshold_join_bucketed_lsh_recall_and_precision(spark, sf_dir):
+    """Production LSH mode: precision exact (every emitted pair really
+    clears the threshold — a subset of the exact result) and recall high
+    at a near-dup threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 50)
+    kw = dict(right_id="vec_id", right_vec="embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in threshold_join(left, emb, 0.9, **kw).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in threshold_join(
+            left, emb, 0.9, strategy="bucketed",
+            num_planes=8, num_tables=8, **kw,
+        ).collect()
+    }
+    assert approx <= exact  # precision: verify stage is exact cosine
+    assert len(exact) > 0
+    assert len(approx & exact) / len(exact) >= 0.95
+
+
+def test_threshold_join_auto_probe_picks_bucketed(spark, sf_dir):
+    """The auto strategy must route a left side above the broadcast cap
+    through the bucketed path (no unbounded broadcast), and still agree
+    with the broadcast result in exactness mode parameters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 30)
+    kw = dict(right_id="vec_id", right_vec="embedding")
+    auto = sorted(
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in threshold_join(
+            left, emb, 0.35, broadcast_max_left=10,
+            num_planes=0, num_tables=1, **kw,
+        ).collect()
+    )
+    bcast = sorted(
+        (r["query_id"], r["vec_id"], r["score"])
+        for r in threshold_join(
+            left, emb, 0.35, strategy="broadcast", **kw
+        ).collect()
+    )
+    assert auto == bcast
+
+
+def test_threshold_join_string_ids_bucketed(spark, sf_dir):
+    """Mixed id types survive the nullable union + pandas round-trip."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 5).withColumn(
+        "query_id", F.concat(F.lit("q"), F.col("query_id"))
+    )
+    res = threshold_join(
+        left, emb, 0.999, strategy="bucketed", num_planes=0,
+        num_tables=1, right_id="vec_id", right_vec="embedding",
+    )
+    pairs = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+    assert {(f"q{q}", q) for q in range(5)} <= pairs
+
+
 def test_ivf_save_load_partition_pruning(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = _queries(emb, 5)

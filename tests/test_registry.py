@@ -30,6 +30,48 @@ def test_every_oracle_query_is_registered():
         assert name in qs
 
 
+# The SURVEY §2 reference-surface gates that must stay inside the driver's
+# 50-entry CORRECTNESS sample window (VERDICT r3 next-round item 1).
+_SURVEY_GATES = {
+    "knn_topk", "knn_batch", "knn_batch_gemm", "vector_delete",
+    "vector_upsert", "vector_count", "docid_lookup", "full_scan",
+    "scan_limit", "similar_sql", "agg_stats_txtai", "similarity_brute",
+    "streaming_ingest",
+}
+
+# Representative post-round-1 operator families that the rotation exists to
+# get driver-verified (k-means, SemDeDup, LM, PCA, centrality, sketch-free
+# heavy hitters, profiling, layout, sampling, containment, composition).
+_NEW_FAMILY_GATES = {
+    "kmeans_assign", "semantic_dedup", "docs_unigram_nll",
+    "embedding_covariance", "doc_centrality", "token_heavy_hitters",
+    "lineitem_profile", "events_zorder", "uniform_sample_k",
+    "eval_containment", "pretraining_manifest", "sole_fault_supplier",
+}
+
+
+def test_driver_sample_window_covers_survey_and_new_families():
+    """The driver hashes the FIRST 50 queries() entries. Pin the window:
+    all §2 gates present, ≥25 post-r1 entries, and every windowed entry
+    oracle-able (a rows-only gate in the window wastes a sampled slot)."""
+    names = list(Q.queries())
+    window = names[:50]
+    assert _SURVEY_GATES <= set(window)
+    assert _NEW_FAMILY_GATES <= set(window)
+    post_r1 = [n for n in window if n in set(Q._PRIORITY[16:])]
+    assert len(post_r1) >= 25, post_r1
+    osql = Q.oracle_sql()
+    assert all(n in osql for n in window)
+    # rotation must not drop or duplicate anything
+    assert sorted(names) == sorted(Q.REGISTRY)
+
+
+def test_oracle_sql_order_matches_queries_order():
+    """Both driver dicts iterate in the same rotated order."""
+    qnames = [n for n in Q.queries() if n in Q.oracle_sql()]
+    assert qnames == list(Q.oracle_sql())
+
+
 def test_coverage_doc_mentions_every_query():
     with open(os.path.join(REPO, "COVERAGE.md")) as f:
         doc = f.read()

@@ -4892,11 +4892,89 @@ def eval_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Registry ordering: the correctness driver samples the FIRST 50 entries of
+# queries() in insertion order. Raw @register order is chronological (round-1
+# gates first), which starved every later operator family of an independent
+# driver-verified CORRECTNESS row (VERDICT r3 finding #2). _PRIORITY pins the
+# sampled window explicitly: every SURVEY.md §2 reference-surface gate, then
+# one gate per post-round-1 operator family (k-means, SemDeDup, LM scoring,
+# PCA, centrality, heavy hitters, profiling, Z-order, exact-k sampling,
+# containment, manifest composition, …). Everything else follows in original
+# registration order — nothing is dropped, only rotated.
+# --------------------------------------------------------------------------
+
+_PRIORITY = [
+    # SURVEY §2 reference-surface gates (S*/Q*/T* rows)
+    "knn_topk",
+    "knn_batch",
+    "knn_batch_gemm",
+    "knn_l2",
+    "knn_dot",
+    "vector_delete",
+    "vector_upsert",
+    "vector_count",
+    "vector_compact",
+    "docid_lookup",
+    "full_scan",
+    "scan_limit",
+    "similar_sql",
+    "agg_stats_txtai",
+    "similarity_brute",
+    "streaming_ingest",
+    # round-2/3 operator families (driver-unverified until r4)
+    "kmeans_assign",
+    "kmeans_centroids",
+    "semantic_dedup",
+    "semantic_dedup_survivors",
+    "docs_unigram_nll",
+    "docs_bigram_nll",
+    "embedding_covariance",
+    "doc_centrality",
+    "token_heavy_hitters",
+    "lineitem_profile",
+    "events_zorder",
+    "cluster_top_terms",
+    "sole_fault_supplier",
+    "uniform_sample_k",
+    "weighted_sample_k",
+    "mixture_sample",
+    "pretraining_manifest",
+    "eval_containment",
+    "contamination_check",
+    "docs_normalize",
+    "dedup_survivors_longest",
+    "streaming_near_dedup",
+    "dedup_incremental",
+    "repeated_passages",
+    "repeated_passage_stats",
+    "bm25_topk",
+    "hybrid_rrf",
+    "hard_negatives",
+    "knn_filtered",
+    "knn_diverse",
+    "ann_ivf_filtered",
+    "docs_redact_pii",
+    "embedding_quantize",
+    "events_cohort_salted",
+]
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:  # a rename must update _PRIORITY, loudly
+        raise KeyError(f"_PRIORITY names not in REGISTRY: {missing}")
+    rest = [n for n in REGISTRY if n not in set(_PRIORITY)]
+    return _PRIORITY + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: sql for name, (_, sql) in REGISTRY.items() if sql is not None
+        name: REGISTRY[name][1]
+        for name in _ordered_names()
+        if REGISTRY[name][1] is not None
     }
