@@ -77,7 +77,13 @@ def pagerank(
         "id", _round(F.lit(1.0 / n_nodes)).alias("rank")
     )
     base = (1.0 - damping) / n_nodes
-    for _ in range(iters):
+    for it in range(iters):
+        if it:
+            # each iteration references the previous `ranks` plan twice
+            # (dangling agg + contrib join) — without truncation the
+            # lineage recomputes ~2^iters on action (ADVICE r3). Same
+            # pattern as duplicate_groups.
+            ranks = ranks.localCheckpoint()
         with_deg = ranks.join(deg, ranks.id == deg.src, "left")
         # dangling mass: ranks of nodes with no out-edges, one scalar
         dangling = with_deg.filter(F.col("deg").isNull()).agg(
@@ -148,7 +154,10 @@ def pagerank_exact(
     deg = scoped_persist(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
     ranks = nodes.select("id", F.lit(scale // n_nodes).alias("r"))
-    for _ in range(iters):
+    for it in range(iters):
+        if it:
+            # truncate the doubling iterative lineage (see pagerank)
+            ranks = ranks.localCheckpoint()
         with_deg = ranks.join(deg, ranks.id == deg.src, "left")
         dangling = with_deg.filter(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")

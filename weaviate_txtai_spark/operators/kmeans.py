@@ -103,6 +103,16 @@ def assign_clusters(
     ``dist_round_decimals`` rounds each distance before the argmin —
     set it (gates use 6) when the result must be bit-identical to an
     engine that sums doubles in a different partial order.
+
+    Exact expr/gemm parity is guaranteed ONLY with
+    ``dist_round_decimals`` set (ADVICE r3): unrounded, 'expr' ranks
+    the in-order (a−b)² fold while 'gemm' ranks the |c|²−2x·c
+    expansion — mathematically equal, float-different at ~1e-13, so a
+    near-tied row can assign differently across the 'auto' boundary.
+    With rounding, the gemm path adds |x|² back and rounds the same
+    true squared distance, restoring identical assignments (pinned in
+    tests/test_kmeans.py). Parity-critical callers (all gates) must
+    therefore pass dist_round_decimals.
     """
     cents = sorted((int(cid), [float(v) for v in c]) for cid, c in centroids)
     if not cents:

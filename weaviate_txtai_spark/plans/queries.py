@@ -3852,7 +3852,14 @@ cent AS (
   ) GROUP BY cluster, pos
 ),
 cvecs AS (
-  SELECT cluster, list(v ORDER BY pos) AS cvec FROM cent GROUP BY cluster
+  -- empty-cluster retention (ADVICE r3): lloyd() keeps the previous
+  -- (here: raw seed) centroid when no row assigns to a cluster, so the
+  -- oracle left-joins seeds and coalesces to the seed vector instead of
+  -- silently dropping the cluster
+  SELECT s.cid AS cluster, coalesce(m.cvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN (
+    SELECT cluster, list(v ORDER BY pos) AS cvec FROM cent GROUP BY cluster
+  ) m ON m.cluster = s.cid
 ),
 d2 AS (
   SELECT e.vec_id, c.cluster AS cid,
@@ -3902,11 +3909,13 @@ def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMEANS_CENTROIDS_SQL = _KMEANS_CTE + """
-SELECT a2.cluster, CAST(count(*) AS BIGINT) AS size,
+SELECT c.cluster, CAST(coalesce(n.size, 0) AS BIGINT) AS size,
        CAST(len(c.cvec) AS INT) AS dim,
        round(list_sum(c.cvec), 6) AS checksum
-FROM a2 JOIN cvecs c USING (cluster)
-GROUP BY a2.cluster, c.cvec ORDER BY a2.cluster
+FROM cvecs c LEFT JOIN (
+  SELECT cluster, count(*) AS size FROM a2 GROUP BY cluster
+) n USING (cluster)
+ORDER BY c.cluster
 """
 
 

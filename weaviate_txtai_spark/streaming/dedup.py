@@ -110,6 +110,14 @@ def stream_near_dedup(
     above); production bounds it by date-partitioning the store and
     aging out old partitions.
 
+    Input contract (ADVICE r3): ``id_col`` must be GLOBALLY unique
+    across the whole stream, not just within a batch. The replay-safety
+    argument above leans on the incremental join's same-id exclusion —
+    which equally means two genuinely different documents sharing an id
+    across batches are never compared, so a reused id silently skips
+    dedup for that pair. Crawl pipelines should use a content- or
+    URL-derived id (e.g. uuid5), never a per-batch counter.
+
     Returns the StreamingQuery (caller awaits termination).
     """
     import os
