@@ -296,6 +296,34 @@ def main() -> None:
             "speedup": round(tp_serial / tp_shard, 2) if tp_shard > 0 else None,
         }
 
+        # ---- IVF recall block: the curve that justifies nprobe --------
+        # Measured {nprobe: recall@10} at 1x (nlist=16) and at the 2x
+        # corpus under the nlist ∝ corpus rule (nlist=32): the rule's
+        # promise is that recall AT A FIXED nprobe/nlist FRACTION stays
+        # stable as the corpus doubles. The testdata embeddings are
+        # near-isotropic (worst case for IVF — see SCALING.md), so the
+        # absolute numbers measure the harness floor, not production
+        # recall.
+        from weaviate_txtai_spark.operators.ann import IVFIndex, tune_nprobe
+
+        def recall_curve(e, nlist):
+            qdf = (
+                e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0)
+                .limit(150)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vector"),
+                )
+            )
+            idx = IVFIndex.build(e, nlist=nlist)
+            _, curve = tune_nprobe(idx, qdf, 10, recall_target=1.1)
+            return {str(k): round(v, 4) for k, v in sorted(curve.items())}
+
+        ivf_recall = {
+            "curve_1x_nlist16": recall_curve(emb1, 16),
+            "curve_2x_nlist32": recall_curve(emb2, 32),
+        }
+
         result = {
             "metric": "scale_ratio_2x",
             "sf": SF_DIR,
@@ -303,6 +331,7 @@ def main() -> None:
             "cases": out,
             "skew": skew,
             "pack": pack,
+            "ivf_recall": ivf_recall,
         }
         line = json.dumps(result)
         print(line)
