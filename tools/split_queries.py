@@ -1,0 +1,257 @@
+"""One-shot refactor: split plans/queries.py into per-family modules
+(VERDICT r3 item 8). Each @register gate moves to its family module;
+non-gate top-level statements (SQL constants, helpers, banners) travel
+with the next gate in file order (constants precede their gates).
+Cross-module name references become explicit imports. queries.py stays
+the hub: base re-exports + star imports + the ordered registry API.
+
+Run once, verify (REGISTRY parity + check_oracle), then this script is
+history — kept for provenance.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from collections import defaultdict
+
+SRC = "/root/repo/weaviate_txtai_spark/plans/queries.py"
+PKG = "/root/repo/weaviate_txtai_spark/plans"
+
+GATE_MODULE = {}
+for n in [
+    "knn_topk", "knn_batch", "knn_batch_gemm", "knn_l2", "knn_dot",
+    "vector_delete", "vector_upsert", "docid_lookup", "full_scan",
+    "scan_limit", "vector_count", "similar_sql", "agg_stats_txtai",
+    "similarity_brute", "sim_join_topk", "sim_join_threshold",
+    "sim_join_blocked", "ann_ivf", "sim_join_ivf", "knn_filtered",
+    "knn_diverse", "ann_ivf_filtered", "vector_compact",
+    "embedding_quantize", "hard_negatives",
+]:
+    GATE_MODULE[n] = "vector"
+for n in [
+    "pricing_summary", "top_customer_per_nation", "revenue_by_nation",
+    "supplier_region_balance", "part_brand_revenue", "supplier_share",
+    "orders_rollup", "segment_setops", "customer_lifetime",
+    "running_revenue", "price_quantiles", "events_sessionize",
+    "events_hourly", "events_json", "returns_cube", "events_pivot",
+    "inactive_customer_segments", "active_customer_segments",
+    "events_asof", "events_range_join", "returned_items",
+    "shipping_priority", "promo_revenue", "nation_trade_volume",
+    "large_orders", "disjunctive_selection",
+    "lapsed_high_value_customers", "part_revenue_share",
+    "top_revenue_supplier", "small_quantity_revenue",
+    "late_shipment_priority", "events_distinct_users",
+    "approx_distinct_users", "approx_price_quantiles",
+    "events_rolling_avg", "customer_value_deciles", "docs_grouping_sets",
+    "revenue_percentile", "fuzzy_source_match", "multiset_setops",
+    "fk_integrity", "events_outliers", "quantity_rank_ties",
+    "events_cohort_salted", "sole_fault_supplier", "approx_value_deciles",
+]:
+    GATE_MODULE[n] = "relational"
+for n in [
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_groups",
+    "dedup_survivors", "dedup_embedding", "dedup_embedding_lsh",
+    "dedup_simhash", "dedup_incremental", "dedup_survivors_longest",
+    "doc_fingerprint_rolling", "contamination_check", "eval_containment",
+    "repeated_passages", "repeated_passage_stats",
+]:
+    GATE_MODULE[n] = "dedup"
+for n in [
+    "text_stats", "text_quality", "tokens_by_source", "lang_id",
+    "lang_distribution", "tfidf_top_terms", "bigram_top", "doc_chunks",
+    "pack_sequences", "docs_repetition", "bpe_token_counts",
+    "docs_redact_pii", "docs_normalize", "approx_token_counts",
+    "bm25_topk", "hybrid_rrf",
+]:
+    GATE_MODULE[n] = "text"
+for n in [
+    "streaming_hourly", "streaming_sessions", "streaming_ingest",
+    "streaming_interval_join", "streaming_dedup", "streaming_near_dedup",
+    "multimodal_features",
+]:
+    GATE_MODULE[n] = "streaming"
+for n in [
+    "train_test_split", "stratified_sample", "label_centroids",
+    "quality_weighted_sample", "mixture_sample", "uniform_sample_k",
+    "weighted_sample_k", "kmeans_assign", "kmeans_centroids",
+    "semantic_dedup", "semantic_dedup_survivors", "docs_unigram_nll",
+    "docs_bigram_nll", "embedding_covariance", "embedding_pca",
+    "doc_centrality", "lineitem_profile", "events_zorder",
+    "cluster_top_terms", "token_heavy_hitters", "pretraining_manifest",
+]:
+    GATE_MODULE[n] = "pipeline"
+
+MODULES = ["vector", "relational", "dedup", "text", "streaming", "pipeline"]
+
+MODULE_DOC = {
+    "vector": "Vector search gates: kNN (expr + GEMM), txtai SQL surface, "
+    "similarity join, IVF ANN, index mutations, quantization.",
+    "relational": "Relational gates over the star schema: TPC-H-shaped "
+    "join/agg/window/setop coverage, events-table analytics, sketches.",
+    "dedup": "Dedup + decontamination gates: exact/Jaccard/MinHash/SimHash/"
+    "embedding families, survivors, incremental, containment.",
+    "text": "Text-analysis gates: stats, quality, lang-id, TF-IDF, "
+    "tokenization, normalization, PII, chunk/pack, BM25/hybrid.",
+    "streaming": "Structured Streaming + multimodal gates (batch-equivalent "
+    "oracles where SQL-expressible).",
+    "pipeline": "Training-data pipeline gates: sampling, k-means/SemDeDup, "
+    "LM scoring, PCA, centrality, profiling, layout, composition.",
+}
+
+COMMON_HEADER = """\
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+from weaviate_txtai_spark.sources.tables import load_table
+from weaviate_txtai_spark.plans.base import QueryFn, _emb, register
+"""
+
+
+def main() -> None:
+    src = open(SRC).read()
+    lines = src.splitlines(keepends=True)
+    tree = ast.parse(src)
+    stmts = list(tree.body)
+
+    # header: everything through the _emb def
+    emb_idx = next(
+        i for i, s in enumerate(stmts)
+        if isinstance(s, ast.FunctionDef) and s.name == "_emb"
+    )
+    # tail: from the _PRIORITY assignment on
+    tail_idx = next(
+        i for i, s in enumerate(stmts)
+        if isinstance(s, ast.Assign)
+        and any(getattr(t, "id", None) == "_PRIORITY" for t in s.targets)
+    )
+
+    def gate_name(s):
+        if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for d in s.decorator_list:
+                if (
+                    isinstance(d, ast.Call)
+                    and getattr(d.func, "id", None) == "register"
+                ):
+                    a = d.args[0]
+                    return a.value if isinstance(a, ast.Constant) else None
+        return None
+
+    mids = stmts[emb_idx + 1 : tail_idx]
+    # assign each statement a module: gates by table, others by next gate
+    assignment: list[str] = [None] * len(mids)
+    for i, s in enumerate(mids):
+        g = gate_name(s)
+        if g:
+            assignment[i] = GATE_MODULE[g]
+    nxt = None
+    for i in range(len(mids) - 1, -1, -1):
+        if assignment[i] is None:
+            assert nxt is not None, f"trailing non-gate stmt: {ast.dump(mids[i])[:80]}"
+            assignment[i] = nxt
+        else:
+            nxt = assignment[i]
+
+    # chunk text per statement: from prev stmt end+1 (captures banners)
+    chunks: dict[str, list[str]] = defaultdict(list)
+    defined: dict[str, set] = defaultdict(set)
+    prev_end = stmts[emb_idx].end_lineno
+    for s, mod in zip(mids, assignment):
+        text = "".join(lines[prev_end : s.end_lineno])
+        prev_end = s.end_lineno
+        chunks[mod].append(text)
+        if isinstance(s, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            defined[mod].add(s.name)
+        elif isinstance(s, ast.Assign):
+            for t in s.targets:
+                if isinstance(t, ast.Name):
+                    defined[mod].add(t.id)
+
+    # cross-module references -> explicit imports
+    all_defs = {n: m for m, ns in defined.items() for n in ns}
+    cross: dict[str, dict[str, set]] = defaultdict(lambda: defaultdict(set))
+    for mod in MODULES:
+        body = "".join(chunks[mod])
+        for name, owner in all_defs.items():
+            if owner != mod and re.search(rf"\b{re.escape(name)}\b", body):
+                cross[mod][owner].add(name)
+    # detect cycles (pairwise)
+    for a in MODULES:
+        for b in cross[a]:
+            if a in cross.get(b, {}):
+                raise SystemExit(f"IMPORT CYCLE between {a} and {b}: "
+                                 f"{cross[a][b]} / {cross[b][a]}")
+
+    order = {m: i for i, m in enumerate(MODULES)}
+    for mod in MODULES:
+        with open(f"{PKG}/{mod}.py", "w") as f:
+            f.write(f'"""{MODULE_DOC[mod]}\n\nSplit out of plans/queries.py '
+                    f'(round 4); registration order inside a module is\n'
+                    f'unchanged, and queries.py remains the single registry '
+                    f'hub.\n"""\n\n')
+            f.write(COMMON_HEADER)
+            for owner in sorted(cross[mod], key=lambda m: order[m]):
+                names = ", ".join(sorted(cross[mod][owner]))
+                f.write(
+                    f"from weaviate_txtai_spark.plans.{owner} import {names}\n"
+                )
+            f.write("\n")
+            f.write("".join(chunks[mod]).lstrip("\n"))
+
+    # base.py: original header (docstring/imports/REGISTRY/register/_emb)
+    header_text = "".join(lines[: stmts[emb_idx].end_lineno])
+    with open(f"{PKG}/base.py", "w") as f:
+        f.write(header_text)
+
+    # queries.py: hub
+    tail_text = "".join(lines[stmts[tail_idx - 1].end_lineno :])
+    with open(SRC, "w") as f:
+        f.write('''"""Gate registry hub (SURVEY §2 + pipeline families).
+
+The 130 gate queries live in per-family modules (vector / relational /
+dedup / text / streaming / pipeline), each registering into
+``plans.base.REGISTRY`` on import; this module imports them all, re-
+exports every gate function for direct `from plans.queries import x_q`
+use, and defines the driver-facing ordered API: ``queries()`` /
+``oracle_sql()`` emit the `_PRIORITY` window first (the correctness
+driver samples the first 50 entries) then the remaining gates in
+registration order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from weaviate_txtai_spark.plans.base import (  # noqa: F401
+    QueryFn,
+    REGISTRY,
+    register,
+    _emb,
+)
+
+# import order fixes the post-priority registration order; the star
+# re-exports keep `from plans.queries import <gate>_q` working
+from weaviate_txtai_spark.plans.vector import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.relational import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.dedup import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.text import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.streaming import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.pipeline import *  # noqa: F401,F403
+
+''')
+        f.write(tail_text.lstrip("\n"))
+    print("split done")
+    for m in MODULES:
+        print(m, sum(t.count("\n") for t in chunks[m]), "lines,",
+              len([1 for s, mm in zip(mids, assignment)
+                   if mm == m and gate_name(s)]), "gates")
+
+
+if __name__ == "__main__":
+    main()

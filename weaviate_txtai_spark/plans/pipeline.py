@@ -1,0 +1,941 @@
+"""Training-data pipeline gates: sampling, k-means/SemDeDup, LM scoring, PCA, centrality, profiling, layout, composition.
+
+Split out of plans/queries.py (round 4); registration order inside a module is
+unchanged, and queries.py remains the single registry hub.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+from weaviate_txtai_spark.sources.tables import load_table
+from weaviate_txtai_spark.plans.base import QueryFn, _emb, register
+from weaviate_txtai_spark.plans.dedup import _CC_SQL_TAIL, _JACCARD_CTE
+
+_TRAIN_TEST_SPLIT_SQL = """
+WITH labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8
+                THEN 'train'
+              WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9
+                THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM labeled GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+@register("train_test_split", _TRAIN_TEST_SPLIT_SQL)
+def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split via multiplicative hashing of doc_id
+    (functions/sampling.py) — reproducible under any partitioning, unlike
+    randomSplit; the oracle runs the identical integer arithmetic."""
+    from weaviate_txtai_spark.functions.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", assign_split("doc_id"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling + centroid aggregation
+# --------------------------------------------------------------------------
+
+# per-language keep rates: downsample the dominant language, keep the rest
+_STRATA_RATES = {"en": 0.2, "zh": 0.5}
+_STRATA_DEFAULT = 0.8
+
+_STRATIFIED_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS min_id
+FROM (
+  SELECT lang, doc_id,
+         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
+  FROM documents
+)
+WHERE f < (CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.5 ELSE 0.8 END)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("stratified_sample", _STRATIFIED_SQL)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: keep-rate varies by language,
+    membership is a pure function of doc_id (multiplicative hash —
+    functions/sampling.py), so the sample is reproducible under any
+    partitioning and composes with the train/valid/test split (the two
+    decisions use the same fraction, so a row's sample fate and split
+    fate are consistent across reruns). Map-only: filter + aggregate,
+    one partial-agg shuffle."""
+    from weaviate_txtai_spark.functions.sampling import split_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(_STRATA_RATES["en"])).when(
+        F.col("lang") == "zh", F.lit(_STRATA_RATES["zh"])
+    ).otherwise(F.lit(_STRATA_DEFAULT))
+    return (
+        docs.filter(split_fraction("doc_id") < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang")
+    )
+
+
+_LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(t.i AS INT) AS dim_idx,
+       round(avg(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)), 6)
+         AS centroid_val
+FROM embeddings e, unnest(generate_series(1, 4)) AS t(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("label_centroids", _LABEL_CENTROIDS_SQL)
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (the k-means/IVF training reduction) computed
+    relationally: posexplode the vector, average per (label, dim). The
+    elementwise avg is partial-aggregatable — each partition reduces its
+    own rows before the single shuffle on (label, dim) — exactly how a
+    distributed k-means iteration aggregates at 100 TB (ann.IVFIndex
+    uses the in-Python GEMM variant of the same reduction; first 4 dims
+    projected here to keep the gate output small)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("__i", "__x"))
+        .filter(F.col("__i") < 4)
+        .groupBy("label", (F.col("__i") + 1).cast("int").alias("dim_idx"))
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("centroid_val"))
+        .orderBy("label", "dim_idx")
+    )
+
+
+_QUALITY_SAMPLE_SQL = """
+WITH q AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         round(least(len(toks) / 100.0, 1.0) * 0.4
+               + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
+               + least((len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for',
+                    'on','with','as','was','at','by'], x))) * 1.0 / len(toks))
+                   * 5.0, 1.0) * 0.3,
+               6) END AS quality,
+         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f < quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(quality), 6) AS avg_quality
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("quality_weighted_sample", _QUALITY_SAMPLE_SQL)
+def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling (the FineWeb/DCLM-style curation
+    move): each doc survives with probability equal to its quality
+    score, decided by the deterministic multiplicative hash — so the
+    sample is reproducible under any partitioning AND the keep decision
+    is auditable per row. Map-only scoring + one partial-agg shuffle.
+    Both sides round quality to 6dp before the comparison so the keep
+    boundary is engine-identical."""
+    from weaviate_txtai_spark.functions.sampling import split_fraction
+    from weaviate_txtai_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_score("text"), 6)
+    kept = (split_fraction("doc_id") < q).cast("long")
+    return (
+        docs.select("source", q.alias("__q"), kept.alias("__k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__k").alias("n_kept"),
+            F.round(F.avg("__q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOP_TOKENS_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n_occ
+FROM tok GROUP BY 1
+ORDER BY n_occ DESC, term ASC
+LIMIT 20
+"""
+
+
+@register("token_heavy_hitters", _TOP_TOKENS_SQL)
+def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-20 terms via the two-phase Misra–Gries plan
+    (operators/heavy_hitters.py): bounded-memory per-partition candidate
+    summaries, then exact verify counts for candidates only — the
+    shuffle carries capacity x partitions partial counts instead of the
+    full web-scale vocabulary. The guarantee check makes the result
+    EXACT (falls back to the plain aggregate when capacity is too small
+    for the distribution), which is why a plain SQL top-k is a valid
+    oracle for the approximating machinery."""
+    from weaviate_txtai_spark.operators.heavy_hitters import exact_top_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_top_tokens(docs, 20, capacity=4096)
+
+
+# --------------------------------------------------------------------------
+# Deterministic k-means + SemDeDup semantic dedup (operators/kmeans.py)
+# --------------------------------------------------------------------------
+
+# Shared oracle skeleton: seeds = the 4 smallest vec_ids relabelled
+# 0..3, one Lloyd update (assign → 6-dp-quantized means), then the
+# closing assignment against the updated centroids — the exact
+# transcription of lloyd(k=4, iters=1, quantize_decimals=6,
+# dist_round_decimals=6). Distances are the same in-order fold both
+# engines use (list_zip square-diff sum), rounded to 6 dp before the
+# argmin; ties break to the lowest cluster id via (dist, cid) order.
+_KMEANS_CTE = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+d1 AS (
+  SELECT e.vec_id, s.cid,
+         round(list_sum(list_transform(
+               list_zip(CAST(e.embedding AS DOUBLE[]), s.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+  FROM embeddings e CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cluster, pos, round(avg(val), 6) AS v FROM (
+    SELECT a1.cluster,
+           generate_subscripts(CAST(e.embedding AS DOUBLE[]), 1) AS pos,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS val
+    FROM a1 JOIN embeddings e USING (vec_id)
+  ) GROUP BY cluster, pos
+),
+cvecs AS (
+  -- empty-cluster retention (ADVICE r3): lloyd() keeps the previous
+  -- (here: raw seed) centroid when no row assigns to a cluster, so the
+  -- oracle left-joins seeds and coalesces to the seed vector instead of
+  -- silently dropping the cluster
+  SELECT s.cid AS cluster, coalesce(m.cvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN (
+    SELECT cluster, list(v ORDER BY pos) AS cvec FROM cent GROUP BY cluster
+  ) m ON m.cluster = s.cid
+),
+d2 AS (
+  SELECT e.vec_id, c.cluster AS cid,
+         round(list_sum(list_transform(
+               list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+  FROM embeddings e CROSS JOIN cvecs c
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+"""
+
+_KMEANS_PARAMS = dict(
+    k=4, iters=1, quantize_decimals=6, dist_round_decimals=6
+)
+
+
+def _kmeans_model(spark: SparkSession, sf_dir: str):
+    from weaviate_txtai_spark.operators.kmeans import lloyd
+
+    return lloyd(_emb(spark, sf_dir), **_KMEANS_PARAMS)
+
+
+_KMEANS_ASSIGN_SQL = _KMEANS_CTE + """
+SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2 ORDER BY vec_id
+"""
+
+
+@register("kmeans_assign", _KMEANS_ASSIGN_SQL)
+def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means, full machinery under the oracle at
+    its production shape (no exactness-mode escape hatch needed —
+    seeding, ties, and 6-dp centroid quantization make the trajectory
+    engine-independent). Per iteration: map-only assignment (centroids
+    travel as literals — no join, no shuffle) + one k×dim-key
+    partial-agg shuffle for the means; the oracle replays the identical
+    trajectory in SQL."""
+    m = _kmeans_model(spark, sf_dir)
+    return m.assigned.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    ).orderBy("vec_id")
+
+
+_KMEANS_CENTROIDS_SQL = _KMEANS_CTE + """
+SELECT c.cluster, CAST(coalesce(n.size, 0) AS BIGINT) AS size,
+       CAST(len(c.cvec) AS INT) AS dim,
+       round(list_sum(c.cvec), 6) AS checksum
+FROM cvecs c LEFT JOIN (
+  SELECT cluster, count(*) AS size FROM a2 GROUP BY cluster
+) n USING (cluster)
+ORDER BY c.cluster
+"""
+
+
+@register("kmeans_centroids", _KMEANS_CENTROIDS_SQL)
+def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final centroids (6-dp quantized) + final-assignment sizes. The
+    centroid list lives on the driver (k×dim doubles — same bounded
+    contract as ann.IVFIndex), so the gate frame is built from it; the
+    sizes come from the distributed closing assignment."""
+    m = _kmeans_model(spark, sf_dir)
+    rows = [
+        (cid, int(m.sizes.get(cid, 0)), len(vec), round(sum(vec), 6))
+        for cid, vec in m.centroids
+    ]
+    return spark.createDataFrame(
+        rows, "cluster int, size long, dim int, checksum double"
+    ).orderBy("cluster")
+
+
+_SEMANTIC_DEDUP_SQL = _KMEANS_CTE + """
+SELECT x.vec_id AS d1, y.vec_id AS d2,
+       CAST(ax.cluster AS INT) AS cluster,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS cosine
+FROM a2 ax JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+JOIN embeddings x ON x.vec_id = ax.vec_id
+JOIN embeddings y ON y.vec_id = ay.vec_id
+WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                   CAST(y.embedding AS DOUBLE[])), 6) >= 0.45
+"""
+
+
+@register("semantic_dedup", _SEMANTIC_DEDUP_SQL)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-dup pairs WITHIN k-means
+    clusters only — the quadratic is bounded by cluster size, and k is
+    the knob that keeps |cluster|² flat as the corpus grows. Unlike the
+    LSH dedup gates this is oracle-checked at its production
+    parameterization, because the whole pipeline (clustering included)
+    is deterministic."""
+    from weaviate_txtai_spark.operators.kmeans import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _emb(spark, sf_dir), threshold=0.45, **_KMEANS_PARAMS
+    ).select("d1", "d2", F.col("cluster").cast("int").alias("cluster"), "cosine")
+
+
+_SEMANTIC_SURVIVORS_SQL = _KMEANS_CTE + """
+, pairs AS (
+  SELECT y.vec_id AS d2
+  FROM a2 ax JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+  JOIN embeddings x ON x.vec_id = ax.vec_id
+  JOIN embeddings y ON y.vec_id = ay.vec_id
+  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                     CAST(y.embedding AS DOUBLE[])), 6) >= 0.45
+)
+SELECT e.vec_id, CAST(e.label AS INT) AS label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT d2 FROM pairs)
+ORDER BY e.vec_id
+"""
+
+
+@register("semantic_dedup_survivors", _SEMANTIC_SURVIVORS_SQL)
+def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup end-product: corpus minus rows with a lower-id
+    near-dup in their cluster (one anti-join on the distinct d2 set —
+    NOT IN d2 is exactly the engine's rule here, no connected-components
+    subtlety, unlike dedup_survivors' recursive-CTE oracle)."""
+    from weaviate_txtai_spark.operators.kmeans import (
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = semantic_dedup_pairs(emb, threshold=0.45, **_KMEANS_PARAMS)
+    return (
+        semantic_dedup_survivors(emb, pairs)
+        .select("vec_id", F.col("label").cast("int").alias("label"))
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality scoring + deterministic mixture sampling
+# --------------------------------------------------------------------------
+
+_UNIGRAM_NLL_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+sc AS (SELECT sum(c) AS total_t, count(*) AS vocab_v FROM cnt),
+lp AS (
+  SELECT term, ln((c + 1.0) / (total_t + 1.0 * vocab_v)) AS logp FROM cnt, sc
+),
+scored AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-avg(lp.logp), 6) AS nll
+  FROM tok t JOIN lp USING (term) GROUP BY t.doc_id
+  UNION ALL
+  -- text IS NULL covers the rows a bare len(...) = 0 misses
+  -- (string_split(NULL) -> NULL); the engine surfaces those too
+  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM documents
+  WHERE text IS NULL
+     OR len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+),
+m AS (SELECT round(avg(nll), 6) AS mean_nll FROM scored)
+SELECT s.doc_id, s.n_tokens, s.nll,
+       coalesce(s.nll <= m.mean_nll, false) AS keep
+FROM scored s, m ORDER BY s.doc_id
+"""
+
+
+@register("docs_unigram_nll", _UNIGRAM_NLL_SQL)
+def docs_unigram_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: per-doc mean negative log-likelihood
+    under the corpus-trained unigram LM, plus the head-selection keep
+    flag (nll ≤ corpus mean — one broadcast scalar, no sort). Four
+    exchanges end-to-end regardless of corpus size (operators/lm.py);
+    the tercile split CCNet uses composes via quantile_buckets over the
+    nll column."""
+    from weaviate_txtai_spark.operators.lm import nll_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nll_quality_filter(docs, round_decimals=6).orderBy("doc_id")
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+_MIXTURE_SQL = """
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+n AS (
+  SELECT d.source, count(*) AS n FROM documents d JOIN w USING (source)
+  GROUP BY d.source
+),
+lam AS (SELECT min(n.n / w.wt) AS l FROM n JOIN w USING (source)),
+q AS (SELECT w.source, CAST(floor(lam.l * w.wt) AS BIGINT) AS quota FROM w, lam),
+r AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY (d.doc_id * 2654435761 % 4294967296) / 4294967296.0,
+                    d.doc_id
+         ) AS rk
+  FROM documents d JOIN w USING (source)
+)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+WHERE r.rk <= q.quota ORDER BY r.doc_id
+"""
+
+
+@register("mixture_sample", _MIXTURE_SQL)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture materialization: the largest sample following target
+    per-source proportions (50/30/20), selected by the deterministic
+    split_fraction order so the draw is identical on any partitioning
+    and NESTS under quota growth. Driver state is ≤|strata| counters;
+    the oracle replays quota arithmetic + rank selection in SQL."""
+    from weaviate_txtai_spark.functions.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, _MIXTURE_WEIGHTS)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA (operators/pca.py)
+# --------------------------------------------------------------------------
+
+_COV_SQL = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+mu AS (SELECT pos, avg(val) AS m FROM x GROUP BY pos),
+xy AS (
+  SELECT a.pos AS i, b.pos AS j, avg(a.val * b.val) AS exy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id
+  WHERE a.pos <= 16 AND b.pos <= 16
+  GROUP BY a.pos, b.pos
+)
+SELECT CAST(xy.i - 1 AS INT) AS i, CAST(xy.j - 1 AS INT) AS j,
+       round(xy.exy - ma.m * mb.m, 6) AS cov
+FROM xy JOIN mu ma ON xy.i = ma.pos JOIN mu mb ON xy.j = mb.pos
+ORDER BY i, j
+"""
+
+
+@register("embedding_covariance", _COV_SQL)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed HALF of PCA under the oracle: the one-pass
+    Gram/mean/count accumulation (per-batch BLAS partials + one bounded
+    partial-agg shuffle — operators/pca.py). The gate surfaces the
+    16×16 leading block of cov = E[xxᵀ] − μμᵀ; the SQL oracle computes
+    the same entries from first principles (positional unnest self-join).
+    The eigendecomposition half is driver-side numpy and is pinned by
+    invariants in tests/test_pca.py instead (not SQL-expressible)."""
+    import numpy as np
+
+    from weaviate_txtai_spark.operators.pca import _moments
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    n, s, g = _moments(emb, "embedding", dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    rows = [
+        (i, j, round(float(cov[i, j]), 6)) for i in range(16) for j in range(16)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double").orderBy("i", "j")
+
+
+@register("embedding_pca", None)
+def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA end-to-end (rows-only: eigenvectors aren't SQL-expressible;
+    orthonormality/variance/reconstruction invariants are pytest-pinned).
+    Fit top-4 components, project the corpus map-only (zero exchanges,
+    plan-asserted)."""
+    from weaviate_txtai_spark.operators.pca import pca_fit, pca_transform
+
+    emb = _emb(spark, sf_dir)
+    model = pca_fit(emb, 4)
+    return pca_transform(emb, model, round_decimals=6).select(
+        "vec_id", "pca"
+    ).orderBy("vec_id")
+
+
+_BIGRAM_NLL_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tok[s.x] AS w1, tok[s.x + 1] AS w2
+  FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+  WHERE len(tok) >= 2
+),
+cu AS (
+  SELECT term, count(*) AS cu FROM (SELECT unnest(tok) AS term FROM t)
+  GROUP BY 1
+),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+v AS (SELECT count(*) AS vv FROM cu)
+SELECT * FROM (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(-avg(ln((cb.cb + 1.0) / (cu.cu + 1.0 * v.vv))), 6) AS nll
+  FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.term, v
+  GROUP BY bg.doc_id
+  UNION ALL
+  -- tok IS NULL covers NULL text (string_split(NULL) -> NULL, which
+  -- fails len(tok) < 2); the engine surfaces those rows too
+  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM t WHERE tok IS NULL OR len(tok) < 2
+) ORDER BY doc_id
+"""
+
+
+@register("docs_bigram_nll", _BIGRAM_NLL_SQL)
+def docs_bigram_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — one order closer to CCNet's KenLM
+    than the unigram gate; catches scrambled text that reuses the
+    vocabulary but breaks transitions (pinned in pytest). The bigram
+    stream is the same narrow explode as tokens (zip with own tail, no
+    join); counts are one partial-agg shuffle on the bigram key."""
+    from weaviate_txtai_spark.operators.lm import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs, round_decimals=6).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Z-order layout (sources/layout.py) — content preserved through rewrite
+# --------------------------------------------------------------------------
+
+_ZORDER_SQL = """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM events ORDER BY event_id
+"""
+
+
+@register("events_zorder", _ZORDER_SQL)
+def events_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering rewrite of the events table on
+    (user_id, value): one range shuffle at write time buys min/max file
+    skipping on EITHER column at read time (bound-tightening and
+    point-predicate overlap are pinned in tests/test_layout.py from the
+    parquet footers). The gate checks the half a hash CAN check: the
+    rewrite is content-lossless."""
+    import tempfile
+
+    from weaviate_txtai_spark.sources.layout import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = tempfile.mkdtemp(prefix="zorder_gate_") + "/ev"
+    zorder_write(ev, out, ["user_id", "value"], n_files=8)
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (operators/profile.py)
+# --------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+         round(min(CAST(l_quantity AS DOUBLE)), 2) AS min_num,
+         round(max(CAST(l_quantity AS DOUBLE)), 2) AS max_num,
+         round(avg(CAST(l_quantity AS DOUBLE)), 4) AS mean
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+         round(min(CAST(l_extendedprice AS DOUBLE)), 2),
+         round(max(CAST(l_extendedprice AS DOUBLE)), 2),
+         round(avg(CAST(l_extendedprice AS DOUBLE)), 4)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         round(min(CAST(l_orderkey AS DOUBLE)), 2),
+         round(max(CAST(l_orderkey AS DOUBLE)), 2),
+         round(avg(CAST(l_orderkey AS DOUBLE)), 4)
+  FROM lineitem
+) ORDER BY "column"
+"""
+
+
+@register("lineitem_profile", _PROFILE_SQL)
+def lineitem_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile (operators/profile.py): every
+    statistic for every profiled column in a SINGLE aggregate job
+    (multi-count-distinct EXPAND plan — the exact mode; approx=True is
+    the HLL++ scale mode, pytest-bounded). Gate compares the numeric
+    forms; string formatting of doubles is not a cross-engine contract."""
+    from weaviate_txtai_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = profile_table(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
+    return prof.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round("min_num", 2).alias("min_num"),
+        F.round("max_num", 2).alias("max_num"),
+        F.round("mean", 4).alias("mean"),
+    ).orderBy("column")
+
+
+_CLUSTER_TOP_TERMS_SQL = _KMEANS_CTE + """
+, terms AS (
+  SELECT a2.cluster,
+         unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS term
+  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+),
+cnt AS (
+  SELECT cluster, term, count(*) AS n_occ FROM terms GROUP BY 1, 2
+)
+SELECT CAST(cluster AS INT) AS cluster, CAST(rank AS INT) AS rank,
+       term, CAST(n_occ AS BIGINT) AS n_occ
+FROM (
+  SELECT cluster, term, n_occ,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY n_occ DESC, term ASC
+         ) AS rank
+  FROM cnt
+) WHERE rank <= 5 ORDER BY cluster, rank
+"""
+
+
+@register("cluster_top_terms", _CLUSTER_TOP_TERMS_SQL)
+def cluster_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling — the step after any clustering run: what IS
+    each cluster, in words? Cross-modal: the assignment came from the
+    EMBEDDING k-means (same deterministic trajectory as kmeans_assign),
+    the labels come from the TEXT, joined on the shared id. One id join
+    + one (cluster, term) partial-agg shuffle + a k-partition window."""
+    from weaviate_txtai_spark.operators.kmeans import cluster_top_terms
+
+    m = _kmeans_model(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cluster_top_terms(m.assigned, docs, n_terms=5)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("n_occ").cast("long").alias("n_occ"),
+        )
+        .orderBy("cluster", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Graph centrality over the kNN graph (operators/graph.py)
+# --------------------------------------------------------------------------
+
+# fixed-point iteration: every op is integer arithmetic (// is floor
+# division on BIGINT in DuckDB, `div` in Spark) — bit-identical across
+# engines, no rounding-boundary coin flips (a float 9-dp-rounded
+# trajectory flipped on ~0.4% of nodes in testing: partial sums landing
+# within float noise of a rounding boundary round differently per
+# engine, and the contraction preserves the flip instead of healing it)
+_PR_ITER = """
+, r{next} AS (
+  SELECT nd.id,
+         CAST((15 * 1000000000000) // (100 * nn.n)
+              + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS id, CAST(sum(r{cur}.r // dg.d) AS BIGINT) AS mass
+    FROM edges e JOIN r{cur} ON r{cur}.id = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) m ON m.id = nd.id
+)
+"""
+
+_DOC_CENTRALITY_SQL = (
+    """
+WITH sims AS (
+  SELECT q.vec_id AS src, e.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC
+         ) AS rk
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id
+),
+edges AS (SELECT src, dst FROM sims WHERE rk <= 3),
+nodes AS (
+  SELECT DISTINCT src AS id FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+r0 AS (
+  SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+)
+"""
+    + _PR_ITER.format(cur=0, next=1)
+    + _PR_ITER.format(cur=1, next=2)
+    + _PR_ITER.format(cur=2, next=3)
+    + """
+SELECT id AS vec_id, r AS centrality_fp FROM r3 ORDER BY vec_id
+"""
+)
+
+
+@register("doc_centrality", _DOC_CENTRALITY_SQL)
+def doc_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based curation signal: PageRank over the directed 3-NN
+    cosine graph — high centrality = the document's neighborhood is
+    dense and it "speaks for" many neighbors (coreset selection);
+    near-zero in-degree = outlier. Per power iteration: one
+    groupBy(dst) partial-agg shuffle. The gate runs the FIXED-POINT
+    variant (scaled longs, floor division) — bit-identical across
+    engines, where the float trajectory flipped a rounding grid step on
+    ~0.4% of nodes (see _PR_ITER comment). The kNN graph has no
+    dangling nodes (every node emits exactly k edges); the operator's
+    dangling handling is pytest-pinned on general graphs. The oracle
+    replays the kNN build and all three integer iterations in SQL."""
+    from weaviate_txtai_spark.operators.graph import knn_graph, pagerank_exact
+
+    emb = _emb(spark, sf_dir)
+    g = knn_graph(emb, 3)
+    return (
+        pagerank_exact(g, iters=3)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("rank_fp").alias("centrality_fp"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-k sampling via TakeOrdered (functions/sampling.py)
+# --------------------------------------------------------------------------
+
+_UNIFORM_K_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
+  FROM documents
+) ORDER BY f, doc_id LIMIT 40
+"""
+
+
+@register("uniform_sample_k", _UNIFORM_K_SQL)
+def uniform_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k uniform sample with no global sort: order by the hash
+    fraction + limit plans as TakeOrderedAndProject (per-partition
+    heaps), one scan at any table size; draws nest as k grows (fixed
+    hash permutation). sample(fraction) gives binomial counts and a
+    window rank costs a shuffle — this is the exact-count scale path."""
+    from weaviate_txtai_spark.functions.sampling import uniform_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return uniform_sample_k(docs, 40).select("doc_id", "source")
+
+
+_WEIGHTED_K_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ln(((doc_id * 2654435761 % 4294967296) + 0.5) / 4294967297.0)
+           / n_chars AS k
+  FROM documents WHERE n_chars > 0
+) ORDER BY k DESC, doc_id LIMIT 30
+"""
+
+
+@register("weighted_sample_k", _WEIGHTED_K_SQL)
+def weighted_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    k rows with inclusion probability ∝ weight (n_chars here — "prefer
+    longer documents, but not exclusively"), via the log-form key
+    ln(u)/w and the same TakeOrderedAndProject plan as the uniform
+    gate. Deterministic u (hash fraction) makes the DRAW itself
+    reproducible and oracle-able — the rarely-appreciated payoff of
+    hash-based randomness over rand()."""
+    from weaviate_txtai_spark.functions.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(docs, 30, "n_chars").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end composition: the pretraining manifest
+# --------------------------------------------------------------------------
+
+_MANIFEST_SQL = (
+    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + _CC_SQL_TAIL
+    + """
+, surv AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id NOT IN (
+    SELECT node FROM reach GROUP BY node HAVING min(r) < node
+  )
+),
+stok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM surv
+),
+scnt AS (SELECT term, count(*) AS c FROM stok GROUP BY 1),
+ssc AS (SELECT sum(c) AS total_t, count(*) AS vocab_v FROM scnt),
+slp AS (
+  SELECT term, ln((c + 1.0) / (total_t + 1.0 * vocab_v)) AS logp
+  FROM scnt, ssc
+),
+sscored AS (
+  SELECT t.doc_id, round(-avg(slp.logp), 6) AS nll
+  FROM stok t JOIN slp USING (term) GROUP BY t.doc_id
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS DOUBLE) FROM surv
+  WHERE text IS NULL
+     OR len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+),
+sm AS (SELECT round(avg(nll), 6) AS mean_nll FROM sscored)
+SELECT s.doc_id, s.source,
+       CASE WHEN f < 0.8 THEN 'train'
+            WHEN f < 0.9 THEN 'valid'
+            ELSE 'test' END AS split,
+       sc.nll,
+       coalesce(sc.nll <= sm.mean_nll, false) AS keep
+FROM (
+  SELECT doc_id, source,
+         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
+  FROM surv
+) s
+JOIN sscored sc USING (doc_id), sm
+ORDER BY s.doc_id
+"""
+)
+
+
+@register("pretraining_manifest", _MANIFEST_SQL)
+def pretraining_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT, composed: near-dup survivors (MinHash-verified
+    Jaccard + connected components) → LM-quality keep flag (unigram nll
+    vs the SURVIVOR corpus mean — the model trains on what remains, so
+    the threshold is computed post-dedup) → reproducible split label.
+    One gate proving the pipeline STAGES compose correctly, not just
+    pass individually — the oracle rebuilds the whole chain in SQL
+    (recursive-CTE components, survivor-trained unigram model, hash
+    split)."""
+    from weaviate_txtai_spark.functions.sampling import assign_split
+    from weaviate_txtai_spark.operators.dedup import (
+        dedup_survivors,
+        jaccard_pairs,
+    )
+    from weaviate_txtai_spark.operators.lm import nll_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dedup_survivors(docs, jaccard_pairs(docs, threshold=0.8))
+    flags = nll_quality_filter(
+        surv.select("doc_id", "text"), round_decimals=6
+    )
+    return (
+        surv.join(flags.select("doc_id", "nll", "keep"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            assign_split("doc_id").alias("split"),
+            "nll",
+            "keep",
+        )
+        .orderBy("doc_id")
+    )

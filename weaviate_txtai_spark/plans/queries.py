@@ -1,4905 +1,34 @@
-"""Driver-contract query registry: Spark plan + DuckDB oracle per operator.
+"""Gate registry hub (SURVEY §2 + pipeline families).
 
-Every operator from SURVEY.md §2 (and the north-star extensions) registers
-here as ``name -> (spark_fn, oracle_sql | None)``. The driver runs both at
-sf0.01 and hash-compares row count + schema + order-insensitive values, so:
-
-- every computed column is aliased identically on both sides;
-- floats are rounded in-query (scores: 6 dp; money sums: 2 dp) — Spark and
-  DuckDB agree to ~1e-16 on double math but not bit-for-bit on sum order;
-- DuckDB ``sum(int)`` returns HUGEINT → oracle casts to BIGINT;
-- top-k ties break deterministically (score DESC, id ASC).
-
-Oracle SQL is ANSI-ish DuckDB SQL over the pre-registered views
-(region nation customer supplier part orders lineitem events documents
-embeddings) — it is the *specification*; the Spark side is the *engine*.
+The 130 gate queries live in per-family modules (vector / relational /
+dedup / text / streaming / pipeline), each registering into
+``plans.base.REGISTRY`` on import; this module imports them all, re-
+exports every gate function for direct `from plans.queries import x_q`
+use, and defines the driver-facing ordered API: ``queries()`` /
+``oracle_sql()`` emit the `_PRIORITY` window first (the correctness
+driver samples the first 50 entries) then the remaining gates in
+registration order.
 """
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from weaviate_txtai_spark.functions.vector import cosine_sim
-from weaviate_txtai_spark.sources.tables import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
-
-
-def register(name: str, oracle: Optional[str]):
-    def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
-
-
-# --------------------------------------------------------------------------
-# Q1/Q2/Q3/Q5: kNN cosine top-k (reference search path, weaviate.py:175-201)
-# --------------------------------------------------------------------------
-
-_KNN_TOPK_SQL = """
-SELECT e.vec_id,
-       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
-             6) AS score
-FROM embeddings e
-ORDER BY score DESC, e.vec_id ASC
-LIMIT 10
-"""
-
-
-@register("knn_topk", _KNN_TOPK_SQL)
-def knn_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-query top-10 by cosine — plans as TakeOrderedAndProject:
-    map-only scan + per-partition heaps, no shuffle."""
-    emb = _emb(spark, sf_dir)
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    )
-    return (
-        emb.crossJoin(q)
-        .select(
-            "vec_id",
-            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-_KNN_BATCH_SQL = """
-SELECT query_id, vec_id, score, rank FROM (
-  SELECT q.vec_id AS query_id, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
-         CAST(row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                             CAST(q.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS INT) AS rank
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)) q
-) WHERE rank <= 5
-"""
-
-
-@register("knn_batch", _KNN_BATCH_SQL)
-def knn_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch kNN: 3 query vectors answered in ONE plan — the reference
-    drops all but queries[0] (weaviate.py:177); we broadcast the query
-    side and shuffle only k×Q×partitions rows for the final window."""
-    emb = _emb(spark, sf_dir)
-    qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
-    )
-    from weaviate_txtai_spark.operators.topk import knn_topk
-
-    res = knn_topk(
-        emb, qdf, 5, vector_col="embedding", id_col="vec_id", score_round=None
-    )
-    return res.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
-    )
-
-
-@register("knn_batch_gemm", _KNN_BATCH_SQL)
-def knn_batch_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The GEMM code path under the SAME oracle as knn_batch:
-    VectorIndex.search silently switches to knn_topk_gemm at >= 16
-    queries, so the Arrow-batched BLAS kernel (incl. its
-    widen-to-ties + lexsort tie-break) must hash-match the expression
-    path's oracle — previously only the expression path was gated
-    (VERDICT r2 item 4)."""
-    from weaviate_txtai_spark.operators.topk import knn_topk_gemm
-
-    emb = _emb(spark, sf_dir)
-    queries = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
-    ]
-    res = knn_topk_gemm(emb, queries, 5, vector_col="embedding", id_col="vec_id")
-    return res.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
-    )
-
-
-_KNN_L2_SQL = """
-SELECT e.vec_id,
-       round(list_distance(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
-             6) AS dist
-FROM embeddings e
-ORDER BY dist ASC, e.vec_id ASC
-LIMIT 10
-"""
-
-
-@register("knn_l2", _KNN_L2_SQL)
-def knn_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 by L2 distance — the multi-metric path the reference's
-    validator rejects (cosine-only, weaviate.py:101-104) but its README
-    custom schema implies (README.md:27-28). Same TakeOrderedAndProject
-    shape as knn_topk."""
-    from weaviate_txtai_spark.functions.vector import l2_dist
-
-    emb = _emb(spark, sf_dir)
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    )
-    return (
-        emb.crossJoin(q)
-        .select("vec_id", F.round(l2_dist("embedding", "qv"), 6).alias("dist"))
-        .orderBy(F.asc("dist"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-_KNN_DOT_SQL = """
-SELECT e.vec_id,
-       round(list_inner_product(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
-             6) AS score
-FROM embeddings e
-ORDER BY score DESC, e.vec_id ASC
-LIMIT 10
-"""
-
-
-@register("knn_dot", _KNN_DOT_SQL)
-def knn_dot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 by inner product (maximum-inner-product search)."""
-    from weaviate_txtai_spark.functions.vector import dot
-
-    emb = _emb(spark, sf_dir)
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    )
-    return (
-        emb.crossJoin(q)
-        .select("vec_id", F.round(dot("embedding", "qv"), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-def _build_index(spark: SparkSession, sf_dir: str):
-    """Temp VectorIndex over the embeddings table with docid == vec_id
-    (vectors appended in vec_id order)."""
-    import tempfile
-
-    from weaviate_txtai_spark.index import VectorIndex
-
-    # distributed append: the table never lands on the driver. orderBy +
-    # coalesce(1) pins a deterministic ingest order so docid == vec_id
-    # (the dense-id scheme numbers by (partition, position)); the gate
-    # table is small, and the oracle depends on that mapping.
-    vecs = (
-        _emb(spark, sf_dir)
-        .coalesce(1)
-        .sortWithinPartitions("vec_id")
-        .select(F.col("embedding").alias("vector"))
-    )
-    idx = VectorIndex(spark, tempfile.mkdtemp(prefix="gate_idx_")).create()
-    idx.append(vecs)
-    return idx
-
-
-_VECTOR_DELETE_SQL = """
-SELECT CAST(count(*) AS BIGINT) AS n_remaining,
-       CAST(min(vec_id) AS BIGINT) AS min_docid,
-       CAST(max(vec_id) AS BIGINT) AS max_docid
-FROM embeddings WHERE vec_id NOT IN (0,1,2,3,4,5,6,7,8,9)
-"""
-
-
-@register("vector_delete", _VECTOR_DELETE_SQL)
-def vector_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q6: delete-by-docid as ONE anti-join (vs the reference's 2 HTTP
-    round-trips per id, weaviate.py:167-173)."""
-    idx = _build_index(spark, sf_dir)
-    idx.delete(list(range(10)))
-    return idx.to_df().agg(
-        F.count(F.lit(1)).alias("n_remaining"),
-        F.min("docid").alias("min_docid"),
-        F.max("docid").alias("max_docid"),
-    )
-
-
-_VECTOR_UPSERT_SQL = """
-SELECT e.vec_id AS docid,
-       round(list_cosine_similarity(
-         CAST(CASE WHEN e.vec_id = 0
-              THEN (SELECT embedding FROM embeddings WHERE vec_id = 1)
-              ELSE e.embedding END AS DOUBLE[]),
-         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)),
-         6) AS score
-FROM embeddings e
-ORDER BY list_cosine_similarity(
-         CAST(CASE WHEN e.vec_id = 0
-              THEN (SELECT embedding FROM embeddings WHERE vec_id = 1)
-              ELSE e.embedding END AS DOUBLE[]),
-         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1))
-         DESC, docid ASC
-LIMIT 3
-"""
-# ORDER BY repeats the RAW cosine (not the rounded alias): the Spark side
-# ranks unrounded (knn_topk score_round=None), and an alias-bound sort
-# would flip 6dp-boundary ties.
-
-
-@register("vector_upsert", _VECTOR_UPSERT_SQL)
-def vector_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8: upsert docid 0 <- vec 1's embedding, then search with vec 1 as
-    the query: docids 0 and 1 must tie at score 1.0 (reference upsert
-    round-trip semantics, tests/ann/test_weaviate.py:254-317)."""
-    idx = _build_index(spark, sf_dir)
-    rows = (
-        _emb(spark, sf_dir).filter(F.col("vec_id") == 1).collect()
-    )
-    idx.upsert([(0, list(rows[0]["embedding"]))])
-    qdf = idx.to_df().filter(F.col("docid") == 1).select(
-        F.lit(0).alias("query_id"), F.col("vector").alias("query_vector")
-    )
-    from weaviate_txtai_spark.operators.topk import knn_topk
-
-    res = knn_topk(idx.to_df(), qdf, 3)
-    return res.select("docid", F.round("score", 6).alias("score"))
-
-
-_DOCID_LOOKUP_SQL = """
-SELECT vec_id, label FROM embeddings WHERE vec_id = 123
-"""
-
-
-@register("docid_lookup", _DOCID_LOOKUP_SQL)
-def docid_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4: equality-predicate point lookup (the reference's
-    _get_uuid_from_docid GraphQL where-filter, weaviate.py:151-165).
-    The predicate pushes to the parquet scan → row-group skip."""
-    return _emb(spark, sf_dir).filter(F.col("vec_id") == 123).select(
-        "vec_id", "label"
-    )
-
-
-_FULL_SCAN_SQL = """
-SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim
-FROM embeddings ORDER BY vec_id
-"""
-
-
-@register("full_scan", _FULL_SCAN_SQL)
-def full_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7: full object scan with vectors present (REST GET /v1/objects
-    parity, api.http:36; tests :143-148) — projected to hashable columns
-    + per-row vector dimensionality."""
-    return (
-        _emb(spark, sf_dir)
-        .select("vec_id", "label", F.size("embedding").alias("dim"))
-        .orderBy("vec_id")
-    )
-
-
-_SCAN_LIMIT_SQL = """
-SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 25
-"""
-
-
-@register("scan_limit", _SCAN_LIMIT_SQL)
-def scan_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: limit pushdown (the server's QUERY_DEFAULTS_LIMIT=25,
-    docker-compose.yml:9) — plans as TakeOrderedAndProject."""
-    return _emb(spark, sf_dir).select("vec_id", "label").orderBy("vec_id").limit(25)
-
-
-_VECTOR_COUNT_SQL = "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings"
-
-
-@register("vector_count", _VECTOR_COUNT_SQL)
-def vector_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q7: Aggregate meta count (weaviate.py:203-206) — row-group
-    metadata count, no data read."""
-    return _emb(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
-
-
-# --------------------------------------------------------------------------
-# T1-T4: txtai SQL surface — similar() + metadata predicates + aggregates
-# (examples/01_simple.ipynb cells 25-29)
-# --------------------------------------------------------------------------
-
-_SIMILAR_SQL = """
-SELECT d.doc_id, d.text, d.n_chars,
-       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 42)),
-             6) AS score
-FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-WHERE d.n_chars >= 100
-ORDER BY score DESC, d.doc_id ASC
-LIMIT 10
-"""
-
-
-@register("similar_sql", _SIMILAR_SQL)
-def similar_sql_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1+T2+T4 parity: `select text, score from txtai where similar(q)
-    and n_chars >= 100 order by score desc limit 10`. The metadata
-    predicate is pushed to the parquet scan; the doc<->vector join
-    broadcasts nothing big (both sides pruned to 2-3 columns)."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = _emb(spark, sf_dir)
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 42).select(F.col("embedding").alias("qv"))
-    )
-    return (
-        docs.filter(F.col("n_chars") >= 100)
-        .join(emb, docs.doc_id == emb.vec_id)
-        .crossJoin(q)
-        .select(
-            "doc_id",
-            "text",
-            "n_chars",
-            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-_AGG_STATS_SQL = """
-SELECT CAST(count(*) AS BIGINT) AS cnt,
-       CAST(min(n_chars) AS BIGINT) AS min_chars,
-       CAST(max(n_chars) AS BIGINT) AS max_chars,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents
-"""
-
-
-@register("agg_stats_txtai", _AGG_STATS_SQL)
-def agg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3 parity: `select count(*), min(length), max(length), sum(length)
-    from txtai` (notebook cell 27) — partial-agg map-side, one exchange."""
-    return load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-        F.sum("n_chars").alias("sum_chars"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Relational SQL surface over the star schema (free in Spark — SURVEY §2.4)
-# --------------------------------------------------------------------------
-
-_TPCH_Q1_SQL = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
-"""
-
-
-@register("pricing_summary", _TPCH_Q1_SQL)
-def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan -> partial hash agg -> exchange(2 keys) ->
-    final agg. Filter pushed to parquet; only 7 columns read."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-_TOP_CUSTOMER_SQL = """
-SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal
-FROM (
-  SELECT c.*, n.n_name,
-         row_number() OVER (PARTITION BY c.c_nationkey
-                            ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
-  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-) WHERE rn = 1
-ORDER BY n_name
-"""
-
-
-@register("top_customer_per_nation", _TOP_CUSTOMER_SQL)
-def top_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window top-1 per group + broadcast dim join (nation is 25 rows —
-    always broadcast, never shuffled)."""
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
-    )
-    return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "n_name",
-            "c_custkey",
-            "c_name",
-            F.round("c_acctbal", 2).alias("acctbal"),
-        )
-        .orderBy("n_name")
-    )
-
-
-_REVENUE_BY_NATION_SQL = """
-SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       CAST(count(*) AS BIGINT) AS n_items
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE o.o_orderstatus = 'F'
-GROUP BY n.n_name
-ORDER BY revenue DESC, n_name
-"""
-
-
-@register("revenue_by_nation", _REVENUE_BY_NATION_SQL)
-def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join pipeline: fact->fact shuffle join on orderkey, then
-    dims broadcast. At 100 TB lineitem/orders would be co-bucketed on
-    orderkey to eliminate the big shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    )
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy(F.desc("revenue"), "n_name")
-    )
-
-
-_SIM_BRUTE_SQL = """
-SELECT e.vec_id,
-       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)),
-             6) AS score
-FROM embeddings e
-WHERE e.vec_id < 100
-ORDER BY score DESC, e.vec_id
-"""
-
-
-@register("similarity_brute", _SIM_BRUTE_SQL)
-def similarity_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference Q9: txtai similarity(query, data) — ad-hoc brute-force
-    scoring of a candidate list with NO stored index and NO top-k cut;
-    every candidate comes back scored, ordered. Same cosine expression
-    as the indexed path (Q1) over a filtered frame."""
-    emb = _emb(spark, sf_dir)
-    qv = (
-        emb.filter(F.col("vec_id") == 7)
-        .select("embedding")
-        .head()[0]
-    )
-    adhoc = emb.filter(F.col("vec_id") < 100)
-    return (
-        adhoc.select(
-            "vec_id",
-            F.round(
-                cosine_sim(F.col("embedding"), F.lit([float(x) for x in qv])), 6
-            ).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-    )
-
-
-_SUPPLIER_REGION_SQL = """
-SELECT r.r_name,
-       CAST(count(*) AS BIGINT) AS n_suppliers,
-       round(sum(s.s_acctbal), 2) AS total_balance,
-       round(avg(s.s_acctbal), 2) AS avg_balance
-FROM supplier s
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY r.r_name
-ORDER BY r.r_name
-"""
-
-
-@register("supplier_region_balance", _SUPPLIER_REGION_SQL)
-def supplier_region_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure dimension snowflake (supplier->nation->region): every join
-    broadcasts, so the whole plan is map-side + one tiny agg shuffle —
-    the shape survives any scale-up of the supplier table."""
-    sup = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    return (
-        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
-            F.round(F.avg("s_acctbal"), 2).alias("avg_balance"),
-        )
-        .orderBy("r_name")
-    )
-
-
-_PART_BRAND_SQL = """
-SELECT p.p_brand,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       round(sum(l.l_quantity), 1) AS total_qty
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-GROUP BY p.p_brand
-ORDER BY revenue DESC, p.p_brand
-"""
-
-
-@register("part_brand_revenue", _PART_BRAND_SQL)
-def part_brand_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact x small-dim: part broadcasts (it's 1/30th of lineitem and
-    only p_brand survives pruning), so lineitem never shuffles before
-    the partial aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.round(F.sum("l_quantity"), 1).alias("total_qty"),
-        )
-        .orderBy(F.desc("revenue"), "p_brand")
-    )
-
-
-_SUPPLIER_SHARE_SQL = """
-WITH sup_rev AS (
-  SELECT n.n_name, s.s_name,
-         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
-  FROM lineitem l
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n ON s.s_nationkey = n.n_nationkey
-  GROUP BY 1, 2
-)
-SELECT n_name, s_name,
-       round(rev, 2) AS revenue,
-       round(rev / sum(rev) OVER (PARTITION BY n_name), 6) AS share
-FROM sup_rev
-ORDER BY n_name, revenue DESC, s_name
-"""
-
-
-@register("supplier_share", _SUPPLIER_SHARE_SQL)
-def supplier_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate-then-window: revenue per (nation, supplier), then each
-    supplier's share of its nation via a window sum. The window runs
-    over the aggregated table (one row per supplier), never the fact."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sup = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    rev = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
-        .groupBy("n_name", "s_name")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "rev"
-            )
-        )
-    )
-    w = Window.partitionBy("n_name")
-    return (
-        rev.select(
-            "n_name",
-            "s_name",
-            F.round("rev", 2).alias("revenue"),
-            F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
-        )
-        .orderBy("n_name", F.desc("revenue"), "s_name")
-    )
-
-
-_ORDERS_ROLLUP_SQL = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
-FROM orders
-GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-"""
-
-
-@register("orders_rollup", _ORDERS_ROLLUP_SQL)
-def orders_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets rollup (reference has no grouping sets at all —
-    SURVEY §2.4 gap list)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
-    )
-
-
-_SEGMENT_SETOPS_SQL = """
-SELECT CAST(count(*) AS BIGINT) AS n_both FROM (
-  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-  INTERSECT
-  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-)
-"""
-
-
-@register("segment_setops", _SEGMENT_SETOPS_SQL)
-def segment_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations (INTERSECT) — absent from the reference entirely
-    (SURVEY §2.4)."""
-    orders = load_table(spark, sf_dir, "orders")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.intersect(o).agg(F.count(F.lit(1)).alias("n_both"))
-
-
-_CUSTOMER_LIFETIME_SQL = """
-SELECT o_custkey, n_orders, total, first_date, last_date FROM (
-  SELECT o_custkey,
-         CAST(count(*) AS BIGINT) AS n_orders,
-         round(sum(o_totalprice), 2) AS total,
-         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
-         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_date
-  FROM orders GROUP BY o_custkey
-) ORDER BY total DESC, o_custkey LIMIT 20
-"""
-
-
-@register("customer_lifetime", _CUSTOMER_LIFETIME_SQL)
-def customer_lifetime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.min("o_orderdate").cast("date").cast("string").alias("first_date"),
-            F.max("o_orderdate").cast("date").cast("string").alias("last_date"),
-        )
-        .orderBy(F.desc("total"), "o_custkey")
-        .limit(20)
-    )
-
-
-_RUNNING_REVENUE_SQL = """
-SELECT y, m, monthly, round(sum(monthly) OVER (ORDER BY y, m
-       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
-FROM (
-  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
-         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
-         round(sum(o_totalprice), 2) AS monthly
-  FROM orders GROUP BY 1, 2
-) ORDER BY y, m
-"""
-
-
-@register("running_revenue", _RUNNING_REVENUE_SQL)
-def running_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-total window over a pre-aggregated frame (two-level agg:
-    the window input is tiny, so the unpartitioned window is safe)."""
-    orders = load_table(spark, sf_dir, "orders")
-    monthly = (
-        orders.groupBy(
-            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
-        )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly"))
-    )
-    w = Window.orderBy("y", "m").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        monthly.withColumn("running", F.round(F.sum("monthly").over(w), 2))
-        .orderBy("y", "m")
-    )
-
-
-_PRICE_QUANTILES_SQL = """
-SELECT o_orderpriority,
-       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
-
-
-@register("price_quantiles", _PRICE_QUANTILES_SQL)
-def price_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    quantile_cont). At 100 TB you'd swap in approx_percentile and accept
-    the error bound; the exact form is the spec."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-# --------------------------------------------------------------------------
-# Events: timestamped table — windowed aggregation + JSON extraction
-# --------------------------------------------------------------------------
-
-_SESSIONIZE_SQL = """
-WITH ordered AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE OR
-                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-), sessions AS (
-  SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
-  FROM ordered
-)
-SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM sessions GROUP BY user_id ORDER BY user_id
-"""
-
-
-@register("events_sessionize", _SESSIONIZE_SQL)
-def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: lag-gap detection + running-sum session ids — the
-    canonical event-pipeline window composition. Partitioned by user_id,
-    so the window shuffles once on the natural key."""
-    ev = load_table(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond gap: the oracle compares the exact INTERVAL, and
-    # whole-second truncation flips gap detection on sub-second data
-    # (the events_rolling_avg lesson, NOTES.md)
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
-    new_session = F.when(
-        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
-    ).otherwise(F.lit(0))
-    # same (ts, event_id) tiebreak as the lag window: an orderBy("ts")
-    # prefix sum breaks duplicate-ts ties arbitrarily and can flip
-    # session ids vs the flag assignment
-    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sessions = ev.withColumn("new_session", new_session).withColumn(
-        "session_id", F.sum("new_session").over(wrun)
-    )
-    return (
-        sessions.groupBy("user_id")
-        .agg(
-            F.count_distinct("session_id").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("user_id")
-    )
-
-_EVENTS_HOURLY_SQL = """
-SELECT CAST(EXTRACT(year FROM ts) AS INT) AS y,
-       CAST(EXTRACT(month FROM ts) AS INT) AS m,
-       CAST(EXTRACT(day FROM ts) AS INT) AS d,
-       CAST(EXTRACT(hour FROM ts) AS INT) AS h,
-       event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value
-FROM events
-GROUP BY 1, 2, 3, 4, 5
-ORDER BY 1, 2, 3, 4, 5
-"""
-
-
-@register("events_hourly", _EVENTS_HOURLY_SQL)
-def events_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch tumbling-window agg (streaming variant in streaming/events.py
-    computes the identical result via Structured Streaming)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.year("ts").alias("y"),
-            F.month("ts").alias("m"),
-            F.dayofmonth("ts").alias("d"),
-            F.hour("ts").alias("h"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-        .orderBy("y", "m", "d", "h", "event_type")
-    )
-
-
-_EVENTS_JSON_SQL = """
-SELECT event_type,
-       CAST(count(*) AS BIGINT) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-FROM events
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
-@register("events_json", _EVENTS_JSON_SQL)
-def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured props column: get_json_object + agg (the
-    reference's metadata documents are JSON-ish dicts — SURVEY §1.2)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(k), 6).alias("avg_k"),
-            F.max(k).alias("max_k"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_LANG_DIST_SQL = """
-SELECT lang, source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(n_chars), 6) AS avg_chars
-FROM documents
-GROUP BY lang, source
-ORDER BY lang, source
-"""
-
-
-@register("lang_distribution", _LANG_DIST_SQL)
-def lang_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = load_table(spark, sf_dir, "documents")
-    return (
-        ds.groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        )
-        .orderBy("lang", "source")
-    )
-
-
-# --------------------------------------------------------------------------
-# Similarity join + ANN (north-star M3 flagship extension)
-# --------------------------------------------------------------------------
-
-_SIM_JOIN_SQL = """
-SELECT query_id, vec_id, score, rank FROM (
-  SELECT q.vec_id AS query_id, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
-         CAST(row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                             CAST(q.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS INT) AS rank
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE label = 0) q
-) WHERE rank <= 3
-"""
-
-
-@register("sim_join_topk", _SIM_JOIN_SQL)
-def sim_join_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N×M top-k similarity join: every label-0 vector against the whole
-    table, top-3 each — one broadcast + map-only scan + window, vs the
-    reference's one-query-per-HTTP-call loop."""
-    from weaviate_txtai_spark.operators.simjoin import topk_join
-
-    emb = _emb(spark, sf_dir)
-    left = emb.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
-    )
-    res = topk_join(left, emb, 3, right_id="vec_id", right_vec="embedding")
-    return res.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
-    )
-
-
-_SIM_THRESHOLD_SQL = """
-SELECT q.vec_id AS query_id, e.vec_id,
-       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
-FROM embeddings e
-CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q
-WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                   CAST(q.embedding AS DOUBLE[])), 6) >= 0.3
-  AND e.vec_id <> q.vec_id
-"""
-
-
-@register("sim_join_threshold", _SIM_THRESHOLD_SQL)
-def sim_join_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weaviate_txtai_spark.operators.simjoin import threshold_join
-
-    emb = _emb(spark, sf_dir)
-    left = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
-    )
-    return threshold_join(left, emb, 0.3, right_id="vec_id",
-                          right_vec="embedding").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-
-
-@register("sim_join_blocked", _SIM_JOIN_SQL)
-def sim_join_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked-GEMM exact similarity join (the both-sides-large EXACT
-    strategy): left side processed in hash blocks, right side scanned
-    per block. Same oracle as `sim_join_topk` — the block decomposition
-    must be result-invariant. block_size forced small so the gate
-    exercises multiple blocks."""
-    from weaviate_txtai_spark.operators.simjoin import topk_join_blocked
-
-    emb = _emb(spark, sf_dir)
-    left = emb.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
-    )
-    res = topk_join_blocked(
-        left, emb, 3, right_id="vec_id", right_vec="embedding", block_size=16
-    )
-    return res.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
-    )
-
-
-# Exactness-mode gate parameterization (VERDICT r2 item 1): the sampled
-# gate names run the FULL approximate machinery with parameters that make
-# recall exactly 1 (nprobe == nlist: every cell probed), so the driver
-# hash-checks the pipeline end-to-end instead of recording no_oracle.
-# The production nprobe < nlist settings live in tests/test_ann.py as
-# recall-bound tests (recall >= 0.6 at nprobe=4/nlist=16).
-_ANN_IVF_SQL = """
-SELECT query_id, vec_id, score, rank FROM (
-  SELECT q.vec_id AS query_id, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
-         CAST(row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                             CAST(q.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS INT) AS rank
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
-) WHERE rank <= 5
-"""
-
-
-@register("ann_ivf", _ANN_IVF_SQL)
-def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means cells + nprobe routing, exact cosine within
-    probes. Gated at nprobe == nlist so the whole machinery (k-means
-    build, probe routing, cell-local scoring, final window) must equal
-    the exact brute-force SQL; production nprobe<nlist recall is pinned
-    in tests/test_ann.py."""
-    from weaviate_txtai_spark.operators.ann import IVFIndex
-
-    emb = _emb(spark, sf_dir)
-    idx = IVFIndex.build(emb, nlist=16)
-    qdf = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
-    )
-    res = idx.search(qdf, 5, nprobe=16)
-    return res.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
-    )
-
-
-_SIM_JOIN_IVF_SQL = """
-SELECT query_id, vec_id, score, rank FROM (
-  SELECT q.vec_id AS query_id, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
-         CAST(row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                             CAST(q.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS INT) AS rank
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id, embedding FROM embeddings) q
-) WHERE rank <= 3
-"""
-
-
-@register("sim_join_ivf", _SIM_JOIN_IVF_SQL)
-def sim_join_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both-sides-huge similarity join, IVF-routed: the whole embeddings
-    table joins itself through k-means cells — both sides shuffle only by
-    cell id, never a crossJoin. Gated at nprobe == nlist (recall exactly
-    1) so the cell-equi-join plan must reproduce the exact crossJoin
-    result; production nprobe<nlist recall is pinned in
-    tests/test_ann.py."""
-    from weaviate_txtai_spark.operators.simjoin import topk_join_ivf
-
-    emb = _emb(spark, sf_dir)
-    left = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
-    )
-    res = topk_join_ivf(
-        left, emb, 3, right_id="vec_id", right_vec="embedding", nlist=16, nprobe=16
-    )
-    return res.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
-    )
-
-
-# --------------------------------------------------------------------------
-# Dedup suite (north-star M3): exact, n-gram Jaccard, MinHash LSH,
-# SimHash, embedding cosine
-# --------------------------------------------------------------------------
-
-_DEDUP_EXACT_SQL = """
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
-       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
-FROM (SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-      FROM documents)
-"""
-
-
-@register("dedup_exact", _DEDUP_EXACT_SQL)
-def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weaviate_txtai_spark.operators.dedup import exact_dedup_stats
-
-    return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
-
-
-# Shared CTE: distinct 3-gram shingles + exact Jaccard pairs >= 0.8.
-_JACCARD_CTE = """
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(toks) - 2, 0) + 1),
-           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
-  FROM (SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents)
-), sz AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-), common AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT d1, d2,
-         round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
-  FROM common
-  JOIN sz s1 ON common.d1 = s1.doc_id
-  JOIN sz s2 ON common.d2 = s2.doc_id
-)
-"""
-
-_JACCARD_SQL = _JACCARD_CTE + "SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.8"
-
-
-@register("dedup_ngram_jaccard", _JACCARD_SQL)
-def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup specification: shingle inverted-index join."""
-    from weaviate_txtai_spark.operators.dedup import jaccard_pairs
-
-    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
-
-
-@register("dedup_minhash", _JACCARD_SQL)
-def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard. Same oracle as
-    the exact query: with 16 bands x 4 rows a 0.8-Jaccard pair escapes
-    with p ~ 2e-5, and the testdata dups sit at >= 0.9 (p ~ 1e-8), so
-    LSH output == exact output; a recall miss WOULD fail the gate, which
-    is exactly what we want to know."""
-    from weaviate_txtai_spark.operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
-
-
-# True connected components over the undirected pair graph: a recursive
-# CTE enumerating every (node, reachable id) and taking the min. Valid
-# for ANY graph shape — the previous single-hop-min form silently assumed
-# min-id-star clusters and would reject correct engine output on e.g.
-# pairs (1,3),(2,3) with no (1,2) (ADVICE r2).
-_CC_SQL_TAIL = """
-, edges AS (
-  SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8
-), undirected AS (
-  SELECT d1 AS a, d2 AS b FROM edges
-  UNION ALL
-  SELECT d2 AS a, d1 AS b FROM edges
-), reach AS (
-  SELECT a AS node, a AS r FROM undirected
-  UNION
-  SELECT u.b AS node, reach.r AS r
-  FROM reach JOIN undirected u ON reach.node = u.a
-)
-"""
-
-_DEDUP_GROUPS_SQL = (
-    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
-    + _CC_SQL_TAIL
-    + """
-SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node
-"""
+from typing import Optional
+
+from weaviate_txtai_spark.plans.base import (  # noqa: F401
+    QueryFn,
+    REGISTRY,
+    register,
+    _emb,
 )
 
-
-@register("dedup_groups", _DEDUP_GROUPS_SQL)
-def dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected duplicate groups (min-id label propagation). Oracle is
-    a recursive-CTE connected components — exact for any pair-graph
-    shape, same fixpoint the Spark side computes."""
-    from weaviate_txtai_spark.operators.dedup import (
-        duplicate_groups,
-        jaccard_pairs,
-    )
-
-    pairs = jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
-    return duplicate_groups(pairs)
-
-
-_SURVIVORS_SQL = (
-    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
-    + _CC_SQL_TAIL
-    + """
-SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
-FROM documents
-WHERE doc_id NOT IN (
-  SELECT node FROM reach GROUP BY node HAVING min(r) < node
-)
-ORDER BY doc_id
-"""
-)
-
-
-@register("dedup_survivors", _SURVIVORS_SQL)
-def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup END-PRODUCT: the corpus minus non-representative
-    duplicates (keep min-id per near-dup group). Oracle computes true
-    connected components via recursive CTE and drops every node whose
-    component min is below it — exact for any pair-graph shape, matching
-    the Spark side's connected-components fixpoint + anti-join."""
-    from weaviate_txtai_spark.operators.dedup import (
-        dedup_survivors,
-        jaccard_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.8)
-    return (
-        dedup_survivors(docs, pairs)
-        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
-        .orderBy("doc_id")
-    )
-
-
-_EMB_DUP_SQL = """
-SELECT a.vec_id AS d1, b.vec_id AS d2,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
-"""
-
-
-@register("dedup_embedding", _EMB_DUP_SQL)
-def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weaviate_txtai_spark.operators.dedup import embedding_dup_pairs
-
-    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
-
-
-@register("dedup_embedding_lsh", _EMB_DUP_SQL)
-def dedup_embedding_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH embedding dedup, gated at num_planes=0 (one table,
-    one bucket → every pair a candidate, recall exactly 1): the bucketing
-    + bucket-local chunked GEMM verify machinery must equal the exact
-    crossJoin spec (`dedup_embedding`). Production 4-plane × 16-table
-    recall is pinned in tests/test_dedup.py (VERDICT r2 item 1)."""
-    from weaviate_txtai_spark.operators.dedup import embedding_dup_pairs_lsh
-
-    return embedding_dup_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"), num_planes=0, num_tables=1
-    )
-
-
-# 32-bit SimHash with md5-derived token hashes: every step (token hash,
-# per-bit majority vote, signature assembly, pigeonhole-blocked hamming
-# join) is reproduced in DuckDB SQL, so the SimHash pipeline itself is
-# hash-checked; the xxhash64 64-bit production variant is pinned
-# structurally in tests/test_dedup.py (VERDICT r2 item 1).
-_SIMHASH_SQL = """
-WITH tok AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-  FROM documents
-), th AS (
-  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok
-), votes AS (
-  SELECT doc_id, b.b AS b,
-         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b
-  GROUP BY doc_id, b.b
-), sig AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-              AS BIGINT) AS s
-  FROM votes GROUP BY doc_id
-), sig0 AS (
-  SELECT d.doc_id, coalesce(s.s, 0) AS s
-  FROM (SELECT doc_id FROM documents) d LEFT JOIN sig s USING (doc_id)
-)
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-FROM sig0 a JOIN sig0 b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.s, b.s)) <= 3
-"""
-
-
-@register("dedup_simhash", _SIMHASH_SQL)
-def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weaviate_txtai_spark.operators.dedup import simhash_pairs
-
-    res = simhash_pairs(
-        load_table(spark, sf_dir, "documents"),
-        max_hamming=3,
-        bits=32,
-        token_hash="md5",
-    )
-    return res.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
-
-
-# --------------------------------------------------------------------------
-# Text analysis suite (north-star M3)
-# --------------------------------------------------------------------------
-
-# empty-doc guard in the SQL mirrors the Spark side's _per_token (0.0, not x/0)
-_TEXT_STATS_SQL = """
-SELECT doc_id,
-       CAST(len(toks) AS INT) AS n_tokens,
-       CAST(len(list_distinct(toks)) AS INT) AS n_unique,
-       CASE WHEN len(toks) = 0 THEN 0.0
-            ELSE round(len(list_distinct(toks)) * 1.0 / len(toks), 6)
-       END AS diversity,
-       md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-FROM (SELECT doc_id, text,
-             list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents)
-"""
-
-
-@register("text_stats", _TEXT_STATS_SQL)
-def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weaviate_txtai_spark.functions.text import (
-        fingerprint,
-        lexical_diversity,
-        token_count,
-        tokens,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.size(F.array_distinct(tokens("text"))).alias("n_unique"),
-        F.round(lexical_diversity("text"), 6).alias("diversity"),
-        fingerprint("text").alias("fp"),
-    )
-
-
-_TEXT_QUALITY_SQL = """
-SELECT doc_id,
-       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-       round(least(len(toks) / 100.0, 1.0) * 0.4
-             + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
-             + least((len(list_filter(toks, x -> list_contains(
-                 ['the','a','of','and','to','in','is','that','it','for',
-                  'on','with','as','was','at','by'], x))) * 1.0 / len(toks))
-                 * 5.0, 1.0) * 0.3,
-             6) END AS quality
-FROM (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents)
-"""
-
-
-@register("text_quality", _TEXT_QUALITY_SQL)
-def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weaviate_txtai_spark.functions.text import quality_score
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.round(quality_score("text"), 6).alias("quality")
-    )
-
-
-_TOKENS_BY_SOURCE_SQL = """
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
-            AS BIGINT) AS total_tokens
-FROM documents
-GROUP BY source
-ORDER BY source
-"""
-
-
-@register("tokens_by_source", _TOKENS_BY_SOURCE_SQL)
-def tokens_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weaviate_txtai_spark.functions.text import token_count
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count("text")).alias("total_tokens"),
-        )
-        .orderBy("source")
-    )
-
-
-def _lang_id_oracle() -> str:
-    """Build the DuckDB argmax-over-profiles SQL from the SAME
-    LANG_PROFILES dict the Spark expression uses — one source of truth,
-    the oracle can't drift from the engine. Struct max() compares
-    (score, lang) fields in order in both engines, so ties break
-    identically (lexicographically larger code). Unsegmented scripts
-    (UNSEGMENTED_LANGS) score by character containment, mirroring the
-    Spark expression."""
-    from weaviate_txtai_spark.functions.text import (
-        LANG_PROFILES,
-        UNSEGMENTED_LANGS,
-    )
-
-    def entry(code: str, words: list[str]) -> str:
-        if code in UNSEGMENTED_LANGS:
-            score = " + ".join(
-                f"(CASE WHEN contains(lt, '{w}') THEN 1 ELSE 0 END)"
-                for w in words
-            )
-            return "{'s': " + score + ", 'lang': '" + code + "'}"
-        return (
-            "{'s': len(list_filter(t, x -> list_contains(["
-            + ", ".join(f"'{w}'" for w in words)
-            + "], x))), 'lang': '" + code + "'}"
-        )
-
-    entries = ", ".join(
-        entry(code, words) for code, words in LANG_PROFILES.items()
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, lower(text) AS lt,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-  FROM documents
-), best AS (
-  SELECT doc_id, max(s) AS b
-  FROM (SELECT doc_id, unnest([{entries}]) AS s FROM toks)
-  GROUP BY doc_id
-)
-SELECT CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS detected_lang,
-       CAST(count(*) AS BIGINT) AS n_docs
-FROM best GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("lang_id", _lang_id_oracle())
-def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weaviate_txtai_spark.functions.text import lang_id
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(lang_id("text").alias("detected_lang"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("detected_lang")
-    )
-
-
-# --------------------------------------------------------------------------
-# Streaming (M4) + multimodal (M3.4)
-# --------------------------------------------------------------------------
-
-
-@register("streaming_hourly", _EVENTS_HOURLY_SQL)
-def streaming_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming tumbling-window agg (availableNow) — same
-    oracle as the batch query: streaming correctness IS batch
-    equivalence for a static source."""
-    from weaviate_txtai_spark.streaming.events import run_hourly_available_now
-
-    return run_hourly_available_now(spark, sf_dir, table_name="hourly_stream_gate")
-
-
-_RETURNS_CUBE_SQL = """
-SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-       coalesce(l_linestatus, 'ALL') AS linestatus,
-       CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice), 2) AS total_price
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY returnflag, linestatus
-"""
-
-
-@register("returns_cube", _RETURNS_CUBE_SQL)
-def returns_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (rollup is covered by orders_rollup): all four
-    grouping combinations in ONE aggregate pass — Spark expands the
-    grouping sets map-side, so the fact table is still read once."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n",
-            "total_price",
-        )
-        .orderBy("returnflag", "linestatus")
-    )
-
-
-_ROLLING_FP_SQL = """
-SELECT doc_id,
-       list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-           list_transform(
-             list_filter(string_split(text, ' '), x -> x <> ''),
-             t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
-         (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
-FROM documents
-ORDER BY doc_id
-"""
-
-
-@register("doc_fingerprint_rolling", _ROLLING_FP_SQL)
-def doc_fingerprint_rolling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (position-sensitive, pure
-    codegen fold — no UDF); the md5 form is covered by text_stats."""
-    from weaviate_txtai_spark.functions.text import rolling_fingerprint
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", rolling_fingerprint("text").alias("fp")
-    ).orderBy("doc_id")
-
-
-_EVENTS_PIVOT_SQL = """
-SELECT user_id,
-       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
-       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
-       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
-       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2)
-         AS purchase_value
-FROM events
-WHERE user_id < 50
-GROUP BY user_id
-ORDER BY user_id
-"""
-
-
-@register("events_pivot", _EVENTS_PIVOT_SQL)
-def events_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot event_type into wide per-user columns. Spark's
-    groupBy().pivot(values=...) with explicit values stays a single
-    hash aggregate (no extra pass to discover the pivot domain)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    wide = (
-        ev.groupBy("user_id")
-        .pivot("event_type", ["click", "view", "purchase"])
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("val"),
-        )
-    )
-    return (
-        wide.select(
-            "user_id",
-            F.coalesce("click_n", F.lit(0)).alias("clicks"),
-            F.coalesce("view_n", F.lit(0)).alias("views"),
-            F.coalesce("purchase_n", F.lit(0)).alias("purchases"),
-            F.coalesce("purchase_val", F.lit(0.0)).alias("purchase_value"),
-        )
-        .orderBy("user_id")
-    )
-
-
-_ANTI_JOIN_SQL = """
-SELECT c.c_mktsegment,
-       CAST(count(*) AS BIGINT) AS n_inactive
-FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
-GROUP BY c.c_mktsegment
-ORDER BY c.c_mktsegment
-"""
-
-
-@register("inactive_customer_segments", _ANTI_JOIN_SQL)
-def inactive_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join — the same shape VectorIndex.delete
-    uses for set-oriented deletion (reference does this as N+1 HTTP
-    round-trips, weaviate.py:167-173)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") > 150000
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_inactive"))
-        .orderBy("c_mktsegment")
-    )
-
-
-_SEMI_JOIN_SQL = """
-SELECT c.c_mktsegment,
-       CAST(count(*) AS BIGINT) AS n_active,
-       round(avg(c.c_acctbal), 2) AS avg_balance
-FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-GROUP BY c.c_mktsegment
-ORDER BY c.c_mktsegment
-"""
-
-
-@register("active_customer_segments", _SEMI_JOIN_SQL)
-def active_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS-subquery shape as a left-semi join: the orders side is
-    filtered + deduped by the semi join itself, customers never
-    duplicate. Semi joins broadcast their right side when small."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") > 100000
-    )
-    return (
-        cust.join(
-            orders, cust.c_custkey == orders.o_custkey, "left_semi"
-        )
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_active"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-_STREAM_INGEST_SQL = """
-SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS docid
-FROM documents
-ORDER BY docid
-"""
-
-
-@register("streaming_ingest", _STREAM_INGEST_SQL)
-def streaming_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest into a VectorIndex (M4): file stream over the
-    documents table → Arrow-batched encode → foreachBatch append with
-    running-offset docids. The oracle checks the ingest invariant the
-    reference enforces with its offset counter (weaviate.py:67,149):
-    docids come out dense 0..N-1 regardless of micro-batch boundaries."""
-    import os
-    import tempfile
-
-    from weaviate_txtai_spark.index import VectorIndex
-    from weaviate_txtai_spark.streaming.ingest import stream_ingest
-
-    schema = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).schema
-    work = tempfile.mkdtemp(prefix="wts_stream_ingest_")
-    idx = VectorIndex(spark, os.path.join(work, "idx")).create()
-    stream = spark.readStream.schema(schema).parquet(
-        os.path.join(sf_dir, "documents.parque*")
-    )
-    q = stream_ingest(stream, idx, checkpoint=os.path.join(work, "cp"))
-    # bounded wait: an availableNow drain of one file finishes in seconds;
-    # never hang the driver harness if the stream wedges
-    q.awaitTermination(600)
-    q.stop()
-    return idx.to_df().select("docid").orderBy("docid")
-
-
-@register("streaming_sessions", None)  # stateful op: rows-only (non-SQL)
-def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (applyInPandasWithState session windows);
-    equivalence to the batch lag-gap spec is asserted in
-    tests/test_sessions.py."""
-    from weaviate_txtai_spark.streaming.events import stream_events
-    from weaviate_txtai_spark.streaming.sessions import sessionize_stream
-
-    out = sessionize_stream(stream_events(spark, sf_dir))
-    q = (
-        out.writeStream.format("memory")
-        .queryName("sessions_stream_gate")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("sessions_stream_gate").select(
-        "user_id",
-        F.col("session_start").cast("long").alias("start_s"),
-        F.col("session_end").cast("long").alias("end_s"),
-        "n_events",
-    )
-
-
-@register("multimodal_features", None)  # mapInPandas features: rows-only
-def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> Arrow-batched feature extraction; deterministic
-    fake decoder (no codecs in container), real Spark plumbing."""
-    from weaviate_txtai_spark.multimodal.binary import (
-        attach_fake_payload,
-        extract_features,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    feats = extract_features(attach_fake_payload(docs))
-    return feats.select(
-        "doc_id",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.size("features").alias("dim"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Temporal joins (north-star; reference has no joins at all — SURVEY §2.4)
-# --------------------------------------------------------------------------
-
-_ASOF_SQL = """
-WITH p AS (SELECT event_id, user_id, ts, value FROM events
-           WHERE event_type = 'purchase'),
-     c AS (SELECT user_id, ts, value AS click_value FROM events
-           WHERE event_type = 'click')
-SELECT p.event_id, p.user_id,
-       round(p.value, 4) AS purchase_value,
-       round(coalesce(c.click_value, 0), 4) AS click_value,
-       coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
-       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-ORDER BY p.event_id
-"""
-
-
-@register("events_asof", _ASOF_SQL)
-def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Click attribution: for every purchase, the latest click of the same
-    user at-or-before the purchase (backward as-of LEFT join). One shuffle
-    on user_id, no range explosion — operators/asof.py."""
-    from weaviate_txtai_spark.operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
-    )
-    res = asof_join(
-        purchases, clicks, on=["user_id"], matched_ts_col="click_ts"
-    )
-    # NULL-free gate projection: the driver's row-sort comparator chokes
-    # on None mixed into a typed column, so unmatched rows carry sentinels
-    # (epoch-0 ts, 0 value, -1 gap) on BOTH engines.
-    return res.select(
-        "event_id",
-        "user_id",
-        F.round("value", 4).alias("purchase_value"),
-        F.round(F.coalesce("click_value", F.lit(0.0)), 4).alias("click_value"),
-        F.coalesce(
-            "click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
-        ).alias("click_ts"),
-        F.coalesce(
-            F.unix_micros("ts") - F.unix_micros("click_ts"), F.lit(-1)
-        ).alias("gap_us"),
-    ).orderBy("event_id")
-
-
-_RANGE_JOIN_SQL = """
-WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
-SELECT e.event_id, e.user_id,
-       CAST(count(r.event_id) AS BIGINT) AS n_follow,
-       round(coalesce(sum(r.value), 0), 4) AS sum_follow
-FROM e LEFT JOIN events r
-  ON r.user_id = e.user_id
- AND epoch_us(r.ts) > epoch_us(e.ts)
- AND epoch_us(r.ts) <= epoch_us(e.ts) + 600000000
-GROUP BY e.event_id, e.user_id
-ORDER BY e.event_id
-"""
-
-
-@register("events_range_join", _RANGE_JOIN_SQL)
-def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-window follow-up: per error event, count/sum of the same
-    user's events in the next 10 minutes. Epoch-bucketed equi-join
-    (operators/asof.range_join) — linear shuffle, never the quadratic
-    inequality cross-join Catalyst would plan."""
-    from weaviate_txtai_spark.operators.asof import range_join
-
-    ev = load_table(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
-    follow = ev.select(
-        "user_id",
-        F.col("ts").alias("r_ts"),
-        F.col("event_id").alias("r_event_id"),
-        F.col("value").alias("r_value"),
-    )
-    pairs = range_join(
-        errors,
-        follow,
-        window_seconds=600,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="r_ts",
-    )
-    counts = pairs.groupBy("event_id", "user_id").agg(
-        F.count("r_event_id").alias("n_follow"),
-        F.round(F.sum("r_value"), 4).alias("sum_follow"),
-    )
-    return (
-        errors.select("event_id", "user_id")
-        .join(counts, ["event_id", "user_id"], "left")
-        .select(
-            "event_id",
-            "user_id",
-            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
-            F.coalesce("sum_follow", F.lit(0.0)).alias("sum_follow"),
-        )
-        .orderBy("event_id")
-    )
-
-
-_TRAIN_TEST_SPLIT_SQL = """
-WITH labeled AS (
-  SELECT doc_id, lang,
-         CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8
-                THEN 'train'
-              WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9
-                THEN 'valid'
-              ELSE 'test' END AS split
-  FROM documents
-)
-SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(min(doc_id) AS BIGINT) AS min_id
-FROM labeled GROUP BY split, lang ORDER BY split, lang
-"""
-
-
-@register("train_test_split", _TRAIN_TEST_SPLIT_SQL)
-def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 split via multiplicative hashing of doc_id
-    (functions/sampling.py) — reproducible under any partitioning, unlike
-    randomSplit; the oracle runs the identical integer arithmetic."""
-    from weaviate_txtai_spark.functions.sampling import assign_split
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("split", assign_split("doc_id"))
-        .groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_id"),
-        )
-        .orderBy("split", "lang")
-    )
-
-
-_RETURNED_ITEMS_SQL = """
-SELECT c.c_custkey, c.c_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       round(c.c_acctbal, 2) AS c_acctbal, n.n_name
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE o.o_orderdate >= DATE '1995-10-01'
-  AND o.o_orderdate < DATE '1996-01-01'
-  AND l.l_returnflag = 'R'
-GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-ORDER BY revenue DESC, c.c_custkey
-LIMIT 20
-"""
-
-
-@register("returned_items", _RETURNED_ITEMS_SQL)
-def returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: quarter-sliced orders ⋈ returned lineitems, with
-    customer and nation dims broadcast onto the aggregated fact join;
-    top-20 by lost revenue via TakeOrderedAndProject."""
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select(
-            "c_custkey",
-            "c_name",
-            "revenue",
-            F.round("c_acctbal", 2).alias("c_acctbal"),
-            "n_name",
-        )
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-# --------------------------------------------------------------------------
-# Corpus statistics: TF-IDF and n-gram frequency (text-pipeline vocabulary)
-# --------------------------------------------------------------------------
-
-_TFIDF_SQL = """
-WITH tok AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-  FROM documents
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
-), dfreq AS (
-  SELECT term, count(*) AS df FROM tf GROUP BY 1
-), n AS (SELECT count(*) AS n FROM documents)
-SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM (
-  SELECT tf.doc_id, tf.term,
-         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf,
-         CAST(row_number() OVER (
-             PARTITION BY tf.doc_id
-             ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) DESC,
-                      tf.term ASC) AS INT) AS rank
-  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
-) WHERE rank <= 3
-"""
-
-
-@register("tfidf_top_terms", _TFIDF_SQL)
-def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document. Two partial-agg shuffles (doc-term
-    tf, then term df); the df table and the corpus-count scalar broadcast
-    back onto tf, so the scoring join never shuffles the big side; the
-    final window partitions by doc_id."""
-    from weaviate_txtai_spark.functions.text import tokens
-    from weaviate_txtai_spark.sources.tables import spread
-
-    docs = load_table(spark, sf_dir, "documents")
-    tok = spread(docs).select("doc_id", F.explode(tokens("text")).alias("term"))
-    # tf feeds BOTH the scoring join and the df aggregate; without persist
-    # the tokenize+explode+agg lineage runs twice (plan showed 2 extra
-    # document scans). At 100 TB swap persist() for a disk checkpoint —
-    # the doc-term table is corpus-sized.
-    from weaviate_txtai_spark.cache import scoped_persist
-
-    tf = scoped_persist(
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "tfidf_raw",
-            F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tfidf_raw"), F.asc("term")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rank")
-    )
-
-
-_BIGRAM_SQL = """
-WITH bg AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(toks) - 1, 0) + 1),
-           i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS bigram
-  FROM (SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents)
-)
-SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs
-FROM bg GROUP BY bigram
-ORDER BY n_docs DESC, bigram ASC
-LIMIT 20
-"""
-
-
-@register("bigram_top", _BIGRAM_SQL)
-def bigram_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 bigrams by document frequency (shingles are distinct per
-    doc, so count(*) = doc frequency). orderBy().limit() compiles to
-    TakeOrderedAndProject — per-partition heaps, no global sort."""
-    from weaviate_txtai_spark.functions.text import shingles
-    from weaviate_txtai_spark.sources.tables import spread
-
-    docs = load_table(spark, sf_dir, "documents")
-    bg = spread(docs).select(F.explode(shingles("text", 2)).alias("bigram"))
-    return (
-        bg.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy(F.desc("n_docs"), F.asc("bigram"))
-        .limit(20)
-    )
-
-
-_STREAM_INTERVAL_JOIN_SQL = """
-WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
-SELECT e.event_id, e.user_id,
-       CAST(count(*) AS BIGINT) AS n_follow,
-       round(sum(r.value), 4) AS sum_follow
-FROM e JOIN events r
-  ON r.user_id = e.user_id
- AND epoch_us(r.ts) > epoch_us(e.ts)
- AND epoch_us(r.ts) <= epoch_us(e.ts) + 600000000
-GROUP BY e.event_id, e.user_id
-ORDER BY e.event_id
-"""
-
-
-@register("streaming_interval_join", _STREAM_INTERVAL_JOIN_SQL)
-def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream self-join (streaming/joins.py) drained
-    with availableNow, aggregated batch-side — must equal the static
-    inequality join (streaming correctness = batch equivalence). Inner
-    join, so zero-follower errors drop (unlike events_range_join)."""
-    from weaviate_txtai_spark.streaming.joins import run_error_follow_join
-
-    pairs = run_error_follow_join(
-        spark, sf_dir, table_name="interval_join_gate"
-    )
-    return (
-        pairs.groupBy("event_id", "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_follow"),
-            F.round(F.sum("r_value"), 4).alias("sum_follow"),
-        )
-        .orderBy("event_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# TPC-H-shaped relational coverage: Q3 shipping priority, Q14 promo share
-# --------------------------------------------------------------------------
-
-_SHIPPING_PRIORITY_SQL = """
-SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       o.o_orderdate, o.o_orderpriority
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < DATE '1995-03-15'
-  AND l.l_shipdate > DATE '1995-03-15'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, l.l_orderkey
-LIMIT 10
-"""
-
-
-@register("shipping_priority", _SHIPPING_PRIORITY_SQL)
-def shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter broadcast into a fact⋈fact
-    join, grouped revenue, top-10. customer (dim) broadcasts; the
-    lineitem⋈orders shuffle is the co-bucketing candidate
-    (sources/bucketed.py)."""
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(
-            F.broadcast(cust.select("c_custkey")),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
-
-
-_PROMO_REVENUE_SQL = """
-SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                               THEN l.l_extendedprice * (1 - l.l_discount)
-                               ELSE 0 END)
-              / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
-         AS promo_revenue
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= DATE '1995-09-01'
-  AND l.l_shipdate < DATE '1995-10-01'
-"""
-
-
-@register("promo_revenue", _PROMO_REVENUE_SQL)
-def promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: month-sliced fact scan, broadcast part dim,
-    conditional aggregate ratio — the date filter pushes into the
-    parquet scan."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date"))
-    )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), net).otherwise(F.lit(0.0))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(net), 6).alias(
-                "promo_revenue"
-            )
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Classic decision-support join/agg shapes (TPC-H Q4/Q7/Q11/Q15/Q17/Q18/
-# Q19/Q22 analogues on the driver's star schema) — breadth of the SQL
-# surface the reference's txtai dialect can never express (SURVEY §2.4).
-# --------------------------------------------------------------------------
-
-_NATION_TRADE_SQL = """
-SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       CAST(year(l.l_shipdate) AS INT) AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-FROM lineitem l
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
-JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-WHERE n1.n_name <> n2.n_name
-  AND l.l_shipdate < TIMESTAMP '1997-01-01'
-GROUP BY 1, 2, 3
-"""
-# revenue sums land exactly on the 2dp rounding boundary for a few of the
-# 1200 groups, so double accumulation order flips the last cent: sum in
-# DECIMAL (exact, order-independent) on both engines, round, cast back.
-_NATION_TRADE_SQL = _NATION_TRADE_SQL.replace(
-    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)",
-    "CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)"
-    " AS DECIMAL(28,8))), 2) AS DOUBLE)",
-)
-
-
-@register("nation_trade_volume", _NATION_TRADE_SQL)
-def nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: cross-nation trade volume. Two fact-side shuffle
-    joins (lineitem⋈orders, +customer); supplier and both nation roles
-    broadcast. The nation inequality filters post-join on broadcast
-    columns — no extra shuffle."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
-    )
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-        )
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(28,8)"
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-    )
-
-
-_LARGE_ORDERS_SQL = """
-WITH big AS (
-  SELECT l_orderkey, sum(l_quantity) AS total_qty
-  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
-)
-SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-       round(o.o_totalprice, 2) AS o_totalprice,
-       round(big.total_qty, 1) AS total_qty
-FROM big
-JOIN orders o ON o.o_orderkey = big.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 20
-"""
-
-
-@register("large_orders", _LARGE_ORDERS_SQL)
-def large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: large-volume orders. The HAVING aggregate runs
-    first (partial map-side sums), shrinking the fact to a handful of
-    orderkeys; AQE then broadcasts that survivor set onto orders —
-    order of magnitude less shuffle than joining before aggregating."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__qty"))
-        .filter(F.col("__qty") > 300)
-    )
-    return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.round("__qty", 1).alias("total_qty"),
-        )
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(20)
-    )
-
-
-_DISJUNCTIVE_SQL = """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       count(*) AS n_items
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity <= 15)
-   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
-       AND l.l_quantity BETWEEN 10 AND 25)
-   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 25)
-"""
-
-
-@register("disjunctive_selection", _DISJUNCTIVE_SQL)
-def disjunctive_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: OR-of-conjuncts selection. The brand IN-list (the
-    disjunction's common factor) is applied to part BEFORE the join, so
-    it pushes into the part scan and shrinks the broadcast; the mixed
-    part/lineitem disjunction evaluates post-join in codegen."""
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity")
-    branch = (
-        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & (q <= 15))
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 25)
-            & q.between(10, 25)
-        )
-        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & (q >= 25))
-    )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .filter(branch)
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_LAPSED_SQL = """
-WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
-SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
-FROM customer c, avg_bal
-WHERE c.c_acctbal > avg_bal.ab
-  AND NOT EXISTS (
-    SELECT 1 FROM orders o
-    WHERE o.o_custkey = c.c_custkey
-      AND o.o_orderdate >= TIMESTAMP '2001-01-01'
-  )
-GROUP BY 1
-"""
-
-
-@register("lapsed_high_value_customers", _LAPSED_SQL)
-def lapsed_high_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no recent
-    orders. The global-average scalar broadcasts as a 1-row crossJoin;
-    the NOT EXISTS is a left_anti join against the date-filtered orders
-    (filter pushed to the orders scan, shrinking the anti side)."""
-    cust = load_table(spark, sf_dir, "customer")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__ab")
-    )
-    recent = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
-        .select(F.col("o_custkey").alias("c_custkey"))
-    )
-    return (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("__ab"))
-        .join(recent, "c_custkey", "left_anti")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
-        )
-    )
-
-
-_PART_SHARE_SQL = """
-WITH pr AS (
-  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
-  FROM lineitem GROUP BY 1
-), tot AS (SELECT sum(val) AS t, count(*) AS np FROM pr)
-SELECT pr.l_partkey, round(pr.val, 2) AS val
-FROM pr, tot
-WHERE pr.val > 1.5 * tot.t / tot.np
-ORDER BY val DESC, l_partkey
-"""
-
-
-@register("part_revenue_share", _PART_SHARE_SQL)
-def part_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts earning more than 1.5x the average part
-    revenue — a scale-invariant threshold (a fixed share-of-total goes
-    degenerate as the part count grows). One shuffle (groupBy partkey);
-    the total re-aggregates the already-small per-part table and
-    broadcasts back as a 1-row crossJoin — the fact is scanned once."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pr = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__val")
-    )
-    tot = pr.agg(F.sum("__val").alias("__t"), F.count(F.lit(1)).alias("__np"))
-    return (
-        pr.crossJoin(F.broadcast(tot))
-        .filter(F.col("__val") > 1.5 * F.col("__t") / F.col("__np"))
-        .select("l_partkey", F.round("__val", 2).alias("val"))
-        .orderBy(F.desc("val"), F.asc("l_partkey"))
-    )
-
-
-_TOP_SUPPLIER_SQL = """
-WITH rev AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY 1
-)
-SELECT s.s_suppkey, s.s_name, rev.total_rev
-FROM supplier s
-JOIN rev ON s.s_suppkey = rev.l_suppkey
-WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
-ORDER BY s_suppkey
-"""
-
-
-@register("top_revenue_supplier", _TOP_SUPPLIER_SQL)
-def top_revenue_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: supplier(s) with max quarter revenue. The scalar
-    max re-aggregates the per-supplier table (already shuffled once) and
-    broadcasts; revenue is rounded BEFORE the max-equality so Spark and
-    the oracle compare identical doubles."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_rev")
-    )
-    mx = rev.agg(F.max("total_rev").alias("__mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_rev") == F.col("__mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev")
-        .orderBy("s_suppkey")
-    )
-
-
-_SMALL_QTY_SQL = """
-WITH pa AS (
-  SELECT l.l_partkey, 0.2 * avg(l.l_quantity) AS lim
-  FROM lineitem l
-  JOIN part p ON p.p_partkey = l.l_partkey
-  WHERE p.p_brand = 'Brand#23'
-  GROUP BY 1
-)
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
-FROM lineitem l
-JOIN pa ON l.l_partkey = pa.l_partkey
-WHERE l.l_quantity < pa.lim
-"""
-
-
-@register("small_quantity_revenue", _SMALL_QTY_SQL)
-def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: revenue from below-avg-quantity lineitems of one
-    brand. The correlated avg subquery decorrelates into a per-part
-    aggregate over the brand-restricted fact (brand filter broadcast
-    onto lineitem first), then broadcasts back onto the same restricted
-    fact — the full lineitem is never shuffled."""
-    brand_parts = (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#23")
-        .select("p_partkey")
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    brand_li = li.join(
-        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
-    ).select("l_partkey", "l_quantity", "l_extendedprice")
-    pa = brand_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        (0.2 * F.avg("l_quantity")).alias("__lim")
-    )
-    return (
-        brand_li.join(F.broadcast(pa), F.col("l_partkey") == F.col("__pk"))
-        .filter(F.col("l_quantity") < F.col("__lim"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
-    )
-
-
-_LATE_SHIP_SQL = """
-SELECT o.o_orderpriority, count(*) AS order_count
-FROM orders o
-WHERE EXISTS (
-  SELECT 1 FROM lineitem l
-  WHERE l.l_orderkey = o.o_orderkey
-    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-)
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-@register("late_shipment_priority", _LATE_SHIP_SQL)
-def late_shipment_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: orders with at least one late-shipped line, counted
-    by priority. The correlated EXISTS is a left_semi join whose
-    non-equi part (l_shipdate > o_orderdate + 60 days) evaluates inside
-    the join; semi-join semantics dedupe multi-line matches for free."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    cond = (orders.o_orderkey == li.l_orderkey) & (
-        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
-    )
-    return (
-        orders.join(li, cond, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-# --------------------------------------------------------------------------
-# Sketch / approximate aggregates (training-pipeline corpus profiling):
-# exact versions are oracle-gated; the sketch versions are rows-only with
-# pytest error-bound tests (tests/test_sketches.py) because HLL /
-# KLL implementations differ across engines by design.
-# --------------------------------------------------------------------------
-
-_DISTINCT_USERS_SQL = """
-SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-FROM events GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("events_distinct_users", _DISTINCT_USERS_SQL)
-def events_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct cardinality per group — Spark expands
-    count_distinct into a two-phase aggregate (partial dedupe map-side,
-    then count), the pattern the HLL sketch below replaces at scale."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count_distinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register("approx_distinct_users", None)  # sketch: engine-specific → rows-only
-def approx_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct cardinality per group. At 100 TB this is
-    THE distinct-count: fixed ~1.5 KB of state per group instead of a
-    shuffle of every distinct key; mergeable across partitions.
-    Bounded-error contract pinned in tests/test_sketches.py."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
-        .orderBy("event_type")
-    )
-
-
-@register("approx_price_quantiles", None)  # sketch: engine-specific → rows-only
-def approx_price_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles of l_extendedprice via Greenwald-Khanna
-    (percentile_approx). Mergeable fixed-size sketch vs. the exact
-    percentile's full sort; accuracy contract in tests/test_sketches.py
-    against the exact `price_quantiles` query."""
-    li = load_table(spark, sf_dir, "lineitem")
-    qs = F.percentile_approx(
-        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-    ).alias("__qs")
-    return (
-        li.agg(qs)
-        .select(
-            F.posexplode("__qs").alias("q_idx", "price_approx")
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# Window-frame / bucketing / grouping-set breadth + streaming dedup
-# --------------------------------------------------------------------------
-
-_ROLLING_AVG_SQL = """
-SELECT event_id, user_id,
-       round(avg(value) OVER (
-         PARTITION BY user_id ORDER BY ts
-         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-       ), 6) AS rolling_avg
-FROM events
-"""
-
-
-@register("events_rolling_avg", _ROLLING_AVG_SQL)
-def events_rolling_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-RANGE window frame (vs. the ROWS frame in running_revenue):
-    per-user 1-hour trailing average. Spark's rangeBetween needs a
-    numeric ordering key, so ts maps to epoch MICROSECONDS — full
-    timestamp precision; truncating to seconds silently moves events
-    across the frame boundary (caught at sf0.1, where sub-second
-    spacing appears). One shuffle on user_id, then a sorted
-    in-partition frame scan."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3600 * 1_000_000, 0)
-    )
-    return ev.select(
-        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
-    )
-
-
-_DECILES_SQL = """
-WITH ranked AS (
-  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
-  FROM customer
-)
-SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
-       round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
-FROM ranked GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("customer_value_deciles", _DECILES_SQL)
-def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing (equi-depth histogram of customer value). Routed
-    through the exact_ntile guardrail (VERDICT r2 item 6): ntile needs a
-    global order — a single-partition sort, the one window shape that
-    does NOT scale by partitioning alone — so the helper warns above a
-    row threshold and points to quantile_buckets / approx_value_deciles,
-    the same histogram without the global sort."""
-    from weaviate_txtai_spark.functions.sampling import exact_ntile
-
-    cust = load_table(spark, sf_dir, "customer")
-    return (
-        exact_ntile(
-            cust.select("c_acctbal", "c_custkey"),
-            10,
-            F.desc("c_acctbal"),
-            F.asc("c_custkey"),
-            bucket_col="decile",
-            # the input is one row per customer of a fixed sf table —
-            # known far below the threshold, so skip the probe job
-            warn_rows=None,
-        )
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        )
-        .orderBy("decile")
-    )
-
-
-_DOCS_GROUPING_SETS_SQL = """
-SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(n_chars), 4) AS avg_chars
-FROM documents
-GROUP BY GROUPING SETS ((lang), (lang, source), ())
-ORDER BY lang, source
-"""
-
-
-@register("docs_grouping_sets", _DOCS_GROUPING_SETS_SQL)
-def docs_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form behind orders_rollup's
-    ROLLUP and returns_cube's CUBE): three chosen granularities in one
-    aggregate pass over a single scan of the table."""
-    docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("__docs_gs")
-    return spark.sql(
-        """
-        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-               count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
-        FROM __docs_gs
-        GROUP BY GROUPING SETS ((lang), (lang, source), ())
-        ORDER BY lang, source
-        """
-    )
-
-
-_STREAM_DEDUP_SQL = """
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct_users
-FROM (SELECT DISTINCT user_id, event_type FROM events)
-GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("streaming_dedup", _STREAM_DEDUP_SQL)
-def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates over the event stream
-    (availableNow) must emit exactly the batch DISTINCT pairs — the
-    post-aggregation runs batch-side on the materialized sink. See
-    streaming/dedup.py for the state-size / watermark tradeoff."""
-    from weaviate_txtai_spark.streaming.dedup import stream_distinct_pairs
-
-    pairs = stream_distinct_pairs(spark, sf_dir, table_name="dedup_stream_gate")
-    return (
-        pairs.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
-        .orderBy("event_type")
-    )
-
-
-# --------------------------------------------------------------------------
-# Chunking / packing / repetition (LLM training-data preparation)
-# --------------------------------------------------------------------------
-
-_DOC_CHUNKS_SQL = """
-SELECT d.doc_id, CAST(s.start // 100 AS INT) AS chunk_id,
-       substr(d.text, CAST(s.start AS INT) + 1, 200) AS chunk_text,
-       CAST(length(substr(d.text, CAST(s.start AS INT) + 1, 200)) AS INT)
-         AS chunk_len
-FROM documents d,
-     unnest(generate_series(0, greatest(length(d.text) - 1, 0), 100)) AS s(start)
-"""
-
-
-@register("doc_chunks", _DOC_CHUNKS_SQL)
-def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping 200-char windows with stride 100 — map-only
-    explode(sequence)+substring, zero shuffles; chunk_id is the window
-    ordinal so downstream joins can reconstruct overlap adjacency."""
-    from weaviate_txtai_spark.operators.chunking import chunk_docs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return chunk_docs(docs, size=200, stride=100)
-
-
-_PACK_SEQUENCES_SQL = """
-WITH t AS (
-  SELECT source, doc_id,
-         CAST(length(list_filter(string_split(text, ' '), x -> x <> ''))
-              AS BIGINT) AS n_tokens
-  FROM documents
-), c AS (
-  SELECT source, doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS cum_before
-  FROM t
-), r AS (
-  SELECT source, doc_id, n_tokens,
-         CAST(floor(cum_before / 512.0) AS BIGINT) AS raw_pack
-  FROM c
-)
-SELECT source, doc_id, n_tokens,
-       CAST(dense_rank() OVER (PARTITION BY source ORDER BY raw_pack) - 1
-            AS BIGINT) AS pack_id
-FROM r
-"""
-
-
-@register("pack_sequences", _PACK_SEQUENCES_SQL)
-def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-split sequence packing into 512-token budgets per
-    source (operators/chunking.py) — one window shuffle on source."""
-    from weaviate_txtai_spark.operators.chunking import pack_sequences
-
-    docs = load_table(spark, sf_dir, "documents")
-    return pack_sequences(docs, budget=512)
-
-
-_REPETITION_SQL = """
-WITH tok AS (
-  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-  FROM documents
-), tc AS (
-  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
-)
-SELECT doc_id,
-       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_ratio,
-       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
-FROM tc GROUP BY 1
-"""
-
-
-@register("docs_repetition", _REPETITION_SQL)
-def docs_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc repetition signals (Gopher-style quality rules): most
-    frequent token's share + type/token ratio. Both aggregates are
-    partial-aggregatable: the doc-term counts shuffle once on doc_id
-    and the per-doc reduction is map-side after that."""
-    from weaviate_txtai_spark.functions.text import tokens
-    from weaviate_txtai_spark.sources.tables import spread
-
-    docs = load_table(spark, sf_dir, "documents")
-    tc = (
-        spread(docs)
-        .select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    total = F.sum("c").cast("double")
-    return tc.groupBy("doc_id").agg(
-        F.round(F.max("c") / total, 6).alias("top_token_ratio"),
-        F.round(F.count(F.lit(1)) / total, 6).alias("type_token_ratio"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Stratified sampling + centroid aggregation
-# --------------------------------------------------------------------------
-
-# per-language keep rates: downsample the dominant language, keep the rest
-_STRATA_RATES = {"en": 0.2, "zh": 0.5}
-_STRATA_DEFAULT = 0.8
-
-_STRATIFIED_SQL = """
-SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(doc_id) AS min_id
-FROM (
-  SELECT lang, doc_id,
-         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
-  FROM documents
-)
-WHERE f < (CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.5 ELSE 0.8 END)
-GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("stratified_sample", _STRATIFIED_SQL)
-def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum sampling: keep-rate varies by language,
-    membership is a pure function of doc_id (multiplicative hash —
-    functions/sampling.py), so the sample is reproducible under any
-    partitioning and composes with the train/valid/test split (the two
-    decisions use the same fraction, so a row's sample fate and split
-    fate are consistent across reruns). Map-only: filter + aggregate,
-    one partial-agg shuffle."""
-    from weaviate_txtai_spark.functions.sampling import split_fraction
-
-    docs = load_table(spark, sf_dir, "documents")
-    rate = F.when(F.col("lang") == "en", F.lit(_STRATA_RATES["en"])).when(
-        F.col("lang") == "zh", F.lit(_STRATA_RATES["zh"])
-    ).otherwise(F.lit(_STRATA_DEFAULT))
-    return (
-        docs.filter(split_fraction("doc_id") < rate)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
-        .orderBy("lang")
-    )
-
-
-_LABEL_CENTROIDS_SQL = """
-SELECT label, CAST(t.i AS INT) AS dim_idx,
-       round(avg(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)), 6)
-         AS centroid_val
-FROM embeddings e, unnest(generate_series(1, 4)) AS t(i)
-GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-@register("label_centroids", _LABEL_CENTROIDS_SQL)
-def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid (the k-means/IVF training reduction) computed
-    relationally: posexplode the vector, average per (label, dim). The
-    elementwise avg is partial-aggregatable — each partition reduces its
-    own rows before the single shuffle on (label, dim) — exactly how a
-    distributed k-means iteration aggregates at 100 TB (ann.IVFIndex
-    uses the in-Python GEMM variant of the same reduction; first 4 dims
-    projected here to keep the gate output small)."""
-    emb = _emb(spark, sf_dir)
-    return (
-        emb.select("label", F.posexplode("embedding").alias("__i", "__x"))
-        .filter(F.col("__i") < 4)
-        .groupBy("label", (F.col("__i") + 1).cast("int").alias("dim_idx"))
-        .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("centroid_val"))
-        .orderBy("label", "dim_idx")
-    )
-
-
-# --------------------------------------------------------------------------
-# Lexical scoring (BM25) + hybrid reciprocal-rank fusion
-# --------------------------------------------------------------------------
-
-_BM25_TERMS = ["spark", "vector", "join"]
-
-# term list interpolated from _BM25_TERMS (single source of truth — a
-# hardcoded IN-list silently desyncs when the Python list changes);
-# doclen LEFT JOINs from documents so zero-token docs stay in n/avgdl,
-# matching the Spark side's docs.agg over ALL documents.
-_BM25_CORE_SQL = """
-WITH tok AS (
-  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-  FROM documents
-), tf AS (
-  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
-), doclen AS (
-  SELECT d.doc_id, coalesce(sum(tf.tf), 0) AS len
-  FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id GROUP BY 1
-), stats AS (
-  SELECT count(*) AS n, avg(len) AS avgdl FROM doclen
-), qtf AS (
-  SELECT * FROM tf WHERE t IN (__TERMS__)
-), dfreq AS (
-  SELECT t, count(*) AS df FROM qtf GROUP BY 1
-), scored AS (
-  SELECT qtf.doc_id,
-         round(sum(
-           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-           * qtf.tf * (1.2 + 1)
-           / (qtf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.len / stats.avgdl))
-         ), 6) AS score
-  FROM qtf
-  JOIN dfreq ON qtf.t = dfreq.t
-  JOIN doclen ON qtf.doc_id = doclen.doc_id
-  CROSS JOIN stats
-  GROUP BY 1
-)
-""".replace("__TERMS__", ", ".join(f"'{t}'" for t in _BM25_TERMS))
-
-_BM25_TOPK_SQL = (
-    _BM25_CORE_SQL
-    + "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"
-)
-
-
-@register("bm25_topk", _BM25_TOPK_SQL)
-def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-10 for a fixed 3-term query (operators/bm25.py).
-    Corpus-sized tables shuffle once each (tf, doclen); term stats
-    broadcast; top-k is TakeOrderedAndProject."""
-    from weaviate_txtai_spark.operators.bm25 import bm25_scores
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        bm25_scores(docs, _BM25_TERMS)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-_HYBRID_RRF_SQL = (
-    _BM25_CORE_SQL
-    + """
-, bmr AS (
-  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
-  FROM scored ORDER BY score DESC, doc_id LIMIT 50
-), cos AS (
-  SELECT vec_id,
-         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
-               6) AS cs
-  FROM embeddings
-), cr AS (
-  SELECT vec_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS INT) AS r
-  FROM cos ORDER BY cs DESC, vec_id LIMIT 50
-)
-SELECT coalesce(bmr.doc_id, cr.vec_id) AS doc_id,
-       round(coalesce(1.0 / (60 + bmr.r), 0) + coalesce(1.0 / (60 + cr.r), 0), 6)
-         AS rrf
-FROM bmr FULL JOIN cr ON bmr.doc_id = cr.vec_id
-ORDER BY rrf DESC, doc_id LIMIT 10
-"""
-)
-
-
-@register("hybrid_rrf", _HYBRID_RRF_SQL)
-def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 lexical ranks fused with cosine vector
-    ranks by reciprocal-rank fusion (k=60). Each retriever prunes to
-    its top-50 FIRST (TakeOrderedAndProject — per-partition heaps, no
-    global sort of the corpus); row_number then runs on 50 rows in one
-    tiny partition, and the fusion join is 50×50 at most. Scores are
-    rounded before ranking so rank order — hence the fused output — is
-    bit-identical across engines. Docs and vectors share ids 0..499
-    (FIXTURES.md); the outer join keeps items surfaced by only one
-    retriever."""
-    from weaviate_txtai_spark.operators.bm25 import bm25_scores
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = _emb(spark, sf_dir)
-
-    bm_top = (
-        bm25_scores(docs, _BM25_TERMS)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(50)
-    )
-    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    bmr = bm_top.select("doc_id", F.row_number().over(w_bm).cast("int").alias("__rb"))
-
-    qv = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    )
-    cos_top = (
-        emb.crossJoin(qv)
-        .select("vec_id", F.round(cosine_sim("embedding", "qv"), 6).alias("cs"))
-        .orderBy(F.desc("cs"), F.asc("vec_id"))
-        .limit(50)
-    )
-    w_cos = Window.orderBy(F.desc("cs"), F.asc("vec_id"))
-    cr = cos_top.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number().over(w_cos).cast("int").alias("__rc"),
-    )
-
-    rrf = F.coalesce(1.0 / (60 + F.col("__rb")), F.lit(0.0)) + F.coalesce(
-        1.0 / (60 + F.col("__rc")), F.lit(0.0)
-    )
-    return (
-        bmr.join(cr, "doc_id", "full_outer")
-        .select("doc_id", F.round(rrf, 6).alias("rrf"))
-        .orderBy(F.desc("rrf"), F.asc("doc_id"))
-        .limit(10)
-    )
-
-
-_BPE_TOKENS_SQL = """
-SELECT source,
-       CAST(sum(length(list_filter(
-         regexp_split_to_array(lower(text), '[^a-z0-9À-ɏ一-鿿]+'),
-         x -> x <> ''))) AS BIGINT) AS bpe_tokens,
-       CAST(max(length(list_filter(
-         regexp_split_to_array(lower(text), '[^a-z0-9À-ɏ一-鿿]+'),
-         x -> x <> ''))) AS BIGINT) AS max_doc_tokens
-FROM documents GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("bpe_token_counts", _BPE_TOKENS_SQL)
-def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-word-ish token accounting per source (functions/text.py
-    bpe_ish_tokens: the BPE pre-tokenizer regex — word chars + digit
-    runs, latin + CJK ranges). The budget column a pretraining mixture
-    planner actually consumes; swap in a real tokenizer via mapInPandas
-    for byte-accurate counts. Map-side lengths, one partial-agg
-    shuffle."""
-    from weaviate_txtai_spark.functions.text import bpe_ish_tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    n = F.size(bpe_ish_tokens("text"))
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.sum(n).cast("long").alias("bpe_tokens"),
-            F.max(n).cast("long").alias("max_doc_tokens"),
-        )
-        .orderBy("source")
-    )
-
-
-_HARD_NEGATIVES_SQL = """
-SELECT query_id, vec_id, score, rank FROM (
-  SELECT q.vec_id AS query_id, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
-         CAST(row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                             CAST(q.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS INT) AS rank
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id, embedding, label FROM embeddings
-              WHERE vec_id IN (0, 1, 2)) q
-  WHERE e.label <> q.label
-) WHERE rank <= 3
-"""
-
-
-@register("hard_negatives", _HARD_NEGATIVES_SQL)
-def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per anchor, the
-    most similar vectors with a DIFFERENT label. Same broadcast +
-    map-only-scan + per-anchor window as knn_batch; the label
-    inequality evaluates pre-window inside the join filter, so
-    negatives-only rows ever reach the rank."""
-    emb = _emb(spark, sf_dir)
-    anchors = F.broadcast(
-        emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("label").alias("qlabel"),
-        )
-    )
-    # rank on the RAW score (the oracle's row_number orders by the raw
-    # cosine); round only for output — ranking the rounded value would
-    # flip tie-breaks at the 6dp boundary
-    w = Window.partitionBy("query_id").orderBy(F.desc("__raw"), F.asc("vec_id"))
-    return (
-        emb.crossJoin(anchors)
-        .filter(F.col("label") != F.col("qlabel"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_sim("embedding", "qv").alias("__raw"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "vec_id", F.round("__raw", 6).alias("score"), "rank")
-    )
-
-
-@register("approx_value_deciles", None)  # sketch boundaries: rows-only
-def approx_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path customer_value_deciles' docstring promises: an
-    equi-depth histogram WITHOUT a global sort. Decile boundaries come
-    from the GK quantile sketch (one partial-agg pass, mergeable);
-    bucket assignment is a broadcast of 9 doubles + a codegen'd count
-    of boundaries below each value — map-only. Error is bounded by the
-    sketch accuracy (bucket sizes within ~±1% of n/10 at accuracy 1e4,
-    pinned in tests/test_sketches.py) vs ntile's exact single-partition
-    sort."""
-    from weaviate_txtai_spark.functions.sampling import quantile_buckets
-
-    cust = load_table(spark, sf_dir, "customer")
-    return (
-        quantile_buckets(
-            cust.select("c_acctbal"), "c_acctbal", n_buckets=10,
-            bucket_col="decile",
-        )
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        )
-        .orderBy("decile")
-    )
-
-
-_CONTAMINATION_SQL = _JACCARD_CTE + """
-, sides AS (
-  SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 AS side FROM documents
-)
-SELECT p.d1, p.d2, p.jaccard,
-       CAST(sa.side AS INT) AS side1, CAST(sb.side AS INT) AS side2
-FROM pairs p
-JOIN sides sa ON p.d1 = sa.doc_id
-JOIN sides sb ON p.d2 = sb.doc_id
-WHERE p.jaccard >= 0.8 AND sa.side <> sb.side
-"""
-
-
-@register("contamination_check", _CONTAMINATION_SQL)
-def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-decontamination: near-dup pairs that CROSS a corpus
-    boundary (here: even- vs odd-numbered sources standing in for
-    train vs eval). Reuses the MinHash-LSH scale path — the side
-    predicate filters the verified pairs, so the expensive stages are
-    shared with in-corpus dedup and the check costs one extra broadcast
-    join. The exact-Jaccard oracle proves no cross-side pair escapes
-    the LSH bands at this threshold."""
-    from weaviate_txtai_spark.operators.dedup import minhash_lsh_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    sides = docs.select(
-        "doc_id",
-        (F.substring("source", 4, 10).cast("int") % 2).cast("int").alias("side"),
-    )
-    pairs = minhash_lsh_pairs(docs, threshold=0.8)
-    return (
-        pairs.join(
-            F.broadcast(sides.select(F.col("doc_id").alias("d1"),
-                                     F.col("side").alias("side1"))), "d1"
-        )
-        .join(
-            F.broadcast(sides.select(F.col("doc_id").alias("d2"),
-                                     F.col("side").alias("side2"))), "d2"
-        )
-        .filter(F.col("side1") != F.col("side2"))
-        .select("d1", "d2", "jaccard", "side1", "side2")
-    )
-
-
-_KNN_FILTERED_SQL = """
-SELECT e.vec_id, e.label,
-       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
-             6) AS score
-FROM embeddings e
-WHERE e.label IN (1, 2, 3)
-ORDER BY score DESC, e.vec_id ASC
-LIMIT 10
-"""
-
-
-@register("knn_filtered", _KNN_FILTERED_SQL)
-def knn_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered vector search — the classic hard case for graph ANN
-    indexes (pre- vs post-filter recall trade) is trivial here: the
-    label predicate pushes into the parquet scan BEFORE scoring, so
-    only matching rows are ever scored and top-k recall over the
-    filtered set is exact by construction. Same map-only
-    TakeOrderedAndProject plan as knn_topk."""
-    emb = _emb(spark, sf_dir)
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    )
-    return (
-        emb.filter(F.col("label").isin(1, 2, 3))
-        .crossJoin(q)
-        .select(
-            "vec_id",
-            "label",
-            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-_KNN_DIVERSE_SQL = """
-SELECT label, vec_id, score, label_rank FROM (
-  SELECT e.label, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
-               6) AS score,
-         CAST(row_number() OVER (
-             PARTITION BY e.label
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                    WHERE vec_id = 0)) DESC,
-                      e.vec_id ASC) AS INT) AS label_rank
-  FROM embeddings e
-) WHERE label_rank <= 2
-"""
-
-
-@register("knn_diverse", _KNN_DIVERSE_SQL)
-def knn_diverse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversified retrieval: top-2 nearest PER LABEL for one query —
-    group-quota results (the cheap deterministic cousin of MMR). One
-    window partitioned by label over map-only scores; at scale the
-    per-label rank is a partial top-k inside each label partition."""
-    emb = _emb(spark, sf_dir)
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    )
-    # rank on the RAW score (matches the oracle's window); round for
-    # output only — ranking the rounded value flips 6dp-boundary ties
-    w = Window.partitionBy("label").orderBy(F.desc("__raw"), F.asc("vec_id"))
-    return (
-        emb.crossJoin(q)
-        .select("label", "vec_id", cosine_sim("embedding", "qv").alias("__raw"))
-        .withColumn("label_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("label_rank") <= 2)
-        .select(
-            "label", "vec_id", F.round("__raw", 6).alias("score"), "label_rank"
-        )
-    )
-
-
-_QUALITY_SAMPLE_SQL = """
-WITH q AS (
-  SELECT doc_id, source,
-         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-         round(least(len(toks) / 100.0, 1.0) * 0.4
-               + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
-               + least((len(list_filter(toks, x -> list_contains(
-                   ['the','a','of','and','to','in','is','that','it','for',
-                    'on','with','as','was','at','by'], x))) * 1.0 / len(toks))
-                   * 5.0, 1.0) * 0.3,
-               6) END AS quality,
-         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
-  FROM (SELECT doc_id, source,
-               list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents)
-)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN f < quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       round(avg(quality), 6) AS avg_quality
-FROM q GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("quality_weighted_sample", _QUALITY_SAMPLE_SQL)
-def quality_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-weighted downsampling (the FineWeb/DCLM-style curation
-    move): each doc survives with probability equal to its quality
-    score, decided by the deterministic multiplicative hash — so the
-    sample is reproducible under any partitioning AND the keep decision
-    is auditable per row. Map-only scoring + one partial-agg shuffle.
-    Both sides round quality to 6dp before the comparison so the keep
-    boundary is engine-identical."""
-    from weaviate_txtai_spark.functions.sampling import split_fraction
-    from weaviate_txtai_spark.functions.text import quality_score
-
-    docs = load_table(spark, sf_dir, "documents")
-    q = F.round(quality_score("text"), 6)
-    kept = (split_fraction("doc_id") < q).cast("long")
-    return (
-        docs.select("source", q.alias("__q"), kept.alias("__k"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__k").alias("n_kept"),
-            F.round(F.avg("__q"), 6).alias("avg_quality"),
-        )
-        .orderBy("source")
-    )
-
-
-_REVENUE_PERCENTILE_SQL = """
-WITH rev AS (
-  SELECT o_custkey, sum(o_totalprice) AS total
-  FROM orders GROUP BY 1
-)
-SELECT o_custkey,
-       round(total, 2) AS total,
-       round(percent_rank() OVER (ORDER BY total, o_custkey), 6) AS pct_rank,
-       round(cume_dist() OVER (ORDER BY total, o_custkey), 6) AS cume
-FROM rev
-ORDER BY total DESC, o_custkey
-LIMIT 25
-"""
-
-
-@register("revenue_percentile", _REVENUE_PERCENTILE_SQL)
-def revenue_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank/cume_dist window shapes (the remaining rank-family
-    functions). They need a total order over the aggregated per-customer
-    table — already 100x smaller than the fact after the groupBy; at
-    larger cardinalities the sketch-histogram path (approx_value_deciles)
-    replaces the exact global sort. Tie-break on the key keeps both
-    engines' ranks identical."""
-    orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__total"))
-    w = Window.orderBy(F.asc("__total"), F.asc("o_custkey"))
-    return (
-        rev.select(
-            "o_custkey",
-            F.round("__total", 2).alias("total"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-        .orderBy(F.desc("total"), F.asc("o_custkey"))
-        .limit(25)
-    )
-
-
-_FUZZY_MATCH_SQL = """
-SELECT a.source AS s1, b.source AS s2,
-       CAST(levenshtein(a.source, b.source) AS INT) AS edit_dist
-FROM (SELECT DISTINCT source FROM documents) a
-JOIN (SELECT DISTINCT source FROM documents) b
-  ON a.source < b.source AND levenshtein(a.source, b.source) <= 1
-ORDER BY s1, s2
-"""
-
-
-@register("fuzzy_source_match", _FUZZY_MATCH_SQL)
-def fuzzy_source_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record linkage by edit distance: near-identical source names
-    (levenshtein <= 1) — the dedup move for entity/metadata columns
-    rather than content. The DISTINCT shrinks each side to unique keys
-    BEFORE the quadratic comparison, so the crossJoin is over the key
-    dictionary (tiny), never the corpus; at larger dictionaries the
-    blocking trick is the SimHash/MinHash banding already in
-    operators/dedup.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    src = docs.select("source").distinct()
-    a = src.select(F.col("source").alias("s1"))
-    b = src.select(F.col("source").alias("s2"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("s1") < F.col("s2"))
-        .withColumn("edit_dist", F.levenshtein("s1", "s2").cast("int"))
-        .filter(F.col("edit_dist") <= 1)
-        .orderBy("s1", "s2")
-    )
-
-
-_MULTISET_SETOPS_SQL = """
-WITH h1 AS (SELECT o_custkey FROM orders
-            WHERE o_orderdate < TIMESTAMP '1998-01-01'),
-     h2 AS (SELECT o_custkey FROM orders
-            WHERE o_orderdate >= TIMESTAMP '1998-01-01')
-SELECT
-  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2))
-    AS n_except_all,
-  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2))
-    AS n_intersect_all
-"""
-
-
-@register("multiset_setops", _MULTISET_SETOPS_SQL)
-def multiset_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL / INTERSECT ALL — multiset semantics (each occurrence
-    counts), vs segment_setops' distinct INTERSECT. Spark plans both as
-    a single aggregate of signed counts per key, not a join per
-    duplicate — one shuffle each."""
-    orders = load_table(spark, sf_dir, "orders")
-    cut = F.lit("1998-01-01").cast("timestamp")
-    h1 = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
-    h2 = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
-    ex = h1.exceptAll(h2).count()
-    inter = h1.intersectAll(h2).count()
-    return spark.createDataFrame(
-        [(ex, inter)], "n_except_all long, n_intersect_all long"
-    )
-
-
-_FK_INTEGRITY_SQL = """
-SELECT
-  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-    AS orphan_lineitems,
-  (SELECT CAST(count(*) AS BIGINT) FROM orders o
-   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-    AS orphan_orders,
-  (SELECT CAST(count(*) AS BIGINT) FROM customer c
-   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
-    AS orphan_customers,
-  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-   WHERE l_quantity IS NULL OR l_extendedprice IS NULL OR l_discount IS NULL)
-    AS null_measures
-"""
-
-
-@register("fk_integrity", _FK_INTEGRITY_SQL)
-def fk_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential-integrity audit (the dbt-test shape a pipeline runs
-    before trusting a drop of data): each orphan count is a left_anti
-    join — at scale the dim side broadcasts or co-partitions, and a
-    non-zero count is the alarm, so the query stays cheap precisely
-    when the data is healthy."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    orphan_li = li.join(
-        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey",
-        "left_anti",
-    ).count()
-    orphan_o = orders.join(
-        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
-        "left_anti",
-    ).count()
-    orphan_c = cust.join(
-        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"))),
-        "c_nationkey", "left_anti",
-    ).count()
-    nulls = li.filter(
-        F.col("l_quantity").isNull()
-        | F.col("l_extendedprice").isNull()
-        | F.col("l_discount").isNull()
-    ).count()
-    return spark.createDataFrame(
-        [(orphan_li, orphan_o, orphan_c, nulls)],
-        "orphan_lineitems long, orphan_orders long, "
-        "orphan_customers long, null_measures long",
-    )
-
-
-_DEDUP_INCREMENTAL_SQL = _JACCARD_CTE + """
-, cut AS (SELECT CAST(0.9 * max(doc_id) AS BIGINT) AS c FROM documents)
-SELECT CASE WHEN p.d1 > cut.c THEN p.d1 ELSE p.d2 END AS new_id,
-       CASE WHEN p.d1 > cut.c THEN p.d2 ELSE p.d1 END AS corpus_id,
-       p.jaccard
-FROM pairs p, cut
-WHERE p.jaccard >= 0.8
-  AND ((p.d1 > cut.c) <> (p.d2 > cut.c))
-"""
-
-
-@register("dedup_incremental", _DEDUP_INCREMENTAL_SQL)
-def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: the newest 10% of doc ids (the 'daily batch')
-    against the older 90% (the 'corpus'). Old×old pairs are never
-    generated — the recurring cost of production dedup is the batch,
-    not the history (operators/dedup.minhash_lsh_pairs_incremental).
-    Oracle: the exact-Jaccard pair set restricted to pairs crossing
-    the cut."""
-    from weaviate_txtai_spark.operators.dedup import (
-        minhash_lsh_pairs_incremental,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # round-half-up matches the oracle's CAST(0.9*max AS BIGINT)
-    # (DuckDB rounds to nearest; Python int() truncates)
-    cut = math.floor(docs.agg(F.max("doc_id")).head()[0] * 0.9 + 0.5)
-    new_docs = docs.filter(F.col("doc_id") > cut)
-    corpus = docs.filter(F.col("doc_id") <= cut)
-    return minhash_lsh_pairs_incremental(new_docs, corpus, threshold=0.8)
-
-
-_EVENTS_OUTLIERS_SQL = """
-WITH stats AS (
-  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
-  FROM events GROUP BY 1
-)
-SELECT e.event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CASE WHEN round((e.value - s.mu) / s.sigma, 6) > 3.0
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       round(max((e.value - s.mu) / s.sigma), 6) AS max_zscore
-FROM events e JOIN stats s ON e.event_type = s.event_type
-GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("events_outliers", _EVENTS_OUTLIERS_SQL)
-def events_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-score outlier monitoring per event type (stddev_samp — the
-    variance family's gate). Two passes over events: per-type moments
-    (partial-agg shuffle on ~5 groups), broadcast back, then a map-side
-    z-score + one more tiny aggregate. The z-score rounds to 6dp before
-    the 3-sigma comparison so the kept set is engine-identical."""
-    ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("__mu"), F.stddev_samp("value").alias("__sigma")
-    )
-    z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
-    return (
-        ev.join(F.broadcast(stats), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(
-                F.when(F.round(z, 6) > 3.0, 1).otherwise(0)
-            ).cast("long").alias("n_outliers"),
-            F.round(F.max(z), 6).alias("max_zscore"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_RANK_TIES_SQL = """
-WITH daily AS (
-  SELECT l_returnflag, CAST(l_quantity AS INT) AS qty, count(*) AS n
-  FROM lineitem GROUP BY 1, 2
-), ranked AS (
-  SELECT l_returnflag, qty, n,
-         CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY n DESC) AS INT)
-           AS rnk,
-         CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY n DESC) AS INT)
-           AS drnk
-  FROM daily
-)
-SELECT l_returnflag, qty, n, rnk, drnk
-FROM ranked WHERE drnk <= 3
-ORDER BY l_returnflag, drnk, qty
-"""
-
-
-@register("quantity_rank_ties", _RANK_TIES_SQL)
-def quantity_rank_ties_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank vs dense_rank under ties (the remaining rank-family pair:
-    equal counts share a rank, rank leaves gaps, dense_rank doesn't).
-    Ordering by the non-unique count makes ties real; the output key
-    set is still deterministic because the filter is on dense_rank and
-    the final sort includes qty."""
-    li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(
-        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"))
-    return (
-        daily.withColumn("rnk", F.rank().over(w).cast("int"))
-        .withColumn("drnk", F.dense_rank().over(w).cast("int"))
-        .filter(F.col("drnk") <= 3)
-        .orderBy("l_returnflag", "drnk", "qty")
-    )
-
-
-# --------------------------------------------------------------------------
-# (The former *_exhaustive / *_exact / *_md5 exactness twins are folded
-# into the canonical gate names above — VERDICT r2 item 1: the sampled
-# names themselves now run exactness-mode parameterizations under full
-# oracles, and the production approximate parameterizations are pinned by
-# recall tests in tests/test_ann.py and tests/test_dedup.py.)
-# --------------------------------------------------------------------------
-# Skew-mitigation + maintenance gates (VERDICT r1 items 5-6)
-# --------------------------------------------------------------------------
-
-_COHORT_SALTED_SQL = """
-SELECT CAST(user_id % 10 AS INT) AS cohort,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value
-FROM events GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("events_cohort_salted", _COHORT_SALTED_SQL)
-def events_cohort_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted-join correctness gate: the events fact joins its per-user
-    dim through `salted_join` (skewed side salted over 8 buckets, dim
-    side exploded ×8), then aggregates per cohort. Salting must be
-    result-invariant — the oracle computes the same aggregate with no
-    join at all, so any row lost/duplicated by the salt machinery
-    hash-fails. Decimal-cast before the float sum: group sums land on
-    the 2dp boundary otherwise (NOTES.md)."""
-    from weaviate_txtai_spark.operators.skew import salted_join
-
-    ev = load_table(spark, sf_dir, "events")
-    dim = (
-        ev.select("user_id")
-        .distinct()
-        .withColumn("cohort", F.pmod("user_id", F.lit(10)).cast("int"))
-    )
-    joined = salted_join(ev.select("user_id", "value"), dim, "user_id",
-                         salt_factor=8, seed=7)
-    return (
-        joined.groupBy("cohort")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
-            .cast("double")
-            .alias("total_value"),
-        )
-        .orderBy("cohort")
-    )
-
-
-_VECTOR_COMPACT_SQL = """
-SELECT vec_id AS docid, CAST(len(embedding) AS INT) AS dim
-FROM embeddings ORDER BY vec_id
-"""
-
-
-@register("vector_compact", _VECTOR_COMPACT_SQL)
-def vector_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compaction is maintenance, not mutation: after bin-packing the
-    index into ~100-row files, every (docid, vector) must survive
-    byte-for-byte — the post-compact full scan hashes against the same
-    oracle as the pre-compact table."""
-    idx = _build_index(spark, sf_dir)
-    idx.compact(target_rows_per_file=100)
-    return (
-        idx.to_df()
-        .select("docid", F.size("vector").alias("dim"))
-        .orderBy("docid")
-    )
-
-
-# --------------------------------------------------------------------------
-# Training-data prep: int8 quantization + PII scrub (round-2 widening)
-# --------------------------------------------------------------------------
-
-_QUANTIZE_SQL = """
-WITH m AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
-  FROM embeddings
-)
-SELECT vec_id,
-       round(ma / 127.0, 6) AS scale,
-       CAST(list_sum(list_transform(v, x ->
-           CASE WHEN ma = 0 THEN 0
-                ELSE CAST(round(127.0 * x / ma) AS BIGINT) END)) AS BIGINT) AS q_sum,
-       CAST(list_sum(list_transform(v, x ->
-           CASE WHEN ma = 0 THEN 0
-                ELSE CAST(abs(round(127.0 * x / ma)) AS BIGINT) END)) AS BIGINT) AS q_l1
-FROM m ORDER BY vec_id
-"""
-
-
-@register("embedding_quantize", _QUANTIZE_SQL)
-def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization (FAISS-SQ8 shape): 4× index shrink for
-    vector search at scale. The oracle recomputes every quantized
-    component in DuckDB and checks integer checksums (sum + L1) per
-    vector — bit-exact machinery, no float-tolerance hand-waving."""
-    from weaviate_txtai_spark.functions.vector import int8_quantize, int8_scale
-
-    emb = _emb(spark, sf_dir)
-    q = int8_quantize("embedding")
-    return (
-        emb.select(
-            "vec_id",
-            F.round(int8_scale("embedding"), 6).alias("scale"),
-            F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
-                "q_sum"
-            ),
-            F.aggregate(
-                q, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
-            ).alias("q_l1"),
-        )
-        .orderBy("vec_id")
-    )
-
-
-# PII is injected deterministically (same expression in both engines) so
-# the scrub machinery is exercised on text guaranteed to contain matches —
-# the synthetic corpus itself has none.
-_PII_SQL = """
-SELECT doc_id,
-       CAST(len(regexp_extract_all(aug,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-       md5(regexp_replace(regexp_replace(aug,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-           '\\+?\\d[\\d ()-]{6,}\\d', '[PHONE]', 'g')) AS redacted_fp
-FROM (SELECT doc_id,
-             text || ' contact user' || CAST(doc_id AS VARCHAR)
-                  || '@example.com or +1 (555) 010-2030' AS aug
-      FROM documents)
-ORDER BY doc_id
-"""
-
-
-@register("docs_redact_pii", _PII_SQL)
-def docs_redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub gate: email + phone redaction over the documents table
-    with deterministically injected PII; the md5 of the redacted text
-    hash-checks every byte of the replacement output across engines.
-    Map-only (regexp_replace is codegen; no shuffle before the sort)."""
-    from weaviate_txtai_spark.functions.text import pii_counts, redact_pii
-
-    docs = load_table(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com or +1 (555) 010-2030"),
-    )
-    return (
-        docs.select(
-            "doc_id",
-            pii_counts(aug)["n_emails"].alias("n_emails"),
-            F.md5(redact_pii(aug)).alias("redacted_fp"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-_REPEATED_PASSAGE_STATS_SQL = """
-WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
-  FROM documents
-), w AS (
-  SELECT doc_id, md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
-  FROM t, unnest(generate_series(1, len(tok) - 7)) AS s(x)
-  WHERE len(tok) >= 8
-), p AS (
-  SELECT doc_id, wh, count(*) AS n_occ FROM w GROUP BY 1, 2
-), f AS (
-  SELECT wh, count(*) AS dfq FROM p GROUP BY 1
-), r AS (
-  SELECT p.doc_id,
-         sum(p.n_occ) AS nw,
-         sum(CASE WHEN f.dfq >= 2 THEN p.n_occ ELSE 0 END) AS nr
-  FROM p JOIN f USING (wh) GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(coalesce(r.nw, 0) AS BIGINT) AS n_windows,
-       CAST(coalesce(r.nr, 0) AS BIGINT) AS n_repeated,
-       round(CASE WHEN coalesce(r.nw, 0) > 0
-                  THEN CAST(r.nr AS DOUBLE) / r.nw ELSE 0.0 END, 6)
-         AS repeated_ratio,
-       round(CASE WHEN coalesce(r.nw, 0) > 0
-                  THEN CAST(r.nr AS DOUBLE) / r.nw ELSE 0.0 END, 6) <= 0.5
-         AS keep
-FROM documents d LEFT JOIN r USING (doc_id)
-"""
-
-
-@register("repeated_passage_stats", _REPEATED_PASSAGE_STATS_SQL)
-def repeated_passage_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-document dedup signal (Lee et al. 2021 shape): fraction of
-    each doc's 8-token windows that recur in other docs, plus the
-    C4-style keep flag. Gate runs md5 hash mode so DuckDB reproduces the
-    window hashes byte-for-byte; production xxhash64 mode (8-byte keys,
-    ~4x less shuffle than hex digests) is pinned equal in pytest. All
-    corpus-wide steps are aggregates or hash-equi-joins — a boilerplate
-    window in 10M docs costs 10M rows through a map-side-combined count,
-    never 10M² pairs."""
-    from weaviate_txtai_spark.operators.passages import repeated_passage_stats
-
-    docs = load_table(spark, sf_dir, "documents")
-    return repeated_passage_stats(
-        docs, k=8, min_docs=2, max_ratio=0.5, hash_mode="md5"
-    )
-
-
-_REPEATED_PASSAGES_SQL = """
-WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
-  FROM documents
-), w AS (
-  SELECT doc_id, md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
-  FROM t, unnest(generate_series(1, len(tok) - 7)) AS s(x)
-  WHERE len(tok) >= 8
-), p AS (
-  SELECT doc_id, wh, count(*) AS n_occ FROM w GROUP BY 1, 2
-)
-SELECT wh,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_occ) AS BIGINT) AS n_occ
-FROM p GROUP BY 1 HAVING count(*) >= 2
-"""
-
-
-@register("repeated_passages", _REPEATED_PASSAGES_SQL)
-def repeated_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-level boilerplate inventory: every 8-token window
-    occurring in >= 2 distinct docs, with doc- and occurrence-counts
-    (feeds blocklists / redaction passes)."""
-    from weaviate_txtai_spark.operators.passages import repeated_passages
-
-    docs = load_table(spark, sf_dir, "documents")
-    return repeated_passages(docs, k=8, min_docs=2, hash_mode="md5")
-
-
-_TOP_TOKENS_SQL = """
-WITH tok AS (
-  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-  FROM documents
-)
-SELECT term, CAST(count(*) AS BIGINT) AS n_occ
-FROM tok GROUP BY 1
-ORDER BY n_occ DESC, term ASC
-LIMIT 20
-"""
-
-
-@register("token_heavy_hitters", _TOP_TOKENS_SQL)
-def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact global top-20 terms via the two-phase Misra–Gries plan
-    (operators/heavy_hitters.py): bounded-memory per-partition candidate
-    summaries, then exact verify counts for candidates only — the
-    shuffle carries capacity x partitions partial counts instead of the
-    full web-scale vocabulary. The guarantee check makes the result
-    EXACT (falls back to the plain aggregate when capacity is too small
-    for the distribution), which is why a plain SQL top-k is a valid
-    oracle for the approximating machinery."""
-    from weaviate_txtai_spark.operators.heavy_hitters import exact_top_tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_top_tokens(docs, 20, capacity=4096)
-
-
-# --------------------------------------------------------------------------
-# Deterministic k-means + SemDeDup semantic dedup (operators/kmeans.py)
-# --------------------------------------------------------------------------
-
-# Shared oracle skeleton: seeds = the 4 smallest vec_ids relabelled
-# 0..3, one Lloyd update (assign → 6-dp-quantized means), then the
-# closing assignment against the updated centroids — the exact
-# transcription of lloyd(k=4, iters=1, quantize_decimals=6,
-# dist_round_decimals=6). Distances are the same in-order fold both
-# engines use (list_zip square-diff sum), rounded to 6 dp before the
-# argmin; ties break to the lowest cluster id via (dist, cid) order.
-_KMEANS_CTE = """
-WITH seeds AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-         CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
-),
-d1 AS (
-  SELECT e.vec_id, s.cid,
-         round(list_sum(list_transform(
-               list_zip(CAST(e.embedding AS DOUBLE[]), s.cvec),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
-  FROM embeddings e CROSS JOIN seeds s
-),
-a1 AS (
-  SELECT vec_id, cid AS cluster FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM d1
-  ) WHERE rn = 1
-),
-cent AS (
-  SELECT cluster, pos, round(avg(val), 6) AS v FROM (
-    SELECT a1.cluster,
-           generate_subscripts(CAST(e.embedding AS DOUBLE[]), 1) AS pos,
-           unnest(CAST(e.embedding AS DOUBLE[])) AS val
-    FROM a1 JOIN embeddings e USING (vec_id)
-  ) GROUP BY cluster, pos
-),
-cvecs AS (
-  -- empty-cluster retention (ADVICE r3): lloyd() keeps the previous
-  -- (here: raw seed) centroid when no row assigns to a cluster, so the
-  -- oracle left-joins seeds and coalesces to the seed vector instead of
-  -- silently dropping the cluster
-  SELECT s.cid AS cluster, coalesce(m.cvec, s.cvec) AS cvec
-  FROM seeds s LEFT JOIN (
-    SELECT cluster, list(v ORDER BY pos) AS cvec FROM cent GROUP BY cluster
-  ) m ON m.cluster = s.cid
-),
-d2 AS (
-  SELECT e.vec_id, c.cluster AS cid,
-         round(list_sum(list_transform(
-               list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
-  FROM embeddings e CROSS JOIN cvecs c
-),
-a2 AS (
-  SELECT vec_id, cid AS cluster FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM d2
-  ) WHERE rn = 1
-)
-"""
-
-_KMEANS_PARAMS = dict(
-    k=4, iters=1, quantize_decimals=6, dist_round_decimals=6
-)
-
-
-def _kmeans_model(spark: SparkSession, sf_dir: str):
-    from weaviate_txtai_spark.operators.kmeans import lloyd
-
-    return lloyd(_emb(spark, sf_dir), **_KMEANS_PARAMS)
-
-
-_KMEANS_ASSIGN_SQL = _KMEANS_CTE + """
-SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2 ORDER BY vec_id
-"""
-
-
-@register("kmeans_assign", _KMEANS_ASSIGN_SQL)
-def kmeans_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Lloyd's k-means, full machinery under the oracle at
-    its production shape (no exactness-mode escape hatch needed —
-    seeding, ties, and 6-dp centroid quantization make the trajectory
-    engine-independent). Per iteration: map-only assignment (centroids
-    travel as literals — no join, no shuffle) + one k×dim-key
-    partial-agg shuffle for the means; the oracle replays the identical
-    trajectory in SQL."""
-    m = _kmeans_model(spark, sf_dir)
-    return m.assigned.select(
-        "vec_id", F.col("cluster").cast("int").alias("cluster")
-    ).orderBy("vec_id")
-
-
-_KMEANS_CENTROIDS_SQL = _KMEANS_CTE + """
-SELECT c.cluster, CAST(coalesce(n.size, 0) AS BIGINT) AS size,
-       CAST(len(c.cvec) AS INT) AS dim,
-       round(list_sum(c.cvec), 6) AS checksum
-FROM cvecs c LEFT JOIN (
-  SELECT cluster, count(*) AS size FROM a2 GROUP BY cluster
-) n USING (cluster)
-ORDER BY c.cluster
-"""
-
-
-@register("kmeans_centroids", _KMEANS_CENTROIDS_SQL)
-def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final centroids (6-dp quantized) + final-assignment sizes. The
-    centroid list lives on the driver (k×dim doubles — same bounded
-    contract as ann.IVFIndex), so the gate frame is built from it; the
-    sizes come from the distributed closing assignment."""
-    m = _kmeans_model(spark, sf_dir)
-    rows = [
-        (cid, int(m.sizes.get(cid, 0)), len(vec), round(sum(vec), 6))
-        for cid, vec in m.centroids
-    ]
-    return spark.createDataFrame(
-        rows, "cluster int, size long, dim int, checksum double"
-    ).orderBy("cluster")
-
-
-_SEMANTIC_DEDUP_SQL = _KMEANS_CTE + """
-SELECT x.vec_id AS d1, y.vec_id AS d2,
-       CAST(ax.cluster AS INT) AS cluster,
-       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                    CAST(y.embedding AS DOUBLE[])), 6) AS cosine
-FROM a2 ax JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
-JOIN embeddings x ON x.vec_id = ax.vec_id
-JOIN embeddings y ON y.vec_id = ay.vec_id
-WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                   CAST(y.embedding AS DOUBLE[])), 6) >= 0.45
-"""
-
-
-@register("semantic_dedup", _SEMANTIC_DEDUP_SQL)
-def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): near-dup pairs WITHIN k-means
-    clusters only — the quadratic is bounded by cluster size, and k is
-    the knob that keeps |cluster|² flat as the corpus grows. Unlike the
-    LSH dedup gates this is oracle-checked at its production
-    parameterization, because the whole pipeline (clustering included)
-    is deterministic."""
-    from weaviate_txtai_spark.operators.kmeans import semantic_dedup_pairs
-
-    return semantic_dedup_pairs(
-        _emb(spark, sf_dir), threshold=0.45, **_KMEANS_PARAMS
-    ).select("d1", "d2", F.col("cluster").cast("int").alias("cluster"), "cosine")
-
-
-_SEMANTIC_SURVIVORS_SQL = _KMEANS_CTE + """
-, pairs AS (
-  SELECT y.vec_id AS d2
-  FROM a2 ax JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
-  JOIN embeddings x ON x.vec_id = ax.vec_id
-  JOIN embeddings y ON y.vec_id = ay.vec_id
-  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                     CAST(y.embedding AS DOUBLE[])), 6) >= 0.45
-)
-SELECT e.vec_id, CAST(e.label AS INT) AS label
-FROM embeddings e
-WHERE e.vec_id NOT IN (SELECT d2 FROM pairs)
-ORDER BY e.vec_id
-"""
-
-
-@register("semantic_dedup_survivors", _SEMANTIC_SURVIVORS_SQL)
-def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SemDeDup end-product: corpus minus rows with a lower-id
-    near-dup in their cluster (one anti-join on the distinct d2 set —
-    NOT IN d2 is exactly the engine's rule here, no connected-components
-    subtlety, unlike dedup_survivors' recursive-CTE oracle)."""
-    from weaviate_txtai_spark.operators.kmeans import (
-        semantic_dedup_pairs,
-        semantic_dedup_survivors,
-    )
-
-    emb = _emb(spark, sf_dir)
-    pairs = semantic_dedup_pairs(emb, threshold=0.45, **_KMEANS_PARAMS)
-    return (
-        semantic_dedup_survivors(emb, pairs)
-        .select("vec_id", F.col("label").cast("int").alias("label"))
-        .orderBy("vec_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# Unigram-LM quality scoring + deterministic mixture sampling
-# --------------------------------------------------------------------------
-
-_UNIGRAM_NLL_SQL = """
-WITH tok AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-  FROM documents
-),
-cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
-sc AS (SELECT sum(c) AS total_t, count(*) AS vocab_v FROM cnt),
-lp AS (
-  SELECT term, ln((c + 1.0) / (total_t + 1.0 * vocab_v)) AS logp FROM cnt, sc
-),
-scored AS (
-  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         round(-avg(lp.logp), 6) AS nll
-  FROM tok t JOIN lp USING (term) GROUP BY t.doc_id
-  UNION ALL
-  -- text IS NULL covers the rows a bare len(...) = 0 misses
-  -- (string_split(NULL) -> NULL); the engine surfaces those too
-  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
-  FROM documents
-  WHERE text IS NULL
-     OR len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
-),
-m AS (SELECT round(avg(nll), 6) AS mean_nll FROM scored)
-SELECT s.doc_id, s.n_tokens, s.nll,
-       coalesce(s.nll <= m.mean_nll, false) AS keep
-FROM scored s, m ORDER BY s.doc_id
-"""
-
-
-@register("docs_unigram_nll", _UNIGRAM_NLL_SQL)
-def docs_unigram_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style quality scoring: per-doc mean negative log-likelihood
-    under the corpus-trained unigram LM, plus the head-selection keep
-    flag (nll ≤ corpus mean — one broadcast scalar, no sort). Four
-    exchanges end-to-end regardless of corpus size (operators/lm.py);
-    the tercile split CCNet uses composes via quantile_buckets over the
-    nll column."""
-    from weaviate_txtai_spark.operators.lm import nll_quality_filter
-
-    docs = load_table(spark, sf_dir, "documents")
-    return nll_quality_filter(docs, round_decimals=6).orderBy("doc_id")
-
-
-_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
-
-_MIXTURE_SQL = """
-WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
-n AS (
-  SELECT d.source, count(*) AS n FROM documents d JOIN w USING (source)
-  GROUP BY d.source
-),
-lam AS (SELECT min(n.n / w.wt) AS l FROM n JOIN w USING (source)),
-q AS (SELECT w.source, CAST(floor(lam.l * w.wt) AS BIGINT) AS quota FROM w, lam),
-r AS (
-  SELECT d.doc_id, d.source,
-         row_number() OVER (
-           PARTITION BY d.source
-           ORDER BY (d.doc_id * 2654435761 % 4294967296) / 4294967296.0,
-                    d.doc_id
-         ) AS rk
-  FROM documents d JOIN w USING (source)
-)
-SELECT r.doc_id, r.source FROM r JOIN q USING (source)
-WHERE r.rk <= q.quota ORDER BY r.doc_id
-"""
-
-
-@register("mixture_sample", _MIXTURE_SQL)
-def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixture materialization: the largest sample following target
-    per-source proportions (50/30/20), selected by the deterministic
-    split_fraction order so the draw is identical on any partitioning
-    and NESTS under quota growth. Driver state is ≤|strata| counters;
-    the oracle replays quota arithmetic + rank selection in SQL."""
-    from weaviate_txtai_spark.functions.sampling import mixture_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        mixture_sample(docs, _MIXTURE_WEIGHTS)
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# Filtered ANN search (predicate composed with cell pruning)
-# --------------------------------------------------------------------------
-
-_ANN_IVF_FILTERED_SQL = """
-SELECT query_id, vec_id, score, rank FROM (
-  SELECT q.vec_id AS query_id, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
-         CAST(row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                             CAST(q.embedding AS DOUBLE[])) DESC,
-                      e.vec_id ASC) AS INT) AS rank
-  FROM embeddings e
-  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
-  WHERE e.label >= 5
-) WHERE rank <= 5
-"""
-
-
-@register("ann_ivf_filtered", _ANN_IVF_FILTERED_SQL)
-def ann_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FILTERED vector search through the IVF index: the metadata
-    predicate is applied before scoring, inside the cell scan, so top-k
-    slots are never wasted on rows the caller would discard (the
-    post-filter variant silently returns < k). Gated at nprobe == nlist
-    so the machinery must equal exact filtered brute force; the
-    pruning+PushedFilters plan shape is asserted in tests/test_ann.py."""
-    from weaviate_txtai_spark.operators.ann import IVFIndex
-
-    emb = _emb(spark, sf_dir)
-    idx = IVFIndex.build(emb, nlist=16)
-    qdf = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
-    )
-    res = idx.search(qdf, 5, nprobe=16, where="label >= 5")
-    return res.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
-    )
-
-
-# --------------------------------------------------------------------------
-# Quality-policy dedup survivors (keep best member per duplicate group)
-# --------------------------------------------------------------------------
-
-_SURVIVORS_BY_SQL = (
-    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
-    + _CC_SQL_TAIL
-    + """
-, members AS (
-  SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node
-), mq AS (
-  SELECT m.group_id, m.doc_id, d.n_chars
-  FROM members m JOIN documents d USING (doc_id)
-), bq AS (
-  SELECT group_id, max(n_chars) AS bq FROM mq GROUP BY group_id
-), best AS (
-  -- IS NOT DISTINCT FROM, not '=': an all-NULL-quality group has
-  -- bq NULL, and a NULL-unsafe join would emit no best row for it —
-  -- every member would survive, diverging from the engine's
-  -- eqNullSafe min-id fallback (pinned in pytest)
-  SELECT mq.group_id, min(mq.doc_id) AS best_id
-  FROM mq JOIN bq ON mq.group_id = bq.group_id
-                 AND mq.n_chars IS NOT DISTINCT FROM bq.bq
-  GROUP BY mq.group_id
-)
-SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
-FROM documents
-WHERE doc_id NOT IN (
-  SELECT mq.doc_id FROM mq JOIN best USING (group_id)
-  WHERE mq.doc_id <> best.best_id
-)
-ORDER BY doc_id
-"""
-)
-
-
-@register("dedup_survivors_longest", _SURVIVORS_BY_SQL)
-def dedup_survivors_longest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup end-product with the production KEEP rule: per duplicate
-    group keep the LONGEST member (n_chars, ties to min id) instead of
-    the arbitrary min-id one — truncated copies lose to full copies.
-    Oracle: recursive-CTE connected components + the same two-step
-    argmax (max quality, then min id among the maximal)."""
-    from weaviate_txtai_spark.operators.dedup import (
-        dedup_survivors_by,
-        jaccard_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.8)
-    return (
-        dedup_survivors_by(docs, pairs, quality_col="n_chars", keep="max")
-        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
-        .orderBy("doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# Streaming near-dup dedup (continuous-ingest incremental MinHash)
-# --------------------------------------------------------------------------
-
-# Oracle replays the two-micro-batch semantics in SQL over the EXACT
-# jaccard pair set (LSH recall == exact at the testdata dup rate — the
-# same equivalence the dedup_minhash gate rests on): batch 1 = even
-# ids, batch 2 = odd ids; within a batch the lower-id member of a pair
-# survives; batch-2 docs also drop against batch-1 SURVIVORS (not
-# batch-1 dropped docs — the store only ever holds survivors).
-_STREAM_NEAR_DEDUP_SQL = (
-    _JACCARD_CTE
-    + """
-, p08 AS (
-  SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8
-), s1 AS (
-  SELECT doc_id FROM documents WHERE doc_id % 2 = 0 AND doc_id NOT IN (
-    SELECT d2 FROM p08 WHERE d1 % 2 = 0 AND d2 % 2 = 0)
-), odd_drop AS (
-  SELECT d2 AS doc_id FROM p08 WHERE d1 % 2 = 1 AND d2 % 2 = 1
-  UNION
-  SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS doc_id
-  FROM p08
-  WHERE (d1 % 2) <> (d2 % 2)
-    AND (CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END) IN (SELECT doc_id FROM s1)
-)
-SELECT doc_id, source FROM documents
-WHERE (doc_id % 2 = 0 AND doc_id IN (SELECT doc_id FROM s1))
-   OR (doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM odd_drop))
-ORDER BY doc_id
-"""
-)
-
-
-@register("streaming_near_dedup", _STREAM_NEAR_DEDUP_SQL)
-def streaming_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-ingest NEAR-dup dedup: a real two-micro-batch stream
-    (maxFilesPerTrigger=1, mtime-ordered files) through
-    streaming.dedup.stream_near_dedup — in-batch MinHash dedup, then a
-    bipartite LSH join against the survivor signature store (prior
-    batch text is never re-read). The oracle replays the sequential
-    semantics over the exact pair set."""
-    import os
-    import tempfile
-    import time
-
-    from weaviate_txtai_spark.streaming.dedup import stream_near_dedup
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    tmp = tempfile.mkdtemp(prefix="snd_gate_")
-    src = os.path.join(tmp, "src")
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
-        os.path.join(src, "a")
-    )
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
-        os.path.join(src, "b")
-    )
-    now = time.time()
-    for sub, age in (("a", 200), ("b", 100)):
-        for dirpath, _, files in os.walk(os.path.join(src, sub)):
-            for fn in files:
-                os.utime(os.path.join(dirpath, fn), (now - age, now - age))
-    stream = (
-        spark.readStream.schema("doc_id long, text string, source string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(src, "*"))
-    )
-    q = stream_near_dedup(
-        stream,
-        store_dir=os.path.join(tmp, "store"),
-        out_dir=os.path.join(tmp, "out"),
-        checkpoint_dir=os.path.join(tmp, "ckpt"),
-        threshold=0.8,
-    )
-    q.awaitTermination()
-    return (
-        spark.read.parquet(os.path.join(tmp, "out"))
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# Distributed PCA (operators/pca.py)
-# --------------------------------------------------------------------------
-
-_COV_SQL = """
-WITH x AS (
-  SELECT vec_id,
-         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
-         unnest(CAST(embedding AS DOUBLE[])) AS val
-  FROM embeddings
-),
-mu AS (SELECT pos, avg(val) AS m FROM x GROUP BY pos),
-xy AS (
-  SELECT a.pos AS i, b.pos AS j, avg(a.val * b.val) AS exy
-  FROM x a JOIN x b ON a.vec_id = b.vec_id
-  WHERE a.pos <= 16 AND b.pos <= 16
-  GROUP BY a.pos, b.pos
-)
-SELECT CAST(xy.i - 1 AS INT) AS i, CAST(xy.j - 1 AS INT) AS j,
-       round(xy.exy - ma.m * mb.m, 6) AS cov
-FROM xy JOIN mu ma ON xy.i = ma.pos JOIN mu mb ON xy.j = mb.pos
-ORDER BY i, j
-"""
-
-
-@register("embedding_covariance", _COV_SQL)
-def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed HALF of PCA under the oracle: the one-pass
-    Gram/mean/count accumulation (per-batch BLAS partials + one bounded
-    partial-agg shuffle — operators/pca.py). The gate surfaces the
-    16×16 leading block of cov = E[xxᵀ] − μμᵀ; the SQL oracle computes
-    the same entries from first principles (positional unnest self-join).
-    The eigendecomposition half is driver-side numpy and is pinned by
-    invariants in tests/test_pca.py instead (not SQL-expressible)."""
-    import numpy as np
-
-    from weaviate_txtai_spark.operators.pca import _moments
-
-    emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    n, s, g = _moments(emb, "embedding", dim)
-    mu = s / n
-    cov = g / n - np.outer(mu, mu)
-    rows = [
-        (i, j, round(float(cov[i, j]), 6)) for i in range(16) for j in range(16)
-    ]
-    return spark.createDataFrame(rows, "i int, j int, cov double").orderBy("i", "j")
-
-
-@register("embedding_pca", None)
-def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA end-to-end (rows-only: eigenvectors aren't SQL-expressible;
-    orthonormality/variance/reconstruction invariants are pytest-pinned).
-    Fit top-4 components, project the corpus map-only (zero exchanges,
-    plan-asserted)."""
-    from weaviate_txtai_spark.operators.pca import pca_fit, pca_transform
-
-    emb = _emb(spark, sf_dir)
-    model = pca_fit(emb, 4)
-    return pca_transform(emb, model, round_decimals=6).select(
-        "vec_id", "pca"
-    ).orderBy("vec_id")
-
-
-_BIGRAM_NLL_SQL = """
-WITH t AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
-  FROM documents
-),
-bg AS (
-  SELECT doc_id, tok[s.x] AS w1, tok[s.x + 1] AS w2
-  FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
-  WHERE len(tok) >= 2
-),
-cu AS (
-  SELECT term, count(*) AS cu FROM (SELECT unnest(tok) AS term FROM t)
-  GROUP BY 1
-),
-cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-v AS (SELECT count(*) AS vv FROM cu)
-SELECT * FROM (
-  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         round(-avg(ln((cb.cb + 1.0) / (cu.cu + 1.0 * v.vv))), 6) AS nll
-  FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.term, v
-  GROUP BY bg.doc_id
-  UNION ALL
-  -- tok IS NULL covers NULL text (string_split(NULL) -> NULL, which
-  -- fails len(tok) < 2); the engine surfaces those rows too
-  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
-  FROM t WHERE tok IS NULL OR len(tok) < 2
-) ORDER BY doc_id
-"""
-
-
-@register("docs_bigram_nll", _BIGRAM_NLL_SQL)
-def docs_bigram_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM quality scoring — one order closer to CCNet's KenLM
-    than the unigram gate; catches scrambled text that reuses the
-    vocabulary but breaks transitions (pinned in pytest). The bigram
-    stream is the same narrow explode as tokens (zip with own tail, no
-    join); counts are one partial-agg shuffle on the bigram key."""
-    from weaviate_txtai_spark.operators.lm import bigram_nll
-
-    docs = load_table(spark, sf_dir, "documents")
-    return bigram_nll(docs, round_decimals=6).orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
-# Z-order layout (sources/layout.py) — content preserved through rewrite
-# --------------------------------------------------------------------------
-
-_ZORDER_SQL = """
-SELECT event_id, user_id, round(value, 6) AS value
-FROM events ORDER BY event_id
-"""
-
-
-@register("events_zorder", _ZORDER_SQL)
-def events_zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) clustering rewrite of the events table on
-    (user_id, value): one range shuffle at write time buys min/max file
-    skipping on EITHER column at read time (bound-tightening and
-    point-predicate overlap are pinned in tests/test_layout.py from the
-    parquet footers). The gate checks the half a hash CAN check: the
-    rewrite is content-lossless."""
-    import tempfile
-
-    from weaviate_txtai_spark.sources.layout import zorder_write
-
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    out = tempfile.mkdtemp(prefix="zorder_gate_") + "/ev"
-    zorder_write(ev, out, ["user_id", "value"], n_files=8)
-    return (
-        spark.read.parquet(out)
-        .select("event_id", "user_id", F.round("value", 6).alias("value"))
-        .orderBy("event_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# Table profiling (operators/profile.py)
-# --------------------------------------------------------------------------
-
-_PROFILE_SQL = """
-SELECT * FROM (
-  SELECT 'l_quantity' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
-         round(min(CAST(l_quantity AS DOUBLE)), 2) AS min_num,
-         round(max(CAST(l_quantity AS DOUBLE)), 2) AS max_num,
-         round(avg(CAST(l_quantity AS DOUBLE)), 4) AS mean
-  FROM lineitem
-  UNION ALL
-  SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
-         CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-         CAST(count(DISTINCT l_extendedprice) AS BIGINT),
-         round(min(CAST(l_extendedprice AS DOUBLE)), 2),
-         round(max(CAST(l_extendedprice AS DOUBLE)), 2),
-         round(avg(CAST(l_extendedprice AS DOUBLE)), 4)
-  FROM lineitem
-  UNION ALL
-  SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
-         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-         CAST(count(DISTINCT l_orderkey) AS BIGINT),
-         round(min(CAST(l_orderkey AS DOUBLE)), 2),
-         round(max(CAST(l_orderkey AS DOUBLE)), 2),
-         round(avg(CAST(l_orderkey AS DOUBLE)), 4)
-  FROM lineitem
-) ORDER BY "column"
-"""
-
-
-@register("lineitem_profile", _PROFILE_SQL)
-def lineitem_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass data-quality profile (operators/profile.py): every
-    statistic for every profiled column in a SINGLE aggregate job
-    (multi-count-distinct EXPAND plan — the exact mode; approx=True is
-    the HLL++ scale mode, pytest-bounded). Gate compares the numeric
-    forms; string formatting of doubles is not a cross-engine contract."""
-    from weaviate_txtai_spark.operators.profile import profile_table
-
-    li = load_table(spark, sf_dir, "lineitem")
-    prof = profile_table(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
-    return prof.select(
-        "column",
-        "n_rows",
-        "n_nulls",
-        "n_distinct",
-        F.round("min_num", 2).alias("min_num"),
-        F.round("max_num", 2).alias("max_num"),
-        F.round("mean", 4).alias("mean"),
-    ).orderBy("column")
-
-
-_CLUSTER_TOP_TERMS_SQL = _KMEANS_CTE + """
-, terms AS (
-  SELECT a2.cluster,
-         unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS term
-  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
-),
-cnt AS (
-  SELECT cluster, term, count(*) AS n_occ FROM terms GROUP BY 1, 2
-)
-SELECT CAST(cluster AS INT) AS cluster, CAST(rank AS INT) AS rank,
-       term, CAST(n_occ AS BIGINT) AS n_occ
-FROM (
-  SELECT cluster, term, n_occ,
-         row_number() OVER (
-           PARTITION BY cluster ORDER BY n_occ DESC, term ASC
-         ) AS rank
-  FROM cnt
-) WHERE rank <= 5 ORDER BY cluster, rank
-"""
-
-
-@register("cluster_top_terms", _CLUSTER_TOP_TERMS_SQL)
-def cluster_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster labeling — the step after any clustering run: what IS
-    each cluster, in words? Cross-modal: the assignment came from the
-    EMBEDDING k-means (same deterministic trajectory as kmeans_assign),
-    the labels come from the TEXT, joined on the shared id. One id join
-    + one (cluster, term) partial-agg shuffle + a k-partition window."""
-    from weaviate_txtai_spark.operators.kmeans import cluster_top_terms
-
-    m = _kmeans_model(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        cluster_top_terms(m.assigned, docs, n_terms=5)
-        .select(
-            F.col("cluster").cast("int").alias("cluster"),
-            F.col("rank").cast("int").alias("rank"),
-            "term",
-            F.col("n_occ").cast("long").alias("n_occ"),
-        )
-        .orderBy("cluster", "rank")
-    )
-
-
-# --------------------------------------------------------------------------
-# Graph centrality over the kNN graph (operators/graph.py)
-# --------------------------------------------------------------------------
-
-# fixed-point iteration: every op is integer arithmetic (// is floor
-# division on BIGINT in DuckDB, `div` in Spark) — bit-identical across
-# engines, no rounding-boundary coin flips (a float 9-dp-rounded
-# trajectory flipped on ~0.4% of nodes in testing: partial sums landing
-# within float noise of a rounding boundary round differently per
-# engine, and the contraction preserves the flip instead of healing it)
-_PR_ITER = """
-, r{next} AS (
-  SELECT nd.id,
-         CAST((15 * 1000000000000) // (100 * nn.n)
-              + (85 * coalesce(m.mass, 0)) // 100 AS BIGINT) AS r
-  FROM nodes nd CROSS JOIN nn
-  LEFT JOIN (
-    SELECT e.dst AS id, CAST(sum(r{cur}.r // dg.d) AS BIGINT) AS mass
-    FROM edges e JOIN r{cur} ON r{cur}.id = e.src
-    JOIN deg dg ON dg.src = e.src
-    GROUP BY e.dst
-  ) m ON m.id = nd.id
-)
-"""
-
-_DOC_CENTRALITY_SQL = (
-    """
-WITH sims AS (
-  SELECT q.vec_id AS src, e.vec_id AS dst,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                           CAST(q.embedding AS DOUBLE[])) DESC,
-                    e.vec_id ASC
-         ) AS rk
-  FROM embeddings e CROSS JOIN embeddings q
-  WHERE e.vec_id <> q.vec_id
-),
-edges AS (SELECT src, dst FROM sims WHERE rk <= 3),
-nodes AS (
-  SELECT DISTINCT src AS id FROM edges
-  UNION SELECT DISTINCT dst FROM edges
-),
-nn AS (SELECT count(*) AS n FROM nodes),
-deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
-r0 AS (
-  SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS r
-  FROM nodes CROSS JOIN nn
-)
-"""
-    + _PR_ITER.format(cur=0, next=1)
-    + _PR_ITER.format(cur=1, next=2)
-    + _PR_ITER.format(cur=2, next=3)
-    + """
-SELECT id AS vec_id, r AS centrality_fp FROM r3 ORDER BY vec_id
-"""
-)
-
-
-@register("doc_centrality", _DOC_CENTRALITY_SQL)
-def doc_centrality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-based curation signal: PageRank over the directed 3-NN
-    cosine graph — high centrality = the document's neighborhood is
-    dense and it "speaks for" many neighbors (coreset selection);
-    near-zero in-degree = outlier. Per power iteration: one
-    groupBy(dst) partial-agg shuffle. The gate runs the FIXED-POINT
-    variant (scaled longs, floor division) — bit-identical across
-    engines, where the float trajectory flipped a rounding grid step on
-    ~0.4% of nodes (see _PR_ITER comment). The kNN graph has no
-    dangling nodes (every node emits exactly k edges); the operator's
-    dangling handling is pytest-pinned on general graphs. The oracle
-    replays the kNN build and all three integer iterations in SQL."""
-    from weaviate_txtai_spark.operators.graph import knn_graph, pagerank_exact
-
-    emb = _emb(spark, sf_dir)
-    g = knn_graph(emb, 3)
-    return (
-        pagerank_exact(g, iters=3)
-        .select(
-            F.col("id").alias("vec_id"),
-            F.col("rank_fp").alias("centrality_fp"),
-        )
-        .orderBy("vec_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# TPC-H Q21 analogue: sole-fault supplier (EXISTS + NOT EXISTS pair)
-# --------------------------------------------------------------------------
-
-_SOLE_FAULT_SQL = """
-SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_sole_fault
-FROM supplier s
-JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-JOIN orders o ON o.o_orderkey = l1.l_orderkey
-WHERE o.o_orderstatus = 'F'
-  AND l1.l_returnflag = 'R'
-  AND EXISTS (SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                  WHERE l3.l_orderkey = l1.l_orderkey
-                    AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_returnflag = 'R')
-GROUP BY s.s_name
-ORDER BY n_sole_fault DESC, s.s_name
-LIMIT 20
-"""
-
-
-@register("sole_fault_supplier", _SOLE_FAULT_SQL)
-def sole_fault_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: suppliers who were the SOLE return-flagged
-    supplier in multi-supplier finished orders — the classic correlated
-    EXISTS + NOT EXISTS pair against the same fact table.
-
-    The oracle keeps the textbook subquery form (the spec); the engine
-    runs the aggregate DECORRELATION: one pass over lineitem computes
-    both subqueries at once per order (distinct suppliers ≥ 2 ⇔ the
-    EXISTS; distinct R-flagged suppliers == 1 ⇔ the NOT EXISTS, given
-    l1 itself is R-flagged) — two correlated scans of the fact table
-    collapse into one groupBy(orderkey) partial agg plus one equi-join
-    back, the rewrite that matters when lineitem is the 100 TB table."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    supplier = load_table(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
-    )
-    faulted = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(
-            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
-    )
-    return (
-        faulted.join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("n_sole_fault"))
-        .orderBy(F.desc("n_sole_fault"), F.asc("s_name"))
-        .limit(20)
-    )
-
-
-# --------------------------------------------------------------------------
-# Exact-k sampling via TakeOrdered (functions/sampling.py)
-# --------------------------------------------------------------------------
-
-_UNIFORM_K_SQL = """
-SELECT doc_id, source FROM (
-  SELECT doc_id, source,
-         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
-  FROM documents
-) ORDER BY f, doc_id LIMIT 40
-"""
-
-
-@register("uniform_sample_k", _UNIFORM_K_SQL)
-def uniform_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACTLY-k uniform sample with no global sort: order by the hash
-    fraction + limit plans as TakeOrderedAndProject (per-partition
-    heaps), one scan at any table size; draws nest as k grows (fixed
-    hash permutation). sample(fraction) gives binomial counts and a
-    window rank costs a shuffle — this is the exact-count scale path."""
-    from weaviate_txtai_spark.functions.sampling import uniform_sample_k
-
-    docs = load_table(spark, sf_dir, "documents")
-    return uniform_sample_k(docs, 40).select("doc_id", "source")
-
-
-_WEIGHTED_K_SQL = """
-SELECT doc_id, source, n_chars FROM (
-  SELECT doc_id, source, n_chars,
-         ln(((doc_id * 2654435761 % 4294967296) + 0.5) / 4294967297.0)
-           / n_chars AS k
-  FROM documents WHERE n_chars > 0
-) ORDER BY k DESC, doc_id LIMIT 30
-"""
-
-
-@register("weighted_sample_k", _WEIGHTED_K_SQL)
-def weighted_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis–Spirakis weighted sampling without replacement:
-    k rows with inclusion probability ∝ weight (n_chars here — "prefer
-    longer documents, but not exclusively"), via the log-form key
-    ln(u)/w and the same TakeOrderedAndProject plan as the uniform
-    gate. Deterministic u (hash fraction) makes the DRAW itself
-    reproducible and oracle-able — the rarely-appreciated payoff of
-    hash-based randomness over rand()."""
-    from weaviate_txtai_spark.functions.sampling import weighted_sample_k
-
-    docs = load_table(spark, sf_dir, "documents")
-    return weighted_sample_k(docs, 30, "n_chars").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
-    )
-
-
-@register("approx_token_counts", None)
-def approx_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch point queries for the exact top-20 tokens:
-    build the depth×width sketch in one pass, then estimate the heavy
-    hitters' frequencies from it — rows-only (xxhash64 has no DuckDB
-    twin, same class as dedup_simhash's production mode); the
-    never-undercount and εN bounds are pinned in tests/test_cms.py.
-    Composition note: exact top-k comes from the Misra–Gries gate
-    (token_heavy_hitters); CMS answers the complementary question —
-    frequency of an ARBITRARY queried item from a mergeable summary."""
-    from weaviate_txtai_spark.functions.text import tokens
-    from weaviate_txtai_spark.operators.cms import build_cms, estimate_df
-    from weaviate_txtai_spark.operators.heavy_hitters import exact_top_tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens("text")).alias("term"))
-    cms = build_cms(tok, "term", width=2048, depth=5)
-    top = exact_top_tokens(docs, 20, capacity=4096).select("term")
-    return estimate_df(cms, top, "term").orderBy("term")
-
-
-_NORMALIZE_SQL = r"""
-SELECT doc_id,
-       md5(lower(trim(regexp_replace(
-           regexp_replace(text, '[\x00-\x08\x0e-\x1f\x7f\x{200B}-\x{200D}\x{FEFF}]',
-                          '', 'g'),
-           '[ \x09\x0a\x0b\x0c\x0d]+', ' ', 'g')))) AS norm_md5
-FROM documents ORDER BY doc_id
-"""
-
-
-@register("docs_normalize", _NORMALIZE_SQL)
-def docs_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-tokenization text normalization (control/zero-width strip,
-    whitespace collapse, trim, lowercase) — native codegen exprs,
-    byte-exact across engines; the gate hashes the normalized text
-    (md5), the same contract as docs_redact_pii."""
-    from weaviate_txtai_spark.functions.text import normalize_text
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.md5(normalize_text("text")).alias("norm_md5")
-    ).orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
-# End-to-end composition: the pretraining manifest
-# --------------------------------------------------------------------------
-
-_MANIFEST_SQL = (
-    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
-    + _CC_SQL_TAIL
-    + """
-, surv AS (
-  SELECT doc_id, source, text FROM documents
-  WHERE doc_id NOT IN (
-    SELECT node FROM reach GROUP BY node HAVING min(r) < node
-  )
-),
-stok AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-  FROM surv
-),
-scnt AS (SELECT term, count(*) AS c FROM stok GROUP BY 1),
-ssc AS (SELECT sum(c) AS total_t, count(*) AS vocab_v FROM scnt),
-slp AS (
-  SELECT term, ln((c + 1.0) / (total_t + 1.0 * vocab_v)) AS logp
-  FROM scnt, ssc
-),
-sscored AS (
-  SELECT t.doc_id, round(-avg(slp.logp), 6) AS nll
-  FROM stok t JOIN slp USING (term) GROUP BY t.doc_id
-  UNION ALL
-  SELECT doc_id, CAST(NULL AS DOUBLE) FROM surv
-  WHERE text IS NULL
-     OR len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
-),
-sm AS (SELECT round(avg(nll), 6) AS mean_nll FROM sscored)
-SELECT s.doc_id, s.source,
-       CASE WHEN f < 0.8 THEN 'train'
-            WHEN f < 0.9 THEN 'valid'
-            ELSE 'test' END AS split,
-       sc.nll,
-       coalesce(sc.nll <= sm.mean_nll, false) AS keep
-FROM (
-  SELECT doc_id, source,
-         (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS f
-  FROM surv
-) s
-JOIN sscored sc USING (doc_id), sm
-ORDER BY s.doc_id
-"""
-)
-
-
-@register("pretraining_manifest", _MANIFEST_SQL)
-def pretraining_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END PRODUCT, composed: near-dup survivors (MinHash-verified
-    Jaccard + connected components) → LM-quality keep flag (unigram nll
-    vs the SURVIVOR corpus mean — the model trains on what remains, so
-    the threshold is computed post-dedup) → reproducible split label.
-    One gate proving the pipeline STAGES compose correctly, not just
-    pass individually — the oracle rebuilds the whole chain in SQL
-    (recursive-CTE components, survivor-trained unigram model, hash
-    split)."""
-    from weaviate_txtai_spark.functions.sampling import assign_split
-    from weaviate_txtai_spark.operators.dedup import (
-        dedup_survivors,
-        jaccard_pairs,
-    )
-    from weaviate_txtai_spark.operators.lm import nll_quality_filter
-
-    docs = load_table(spark, sf_dir, "documents")
-    surv = dedup_survivors(docs, jaccard_pairs(docs, threshold=0.8))
-    flags = nll_quality_filter(
-        surv.select("doc_id", "text"), round_decimals=6
-    )
-    return (
-        surv.join(flags.select("doc_id", "nll", "keep"), "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            assign_split("doc_id").alias("split"),
-            "nll",
-            "keep",
-        )
-        .orderBy("doc_id")
-    )
-
-
-_CONTAINMENT_SQL = """
-WITH t AS (
-  SELECT doc_id, CAST(substring(source, 4, 10) AS INT) % 2 AS side,
-         list_filter(string_split(text, ' '), x -> x <> '') AS tok
-  FROM documents
-),
-w AS (
-  SELECT doc_id, side, md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
-  FROM t, unnest(generate_series(1, len(tok) - 7)) AS s(x)
-  WHERE len(tok) >= 8
-),
-dw AS (SELECT DISTINCT doc_id, side, wh FROM w),
-train_set AS (SELECT DISTINCT wh FROM dw WHERE side = 0),
-ev AS (SELECT doc_id, wh FROM dw WHERE side = 1),
-tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM ev GROUP BY 1),
-hit AS (
-  SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_hit
-  FROM ev JOIN train_set USING (wh) GROUP BY 1
-)
-SELECT tot.doc_id, tot.n_windows,
-       CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
-       round(coalesce(hit.n_hit, 0) * 1.0 / tot.n_windows, 6) AS containment
-FROM tot LEFT JOIN hit USING (doc_id)
-UNION ALL
-SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
-FROM t WHERE side = 1 AND (tok IS NULL OR len(tok) < 8)
-ORDER BY doc_id
-"""
-
-
-@register("eval_containment", _CONTAINMENT_SQL)
-def eval_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GRADED decontamination (GPT-3/PaLM containment): per eval doc
-    (odd sources), the fraction of its distinct 8-token windows found
-    anywhere in the training side (even sources). Complements
-    contamination_check's whole-document pair list — this catches an
-    eval question embedded in an otherwise-novel page and yields a
-    thresholdable score. Train side collapses to a distinct hash SET
-    (never pair-joined); eval windows semi-join it. md5 mode for the
-    byte-exact oracle; xxhash64 production mode pinned equal in
-    pytest."""
-    from weaviate_txtai_spark.operators.passages import ngram_containment
-
-    docs = load_table(spark, sf_dir, "documents")
-    side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
-    tagged = docs.select("doc_id", "text", side)
-    return (
-        ngram_containment(
-            tagged.filter(F.col("side") == 1),
-            tagged.filter(F.col("side") == 0),
-            k=8,
-            hash_mode="md5",
-        )
-        .orderBy("doc_id")
-    )
-
+# import order fixes the post-priority registration order; the star
+# re-exports keep `from plans.queries import <gate>_q` working
+from weaviate_txtai_spark.plans.vector import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.relational import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.dedup import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.text import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.streaming import *  # noqa: F401,F403
+from weaviate_txtai_spark.plans.pipeline import *  # noqa: F401,F403
 
 # --------------------------------------------------------------------------
 # Registry ordering: the correctness driver samples the FIRST 50 entries of

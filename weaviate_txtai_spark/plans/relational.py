@@ -1,0 +1,1784 @@
+"""Relational gates over the star schema: TPC-H-shaped join/agg/window/setop coverage, events-table analytics, sketches.
+
+Split out of plans/queries.py (round 4); registration order inside a module is
+unchanged, and queries.py remains the single registry hub.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+from weaviate_txtai_spark.sources.tables import load_table
+from weaviate_txtai_spark.plans.base import QueryFn, _emb, register
+
+# --------------------------------------------------------------------------
+# Relational SQL surface over the star schema (free in Spark — SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _TPCH_Q1_SQL)
+def pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> partial hash agg -> exchange(2 keys) ->
+    final agg. Filter pushed to parquet; only 7 columns read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_TOP_CUSTOMER_SQL = """
+SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM (
+  SELECT c.*, n.n_name,
+         row_number() OVER (PARTITION BY c.c_nationkey
+                            ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) WHERE rn = 1
+ORDER BY n_name
+"""
+
+
+@register("top_customer_per_nation", _TOP_CUSTOMER_SQL)
+def top_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per group + broadcast dim join (nation is 25 rows —
+    always broadcast, never shuffled)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_REVENUE_BY_NATION_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("revenue_by_nation", _REVENUE_BY_NATION_SQL)
+def revenue_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join pipeline: fact->fact shuffle join on orderkey, then
+    dims broadcast. At 100 TB lineitem/orders would be co-bucketed on
+    orderkey to eliminate the big shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_SUPPLIER_REGION_SQL = """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_balance,
+       round(avg(s.s_acctbal), 2) AS avg_balance
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register("supplier_region_balance", _SUPPLIER_REGION_SQL)
+def supplier_region_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure dimension snowflake (supplier->nation->region): every join
+    broadcasts, so the whole plan is map-side + one tiny agg shuffle —
+    the shape survives any scale-up of the supplier table."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_balance"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_PART_BRAND_SQL = """
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(l.l_quantity), 1) AS total_qty
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY revenue DESC, p.p_brand
+"""
+
+
+@register("part_brand_revenue", _PART_BRAND_SQL)
+def part_brand_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x small-dim: part broadcasts (it's 1/30th of lineitem and
+    only p_brand survives pruning), so lineitem never shuffles before
+    the partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 1).alias("total_qty"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+    )
+
+
+_SUPPLIER_SHARE_SQL = """
+WITH sup_rev AS (
+  SELECT n.n_name, s.s_name,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, s_name,
+       round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY n_name), 6) AS share
+FROM sup_rev
+ORDER BY n_name, revenue DESC, s_name
+"""
+
+
+@register("supplier_share", _SUPPLIER_SHARE_SQL)
+def supplier_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-window: revenue per (nation, supplier), then each
+    supplier's share of its nation via a window sum. The window runs
+    over the aggregated table (one row per supplier), never the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    w = Window.partitionBy("n_name")
+    return (
+        rev.select(
+            "n_name",
+            "s_name",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+        )
+        .orderBy("n_name", F.desc("revenue"), "s_name")
+    )
+
+
+_ORDERS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("orders_rollup", _ORDERS_ROLLUP_SQL)
+def orders_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (reference has no grouping sets at all —
+    SURVEY §2.4 gap list)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_SEGMENT_SETOPS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_both FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+"""
+
+
+@register("segment_setops", _SEGMENT_SETOPS_SQL)
+def segment_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT) — absent from the reference entirely
+    (SURVEY §2.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o).agg(F.count(F.lit(1)).alias("n_both"))
+
+
+_CUSTOMER_LIFETIME_SQL = """
+SELECT o_custkey, n_orders, total, first_date, last_date FROM (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 2) AS total,
+         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_date
+  FROM orders GROUP BY o_custkey
+) ORDER BY total DESC, o_custkey LIMIT 20
+"""
+
+
+@register("customer_lifetime", _CUSTOMER_LIFETIME_SQL)
+def customer_lifetime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderdate").cast("date").cast("string").alias("first_date"),
+            F.max("o_orderdate").cast("date").cast("string").alias("last_date"),
+        )
+        .orderBy(F.desc("total"), "o_custkey")
+        .limit(20)
+    )
+
+
+_RUNNING_REVENUE_SQL = """
+SELECT y, m, monthly, round(sum(monthly) OVER (ORDER BY y, m
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+         round(sum(o_totalprice), 2) AS monthly
+  FROM orders GROUP BY 1, 2
+) ORDER BY y, m
+"""
+
+
+@register("running_revenue", _RUNNING_REVENUE_SQL)
+def running_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window over a pre-aggregated frame (two-level agg:
+    the window input is tiny, so the unpartitioned window is safe)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly"))
+    )
+    w = Window.orderBy("y", "m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        monthly.withColumn("running", F.round(F.sum("monthly").over(w), 2))
+        .orderBy("y", "m")
+    )
+
+
+_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("price_quantiles", _PRICE_QUANTILES_SQL)
+def price_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). At 100 TB you'd swap in approx_percentile and accept
+    the error bound; the exact form is the spec."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: timestamped table — windowed aggregation + JSON extraction
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("events_sessionize", _SESSIONIZE_SQL)
+def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + running-sum session ids — the
+    canonical event-pipeline window composition. Partitioned by user_id,
+    so the window shuffles once on the natural key."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond gap: the oracle compares the exact INTERVAL, and
+    # whole-second truncation flips gap detection on sub-second data
+    # (the events_rolling_avg lesson, NOTES.md)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    # same (ts, event_id) tiebreak as the lag window: an orderBy("ts")
+    # prefix sum breaks duplicate-ts ties arbitrarily and can flip
+    # session ids vs the flag assignment
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count_distinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+_EVENTS_HOURLY_SQL = """
+SELECT CAST(EXTRACT(year FROM ts) AS INT) AS y,
+       CAST(EXTRACT(month FROM ts) AS INT) AS m,
+       CAST(EXTRACT(day FROM ts) AS INT) AS d,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY 1, 2, 3, 4, 5
+"""
+
+
+@register("events_hourly", _EVENTS_HOURLY_SQL)
+def events_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window agg (streaming variant in streaming/events.py
+    computes the identical result via Structured Streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("y", "m", "d", "h", "event_type")
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_json", _EVENTS_JSON_SQL)
+def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: get_json_object + agg (the
+    reference's metadata documents are JSON-ish dicts — SURVEY §1.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RETURNS_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@register("returns_cube", _RETURNS_CUBE_SQL)
+def returns_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (rollup is covered by orders_rollup): all four
+    grouping combinations in ONE aggregate pass — Spark expands the
+    grouping sets map-side, so the fact table is still read once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2)
+         AS purchase_value
+FROM events
+WHERE user_id < 50
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_pivot", _EVENTS_PIVOT_SQL)
+def events_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into wide per-user columns. Spark's
+    groupBy().pivot(values=...) with explicit values stays a single
+    hash aggregate (no extra pass to discover the pivot domain)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("val"),
+        )
+    )
+    return (
+        wide.select(
+            "user_id",
+            F.coalesce("click_n", F.lit(0)).alias("clicks"),
+            F.coalesce("view_n", F.lit(0)).alias("views"),
+            F.coalesce("purchase_n", F.lit(0)).alias("purchases"),
+            F.coalesce("purchase_val", F.lit(0.0)).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("inactive_customer_segments", _ANTI_JOIN_SQL)
+def inactive_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join — the same shape VectorIndex.delete
+    uses for set-oriented deletion (reference does this as N+1 HTTP
+    round-trips, weaviate.py:167-173)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(avg(c.c_acctbal), 2) AS avg_balance
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("active_customer_segments", _SEMI_JOIN_SQL)
+def active_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery shape as a left-semi join: the orders side is
+    filtered + deduped by the semi join itself, customers never
+    duplicate. Semi joins broadcast their right side when small."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    return (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (north-star; reference has no joins at all — SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value AS click_value FROM events
+           WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       round(p.value, 4) AS purchase_value,
+       round(coalesce(c.click_value, 0), 4) AS click_value,
+       coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+@register("events_asof", _ASOF_SQL)
+def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution: for every purchase, the latest click of the same
+    user at-or-before the purchase (backward as-of LEFT join). One shuffle
+    on user_id, no range explosion — operators/asof.py."""
+    from weaviate_txtai_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    res = asof_join(
+        purchases, clicks, on=["user_id"], matched_ts_col="click_ts"
+    )
+    # NULL-free gate projection: the driver's row-sort comparator chokes
+    # on None mixed into a typed column, so unmatched rows carry sentinels
+    # (epoch-0 ts, 0 value, -1 gap) on BOTH engines.
+    return res.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round(F.coalesce("click_value", F.lit(0.0)), 4).alias("click_value"),
+        F.coalesce(
+            "click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("click_ts"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("click_ts"), F.lit(-1)
+        ).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+_RANGE_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id,
+       CAST(count(r.event_id) AS BIGINT) AS n_follow,
+       round(coalesce(sum(r.value), 0), 4) AS sum_follow
+FROM e LEFT JOIN events r
+  ON r.user_id = e.user_id
+ AND epoch_us(r.ts) > epoch_us(e.ts)
+ AND epoch_us(r.ts) <= epoch_us(e.ts) + 600000000
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
+@register("events_range_join", _RANGE_JOIN_SQL)
+def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window follow-up: per error event, count/sum of the same
+    user's events in the next 10 minutes. Epoch-bucketed equi-join
+    (operators/asof.range_join) — linear shuffle, never the quadratic
+    inequality cross-join Catalyst would plan."""
+    from weaviate_txtai_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    follow = ev.select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    pairs = range_join(
+        errors,
+        follow,
+        window_seconds=600,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="r_ts",
+    )
+    counts = pairs.groupBy("event_id", "user_id").agg(
+        F.count("r_event_id").alias("n_follow"),
+        F.round(F.sum("r_value"), 4).alias("sum_follow"),
+    )
+    return (
+        errors.select("event_id", "user_id")
+        .join(counts, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.coalesce("sum_follow", F.lit(0.0)).alias("sum_follow"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RETURNED_ITEMS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1995-10-01'
+  AND o.o_orderdate < DATE '1996-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_items", _RETURNED_ITEMS_SQL)
+def returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: quarter-sliced orders ⋈ returned lineitems, with
+    customer and nation dims broadcast onto the aggregated fact join;
+    top-20 by lost revenue via TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped relational coverage: Q3 shipping priority, Q14 promo share
+# --------------------------------------------------------------------------
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", _SHIPPING_PRIORITY_SQL)
+def shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact⋈fact
+    join, grouped revenue, top-10. customer (dim) broadcasts; the
+    lineitem⋈orders shuffle is the co-bucketing candidate
+    (sources/bucketed.py)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_PROMO_REVENUE_SQL = """
+SELECT round(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+              / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+         AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01'
+  AND l.l_shipdate < DATE '1995-10-01'
+"""
+
+
+@register("promo_revenue", _PROMO_REVENUE_SQL)
+def promo_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: month-sliced fact scan, broadcast part dim,
+    conditional aggregate ratio — the date filter pushes into the
+    parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), net).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(net), 6).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Classic decision-support join/agg shapes (TPC-H Q4/Q7/Q11/Q15/Q17/Q18/
+# Q19/Q22 analogues on the driver's star schema) — breadth of the SQL
+# surface the reference's txtai dialect can never express (SURVEY §2.4).
+# --------------------------------------------------------------------------
+
+_NATION_TRADE_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+"""
+# revenue sums land exactly on the 2dp rounding boundary for a few of the
+# 1200 groups, so double accumulation order flips the last cent: sum in
+# DECIMAL (exact, order-independent) on both engines, round, cast back.
+_NATION_TRADE_SQL = _NATION_TRADE_SQL.replace(
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)",
+    "CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)"
+    " AS DECIMAL(28,8))), 2) AS DOUBLE)",
+)
+
+
+@register("nation_trade_volume", _NATION_TRADE_SQL)
+def nation_trade_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume. Two fact-side shuffle
+    joins (lineitem⋈orders, +customer); supplier and both nation roles
+    broadcast. The nation inequality filters post-join on broadcast
+    columns — no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(big.total_qty, 1) AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("large_orders", _LARGE_ORDERS_SQL)
+def large_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders. The HAVING aggregate runs
+    first (partial map-side sums), shrinking the fact to a handful of
+    orderkeys; AQE then broadcasts that survivor set onto orders —
+    order of magnitude less shuffle than joining before aggregating."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("__qty", 1).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_DISJUNCTIVE_SQL = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity <= 15)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 25)
+"""
+
+
+@register("disjunctive_selection", _DISJUNCTIVE_SQL)
+def disjunctive_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjuncts selection. The brand IN-list (the
+    disjunction's common factor) is applied to part BEFORE the join, so
+    it pushes into the part scan and shrinks the broadcast; the mixed
+    part/lineitem disjunction evaluates post-join in codegen."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & (q <= 15))
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 25)
+        )
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & (q >= 25))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_LAPSED_SQL = """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+GROUP BY 1
+"""
+
+
+@register("lapsed_high_value_customers", _LAPSED_SQL)
+def lapsed_high_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders. The global-average scalar broadcasts as a 1-row crossJoin;
+    the NOT EXISTS is a left_anti join against the date-filtered orders
+    (filter pushed to the orders scan, shrinking the anti side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_PART_SHARE_SQL = """
+WITH pr AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(val) AS t, count(*) AS np FROM pr)
+SELECT pr.l_partkey, round(pr.val, 2) AS val
+FROM pr, tot
+WHERE pr.val > 1.5 * tot.t / tot.np
+ORDER BY val DESC, l_partkey
+"""
+
+
+@register("part_revenue_share", _PART_SHARE_SQL)
+def part_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts earning more than 1.5x the average part
+    revenue — a scale-invariant threshold (a fixed share-of-total goes
+    degenerate as the part count grows). One shuffle (groupBy partkey);
+    the total re-aggregates the already-small per-part table and
+    broadcasts back as a 1-row crossJoin — the fact is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__val")
+    )
+    tot = pr.agg(F.sum("__val").alias("__t"), F.count(F.lit(1)).alias("__np"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("__val") > 1.5 * F.col("__t") / F.col("__np"))
+        .select("l_partkey", F.round("__val", 2).alias("val"))
+        .orderBy(F.desc("val"), F.asc("l_partkey"))
+    )
+
+
+_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_rev
+FROM supplier s
+JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@register("top_revenue_supplier", _TOP_SUPPLIER_SQL)
+def top_revenue_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarter revenue. The scalar
+    max re-aggregates the per-supplier table (already shuffled once) and
+    broadcasts; revenue is rounded BEFORE the max-equality so Spark and
+    the oracle compare identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+_SMALL_QTY_SQL = """
+WITH pa AS (
+  SELECT l.l_partkey, 0.2 * avg(l.l_quantity) AS lim
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#23'
+  GROUP BY 1
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.lim
+"""
+
+
+@register("small_quantity_revenue", _SMALL_QTY_SQL)
+def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-avg-quantity lineitems of one
+    brand. The correlated avg subquery decorrelates into a per-part
+    aggregate over the brand-restricted fact (brand filter broadcast
+    onto lineitem first), then broadcasts back onto the same restricted
+    fact — the full lineitem is never shuffled."""
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = brand_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("__lim")
+    )
+    return (
+        brand_li.join(F.broadcast(pa), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_LATE_SHIP_SQL = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("late_shipment_priority", _LATE_SHIP_SQL)
+def late_shipment_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipped line, counted
+    by priority. The correlated EXISTS is a left_semi join whose
+    non-equi part (l_shipdate > o_orderdate + 60 days) evaluates inside
+    the join; semi-join semantics dedupe multi-line matches for free."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch / approximate aggregates (training-pipeline corpus profiling):
+# exact versions are oracle-gated; the sketch versions are rows-only with
+# pytest error-bound tests (tests/test_sketches.py) because HLL /
+# KLL implementations differ across engines by design.
+# --------------------------------------------------------------------------
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_distinct_users", _DISTINCT_USERS_SQL)
+def events_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per group — Spark expands
+    count_distinct into a two-phase aggregate (partial dedupe map-side,
+    then count), the pattern the HLL sketch below replaces at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("approx_distinct_users", None)  # sketch: engine-specific → rows-only
+def approx_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct cardinality per group. At 100 TB this is
+    THE distinct-count: fixed ~1.5 KB of state per group instead of a
+    shuffle of every distinct key; mergeable across partitions.
+    Bounded-error contract pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@register("approx_price_quantiles", None)  # sketch: engine-specific → rows-only
+def approx_price_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of l_extendedprice via Greenwald-Khanna
+    (percentile_approx). Mergeable fixed-size sketch vs. the exact
+    percentile's full sort; accuracy contract in tests/test_sketches.py
+    against the exact `price_quantiles` query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+    ).alias("__qs")
+    return (
+        li.agg(qs)
+        .select(
+            F.posexplode("__qs").alias("q_idx", "price_approx")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-frame / bucketing / grouping-set breadth + streaming dedup
+# --------------------------------------------------------------------------
+
+_ROLLING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_avg
+FROM events
+"""
+
+
+@register("events_rolling_avg", _ROLLING_AVG_SQL)
+def events_rolling_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs. the ROWS frame in running_revenue):
+    per-user 1-hour trailing average. Spark's rangeBetween needs a
+    numeric ordering key, so ts maps to epoch MICROSECONDS — full
+    timestamp precision; truncating to seconds silently moves events
+    across the frame boundary (caught at sf0.1, where sub-second
+    spacing appears). One shuffle on user_id, then a sorted
+    in-partition frame scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
+    )
+
+
+_DECILES_SQL = """
+WITH ranked AS (
+  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+  FROM customer
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+       round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("customer_value_deciles", _DECILES_SQL)
+def customer_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (equi-depth histogram of customer value). Routed
+    through the exact_ntile guardrail (VERDICT r2 item 6): ntile needs a
+    global order — a single-partition sort, the one window shape that
+    does NOT scale by partitioning alone — so the helper warns above a
+    row threshold and points to quantile_buckets / approx_value_deciles,
+    the same histogram without the global sort."""
+    from weaviate_txtai_spark.functions.sampling import exact_ntile
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        exact_ntile(
+            cust.select("c_acctbal", "c_custkey"),
+            10,
+            F.desc("c_acctbal"),
+            F.asc("c_custkey"),
+            bucket_col="decile",
+            # the input is one row per customer of a fixed sf table —
+            # known far below the threshold, so skip the probe job
+            warn_rows=None,
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+_DOCS_GROUPING_SETS_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (lang, source), ())
+ORDER BY lang, source
+"""
+
+
+@register("docs_grouping_sets", _DOCS_GROUPING_SETS_SQL)
+def docs_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind orders_rollup's
+    ROLLUP and returns_cube's CUBE): three chosen granularities in one
+    aggregate pass over a single scan of the table."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM __docs_gs
+        GROUP BY GROUPING SETS ((lang), (lang, source), ())
+        ORDER BY lang, source
+        """
+    )
+
+
+@register("approx_value_deciles", None)  # sketch boundaries: rows-only
+def approx_value_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path customer_value_deciles' docstring promises: an
+    equi-depth histogram WITHOUT a global sort. Decile boundaries come
+    from the GK quantile sketch (one partial-agg pass, mergeable);
+    bucket assignment is a broadcast of 9 doubles + a codegen'd count
+    of boundaries below each value — map-only. Error is bounded by the
+    sketch accuracy (bucket sizes within ~±1% of n/10 at accuracy 1e4,
+    pinned in tests/test_sketches.py) vs ntile's exact single-partition
+    sort."""
+    from weaviate_txtai_spark.functions.sampling import quantile_buckets
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        quantile_buckets(
+            cust.select("c_acctbal"), "c_acctbal", n_buckets=10,
+            bucket_col="decile",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+_REVENUE_PERCENTILE_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS total
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey,
+       round(total, 2) AS total,
+       round(percent_rank() OVER (ORDER BY total, o_custkey), 6) AS pct_rank,
+       round(cume_dist() OVER (ORDER BY total, o_custkey), 6) AS cume
+FROM rev
+ORDER BY total DESC, o_custkey
+LIMIT 25
+"""
+
+
+@register("revenue_percentile", _REVENUE_PERCENTILE_SQL)
+def revenue_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist window shapes (the remaining rank-family
+    functions). They need a total order over the aggregated per-customer
+    table — already 100x smaller than the fact after the groupBy; at
+    larger cardinalities the sketch-histogram path (approx_value_deciles)
+    replaces the exact global sort. Tie-break on the key keeps both
+    engines' ranks identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__total"))
+    w = Window.orderBy(F.asc("__total"), F.asc("o_custkey"))
+    return (
+        rev.select(
+            "o_custkey",
+            F.round("__total", 2).alias("total"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy(F.desc("total"), F.asc("o_custkey"))
+        .limit(25)
+    )
+
+
+_FUZZY_MATCH_SQL = """
+SELECT a.source AS s1, b.source AS s2,
+       CAST(levenshtein(a.source, b.source) AS INT) AS edit_dist
+FROM (SELECT DISTINCT source FROM documents) a
+JOIN (SELECT DISTINCT source FROM documents) b
+  ON a.source < b.source AND levenshtein(a.source, b.source) <= 1
+ORDER BY s1, s2
+"""
+
+
+@register("fuzzy_source_match", _FUZZY_MATCH_SQL)
+def fuzzy_source_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by edit distance: near-identical source names
+    (levenshtein <= 1) — the dedup move for entity/metadata columns
+    rather than content. The DISTINCT shrinks each side to unique keys
+    BEFORE the quadratic comparison, so the crossJoin is over the key
+    dictionary (tiny), never the corpus; at larger dictionaries the
+    blocking trick is the SimHash/MinHash banding already in
+    operators/dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("source").distinct()
+    a = src.select(F.col("source").alias("s1"))
+    b = src.select(F.col("source").alias("s2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("s1") < F.col("s2"))
+        .withColumn("edit_dist", F.levenshtein("s1", "s2").cast("int"))
+        .filter(F.col("edit_dist") <= 1)
+        .orderBy("s1", "s2")
+    )
+
+
+_MULTISET_SETOPS_SQL = """
+WITH h1 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+     h2 AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2))
+    AS n_except_all,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2))
+    AS n_intersect_all
+"""
+
+
+@register("multiset_setops", _MULTISET_SETOPS_SQL)
+def multiset_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset semantics (each occurrence
+    counts), vs segment_setops' distinct INTERSECT. Spark plans both as
+    a single aggregate of signed counts per key, not a join per
+    duplicate — one shuffle each."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    h1 = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    h2 = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    ex = h1.exceptAll(h2).count()
+    inter = h1.intersectAll(h2).count()
+    return spark.createDataFrame(
+        [(ex, inter)], "n_except_all long, n_intersect_all long"
+    )
+
+
+_FK_INTEGRITY_SQL = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    AS orphan_customers,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE l_quantity IS NULL OR l_extendedprice IS NULL OR l_discount IS NULL)
+    AS null_measures
+"""
+
+
+@register("fk_integrity", _FK_INTEGRITY_SQL)
+def fk_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (the dbt-test shape a pipeline runs
+    before trusting a drop of data): each orphan count is a left_anti
+    join — at scale the dim side broadcasts or co-partitions, and a
+    non-zero count is the alarm, so the query stays cheap precisely
+    when the data is healthy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orphan_li = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey",
+        "left_anti",
+    ).count()
+    orphan_o = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+        "left_anti",
+    ).count()
+    orphan_c = cust.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"))),
+        "c_nationkey", "left_anti",
+    ).count()
+    nulls = li.filter(
+        F.col("l_quantity").isNull()
+        | F.col("l_extendedprice").isNull()
+        | F.col("l_discount").isNull()
+    ).count()
+    return spark.createDataFrame(
+        [(orphan_li, orphan_o, orphan_c, nulls)],
+        "orphan_lineitems long, orphan_orders long, "
+        "orphan_customers long, null_measures long",
+    )
+
+
+_EVENTS_OUTLIERS_SQL = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN round((e.value - s.mu) / s.sigma, 6) > 3.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max((e.value - s.mu) / s.sigma), 6) AS max_zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_outliers", _EVENTS_OUTLIERS_SQL)
+def events_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier monitoring per event type (stddev_samp — the
+    variance family's gate). Two passes over events: per-type moments
+    (partial-agg shuffle on ~5 groups), broadcast back, then a map-side
+    z-score + one more tiny aggregate. The z-score rounds to 6dp before
+    the 3-sigma comparison so the kept set is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"), F.stddev_samp("value").alias("__sigma")
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.round(z, 6) > 3.0, 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.round(F.max(z), 6).alias("max_zscore"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RANK_TIES_SQL = """
+WITH daily AS (
+  SELECT l_returnflag, CAST(l_quantity AS INT) AS qty, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, qty, n,
+         CAST(rank() OVER (PARTITION BY l_returnflag ORDER BY n DESC) AS INT)
+           AS rnk,
+         CAST(dense_rank() OVER (PARTITION BY l_returnflag ORDER BY n DESC) AS INT)
+           AS drnk
+  FROM daily
+)
+SELECT l_returnflag, qty, n, rnk, drnk
+FROM ranked WHERE drnk <= 3
+ORDER BY l_returnflag, drnk, qty
+"""
+
+
+@register("quantity_rank_ties", _RANK_TIES_SQL)
+def quantity_rank_ties_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank under ties (the remaining rank-family pair:
+    equal counts share a rank, rank leaves gaps, dense_rank doesn't).
+    Ordering by the non-unique count makes ties real; the output key
+    set is still deterministic because the filter is on dense_rank and
+    the final sort includes qty."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"))
+    return (
+        daily.withColumn("rnk", F.rank().over(w).cast("int"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("int"))
+        .filter(F.col("drnk") <= 3)
+        .orderBy("l_returnflag", "drnk", "qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# (The former *_exhaustive / *_exact / *_md5 exactness twins are folded
+# into the canonical gate names above — VERDICT r2 item 1: the sampled
+# names themselves now run exactness-mode parameterizations under full
+# oracles, and the production approximate parameterizations are pinned by
+# recall tests in tests/test_ann.py and tests/test_dedup.py.)
+# --------------------------------------------------------------------------
+# Skew-mitigation + maintenance gates (VERDICT r1 items 5-6)
+# --------------------------------------------------------------------------
+
+_COHORT_SALTED_SQL = """
+SELECT CAST(user_id % 10 AS INT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_cohort_salted", _COHORT_SALTED_SQL)
+def events_cohort_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join correctness gate: the events fact joins its per-user
+    dim through `salted_join` (skewed side salted over 8 buckets, dim
+    side exploded ×8), then aggregates per cohort. Salting must be
+    result-invariant — the oracle computes the same aggregate with no
+    join at all, so any row lost/duplicated by the salt machinery
+    hash-fails. Decimal-cast before the float sum: group sums land on
+    the 2dp boundary otherwise (NOTES.md)."""
+    from weaviate_txtai_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", F.pmod("user_id", F.lit(10)).cast("int"))
+    )
+    joined = salted_join(ev.select("user_id", "value"), dim, "user_id",
+                         salt_factor=8, seed=7)
+    return (
+        joined.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("cohort")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 analogue: sole-fault supplier (EXISTS + NOT EXISTS pair)
+# --------------------------------------------------------------------------
+
+_SOLE_FAULT_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_sole_fault
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY n_sole_fault DESC, s.s_name
+LIMIT 20
+"""
+
+
+@register("sole_fault_supplier", _SOLE_FAULT_SQL)
+def sole_fault_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE return-flagged
+    supplier in multi-supplier finished orders — the classic correlated
+    EXISTS + NOT EXISTS pair against the same fact table.
+
+    The oracle keeps the textbook subquery form (the spec); the engine
+    runs the aggregate DECORRELATION: one pass over lineitem computes
+    both subqueries at once per order (distinct suppliers ≥ 2 ⇔ the
+    EXISTS; distinct R-flagged suppliers == 1 ⇔ the NOT EXISTS, given
+    l1 itself is R-flagged) — two correlated scans of the fact table
+    collapse into one groupBy(orderkey) partial agg plus one equi-join
+    back, the rewrite that matters when lineitem is the 100 TB table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    faulted = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    )
+    return (
+        faulted.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_fault"))
+        .orderBy(F.desc("n_sole_fault"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -1,0 +1,252 @@
+"""Structured Streaming + multimodal gates (batch-equivalent oracles where SQL-expressible).
+
+Split out of plans/queries.py (round 4); registration order inside a module is
+unchanged, and queries.py remains the single registry hub.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+from weaviate_txtai_spark.sources.tables import load_table
+from weaviate_txtai_spark.plans.base import QueryFn, _emb, register
+from weaviate_txtai_spark.plans.relational import _EVENTS_HOURLY_SQL
+from weaviate_txtai_spark.plans.dedup import _JACCARD_CTE
+
+# --------------------------------------------------------------------------
+# Streaming (M4) + multimodal (M3.4)
+# --------------------------------------------------------------------------
+
+
+@register("streaming_hourly", _EVENTS_HOURLY_SQL)
+def streaming_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg (availableNow) — same
+    oracle as the batch query: streaming correctness IS batch
+    equivalence for a static source."""
+    from weaviate_txtai_spark.streaming.events import run_hourly_available_now
+
+    return run_hourly_available_now(spark, sf_dir, table_name="hourly_stream_gate")
+
+
+_STREAM_INGEST_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS docid
+FROM documents
+ORDER BY docid
+"""
+
+
+@register("streaming_ingest", _STREAM_INGEST_SQL)
+def streaming_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a VectorIndex (M4): file stream over the
+    documents table → Arrow-batched encode → foreachBatch append with
+    running-offset docids. The oracle checks the ingest invariant the
+    reference enforces with its offset counter (weaviate.py:67,149):
+    docids come out dense 0..N-1 regardless of micro-batch boundaries."""
+    import os
+    import tempfile
+
+    from weaviate_txtai_spark.index import VectorIndex
+    from weaviate_txtai_spark.streaming.ingest import stream_ingest
+
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    work = tempfile.mkdtemp(prefix="wts_stream_ingest_")
+    idx = VectorIndex(spark, os.path.join(work, "idx")).create()
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(sf_dir, "documents.parque*")
+    )
+    q = stream_ingest(stream, idx, checkpoint=os.path.join(work, "cp"))
+    # bounded wait: an availableNow drain of one file finishes in seconds;
+    # never hang the driver harness if the stream wedges
+    q.awaitTermination(600)
+    q.stop()
+    return idx.to_df().select("docid").orderBy("docid")
+
+
+@register("streaming_sessions", None)  # stateful op: rows-only (non-SQL)
+def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState session windows);
+    equivalence to the batch lag-gap spec is asserted in
+    tests/test_sessions.py."""
+    from weaviate_txtai_spark.streaming.events import stream_events
+    from weaviate_txtai_spark.streaming.sessions import sessionize_stream
+
+    out = sessionize_stream(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("sessions_stream_gate").select(
+        "user_id",
+        F.col("session_start").cast("long").alias("start_s"),
+        F.col("session_end").cast("long").alias("end_s"),
+        "n_events",
+    )
+
+
+@register("multimodal_features", None)  # mapInPandas features: rows-only
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Arrow-batched feature extraction; deterministic
+    fake decoder (no codecs in container), real Spark plumbing."""
+    from weaviate_txtai_spark.multimodal.binary import (
+        attach_fake_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_fake_payload(docs))
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id,
+       CAST(count(*) AS BIGINT) AS n_follow,
+       round(sum(r.value), 4) AS sum_follow
+FROM e JOIN events r
+  ON r.user_id = e.user_id
+ AND epoch_us(r.ts) > epoch_us(e.ts)
+ AND epoch_us(r.ts) <= epoch_us(e.ts) + 600000000
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
+@register("streaming_interval_join", _STREAM_INTERVAL_JOIN_SQL)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join (streaming/joins.py) drained
+    with availableNow, aggregated batch-side — must equal the static
+    inequality join (streaming correctness = batch equivalence). Inner
+    join, so zero-follower errors drop (unlike events_range_join)."""
+    from weaviate_txtai_spark.streaming.joins import run_error_follow_join
+
+    pairs = run_error_follow_join(
+        spark, sf_dir, table_name="interval_join_gate"
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            F.round(F.sum("r_value"), 4).alias("sum_follow"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("streaming_dedup", _STREAM_DEDUP_SQL)
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over the event stream
+    (availableNow) must emit exactly the batch DISTINCT pairs — the
+    post-aggregation runs batch-side on the materialized sink. See
+    streaming/dedup.py for the state-size / watermark tradeoff."""
+    from weaviate_txtai_spark.streaming.dedup import stream_distinct_pairs
+
+    pairs = stream_distinct_pairs(spark, sf_dir, table_name="dedup_stream_gate")
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming near-dup dedup (continuous-ingest incremental MinHash)
+# --------------------------------------------------------------------------
+
+# Oracle replays the two-micro-batch semantics in SQL over the EXACT
+# jaccard pair set (LSH recall == exact at the testdata dup rate — the
+# same equivalence the dedup_minhash gate rests on): batch 1 = even
+# ids, batch 2 = odd ids; within a batch the lower-id member of a pair
+# survives; batch-2 docs also drop against batch-1 SURVIVORS (not
+# batch-1 dropped docs — the store only ever holds survivors).
+_STREAM_NEAR_DEDUP_SQL = (
+    _JACCARD_CTE
+    + """
+, p08 AS (
+  SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8
+), s1 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0 AND doc_id NOT IN (
+    SELECT d2 FROM p08 WHERE d1 % 2 = 0 AND d2 % 2 = 0)
+), odd_drop AS (
+  SELECT d2 AS doc_id FROM p08 WHERE d1 % 2 = 1 AND d2 % 2 = 1
+  UNION
+  SELECT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END AS doc_id
+  FROM p08
+  WHERE (d1 % 2) <> (d2 % 2)
+    AND (CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END) IN (SELECT doc_id FROM s1)
+)
+SELECT doc_id, source FROM documents
+WHERE (doc_id % 2 = 0 AND doc_id IN (SELECT doc_id FROM s1))
+   OR (doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM odd_drop))
+ORDER BY doc_id
+"""
+)
+
+
+@register("streaming_near_dedup", _STREAM_NEAR_DEDUP_SQL)
+def streaming_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest NEAR-dup dedup: a real two-micro-batch stream
+    (maxFilesPerTrigger=1, mtime-ordered files) through
+    streaming.dedup.stream_near_dedup — in-batch MinHash dedup, then a
+    bipartite LSH join against the survivor signature store (prior
+    batch text is never re-read). The oracle replays the sequential
+    semantics over the exact pair set."""
+    import os
+    import tempfile
+    import time
+
+    from weaviate_txtai_spark.streaming.dedup import stream_near_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    tmp = tempfile.mkdtemp(prefix="snd_gate_")
+    src = os.path.join(tmp, "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "a")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b")
+    )
+    now = time.time()
+    for sub, age in (("a", 200), ("b", 100)):
+        for dirpath, _, files in os.walk(os.path.join(src, sub)):
+            for fn in files:
+                os.utime(os.path.join(dirpath, fn), (now - age, now - age))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = stream_near_dedup(
+        stream,
+        store_dir=os.path.join(tmp, "store"),
+        out_dir=os.path.join(tmp, "out"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        threshold=0.8,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(tmp, "out"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,642 @@
+"""Text-analysis gates: stats, quality, lang-id, TF-IDF, tokenization, normalization, PII, chunk/pack, BM25/hybrid.
+
+Split out of plans/queries.py (round 4); registration order inside a module is
+unchanged, and queries.py remains the single registry hub.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+from weaviate_txtai_spark.sources.tables import load_table
+from weaviate_txtai_spark.plans.base import QueryFn, _emb, register
+
+_LANG_DIST_SQL = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("lang_distribution", _LANG_DIST_SQL)
+def lang_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = load_table(spark, sf_dir, "documents")
+    return (
+        ds.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis suite (north-star M3)
+# --------------------------------------------------------------------------
+
+# empty-doc guard in the SQL mirrors the Spark side's _per_token (0.0, not x/0)
+_TEXT_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+       END AS diversity,
+       md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.functions.text import (
+        fingerprint,
+        lexical_diversity,
+        token_count,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_unique"),
+        F.round(lexical_diversity("text"), 6).alias("diversity"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+_TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       round(least(len(toks) / 100.0, 1.0) * 0.4
+             + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.3
+             + least((len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','and','to','in','is','that','it','for',
+                  'on','with','as','was','at','by'], x))) * 1.0 / len(toks))
+                 * 5.0, 1.0) * 0.3,
+             6) END AS quality
+FROM (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+@register("text_quality", _TEXT_QUALITY_SQL)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+_TOKENS_BY_SOURCE_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("tokens_by_source", _TOKENS_BY_SOURCE_SQL)
+def tokens_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lang_id_oracle() -> str:
+    """Build the DuckDB argmax-over-profiles SQL from the SAME
+    LANG_PROFILES dict the Spark expression uses — one source of truth,
+    the oracle can't drift from the engine. Struct max() compares
+    (score, lang) fields in order in both engines, so ties break
+    identically (lexicographically larger code). Unsegmented scripts
+    (UNSEGMENTED_LANGS) score by character containment, mirroring the
+    Spark expression."""
+    from weaviate_txtai_spark.functions.text import (
+        LANG_PROFILES,
+        UNSEGMENTED_LANGS,
+    )
+
+    def entry(code: str, words: list[str]) -> str:
+        if code in UNSEGMENTED_LANGS:
+            score = " + ".join(
+                f"(CASE WHEN contains(lt, '{w}') THEN 1 ELSE 0 END)"
+                for w in words
+            )
+            return "{'s': " + score + ", 'lang': '" + code + "'}"
+        return (
+            "{'s': len(list_filter(t, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], x))), 'lang': '" + code + "'}"
+        )
+
+    entries = ", ".join(
+        entry(code, words) for code, words in LANG_PROFILES.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(text) AS lt,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+), best AS (
+  SELECT doc_id, max(s) AS b
+  FROM (SELECT doc_id, unnest([{entries}]) AS s FROM toks)
+  GROUP BY doc_id
+)
+SELECT CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS detected_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM best GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("lang_id", _lang_id_oracle())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(lang_id("text").alias("detected_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("detected_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics: TF-IDF and n-gram frequency (text-pipeline vocabulary)
+# --------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf,
+         CAST(row_number() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) DESC,
+                      tf.term ASC) AS INT) AS rank
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+) WHERE rank <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Two partial-agg shuffles (doc-term
+    tf, then term df); the df table and the corpus-count scalar broadcast
+    back onto tf, so the scoring join never shuffles the big side; the
+    final window partitions by doc_id."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select("doc_id", F.explode(tokens("text")).alias("term"))
+    # tf feeds BOTH the scoring join and the df aggregate; without persist
+    # the tokenize+explode+agg lineage runs twice (plan showed 2 extra
+    # document scans). At 100 TB swap persist() for a disk checkpoint —
+    # the doc-term table is corpus-sized.
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    tf = scoped_persist(
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_raw"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rank")
+    )
+
+
+_BIGRAM_SQL = """
+WITH bg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS bigram
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs
+FROM bg GROUP BY bigram
+ORDER BY n_docs DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@register("bigram_top", _BIGRAM_SQL)
+def bigram_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by document frequency (shingles are distinct per
+    doc, so count(*) = doc frequency). orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    from weaviate_txtai_spark.functions.text import shingles
+    from weaviate_txtai_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = spread(docs).select(F.explode(shingles("text", 2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Chunking / packing / repetition (LLM training-data preparation)
+# --------------------------------------------------------------------------
+
+_DOC_CHUNKS_SQL = """
+SELECT d.doc_id, CAST(s.start // 100 AS INT) AS chunk_id,
+       substr(d.text, CAST(s.start AS INT) + 1, 200) AS chunk_text,
+       CAST(length(substr(d.text, CAST(s.start AS INT) + 1, 200)) AS INT)
+         AS chunk_len
+FROM documents d,
+     unnest(generate_series(0, greatest(length(d.text) - 1, 0), 100)) AS s(start)
+"""
+
+
+@register("doc_chunks", _DOC_CHUNKS_SQL)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char windows with stride 100 — map-only
+    explode(sequence)+substring, zero shuffles; chunk_id is the window
+    ordinal so downstream joins can reconstruct overlap adjacency."""
+    from weaviate_txtai_spark.operators.chunking import chunk_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_docs(docs, size=200, stride=100)
+
+
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(length(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM t
+), r AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(cum_before / 512.0) AS BIGINT) AS raw_pack
+  FROM c
+)
+SELECT source, doc_id, n_tokens,
+       CAST(dense_rank() OVER (PARTITION BY source ORDER BY raw_pack) - 1
+            AS BIGINT) AS pack_id
+FROM r
+"""
+
+
+@register("pack_sequences", _PACK_SEQUENCES_SQL)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing into 512-token budgets per
+    source (operators/chunking.py) — one window shuffle on source."""
+    from weaviate_txtai_spark.operators.chunking import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512)
+
+
+_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tc AS (
+  SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_ratio,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+FROM tc GROUP BY 1
+"""
+
+
+@register("docs_repetition", _REPETITION_SQL)
+def docs_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals (Gopher-style quality rules): most
+    frequent token's share + type/token ratio. Both aggregates are
+    partial-aggregatable: the doc-term counts shuffle once on doc_id
+    and the per-doc reduction is map-side after that."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c").cast("double")
+    return tc.groupBy("doc_id").agg(
+        F.round(F.max("c") / total, 6).alias("top_token_ratio"),
+        F.round(F.count(F.lit(1)) / total, 6).alias("type_token_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical scoring (BM25) + hybrid reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "vector", "join"]
+
+# term list interpolated from _BM25_TERMS (single source of truth — a
+# hardcoded IN-list silently desyncs when the Python list changes);
+# doclen LEFT JOINs from documents so zero-token docs stay in n/avgdl,
+# matching the Spark side's docs.agg over ALL documents.
+_BM25_CORE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
+), doclen AS (
+  SELECT d.doc_id, coalesce(sum(tf.tf), 0) AS len
+  FROM documents d LEFT JOIN tf ON d.doc_id = tf.doc_id GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, avg(len) AS avgdl FROM doclen
+), qtf AS (
+  SELECT * FROM tf WHERE t IN (__TERMS__)
+), dfreq AS (
+  SELECT t, count(*) AS df FROM qtf GROUP BY 1
+), scored AS (
+  SELECT qtf.doc_id,
+         round(sum(
+           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * qtf.tf * (1.2 + 1)
+           / (qtf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.len / stats.avgdl))
+         ), 6) AS score
+  FROM qtf
+  JOIN dfreq ON qtf.t = dfreq.t
+  JOIN doclen ON qtf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+)
+""".replace("__TERMS__", ", ".join(f"'{t}'" for t in _BM25_TERMS))
+
+_BM25_TOPK_SQL = (
+    _BM25_CORE_SQL
+    + "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+)
+
+
+@register("bm25_topk", _BM25_TOPK_SQL)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term query (operators/bm25.py).
+    Corpus-sized tables shuffle once each (tf, doclen); term stats
+    broadcast; top-k is TakeOrderedAndProject."""
+    from weaviate_txtai_spark.operators.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_HYBRID_RRF_SQL = (
+    _BM25_CORE_SQL
+    + """
+, bmr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
+  FROM scored ORDER BY score DESC, doc_id LIMIT 50
+), cos AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+               6) AS cs
+  FROM embeddings
+), cr AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS INT) AS r
+  FROM cos ORDER BY cs DESC, vec_id LIMIT 50
+)
+SELECT coalesce(bmr.doc_id, cr.vec_id) AS doc_id,
+       round(coalesce(1.0 / (60 + bmr.r), 0) + coalesce(1.0 / (60 + cr.r), 0), 6)
+         AS rrf
+FROM bmr FULL JOIN cr ON bmr.doc_id = cr.vec_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+)
+
+
+@register("hybrid_rrf", _HYBRID_RRF_SQL)
+def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranks fused with cosine vector
+    ranks by reciprocal-rank fusion (k=60). Each retriever prunes to
+    its top-50 FIRST (TakeOrderedAndProject — per-partition heaps, no
+    global sort of the corpus); row_number then runs on 50 rows in one
+    tiny partition, and the fusion join is 50×50 at most. Scores are
+    rounded before ranking so rank order — hence the fused output — is
+    bit-identical across engines. Docs and vectors share ids 0..499
+    (FIXTURES.md); the outer join keeps items surfaced by only one
+    retriever."""
+    from weaviate_txtai_spark.operators.bm25 import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+
+    bm_top = (
+        bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bmr = bm_top.select("doc_id", F.row_number().over(w_bm).cast("int").alias("__rb"))
+
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cos_top = (
+        emb.crossJoin(qv)
+        .select("vec_id", F.round(cosine_sim("embedding", "qv"), 6).alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(50)
+    )
+    w_cos = Window.orderBy(F.desc("cs"), F.asc("vec_id"))
+    cr = cos_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_cos).cast("int").alias("__rc"),
+    )
+
+    rrf = F.coalesce(1.0 / (60 + F.col("__rb")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("__rc")), F.lit(0.0)
+    )
+    return (
+        bmr.join(cr, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_BPE_TOKENS_SQL = """
+SELECT source,
+       CAST(sum(length(list_filter(
+         regexp_split_to_array(lower(text), '[^a-z0-9À-ɏ一-鿿]+'),
+         x -> x <> ''))) AS BIGINT) AS bpe_tokens,
+       CAST(max(length(list_filter(
+         regexp_split_to_array(lower(text), '[^a-z0-9À-ɏ一-鿿]+'),
+         x -> x <> ''))) AS BIGINT) AS max_doc_tokens
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("bpe_token_counts", _BPE_TOKENS_SQL)
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token accounting per source (functions/text.py
+    bpe_ish_tokens: the BPE pre-tokenizer regex — word chars + digit
+    runs, latin + CJK ranges). The budget column a pretraining mixture
+    planner actually consumes; swap in a real tokenizer via mapInPandas
+    for byte-accurate counts. Map-side lengths, one partial-agg
+    shuffle."""
+    from weaviate_txtai_spark.functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(bpe_ish_tokens("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(n).cast("long").alias("bpe_tokens"),
+            F.max(n).cast("long").alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# PII is injected deterministically (same expression in both engines) so
+# the scrub machinery is exercised on text guaranteed to contain matches —
+# the synthetic corpus itself has none.
+_PII_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       md5(regexp_replace(regexp_replace(aug,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\\+?\\d[\\d ()-]{6,}\\d', '[PHONE]', 'g')) AS redacted_fp
+FROM (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 010-2030' AS aug
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+@register("docs_redact_pii", _PII_SQL)
+def docs_redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate: email + phone redaction over the documents table
+    with deterministically injected PII; the md5 of the redacted text
+    hash-checks every byte of the replacement output across engines.
+    Map-only (regexp_replace is codegen; no shuffle before the sort)."""
+    from weaviate_txtai_spark.functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-2030"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            pii_counts(aug)["n_emails"].alias("n_emails"),
+            F.md5(redact_pii(aug)).alias("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("approx_token_counts", None)
+def approx_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries for the exact top-20 tokens:
+    build the depth×width sketch in one pass, then estimate the heavy
+    hitters' frequencies from it — rows-only (xxhash64 has no DuckDB
+    twin, same class as dedup_simhash's production mode); the
+    never-undercount and εN bounds are pinned in tests/test_cms.py.
+    Composition note: exact top-k comes from the Misra–Gries gate
+    (token_heavy_hitters); CMS answers the complementary question —
+    frequency of an ARBITRARY queried item from a mergeable summary."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.cms import build_cms, estimate_df
+    from weaviate_txtai_spark.operators.heavy_hitters import exact_top_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    cms = build_cms(tok, "term", width=2048, depth=5)
+    top = exact_top_tokens(docs, 20, capacity=4096).select("term")
+    return estimate_df(cms, top, "term").orderBy("term")
+
+
+_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(
+           regexp_replace(text, '[\x00-\x08\x0e-\x1f\x7f\x{200B}-\x{200D}\x{FEFF}]',
+                          '', 'g'),
+           '[ \x09\x0a\x0b\x0c\x0d]+', ' ', 'g')))) AS norm_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("docs_normalize", _NORMALIZE_SQL)
+def docs_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization (control/zero-width strip,
+    whitespace collapse, trim, lowercase) — native codegen exprs,
+    byte-exact across engines; the gate hashes the normalized text
+    (md5), the same contract as docs_redact_pii."""
+    from weaviate_txtai_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(normalize_text("text")).alias("norm_md5")
+    ).orderBy("doc_id")

@@ -1,0 +1,806 @@
+"""Vector search gates: kNN (expr + GEMM), txtai SQL surface, similarity join, IVF ANN, index mutations, quantization.
+
+Split out of plans/queries.py (round 4); registration order inside a module is
+unchanged, and queries.py remains the single registry hub.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.vector import cosine_sim
+from weaviate_txtai_spark.sources.tables import load_table
+from weaviate_txtai_spark.plans.base import QueryFn, _emb, register
+
+# --------------------------------------------------------------------------
+# Q1/Q2/Q3/Q5: kNN cosine top-k (reference search path, weaviate.py:175-201)
+# --------------------------------------------------------------------------
+
+_KNN_TOPK_SQL = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS score
+FROM embeddings e
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_topk", _KNN_TOPK_SQL)
+def knn_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query top-10 by cosine — plans as TakeOrderedAndProject:
+    map-only scan + per-partition heaps, no shuffle."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_KNN_BATCH_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+) WHERE rank <= 5
+"""
+
+
+@register("knn_batch", _KNN_BATCH_SQL)
+def knn_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: 3 query vectors answered in ONE plan — the reference
+    drops all but queries[0] (weaviate.py:177); we broadcast the query
+    side and shuffle only k×Q×partitions rows for the final window."""
+    emb = _emb(spark, sf_dir)
+    qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    from weaviate_txtai_spark.operators.topk import knn_topk
+
+    res = knn_topk(
+        emb, qdf, 5, vector_col="embedding", id_col="vec_id", score_round=None
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@register("knn_batch_gemm", _KNN_BATCH_SQL)
+def knn_batch_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GEMM code path under the SAME oracle as knn_batch:
+    VectorIndex.search silently switches to knn_topk_gemm at >= 16
+    queries, so the Arrow-batched BLAS kernel (incl. its
+    widen-to-ties + lexsort tie-break) must hash-match the expression
+    path's oracle — previously only the expression path was gated
+    (VERDICT r2 item 4)."""
+    from weaviate_txtai_spark.operators.topk import knn_topk_gemm
+
+    emb = _emb(spark, sf_dir)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(0, 1, 2)).collect()
+    ]
+    res = knn_topk_gemm(emb, queries, 5, vector_col="embedding", id_col="vec_id")
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_KNN_L2_SQL = """
+SELECT e.vec_id,
+       round(list_distance(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS dist
+FROM embeddings e
+ORDER BY dist ASC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_l2", _KNN_L2_SQL)
+def knn_l2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by L2 distance — the multi-metric path the reference's
+    validator rejects (cosine-only, weaviate.py:101-104) but its README
+    custom schema implies (README.md:27-28). Same TakeOrderedAndProject
+    shape as knn_topk."""
+    from weaviate_txtai_spark.functions.vector import l2_dist
+
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.crossJoin(q)
+        .select("vec_id", F.round(l2_dist("embedding", "qv"), 6).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_KNN_DOT_SQL = """
+SELECT e.vec_id,
+       round(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS score
+FROM embeddings e
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_dot", _KNN_DOT_SQL)
+def knn_dot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by inner product (maximum-inner-product search)."""
+    from weaviate_txtai_spark.functions.vector import dot
+
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.crossJoin(q)
+        .select("vec_id", F.round(dot("embedding", "qv"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _build_index(spark: SparkSession, sf_dir: str):
+    """Temp VectorIndex over the embeddings table with docid == vec_id
+    (vectors appended in vec_id order)."""
+    import tempfile
+
+    from weaviate_txtai_spark.index import VectorIndex
+
+    # distributed append: the table never lands on the driver. orderBy +
+    # coalesce(1) pins a deterministic ingest order so docid == vec_id
+    # (the dense-id scheme numbers by (partition, position)); the gate
+    # table is small, and the oracle depends on that mapping.
+    vecs = (
+        _emb(spark, sf_dir)
+        .coalesce(1)
+        .sortWithinPartitions("vec_id")
+        .select(F.col("embedding").alias("vector"))
+    )
+    idx = VectorIndex(spark, tempfile.mkdtemp(prefix="gate_idx_")).create()
+    idx.append(vecs)
+    return idx
+
+
+_VECTOR_DELETE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_remaining,
+       CAST(min(vec_id) AS BIGINT) AS min_docid,
+       CAST(max(vec_id) AS BIGINT) AS max_docid
+FROM embeddings WHERE vec_id NOT IN (0,1,2,3,4,5,6,7,8,9)
+"""
+
+
+@register("vector_delete", _VECTOR_DELETE_SQL)
+def vector_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: delete-by-docid as ONE anti-join (vs the reference's 2 HTTP
+    round-trips per id, weaviate.py:167-173)."""
+    idx = _build_index(spark, sf_dir)
+    idx.delete(list(range(10)))
+    return idx.to_df().agg(
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.min("docid").alias("min_docid"),
+        F.max("docid").alias("max_docid"),
+    )
+
+
+_VECTOR_UPSERT_SQL = """
+SELECT e.vec_id AS docid,
+       round(list_cosine_similarity(
+         CAST(CASE WHEN e.vec_id = 0
+              THEN (SELECT embedding FROM embeddings WHERE vec_id = 1)
+              ELSE e.embedding END AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)),
+         6) AS score
+FROM embeddings e
+ORDER BY list_cosine_similarity(
+         CAST(CASE WHEN e.vec_id = 0
+              THEN (SELECT embedding FROM embeddings WHERE vec_id = 1)
+              ELSE e.embedding END AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1))
+         DESC, docid ASC
+LIMIT 3
+"""
+# ORDER BY repeats the RAW cosine (not the rounded alias): the Spark side
+# ranks unrounded (knn_topk score_round=None), and an alias-bound sort
+# would flip 6dp-boundary ties.
+
+
+@register("vector_upsert", _VECTOR_UPSERT_SQL)
+def vector_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: upsert docid 0 <- vec 1's embedding, then search with vec 1 as
+    the query: docids 0 and 1 must tie at score 1.0 (reference upsert
+    round-trip semantics, tests/ann/test_weaviate.py:254-317)."""
+    idx = _build_index(spark, sf_dir)
+    rows = (
+        _emb(spark, sf_dir).filter(F.col("vec_id") == 1).collect()
+    )
+    idx.upsert([(0, list(rows[0]["embedding"]))])
+    qdf = idx.to_df().filter(F.col("docid") == 1).select(
+        F.lit(0).alias("query_id"), F.col("vector").alias("query_vector")
+    )
+    from weaviate_txtai_spark.operators.topk import knn_topk
+
+    res = knn_topk(idx.to_df(), qdf, 3)
+    return res.select("docid", F.round("score", 6).alias("score"))
+
+
+_DOCID_LOOKUP_SQL = """
+SELECT vec_id, label FROM embeddings WHERE vec_id = 123
+"""
+
+
+@register("docid_lookup", _DOCID_LOOKUP_SQL)
+def docid_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: equality-predicate point lookup (the reference's
+    _get_uuid_from_docid GraphQL where-filter, weaviate.py:151-165).
+    The predicate pushes to the parquet scan → row-group skip."""
+    return _emb(spark, sf_dir).filter(F.col("vec_id") == 123).select(
+        "vec_id", "label"
+    )
+
+
+_FULL_SCAN_SQL = """
+SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim
+FROM embeddings ORDER BY vec_id
+"""
+
+
+@register("full_scan", _FULL_SCAN_SQL)
+def full_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: full object scan with vectors present (REST GET /v1/objects
+    parity, api.http:36; tests :143-148) — projected to hashable columns
+    + per-row vector dimensionality."""
+    return (
+        _emb(spark, sf_dir)
+        .select("vec_id", "label", F.size("embedding").alias("dim"))
+        .orderBy("vec_id")
+    )
+
+
+_SCAN_LIMIT_SQL = """
+SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 25
+"""
+
+
+@register("scan_limit", _SCAN_LIMIT_SQL)
+def scan_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: limit pushdown (the server's QUERY_DEFAULTS_LIMIT=25,
+    docker-compose.yml:9) — plans as TakeOrderedAndProject."""
+    return _emb(spark, sf_dir).select("vec_id", "label").orderBy("vec_id").limit(25)
+
+
+_VECTOR_COUNT_SQL = "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings"
+
+
+@register("vector_count", _VECTOR_COUNT_SQL)
+def vector_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: Aggregate meta count (weaviate.py:203-206) — row-group
+    metadata count, no data read."""
+    return _emb(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# T1-T4: txtai SQL surface — similar() + metadata predicates + aggregates
+# (examples/01_simple.ipynb cells 25-29)
+# --------------------------------------------------------------------------
+
+_SIMILAR_SQL = """
+SELECT d.doc_id, d.text, d.n_chars,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 42)),
+             6) AS score
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.n_chars >= 100
+ORDER BY score DESC, d.doc_id ASC
+LIMIT 10
+"""
+
+
+@register("similar_sql", _SIMILAR_SQL)
+def similar_sql_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+T4 parity: `select text, score from txtai where similar(q)
+    and n_chars >= 100 order by score desc limit 10`. The metadata
+    predicate is pushed to the parquet scan; the doc<->vector join
+    broadcasts nothing big (both sides pruned to 2-3 columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 42).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        docs.filter(F.col("n_chars") >= 100)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_AGG_STATS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
+@register("agg_stats_txtai", _AGG_STATS_SQL)
+def agg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 parity: `select count(*), min(length), max(length), sum(length)
+    from txtai` (notebook cell 27) — partial-agg map-side, one exchange."""
+    return load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_SIM_BRUTE_SQL = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)),
+             6) AS score
+FROM embeddings e
+WHERE e.vec_id < 100
+ORDER BY score DESC, e.vec_id
+"""
+
+
+@register("similarity_brute", _SIM_BRUTE_SQL)
+def similarity_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q9: txtai similarity(query, data) — ad-hoc brute-force
+    scoring of a candidate list with NO stored index and NO top-k cut;
+    every candidate comes back scored, ordered. Same cosine expression
+    as the indexed path (Q1) over a filtered frame."""
+    emb = _emb(spark, sf_dir)
+    qv = (
+        emb.filter(F.col("vec_id") == 7)
+        .select("embedding")
+        .head()[0]
+    )
+    adhoc = emb.filter(F.col("vec_id") < 100)
+    return (
+        adhoc.select(
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding"), F.lit([float(x) for x in qv])), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity join + ANN (north-star M3 flagship extension)
+# --------------------------------------------------------------------------
+
+_SIM_JOIN_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE label = 0) q
+) WHERE rank <= 3
+"""
+
+
+@register("sim_join_topk", _SIM_JOIN_SQL)
+def sim_join_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N×M top-k similarity join: every label-0 vector against the whole
+    table, top-3 each — one broadcast + map-only scan + window, vs the
+    reference's one-query-per-HTTP-call loop."""
+    from weaviate_txtai_spark.operators.simjoin import topk_join
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = topk_join(left, emb, 3, right_id="vec_id", right_vec="embedding")
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_SIM_THRESHOLD_SQL = """
+SELECT q.vec_id AS query_id, e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings e
+CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q
+WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6) >= 0.3
+  AND e.vec_id <> q.vec_id
+"""
+
+
+@register("sim_join_threshold", _SIM_THRESHOLD_SQL)
+def sim_join_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weaviate_txtai_spark.operators.simjoin import threshold_join
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    return threshold_join(left, emb, 0.3, right_id="vec_id",
+                          right_vec="embedding").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+
+
+@register("sim_join_blocked", _SIM_JOIN_SQL)
+def sim_join_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-GEMM exact similarity join (the both-sides-large EXACT
+    strategy): left side processed in hash blocks, right side scanned
+    per block. Same oracle as `sim_join_topk` — the block decomposition
+    must be result-invariant. block_size forced small so the gate
+    exercises multiple blocks."""
+    from weaviate_txtai_spark.operators.simjoin import topk_join_blocked
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = topk_join_blocked(
+        left, emb, 3, right_id="vec_id", right_vec="embedding", block_size=16
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+# Exactness-mode gate parameterization (VERDICT r2 item 1): the sampled
+# gate names run the FULL approximate machinery with parameters that make
+# recall exactly 1 (nprobe == nlist: every cell probed), so the driver
+# hash-checks the pipeline end-to-end instead of recording no_oracle.
+# The production nprobe < nlist settings live in tests/test_ann.py as
+# recall-bound tests (recall >= 0.6 at nprobe=4/nlist=16).
+_ANN_IVF_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf", _ANN_IVF_SQL)
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + nprobe routing, exact cosine within
+    probes. Gated at nprobe == nlist so the whole machinery (k-means
+    build, probe routing, cell-local scoring, final window) must equal
+    the exact brute-force SQL; production nprobe<nlist recall is pinned
+    in tests/test_ann.py."""
+    from weaviate_txtai_spark.operators.ann import IVFIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IVFIndex.build(emb, nlist=16)
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = idx.search(qdf, 5, nprobe=16)
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_SIM_JOIN_IVF_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings) q
+) WHERE rank <= 3
+"""
+
+
+@register("sim_join_ivf", _SIM_JOIN_IVF_SQL)
+def sim_join_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-sides-huge similarity join, IVF-routed: the whole embeddings
+    table joins itself through k-means cells — both sides shuffle only by
+    cell id, never a crossJoin. Gated at nprobe == nlist (recall exactly
+    1) so the cell-equi-join plan must reproduce the exact crossJoin
+    result; production nprobe<nlist recall is pinned in
+    tests/test_ann.py."""
+    from weaviate_txtai_spark.operators.simjoin import topk_join_ivf
+
+    emb = _emb(spark, sf_dir)
+    left = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = topk_join_ivf(
+        left, emb, 3, right_id="vec_id", right_vec="embedding", nlist=16, nprobe=16
+    )
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+_HARD_NEGATIVES_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id IN (0, 1, 2)) q
+  WHERE e.label <> q.label
+) WHERE rank <= 3
+"""
+
+
+@register("hard_negatives", _HARD_NEGATIVES_SQL)
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    most similar vectors with a DIFFERENT label. Same broadcast +
+    map-only-scan + per-anchor window as knn_batch; the label
+    inequality evaluates pre-window inside the join filter, so
+    negatives-only rows ever reach the rank."""
+    emb = _emb(spark, sf_dir)
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    # rank on the RAW score (the oracle's row_number orders by the raw
+    # cosine); round only for output — ranking the rounded value would
+    # flip tie-breaks at the 6dp boundary
+    w = Window.partitionBy("query_id").orderBy(F.desc("__raw"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(anchors)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim("embedding", "qv").alias("__raw"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", F.round("__raw", 6).alias("score"), "rank")
+    )
+
+
+_KNN_FILTERED_SQL = """
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             6) AS score
+FROM embeddings e
+WHERE e.label IN (1, 2, 3)
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("knn_filtered", _KNN_FILTERED_SQL)
+def knn_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the classic hard case for graph ANN
+    indexes (pre- vs post-filter recall trade) is trivial here: the
+    label predicate pushes into the parquet scan BEFORE scoring, so
+    only matching rows are ever scored and top-k recall over the
+    filtered set is exact by construction. Same map-only
+    TakeOrderedAndProject plan as knn_topk."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        emb.filter(F.col("label").isin(1, 2, 3))
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim("embedding", "qv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_KNN_DIVERSE_SQL = """
+SELECT label, vec_id, score, label_rank FROM (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+               6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY e.label
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 0)) DESC,
+                      e.vec_id ASC) AS INT) AS label_rank
+  FROM embeddings e
+) WHERE label_rank <= 2
+"""
+
+
+@register("knn_diverse", _KNN_DIVERSE_SQL)
+def knn_diverse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: top-2 nearest PER LABEL for one query —
+    group-quota results (the cheap deterministic cousin of MMR). One
+    window partitioned by label over map-only scores; at scale the
+    per-label rank is a partial top-k inside each label partition."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    # rank on the RAW score (matches the oracle's window); round for
+    # output only — ranking the rounded value flips 6dp-boundary ties
+    w = Window.partitionBy("label").orderBy(F.desc("__raw"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(q)
+        .select("label", "vec_id", cosine_sim("embedding", "qv").alias("__raw"))
+        .withColumn("label_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("label_rank") <= 2)
+        .select(
+            "label", "vec_id", F.round("__raw", 6).alias("score"), "label_rank"
+        )
+    )
+
+
+_VECTOR_COMPACT_SQL = """
+SELECT vec_id AS docid, CAST(len(embedding) AS INT) AS dim
+FROM embeddings ORDER BY vec_id
+"""
+
+
+@register("vector_compact", _VECTOR_COMPACT_SQL)
+def vector_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction is maintenance, not mutation: after bin-packing the
+    index into ~100-row files, every (docid, vector) must survive
+    byte-for-byte — the post-compact full scan hashes against the same
+    oracle as the pre-compact table."""
+    idx = _build_index(spark, sf_dir)
+    idx.compact(target_rows_per_file=100)
+    return (
+        idx.to_df()
+        .select("docid", F.size("vector").alias("dim"))
+        .orderBy("docid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data prep: int8 quantization + PII scrub (round-2 widening)
+# --------------------------------------------------------------------------
+
+_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
+  FROM embeddings
+)
+SELECT vec_id,
+       round(ma / 127.0, 6) AS scale,
+       CAST(list_sum(list_transform(v, x ->
+           CASE WHEN ma = 0 THEN 0
+                ELSE CAST(round(127.0 * x / ma) AS BIGINT) END)) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(v, x ->
+           CASE WHEN ma = 0 THEN 0
+                ELSE CAST(abs(round(127.0 * x / ma)) AS BIGINT) END)) AS BIGINT) AS q_l1
+FROM m ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize", _QUANTIZE_SQL)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (FAISS-SQ8 shape): 4× index shrink for
+    vector search at scale. The oracle recomputes every quantized
+    component in DuckDB and checks integer checksums (sum + L1) per
+    vector — bit-exact machinery, no float-tolerance hand-waving."""
+    from weaviate_txtai_spark.functions.vector import int8_quantize, int8_scale
+
+    emb = _emb(spark, sf_dir)
+    q = int8_quantize("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(int8_scale("embedding"), 6).alias("scale"),
+            F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias(
+                "q_sum"
+            ),
+            F.aggregate(
+                q, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
+            ).alias("q_l1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Filtered ANN search (predicate composed with cell pruning)
+# --------------------------------------------------------------------------
+
+_ANN_IVF_FILTERED_SQL = """
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])) DESC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+  WHERE e.label >= 5
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_filtered", _ANN_IVF_FILTERED_SQL)
+def ann_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search through the IVF index: the metadata
+    predicate is applied before scoring, inside the cell scan, so top-k
+    slots are never wasted on rows the caller would discard (the
+    post-filter variant silently returns < k). Gated at nprobe == nlist
+    so the machinery must equal exact filtered brute force; the
+    pruning+PushedFilters plan shape is asserted in tests/test_ann.py."""
+    from weaviate_txtai_spark.operators.ann import IVFIndex
+
+    emb = _emb(spark, sf_dir)
+    idx = IVFIndex.build(emb, nlist=16)
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    res = idx.search(qdf, 5, nprobe=16, where="label >= 5")
+    return res.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
