@@ -804,3 +804,112 @@ def ann_ivf_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (operators/pq.py) — codes + ADC search
+# --------------------------------------------------------------------------
+
+# Shared oracle skeleton for m=4 16-dim subspaces over the 64-dim
+# embeddings, k=4 codebook entries per subspace, iters=0 exactness mode
+# (codebook = the 4 lowest-id vectors' sub-slices — no k-means replay
+# needed; production iters>0 training is pytest-pinned in test_pq.py).
+# DuckDB list slicing is 1-based inclusive; distances are the same
+# in-order fold as the kNN/k-means oracles, rounded to 6 dp before the
+# per-(vector, subspace) argmin (ties to the lowest code).
+_PQ_CTE = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+subs AS (
+  SELECT gs.s, gs.lo, gs.hi
+  FROM (VALUES (0, 1, 16), (1, 17, 32), (2, 33, 48), (3, 49, 64)) gs(s, lo, hi)
+),
+d AS (
+  SELECT e.vec_id, subs.s, seeds.code,
+         round(list_sum(list_transform(
+               list_zip(CAST(e.embedding AS DOUBLE[])[subs.lo:subs.hi],
+                        seeds.v[subs.lo:subs.hi]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+  FROM embeddings e CROSS JOIN subs CROSS JOIN seeds
+),
+a AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, code) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+"""
+
+_PQ_CODES_SQL = _PQ_CTE + """
+SELECT vec_id, CAST(sum(code * (1 << (2 * s))) AS BIGINT) AS pq_code
+FROM a GROUP BY vec_id ORDER BY vec_id
+"""
+
+_PQ_PARAMS = dict(m=4, k=4, iters=0)
+
+
+@register("pq_codes", _PQ_CODES_SQL)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): every vector
+    compressed to m=4 codebook ids packed into one BIGINT — the 100 TB
+    memory story for vector search (m bytes/vector vs 4·dim; here the
+    whole scan output is 8 B/row). Encoding is map-only (per-subspace
+    argmin over codebook literals — assign_clusters on a sliced
+    column); no shuffle. Exactness mode: iters=0 codebooks are the 4
+    lowest-id vectors' slices, reproduced verbatim by the oracle."""
+    from weaviate_txtai_spark.operators.pq import pq_encode, train_pq
+
+    emb = _emb(spark, sf_dir)
+    model = train_pq(emb, **_PQ_PARAMS)
+    return (
+        pq_encode(emb, model, dist_round_decimals=6, packed=True)
+        .select("vec_id", "pq_code")
+        .orderBy("vec_id")
+    )
+
+
+_PQ_KNN_SQL = _PQ_CTE + """
+, q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT subs.s, seeds.code,
+         round(list_sum(list_transform(
+               list_zip(q.v[subs.lo:subs.hi], seeds.v[subs.lo:subs.hi]),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS qdist
+  FROM subs CROSS JOIN seeds CROSS JOIN q
+),
+adc AS (
+  SELECT a.vec_id, round(sum(l.qdist), 6) AS adc_dist
+  FROM a JOIN lut l ON l.s = a.s AND l.code = a.code
+  GROUP BY a.vec_id
+)
+SELECT vec_id, adc_dist,
+       CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INT) AS rank
+FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
+@register("pq_knn", _PQ_KNN_SQL)
+def pq_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for one query against the PQ-coded corpus: one m×k
+    lookup-table literal, distance = m element_at lookups + adds in a
+    codegen aggregate — the float vector column is never read at search
+    time. TakeOrdered plan (per-partition top-n, n-row merge). The
+    production shortlist+exact-rerank composition (adc_topk_rerank) is
+    pytest-pinned; this gate pins the ADC scoring semantics
+    end-to-end."""
+    from weaviate_txtai_spark.operators.pq import (
+        adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    model = train_pq(emb, **_PQ_PARAMS)
+    coded = pq_encode(emb, model, dist_round_decimals=6, packed=False)
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    return adc_topk(coded, model, q, 10)
