@@ -530,3 +530,59 @@ def eval_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Soft dedup: down-weight duplicate-cluster members instead of dropping
+# --------------------------------------------------------------------------
+
+_DEDUP_WEIGHTS_SQL = (
+    _JACCARD_CTE.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    + _CC_SQL_TAIL
+    + """
+, grp AS (SELECT node AS doc_id, min(r) AS gid FROM reach GROUP BY node),
+gsz AS (SELECT gid, count(*) AS sz FROM grp GROUP BY gid)
+SELECT d.doc_id,
+       CAST(coalesce(gsz.sz, 1) AS BIGINT) AS group_size,
+       round(CAST(1.0 AS DOUBLE) / coalesce(gsz.sz, 1), 6) AS weight
+FROM documents d
+LEFT JOIN grp ON d.doc_id = grp.doc_id
+LEFT JOIN gsz ON grp.gid = gsz.gid
+ORDER BY d.doc_id
+"""
+)
+
+
+@register("dedup_weights", _DEDUP_WEIGHTS_SQL)
+def dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping duplicates, every member of a
+    near-dup cluster gets sampling weight 1/|cluster| (ungrouped docs
+    weight 1) — the cluster contributes one doc's worth of mass in
+    expectation while keeping intra-cluster diversity (the SoftDeDup
+    idea; also how repetition-aware samplers consume dedup output).
+    Same machinery as dedup_groups plus one size agg and a left join;
+    the oracle recomputes components via the recursive CTE."""
+    from weaviate_txtai_spark.operators.dedup import (
+        duplicate_groups,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8)
+    groups = duplicate_groups(pairs)
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        docs.join(groups, "doc_id", "left")
+        # no broadcast hint on sizes: one row per duplicate GROUP, which
+        # a dup-heavy corpus makes arbitrarily large (same hazard as the
+        # dedup_survivors drop set, NOTES r2) — let AQE pick
+        .join(sizes, "group_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sz"), F.lit(1)).cast("long").alias("group_size"),
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)), 6
+            ).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

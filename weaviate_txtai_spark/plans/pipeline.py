@@ -939,3 +939,91 @@ def pretraining_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style quality tiers + per-source quota sampling
+# --------------------------------------------------------------------------
+
+_QUALITY_TIERS_SQL = (
+    "WITH base AS (" + _UNIGRAM_NLL_SQL + """),
+nn AS (
+  SELECT doc_id, n_tokens, nll,
+         CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INT) AS t
+  FROM base WHERE nll IS NOT NULL
+)
+SELECT doc_id, n_tokens, nll,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM nn
+UNION ALL
+SELECT doc_id, n_tokens, nll, CAST(NULL AS VARCHAR) AS tier
+FROM base WHERE nll IS NULL
+ORDER BY doc_id
+"""
+)
+
+
+@register("docs_quality_tiers", _QUALITY_TIERS_SQL)
+def docs_quality_tiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): documents
+    ranked by LM NLL and cut into terciles — head feeds high-quality
+    training mixes, tail gets dropped or down-weighted. Gate uses exact
+    ntile (a global sort — fine for a gate); the 100 TB path is
+    ``sampling.quantile_buckets`` over the nll column (sketch
+    boundaries, no global sort), same composition as
+    approx_value_deciles. Empty/NULL-text docs keep a NULL tier rather
+    than polluting the head bucket."""
+    from weaviate_txtai_spark.operators.lm import nll_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = nll_quality_filter(docs, round_decimals=6).select(
+        "doc_id", "n_tokens", "nll"
+    )
+    w = Window.orderBy(F.asc("nll"), F.asc("doc_id"))
+    tiered = (
+        scored.filter(F.col("nll").isNotNull())
+        .withColumn("__t", F.ntile(3).over(w))
+        .withColumn(
+            "tier",
+            F.when(F.col("__t") == 1, "head")
+            .when(F.col("__t") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .drop("__t")
+    )
+    nulls = scored.filter(F.col("nll").isNull()).withColumn(
+        "tier", F.lit(None).cast("string")
+    )
+    return tiered.unionByName(nulls).orderBy("doc_id")
+
+
+_SOURCE_QUOTA_SQL = """
+SELECT doc_id, source, CAST(pick AS INT) AS pick FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+  FROM documents
+) WHERE pick <= 15 ORDER BY source, pick
+"""
+
+
+@register("source_quota_sample", _SOURCE_QUOTA_SQL)
+def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (the Gopher/MassiveText recipe's
+    per-source cap): at most Q docs per source, picked by deterministic
+    hash order — content-stable across runs and partitionings, unlike
+    rand(). One window shuffle keyed on source; no global sort. md5 of
+    the stringified id because both engines produce identical hex
+    (xxhash64 doesn't exist in DuckDB); a production pipeline would use
+    xxhash64 for speed — same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 15)
+        .select("doc_id", "source", "pick")
+        .orderBy("source", "pick")
+    )

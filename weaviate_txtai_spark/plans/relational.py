@@ -1782,3 +1782,82 @@ def sole_fault_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sole_fault"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13/Q22 analogues: custdist double-agg, scalar-subquery anti-join
+# --------------------------------------------------------------------------
+
+_CUSTDIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("customer_order_counts", _CUSTDIST_SQL)
+def customer_order_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (o_comment predicate adapted to the testdata's
+    o_orderpriority): LEFT join with an ON-clause predicate on the
+    right side (NOT a WHERE filter — that would turn the join inner and
+    drop zero-order customers), then two stacked aggregations. Both
+    aggs partial map-side; the join shuffles on custkey once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_SALES_OPPORTUNITY_SQL = """
+WITH pos AS (
+  SELECT avg(c_acctbal) AS a FROM customer
+  WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2)
+)
+SELECT c_nationkey % 5 AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c, pos
+WHERE c_nationkey % 5 IN (0, 1, 2)
+  AND c_acctbal > pos.a
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("global_sales_opportunity", _SALES_OPPORTUNITY_SQL)
+def global_sales_opportunity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (cntrycode adapted to nationkey buckets):
+    scalar-subquery threshold (one broadcast scalar, not a per-row
+    correlated subquery), anti-join against orders (never a NOT IN —
+    null-hostile and unplannable as a hash join), final small agg."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.col("c_nationkey") % 5
+    ).filter(F.col("cntrycode").isin(0, 1, 2))
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
