@@ -243,3 +243,24 @@ def test_cluster_top_terms_counts_and_ties(spark):
     assert got[(1, 1)] == ("q", 2)
     # docs with no assignment never contribute
     assert all(r["term"] != "unassigned" for r in rows)
+
+
+def test_semantic_dedup_pair_strategy_parity(spark, sf_dir):
+    """The gemm per-cluster kernel (default) must emit exactly the expr
+    equi-join path's pairs — same rounded cosines, same tie behavior
+    (both threshold the 6-dp-rounded value)."""
+    from weaviate_txtai_spark.operators.kmeans import semantic_dedup_pairs
+    from weaviate_txtai_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(k=4, iters=1, threshold=0.45, quantize_decimals=6,
+              dist_round_decimals=6)
+    a = sorted(
+        (r["d1"], r["d2"], r["cluster"], r["cosine"])
+        for r in semantic_dedup_pairs(emb, pair_strategy="expr", **kw).collect()
+    )
+    b = sorted(
+        (r["d1"], r["d2"], r["cluster"], r["cosine"])
+        for r in semantic_dedup_pairs(emb, pair_strategy="gemm", **kw).collect()
+    )
+    assert a == b and len(a) > 0
