@@ -352,3 +352,23 @@ def test_ivf_append_to_saved_rejects_schema_drift(spark, sf_dir, tmp_path):
         idx.append_to_saved(
             path, new.withColumn("vec_id", F.col("vec_id").cast("int"))
         )
+
+
+def test_ivf_cogroup_join_path_covers_all_queries(spark, sf_dir):
+    """Regression for the cogroup key-type bug: probe-side cell was
+    bigint vs the corpus' int, so the separately-repartitioned sides
+    hashed the same cell to different partitions and the cogrouped GEMM
+    silently kept only ~nprobe/nlist of the queries. Every query must
+    produce rows (its own cell is always probed, so >= the self-match),
+    up to k each."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    left = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    idx = IVFIndex.build(emb, nlist=8)
+    res = idx.search(left, 3, nprobe=2, broadcast_queries=False)
+    per = res.groupBy("query_id").count().collect()
+    assert len(per) == n
+    assert all(1 <= r["count"] <= 3 for r in per)

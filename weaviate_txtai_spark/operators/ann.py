@@ -232,9 +232,17 @@ class IVFIndex:
             base = base.filter(
                 F.expr(where) if isinstance(where, str) else where
             )
+        # align the probe-side cell type with the corpus' (createDataFrame
+        # infers bigint, MLlib's prediction col is int): an equi-join
+        # would auto-cast, but the cogrouped scoring path repartitions
+        # each side SEPARATELY by (cell, salt) — Murmur3 hashes int 3 and
+        # bigint 3 differently, so mismatched types silently land the
+        # same logical key in different partitions and the cogroup drops
+        # most groups (observed: exactly ~nprobe/nlist of queries kept)
+        cell_type = self.assigned.schema["cell"].dataType.simpleString()
         cent = spark.createDataFrame(
             self.centroids, ["cell", "centroid"]
-        )
+        ).withColumn("cell", F.col("cell").cast(cell_type))
         q = query_df.select(
             F.col(query_id_col).alias("__qid"),
             F.col(query_vector_col).alias("__qv"),
@@ -292,9 +300,29 @@ class IVFIndex:
             # single-task vs ~2 s wide at sf0.1). User-specified
             # repartition counts are exempt from AQE coalescing, and the
             # join reuses this partitioning (no extra exchange).
-            join_keys = ["cell", "__salt"]
-        # equi-join on cell(+salt): only the probed fraction of the corpus
-        # meets each query; non-broadcast mode co-partitions both sides
+            #
+            # Scoring is a COGROUPED per-(cell, salt) GEMM, not a pair
+            # equi-join + cosine expr: with Q queries × nprobe probes ×
+            # cell-sized candidate lists the expr path evaluates an
+            # interpreted zip_with/aggregate fold per PAIR (measured ~2×
+            # whole-search slowdown at sf0.1); the cogroup ships each
+            # side's vectors ONCE per group over Arrow, scores with one
+            # normalized chunked matmul, and emits only each query's
+            # per-group top-k — the final window merges nprobe×salt
+            # candidate sets per query, so its input is O(Q·nprobe·S·k)
+            # rows, never O(pairs).
+            scored = self._cogroup_scored(
+                corpus, probes, k, query_id_col=query_id_col
+            )
+            w = Window.partitionBy(query_id_col).orderBy(
+                F.desc("score"), F.asc(self.id_col)
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+            )
+        # broadcast path: equi-join on cell; Q is human-batch-sized, so
+        # the per-pair cosine expr stays cheap and fully JVM-side
         scored = (
             corpus.join(probes, join_keys)
             .select(
@@ -310,6 +338,81 @@ class IVFIndex:
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+
+    def _cogroup_scored(
+        self,
+        corpus: DataFrame,
+        probes: DataFrame,
+        k: int,
+        *,
+        query_id_col: str,
+    ) -> DataFrame:
+        """Per-(cell, salt) cogrouped GEMM scoring (see search). Emits
+        each probe query's top-k WITHIN the group by (cosine desc, id
+        asc) — the same ordering the final window applies, so the merge
+        over a query's nprobe×salt groups is exact."""
+        import numpy as np
+        import pandas as pd
+
+        id_col = self.id_col
+        id_ddl = corpus.schema[id_col].dataType.simpleString()
+        qid_ddl = probes.schema["__qid"].dataType.simpleString()
+
+        def score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+            if cpdf.empty or qpdf.empty:
+                return pd.DataFrame({"__qid": [], id_col: [], "score": []})
+            ids = cpdf[id_col].to_numpy()
+            C = np.asarray(list(cpdf["__vec"]), dtype=np.float64)
+            Q = np.asarray(list(qpdf["__qv"]), dtype=np.float64)
+            for M in (C, Q):
+                n = np.linalg.norm(M, axis=1)
+                n[n == 0.0] = 1.0
+                M /= n[:, None]
+            kk = min(k, len(ids))
+            out_q, out_i, out_s = [], [], []
+            chunk = 1024
+            qids = qpdf["__qid"].to_numpy()
+            for lo in range(0, len(qids), chunk):
+                sims = Q[lo : lo + chunk] @ C.T  # (q, c)
+                for j in range(sims.shape[0]):
+                    row = sims[j]
+                    if kk < len(ids):
+                        part = np.argpartition(-row, kk - 1)[:kk]
+                        kth = row[part].min()
+                        # every index scoring >= the kth value: exact
+                        # under boundary ties (argpartition's own tail
+                        # is arbitrary and could cut the wrong tied id)
+                        cand = np.nonzero(row >= kth)[0]
+                    else:
+                        cand = np.arange(len(ids))
+                    order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
+                    out_q.append(np.repeat(qids[lo + j], len(order)))
+                    out_i.append(ids[order])
+                    out_s.append(row[order])
+            return pd.DataFrame(
+                {
+                    "__qid": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+        cg = (
+            corpus.select(
+                "cell", "__salt", id_col,
+                F.col(self.vector_col).cast("array<double>").alias("__vec"),
+            )
+            .groupBy("cell", "__salt")
+            .cogroup(
+                probes.select(
+                    "cell", "__salt", "__qid",
+                    F.col("__qv").cast("array<double>").alias("__qv"),
+                ).groupBy("cell", "__salt")
+            )
+        )
+        return cg.applyInPandas(
+            score, schema=f"__qid {qid_ddl}, {id_col} {id_ddl}, score double"
+        ).withColumnRenamed("__qid", query_id_col)
 
 
 def tune_nprobe(
