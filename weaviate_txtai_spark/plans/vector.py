@@ -913,3 +913,47 @@ def pq_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = pq_encode(emb, model, dist_round_decimals=6, packed=False)
     q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
     return adc_topk(coded, model, q, 10)
+
+
+_IVFPQ_KNN_SQL = """
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_sum(list_transform(
+               list_zip(CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.embedding AS DOUBLE[])),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(
+                   list_zip(CAST(e.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[])),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) ASC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+) WHERE rank <= 5
+"""
+
+
+@register("ivfpq_knn", _IVFPQ_KNN_SQL)
+def ivfpq_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end (operators/ivfpq.py): coarse cells + PQ
+    residual codes + per-(query, cell) ADC LUTs + exact shortlist
+    re-rank. Gated in exactness mode — nprobe == nlist and a shortlist
+    covering the corpus — where the composition must equal brute-force
+    L2 top-k REGARDLESS of what the (MLlib, non-SQL-replayable)
+    clustering chose: the ADC stage only proposes candidates and the
+    re-rank orders by true distance. Production nprobe/shortlist recall
+    is pinned in tests/test_ivfpq.py."""
+    from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+
+    emb = _emb(spark, sf_dir)
+    n_corpus = emb.count()
+    idx = IVFPQIndex.build(
+        emb, nlist=8, m=8, k_pq=16, pq_iters=1, dist_round_decimals=6
+    )
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return idx.search(qs, 5, nprobe=8, shortlist=-(-n_corpus // 5))
