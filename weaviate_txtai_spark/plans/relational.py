@@ -1861,3 +1861,120 @@ def global_sales_opportunity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence analytics: conversion funnel + retention matrix
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT stage, users FROM (
+  SELECT 1 AS ord, 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+) ORDER BY ord
+"""
+
+
+@register("events_funnel", _FUNNEL_SQL)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing timestamps): stage k's cohort is users whose earliest
+    stage-k event follows their stage-(k-1) anchor time. Three
+    filtered min-aggs chained by equi-joins on user_id — each stage's
+    frame shrinks, every agg is map-side partial; no window over the
+    raw event stream, no per-user sort."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    spark_ = v.sparkSession
+    rows = []
+    for ord_, stage, df in ((1, "view", v), (2, "click", c), (3, "purchase", p)):
+        rows.append(
+            df.agg(
+                F.lit(ord_).alias("ord"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("ord").select("stage", "users")
+
+
+_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week,
+                      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+         AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("events_retention", _RETENTION_SQL)
+def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted distinct in each subsequent week offset. One agg for the
+    cohort anchor, one fact join on user_id, one count-distinct agg —
+    the join shuffles on user_id (the natural key); week arithmetic is
+    date_trunc/datediff, identical across engines when both truncate
+    to Monday."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
