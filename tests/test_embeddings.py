@@ -353,3 +353,82 @@ def test_metadata_arrays_survive_as_arrays(spark):
     )
     assert len(rows) == 3
     assert isinstance(rows[0]["tags"], list) and "a" in rows[0]["tags"]
+
+
+# ------------------------------------------------------------- IVF backend
+
+def _docs(n=60):
+    import random
+
+    rng = random.Random(7)
+    words = ["fox", "dog", "cat", "tree", "river", "cloud", "stone", "bird"]
+    return [
+        (f"d{i}", " ".join(rng.choice(words) for _ in range(12)), None)
+        for i in range(n)
+    ]
+
+
+def test_ivf_backend_full_probe_matches_exact(spark):
+    """backend='ivf' with nprobe == nlist must return the same hit SETS
+    as the exact backend (ordering can differ only on sub-6dp score
+    ties)."""
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    docs = _docs()
+    exact = Embeddings(spark)
+    exact.index(docs)
+    ivf = Embeddings(
+        spark, config={"backend": "ivf", "ivf": {"nlist": 4, "nprobe": 4}}
+    )
+    ivf.index(docs)
+    for q in ("fox river", "cloud stone dog"):
+        a = exact.search(q, 5)
+        b = ivf.search(q, 5)
+        assert {(i, s) for i, s in a} == {(i, s) for i, s in b}
+    # batch shape parity
+    ab = exact.batchsearch(["fox", "tree bird"], 3)
+    bb = ivf.batchsearch(["fox", "tree bird"], 3)
+    assert [set(x) for x in ab] == [set(x) for x in bb]
+
+
+def test_ivf_backend_rebuilds_after_mutation(spark):
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    ivf = Embeddings(
+        spark, config={"backend": "ivf", "ivf": {"nlist": 2, "nprobe": 2}}
+    )
+    docs = _docs(30)
+    ivf.index(docs)
+    first = ivf.search(docs[3][1], 1)
+    assert first[0][0] == "d3"
+    idx_before = ivf._ann
+    ivf.delete(["d3"])
+    hit = ivf.search(docs[3][1], 1)
+    assert hit[0][0] != "d3"          # deleted doc gone from ANN results
+    assert ivf._ann is not idx_before  # index was rebuilt, not stale
+
+
+def test_ivf_backend_content_mode_and_sql_stays_exact(spark):
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    ivf = Embeddings(
+        spark,
+        config={"backend": "ivf", "content": True,
+                "ivf": {"nlist": 2, "nprobe": 2}},
+    )
+    docs = _docs(25)
+    ivf.index(docs)
+    out = ivf.search(docs[0][1], 2)
+    assert isinstance(out[0], dict) and "text" in out[0]
+    # SQL path unaffected by the backend (exact, filterable)
+    sql = ivf.search("select id, score from txtai where similar('fox') limit 3", 3)
+    assert len(sql) == 3
+
+
+def test_unknown_backend_rejected(spark):
+    import pytest as _pytest
+
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    with _pytest.raises(ValueError, match="unknown backend"):
+        Embeddings(spark, config={"backend": "hnsw"})

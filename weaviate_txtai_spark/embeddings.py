@@ -97,6 +97,17 @@ class Embeddings:
         # content=True returns row dicts with text, like txtai.
         self.config = dict(config or {})
         self.content = bool(self.config.get("content"))
+        # ANN backend: "exact" (default — brute force, what txtai's
+        # numpy backend does at this scale) or "ivf" (cluster-pruned
+        # search through operators.ann.IVFIndex — the role Weaviate's
+        # server-side HNSW plays for the reference). Knobs under
+        # config["ivf"]: nlist (default corpus//128, ≥4), nprobe
+        # (default 4; nprobe == nlist is exact).
+        self.backend = str(self.config.get("backend", "exact"))
+        if self.backend not in ("exact", "ivf"):
+            raise ValueError(f"Embeddings: unknown backend {self.backend!r}")
+        self._ann = None          # cached IVFIndex
+        self._ann_mutations = -1  # mutation counter it was built at
         self._df: DataFrame | None = None
         self._meta_cols: list[str] = []
         # reference parity: running offset so docids never collide across
@@ -249,6 +260,55 @@ class Embeddings:
             "score", F.round(cosine_sim(F.col("vector"), qv), 6)
         )
 
+    # -------------------------------------------------------- ANN backend
+
+    def _ann_index(self):
+        """Build (or reuse) the IVF index over the current frame. Any
+        mutation reassigns ``_df``, so object identity is the staleness
+        signal — an upsert/delete/reindex invalidates the cached index
+        and the next search rebuilds against the new corpus."""
+        from weaviate_txtai_spark.operators.ann import IVFIndex
+
+        if self._ann is not None and self._ann_mutations == id(self._df):
+            return self._ann
+        cfg = dict(self.config.get("ivf") or {})
+        n = self._df.count()
+        nlist = int(cfg.get("nlist", max(4, n // 128)))
+        nlist = max(1, min(nlist, n))
+        self._ann = IVFIndex.build(
+            self._df, nlist=nlist, id_col="docid", vector_col="vector"
+        )
+        self._ann_mutations = id(self._df)
+        return self._ann
+
+    def _ann_search(self, qrows: list[tuple[int, list[float]]], limit: int):
+        """Shared IVF search for search/batchsearch: probe, score, join
+        the hits back to their stored rows (broadcast: Q×limit ids)."""
+        idx = self._ann_index()
+        nprobe = int(dict(self.config.get("ivf") or {}).get("nprobe", 4))
+        qdf = self.spark.createDataFrame(qrows, "qid int, qv array<float>")
+        # fetch a small slack then re-rank on the ROUNDED score with the
+        # docid tie-break — the exact path's ordering contract. IVF ranks
+        # raw doubles, so a pair tied at 6 dp could otherwise resolve to
+        # a different (valid but non-canonical) member at the cut line.
+        hits = idx.search(
+            qdf, limit + 8, nprobe=nprobe,
+            query_id_col="qid", query_vector_col="qv",
+        ).select("qid", "docid", F.round("score", 6).alias("score"))
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+        hits = (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= limit)
+        )
+        cols = ["docid", "id", "text"] if self.content else ["docid", "id"]
+        return (
+            self._df.select(*cols)
+            .join(F.broadcast(hits), "docid")
+            .orderBy("qid", "rank")
+        )
+
     def search(self, query: str, limit: int = 3) -> list:
         """Text query → [(id, score)] top-limit by cosine; SQL query
         (starts with 'select') → list of row dicts, txtai-style."""
@@ -257,7 +317,20 @@ class Embeddings:
         # word-boundary match: "selecting the best trail" is a TEXT query;
         # bare startswith("select") would route it to spark.sql and crash
         if re.match(r"^\s*select\b", query, re.IGNORECASE):
+            # SQL search stays exact regardless of backend: its WHERE
+            # clauses filter the scored view, and a probe set chosen
+            # before the filter would silently under-fill the limit
             return self._search_sql(query, limit)
+        if self.backend == "ivf":
+            rows = self._ann_search(
+                [(0, [float(x) for x in self.encoder.encode(query)])], limit
+            ).collect()
+            if self.content:
+                return [
+                    {"id": r["id"], "text": r["text"], "score": r["score"]}
+                    for r in rows
+                ]
+            return [(r["id"], r["score"]) for r in rows]
         top = (
             self._scored(query)
             .orderBy(F.desc("score"), F.asc("docid"))
@@ -363,6 +436,16 @@ class Embeddings:
             (i, [float(x) for x in self.encoder.encode(q)])
             for i, q in enumerate(queries)
         ]
+        if self.backend == "ivf":
+            out: list[list] = [[] for _ in queries]
+            for r in self._ann_search(qrows, limit).collect():
+                if self.content:
+                    out[r["qid"]].append(
+                        {"id": r["id"], "text": r["text"], "score": r["score"]}
+                    )
+                else:
+                    out[r["qid"]].append((r["id"], r["score"]))
+            return out
         qdf = self.spark.createDataFrame(qrows, "qid int, qv array<float>")
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         top = (
