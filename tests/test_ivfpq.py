@@ -106,3 +106,23 @@ def test_adc_only_mode_and_guards(index, emb):
         index.search([], 5)
     with pytest.raises(ValueError, match="query_id_type"):
         index.search([("q0", qs[0][1])], 5)
+
+
+def test_save_load_roundtrip(index, emb, tmp_path):
+    qs = [(0, list(emb.filter(F.col("vec_id") == 0).head()["embedding"]))]
+    before = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["dist"])
+        for r in index.search(qs, 5, nprobe=4, shortlist=5).collect()
+    )
+    path = str(tmp_path / "ivfpq")
+    index.save(path)
+    loaded = IVFPQIndex.load(emb.sparkSession, path)
+    after = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["dist"])
+        for r in loaded.search(qs, 5, nprobe=4, shortlist=5).collect()
+    )
+    assert before == after
+    import os
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(path, "codes"))
+    )

@@ -132,3 +132,72 @@ def test_bm25_has_no_corpus_vocabulary_shuffle(spark, sf_dir):
     # corpus-wide doc-term tf aggregate came back
     assert len(shuffle_ids) <= 3, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_encode_is_map_only(spark, sf_dir):
+    """PQ encoding must add no exchange: per-subspace argmin over
+    codebook literals is pure projection over the scan."""
+    from weaviate_txtai_spark.operators.pq import pq_encode, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_pq(emb, m=4, k=4, iters=0)
+    plan = physical_plan(
+        pq_encode(emb, model, dist_round_decimals=6, packed=True)
+    )
+    assert "Exchange" not in plan
+
+
+def test_adc_topk_is_take_ordered(spark, sf_dir):
+    """ADC search must compile to TakeOrderedAndProject — never a global
+    sort of the scored corpus."""
+    from weaviate_txtai_spark.operators.pq import (
+        adc_topk, pq_encode, train_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_pq(emb, m=4, k=4, iters=0)
+    coded = pq_encode(emb, model, dist_round_decimals=6, packed=False)
+    q = list(emb.select("embedding").head()[0])
+    plan = physical_plan(adc_topk(coded, model, q, 10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_threshold_join_bucketed_has_no_broadcast_nested_loop(spark, sf_dir):
+    """The large-left threshold join must not plan a broadcast NL join
+    (the r3 scale-killer): the bucketed path is mapInPandas bucketize +
+    one grouped shuffle."""
+    from weaviate_txtai_spark.operators.simjoin import threshold_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    plan = physical_plan(
+        threshold_join(
+            left, emb, 0.9, strategy="bucketed", num_planes=8,
+            num_tables=4, right_id="vec_id", right_vec="embedding",
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_codes_scan_never_reads_vectors(spark, sf_dir, tmp_path):
+    """On a SAVED index, the ADC-only search plan must scan only the
+    codes parquet (id/cell/pq_code) — the float vector file is never
+    touched, the whole point of the coded table. (The in-memory build
+    keeps the encode lineage inside its cache plan, so the assertion
+    runs against the persisted form — the shape production uses.)"""
+    from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IVFPQIndex.build(emb, nlist=4, m=4, k_pq=8, pq_iters=1)
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    loaded = IVFPQIndex.load(spark, path)
+    q = [(0, list(emb.select("embedding").head()[0]))]
+    plan = physical_plan(loaded.search(q, 5, nprobe=2, shortlist=None))
+    assert "pq_code" in plan
+    assert "embedding" not in plan
+    assert f"{tmp_path}/ivfpq/vectors" not in plan

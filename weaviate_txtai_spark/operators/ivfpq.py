@@ -91,8 +91,88 @@ class IVFPQIndex:
             packed=False,
             dist_round_decimals=dist_round_decimals,
         ).select(id_col, "cell", "pq_code")
+        # materialize: the coded table IS the index — without this every
+        # search would re-derive codes from the float corpus (re-reading
+        # embeddings and re-running the encode), defeating the m-bytes
+        # scan story. Release via cache_scope; save() writes it to disk.
+        from weaviate_txtai_spark.cache import scoped_persist
+
+        codes = scoped_persist(codes)
         return cls(
             ivf=ivf, pq=pq, codes=codes, id_col=id_col, vector_col=vector_col
+        )
+
+    def save(self, path: str) -> None:
+        """Persist the index: codes partitioned by cell (the scan side —
+        probe pruning becomes directory pruning, same layout promise as
+        IVFIndex.save), the float corpus for re-ranking, and a JSON meta
+        sidecar with both codebook sets."""
+        import json
+        import os
+
+        spark = self.codes.sparkSession
+        (
+            self.codes.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "codes"))
+        )
+        (
+            self.ivf.assigned.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "vectors"))
+        )
+        meta = {
+            "id_col": self.id_col,
+            "vector_col": self.vector_col,
+            "centroids": self.ivf.centroids,
+            "pq": {
+                "m": self.pq.m,
+                "k": self.pq.k,
+                "dim": self.pq.dim,
+                "codebooks": self.pq.codebooks,
+            },
+        }
+        (
+            spark.createDataFrame([(json.dumps(meta),)], "meta string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(os.path.join(path, "ivfpq_meta"))
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFPQIndex":
+        import json
+        import os
+
+        meta = json.loads(
+            spark.read.text(os.path.join(path, "ivfpq_meta")).collect()[0][
+                "value"
+            ]
+        )
+        codes = spark.read.parquet(os.path.join(path, "codes"))
+        vectors = spark.read.parquet(os.path.join(path, "vectors"))
+        centroids = [
+            (int(c), [float(x) for x in v]) for c, v in meta["centroids"]
+        ]
+        ivf = IVFIndex(
+            vectors, centroids, meta["id_col"], meta["vector_col"]
+        )
+        p = meta["pq"]
+        pq = PQModel(
+            m=int(p["m"]),
+            k=int(p["k"]),
+            dim=int(p["dim"]),
+            codebooks=[
+                [(int(c), [float(x) for x in v]) for c, v in cb]
+                for cb in p["codebooks"]
+            ],
+        )
+        return cls(
+            ivf=ivf,
+            pq=pq,
+            codes=codes,
+            id_col=meta["id_col"],
+            vector_col=meta["vector_col"],
         )
 
     def search(
