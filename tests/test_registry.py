@@ -21,7 +21,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # building these DataFrames runs a streaming job or collects — skip in
 # the schema-only sweep (check_oracle covers them with full values)
 _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
-              "streaming_dedup", "streaming_interval_join"}
+              "streaming_dedup", "streaming_interval_join",
+              "streaming_enrich"}
 
 
 def test_every_oracle_query_is_registered():

@@ -250,3 +250,26 @@ def streaming_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+_STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("streaming_enrich", _STREAM_ENRICH_SQL)
+def streaming_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the one streaming join shape the suite didn't
+    gate): events stream enriched with the broadcast customer dim and
+    rolled up per (segment, event type). No state store, no watermark —
+    the dim re-resolves per micro-batch; availableNow over the fixed
+    file must equal the batch join, which is exactly the oracle."""
+    from weaviate_txtai_spark.streaming.joins import run_segment_rollup
+
+    return run_segment_rollup(spark, sf_dir).orderBy(
+        "c_mktsegment", "event_type"
+    )

@@ -76,3 +76,43 @@ def run_error_follow_join(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def run_segment_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    table_name: str = "segment_rollup_stream",
+) -> DataFrame:
+    """Stream-STATIC enrichment: the events stream joined to the static
+    customer dimension (user_id = c_custkey), rolled up to (market
+    segment, event type). The static side broadcasts — a stream-static
+    join adds NO state store (the dim is re-resolvable per micro-batch)
+    and no watermark requirement, the standard shape for enriching an
+    event stream with slowly-changing reference data. availableNow over
+    the fixed file equals the batch join (gate: `streaming_enrich`)."""
+    import os
+
+    from weaviate_txtai_spark.streaming.events import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    rolled = (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
