@@ -1978,3 +1978,117 @@ def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5/Q8 analogues: local-supplier volume, nation market share
+# --------------------------------------------------------------------------
+
+_LOCAL_SUPPLIER_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1998-01-01'
+GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+"""
+
+
+@register("local_supplier_volume", _LOCAL_SUPPLIER_SQL)
+def local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: the six-table star join with the extra
+    customer-nation == supplier-nation constraint (revenue served by
+    LOCAL suppliers). The nation/region dims broadcast; the
+    c_nationkey = s_nationkey predicate rides the supplier join (an
+    extra equi-condition, not a post-filter), so the join output never
+    carries cross-nation pairs."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_MARKET_SHARE_SQL = """
+WITH all_orders AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         s.s_nationkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type LIKE '%BRASS%'
+)
+SELECT o_year,
+       round(sum(CASE WHEN s_nationkey = 7 THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM all_orders GROUP BY o_year ORDER BY o_year
+"""
+
+
+@register("nation_market_share", _MARKET_SHARE_SQL)
+def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly trade volume in a
+    part segment — conditional-sum / total-sum per group, one
+    aggregation after the restricted fact join (the part filter prunes
+    the fact FIRST; nation never joins at all, the share condition is a
+    key comparison)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("%BRASS%")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "s_nationkey",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("s_nationkey") == 7, F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
