@@ -247,6 +247,13 @@ def threshold_join(
     """
     if strategy not in ("auto", "broadcast", "bucketed"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if num_tables < 1 or num_planes < 0:
+        # num_tables=0 would silently emit ZERO pairs (no buckets at
+        # all) — an empty result that looks like "no matches"
+        raise ValueError(
+            f"threshold_join: num_tables must be >= 1 and num_planes >= 0 "
+            f"(got {num_tables}, {num_planes})"
+        )
     if strategy == "auto":
         # Strategy probe, not a full count (same shape as topk_join):
         # scanning broadcast_max_left+1 rows answers "is the left side
