@@ -126,3 +126,27 @@ def test_save_load_roundtrip(index, emb, tmp_path):
     assert any(
         d.startswith("cell=") for d in os.listdir(os.path.join(path, "codes"))
     )
+
+
+def test_filtered_search_with_keep_cols(emb):
+    """keep_cols denormalizes filterable metadata into the codes table;
+    where= prunes BEFORE the shortlist cut, so every returned id
+    satisfies the predicate and slots are never wasted."""
+    idx = IVFPQIndex.build(
+        emb, nlist=4, m=4, k_pq=8, pq_iters=1, keep_cols=["label"]
+    )
+    assert "label" in idx.codes.columns
+    qs = [(0, list(emb.filter(F.col("vec_id") == 0).head()["embedding"]))]
+    got = idx.search(qs, 5, nprobe=4, shortlist=10, where="label >= 5")
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    labels = {
+        r["label"]
+        for r in emb.join(
+            got.select("vec_id"), "vec_id"
+        ).select("label").collect()
+    }
+    assert all(lb >= 5 for lb in labels)
+    with pytest.raises(ValueError, match="keep_cols not in input"):
+        IVFPQIndex.build(emb, nlist=4, m=4, k_pq=8, pq_iters=0,
+                         keep_cols=["nope"])

@@ -67,6 +67,7 @@ class IVFPQIndex:
         vector_col: str = "embedding",
         seed: int = 42,
         dist_round_decimals: Optional[int] = None,
+        keep_cols: Sequence[str] = (),
     ) -> "IVFPQIndex":
         ivf = IVFIndex.build(
             df, nlist=nlist, id_col=id_col, vector_col=vector_col, seed=seed
@@ -84,13 +85,22 @@ class IVFPQIndex:
             dist_round_decimals=dist_round_decimals,
             quantize_decimals=6,
         )
+        # keep_cols: filterable metadata DENORMALIZED into the codes
+        # table — the only way filtered ADC search can prune BEFORE the
+        # shortlist cut (filtering at re-rank time under-fills n, the
+        # classic filtered-ANN bug; joining metadata back in would
+        # re-read a corpus-sized table and defeat the m-byte scan)
+        missing = set(keep_cols) - set(residuals.columns)
+        if missing:
+            raise ValueError(f"IVFPQIndex.build: keep_cols not in input: "
+                             f"{sorted(missing)}")
         codes = pq_encode(
             residuals,
             pq,
             vector_col="__res",
             packed=False,
             dist_round_decimals=dist_round_decimals,
-        ).select(id_col, "cell", "pq_code")
+        ).select(id_col, "cell", "pq_code", *keep_cols)
         # materialize: the coded table IS the index — without this every
         # search would re-derive codes from the float corpus (re-reading
         # embeddings and re-running the encode), defeating the m-bytes
@@ -183,6 +193,7 @@ class IVFPQIndex:
         nprobe: int = 4,
         shortlist: Optional[int] = 10,
         query_id_type=None,
+        where=None,
     ) -> DataFrame:
         """Batch ADC search: ``queries`` is [(query_id, vector), ...]
         (driver-side batch, same contract as ``knn_topk_gemm``). For
@@ -267,9 +278,17 @@ class IVFPQIndex:
             6,
         )
         # the codes table never shuffles: the LUT fan-out broadcasts and
-        # only probed cells' rows survive the join filter
+        # only probed cells' rows survive the join filter. `where` (over
+        # keep_cols stored IN the codes table at build time) prunes
+        # candidates BEFORE the shortlist cut — top-n slots are never
+        # wasted on rows the caller would discard.
+        base = self.codes
+        if where is not None:
+            base = base.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
         cand = (
-            self.codes.join(luts, "cell")
+            base.join(luts, "cell")
             .select(F.col("__qid"), F.col(self.id_col), dist.alias("adc_dist"))
         )
         take = n if shortlist is None else shortlist * n
