@@ -294,3 +294,83 @@ def weighted_sample_k(
         .limit(int(k))
         .drop("__aes_key")
     )
+
+
+def temperature_quotas(
+    counts: dict, total: int, alpha: float
+) -> dict:
+    """Per-stratum quotas ∝ size^alpha (the Gopher/LLaMA temperature
+    mixing rule: alpha=1 is proportional, alpha=0 uniform, 0<alpha<1
+    upweights small sources), allocated by largest remainder so they
+    sum to EXACTLY ``total``.
+
+    Every step after the pow is integer arithmetic — weights are
+    pow(n, alpha) scaled to 1e6 and rounded HALF-UP (matching Spark's
+    and DuckDB's round(); Python's builtin round is banker's and WOULD
+    diverge on exact .5) — so the allocation is bit-identical across
+    engines: a float weight SUM would differ in the last ulp with
+    summation order and flip a floor at the boundary (NOTES defect
+    class b).
+    """
+    if total < 0:
+        raise ValueError("temperature_quotas: total must be >= 0")
+    w = {
+        s: int(math.floor((n ** alpha) * 1e6 + 0.5))
+        for s, n in counts.items()
+    }
+    W = sum(w.values())
+    if W == 0:
+        raise ValueError("temperature_quotas: empty strata")
+    q = {s: (total * wi) // W for s, wi in w.items()}
+    rem = {s: (total * wi) % W for s, wi in w.items()}
+    deficit = total - sum(q.values())
+    for s in sorted(counts, key=lambda s: (-rem[s], s))[:deficit]:
+        q[s] += 1
+    over = {s for s in q if q[s] > counts[s]}
+    if over:
+        raise ValueError(
+            f"temperature_quotas: quota exceeds stratum size for "
+            f"{sorted(over)} — lower total or raise alpha"
+        )
+    return q
+
+
+def temperature_sample(
+    df,
+    total: int,
+    alpha: float,
+    *,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Draw EXACTLY ``total`` rows with per-stratum counts ∝ size^alpha
+    (temperature mixing). Quotas via :func:`temperature_quotas` (one
+    ≤|strata|-row collect, integer-exact); selection within a stratum by
+    the multiplicative-hash order (same fixed permutation as
+    ``mixture_sample``), so the draw is reproducible on any partitioning
+    and NESTS as ``total`` grows."""
+    from pyspark.sql import Window
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    quotas = temperature_quotas(counts, total, alpha)
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, q) for s, q in quotas.items()],
+            f"{strata_col} string, __quota long",
+        )
+    )
+    # split_fraction, not a naive id*K multiply: ANSI overflow guard
+    frac = split_fraction(id_col)
+    w = Window.partitionBy(strata_col).orderBy(frac.asc(), _c(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .join(qdf, strata_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )

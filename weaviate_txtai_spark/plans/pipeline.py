@@ -1027,3 +1027,62 @@ def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "pick")
         .orderBy("source", "pick")
     )
+
+
+_TEMPERATURE_SQL = """
+WITH n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+wi AS (
+  SELECT source, n,
+         CAST(round(pow(n, 0.5) * 1000000, 0) AS BIGINT) AS w
+  FROM n
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wi),
+base AS (
+  SELECT source, n, (300 * w) // tot.wsum AS q0, (300 * w) % tot.wsum AS rem
+  FROM wi, tot
+),
+alloc AS (
+  SELECT source, n, q0, rem,
+         row_number() OVER (ORDER BY rem DESC, source) AS rr
+  FROM base
+),
+deficit AS (SELECT 300 - sum(q0) AS d FROM base),
+q AS (
+  SELECT source,
+         CAST(q0 + CASE WHEN rr <= deficit.d THEN 1 ELSE 0 END AS BIGINT)
+           AS quota
+  FROM alloc, deficit
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761 % 4294967296) / 4294967296.0,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+WHERE r.rk <= q.quota ORDER BY r.doc_id
+"""
+
+
+@register("temperature_mixture", _TEMPERATURE_SQL)
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing (Gopher/LLaMA size^alpha rule, alpha=0.5):
+    exactly 300 docs drawn with per-source counts ∝ sqrt(source size) —
+    upweighting small sources relative to proportional sampling. The
+    quota allocation is integer-exact largest-remainder over 1e6-scaled
+    half-up-rounded weights (a float weight SUM would flip floors at
+    ulp boundaries across engines); selection is the deterministic
+    multiplicative-hash order, so the whole draw replays in SQL."""
+    from weaviate_txtai_spark.functions.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_sample(docs, 300, 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
