@@ -47,8 +47,11 @@ _PRIORITY = [
     "knn_topk",
     "knn_batch",
     "knn_batch_gemm",
-    "knn_l2",
-    "knn_dot",
+    # knn_l2 / knn_dot (multi-metric variants of the same kernel) ceded
+    # their slots to the round-4 PQ family — both remain judge-sweep and
+    # pytest covered
+    "pq_codes",
+    "pq_knn",
     "vector_delete",
     "vector_upsert",
     "vector_count",
@@ -94,7 +97,7 @@ _PRIORITY = [
     "ann_ivf_filtered",
     "docs_redact_pii",
     "embedding_quantize",
-    "events_cohort_salted",
+    "ivfpq_knn",
 ]
 
 
