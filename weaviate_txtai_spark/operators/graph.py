@@ -57,8 +57,13 @@ def pagerank(
     count also keeps the result a pure deterministic function of the
     edge set — oracle-checkable by replaying the iterations in SQL.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    # persist the EDGE frame too, not just nodes/deg: it feeds the node
+    # union, the degree agg, AND every iteration's contrib join — for a
+    # derived edge set (knn_graph's GEMM join) the unpersisted plan
+    # recomputed that join once per consumer (measured: doc_centrality
+    # 2x slower without this)
+    e = scoped_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     )
     nodes = scoped_persist(
         e.select(F.col("src").alias("id"))
@@ -142,7 +147,10 @@ def pagerank_exact(
     """
     if scale <= 0 or damping_den <= 0 or not (0 <= damping_num <= damping_den):
         raise ValueError("pagerank_exact: invalid damping/scale")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # see pagerank: the edge frame feeds every iteration — persist it
+    e = scoped_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     nodes = scoped_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
