@@ -1,0 +1,112 @@
+"""Slowly-changing-dimension type-2 merge over plain DataFrames.
+
+The `MERGE INTO`-shaped mutation a lakehouse table format would run,
+expressed as set operations (the same stance as ``VectorIndex``'s
+copy-on-write mutations — VERDICT "what's missing" #2: no Delta/Iceberg
+in this environment, so the SEMANTICS are provided engine-side and the
+physical swap stays CoW): given the current dimension history and a
+batch of changes, close the affected open versions and append new open
+versions, preserving full history.
+
+Scale shape: one equi-join of the OPEN slice against the change batch
+(broadcastable when the batch is small — the common CDC case), one
+column comparison, one union. Never a per-row loop, never a window over
+the history table; closed versions are untouched (and under a
+date-partitioned layout their files never rewrite).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    effective_col: str = "effective_date",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply a change batch to an SCD2 history table.
+
+    ``history`` carries one row per (key, version) with ``valid_from``
+    and ``valid_to`` (NULL = open). ``changes`` carries the key columns,
+    the new values of ``compare_cols``, and ``effective_col``.
+
+    Rules (standard type-2):
+    - an open row whose compared values DIFFER from its change row is
+      closed (``valid_to`` := effective date) and a new open version is
+      appended with ``valid_from`` := effective date;
+    - an open row whose change carries identical values is untouched
+      (no empty versions);
+    - change keys absent from the history are INSERTED as new open rows
+      (the upsert half of MERGE);
+    - closed rows pass through untouched;
+    - one change row per key per batch — duplicate keys in ``changes``
+      raise (ambiguous effective order inside one batch is a caller
+      bug; sequence batches instead).
+    """
+    keys = list(key_cols)
+    comp = list(compare_cols)
+    dup = (
+        changes.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "scd2_apply: changes contain duplicate keys — apply batches "
+            "sequentially, one change per key per batch"
+        )
+    ch = changes.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__c_{c}") for c in comp],
+        F.col(effective_col).alias("__eff"),
+    )
+    open_rows = history.filter(F.col(valid_to_col).isNull())
+    closed_rows = history.filter(F.col(valid_to_col).isNotNull())
+    cond = [F.col(k) == F.col(f"__k_{k}") for k in keys]
+    joined = open_rows.join(ch, cond, "full_outer")
+    # eqNullSafe: a NULL -> value change must count as different
+    differs = None
+    for c in comp:
+        d = ~F.col(c).eqNullSafe(F.col(f"__c_{c}"))
+        differs = d if differs is None else (differs | d)
+    matched = F.col(valid_from_col).isNotNull()  # history side present
+    has_change = F.col("__eff").isNotNull()      # change side present
+
+    untouched_open = joined.filter(
+        matched & (~has_change | ~differs)
+    ).select(history.columns)
+    closed_out = joined.filter(matched & has_change & differs).select(
+        *[F.col(c) for c in history.columns if c != valid_to_col],
+        F.col("__eff").alias(valid_to_col),
+    ).select(history.columns)
+    # columns outside keys/compare/validity pass through from history on
+    # changed rows; pure inserts have no history values for them -> NULL
+    passthrough = [
+        c for c in history.columns
+        if c not in keys + comp + [valid_from_col, valid_to_col]
+    ]
+    new_versions = joined.filter(has_change & (~matched | differs)).select(
+        *[F.coalesce(F.col(f"__k_{k}"), F.col(k)).alias(k) for k in keys],
+        *[F.col(f"__c_{c}").alias(c) for c in comp],
+        *[F.col(c) for c in passthrough],
+        F.col("__eff").alias(valid_from_col),
+        F.lit(None).cast(
+            history.schema[valid_to_col].dataType
+        ).alias(valid_to_col),
+    )
+    return (
+        closed_rows.select(history.columns)
+        .unionByName(untouched_open)
+        .unionByName(closed_out)
+        .unionByName(new_versions.select(history.columns))
+    )

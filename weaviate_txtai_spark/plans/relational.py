@@ -2092,3 +2092,63 @@ def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension merge (operators/scd.py)
+# --------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH hist AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+ch AS (
+  SELECT c_custkey, 'DELINQUENT' AS new_seg, DATE '2000-01-01' AS eff
+  FROM customer WHERE c_acctbal < 0
+)
+SELECT * FROM (
+  SELECT h.c_custkey, h.c_name, h.c_nationkey, h.c_acctbal,
+         h.c_mktsegment, h.valid_from, h.valid_to
+  FROM hist h LEFT JOIN ch ON h.c_custkey = ch.c_custkey
+  WHERE ch.c_custkey IS NULL OR h.c_mktsegment = ch.new_seg
+  UNION ALL
+  SELECT h.c_custkey, h.c_name, h.c_nationkey, h.c_acctbal,
+         h.c_mktsegment, h.valid_from, ch.eff
+  FROM hist h JOIN ch ON h.c_custkey = ch.c_custkey
+  WHERE h.c_mktsegment <> ch.new_seg
+  UNION ALL
+  SELECT h.c_custkey, h.c_name, h.c_nationkey, h.c_acctbal,
+         ch.new_seg, ch.eff, CAST(NULL AS DATE)
+  FROM hist h JOIN ch ON h.c_custkey = ch.c_custkey
+  WHERE h.c_mktsegment <> ch.new_seg
+) ORDER BY c_custkey, valid_from
+"""
+
+
+@register("customer_scd2", _SCD2_SQL)
+def customer_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (operators/scd.py): the
+    MERGE INTO semantics a lakehouse format would run, as set ops —
+    negative-balance customers move to a DELINQUENT segment effective
+    2000-01-01; their open versions close, new open versions append,
+    everyone else passes through untouched. One equi-join of the open
+    slice against the (broadcastable) change batch + one union."""
+    from weaviate_txtai_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    history = cust.withColumn(
+        "valid_from", F.lit("1995-01-01").cast("date")
+    ).withColumn("valid_to", F.lit(None).cast("date"))
+    changes = cust.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey",
+        F.lit("DELINQUENT").alias("c_mktsegment"),
+        F.lit("2000-01-01").cast("date").alias("effective_date"),
+    )
+    return scd2_apply(
+        history,
+        changes,
+        key_cols=["c_custkey"],
+        compare_cols=["c_mktsegment"],
+    ).orderBy("c_custkey", "valid_from")
