@@ -2152,3 +2152,45 @@ def customer_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["c_custkey"],
         compare_cols=["c_mktsegment"],
     ).orderBy("c_custkey", "valid_from")
+
+
+@register("events_hourly_incremental", _EVENTS_HOURLY_SQL)
+def events_hourly_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the hourly rollup
+    computed as OLD-partition partials merged with NEW-batch partials
+    (union + one re-agg over the partial rows — never a rescan of the
+    old raw events), gated equal to the full recompute. This is the
+    batch form of what the streaming hourly agg's state store does, and
+    the 100 TB refresh pattern: the merged agg's input is O(groups),
+    not O(events). Partial sums stay unrounded until the final merge so
+    the result is bit-stable against the one-shot aggregation."""
+    from weaviate_txtai_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.year("ts").alias("y"),
+                F.month("ts").alias("m"),
+                F.dayofmonth("ts").alias("d"),
+                F.hour("ts").alias("h"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("__sum_raw"),
+            )
+        )
+
+    old_part = partial(ev.filter(F.col("ts") < split))
+    new_part = partial(ev.filter(F.col("ts") >= split))
+    return (
+        old_part.unionByName(new_part)
+        .groupBy("y", "m", "d", "h", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("__sum_raw"), 4).alias("sum_value"),
+        )
+    )
