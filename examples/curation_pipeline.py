@@ -24,6 +24,30 @@ from pyspark.sql import functions as F
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
+def docs_quality_tiers_counts(spark, curated):
+    """Head/middle/tail counts over the curated set's NLL terciles."""
+    from pyspark.sql import Window
+
+    from weaviate_txtai_spark.operators.lm import nll_quality_filter
+
+    scored = nll_quality_filter(curated.select("doc_id", "text")).filter(
+        F.col("nll").isNotNull()
+    )
+    w = Window.orderBy(F.asc("nll"), F.asc("doc_id"))
+    return (
+        scored.withColumn("t", F.ntile(3).over(w))
+        .withColumn(
+            "tier",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .groupBy("tier")
+        .count()
+        .collect()
+    )
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[*]")
@@ -137,6 +161,33 @@ def main() -> None:
         .groupBy("source").count().collect()
     )
 
+    # 5e. round-4 curation signals: CCNet quality tiers (NLL terciles),
+    # soft-dedup weights (1/cluster-size instead of dropping), a
+    # temperature draw (size^0.5 upweights small sources), and a
+    # per-source quota cap
+    from weaviate_txtai_spark.functions.sampling import temperature_sample
+
+    tier_counts = dict(
+        docs_quality_tiers_counts(spark, curated)
+    )
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("sz"))
+    soft_w = (
+        curated.join(groups, "doc_id", "left")
+        .join(sizes, "group_id", "left")
+        .select(
+            F.round(
+                F.lit(1.0) / F.coalesce(F.col("sz"), F.lit(1)), 6
+            ).alias("w")
+        )
+        .agg(F.round(F.sum("w"), 2).alias("effective_docs"))
+        .collect()[0]["effective_docs"]
+    )
+    temp_counts = dict(
+        temperature_sample(curated, 300, 0.5)
+        .groupBy("source").count()
+        .orderBy(F.desc("count")).limit(3).collect()
+    )
+
     # 6. chunk the curated survivors into model windows, pack short
     # chunks into fixed token budgets, and stamp the reproducible
     # train/valid/test split — the batch shapes a pretraining data
@@ -196,6 +247,9 @@ def main() -> None:
     print(f"unigram-LM head keep {n_lm_keep:>8}  (nll <= corpus mean)")
     print(f"mean bigram NLL      {big_row['mean_bigram_nll']:>8}")
     print(f"semantic survivors   {n_sem_survivors:>8}  (PCA-clustered, full-space verify @.95)")
+    print(f"quality tiers        {tier_counts}")
+    print(f"soft-dedup mass      {soft_w:>8}  effective docs (1/cluster-size weights)")
+    print(f"temperature top-3    {temp_counts}  (alpha=0.5 draw of 300)")
     print(f"mixture {weights}   -> {mix_counts}")
     print(f"chunks (200/100)     {n_chunks:>8}")
     print(f"packs (512 tokens)   {n_packs:>8}")
