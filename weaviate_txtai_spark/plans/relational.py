@@ -2194,3 +2194,53 @@ def events_hourly_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("__sum_raw"), 4).alias("sum_value"),
         )
     )
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS t FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.event_type, p.n,
+       round(p.n * 1.0 / tot.t, 6) AS prob
+FROM pairs p JOIN tot USING (prev_type)
+ORDER BY p.prev_type, p.event_type
+"""
+
+
+@register("event_transitions", _TRANSITIONS_SQL)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag() within (user, time) order, pair counts, row-
+    normalized probabilities. One window shuffle on user_id + two small
+    aggs — the journey-analysis primitive behind funnel diagnostics and
+    synthetic-session generators. Ties at identical timestamps break on
+    event_id so the sequence (and the matrix) is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
