@@ -115,6 +115,13 @@ from weaviate_txtai_spark.plans.base import QueryFn, _emb, register
 
 
 def main() -> None:
+    import os
+
+    if os.path.exists(f"{PKG}/base.py"):
+        raise SystemExit(
+            "split already performed (plans/base.py exists) — rerunning "
+            "against the hub queries.py would destroy the family modules"
+        )
     src = open(SRC).read()
     lines = src.splitlines(keepends=True)
     tree = ast.parse(src)
