@@ -2244,3 +2244,51 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+_SESSION_WINDOW_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL OR
+                   ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id ORDER BY 1, 2
+"""
+
+
+@register("events_session_window", _SESSION_WINDOW_SQL)
+def events_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `session_window` sessions (one row PER SESSION, vs
+    events_sessionize's per-user rollup of the lag-gap composition).
+    The built-in operator matters because the SAME expression runs
+    under Structured Streaming with state-store merging — the lag-gap
+    window cannot. Boundary semantics pinned against the oracle: Spark
+    session windows are [start, last+gap), so an event exactly `gap`
+    after its predecessor STARTS A NEW session (the oracle splits on
+    `>= INTERVAL`, not `>` — a boundary an equality-blind test would
+    never catch). Start emitted as unix micros (engine-neutral)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
