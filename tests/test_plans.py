@@ -201,3 +201,31 @@ def test_ivfpq_codes_scan_never_reads_vectors(spark, sf_dir, tmp_path):
     assert "pq_code" in plan
     assert "embedding" not in plan
     assert f"{tmp_path}/ivfpq/vectors" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a filtered dim must plan
+    dynamic partition pruning: the fact scan's partition filter is fed
+    from the dim side at RUNTIME, so only matching date directories are
+    read — the mechanism that makes dim-filtered fact joins viable at
+    100 TB. Requires the join key to BE the partition column."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    fact_dir = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("d").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the dim must be a FILTERED scan (DPP inserts the pruning subquery
+    # only when the dim side carries a selective predicate; a bare
+    # limit/local relation does not qualify)
+    dim_dir = str(tmp_path / "day_dim")
+    (
+        ev.select("d").distinct()
+        .withColumn("tag", F.when(F.dayofmonth("d") <= 3, "picked")
+                    .otherwise("other"))
+        .write.parquet(dim_dir)
+    )
+    dim = spark.read.parquet(dim_dir).filter(F.col("tag") == "picked")
+    joined = fact.join(dim, "d").groupBy("tag").count()
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

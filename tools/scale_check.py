@@ -324,6 +324,35 @@ def main() -> None:
             "curve_2x_nlist32": recall_curve(emb2, 32),
         }
 
+        # ---- IVF-PQ block: build + batch-search under nlist ∝ corpus --
+        from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+
+        def ivfpq_times(e, nlist):
+            qs = [
+                (r["vec_id"], list(r["embedding"]))
+                for r in e.filter(
+                    F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0
+                ).limit(150).collect()
+            ]
+            spark.catalog.clearCache()
+            t0 = time.time()
+            idx = IVFPQIndex.build(e, nlist=nlist, m=8, k_pq=16, pq_iters=2)
+            idx.codes.count()
+            tb = time.time() - t0
+            t0 = time.time()
+            n = idx.search(qs, 10, nprobe=4, shortlist=5).count()
+            return tb, time.time() - t0, n
+
+        b1, s1, n1 = ivfpq_times(emb1, 16)
+        b2, s2, n2 = ivfpq_times(emb2, 32)
+        ivfpq = {
+            "t_build_1x": round(b1, 3), "t_search_1x": round(s1, 3),
+            "t_build_2x": round(b2, 3), "t_search_2x": round(s2, 3),
+            "build_ratio": round(b2 / b1, 2) if b1 > 0 else None,
+            "search_ratio": round(s2 / s1, 2) if s1 > 0 else None,
+            "rows_1x": n1, "rows_2x": n2,
+        }
+
         result = {
             "metric": "scale_ratio_2x",
             "sf": SF_DIR,
@@ -332,6 +361,7 @@ def main() -> None:
             "skew": skew,
             "pack": pack,
             "ivf_recall": ivf_recall,
+            "ivfpq": ivfpq,
         }
         line = json.dumps(result)
         print(line)
