@@ -1086,3 +1086,77 @@ def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+_QUALITY_COMPOSITE_SQL = (
+    "WITH base AS (" + _UNIGRAM_NLL_SQL + """),
+q AS (
+  SELECT d.doc_id,
+         round(
+           least(1.0,
+             (CASE WHEN d.n_chars BETWEEN 200 AND 2000 THEN 0.5 ELSE 0.25 END)
+             + (CASE WHEN b.nll IS NOT NULL THEN 0.5 ELSE 0.0 END)
+           ), 4) AS heuristic,
+         b.nll
+  FROM documents d JOIN base b USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, heuristic, nll,
+         percent_rank() OVER (ORDER BY heuristic ASC, doc_id ASC) AS pr_h,
+         CASE WHEN nll IS NULL THEN 0.0
+              ELSE percent_rank() OVER (ORDER BY coalesce(nll, 1e9) DESC,
+                                        doc_id ASC) END AS pr_l
+  FROM q
+)
+SELECT doc_id, round((pr_h + pr_l) / 2, 6) AS composite
+FROM ranked ORDER BY doc_id
+"""
+)
+
+
+@register("docs_quality_composite", _QUALITY_COMPOSITE_SQL)
+def docs_quality_composite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality scoring: rank-average of two weak signals (a
+    length-band heuristic and the inverse LM-NLL rank) — the standard
+    way curation pipelines combine incommensurable scores without
+    calibrating either (rank space is scale-free). percent_rank windows
+    with explicit doc_id tie-breaks keep the composite deterministic;
+    NULL-NLL (empty) docs contribute 0 from the LM signal instead of
+    poisoning the window."""
+    from weaviate_txtai_spark.operators.lm import nll_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    nll = nll_quality_filter(docs, round_decimals=6).select("doc_id", "nll")
+    q = docs.join(nll, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.when(
+                    F.col("n_chars").between(200, 2000), F.lit(0.5)
+                ).otherwise(F.lit(0.25))
+                + F.when(F.col("nll").isNotNull(), F.lit(0.5)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+            4,
+        ).alias("heuristic"),
+        "nll",
+    )
+    wh = Window.orderBy(F.asc("heuristic"), F.asc("doc_id"))
+    wl = Window.orderBy(F.desc(F.coalesce(F.col("nll"), F.lit(1e9))),
+                        F.asc("doc_id"))
+    return (
+        q.withColumn("pr_h", F.percent_rank().over(wh))
+        .withColumn(
+            "pr_l",
+            F.when(F.col("nll").isNull(), F.lit(0.0)).otherwise(
+                F.percent_rank().over(wl)
+            ),
+        )
+        .select(
+            "doc_id",
+            F.round((F.col("pr_h") + F.col("pr_l")) / 2, 6).alias("composite"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2292,3 +2292,32 @@ def events_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+_CORRELATIONS_SQL = """
+SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+       round(corr(l_extendedprice, l_discount), 6) AS price_discount,
+       round(corr(l_quantity, l_tax), 6) AS qty_tax,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_cov
+FROM lineitem
+"""
+
+
+@register("lineitem_correlations", _CORRELATIONS_SQL)
+def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation / population covariance over the fact's
+    numeric columns — the statistical-profiling companion to
+    lineitem_profile (schema-shape vs relationship-shape). One partial
+    aggregation pass; corr/covar are mergeable moments, so the plan is
+    the same map-side-combine shuffle as any sum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+            "price_discount"
+        ),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("qty_tax"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_cov"
+        ),
+    )
