@@ -151,3 +151,15 @@ def test_guards(emb, model):
         pq_encode(emb, PQModel(m=32, k=256, dim=64,
                                codebooks=[[(0, [0.0] * 2)]] * 32),
                   packed=True)
+
+
+def test_encode_fused_matches_expr_and_gemm(emb, model):
+    """The default fused kernel must produce the same codes as both
+    chained-assign_clusters strategies under distance rounding."""
+    f = pq_encode(emb, model, dist_round_decimals=6, packed=True)
+    e = pq_encode(emb, model, dist_round_decimals=6, packed=True,
+                  strategy="expr")
+    assert (
+        f.select("vec_id", "pq_code").orderBy("vec_id").collect()
+        == e.select("vec_id", "pq_code").orderBy("vec_id").collect()
+    )
