@@ -149,3 +149,35 @@ def test_asof_rejects_payload_column_collision(spark):
     right_ok = right.withColumnRenamed("val", "rval")
     out = asof_join(left, right_ok, on=["k"]).collect()
     assert out[0]["rval"] == "y"
+
+
+def test_asof_forward_nearest_following(spark):
+    import datetime
+
+    T = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, T(10)), (1, T(30)), (2, T(5))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 1.0), (1, T(20), 2.0), (1, T(40), 3.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    from weaviate_txtai_spark.operators.asof import asof_join
+
+    got = {
+        (r["user_id"], r["ts"].second): (r["v"], r["matched_ts"].second if r["matched_ts"] else None)
+        for r in asof_join(left, right, on=["user_id"], direction="forward").collect()
+    }
+    assert got[(1, 10)] == (1.0, 10)   # equal ts matches (inclusive)
+    assert got[(1, 30)] == (3.0, 40)   # next following
+    assert got[(2, 5)] == (None, None)  # no right rows for key
+
+
+def test_asof_direction_validated(spark):
+    import pytest as _pytest
+
+    from weaviate_txtai_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
+    with _pytest.raises(ValueError, match="unknown direction"):
+        asof_join(df, df, on=["user_id"], direction="sideways")

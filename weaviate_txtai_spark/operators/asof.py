@@ -41,9 +41,15 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     matched_ts_col: str = "matched_ts",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of LEFT join: attach to every left row the right row
-    with the greatest ``right_ts <= left_ts`` for the same key(s).
+    """As-of LEFT join: attach to every left row the nearest right row
+    for the same key(s) — ``direction='backward'`` (default) takes the
+    greatest ``right_ts <= left_ts`` (feature look-back),
+    ``'forward'`` the smallest ``right_ts >= left_ts`` (next-outcome
+    attribution: "first purchase after this exposure"). Same one-shuffle
+    union + window plan either way — forward just flips the frame to
+    [current, following] with ``first(ignorenulls)``.
 
     Right payload = every right column except keys/ts; its values ride
     along unchanged; ``matched_ts_col`` carries the matched right ts.
@@ -57,6 +63,8 @@ def asof_join(
     raises ``ValueError`` (rename on either side first) rather than
     silently dropping data the way ``range_join``'s exclusion does.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     keys = list(on)
     payload = [c for c in right.columns if c not in keys and c != right_ts]
     clash = sorted(set(payload) & {c for c in left.columns if c not in keys})
@@ -88,18 +96,33 @@ def asof_join(
         F.col(right_ts).alias("__r_ts"),
     )
 
-    # Right rows sort before left rows at equal ts (__is_left ASC), making
-    # the as-of inclusive: a right row AT left_ts matches.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = lhs.unionByName(rhs).select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in payload],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
-    )
+    if direction == "backward":
+        # Right rows sort before left rows at equal ts (__is_left ASC),
+        # making the as-of inclusive: a right row AT left_ts matches.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = lhs.unionByName(rhs).select(
+            "*",
+            *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in payload],
+            F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+        )
+    else:
+        # forward: frame looks ahead; right rows sort AFTER left rows at
+        # equal ts (__is_left DESC) so an equal-ts right row stays inside
+        # the left row's [current, following] frame -> inclusive match
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = lhs.unionByName(rhs).select(
+            "*",
+            *[F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in payload],
+            F.first("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+        )
     out_left = [c for c in left.columns if c not in keys]
     return (
         filled.filter(F.col("__is_left") == 1)

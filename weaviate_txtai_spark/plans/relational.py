@@ -2321,3 +2321,50 @@ def lineitem_correlations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_cov"
         ),
     )
+
+
+_ASOF_FORWARD_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, value AS purchase_value FROM events
+           WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       round(coalesce(p.purchase_value, 0), 4) AS purchase_value,
+       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY c.event_id
+"""
+
+
+@register("events_asof_forward", _ASOF_FORWARD_SQL)
+def events_asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (next-outcome attribution): for every click,
+    the user's first purchase at-or-after it. Same union+window plan as
+    the backward gate with the frame flipped to [current, following];
+    DuckDB's ASOF with `<=` is the oracle."""
+    from weaviate_txtai_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        clicks, purchases, on=["user_id"], direction="forward"
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            F.round(F.coalesce("purchase_value", F.lit(0.0)), 4).alias(
+                "purchase_value"
+            ),
+            F.coalesce(
+                F.unix_micros("matched_ts") - F.unix_micros("ts"),
+                F.lit(-1),
+            ).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
