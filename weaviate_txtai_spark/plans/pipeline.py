@@ -1160,3 +1160,42 @@ def docs_quality_composite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BALANCED_SHARDS_SQL = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT CAST((rk - 1) % 8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("balanced_shards", _BALANCED_SHARDS_SQL)
+def balanced_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: per-source round-robin over the
+    deterministic hash order → shard sizes within ±1 doc per source and
+    content-balanced in expectation, WITHOUT a global sort (the naive
+    global row_number funnels the corpus through one task; per-source
+    windows shuffle once on the natural key). The gate reports per-shard
+    doc and char totals — the loader-facing contract. Writing is then
+    `partitionBy(shard)`, one directory per shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("shard", ((F.row_number().over(w) - 1) % 8).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )
