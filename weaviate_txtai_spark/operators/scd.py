@@ -51,6 +51,12 @@ def scd2_apply(
     - one change row per key per batch — duplicate keys in ``changes``
       raise (ambiguous effective order inside one batch is a caller
       bug; sequence batches instead).
+
+    Input contract: every history row carries a NON-NULL
+    ``valid_from`` — the full-outer join uses its presence to tell
+    "matched history row" from "pure insert", so a NULL valid_from
+    would silently reclassify that row's change as an insert. Any SCD2
+    table that tracks versions at all satisfies this by construction.
     """
     keys = list(key_cols)
     comp = list(compare_cols)
