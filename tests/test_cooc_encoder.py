@@ -1,0 +1,91 @@
+"""Corpus-trained co-occurrence/SVD encoder: topical relevance beyond
+lexical overlap, determinism, seam compliance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from weaviate_txtai_spark.functions.encoders import CooccurrenceEncoder
+
+
+def _corpus(spark):
+    animal = [
+        "the dog barks at the cat",
+        "a cat chases the dog in the yard",
+        "the pet dog sleeps near the cat",
+        "a furry pet animal the dog runs",
+        "the cat is a small pet animal",
+        "dog and cat are pet animal friends",
+    ]
+    finance = [
+        "the stock market price rises today",
+        "a trader sells stock at market price",
+        "market price of the stock falls",
+        "the trade moves the market price index",
+        "stock index price trade volume rises",
+        "a stock trade at the market opens",
+    ]
+    rows = [(i, t) for i, t in enumerate(animal + finance)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return num / ((na * nb) or 1.0)
+
+
+def test_topical_similarity_beyond_lexical_overlap(spark):
+    """'vixen→fox'-shaped relevance check (reference
+    tests/ann/test_weaviate.py:151-170 runs it with
+    sentence-transformers): 'puppy animal' shares NO token with the
+    finance docs and none with 'cat yard' either — hashing gives both
+    pairs ~zero cosine, but co-occurrence training places animal-topic
+    text together."""
+    enc = CooccurrenceEncoder(dim=16, vocab_size=64, window=3).fit(
+        _corpus(spark)
+    )
+    pet = enc.encode("pet animal runs")
+    cat = enc.encode("cat yard")            # animal topic, disjoint tokens
+    stock = enc.encode("trader index")      # finance topic, disjoint tokens
+    assert _cos(pet, cat) > _cos(pet, stock) + 0.1
+
+
+def test_fit_is_deterministic(spark):
+    c = _corpus(spark)
+    a = CooccurrenceEncoder(dim=8, vocab_size=32).fit(c)
+    b = CooccurrenceEncoder(dim=8, vocab_size=32).fit(c.repartition(5))
+    assert a.vocab == b.vocab
+    assert a.encode("dog cat market") == b.encode("dog cat market")
+
+
+def test_unknown_tokens_and_unfitted_guard(spark):
+    enc = CooccurrenceEncoder(dim=8, vocab_size=32)
+    with pytest.raises(ValueError, match="fit"):
+        enc.encode("anything")
+    enc.fit(_corpus(spark))
+    assert enc.encode("zzz qqq") == [0.0] * 8
+
+
+def test_drives_embeddings_seam_end_to_end(spark):
+    """The seam contract: the trained encoder drives index→search with
+    no change outside the encoder object, and retrieval is topical."""
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    corpus = _corpus(spark)
+    enc = CooccurrenceEncoder(dim=16, vocab_size=64, window=3).fit(corpus)
+    emb = Embeddings(spark, encoder=enc)
+    docs = [(f"d{r['doc_id']}", r["text"], None) for r in corpus.collect()]
+    emb.index(docs)
+    hits = emb.search("furry pet", 3)
+    by_id = {d[0]: d[1] for d in docs}
+    top = [by_id[h[0]] for h in hits]
+    assert all(("dog" in t) or ("cat" in t) or ("pet" in t) for t in top), top
+
+
+def test_encode_df_matches_driver_encode(spark):
+    corpus = _corpus(spark)
+    enc = CooccurrenceEncoder(dim=8, vocab_size=32).fit(corpus)
+    rows = enc.encode_df(corpus).select("doc_id", "text", "vector").collect()
+    for r in rows:
+        assert list(r["vector"]) == pytest.approx(enc.encode(r["text"]), abs=1e-6)
