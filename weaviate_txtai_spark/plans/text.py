@@ -640,3 +640,51 @@ def docs_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalize_text("text")).alias("norm_md5")
     ).orderBy("doc_id")
+
+
+_ZIPF_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+           AS term
+  FROM documents
+),
+freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS r FROM freq
+)
+SELECT round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+       round(regr_r2(ln(f), ln(r)), 6) AS r2,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM ranked WHERE r <= 1000
+"""
+
+
+@register("docs_zipf_fit", _ZIPF_SQL)
+def docs_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the token frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) for the top-1000 terms (natural corpora sit
+    near −1; a slope far off signals boilerplate floods or synthetic
+    text — a one-number corpus-health check). regr_slope/regr_r2 are
+    mergeable moment aggregates on both engines; the rank window runs
+    over ≤ vocabulary rows with a deterministic (freq DESC, term ASC)
+    order."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda t: t != ""
+            )
+        ).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    ranked = freq.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= 1000
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
