@@ -957,3 +957,45 @@ def ivfpq_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 3).collect()
     ]
     return idx.search(qs, 5, nprobe=8, shortlist=-(-n_corpus // 5))
+
+
+_PQ_RERANK_SQL = """
+SELECT vec_id, dist, rank FROM (
+  SELECT e.vec_id,
+         round(list_sum(list_transform(
+               list_zip(CAST(e.embedding AS DOUBLE[]), q.v),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist,
+         CAST(row_number() OVER (
+             ORDER BY round(list_sum(list_transform(
+                   list_zip(CAST(e.embedding AS DOUBLE[]), q.v),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) ASC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id = 0) q
+) WHERE rank <= 10
+"""
+
+
+@register("pq_knn_rerank", _PQ_RERANK_SQL)
+def pq_knn_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ search composition (ADC shortlist → exact
+    re-rank) gated in exactness mode: a corpus-covering shortlist makes
+    the ADC stage a pure candidate proposer and the re-rank must equal
+    brute-force L2 top-10 regardless of codebook quality (same trick as
+    ivfpq_knn). Production shortlist sizing is pytest-pinned
+    (test_pq.py rerank recall)."""
+    from weaviate_txtai_spark.operators.pq import (
+        adc_topk_rerank,
+        pq_encode,
+        train_pq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n_corpus = emb.count()
+    model = train_pq(emb, **_PQ_PARAMS)
+    coded = pq_encode(emb, model, dist_round_decimals=6, packed=False)
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    return adc_topk_rerank(
+        coded, emb, model, q, 10, shortlist=-(-n_corpus // 10)
+    )
