@@ -2368,3 +2368,87 @@ def events_asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_SEASONAL_OUTLIERS_SQL = """
+WITH coh AS (
+  SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+         avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(e.value - coh.mu) > 3 * coh.sd
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e
+JOIN coh ON dayofweek(e.ts) = coh.dow AND hour(e.ts) = coh.hod
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_seasonal_outliers", _SEASONAL_OUTLIERS_SQL)
+def events_seasonal_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly counts: each event scored against its
+    (day-of-week, hour) cohort's mean/stddev instead of the global
+    moments (events_outliers) — the shape that catches a value normal
+    at peak hours but anomalous at 3am. One tiny cohort agg (≤ 168
+    rows, broadcast back) + one pass over the fact. dayofweek parity:
+    Spark and DuckDB both number Sunday=1."""
+    ev = load_table(spark, sf_dir, "events")
+    coh = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.withColumn("dow", F.dayofweek("ts"))
+        .withColumn("hod", F.hour("ts"))
+        .join(F.broadcast(coh), ["dow", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT measure, round(sum(val), 2) AS total, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT l_quantity AS quantity, l_extendedprice AS extendedprice,
+         l_discount AS discount, l_tax AS tax
+  FROM lineitem
+) UNPIVOT (val FOR measure IN (quantity, extendedprice, discount, tax))
+GROUP BY measure ORDER BY measure
+"""
+
+
+@register("lineitem_unpivot", _UNPIVOT_SQL)
+def lineitem_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) + per-measure rollup: the
+    inverse of events_pivot, the missing reshape direction. Spark's
+    native unpivot keeps it map-only before the single agg shuffle."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return (
+        l.unpivot(
+            [], ["quantity", "extendedprice", "discount", "tax"],
+            "measure", "val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.round(F.sum("val"), 2).alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("measure")
+    )
