@@ -2452,3 +2452,51 @@ def lineitem_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+_WOW_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT a.wk,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(count(b.user_id) AS BIGINT) AS retained_next_week,
+       round(count(b.user_id) * 1.0 / count(*), 6) AS retention
+FROM uw a
+LEFT JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+GROUP BY a.wk ORDER BY a.wk
+"""
+
+
+@register("events_wow_retention", _WOW_RETENTION_SQL)
+def events_wow_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: of each week's active users, the share
+    also active the NEXT week (churn's complement — the consecutive-
+    activity shape, vs events_retention's full cohort matrix). One
+    distinct user-week set self-joined on (user, week+7d); both sides
+    shuffle once on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    nxt = uw.select(
+        F.col("user_id"),
+        F.date_sub(F.col("wk"), 7).alias("wk"),
+        F.lit(1).alias("__next"),
+    )
+    return (
+        uw.join(nxt, ["user_id", "wk"], "left")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(F.coalesce(F.col("__next"), F.lit(0)))
+            .cast("long").alias("retained_next_week"),
+            F.round(
+                F.sum(F.coalesce(F.col("__next"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("wk")
+    )
