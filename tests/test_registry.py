@@ -41,13 +41,20 @@ _SURVEY_GATES = {
 }
 
 # Representative post-round-1 operator families that the rotation exists to
-# get driver-verified (k-means, SemDeDup, LM, PCA, centrality, sketch-free
-# heavy hitters, profiling, layout, sampling, containment, composition).
+# get driver-verified. r5 rotation (VERDICT r4 item 1): each r2/r3 family
+# keeps ONE representative (its other members have r4 driver rows) and the
+# round-4 families take the freed slots for their first driver rows.
 _NEW_FAMILY_GATES = {
+    # r2/r3 family representatives
     "kmeans_assign", "semantic_dedup", "docs_unigram_nll",
-    "embedding_covariance", "doc_centrality", "token_heavy_hitters",
-    "lineitem_profile", "events_zorder", "uniform_sample_k",
-    "eval_containment", "pretraining_manifest", "sole_fault_supplier",
+    "doc_centrality", "lineitem_profile", "events_zorder",
+    "mixture_sample", "pretraining_manifest", "contamination_check",
+    # round-4 families (driver-unverified until r5)
+    "pq_knn_rerank", "customer_scd2", "temperature_mixture",
+    "events_funnel", "events_retention", "events_wow_retention",
+    "local_supplier_volume", "nation_market_share", "docs_zipf_fit",
+    "docs_quality_composite", "balanced_shards", "events_session_window",
+    "lineitem_correlations", "events_asof_forward", "streaming_enrich",
 }
 
 

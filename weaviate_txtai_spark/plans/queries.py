@@ -63,41 +63,44 @@ _PRIORITY = [
     "agg_stats_txtai",
     "similarity_brute",
     "streaming_ingest",
-    # round-2/3 operator families (driver-unverified until r4)
+    # round-2/3 family representatives (each family keeps exactly one slot
+    # now that r4's CORRECTNESS run gave every member a driver row; the
+    # freed slots go to the round-4 families per VERDICT r4 item 1)
     "kmeans_assign",
-    "kmeans_centroids",
     "semantic_dedup",
-    "semantic_dedup_survivors",
     "docs_unigram_nll",
-    "docs_bigram_nll",
-    "embedding_covariance",
     "doc_centrality",
-    "token_heavy_hitters",
     "lineitem_profile",
     "events_zorder",
-    "cluster_top_terms",
-    "sole_fault_supplier",
-    "uniform_sample_k",
-    "weighted_sample_k",
     "mixture_sample",
     "pretraining_manifest",
-    "eval_containment",
     "contamination_check",
     "docs_normalize",
-    "dedup_survivors_longest",
     "streaming_near_dedup",
     "dedup_incremental",
     "repeated_passages",
-    "repeated_passage_stats",
     "bm25_topk",
-    "hybrid_rrf",
     "hard_negatives",
     "knn_filtered",
-    "knn_diverse",
     "ann_ivf_filtered",
     "docs_redact_pii",
-    "embedding_quantize",
     "ivfpq_knn",
+    # round-4 families rotated in (driver-unverified until r5)
+    "pq_knn_rerank",
+    "customer_scd2",
+    "temperature_mixture",
+    "events_funnel",
+    "events_retention",
+    "events_wow_retention",
+    "local_supplier_volume",
+    "nation_market_share",
+    "docs_zipf_fit",
+    "docs_quality_composite",
+    "balanced_shards",
+    "events_session_window",
+    "lineitem_correlations",
+    "events_asof_forward",
+    "streaming_enrich",
 ]
 
 
