@@ -59,6 +59,9 @@ HEADLINE_HEAVY = [
     "token_heavy_hitters",
     "docs_unigram_nll",
     "lineitem_profile",
+    # round-4 PQ tier (VERDICT r4 item 5): build+search end-to-end
+    "pq_knn",
+    "ivfpq_knn",
 ]
 
 

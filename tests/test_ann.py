@@ -372,3 +372,68 @@ def test_ivf_cogroup_join_path_covers_all_queries(spark, sf_dir):
     per = res.groupBy("query_id").count().collect()
     assert len(per) == n
     assert all(1 <= r["count"] <= 3 for r in per)
+
+
+def test_threshold_join_auto_sized_recall(spark, sf_dir):
+    """Auto-sized planes/tables (both None): the data-driven sizing
+    must deliver the modeled >=0.99 recall vs the exact result at a
+    near-dup threshold, with precision still exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 50)
+    kw = dict(right_id="vec_id", right_vec="embedding")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in threshold_join(left, emb, 0.9, strategy="broadcast", **kw).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in threshold_join(left, emb, 0.9, strategy="bucketed", **kw).collect()
+    }
+    assert approx <= exact
+    assert len(exact) > 0
+    assert len(approx & exact) / len(exact) >= 0.95
+
+
+def test_threshold_join_auto_downgrade_warns(spark, sf_dir):
+    """The silent exact->approximate switch (ADVICE r4) now warns,
+    naming the chosen parameters and modeled recall."""
+    import warnings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = _queries(emb, 30)
+    kw = dict(right_id="vec_id", right_vec="embedding")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        threshold_join(left, emb, 0.9, broadcast_max_left=10, **kw)
+        msgs = [str(w.message) for w in caught
+                if issubclass(w.category, UserWarning)]
+    assert any("auto-switching" in m and "recall" in m for m in msgs)
+    # explicit bucketed: no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        threshold_join(left, emb, 0.9, strategy="bucketed", **kw)
+        msgs = [str(w.message) for w in caught
+                if issubclass(w.category, UserWarning)
+                and "auto-switching" in str(w.message)]
+    assert not msgs
+
+
+def test_lsh_sizing_model(spark):
+    """planes grow with N (bounded bucket population), tables follow the
+    recall model, recall stays >= target at the exact threshold."""
+    from weaviate_txtai_spark.operators.simjoin import _lsh_sizing
+
+    p1, _, _ = _lsh_sizing(0.9, None, None, n_total=10_000,
+                           target_bucket_rows=4096, target_recall=0.99)
+    p2, _, _ = _lsh_sizing(0.9, None, None, n_total=100_000_000,
+                           target_bucket_rows=4096, target_recall=0.99)
+    assert p2 > p1
+    for thr in (0.95, 0.8, 0.5):
+        planes, tables, recall = _lsh_sizing(
+            thr, None, None, n_total=1_000_000,
+            target_bucket_rows=4096, target_recall=0.99)
+        assert recall >= 0.99
+        assert 1 <= tables <= 64
+    # explicit params pass through untouched
+    assert _lsh_sizing(0.9, 0, 1, n_total=None,
+                       target_bucket_rows=4096, target_recall=0.99)[:2] == (0, 1)

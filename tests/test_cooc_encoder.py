@@ -89,3 +89,16 @@ def test_encode_df_matches_driver_encode(spark):
     rows = enc.encode_df(corpus).select("doc_id", "text", "vector").collect()
     for r in rows:
         assert list(r["vector"]) == pytest.approx(enc.encode(r["text"]), abs=1e-6)
+
+
+def test_semantic_search_gate_self_retrieval(spark, sf_dir):
+    """Driver-facing gate (encoder_semantic_search): querying with an
+    indexed document's own text must rank that document first — the
+    reference's query→top-1 identity assertion style
+    (tests/ann/test_weaviate.py:151-170), rank-not-score."""
+    from weaviate_txtai_spark.plans.queries import queries
+
+    rows = queries()["encoder_semantic_search"](spark, sf_dir).collect()
+    top1 = [r for r in rows if r["rank"] == 1]
+    assert len(top1) == 5
+    assert all(r["hit_id"] == f"d{r['query_doc']}" for r in top1)

@@ -150,3 +150,66 @@ def test_filtered_search_with_keep_cols(emb):
     with pytest.raises(ValueError, match="keep_cols not in input"):
         IVFPQIndex.build(emb, nlist=4, m=4, k_pq=8, pq_iters=0,
                          keep_cols=["nope"])
+
+
+def test_search_gemm_expr_parity(index, emb):
+    """The cogrouped gather kernel accumulates the same rounded LUT
+    entries in the same subspace order as the interpreted fold — the
+    two strategies must agree exactly, in both ADC-only and re-ranked
+    modes, including the no-shortlist rank numbering."""
+    qs = [(r["vec_id"], list(r["embedding"]))
+          for r in emb.filter(F.col("vec_id") < 4).collect()]
+    for kwargs in ({"shortlist": None}, {"shortlist": 3}):
+        e = index.search(qs, 5, nprobe=3, strategy="expr", **kwargs)
+        g = index.search(qs, 5, nprobe=3, strategy="gemm", **kwargs)
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted([tuple(r) for r in e.collect()], key=lambda t: (t[0], t[3])) == \
+               sorted([tuple(r) for r in g.collect()], key=lambda t: (t[0], t[3]))
+
+
+def test_search_gemm_covers_all_queries(index, emb):
+    """Cogroup key-type regression (cogroup does NOT auto-cast keys):
+    every query must survive the per-cell cogroup, not ~nprobe/nlist
+    of them."""
+    qs = [(r["vec_id"], list(r["embedding"]))
+          for r in emb.filter(F.col("vec_id") < 8).collect()]
+    out = index.search(qs, 3, nprobe=2, shortlist=None, strategy="gemm")
+    got = {r["query_id"] for r in out.collect()}
+    assert got == {q for q, _ in qs}
+
+
+def test_search_df_matches_batch_search(index, emb):
+    """The DataFrame query side must agree with the driver-batch path
+    in exactness mode (full probe + corpus shortlist): both reduce to
+    brute-force L2 top-k, so (id, dist, rank) per query are equal."""
+    n_corpus = emb.count()
+    qs = [(r["vec_id"], list(r["embedding"]))
+          for r in emb.filter(F.col("vec_id") < 5).collect()]
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    sl = -(-n_corpus // 4)
+    batch = index.search(qs, 4, nprobe=8, shortlist=sl)
+    dfres = index.search_df(qdf, 4, nprobe=8, shortlist=sl)
+    key = lambda t: (t[0], t[3])
+    assert sorted([tuple(r) for r in batch.collect()], key=key) == \
+           sorted([(r["query_id"], r["vec_id"], r["dist"], r["rank"])
+                   for r in dfres.collect()], key=key)
+
+
+def test_search_df_covers_all_queries_production(index, emb):
+    """Every query survives the cogrouped kernel in production mode
+    (nprobe < nlist, small shortlist) — the cogroup key-type regression
+    guard for the DataFrame path — and self-match is found."""
+    qdf = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = index.search_df(qdf, 3, nprobe=4, shortlist=10)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(by_q) == set(range(16))
+    for qid, ids in by_q.items():
+        assert qid in ids  # self survives coarse+fine quantization

@@ -163,3 +163,23 @@ def test_encode_fused_matches_expr_and_gemm(emb, model):
         f.select("vec_id", "pq_code").orderBy("vec_id").collect()
         == e.select("vec_id", "pq_code").orderBy("vec_id").collect()
     )
+
+
+def test_adc_topk_gemm_expr_parity(emb, model):
+    """The gather kernel accumulates the same rounded LUT entries in
+    the same subspace order as the interpreted aggregate fold — the
+    two strategies must agree bitwise on (id, dist, rank)."""
+    coded = pq_encode(emb, model, dist_round_decimals=6, packed=False)
+    q = list(emb.filter(F.col("vec_id") == 3).head()["embedding"])
+    e = adc_topk(coded, model, q, 25, strategy="expr").collect()
+    g = adc_topk(coded, model, q, 25, strategy="gemm").collect()
+    assert [tuple(r) for r in e] == [tuple(r) for r in g]
+
+
+def test_adc_topk_gemm_handles_n_past_corpus(emb, model):
+    coded = pq_encode(emb, model, dist_round_decimals=6, packed=False)
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    total = emb.count()
+    out = adc_topk(coded, model, q, total + 10).collect()
+    assert len(out) == total
+    assert [r["rank"] for r in out] == list(range(1, total + 1))

@@ -159,6 +159,43 @@ def main() -> None:
 
         return pagerank_exact(knn_graph(e, 3), iters=3)
 
+    def q_simjoin_pq(nlist):
+        # same nlist ∝ corpus rule as q_simjoin; production parameters
+        # (nprobe < nlist, 10x shortlist) — the DataFrame-query PQ tier
+        # (VERDICT r4 item 3 done-gate: measured 2x case)
+        def inner(e):
+            from weaviate_txtai_spark.operators.simjoin import (
+                topk_join_ivfpq,
+            )
+
+            left = e.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vector"),
+            )
+            return topk_join_ivfpq(
+                left, e, 3, right_id="vec_id", right_vec="embedding",
+                nlist=nlist, nprobe=4, m=8, k_pq=16, pq_iters=1,
+                shortlist=10,
+            )
+
+        return inner
+
+    def q_threshold_bucketed(e):
+        # forced bucketed path with AUTO-SIZED planes/tables (VERDICT r4
+        # item 4 done-gate): planes grow with the corpus (bounded bucket
+        # population), tables follow the 0.99-recall model — the only
+        # heavy path that previously had no measured 1x/2x ratio
+        from weaviate_txtai_spark.operators.simjoin import threshold_join
+
+        left = e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vector"),
+        )
+        return threshold_join(
+            left, e, 0.9, right_id="vec_id", right_vec="embedding",
+            strategy="bucketed",
+        )
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_minhash", q_minhash, q_minhash, docs1, docs2),
@@ -166,6 +203,9 @@ def main() -> None:
         ("dedup_embedding_lsh", embedding_dup_pairs_lsh,
          embedding_dup_pairs_lsh, emb1, emb2),
         ("sim_join_ivf", q_simjoin(16), q_simjoin(32), emb1, emb2),
+        ("sim_join_ivfpq", q_simjoin_pq(16), q_simjoin_pq(32), emb1, emb2),
+        ("threshold_join_bucketed", q_threshold_bucketed,
+         q_threshold_bucketed, emb1, emb2),
         ("semantic_dedup", q_semantic(8), q_semantic(16), emb1, emb2),
         ("docs_unigram_nll", q_unigram, q_unigram, docs1, docs2),
         ("doc_centrality", q_centrality, q_centrality, emb1, emb2),

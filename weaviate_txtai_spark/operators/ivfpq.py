@@ -200,6 +200,7 @@ class IVFPQIndex:
         shortlist: Optional[int] = 10,
         query_id_type=None,
         where=None,
+        strategy: str = "auto",
     ) -> DataFrame:
         """Batch ADC search: ``queries`` is [(query_id, vector), ...]
         (driver-side batch, same contract as ``knn_topk_gemm``). For
@@ -209,6 +210,20 @@ class IVFPQIndex:
         ``shortlist`` is set, re-rank the ``shortlist×n`` best ADC ids
         with exact squared L2 on the float corpus (broadcast semi-join —
         full-precision I/O is O(shortlist·n·Q), never O(corpus)).
+
+        ``strategy='auto'``/'gemm' (default) scores candidates with a
+        shuffle-free Arrow gather kernel — the LUT set rides in the
+        kernel closure (bounded by the batch-query contract), the codes
+        table is scanned once in place, the distance is m numpy gathers
+        + adds per (query, candidate), and only each query's per-batch
+        top-``take`` rows leave the kernel, so the merge window sees
+        O(batches·Q·take) rows, never O(candidates).
+        'expr' keeps the broadcast-LUT join + interpreted ``aggregate``
+        fold — the oracle/exactness twin (bitwise-equal distances: the
+        kernel accumulates the same rounded LUT entries in the same
+        subspace order; pytest-pinned), but the fold is evaluated
+        interpreted per candidate row, a ~10× constant on the index's
+        scan stage.
 
         Output: query_id, id, dist (squared L2 — exact when re-ranked,
         ADC-approximate otherwise), rank.
@@ -266,38 +281,47 @@ class IVFPQIndex:
                 StructField("__lut", ArrayType(ArrayType(DoubleType()))),
             ]
         )
-        luts = F.broadcast(spark.createDataFrame(lut_rows, lut_schema))
-
-        m = self.pq.m
-        dist = F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.lit(list(range(m))).cast("array<int>"),
-                    F.col("pq_code"),
-                    lambda s, c: F.element_at(
-                        F.element_at(F.col("__lut"), s + 1), c + 1
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            6,
-        )
-        # the codes table never shuffles: the LUT fan-out broadcasts and
-        # only probed cells' rows survive the join filter. `where` (over
-        # keep_cols stored IN the codes table at build time) prunes
-        # candidates BEFORE the shortlist cut — top-n slots are never
-        # wasted on rows the caller would discard.
+        if strategy not in ("auto", "gemm", "expr"):
+            raise ValueError(f"IVFPQIndex.search: unknown strategy {strategy!r}")
+        # `where` (over keep_cols stored IN the codes table at build
+        # time) prunes candidates BEFORE the shortlist cut — top-n slots
+        # are never wasted on rows the caller would discard.
         base = self.codes
         if where is not None:
             base = base.filter(
                 F.expr(where) if isinstance(where, str) else where
             )
-        cand = (
-            base.join(luts, "cell")
-            .select(F.col("__qid"), F.col(self.id_col), dist.alias("adc_dist"))
-        )
         take = n if shortlist is None else shortlist * n
+        if strategy == "expr":
+            # oracle/exactness twin: broadcast-LUT join + interpreted
+            # aggregate fold. The codes table never shuffles (only
+            # probed cells' rows survive the join filter), but the fold
+            # runs interpreted per candidate row — use the gemm path
+            # for anything perf-sensitive.
+            luts = F.broadcast(spark.createDataFrame(lut_rows, lut_schema))
+            m = self.pq.m
+            dist = F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.lit(list(range(m))).cast("array<int>"),
+                        F.col("pq_code"),
+                        lambda s, c: F.element_at(
+                            F.element_at(F.col("__lut"), s + 1), c + 1
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            cand = (
+                base.join(luts, "cell")
+                .select(
+                    F.col("__qid"), F.col(self.id_col), dist.alias("adc_dist")
+                )
+            )
+        else:
+            cand = self._adc_candidates_gemm(base, lut_rows, lut_schema, take)
         w = Window.partitionBy("__qid").orderBy(
             F.asc("adc_dist"), F.asc(self.id_col)
         )
@@ -312,23 +336,28 @@ class IVFPQIndex:
                 F.col("adc_dist").alias("dist"),
                 "rank",
             )
-        # exact re-rank over the shortlist only
-        qlit = F.create_map(
-            *[
-                x
-                for qid, qv in queries
-                for x in (
-                    F.lit(qid),
-                    F.array(*[F.lit(float(v)) for v in qv]),
-                )
-            ]
+        # exact re-rank over the shortlist only. The query vectors come
+        # in via a broadcast-joined DataFrame, NOT a create_map literal:
+        # a Q-entry map literal is probed linearly per row (O(Q) per
+        # shortlist row -> O(Q²·take) total; measured +15 s at Q=500,
+        # sf0.1) and its O(Q·dim) expression tree bloats analysis too.
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [(qid, [float(v) for v in qv]) for qid, qv in queries],
+                StructType(
+                    [
+                        StructField("__qid", query_id_type),
+                        StructField("__qv", ArrayType(DoubleType())),
+                    ]
+                ),
+            )
         )
         shortlist_ids = top.select("__qid", self.id_col)
         exact = (
             self.ivf.assigned.join(
                 F.broadcast(shortlist_ids), self.id_col
             )
-            .withColumn("__qv", qlit[F.col("__qid")])
+            .join(qdf, "__qid")
             .select(
                 "__qid",
                 self.id_col,
@@ -355,6 +384,338 @@ class IVFPQIndex:
             .select(
                 F.col("__qid").alias("query_id"), self.id_col, "dist", "rank"
             )
+        )
+
+    def search_df(
+        self,
+        query_df: DataFrame,
+        n: int,
+        *,
+        nprobe: int = 4,
+        shortlist: Optional[int] = 10,
+        query_id_col: str = "query_id",
+        query_vector_col: str = "query_vector",
+        where=None,
+        cell_salt: Optional[int] = None,
+    ) -> DataFrame:
+        """Both-sides-huge ADC search: the query side is a DataFrame
+        (unbounded Q — nothing about the queries ever lands on the
+        driver), the scan side is the m-bytes-per-row codes table.
+
+        Plan: probe fan-out (queries × broadcast centroids, window
+        top-nprobe by L2) → cogrouped per-(cell, salt) Arrow kernel
+        that builds each query's RESIDUAL LUT in-kernel (closure state
+        is just the PQ codebooks + coarse centroids — k·dim floats, the
+        same bounded contract as the index itself) and scores the
+        cell's code matrix with m gathers + adds per query, emitting
+        only per-group top-``take`` rows — (adc_dist, id) is a strict
+        total order, so the global merge window is exact over the
+        per-group winners. When ``shortlist`` is set, the merged
+        shortlist re-ranks against the float corpus via two equi-joins
+        and a vectorized Arrow distance kernel (never an interpreted
+        per-pair fold), then cuts to top-n.
+
+        Same salting/AQE-exemption/key-type discipline as
+        ``ann.IVFIndex._cogroup_scored`` (cogroup does NOT auto-cast
+        grouping keys). Output: query_id, id, dist (exact squared L2
+        when re-ranked, ADC-approximate otherwise), rank.
+        """
+        import numpy as np
+        import pandas as pd
+
+        spark = self.codes.sparkSession
+        take = n if shortlist is None else shortlist * n
+        m, kq, d = self.pq.m, self.pq.k, self.pq.sub_dim
+        id_col = self.id_col
+        base = self.codes
+        if where is not None:
+            base = base.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+
+        # ---- probe fan-out: queries × nlist centroids (tiny broadcast
+        # crossJoin), window top-nprobe by (L2 asc, cell asc) — the same
+        # deterministic rule the driver-batch path applies via lexsort
+        cents = sorted(self.ivf.centroids)
+        cent = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in cents],
+            "cell int, __cent array<double>",
+        )
+        l2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.col("__cent"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+        wprobe = Window.partitionBy("__qid").orderBy(
+            F.asc("__cd"), F.asc("cell")
+        )
+        probes = (
+            query_df.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(query_vector_col).cast("array<double>").alias("__qv"),
+            )
+            .crossJoin(F.broadcast(cent))
+            .withColumn("__cd", l2)
+            .withColumn("__pr", F.row_number().over(wprobe))
+            .filter(F.col("__pr") <= min(nprobe, len(cents)))
+            .select("__qid", "__qv", "cell")
+        )
+
+        # ---- cogrouped ADC: salt the cell key so one group never holds
+        # a whole cell; EXPLICIT partition count (AQE coalesces
+        # byte-small shuffles onto one task and this stage is
+        # compute-bound); both sides' keys cast to int BEFORE their
+        # separate repartitions (cogroup does not auto-cast keys)
+        par = spark.sparkContext.defaultParallelism
+        nsalt = cell_salt or max(1, -(-par * 2 // max(len(cents), 1)))
+        nparts = min(max(len(cents), 1) * nsalt, par * 4)
+        corpus = (
+            base.select(
+                F.col("cell").cast("int").alias("cell"),
+                F.col(id_col),
+                F.col("pq_code"),
+            )
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(nsalt)).cast("int"),
+            )
+            .repartition(nparts, "cell", "__salt")
+        )
+        probes_s = (
+            probes.withColumn("cell", F.col("cell").cast("int"))
+            .withColumn(
+                "__salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("int"), F.lit(nsalt - 1).cast("int")
+                    )
+                ),
+            )
+            .repartition(nparts, "cell", "__salt")
+        )
+        cb = np.asarray(
+            [[c for _, c in self.pq.codebooks[s]] for s in range(m)],
+            dtype=np.float64,
+        )  # (m, k, d)
+        cent_map = {int(c): np.asarray(v, dtype=np.float64) for c, v in cents}
+        id_ddl = base.schema[id_col].dataType.simpleString()
+        qid_ddl = probes_s.schema["__qid"].dataType.simpleString()
+
+        def score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+            if cpdf.empty or qpdf.empty:
+                return pd.DataFrame({"__qid": [], id_col: [], "adc_dist": []})
+            codes = np.asarray(list(cpdf["pq_code"]), dtype=np.int64)
+            ids = cpdf[id_col].to_numpy()
+            cell = int(cpdf["cell"].iloc[0])
+            centv = cent_map[cell]
+            qmat = np.asarray(list(qpdf["__qv"]), dtype=np.float64)
+            qids = qpdf["__qid"].to_numpy()
+            res = qmat - centv[None, :]  # (q, dim) residuals
+            out_q, out_i, out_d = [], [], []
+            chunk = 256
+            for lo in range(0, len(qids), chunk):
+                r = res[lo : lo + chunk]  # (c, dim)
+                # per-subspace LUT for the chunk: (c, k) each — same
+                # rounding as PQModel.lut so driver-batch search,
+                # DataFrame search, and the expr oracle path agree
+                luts = [
+                    np.round(
+                        ((cb[s][None, :, :] - r[:, None, s * d : (s + 1) * d])
+                         ** 2).sum(axis=2),
+                        6,
+                    )
+                    for s in range(m)
+                ]
+                for j in range(r.shape[0]):
+                    dist = np.zeros(len(ids), dtype=np.float64)
+                    for s in range(m):
+                        dist = dist + luts[s][j][codes[:, s]]
+                    dist = np.round(dist, 6)
+                    t = min(take, len(ids))
+                    if t < len(ids):
+                        part = np.argpartition(dist, t - 1)[:t]
+                        kth = dist[part].max()
+                        cand = np.nonzero(dist <= kth)[0]
+                    else:
+                        cand = np.arange(len(ids))
+                    order = cand[np.lexsort((ids[cand], dist[cand]))][:t]
+                    out_q.append(np.repeat(qids[lo + j], len(order)))
+                    out_i.append(ids[order])
+                    out_d.append(dist[order])
+            return pd.DataFrame(
+                {
+                    "__qid": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "adc_dist": np.concatenate(out_d),
+                }
+            )
+
+        cand = (
+            corpus.groupBy("cell", "__salt")
+            .cogroup(probes_s.groupBy("cell", "__salt"))
+            .applyInPandas(
+                score,
+                schema=f"__qid {qid_ddl}, {id_col} {id_ddl}, adc_dist double",
+            )
+        )
+        w = Window.partitionBy("__qid").orderBy(
+            F.asc("adc_dist"), F.asc(id_col)
+        )
+        top = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= take)
+        )
+        if shortlist is None:
+            return top.select(
+                F.col("__qid").alias(query_id_col),
+                id_col,
+                F.col("adc_dist").alias("dist"),
+                "rank",
+            )
+
+        # ---- exact re-rank: two equi-joins bring each shortlist pair
+        # its float vectors, then one vectorized Arrow pass computes the
+        # exact squared L2 — O(Q·take) pairs, never an interpreted
+        # per-pair fold, never O(corpus) float I/O
+        pairs = (
+            top.select("__qid", id_col)
+            .join(
+                self.ivf.assigned.select(
+                    id_col,
+                    F.col(self.vector_col).cast("array<double>").alias("__dv"),
+                ),
+                id_col,
+            )
+            .join(
+                query_df.select(
+                    F.col(query_id_col).alias("__qid"),
+                    F.col(query_vector_col).cast("array<double>").alias("__qv"),
+                ),
+                "__qid",
+            )
+        )
+
+        def exact(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                dv = np.asarray(list(pdf["__dv"]), dtype=np.float64)
+                qv = np.asarray(list(pdf["__qv"]), dtype=np.float64)
+                dist = np.round(((dv - qv) ** 2).sum(axis=1), 6)
+                yield pd.DataFrame(
+                    {
+                        "__qid": pdf["__qid"],
+                        id_col: pdf[id_col],
+                        "dist": dist,
+                    }
+                )
+
+        exact_df = pairs.mapInPandas(
+            exact, schema=f"__qid {qid_ddl}, {id_col} {id_ddl}, dist double"
+        )
+        w2 = Window.partitionBy("__qid").orderBy(F.asc("dist"), F.asc(id_col))
+        return (
+            exact_df.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= n)
+            .select(
+                F.col("__qid").alias(query_id_col), id_col, "dist", "rank"
+            )
+        )
+
+    def _adc_candidates_gemm(
+        self, base: DataFrame, lut_rows: list, lut_schema, take: int
+    ) -> DataFrame:
+        """Shuffle-free Arrow gather ADC scoring (see search). The LUT
+        set rides in the kernel CLOSURE — it is Q·nprobe·m·k floats,
+        bounded by the driver-batch query contract (Q ≲ 10³ → ≲ 10 MB)
+        — so the codes table is scanned ONCE in place, with no join and
+        no shuffle: each batch groups its rows by cell, gathers every
+        probing query's distances (m gathers + adds accumulated in
+        subspace order — bitwise-equal to the expr fold), and emits
+        only each query's top-``take`` rows within the batch.
+        (adc_dist, id) is a strict total order, so the per-batch cut is
+        exact under the global merge window, which then sees
+        O(batches·Q·take) rows, never O(candidates).
+
+        Probed cells are pruned driver-side BEFORE the scan (a static
+        IN-filter — on a saved partitionBy('cell') index this is
+        directory pruning, same as the IVF broadcast path)."""
+        import numpy as np
+        import pandas as pd
+
+        m, k = self.pq.m, self.pq.k
+        id_col = self.id_col
+        id_ddl = base.schema[id_col].dataType.simpleString()
+        qid_ddl = lut_schema["__qid"].dataType.simpleString()
+
+        probed = sorted({c for _, c, _ in lut_rows})
+        by_cell: dict = {}
+        for qid, cell, lut in lut_rows:
+            by_cell.setdefault(cell, []).append(
+                (qid, np.asarray(lut, dtype=np.float64))
+            )
+
+        corpus = base.filter(F.col("cell").isin(probed)).select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col(id_col),
+            F.col("pq_code"),
+        )
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                codes = np.asarray(list(pdf["pq_code"]), dtype=np.int64)
+                ids = pdf[id_col].to_numpy()
+                cells = pdf["cell"].to_numpy()
+                out = {}  # qid -> [(dist_arr, id_arr)]
+                for cell in np.unique(cells):
+                    luts = by_cell.get(int(cell))
+                    if not luts:
+                        continue
+                    sel = np.nonzero(cells == cell)[0]
+                    sub, sids = codes[sel], ids[sel]
+                    for qid, lut_arr in luts:
+                        dist = np.zeros(len(sids), dtype=np.float64)
+                        for s in range(m):
+                            dist = dist + lut_arr[s][sub[:, s]]
+                        out.setdefault(qid, []).append(
+                            (np.round(dist, 6), sids)
+                        )
+                if not out:
+                    continue
+                out_q, out_i, out_d = [], [], []
+                for qid, parts in out.items():
+                    dist = np.concatenate([d for d, _ in parts])
+                    pids = np.concatenate([i for _, i in parts])
+                    t = min(take, len(pids))
+                    if t < len(pids):
+                        part = np.argpartition(dist, t - 1)[:t]
+                        kth = dist[part].max()
+                        cand = np.nonzero(dist <= kth)[0]
+                    else:
+                        cand = np.arange(len(pids))
+                    order = cand[np.lexsort((pids[cand], dist[cand]))][:t]
+                    out_q.append(np.repeat(qid, len(order)))
+                    out_i.append(pids[order])
+                    out_d.append(dist[order])
+                yield pd.DataFrame(
+                    {
+                        "__qid": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "adc_dist": np.concatenate(out_d),
+                    }
+                )
+
+        return corpus.mapInPandas(
+            score, schema=f"__qid {qid_ddl}, {id_col} {id_ddl}, adc_dist double"
         )
 
 

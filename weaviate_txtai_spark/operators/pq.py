@@ -23,11 +23,17 @@ Spark shapes (scale notes):
 - **Encoding** is map-only: per subspace an argmin over k codebook
   literals (the ``assign_clusters`` expr/gemm machinery, applied to
   ``F.slice`` of the vector) — no shuffle, no join, codes land as one
-  packed BIGINT (k^m ≤ 2^63) or an array<int>.
-- **ADC search** stays JVM-side: the per-query LUT is a m×k literal
-  array; the distance is a codegen ``aggregate`` over the code array
-  (m element_at lookups per row). The corpus never shuffles before its
-  per-partition top-k reduction (same plan shape as ``knn_topk``).
+  packed BIGINT (k^m ≤ 2^53 — the double-exact integer range;
+  pq_unpack recovers digits through double pow, enforced at encode)
+  or an array<int>.
+- **ADC search** is an Arrow gather kernel by default: per batch the
+  distance is m numpy gathers + adds over the code matrix, accumulated
+  in subspace order so it is bitwise-identical to the expr path (a
+  ``zip_with``/``aggregate`` fold over m ``element_at`` lookups, which
+  Spark evaluates INTERPRETED per row — ~10× slower on the O(corpus)
+  scan stage, kept as the oracle/exactness path). The corpus never
+  shuffles before its per-partition top-k reduction (same plan shape
+  as ``knn_topk``).
 
 Reference provenance: the reference exposes only exact HNSW search via
 the Weaviate server (`/root/reference/weaviate_txtai/ann/weaviate.py`);
@@ -234,7 +240,8 @@ def pq_encode(
     semantics on the sliced column; map-only, no shuffle).
 
     ``packed=True`` emits one BIGINT ``sum_s code_s · k^s`` (requires
-    k^m ≤ 2^63 — fine for every sane parameterization and exactly what
+    k^m ≤ 2^53, the double-exact integer range pq_unpack can round-trip
+    — fine for every sane parameterization and exactly what
     a columnar store scans fastest); ``packed=False`` emits
     ``array<int>`` of length m (what ``adc_topk`` consumes directly).
 
@@ -374,9 +381,18 @@ def adc_scores(
     lut_round_decimals: Optional[int] = 6,
 ) -> DataFrame:
     """Approximate squared-L2 distance to ``query`` for every coded row
-    via the ADC lookup table — pure codegen: the LUT is an m×k literal,
-    the distance an ``aggregate`` of m ``element_at`` lookups over the
-    (unpacked) code array. Never touches a float vector column.
+    via the ADC lookup table: the LUT is an m×k literal, the distance
+    an ``aggregate`` of m ``element_at`` lookups over the (unpacked)
+    code array. Never touches a float vector column.
+
+    NOTE (plan): Spark evaluates higher-order-function lambdas
+    INTERPRETED, outside whole-stage codegen — this expr path is the
+    semantic definition and the oracle/exactness twin, but on the
+    O(corpus) scan stage it carries a ~10× constant vs the Arrow
+    gather kernel (:func:`adc_topk` ``strategy='gemm'``, the default
+    there). The kernel accumulates the same rounded LUT entries in the
+    same subspace order, so the two paths are bitwise-identical
+    (pytest-pinned in test_pq.py).
 
     ``codes`` must carry ``code_col`` as array<int> (``packed=False``
     encoding); unpack a packed code first with :func:`pq_unpack`.
@@ -412,6 +428,61 @@ def pq_unpack(
     return df.withColumn(out_col, codes)
 
 
+def _adc_scores_gemm(
+    codes: DataFrame,
+    model: PQModel,
+    query: Sequence[float],
+    n: int,
+    *,
+    id_col: str,
+    code_col: str,
+    lut_round_decimals: Optional[int] = 6,
+) -> DataFrame:
+    """Arrow gather-kernel twin of :func:`adc_scores`, pre-reduced:
+    emits each input batch's top-n (adc_dist asc, id asc) rows only —
+    (adc_dist, id) is a strict total order, so the per-batch cut is
+    exact and the downstream global top-n sees O(batches·n) rows.
+
+    Bitwise parity with the expr path: the kernel gathers the SAME
+    rounded LUT entries and accumulates them in the SAME subspace
+    order (dist += lut[s][code_s] for s = 0..m-1), i.e. the identical
+    float64 operation sequence as the ``aggregate`` fold, then applies
+    the same final round-6.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lut = np.asarray(
+        model.lut(query, round_decimals=lut_round_decimals), dtype=np.float64
+    )  # (m, k)
+    m = model.m
+    id_ddl = codes.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[code_col]), dtype=np.int64)  # (B, m)
+            ids = pdf[id_col].to_numpy()
+            dist = np.zeros(len(ids), dtype=np.float64)
+            for s in range(m):
+                dist = dist + lut[s][mat[:, s]]
+            dist = np.round(dist, 6)
+            t = min(n, len(ids))
+            if t < len(ids):
+                part = np.argpartition(dist, t - 1)[:t]
+                kth = dist[part].max()
+                cand = np.nonzero(dist <= kth)[0]
+            else:
+                cand = np.arange(len(ids))
+            order = cand[np.lexsort((ids[cand], dist[cand]))][:t]
+            yield pd.DataFrame({id_col: ids[order], "adc_dist": dist[order]})
+
+    return codes.select(id_col, code_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_ddl}, adc_dist double"
+    )
+
+
 def adc_topk(
     codes: DataFrame,
     model: PQModel,
@@ -420,18 +491,30 @@ def adc_topk(
     *,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Top-n rows by ADC distance (ascending; ties to lowest id) — the
     PQ search primitive. orderBy+limit compiles to
     TakeOrderedAndProject (per-partition top-n, then one n-row merge —
     the corpus never lands on a single task); the rank window then runs
-    over only the n survivors."""
-    scored = adc_scores(codes, model, query, code_col=code_col)
-    top = (
-        scored.select(id_col, "adc_dist")
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
-        .limit(n)
-    )
+    over only the n survivors.
+
+    ``strategy='auto'``/'gemm' (default) scores via the Arrow gather
+    kernel with per-batch top-n pre-reduction; 'expr' keeps the
+    interpreted ``aggregate`` fold (the oracle/exactness twin — same
+    values bitwise, ~10× slower on the scan stage; see
+    :func:`adc_scores`)."""
+    if strategy not in ("auto", "gemm", "expr"):
+        raise ValueError(f"adc_topk: unknown strategy {strategy!r}")
+    if strategy == "expr":
+        scored = adc_scores(codes, model, query, code_col=code_col).select(
+            id_col, "adc_dist"
+        )
+    else:
+        scored = _adc_scores_gemm(
+            codes, model, query, n, id_col=id_col, code_col=code_col
+        )
+    top = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(n)
     w = Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
 

@@ -83,8 +83,11 @@ _PRIORITY = [
     "hard_negatives",
     "knn_filtered",
     "ann_ivf_filtered",
-    "docs_redact_pii",
     "ivfpq_knn",
+    # round-5: DataFrame-query-side PQ-tier join (VERDICT r4 item 3);
+    # docs_redact_pii ceded its slot (r4 driver row) — still judge-sweep
+    # and pytest covered
+    "sim_join_ivfpq",
     # round-4 families rotated in (driver-unverified until r5)
     "pq_knn_rerank",
     "customer_scd2",

@@ -567,6 +567,62 @@ def sim_join_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIM_JOIN_IVFPQ_SQL = """
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_sum(list_transform(
+               list_zip(CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.embedding AS DOUBLE[])),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum(list_transform(
+                   list_zip(CAST(e.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[])),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) ASC,
+                      e.vec_id ASC) AS INT) AS rank
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) q
+) WHERE rank <= 3
+"""
+
+
+@register("sim_join_ivfpq", _SIM_JOIN_IVFPQ_SQL)
+def sim_join_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-sides-huge similarity join through the memory-bound PQ tier
+    (operators/simjoin.py topk_join_ivfpq → IVFPQIndex.search_df): the
+    query side is a DataFrame (never collected), probes fan out to
+    coarse cells, a cogrouped Arrow kernel builds residual LUTs
+    in-kernel and ADC-scores the probed cells' codes, and the merged
+    shortlist re-ranks against the float corpus. Gated in exactness
+    mode — nprobe == nlist and a corpus-covering shortlist — where the
+    composition must equal brute-force L2 top-k REGARDLESS of what the
+    clustering/codebooks chose (the ADC stage only proposes candidates;
+    the re-rank orders by true distance). Production recall is pinned
+    in tests/test_ivfpq.py."""
+    from weaviate_txtai_spark.operators.simjoin import topk_join_ivfpq
+
+    emb = _emb(spark, sf_dir)
+    n_corpus = emb.count()
+    left = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    return topk_join_ivfpq(
+        left,
+        emb,
+        3,
+        right_id="vec_id",
+        right_vec="embedding",
+        nlist=8,
+        nprobe=8,
+        m=8,
+        k_pq=16,
+        pq_iters=1,
+        shortlist=-(-n_corpus // 3),
+    )
+
+
 _HARD_NEGATIVES_SQL = """
 SELECT query_id, vec_id, score, rank FROM (
   SELECT q.vec_id AS query_id, e.vec_id,
@@ -998,4 +1054,41 @@ def pq_knn_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
     return adc_topk_rerank(
         coded, emb, model, q, 10, shortlist=-(-n_corpus // 10)
+    )
+
+
+@register("encoder_semantic_search", None)
+def encoder_semantic_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic retrieval through the CORPUS-TRAINED encoder
+    (functions/encoders.py CooccurrenceEncoder — PPMI+SVD word vectors)
+    driving the Embeddings facade, in the reference's query→top-ranked
+    identity shape (/root/reference/tests/ann/test_weaviate.py:151-170
+    runs the same assertion style with sentence-transformers): train on
+    the documents corpus, index a slice, query with the indexed texts,
+    return (query_doc, hit_id, rank).
+
+    Rank-not-score: the output carries identities and ranks only —
+    cosine ORDER is invariant under the SVD's sign ambiguity (a sign
+    flip is an orthogonal transform applied to every vector), raw
+    scores are not portable across BLAS builds. Rows-only by design:
+    the gate trains an SVD model, which no SQL oracle can replay;
+    topical-relevance and self-retrieval invariants are pytest-pinned
+    (tests/test_cooc_encoder.py)."""
+    from weaviate_txtai_spark.embeddings import Embeddings
+    from weaviate_txtai_spark.functions.encoders import CooccurrenceEncoder
+    from weaviate_txtai_spark.sources.tables import load_table
+
+    docs_df = load_table(spark, sf_dir, "documents")
+    enc = CooccurrenceEncoder(dim=16, vocab_size=128, window=3).fit(docs_df)
+    rows = (
+        docs_df.select("doc_id", "text").orderBy("doc_id").limit(25).collect()
+    )
+    emb = Embeddings(spark, encoder=enc)
+    emb.index([(f"d{r['doc_id']}", r["text"], None) for r in rows])
+    out = []
+    for r in rows[:5]:
+        for rank, hit in enumerate(emb.search(r["text"], 3), start=1):
+            out.append((int(r["doc_id"]), str(hit[0]), rank))
+    return spark.createDataFrame(
+        out, "query_doc long, hit_id string, rank int"
     )
