@@ -181,3 +181,32 @@ def test_asof_direction_validated(spark):
     df = spark.createDataFrame([(1, 1)], "user_id long, ts long")
     with _pytest.raises(ValueError, match="unknown direction"):
         asof_join(df, df, on=["user_id"], direction="sideways")
+
+
+def test_asof_payload_stitched_from_one_row(spark):
+    """ADVICE r4: a right row carrying a NULL in one payload column must
+    NOT have that column back-filled from a farther right row — every
+    output payload value and matched_ts come from the SAME matched row.
+    Pinned in both directions."""
+    from weaviate_txtai_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 50)], "key string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "early", 1.0),
+         ("k", 40, None, 4.0),      # nearest-backward: a NULL in col a
+         ("k", 60, None, 6.0),      # nearest-forward: a NULL in col a
+         ("k", 90, "late", 9.0)],
+        "key string, ts int, a string, b double",
+    )
+    back = asof_join(left, right, on=["key"], left_ts="ts",
+                     right_ts="ts").collect()[0]
+    assert back["matched_ts"] == 40
+    assert back["b"] == 4.0
+    assert back["a"] is None       # NOT "early" from ts=10
+    fwd = asof_join(left, right, on=["key"], left_ts="ts", right_ts="ts",
+                    direction="forward").collect()[0]
+    assert fwd["matched_ts"] == 60
+    assert fwd["b"] == 6.0
+    assert fwd["a"] is None        # NOT "late" from ts=90

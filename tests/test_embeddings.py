@@ -432,3 +432,32 @@ def test_unknown_backend_rejected(spark):
 
     with _pytest.raises(ValueError, match="unknown backend"):
         Embeddings(spark, config={"backend": "hnsw"})
+
+
+def test_ivf_backend_counter_staleness_not_object_identity(spark):
+    """ADVICE r4: staleness must key on the monotonic mutation counter,
+    not id(self._df) — object ids can be reused after the old frame is
+    GC'd. Pin the mechanism (counter moves and the cached index drops)
+    across every mutating entry point, including re-index()."""
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    ivf = Embeddings(
+        spark, config={"backend": "ivf", "ivf": {"nlist": 2, "nprobe": 2}}
+    )
+    docs = _docs(20)
+    ivf.index(docs)
+    ivf.search(docs[0][1], 1)
+    built_at = ivf._ann_mutations
+    assert built_at == ivf._mutations  # fresh index is current
+    idx_before = ivf._ann
+    ivf.upsert([("d99", "a brand new document about zebras", None)])
+    assert ivf._mutations > built_at   # counter is monotonic, not id()
+    ivf.search("zebras", 1)
+    assert ivf._ann is not idx_before
+    # re-index() (drop-and-recreate) must also invalidate
+    idx_before = ivf._ann
+    before = ivf._mutations
+    ivf.index(docs[:10])
+    assert ivf._mutations > before
+    ivf.search(docs[0][1], 1)
+    assert ivf._ann is not idx_before

@@ -171,6 +171,7 @@ class Embeddings:
         rows = self._to_rows(documents)
         self.offset = 0
         self._df = self._encode_df(rows, 0).cache()
+        self._mutations += 1  # invalidates the cached ANN index
         self.offset = len(rows)
         self._meta_cols = [
             c for c in self._df.columns if c not in ("id", "docid", "vector")
@@ -263,13 +264,16 @@ class Embeddings:
     # -------------------------------------------------------- ANN backend
 
     def _ann_index(self):
-        """Build (or reuse) the IVF index over the current frame. Any
-        mutation reassigns ``_df``, so object identity is the staleness
-        signal — an upsert/delete/reindex invalidates the cached index
-        and the next search rebuilds against the new corpus."""
+        """Build (or reuse) the IVF index over the current frame.
+        Staleness is tracked by the monotonic ``_mutations`` counter
+        (bumped by index/upsert/delete), NOT by ``id(self._df)``:
+        after a mutation the old frame is unpersisted and GC'd, so
+        CPython can hand the NEW frame the SAME id() and a search
+        would silently serve the stale pre-mutation index (ADVICE
+        r4)."""
         from weaviate_txtai_spark.operators.ann import IVFIndex
 
-        if self._ann is not None and self._ann_mutations == id(self._df):
+        if self._ann is not None and self._ann_mutations == self._mutations:
             return self._ann
         cfg = dict(self.config.get("ivf") or {})
         n = self._df.count()
@@ -278,7 +282,7 @@ class Embeddings:
         self._ann = IVFIndex.build(
             self._df, nlist=nlist, id_col="docid", vector_col="vector"
         )
-        self._ann_mutations = id(self._df)
+        self._ann_mutations = self._mutations
         return self._ann
 
     def _ann_search(self, qrows: list[tuple[int, list[float]]], limit: int):
@@ -417,6 +421,7 @@ class Embeddings:
             config=meta.get("config") or None,
         )
         self._df = spark.read.parquet(os.path.join(path, "data")).cache()
+        self._mutations += 1  # fresh frame: any cached ANN is stale
         self.offset = meta["offset"]
         self._meta_cols = [
             c for c in self._df.columns if c not in ("id", "docid", "vector")

@@ -54,9 +54,12 @@ def asof_join(
     Right payload = every right column except keys/ts; its values ride
     along unchanged; ``matched_ts_col`` carries the matched right ts.
     Unmatched left rows keep NULLs (left-join semantics). Right rows are
-    expected unique per (keys…, ts); if a right payload value is itself
-    NULL the window skips to the previous non-null one — pre-coalesce
-    payloads if that distinction matters.
+    expected unique per (keys…, ts). The whole payload is stitched from
+    ONE matched right row: the window fills a single struct(ts,
+    payload…) — never per-column — so a NULL in one payload column stays
+    NULL rather than being back-filled from a different, farther right
+    row, and ``matched_ts_col`` describes every output column (ADVICE
+    r4).
 
     A right payload column sharing a name with a left non-key column
     would produce an ambiguous duplicate output column; that collision
@@ -96,6 +99,20 @@ def asof_join(
         F.col(right_ts).alias("__r_ts"),
     )
 
+    # One NULLABLE struct per row carries the entire right payload: the
+    # struct is NULL on left rows (so ignorenulls skips them) and the
+    # window fills it ATOMICALLY — per-column fills would stitch a NULL
+    # payload value from a different right row than matched_ts names.
+    packed = lhs.unionByName(rhs).withColumn(
+        "__r",
+        F.when(
+            F.col("__is_left") == 0,
+            F.struct(
+                F.col("__r_ts").alias("__mts"),
+                *[F.col(f"__r_{c}").alias(c) for c in payload],
+            ),
+        ),
+    )
     if direction == "backward":
         # Right rows sort before left rows at equal ts (__is_left ASC),
         # making the as-of inclusive: a right row AT left_ts matches.
@@ -104,10 +121,8 @@ def asof_join(
             .orderBy(F.col("__ts"), F.col("__is_left"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = lhs.unionByName(rhs).select(
-            "*",
-            *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in payload],
-            F.last("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+        filled = packed.withColumn(
+            "__f", F.last("__r", ignorenulls=True).over(w)
         )
     else:
         # forward: frame looks ahead; right rows sort AFTER left rows at
@@ -118,10 +133,8 @@ def asof_join(
             .orderBy(F.col("__ts"), F.col("__is_left").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        filled = lhs.unionByName(rhs).select(
-            "*",
-            *[F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in payload],
-            F.first("__r_ts", ignorenulls=True).over(w).alias("__f_ts"),
+        filled = packed.withColumn(
+            "__f", F.first("__r", ignorenulls=True).over(w)
         )
     out_left = [c for c in left.columns if c not in keys]
     return (
@@ -129,8 +142,8 @@ def asof_join(
         .select(
             *keys,
             *out_left,
-            *[F.col(f"__f_{c}").alias(c) for c in payload],
-            F.col("__f_ts").alias(matched_ts_col),
+            *[F.col("__f").getField(c).alias(c) for c in payload],
+            F.col("__f").getField("__mts").alias(matched_ts_col),
         )
     )
 
