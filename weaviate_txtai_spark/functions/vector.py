@@ -131,3 +131,58 @@ def int8_scale(a) -> Column:
     a = _c(a)
     ma = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
     return ma / F.lit(127.0)
+
+
+def sign_pack(a, *, word_bits: int = 32) -> Column:
+    """Binary (sign) quantization: bit j of word w is 1 iff
+    ``x[w·word_bits + j] > 0`` (ties at exactly 0.0 pack as 0).
+    Returns ``array<bigint>`` of ceil(dim / word_bits) words — the
+    COARSEST memory tier of the quantization ladder (1 bit/dim: 256×
+    smaller than float32, 32× smaller than the int8 SQ tier, the
+    standard "binary hashing" trade; Hamming distance between sign
+    patterns approximates angular distance for roughly-centered data).
+
+    ``word_bits=32`` (default ≤ 62) keeps every packed word positive
+    and exactly representable through a double — the same 2^53-safe
+    discipline as ``pq_encode`` — so the packing replays verbatim in
+    a DuckDB oracle with no sign-bit edge cases.
+
+    Encode-time expression (higher-order fold — interpreted, but run
+    once per ingest like ``int8_quantize``); the HOT path is
+    :func:`hamming_dist`, whose per-word kernel (xor + bit_count) is
+    a JVM intrinsic.
+    """
+    if not 1 <= word_bits <= 62:
+        raise ValueError("sign_pack: word_bits must be in [1, 62]")
+    a = _c(a)
+    nwords = F.ceil(F.size(a) / F.lit(word_bits)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nwords - 1),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(word_bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                (w * word_bits + j < F.size(a))
+                & (F.element_at(a, (w * word_bits + j + 1).cast("int"))
+                   .cast("double") > 0.0),
+                F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def hamming_dist(a, b) -> Column:
+    """Hamming distance between two packed sign codes
+    (``array<bigint>`` of equal length): sum over words of
+    ``bit_count(a XOR b)``. The per-word kernel is a JVM intrinsic
+    (popcount); only the length-nwords fold wraps it — for any real
+    dim that is a handful of words, so the scan stays cheap even
+    where higher-order folds evaluate interpreted."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a), _c(b), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )

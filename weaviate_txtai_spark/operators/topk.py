@@ -242,3 +242,64 @@ def knn_topk_gemm(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hamming_topk(
+    codes: DataFrame,
+    query_code: list[int],
+    n: int,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "sign_code",
+) -> DataFrame:
+    """Top-n rows by Hamming distance to a packed sign code (the
+    1-bit/dim tier — see ``functions.vector.sign_pack``): distance is
+    a per-word xor+popcount (JVM intrinsics) over a words-long array,
+    then TakeOrderedAndProject (per-partition top-n, one n-row merge).
+    Ascending distance, ties to the lowest id. Output: id, hamming,
+    rank."""
+    from weaviate_txtai_spark.functions.vector import hamming_dist
+
+    qlit = F.array(*[F.lit(int(w)).cast("long") for w in query_code])
+    scored = codes.select(
+        id_col, hamming_dist(F.col(code_col), qlit).alias("hamming")
+    )
+    top = scored.orderBy(F.asc("hamming"), F.asc(id_col)).limit(n)
+    w = Window.orderBy(F.asc("hamming"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def hamming_topk_rerank(
+    codes: DataFrame,
+    vectors: DataFrame,
+    query: list[float],
+    query_code: list[int],
+    n: int,
+    *,
+    shortlist: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sign_code",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Production composition for the binary tier: Hamming shortlist
+    over the 1-bit codes (the only corpus-wide scan — 256× less I/O
+    than float32), then exact cosine re-rank of the ``shortlist×n``
+    survivors' float vectors (broadcast semi-join on the tiny id set).
+    Same shape as ``pq.adc_topk_rerank``; exact when the shortlist
+    covers the corpus regardless of how lossy the sign codes are.
+    Output: id, score (cosine, descending), rank."""
+    cand = hamming_topk(
+        codes, query_code, shortlist * n, id_col=id_col, code_col=code_col
+    ).select(id_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    exact = (
+        vectors.join(F.broadcast(cand), id_col)
+        .select(
+            id_col,
+            F.round(cosine_sim(F.col(vector_col), qlit), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return exact.withColumn("rank", F.row_number().over(w))

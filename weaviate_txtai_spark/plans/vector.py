@@ -1092,3 +1092,92 @@ def encoder_semantic_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "query_doc long, hit_id string, rank int"
     )
+
+
+_BINARY_HAMMING_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+packed AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(range(0, 32),
+      j -> CASE WHEN e[j + 1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+      AS BIGINT) AS w0,
+    CAST(list_sum(list_transform(range(0, 32),
+      j -> CASE WHEN e[j + 33] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+      AS BIGINT) AS w1
+  FROM v),
+q AS (SELECT w0, w1 FROM packed WHERE vec_id = 0)
+SELECT vec_id, hamming,
+       CAST(row_number() OVER (ORDER BY hamming, vec_id) AS INT) AS rank
+FROM (
+  SELECT p.vec_id,
+         CAST(bit_count(xor(p.w0, q.w0)) + bit_count(xor(p.w1, q.w1))
+              AS BIGINT) AS hamming
+  FROM packed p CROSS JOIN q
+) ORDER BY hamming, vec_id LIMIT 10
+"""
+
+
+@register("binary_hamming_knn", _BINARY_HAMMING_SQL)
+def binary_hamming_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-bit/dim tier (functions/vector.py sign_pack +
+    operators/topk.py hamming_topk): sign-pack the corpus into
+    ceil(dim/32) BIGINT words, top-10 by Hamming distance to vec_id 0's
+    code — per-word xor+popcount (JVM intrinsics), integer distances,
+    TakeOrdered plan. Completes the quantization ladder alongside int8
+    SQ (embedding_quantize) and PQ (pq_knn): 256× less scan I/O than
+    float32. The oracle replays the identical packing in DuckDB (the
+    testdata embeddings are 64-dim → exactly two 32-bit words; the
+    Spark side computes ceil(size/32) words generically)."""
+    from weaviate_txtai_spark.functions.vector import sign_pack
+    from weaviate_txtai_spark.operators.topk import hamming_topk
+
+    emb = _emb(spark, sf_dir)
+    codes = emb.select(
+        "vec_id", sign_pack(F.col("embedding")).alias("sign_code")
+    )
+    qcode = [
+        int(w)
+        for w in codes.filter(F.col("vec_id") == 0).head()["sign_code"]
+    ]
+    return hamming_topk(codes, qcode, 10)
+
+
+_BINARY_RERANK_SQL = """
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT) AS rank
+FROM (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)), 6) AS score
+  FROM embeddings e
+) ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register("binary_hamming_rerank", _BINARY_RERANK_SQL)
+def binary_hamming_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production binary-tier composition (hamming_topk_rerank):
+    Hamming shortlist over 1-bit codes, exact cosine re-rank of the
+    survivors. Gated in exactness mode — a corpus-covering shortlist —
+    where the composition must equal brute-force cosine top-10
+    REGARDLESS of how lossy the sign codes are (the same
+    candidates-then-truth trick as pq_knn_rerank/ivfpq_knn).
+    Production shortlist recall is pytest-pinned (test_binary_tier.py)."""
+    from weaviate_txtai_spark.functions.vector import sign_pack
+    from weaviate_txtai_spark.operators.topk import hamming_topk_rerank
+
+    emb = _emb(spark, sf_dir)
+    n_corpus = emb.count()
+    codes = emb.select(
+        "vec_id", sign_pack(F.col("embedding")).alias("sign_code")
+    )
+    row = emb.filter(F.col("vec_id") == 0).head()
+    q = list(row["embedding"])
+    qcode = [
+        int(w)
+        for w in codes.filter(F.col("vec_id") == 0).head()["sign_code"]
+    ]
+    return hamming_topk_rerank(
+        codes, emb, q, qcode, 10, shortlist=-(-n_corpus // 10)
+    )
