@@ -1,0 +1,78 @@
+"""Time-grid resampling with gap fill — regularize an event stream onto
+a dense per-key time grid (the feature-engineering step before any
+sequence model: fixed-rate inputs from irregular events).
+
+The reference has no temporal operators at all (SURVEY §2.4); this is a
+north-star extension alongside ``operators.asof``.
+
+Scale shape: one aggregation shuffle on (keys, bucket) — the only pass
+over the raw events — then the dense grid is generated from the
+PER-KEY span aggregate (keys × min/max rows, tiny) with
+``sequence``/``explode``: grid size is keys × span/step rows and never
+touches the event table again. The gap join is an equi-join on
+(keys, bucket) between the grid and the pre-aggregated frame (both
+already small), and forward fill is one window ``last(ignorenulls)``
+per key — the same one-shuffle-per-analytic cost model as
+``asof_join``. No driver loops, no per-key collects.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNITS = ("minute", "hour", "day", "week")
+
+
+def resample_ffill(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+    agg_round: int = 6,
+) -> DataFrame:
+    """Aggregate ``value_col`` onto a dense ``unit`` grid per key and
+    forward-fill empty buckets.
+
+    Output per (keys…, bucket_ts): ``n_events`` (0 on gap buckets),
+    ``avg_value`` (NULL on gaps), ``filled_value`` (last non-null
+    average at or before this bucket — NULL only before a key's first
+    event), ``is_gap``. The grid spans each key's OWN [first, last]
+    bucket — keys are never padded to a global range, so a key active
+    for an hour costs one row, not the corpus's whole span.
+    """
+    if unit not in _UNITS:
+        raise ValueError(f"resample_ffill: unit must be one of {_UNITS}")
+    keys = list(keys)
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    aggd = df.groupBy(*keys, bucket.alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(value_col), agg_round).alias("avg_value"),
+    )
+    spans = aggd.groupBy(*keys).agg(
+        F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval 1 {unit}"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(aggd, [*keys, "bucket_ts"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

@@ -2500,3 +2500,111 @@ def events_wow_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+_EVENTS_RESAMPLE_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM agg GROUP BY 1),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM spans)
+SELECT g.event_type, g.bucket_ts,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       last_value(a.avg_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (a.n_events IS NULL) AS is_gap
+FROM grid g
+LEFT JOIN agg a ON a.event_type = g.event_type AND a.bucket_ts = g.bucket_ts
+ORDER BY 1, 2
+"""
+
+
+@register("events_resample", _EVENTS_RESAMPLE_SQL)
+def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resample + forward fill (operators/resample.py): each
+    event_type's irregular events land on its own dense hourly grid —
+    gap buckets carry n_events=0, a NULL hourly average, and the last
+    known average forward-filled. One aggregation shuffle over the
+    events; the grid is sequence/explode over per-key span rows, never
+    a driver loop. The feature-regularization step before any
+    sequence model."""
+    from weaviate_txtai_spark.operators.resample import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev, keys=["event_type"], ts_col="ts", value_col="value", unit="hour"
+    )
+    # NULL-free projection for the hash compare: filled_value is never
+    # NULL (each key's grid starts at its first event) and is_gap
+    # carries exactly the information of avg_value's gap-NULL
+    return out.drop("avg_value")
+
+
+_ORDERS_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 3),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 13 = 0 THEN '0-RUSH' ELSE o_orderpriority
+              END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 7)
+SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN []
+            ELSE list_sort([c FOR c IN [
+              CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                   THEN 'o_orderpriority' END,
+              CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                   THEN 'o_orderstatus' END,
+              CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                   THEN 'o_totalprice' END] IF c IS NOT NULL])
+       END AS changed_cols
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+ORDER BY 1
+"""
+
+
+@register("orders_snapshot_diff", _ORDERS_DIFF_SQL)
+def orders_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py table_diff): two
+    deterministic full extracts of orders (old drops keys ≡3 mod 11;
+    new drops ≡7 mod 11, bumps totalprice on ≡0 mod 5, rewrites
+    priority on ≡0 mod 13) diffed into the typed delta that would feed
+    scd2_apply — added/removed/changed with the changed column names.
+    One full-outer join, all change logic codegen; unchanged rows never
+    leave the join."""
+    from weaviate_txtai_spark.operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    old = base.filter(F.col("o_orderkey") % 11 != 3)
+    new = base.filter(F.col("o_orderkey") % 11 != 7).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("0-RUSH"))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+    )
+    return table_diff(old, new, key_cols=["o_orderkey"])
