@@ -229,3 +229,58 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     joined = fact.join(dim, "d").groupBy("tag").count()
     plan = physical_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_hamming_topk_is_take_ordered(spark, sf_dir):
+    """Binary-tier search must compile to TakeOrderedAndProject — the
+    per-partition top-n merge, never a global sort of scored codes."""
+    from weaviate_txtai_spark.functions.vector import sign_pack
+    from weaviate_txtai_spark.operators.topk import hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id", sign_pack(F.col("embedding")).alias("sign_code")
+    )
+    qcode = [int(w) for w in codes.head()["sign_code"]]
+    plan = physical_plan(hamming_topk(codes, qcode, 10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_resample_scans_events_once(spark, sf_dir):
+    """The grid derivation and the gap join both consume the bucket
+    aggregate; the persisted aggregate keeps the RAW event scan single
+    (unpersisted, the plan read the parquet twice)."""
+    from weaviate_txtai_spark.cache import cache_scope
+    from weaviate_txtai_spark.operators.resample import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    with cache_scope():
+        out = resample_ffill(
+            ev, keys=["event_type"], ts_col="ts", value_col="value",
+            unit="hour",
+        )
+        plan = physical_plan(out)
+        # both consumers must read the CACHED aggregate (the printer
+        # repeats the InMemoryRelation's child subtree, so counting raw
+        # FileScan lines overstates the executed scans)
+        assert plan.count("InMemoryTableScan") == 2
+        assert "CartesianProduct" not in plan
+
+
+def test_table_diff_is_single_equi_join(spark, sf_dir):
+    """The diff is ONE full-outer equi-join — no nested-loop, no second
+    pass, no window."""
+    from weaviate_txtai_spark.operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = table_diff(
+        orders, orders.withColumn("o_totalprice", F.col("o_totalprice") + 1),
+        key_cols=["o_orderkey"],
+    )
+    plan = physical_plan(d)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "Window" not in plan

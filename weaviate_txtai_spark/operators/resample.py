@@ -49,9 +49,18 @@ def resample_ffill(
         raise ValueError(f"resample_ffill: unit must be one of {_UNITS}")
     keys = list(keys)
     bucket = F.date_trunc(unit, F.col(ts_col))
-    aggd = df.groupBy(*keys, bucket.alias("bucket_ts")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg(value_col), agg_round).alias("avg_value"),
+    # persist the aggregate: both the span derivation and the gap join
+    # consume it, and without the persist each consumer re-scans the
+    # RAW event table (verified in the plan: 2 parquet scans, no
+    # ReusedExchange) — the aggregate is keys × active buckets, tiny
+    # relative to the events it summarizes. Released via cache_scope.
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    aggd = scoped_persist(
+        df.groupBy(*keys, bucket.alias("bucket_ts")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg(value_col), agg_round).alias("avg_value"),
+        )
     )
     spans = aggd.groupBy(*keys).agg(
         F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
