@@ -87,7 +87,26 @@ class CooccurrenceEncoder:
     session, exactly like any trained model.
     """
 
+    # Hard V ceiling (VERDICT r4 minor #4): fit collects ≤ V² pair rows
+    # and runs a dense V×V SVD driver-side — V=1024 is ~8 MB, V=4096 is
+    # ~134 MB and O(V³) SVD minutes; past that the driver-side model
+    # contract is broken and the answer is a different factorization
+    # (distributed ALS / randomized SVD), not a bigger collect.
+    MAX_VOCAB = 4096
+
     def __init__(self, dim: int = 64, vocab_size: int = 1024, window: int = 4):
+        if vocab_size > self.MAX_VOCAB:
+            raise ValueError(
+                f"CooccurrenceEncoder: vocab_size {vocab_size} exceeds the "
+                f"driver-side model ceiling {self.MAX_VOCAB} (V² pair "
+                "collect + dense V×V SVD); use a distributed "
+                "factorization for larger vocabularies"
+            )
+        if dim > vocab_size:
+            raise ValueError(
+                f"CooccurrenceEncoder: dim {dim} > vocab_size {vocab_size} "
+                "(SVD rank cannot exceed the matrix side)"
+            )
         self.dim = dim
         self.vocab_size = vocab_size
         self.window = window
