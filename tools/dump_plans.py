@@ -38,6 +38,9 @@ FLAGSHIPS = [
     ("docs_unigram_nll", "LM scoring: term-keyed joins + doc mean, no sort"),
     ("mixture_sample", "mixture: per-stratum rank window, quota broadcast"),
     ("lineitem_profile", "profiling: one EXPAND aggregate for all stats"),
+    ("binary_hamming_knn", "binary tier: xor+popcount scan, TakeOrdered"),
+    ("events_resample", "resample+ffill: one agg shuffle, cached reuse, grid explode"),
+    ("orders_snapshot_diff", "snapshot diff: one full-outer equi-join, codegen compare"),
 ]
 
 
