@@ -104,3 +104,69 @@ def test_sign_pack_word_bits_guard(emb):
     df = spark.createDataFrame([(0, [1.0] * 5)], "id long, v array<double>")
     code = df.select(sign_pack("v", word_bits=4).alias("c")).head()["c"]
     assert list(code) == [15, 1]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=1, max_size=80,
+    ),
+    word_bits=st.integers(min_value=1, max_value=62),
+)
+def test_sign_pack_property(spark, vec, word_bits):
+    """For ANY dim/word_bits: packing matches the pure-python spec —
+    word count, bit values, and zero tail bits."""
+    df = spark.createDataFrame([(0, vec)], "id long, v array<double>")
+    code = list(
+        df.select(sign_pack("v", word_bits=word_bits).alias("c"))
+        .head()["c"]
+    )
+    nwords = -(-len(vec) // word_bits)
+    want = [0] * nwords
+    for pos, x in enumerate(vec):
+        if x > 0:
+            want[pos // word_bits] |= 1 << (pos % word_bits)
+    assert code == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=2**62 - 1),
+               min_size=1, max_size=4),
+    b=st.lists(st.integers(min_value=0, max_value=2**62 - 1),
+               min_size=1, max_size=4),
+    c=st.lists(st.integers(min_value=0, max_value=2**62 - 1),
+               min_size=1, max_size=4),
+)
+def test_hamming_metric_axioms(spark, a, b, c):
+    """Identity, symmetry, triangle inequality on equal-length codes."""
+    n = min(len(a), len(b), len(c))
+    a, b, c = a[:n], b[:n], c[:n]
+    df = spark.createDataFrame(
+        [(a, b, c)],
+        "a array<long>, b array<long>, c array<long>",
+    )
+    r = df.select(
+        hamming_dist("a", "a").alias("aa"),
+        hamming_dist("a", "b").alias("ab"),
+        hamming_dist("b", "a").alias("ba"),
+        hamming_dist("a", "c").alias("ac"),
+        hamming_dist("c", "b").alias("cb"),
+    ).head()
+    assert r["aa"] == 0
+    assert r["ab"] == r["ba"] >= 0
+    assert r["ab"] <= r["ac"] + r["cb"]
