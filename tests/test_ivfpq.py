@@ -213,3 +213,29 @@ def test_search_df_covers_all_queries_production(index, emb):
     assert set(by_q) == set(range(16))
     for qid, ids in by_q.items():
         assert qid in ids  # self survives coarse+fine quantization
+
+
+def test_append_routes_and_encodes_with_frozen_model(index, emb):
+    """append: new vectors land in the cell + codes a rebuild with the
+    SAME model would give — old rows untouched, model frozen, and the
+    appended rows are immediately searchable."""
+    n = emb.count()
+    new = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    grown = index.append(new)
+    assert grown.codes.count() == n + 20
+    assert grown.pq is index.pq                      # model frozen
+    # appended twin of vec 5: identical vector => identical cell + code
+    base = {r["vec_id"]: (r["cell"], list(r["pq_code"]))
+            for r in index.codes.filter(F.col("vec_id") == 5).collect()}
+    twin = {r["vec_id"] - 1_000_000: (r["cell"], list(r["pq_code"]))
+            for r in grown.codes.filter(
+                F.col("vec_id") == 1_000_005).collect()}
+    assert twin == base
+    # searchable: the twin of query 5 shows up in its exact top-k
+    qs = [(5, list(emb.filter(F.col("vec_id") == 5).head()["embedding"]))]
+    got = {r["vec_id"] for r in grown.search(
+        qs, 3, nprobe=8, shortlist=-(-(n + 20) // 3)).collect()}
+    assert {5, 1_000_005} <= got   # both zero-distance twins rank first

@@ -118,6 +118,43 @@ class IVFPQIndex:
             ivf=ivf, pq=pq, codes=codes, id_col=id_col, vector_col=vector_col
         )
 
+    def append(self, new_df: DataFrame) -> "IVFPQIndex":
+        """Incremental maintenance, mirroring ``IVFIndex.append``: route
+        NEW vectors to the EXISTING coarse centroids, encode their
+        residuals with the EXISTING codebooks, and union both the float
+        layout and the codes table — no re-clustering, no re-training,
+        no touch of old rows (the daily-ingest shape; rebuild when
+        drift degrades recall). Map-only for the new batch: centroid
+        broadcast + argmin, residual subtraction, fused Arrow encode.
+
+        Caveat (same as any frozen quantizer): appended vectors far
+        from the training distribution quantize worse — the model is
+        deliberately NOT updated so old codes stay valid."""
+        ivf_new = self.ivf.append(new_df)
+        keep = [
+            c for c in self.codes.columns
+            if c not in (self.id_col, "cell", "pq_code")
+        ]
+        assigned_new = ivf_new.assigned.join(
+            self.codes.select(self.id_col), self.id_col, "left_anti"
+        )
+        residual_new = _with_residual(
+            assigned_new, self.ivf.centroids, vector_col=self.vector_col
+        )
+        codes_new = pq_encode(
+            residual_new, self.pq, vector_col="__res", packed=False
+        ).select(self.id_col, "cell", "pq_code", *keep)
+        merged = self.codes.unionByName(
+            codes_new.select(self.codes.columns), allowMissingColumns=False
+        )
+        return IVFPQIndex(
+            ivf=ivf_new,
+            pq=self.pq,
+            codes=merged,
+            id_col=self.id_col,
+            vector_col=self.vector_col,
+        )
+
     def save(self, path: str) -> None:
         """Persist the index: codes partitioned by cell (the scan side —
         probe pruning becomes directory pruning, same layout promise as
