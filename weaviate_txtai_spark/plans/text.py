@@ -688,3 +688,31 @@ def docs_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
         F.count(F.lit(1)).cast("long").alias("n_terms"),
     )
+
+
+@register("bpe_train_encode", None)
+def bpe_train_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer pipeline (operators/bpe.py): learn a BPE merge
+    table from the documents corpus — ONE distinct-word aggregation,
+    then the merge loop runs driver-side over word frequencies, the
+    classic word-level factorization — and encode map-only with the
+    ranks in the Arrow-kernel closure. Output: per-doc subword counts
+    for the lowest 50 doc_ids (deterministic: lexicographic tie-breaks
+    make the merge table a pure function of the corpus). Rows-only by
+    design: the merge loop is iterative, not SQL-replayable; the merge
+    order itself is pinned against a hand-run of the algorithm in
+    tests/test_bpe.py."""
+    from weaviate_txtai_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bpe(docs, num_merges=100)
+    return (
+        bpe_encode(docs, model)
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").alias("n_subwords"),
+            F.size(F.split("text", r"\s+")).alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
