@@ -461,3 +461,47 @@ def test_ivf_backend_counter_staleness_not_object_identity(spark):
     assert ivf._mutations > before
     ivf.search(docs[0][1], 1)
     assert ivf._ann is not idx_before
+
+
+def test_ivfpq_backend_full_probe_matches_exact(spark):
+    """backend='ivfpq' at nprobe == nlist with a corpus-covering
+    shortlist must return the same hit SETS as exact brute force (the
+    unit-norm L2->cosine identity makes the re-ranked order the cosine
+    order)."""
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    docs = _docs(40)
+    exact = Embeddings(spark)
+    exact.index(docs)
+    pq = Embeddings(
+        spark,
+        config={"backend": "ivfpq",
+                "ivfpq": {"nlist": 4, "m": 8, "k": 8, "nprobe": 4,
+                          "shortlist": 40}},
+    )
+    pq.index(docs)
+    for q in (docs[0][1], docs[7][1], "fox jumps"):
+        a = [h[0] for h in exact.search(q, 5)]
+        b = [h[0] for h in pq.search(q, 5)]
+        assert a == b
+    ba = exact.batchsearch([docs[1][1], docs[2][1]], 3)
+    bb = pq.batchsearch([docs[1][1], docs[2][1]], 3)
+    assert [[h[0] for h in r] for r in ba] == [[h[0] for h in r] for r in bb]
+
+
+def test_ivfpq_backend_mutation_invalidates(spark):
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    pq = Embeddings(
+        spark,
+        config={"backend": "ivfpq",
+                "ivfpq": {"nlist": 2, "m": 8, "k": 4, "nprobe": 2,
+                          "shortlist": 30}},
+    )
+    docs = _docs(25)
+    pq.index(docs)
+    assert pq.search(docs[3][1], 1)[0][0] == "d3"
+    idx_before = pq._ann
+    pq.delete(["d3"])
+    assert pq.search(docs[3][1], 1)[0][0] != "d3"
+    assert pq._ann is not idx_before

@@ -98,13 +98,18 @@ class Embeddings:
         self.config = dict(config or {})
         self.content = bool(self.config.get("content"))
         # ANN backend: "exact" (default — brute force, what txtai's
-        # numpy backend does at this scale) or "ivf" (cluster-pruned
+        # numpy backend does at this scale), "ivf" (cluster-pruned
         # search through operators.ann.IVFIndex — the role Weaviate's
-        # server-side HNSW plays for the reference). Knobs under
-        # config["ivf"]: nlist (default corpus//128, ≥4), nprobe
-        # (default 4; nprobe == nlist is exact).
+        # server-side HNSW plays for the reference), or "ivfpq"
+        # (cells + product-quantized residual codes through
+        # operators.ivfpq.IVFPQIndex — the memory-bound tier: the
+        # search scan reads m bytes/vector and the float corpus only
+        # for the shortlist re-rank). Knobs under config["ivf"]: nlist
+        # (default corpus//128, ≥4), nprobe (default 4; nprobe ==
+        # nlist is exact); under config["ivfpq"]: nlist, m, k, iters,
+        # nprobe, shortlist.
         self.backend = str(self.config.get("backend", "exact"))
-        if self.backend not in ("exact", "ivf"):
+        if self.backend not in ("exact", "ivf", "ivfpq"):
             raise ValueError(f"Embeddings: unknown backend {self.backend!r}")
         self._ann = None          # cached IVFIndex
         self._ann_mutations = -1  # mutation counter it was built at
@@ -285,9 +290,67 @@ class Embeddings:
         self._ann_mutations = self._mutations
         return self._ann
 
+    def _ivfpq_index(self):
+        """Build (or reuse) the IVF-PQ index — same mutation-counter
+        staleness contract as ``_ann_index``. Codebook k and nlist are
+        clamped to the corpus so tiny indexes stay trainable."""
+        from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+
+        if self._ann is not None and self._ann_mutations == self._mutations:
+            return self._ann
+        cfg = dict(self.config.get("ivfpq") or {})
+        n = self._df.count()
+        nlist = max(1, min(int(cfg.get("nlist", max(4, n // 256))), n))
+        m = int(cfg.get("m", 8))
+        k = max(2, min(int(cfg.get("k", 16)), n))
+        self._ann = IVFPQIndex.build(
+            self._df,
+            nlist=nlist,
+            m=m,
+            k_pq=k,
+            pq_iters=int(cfg.get("iters", 1)),
+            id_col="docid",
+            vector_col="vector",
+        )
+        self._ann_mutations = self._mutations
+        return self._ann
+
+    def _ivfpq_search(self, qrows: list[tuple[int, list[float]]], limit: int):
+        """IVF-PQ search for search/batchsearch: ADC shortlist + exact
+        L2 re-rank, then the L2→cosine identity for unit vectors
+        (encoders L2-normalize, so cos = 1 − d²/2 EXACTLY) converts the
+        re-ranked distance into the facade's score contract."""
+        idx = self._ivfpq_index()
+        cfg = dict(self.config.get("ivfpq") or {})
+        hits = idx.search(
+            qrows,
+            limit + 8,
+            nprobe=int(cfg.get("nprobe", 4)),
+            shortlist=int(cfg.get("shortlist", 8)),
+        ).select(
+            F.col("query_id").cast("int").alias("qid"),
+            "docid",
+            F.round(F.lit(1.0) - F.col("dist") / F.lit(2.0), 6).alias("score"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+        hits = (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= limit)
+        )
+        cols = ["docid", "id", "text"] if self.content else ["docid", "id"]
+        return (
+            self._df.select(*cols)
+            .join(F.broadcast(hits), "docid")
+            .orderBy("qid", "rank")
+        )
+
     def _ann_search(self, qrows: list[tuple[int, list[float]]], limit: int):
-        """Shared IVF search for search/batchsearch: probe, score, join
+        """Shared ANN search for search/batchsearch: probe, score, join
         the hits back to their stored rows (broadcast: Q×limit ids)."""
+        if self.backend == "ivfpq":
+            return self._ivfpq_search(qrows, limit)
         idx = self._ann_index()
         nprobe = int(dict(self.config.get("ivf") or {}).get("nprobe", 4))
         qdf = self.spark.createDataFrame(qrows, "qid int, qv array<float>")
@@ -325,7 +388,7 @@ class Embeddings:
             # clauses filter the scored view, and a probe set chosen
             # before the filter would silently under-fill the limit
             return self._search_sql(query, limit)
-        if self.backend == "ivf":
+        if self.backend in ("ivf", "ivfpq"):
             rows = self._ann_search(
                 [(0, [float(x) for x in self.encoder.encode(query)])], limit
             ).collect()
@@ -441,7 +504,7 @@ class Embeddings:
             (i, [float(x) for x in self.encoder.encode(q)])
             for i, q in enumerate(queries)
         ]
-        if self.backend == "ivf":
+        if self.backend in ("ivf", "ivfpq"):
             out: list[list] = [[] for _ in queries]
             for r in self._ann_search(qrows, limit).collect():
                 if self.content:
