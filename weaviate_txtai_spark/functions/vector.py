@@ -3,15 +3,20 @@
 These are the engine's scoring kernel (reference Q1/Q2: cosine top-k search
 and score normalization, ``/root/reference/weaviate_txtai/ann/weaviate.py:
 17-20,175-201``). Everything here is a pure Column expression built from
-``F.zip_with`` / ``F.aggregate`` higher-order functions, so it executes
-JVM-side inside whole-stage codegen — no Python boundary, no Arrow
-transfer. All arithmetic is promoted to double so results match a
-double-precision oracle (DuckDB ``list_cosine_similarity``) to ~1e-16.
+``F.zip_with`` / ``F.aggregate`` higher-order functions: JVM-side with no
+Python boundary and no Arrow transfer — but NOTE that Spark evaluates
+HOF lambdas INTERPRETED, outside whole-stage codegen, so each fold step
+costs an expression-tree walk (measured ~10× vs the Arrow GEMM kernels
+on O(pairs) frames — NOTES.md r4). That is fine here: these exprs serve
+single-/few-query scans and oracle twins. All arithmetic is promoted to
+double so results match a double-precision oracle (DuckDB
+``list_cosine_similarity``) to ~1e-16.
 
-At very large scale the GEMM path in ``operators/topk.py`` (Arrow-batched
-numpy matmul over ``mapInPandas``) beats per-row expression evaluation for
-many-query × many-vector workloads; these exprs remain the canonical,
-oracle-matching definition.
+For anything pair-heavy the Arrow kernels are the production path and
+exist for every tier: ``operators/topk.py`` ``knn_topk_gemm`` (batch
+kNN), the cogrouped scorers in ``operators/ann.py``/``ivfpq.py``, and
+the per-batch gather kernel in ``operators/pq.py``; these exprs remain
+the canonical, oracle-matching definition.
 """
 
 from __future__ import annotations

@@ -18,11 +18,15 @@ nprobe/nlist of the data, and every stage is a DataFrame op:
 - **build**: IVF build (one shuffle to cell layout) + a broadcast
   centroid join for residuals (map-only) + m subspace k-means on the
   residual column (driver state k×dim floats) + map-only encoding.
-- **search**: probe fan-out (tiny crossJoin) → LUT literal per (query,
-  cell) computed driver-side from the query batch — bounded by the
-  same batch-query contract as ``knn_topk``'s broadcast path — → ADC
-  distance as a codegen aggregate → TakeOrdered shortlist → optional
-  exact re-rank over the shortlist ids only.
+- **search**: probe fan-out (tiny crossJoin) → LUT per (query, cell)
+  computed driver-side from the query batch — bounded by the same
+  batch-query contract as ``knn_topk``'s broadcast path — → ADC
+  distances from a shuffle-free Arrow gather kernel (LUTs in the
+  closure; the interpreted-expr fold twin is kept as the
+  oracle/exactness path, bitwise-equal) → merged shortlist → optional
+  exact re-rank over the shortlist ids only (query vectors
+  broadcast-joined, never a per-row lookup literal). For a DataFrame
+  query side (unbounded Q) use ``search_df``/``topk_join_ivfpq``.
 
 Determinism: both stages reuse the deterministic lloyd/assign
 machinery, so an index built twice from the same corpus is identical.

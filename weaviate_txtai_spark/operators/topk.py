@@ -10,8 +10,10 @@ Physical strategy (designed for 100 TB / 1000 executors):
 - The query side is small (human-issued queries) → **broadcast** it; the
   index side streams through executors partition-by-partition. No shuffle
   of the big side ever happens.
-- Scoring is a native column expression (JVM, codegen) — see
-  ``functions/vector.py``.
+- Scoring is a native column expression (JVM-side, no Python boundary;
+  note the HOF fold inside it evaluates interpreted — see
+  ``functions/vector.py`` — which is why ``knn_topk_gemm`` is the
+  many-query path).
 - Top-k per query = window ``row_number() <= k`` partitioned by query id.
   The map-side is embarrassingly parallel; the only shuffle is the final
   (num_queries × k × partitions)-row merge, which AQE coalesces.
