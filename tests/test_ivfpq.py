@@ -239,3 +239,44 @@ def test_append_routes_and_encodes_with_frozen_model(index, emb):
     got = {r["vec_id"] for r in grown.search(
         qs, 3, nprobe=8, shortlist=-(-(n + 20) // 3)).collect()}
     assert {5, 1_000_005} <= got   # both zero-distance twins rank first
+
+
+def test_append_to_saved_physical(index, emb, tmp_path):
+    """Physical append: old cell files untouched (mtimes), appended
+    rows searchable after load, cell routing == the frozen model's."""
+    import glob
+    import os
+
+    path = str(tmp_path / "ivfpq_saved")
+    index.save(path)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(path, "codes", "**", "*.parquet"),
+                           recursive=True)
+    }
+    assert before
+    new = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    index.append_to_saved(path, new)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(path, "codes", "**", "*.parquet"),
+                           recursive=True)
+    }
+    for p, t in before.items():      # old files never rewritten
+        assert after[p] == t
+    assert len(after) > len(before)  # new files appended
+    loaded = IVFPQIndex.load(index.codes.sparkSession, path)
+    assert loaded.codes.count() == emb.count() + 10
+    n = emb.count() + 10
+    qs = [(4, list(emb.filter(F.col("vec_id") == 4).head()["embedding"]))]
+    got = {r["vec_id"] for r in loaded.search(
+        qs, 3, nprobe=8, shortlist=-(-n // 3)).collect()}
+    assert {4, 2_000_004} <= got
+
+    # type-mismatch guard: int32 ids must be rejected before any write
+    bad = new.withColumn("vec_id", F.col("vec_id").cast("int"))
+    with pytest.raises(ValueError, match="types differ"):
+        index.append_to_saved(path, bad)

@@ -159,6 +159,71 @@ class IVFPQIndex:
             vector_col=self.vector_col,
         )
 
+    def append_to_saved(self, path: str, new_df: DataFrame) -> None:
+        """Physical incremental append to a SAVED index (the daily-
+        ingest shape, mirroring ``IVFIndex.append_to_saved``): assign
+        the new vectors to existing centroids, encode residuals with
+        the frozen codebooks, and APPEND into the existing ``cell=…/``
+        partition directories of both the codes and the float layout —
+        old files are never rewritten, cost is O(new batch) regardless
+        of index size. Schema/type validation (and the mixed-footer
+        hazard it guards) is delegated to the IVF side, which appends
+        the float layout first."""
+        import os
+
+        from weaviate_txtai_spark.operators.kmeans import assign_clusters
+
+        # schema/type validation BEFORE any write (same mixed-footer
+        # hazard as IVFIndex.append_to_saved: parquet append accepts
+        # mismatched footers silently and load() blows up later)
+        expected = [
+            f for f in self.ivf.assigned.schema.fields if f.name != "cell"
+        ]
+        missing = {f.name for f in expected} - set(new_df.columns)
+        if missing:
+            raise ValueError(
+                f"append_to_saved: new rows lack index columns "
+                f"{sorted(missing)}"
+            )
+        new_types = {f.name: f.dataType for f in new_df.schema.fields}
+        mismatched = [
+            (f.name, f.dataType.simpleString(),
+             new_types[f.name].simpleString())
+            for f in expected
+            if new_types[f.name] != f.dataType
+        ]
+        if mismatched:
+            raise ValueError(
+                "append_to_saved: column types differ from the saved "
+                f"index (column, saved, new): {mismatched} — cast before "
+                "appending"
+            )
+        assigned_new = assign_clusters(
+            new_df.select(*[f.name for f in expected]),
+            self.ivf.centroids,
+            vector_col=self.vector_col,
+            cluster_col="cell",
+        )
+        (
+            assigned_new.write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "vectors"))
+        )
+        residual_new = _with_residual(
+            assigned_new, self.ivf.centroids, vector_col=self.vector_col
+        )
+        keep = [
+            c for c in self.codes.columns
+            if c not in (self.id_col, "cell", "pq_code")
+        ]
+        (
+            pq_encode(residual_new, self.pq, vector_col="__res", packed=False)
+            .select(self.id_col, "cell", "pq_code", *keep)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "codes"))
+        )
+
     def save(self, path: str) -> None:
         """Persist the index: codes partitioned by cell (the scan side —
         probe pruning becomes directory pruning, same layout promise as
