@@ -280,3 +280,27 @@ def test_append_to_saved_physical(index, emb, tmp_path):
     bad = new.withColumn("vec_id", F.col("vec_id").cast("int"))
     with pytest.raises(ValueError, match="types differ"):
         index.append_to_saved(path, bad)
+
+
+def test_tune_shortlist_monotone_and_minimal(index, emb):
+    """Recall curve is non-decreasing in shortlist; the chosen value is
+    minimal (its half missed the target) and meets the target —
+    exhaustive shortlist at full probe must reach recall 1."""
+    from weaviate_txtai_spark.operators.ivfpq import tune_shortlist
+
+    qs = [(r["vec_id"], list(r["embedding"]))
+          for r in emb.filter(F.col("vec_id") < 12).collect()]
+    n = emb.count()
+    chosen, curve = tune_shortlist(
+        index, qs, 5, nprobe=8, recall_target=0.95,
+        max_shortlist=-(-n // 5),
+    )
+    vals = [curve[s] for s in sorted(curve)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    assert curve[chosen] >= 0.95 or chosen == max(curve)
+    smaller = [s for s in curve if s < chosen]
+    if smaller:
+        assert curve[max(smaller)] < 0.95
+    # (corpus-covering-shortlist exactness is pinned separately in
+    # test_full_probe_full_shortlist_equals_exact — not re-tuned here,
+    # the doubling loop at target 1.0 costs minutes)

@@ -166,9 +166,10 @@ class IVFPQIndex:
         the frozen codebooks, and APPEND into the existing ``cell=…/``
         partition directories of both the codes and the float layout —
         old files are never rewritten, cost is O(new batch) regardless
-        of index size. Schema/type validation (and the mixed-footer
-        hazard it guards) is delegated to the IVF side, which appends
-        the float layout first."""
+        of index size. Schema AND type are validated against the saved
+        layout before any write (the mixed-parquet-footer hazard: an
+        append with a differently-typed column succeeds silently and
+        only blows up at load)."""
         import os
 
         from weaviate_txtai_spark.operators.kmeans import assign_clusters
@@ -851,3 +852,66 @@ def _with_residual(
         )
         .drop("__cent")
     )
+
+
+def tune_shortlist(
+    index: IVFPQIndex,
+    sample_queries: list,
+    k: int,
+    *,
+    nprobe: int = 4,
+    recall_target: float = 0.9,
+    max_shortlist: int = 64,
+) -> tuple[int, dict[int, float]]:
+    """Smallest shortlist multiplier meeting ``recall_target`` on a
+    held-out query sample — the PQ-tier companion to ``ann.tune_nprobe``
+    (nprobe governs the COARSE miss rate, shortlist the FINE one: how
+    deep the ADC prefix must go before the true top-k is inside it).
+
+    Ground truth is exact brute-force L2 top-k over the full corpus
+    (one scan per tuning run — fine on a few hundred sampled queries).
+    Doubles shortlist 1, 2, 4, … ``max_shortlist``, measuring mean
+    per-query recall@k at the FIXED nprobe, so the curve isolates the
+    quantization-induced loss from the probe-induced loss. Returns
+    (chosen_shortlist, {shortlist: recall}). Deterministic for the same
+    reason as tune_nprobe (ties break on id everywhere). The measured
+    curve is the artifact that justifies the production shortlist — at
+    100 TB the re-rank's float I/O is shortlist·n·Q rows, so every
+    doubling you don't need is real money.
+    """
+    import numpy as np
+
+    if not sample_queries:
+        raise ValueError("tune_shortlist: empty sample_queries")
+    corpus = index.ivf.assigned.select(
+        F.col(index.id_col), F.col(index.vector_col).cast("array<double>")
+        .alias("__v")
+    ).collect()
+    ids = np.asarray([r[index.id_col] for r in corpus])
+    mat = np.asarray([list(r["__v"]) for r in corpus], dtype=np.float64)
+    truth: dict = {}
+    for qid, qv in sample_queries:
+        d = ((mat - np.asarray(list(qv), dtype=np.float64)) ** 2).sum(axis=1)
+        order = np.lexsort((ids, np.round(d, 6)))[:k]
+        truth[qid] = set(ids[order].tolist())
+
+    curve: dict[int, float] = {}
+    shortlist = 1
+    chosen = max_shortlist
+    while True:
+        shortlist = min(shortlist, max_shortlist)
+        got: dict = {}
+        res = index.search(
+            sample_queries, k, nprobe=nprobe, shortlist=shortlist
+        )
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r[index.id_col])
+        recalls = [
+            len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+        ]
+        curve[shortlist] = sum(recalls) / len(recalls)
+        if curve[shortlist] >= recall_target or shortlist == max_shortlist:
+            chosen = shortlist
+            break
+        shortlist *= 2
+    return chosen, curve
