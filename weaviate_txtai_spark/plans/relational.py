@@ -2506,7 +2506,7 @@ _EVENTS_RESAMPLE_SQL = """
 WITH agg AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(avg(value), 6) AS avg_value
+         round(avg(CAST(round(value * 100) AS BIGINT)), 6) AS avg_value
   FROM events GROUP BY 1, 2),
 spans AS (
   SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
@@ -2517,9 +2517,10 @@ grid AS (
   FROM spans)
 SELECT g.event_type, g.bucket_ts,
        CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
-       last_value(a.avg_value IGNORE NULLS) OVER (
+       round(last_value(a.avg_value IGNORE NULLS) OVER (
          PARTITION BY g.event_type ORDER BY g.bucket_ts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100, 6)
+         AS filled_value,
        (a.n_events IS NULL) AS is_gap
 FROM grid g
 LEFT JOIN agg a ON a.event_type = g.event_type AND a.bucket_ts = g.bucket_ts
@@ -2538,14 +2539,26 @@ def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence model."""
     from weaviate_txtai_spark.operators.resample import resample_ffill
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # aggregate EXACT integer cents, not raw doubles: avg(double) is
+        # accumulation-order-dependent, and at sf0.1 one bucket's mean
+        # landed within 1 ulp of a round-6 boundary — Spark and DuckDB
+        # rounded opposite ways. Integer cents make the mean an exact
+        # rational, so both engines compute the identical double (the
+        # standard money-column discipline; the source values are
+        # 2-decimal by construction).
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
     out = resample_ffill(
-        ev, keys=["event_type"], ts_col="ts", value_col="value", unit="hour"
+        ev, keys=["event_type"], ts_col="ts", value_col="value_cents",
+        unit="hour",
     )
     # NULL-free projection for the hash compare: filled_value is never
     # NULL (each key's grid starts at its first event) and is_gap
     # carries exactly the information of avg_value's gap-NULL
-    return out.drop("avg_value")
+    return out.drop("avg_value").withColumn(
+        "filled_value", F.round(F.col("filled_value") / 100, 6)
+    )
 
 
 _ORDERS_DIFF_SQL = """
