@@ -2621,3 +2621,37 @@ def orders_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
     )
     return table_diff(old, new, key_cols=["o_orderkey"])
+
+
+_ORDER_COMPONENTS_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS node,
+       CAST(min(o_orderkey) OVER (PARTITION BY o_custkey) AS BIGINT)
+         AS component
+FROM orders
+ORDER BY node
+"""
+
+
+@register("order_chain_components", _ORDER_COMPONENTS_SQL)
+def order_chain_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (operators/graph.py connected_components — O(log² n) rounds on ANY
+    graph, vs label propagation's diameter-bounded rounds). Gate shape:
+    each customer's orders are chained into a PATH graph (lead() over
+    orderkey; the last order self-loops so single-order customers stay
+    as singletons) — the components are then exactly the per-customer
+    order sets, so the truth is closed-form in SQL (min orderkey per
+    customer) while the Spark side runs the real iterative machinery
+    over deep paths (the case one-hop label propagation cannot finish
+    in bounded rounds; pinned in tests/test_components.py)."""
+    from weaviate_txtai_spark.operators.graph import connected_components
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = orders.select(
+        F.col("o_orderkey").alias("src"),
+        F.coalesce(
+            F.lead("o_orderkey").over(w), F.col("o_orderkey")
+        ).alias("dst"),
+    )
+    return connected_components(edges, max_iter=25).orderBy("node")
