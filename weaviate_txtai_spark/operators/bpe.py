@@ -50,7 +50,13 @@ class BPEModel:
 
     @property
     def ranks(self) -> dict[tuple[str, str], int]:
-        return {pair: i for i, pair in enumerate(self.merges)}
+        # memoized: encode_word runs per unique word — rebuilding an
+        # O(merges) dict for each would dominate the encode
+        r = getattr(self, "_ranks", None)
+        if r is None or len(r) != len(self.merges):
+            r = {pair: i for i, pair in enumerate(self.merges)}
+            object.__setattr__(self, "_ranks", r)
+        return r
 
     def encode_word(self, word: str) -> list[str]:
         """Apply the merge table to one word (greedy lowest-rank-first
