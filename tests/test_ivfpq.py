@@ -147,6 +147,20 @@ def test_filtered_search_with_keep_cols(emb):
         ).select("label").collect()
     }
     assert all(lb >= 5 for lb in labels)
+    # the DataFrame query side honors the same pre-shortlist pruning
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    got_df = idx.search_df(qdf, 5, nprobe=4, shortlist=10,
+                           where="label >= 5")
+    hit_labels = {
+        r["label"]
+        for r in emb.join(got_df.select("vec_id"), "vec_id")
+        .select("label").collect()
+    }
+    assert hit_labels and all(lb >= 5 for lb in hit_labels)
+    assert {r["query_id"] for r in got_df.collect()} == {0, 1, 2}
     with pytest.raises(ValueError, match="keep_cols not in input"):
         IVFPQIndex.build(emb, nlist=4, m=4, k_pq=8, pq_iters=0,
                          keep_cols=["nope"])
