@@ -1181,3 +1181,56 @@ def binary_hamming_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk_rerank(
         codes, emb, q, qcode, 10, shortlist=-(-n_corpus // 10)
     )
+
+
+@register("opq_knn_rerank", _PQ_RERANK_SQL)
+def opq_knn_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ (operators/opq.py): a LEARNED orthogonal rotation in front
+    of PQ (Ge et al. 2013) — trained end-to-end here (2 alternations,
+    real Procrustes updates), then gated the same way as pq_knn_rerank:
+    a corpus-covering ADC shortlist makes the rotated codes a pure
+    candidate proposer and the exact re-rank must equal brute-force L2
+    top-10 REGARDLESS of the learned rotation (orthogonal R preserves
+    L2, so searching rotated codes targets the original-space
+    distance). Rotation orthogonality, error monotonicity on
+    anisotropic data, and the iters=0 ≡ plain-PQ twin are pinned in
+    tests/test_opq.py."""
+    from weaviate_txtai_spark.operators.opq import (
+        opq_encode,
+        opq_topk,
+        train_opq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n_corpus = emb.count()
+    model = train_opq(emb, m=8, k=16, opq_iters=2, pq_iters=1,
+                      dist_round_decimals=6)
+    codes = opq_encode(
+        emb, model, dist_round_decimals=6
+    ).select("vec_id", "pq_code")
+    q = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    shortlist = -(-n_corpus // 10) * 10
+    cand = opq_topk(codes, model, q, shortlist).select("vec_id")
+    lit = F.array(*[F.lit(float(v)) for v in q])
+    exact = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        lit,
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("dist"),
+        )
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w))
