@@ -2655,3 +2655,297 @@ def order_chain_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     )
     return connected_components(edges, max_iter=25).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2/Q6/Q9/Q16/Q20 analogues — the remaining decision-support shapes
+# (the testdata has no partsupp/commitdate/shipmode, so Q2/Q16/Q20 derive
+# the part↔supplier relation from lineitem; the SHAPES are the point:
+# correlated min, filter-only agg, 5-way profit join, distinct-count with
+# an exclusion list, semi-join chain).
+# --------------------------------------------------------------------------
+
+_FORECAST_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue", _FORECAST_REVENUE_SQL)
+def forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-and-aggregate scan. All four
+    predicates push to the parquet reader (PushedFilters: shipdate
+    range as min/max stats pruning, quantity/discount as row-group
+    stats); only 4 columns read; no shuffle at all — the single-stage
+    partial→final agg. At 100 TB this is the query that proves the
+    scan path is not the bottleneck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_PRODUCT_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("product_profit", _PRODUCT_PROFIT_SQL)
+def product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: the widest join in the suite — fact table against
+    four dimensions (orders/supplier/nation/part), profit per supplier
+    nation per order year. Cost is proxied by 10% of p_retailprice
+    (no partsupp.ps_supplycost in the testdata). Plan: the p_name
+    filter prunes part FIRST, then part/supplier/nation broadcast (all
+    small dims) so lineitem shuffles exactly once — on l_orderkey for
+    the orders join; at 1000 executors that is one fact shuffle, not
+    four."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    pf = part.filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_MIN_COST_SUPPLIER_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, min(unit_price) AS best_price FROM offers GROUP BY 1
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal,
+       round(o.unit_price, 6) AS unit_price
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
+JOIN part p ON o.l_partkey = p.p_partkey
+JOIN supplier s ON o.l_suppkey = s.s_suppkey
+WHERE p.p_size <= 5
+ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_name
+LIMIT 15
+"""
+
+
+@register("min_cost_supplier", _MIN_COST_SUPPLIER_SQL)
+def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each (small) part, the supplier(s) offering
+    the minimum observed unit price — the correlated scalar-MIN
+    subquery, decorrelated into agg + self-equi-join (the rewrite
+    Catalyst also applies to the textbook form). The min-price join key
+    is a DOUBLE produced by the same min() on both sides, so equality
+    is exact, and ties (co-best suppliers) are all kept, as in the
+    spec. part/supplier broadcast; the only fact shuffle is the
+    groupBy(l_partkey, l_suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        )
+    )
+    # best must be re-aliased: both frames share lineage, and a
+    # same-lineage equi-condition silently resolves to the SAME column
+    # (trivially true), leaving only the price-equality condition —
+    # wrong pairs whenever two parts share a unit price.
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("best_price"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .drop("b_partkey")
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_size") <= 5).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "s_acctbal")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(15)
+    )
+
+
+_SUPPLIER_CNT_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 25
+"""
+
+
+@register("parts_supplier_count", _SUPPLIER_CNT_SQL)
+def parts_supplier_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute
+    triple, minus an excluded supplier list (NOT IN subquery → a
+    broadcast anti-join on the fact side BEFORE the expensive distinct
+    agg, so excluded rows never reach the shuffle). countDistinct
+    expands to a two-phase agg (partial distinct on (keys, suppkey),
+    then final count) — the scalable plan for high-cardinality
+    distinct at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+        .limit(25)
+    )
+
+
+_EXCESS_SUPPLIER_SQL = """
+WITH pp AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+), agg AS (
+  SELECT l.l_suppkey,
+         sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l.l_shipdate < TIMESTAMP '1999-01-01'
+                  THEN l.l_quantity ELSE 0 END) AS q_win,
+         sum(l.l_quantity) AS q_all
+  FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+  GROUP BY 1
+)
+SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM agg WHERE q_win > 0.33 * q_all)
+ORDER BY s.s_name
+"""
+
+
+@register("excess_suppliers", _EXCESS_SUPPLIER_SQL)
+def excess_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the semi-join chain — part filter → fact
+    aggregate with a threshold (suppliers shipping >33% of their
+    all-time 'small%'-part quantity inside 1997-98) → LEFT SEMI into
+    the supplier dimension. The IN-subquery becomes one broadcast
+    semi-join (the qualifying-supplier set is ≤|supplier|); the part
+    filter broadcasts into the fact scan so lineitem is pruned before
+    its single groupBy shuffle. q_win/q_all come from ONE conditional
+    aggregate pass, not two scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pp = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    in_win = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1999-01-01"
+    )
+    agg = (
+        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_win, F.col("l_quantity")).otherwise(0.0)).alias(
+                "q_win"
+            ),
+            F.sum("l_quantity").alias("q_all"),
+        )
+        .filter(F.col("q_win") > 0.33 * F.col("q_all"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(agg),
+            supplier.s_suppkey == agg.l_suppkey,
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
