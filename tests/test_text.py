@@ -213,3 +213,40 @@ def test_normalize_text_semantics(spark):
     assert got[2] == "abcd"
     assert got[3] == "mixedcase!"
     assert got[4] is None
+
+
+# ---------------------------------------------------------------- ngrams
+def test_ngrams_keeps_repeats_in_order(spark):
+    from weaviate_txtai_spark.functions.text import ngrams
+
+    df = spark.createDataFrame([("a b a b",), ("x",)], ["t"])
+    out = [r[0] for r in df.select(ngrams("t", 2)).collect()]
+    assert out[0] == ["a b", "b a", "a b"]  # repeats kept, ordered
+    assert out[1] == []  # shorter than n
+
+
+def test_gopher_repetition_hand_computed(spark, sf_dir):
+    """Pin the full definition on a handmade doc: 'a a a b' →
+    2-grams {a a:2, a b:1}; total_chars=4; top2 = 2*2/4 = 1.0,
+    dup2 = 2*2/4 = 1.0; 3-grams {a a a:1, a a b:1} all unique →
+    dup3 = 0, top3 = 3/4."""
+    import weaviate_txtai_spark.plans.queries  # noqa: F401 register
+    from weaviate_txtai_spark.plans.base import REGISTRY
+    from unittest import mock
+    from weaviate_txtai_spark.sources import tables
+
+    doc = spark.createDataFrame(
+        [(0, "a a a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(
+        tables, "load_table", lambda s, d, t: doc
+    ), mock.patch(
+        "weaviate_txtai_spark.plans.text.load_table",
+        lambda s, d, t: doc,
+    ):
+        row = REGISTRY["docs_gopher_repetition"][0](spark, sf_dir).collect()[0]
+    assert row["top2_char_frac"] == 1.0
+    assert row["dup2_char_frac"] == 1.0
+    assert row["top3_char_frac"] == 0.75
+    assert row["dup3_char_frac"] == 0.0

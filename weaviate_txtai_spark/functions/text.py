@@ -124,6 +124,20 @@ def rolling_fingerprint(text, base: int = 131, mod: int = 1_000_000_007) -> Colu
     )
 
 
+def ngrams(text, n: int) -> Column:
+    """ALL word n-grams in order (with repeats — unlike ``shingles``,
+    which dedups); [] when fewer than n tokens. Repeats are the point:
+    repetition-quality signals count occurrences."""
+    t = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(text, n: int = 3) -> Column:
     """Distinct word n-gram shingles; [] when fewer than n tokens."""
     t = tokens(text)

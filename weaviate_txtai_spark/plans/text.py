@@ -716,3 +716,124 @@ def bpe_train_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition battery (Rae et al. 2021 §A1.1 — public): the
+# n-gram repetition signals a pretraining filter thresholds on. The char
+# accounting is the occurrence-weighted definition (count × non-space
+# chars of the gram / total non-space chars) — overlapping occurrences
+# are NOT de-overlapped, and the top gram is the max-COVERAGE one (ties
+# in raw count resolve by coverage, deterministically); both choices are
+# replayed verbatim in the oracle.
+# --------------------------------------------------------------------------
+
+_GOPHER_REP_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ts,
+         CAST(len(replace(text, ' ', '')) AS DOUBLE) AS total_chars
+  FROM documents
+), ng AS (
+  SELECT doc_id, total_chars, n,
+         unnest(list_transform(range(1, greatest(len(ts) - n + 2, 1)),
+                i -> array_to_string(list_slice(ts, i, i + n - 1), ' '))) AS g
+  FROM tok, (SELECT unnest([2, 3]) AS n)
+), c AS (
+  SELECT doc_id, total_chars, n, g,
+         count(*) AS cnt,
+         CAST(len(replace(g, ' ', '')) AS DOUBLE) AS charlen
+  FROM ng GROUP BY 1, 2, 3, 4
+), per AS (
+  SELECT doc_id, total_chars, n,
+         max(cnt * charlen) AS top_cov,
+         coalesce(sum(cnt * charlen) FILTER (cnt > 1), 0.0) AS dup_cov
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       round(coalesce(max(CASE WHEN n = 2 THEN top_cov END), 0.0)
+             / total_chars, 6) AS top2_char_frac,
+       round(coalesce(max(CASE WHEN n = 2 THEN dup_cov END), 0.0)
+             / total_chars, 6) AS dup2_char_frac,
+       round(coalesce(max(CASE WHEN n = 3 THEN top_cov END), 0.0)
+             / total_chars, 6) AS top3_char_frac,
+       round(coalesce(max(CASE WHEN n = 3 THEN dup_cov END), 0.0)
+             / total_chars, 6) AS dup3_char_frac
+FROM per GROUP BY doc_id, total_chars
+ORDER BY doc_id
+"""
+
+
+@register("docs_gopher_repetition", _GOPHER_REP_SQL)
+def docs_gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per doc: top-{2,3}-gram character
+    coverage and duplicated-{2,3}-gram character fraction. ONE pass
+    builds every (n, gram) occurrence row (tagged structs, flattened,
+    exploded — no per-n rescan of the corpus), one shuffle counts
+    (doc, n, gram), and the per-doc reduction after that is
+    partial-aggregatable. All expressions are built-ins; the explode
+    fan-out is ~2 rows per token — linear in corpus size, the 100 TB
+    shape for per-doc token statistics."""
+    from weaviate_txtai_spark.functions.text import ngrams
+    from weaviate_txtai_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = F.length(F.regexp_replace("text", " ", "")).cast("double")
+
+    # single-arg closure per n: a TWO-arg lambda in F.transform is the
+    # (element, index) form, which would bind n to the array index
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(ngrams(F.col("text"), n), _tag(n))
+                for n in (2, 3)
+            ]
+        )
+    )
+    c = (
+        spread(docs)
+        .select("doc_id", total.alias("total_chars"),
+                F.explode(tagged).alias("t"))
+        .select("doc_id", "total_chars", "t.n", "t.g")
+        .groupBy("doc_id", "total_chars", "n", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "charlen",
+            F.length(F.regexp_replace("g", " ", "")).cast("double"),
+        )
+    )
+    cov = F.col("cnt") * F.col("charlen")
+    per = c.groupBy("doc_id", "total_chars", "n").agg(
+        F.max(cov).alias("top_cov"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, cov)), F.lit(0.0)
+        ).alias("dup_cov"),
+    )
+
+    def pick(n, col):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0.0)
+        )
+
+    return (
+        per.groupBy("doc_id", "total_chars")
+        .agg(
+            F.round(pick(2, "top_cov") / F.col("total_chars"), 6).alias(
+                "top2_char_frac"
+            ),
+            F.round(pick(2, "dup_cov") / F.col("total_chars"), 6).alias(
+                "dup2_char_frac"
+            ),
+            F.round(pick(3, "top_cov") / F.col("total_chars"), 6).alias(
+                "top3_char_frac"
+            ),
+            F.round(pick(3, "dup_cov") / F.col("total_chars"), 6).alias(
+                "dup3_char_frac"
+            ),
+        )
+        .drop("total_chars")
+        .orderBy("doc_id")
+    )
