@@ -837,3 +837,54 @@ def docs_gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("total_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): target = the 'en' slice of
+# the corpus, raw = everything; weight = Σ_tok ln p̂_t − ln p̂_r with
+# Laplace 0.5 smoothing over the union vocabulary. The oracle replays
+# the exact estimator; ln on identical doubles matches (same pattern as
+# the BM25 gate).
+# --------------------------------------------------------------------------
+
+_DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS f
+  FROM documents
+), vocab AS (
+  SELECT f, count(*) AS c_raw,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+  FROM tok GROUP BY 1
+), totals AS (
+  SELECT sum(c_raw) AS n_raw, sum(c_t) AS n_t, count(*) AS v FROM vocab
+), lr AS (
+  SELECT f, ln((c_t + 0.5) / (n_t + 0.5 * v))
+            - ln((c_raw + 0.5) / (n_raw + 0.5 * v)) AS lr
+  FROM vocab, totals
+)
+SELECT tok.doc_id, round(sum(lr.lr), 6) AS weight
+FROM tok JOIN lr ON tok.f = lr.f
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("dsir_importance", _DSIR_SQL)
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/importance.py): score every
+    doc by target-likeness under smoothed unigram models, target =
+    lang='en'. Gate mode uses raw-string features (oracle-exact); the
+    100 TB mode sets num_buckets so the vocab join side is fixed-size
+    and broadcast (pinned in tests/test_importance.py). Docs whose
+    high weights mark them target-like feed the existing weighted
+    samplers for the actual resample."""
+    from weaviate_txtai_spark.operators.importance import dsir_weights
+    from weaviate_txtai_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_weights(
+            spread(docs), F.col("lang") == "en", round_decimals=6
+        )
+        .orderBy("doc_id")
+    )
