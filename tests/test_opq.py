@@ -83,3 +83,61 @@ def test_opq_topk_self_match(anisotropic):
     top = opq_topk(codes, model, q, 5).collect()
     assert any(r["vec_id"] == 3 for r in top)  # self in ADC top-5
     assert [r["rank"] for r in top] == [1, 2, 3, 4, 5]
+
+
+# ------------------------------------------------------------- IVF-OPQ
+def test_ivfopq_iters0_equals_plain_ivfpq(spark, emb):
+    """opq_iters=0 keeps R = I, so the composed index must return
+    EXACTLY what a plain IVFPQIndex returns, row for row."""
+    from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+    from weaviate_txtai_spark.operators.opq import IVFOPQIndex
+
+    kw = dict(nlist=4, m=4, k_pq=8, pq_iters=1, dist_round_decimals=6)
+    a = IVFOPQIndex.build(emb, opq_iters=0, **kw)
+    b = IVFPQIndex.build(emb, **kw)
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+    ra = sorted(map(tuple, a.search(qs, 5, nprobe=4, shortlist=100).collect()))
+    rb = sorted(map(tuple, b.search(qs, 5, nprobe=4, shortlist=100).collect()))
+    assert ra == rb
+
+
+def test_ivfopq_search_df_exactness_and_roundtrip(spark, emb, tmp_path):
+    """DataFrame-query path in exactness mode == brute-force top-3 per
+    query; save/load round-trips the rotation (searches agree)."""
+    from weaviate_txtai_spark.operators.opq import IVFOPQIndex
+    from weaviate_txtai_spark.operators.topk import knn_topk_gemm
+
+    n_corpus = emb.count()
+    idx = IVFOPQIndex.build(
+        emb, nlist=4, m=4, k_pq=8, opq_iters=1, pq_iters=1,
+        dist_round_decimals=6,
+    )
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    got = idx.search_df(
+        qdf, 3, nprobe=4, shortlist=-(-n_corpus // 3)
+    ).select("query_id", "vec_id", "rank")
+    got_rows = sorted(map(tuple, got.collect()))
+
+    # brute-force truth on the ORIGINAL floats (rotation-independent)
+    qs = [
+        (r["query_id"], list(r["query_vector"])) for r in qdf.collect()
+    ]
+    truth = (
+        knn_topk_gemm(emb, qs, 3, metric="l2")
+        .select("query_id", "vec_id", "rank")
+    )
+    assert got_rows == sorted(map(tuple, truth.collect()))
+
+    path = str(tmp_path / "ivfopq")
+    idx.save(path)
+    loaded = IVFOPQIndex.load(spark, path)
+    again = loaded.search_df(
+        qdf, 3, nprobe=4, shortlist=-(-n_corpus // 3)
+    ).select("query_id", "vec_id", "rank")
+    assert sorted(map(tuple, again.collect())) == got_rows

@@ -264,3 +264,128 @@ def reconstruction_error(
         .head()
     )
     return float(agg["e"]) / max(int(agg["n"]), 1)
+
+
+@dataclass
+class IVFOPQIndex:
+    """OPQ pre-transform composed with IVF-PQ — the FAISS
+    ``OPQm,IVFn,PQm`` factory string (public). The rotation is learned
+    once on the corpus (flat-PQ proxy objective — rotation quality is
+    insensitive to the proxy's k, so a small k_rot keeps training
+    cheap), the corpus is rotated in one map-only Arrow pass, and the
+    whole IVF-PQ machinery (cells, residual codes, ADC kernels,
+    save/load, filtered search) runs unchanged in rotated space.
+    Because R is orthogonal, rotated-space L2 IS original-space L2, so
+    probing, ADC estimates, and the exact re-rank all target the
+    original distances (re-ranked ``dist`` values can differ from an
+    original-space computation only in float rounding, ~1e-12
+    relative). ``opq_iters=0`` keeps R = identity and the index IS a
+    plain IVFPQIndex — the exactness twin (pytest-pinned)."""
+
+    rotation: list[list[float]]
+    index: object  # IVFPQIndex
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        *,
+        nlist: int = 16,
+        m: int = 8,
+        k_pq: int = 256,
+        opq_iters: int = 2,
+        pq_iters: int = 2,
+        k_rot: Optional[int] = None,
+        id_col: str = "vec_id",
+        vector_col: str = "embedding",
+        seed: int = 42,
+        dist_round_decimals: Optional[int] = None,
+        keep_cols: Sequence[str] = (),
+    ) -> "IVFOPQIndex":
+        from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+
+        model = train_opq(
+            df,
+            m=m,
+            k=k_rot if k_rot is not None else min(k_pq, 16),
+            opq_iters=opq_iters,
+            pq_iters=1,
+            id_col=id_col,
+            vector_col=vector_col,
+            dist_round_decimals=dist_round_decimals,
+        )
+        rotated = _rotate_df(
+            df.withColumn(
+                "__x", F.col(vector_col).cast("array<double>")
+            ),
+            model.rotation,
+            vector_col="__x",
+            out_col="__rot",
+        ).drop("__x")
+        idx = IVFPQIndex.build(
+            rotated,
+            nlist=nlist,
+            m=m,
+            k_pq=k_pq,
+            pq_iters=pq_iters,
+            id_col=id_col,
+            vector_col="__rot",
+            seed=seed,
+            dist_round_decimals=dist_round_decimals,
+            keep_cols=keep_cols,
+        )
+        return cls(rotation=model.rotation, index=idx)
+
+    def _rotate_queries(self, queries):
+        import numpy as np
+
+        R = np.asarray(self.rotation, dtype=np.float64)
+        return [
+            (qid, (np.asarray(list(qv), dtype=np.float64) @ R).tolist())
+            for qid, qv in queries
+        ]
+
+    def search(self, queries, n: int, **kwargs) -> DataFrame:
+        """Driver-batch search: queries rotate driver-side (Q·dim²
+        flops), then the plain IVF-PQ path runs in rotated space."""
+        return self.index.search(self._rotate_queries(queries), n, **kwargs)
+
+    def search_df(self, query_df: DataFrame, n: int, *,
+                  query_vector_col: str = "query_vector",
+                  **kwargs) -> DataFrame:
+        """DataFrame-query search: one extra map-only Arrow rotation
+        pass on the query side; everything downstream is the existing
+        cogrouped ADC + re-rank plan."""
+        rot = _rotate_df(
+            query_df.withColumn(
+                "__x", F.col(query_vector_col).cast("array<double>")
+            ),
+            self.rotation,
+            vector_col="__x",
+            out_col="__qrot",
+        ).drop("__x", query_vector_col)
+        return self.index.search_df(
+            rot.withColumnRenamed("__qrot", query_vector_col),
+            n,
+            query_vector_col=query_vector_col,
+            **kwargs,
+        )
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        self.index.save(path)
+        with open(os.path.join(path, "opq_rotation.json"), "w") as f:
+            json.dump({"rotation": self.rotation}, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFOPQIndex":
+        import json
+        import os
+
+        from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+
+        with open(os.path.join(path, "opq_rotation.json")) as f:
+            rotation = json.load(f)["rotation"]
+        return cls(rotation=rotation, index=IVFPQIndex.load(spark, path))

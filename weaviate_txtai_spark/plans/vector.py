@@ -1234,3 +1234,30 @@ def opq_knn_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
     return exact.withColumn("rank", F.row_number().over(w))
+
+
+@register("ivfopq_knn", _IVFPQ_KNN_SQL)
+def ivfopq_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ + IVF-PQ composed (operators/opq.py IVFOPQIndex — the FAISS
+    'OPQm,IVFn,PQm' pipeline): a LEARNED orthogonal rotation in front
+    of the full IVF-PQ machinery. Gated in exactness mode (nprobe ==
+    nlist + corpus-covering shortlist) against the same brute-force-L2
+    oracle as ivfpq_knn: the rotation is orthogonal, so rotated-space
+    re-rank distances equal original-space L2 (up to ~1e-12 float
+    rounding, absorbed by the round-6 both engines order by), and the
+    result must match REGARDLESS of what the rotation or clustering
+    learned. The iters=0 ≡ plain-IVFPQ twin and production recall are
+    pinned in tests/test_opq.py."""
+    from weaviate_txtai_spark.operators.opq import IVFOPQIndex
+
+    emb = _emb(spark, sf_dir)
+    n_corpus = emb.count()
+    idx = IVFOPQIndex.build(
+        emb, nlist=8, m=8, k_pq=16, opq_iters=1, pq_iters=1,
+        dist_round_decimals=6,
+    )
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return idx.search(qs, 5, nprobe=8, shortlist=-(-n_corpus // 5))
