@@ -62,6 +62,11 @@ HEADLINE_HEAVY = [
     # round-4 PQ tier (VERDICT r4 item 5): build+search end-to-end
     "pq_knn",
     "ivfpq_knn",
+    # round-5 tiers tracked round-over-round (VERDICT r5 item 5); r5
+    # baselines in NOTES.md
+    "sim_join_ivfpq",
+    "binary_hamming_rerank",
+    "order_chain_components",
 ]
 
 

@@ -48,6 +48,35 @@ def test_ivf_nprobe_full_equals_exact(spark, sf_dir):
     assert full == exact  # probing every cell == brute force
 
 
+def test_ivf_probe_strategy_parity(spark, sf_dir):
+    """Default map-only GEMM probe == crossJoin+window expr twin in
+    production mode (nprobe < nlist), on both the broadcast and the
+    cogrouped join paths; bogus strategy raises."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = _queries(emb, 12)
+    idx = IVFIndex.build(emb, nlist=8)
+    for bq in (True, False):
+        gemm = sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in idx.search(
+                qdf, 4, nprobe=3, broadcast_queries=bq,
+                probe_strategy="gemm",
+            ).collect()
+        )
+        expr = sorted(
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in idx.search(
+                qdf, 4, nprobe=3, broadcast_queries=bq,
+                probe_strategy="expr",
+            ).collect()
+        )
+        assert gemm == expr, f"broadcast_queries={bq}"
+    with pytest.raises(ValueError, match="probe_strategy"):
+        idx.search(qdf, 4, probe_strategy="nope")
+
+
 def test_topk_join_matches_knn(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     left = _queries(emb, 7)
@@ -437,3 +466,39 @@ def test_lsh_sizing_model(spark):
     # explicit params pass through untouched
     assert _lsh_sizing(0.9, 0, 1, n_total=None,
                        target_bucket_rows=4096, target_recall=0.99)[:2] == (0, 1)
+
+
+def test_lsh_sizing_keeps_user_planes_and_warns(spark):
+    """A user-supplied num_planes is NEVER walked down when the 64-table
+    cap binds (ADVICE r5: silently loosening it broke the caller's
+    bucket-size bound) — tables cap at 64, planes stay, and a warning
+    names the achieved recall. Auto-sized planes still walk down."""
+    import warnings
+
+    from weaviate_txtai_spark.operators.simjoin import _lsh_sizing
+
+    # threshold 0.5, 20 planes: collision ~ (2/3)^20 ≈ 3e-4 → needs
+    # thousands of tables for 0.99 recall → the cap binds
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        planes, tables, recall = _lsh_sizing(
+            0.5, 20, None, n_total=None,
+            target_bucket_rows=4096, target_recall=0.99,
+        )
+        msgs = [str(w.message) for w in caught
+                if issubclass(w.category, UserWarning)]
+    assert planes == 20          # user's parameter honored
+    assert tables == 64          # capped, not exploded
+    assert recall < 0.99         # honest about the shortfall
+    assert any("keeping your num_planes" in m for m in msgs)
+    # same scenario with AUTO planes: the walk-down happens, no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        p_auto, t_auto, r_auto = _lsh_sizing(
+            0.5, None, None, n_total=100_000_000_000,
+            target_bucket_rows=4096, target_recall=0.99,
+        )
+        auto_msgs = [str(w.message) for w in caught
+                     if issubclass(w.category, UserWarning)]
+    assert r_auto >= 0.99
+    assert not any("keeping your num_planes" in m for m in auto_msgs)

@@ -212,6 +212,29 @@ def test_search_df_matches_batch_search(index, emb):
                    for r in dfres.collect()], key=key)
 
 
+def test_search_df_probe_strategy_parity(index, emb):
+    """The map-only GEMM probe (default) and the crossJoin+window expr
+    twin pick the same cells and hence the same results in PRODUCTION
+    mode (nprobe < nlist — exactness mode probes everything and would
+    hide a probe bug): both rank (round(dist,9) ASC, cell ASC)."""
+    qdf = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    kw = dict(nprobe=3, shortlist=8)
+    gemm = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in index.search_df(qdf, 4, probe_strategy="gemm", **kw).collect()
+    )
+    expr = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in index.search_df(qdf, 4, probe_strategy="expr", **kw).collect()
+    )
+    assert gemm == expr
+    with pytest.raises(ValueError, match="probe_strategy"):
+        index.search_df(qdf, 4, probe_strategy="nope")
+
+
 def test_search_df_covers_all_queries_production(index, emb):
     """Every query survives the cogrouped kernel in production mode
     (nprobe < nlist, small shortlist) — the cogroup key-type regression

@@ -129,7 +129,9 @@ def test_ivfopq_search_df_exactness_and_roundtrip(spark, emb, tmp_path):
         (r["query_id"], list(r["query_vector"])) for r in qdf.collect()
     ]
     truth = (
-        knn_topk_gemm(emb, qs, 3, metric="l2")
+        knn_topk_gemm(
+            emb, qs, 3, metric="l2", vector_col="embedding", id_col="vec_id"
+        )
         .select("query_id", "vec_id", "rank")
     )
     assert got_rows == sorted(map(tuple, truth.collect()))

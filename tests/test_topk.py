@@ -1,6 +1,8 @@
 """Batch kNN: expression path vs GEMM path agree; ranks deterministic."""
 
+import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from weaviate_txtai_spark.operators import knn_topk, knn_topk_gemm
 from weaviate_txtai_spark.operators.topk import knn_single
@@ -55,6 +57,60 @@ def test_gemm_matches_expression_path(spark, sf_dir):
         ).collect()
     }
     assert expr_res == gemm_res
+
+
+def test_gemm_l2_metric_matches_expression_truth(spark, sf_dir):
+    """metric='l2' ranks ascending Euclidean distance with the same
+    (distance ASC, id ASC) tie-break the PQ family's truth queries use;
+    truth computed via the crossJoin + zip_with expr path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [0, 7, 42]
+    qdf = _query_df(spark, emb, ids)
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("query_vector").cast("array<double>"),
+                lambda x, q: (x - q) * (x - q),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    # 6-decimal compare (the repo's dist_round_decimals convention): the
+    # GEMM's expanded form ||x||²−2x·q+||q||² carries ~1e-8 cancellation
+    # noise vs the expr path's (x−q)² — identical ranks, not identical bits
+    truth = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["dist"], 6))
+        for r in emb.crossJoin(F.broadcast(qdf))
+        .select("query_id", "vec_id", l2.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    }
+    queries = [
+        (r["query_id"], list(r["query_vector"])) for r in qdf.collect()
+    ]
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["score"], 6))
+        for r in knn_topk_gemm(
+            emb, queries, 10, vector_col="embedding", id_col="vec_id",
+            metric="l2",
+        ).collect()
+    }
+    assert got == truth
+    # self-match: distance 0 at rank 1 for each query
+    for qid in ids:
+        assert truth[(qid, 1)][0] == qid
+
+
+def test_gemm_rejects_unknown_metric(spark):
+    docs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "docid long, vector array<float>"
+    )
+    with pytest.raises(ValueError, match="unknown metric"):
+        knn_topk_gemm(docs, [(0, [1.0, 0.0])], 1, metric="dot")
 
 
 def test_knn_single_matches_batch(spark, sf_dir):

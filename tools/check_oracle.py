@@ -99,6 +99,12 @@ def main():
                 ][:3]
                 print(f"FAIL {name}: values differ; first diffs: {diffs}")
                 ok = False
+        if ok and len(srows) == 0:
+            # a 0-row == 0-row "pass" verifies nothing (VERDICT r5 #2:
+            # nation_market_share filtered on a value the generator never
+            # produces and stayed green for a round) — treat as failure
+            print(f"FAIL {name}: 0 rows — vacuously green oracle")
+            ok = False
         if ok:
             print(f"PASS {name} ({len(srows)} rows)")
         else:

@@ -29,6 +29,110 @@ from weaviate_txtai_spark.cache import scoped_persist
 from weaviate_txtai_spark.functions.vector import cosine_sim
 
 
+def probe_cells_gemm(
+    query_df: DataFrame,
+    centroids: list[tuple[int, list]],
+    nprobe: int,
+    *,
+    metric: str,
+    query_id_col: str = "query_id",
+    query_vector_col: str = "query_vector",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Map-only probe selection: for each query row emit its nprobe
+    nearest cells. Output columns: ``__qid`` (input id type), ``__qv``
+    (array<double>), ``cell`` (int).
+
+    Replaces the crossJoin(centroids) + interpreted zip_with/aggregate
+    fold + window plan (VERDICT r5 perf note): that plan evaluates a
+    per-element HOF over Q × nlist rows AND shuffles them for the
+    row_number window — and nlist grows ∝ √N, so at 100× the fold is
+    the same interpreted-HOF-on-a-large-frame pattern banned elsewhere
+    (NOTES.md r4). Here each Arrow batch scores (batch × dim) @
+    (dim × nlist) with one BLAS call — centroids are closure state,
+    already bounded driver model state — and emits batch × nprobe rows
+    directly: NO shuffle at all, where the window plan shuffled
+    Q × nlist rows.
+
+    Tie-break parity with the expr twin: distances round to
+    ``round_decimals`` then (metric order, cell ASC) via lexsort —
+    the same rule the window's (dist ASC | sim DESC, cell ASC) applies.
+    ``metric``: 'l2' (squared L2, ascending — the IVF-PQ probe) or
+    'cosine' (descending — the IVF probe).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+    from typing import Iterator
+
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"probe_cells_gemm: unknown metric {metric!r}")
+
+    cents = sorted((int(c), list(v)) for c, v in centroids)
+    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    C = np.asarray([v for _, v in cents], dtype=np.float64)  # (nlist, dim)
+    if metric == "cosine":
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        cn[cn == 0.0] = 1.0
+        Cn = C / cn
+    csq = (C * C).sum(axis=1)  # (nlist,)
+    np_take = min(nprobe, len(cents))
+
+    qid_type = query_df.schema[query_id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("__qid", qid_type),
+            StructField("__qv", ArrayType(DoubleType())),
+            StructField("cell", IntegerType()),
+        ]
+    )
+
+    def probe(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.asarray(list(pdf[query_vector_col]), dtype=np.float64)
+            if metric == "l2":
+                # expanded form: one GEMM; clip the fp-cancellation dip
+                d = np.clip(
+                    (Q * Q).sum(axis=1, keepdims=True)
+                    - 2.0 * (Q @ C.T)
+                    + csq[None, :],
+                    0.0,
+                    None,
+                )
+                key = np.round(d, round_decimals)  # ascending
+            else:
+                qn = np.linalg.norm(Q, axis=1, keepdims=True)
+                qn[qn == 0.0] = 1.0
+                key = -np.round((Q / qn) @ Cn.T, round_decimals)  # asc(-sim)
+            # per query: (key ASC, cell ASC) — full lexsort over nlist is
+            # fine (nlist ≪ corpus; this is per-batch driver-free work)
+            order = np.lexsort((np.broadcast_to(cell_ids, key.shape), key),
+                               axis=1)[:, :np_take]
+            qids = pdf[query_id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "__qid": np.repeat(qids, np_take),
+                    "__qv": [list(v) for v in np.repeat(Q, np_take, axis=0)],
+                    "cell": cell_ids[order].ravel().astype("int32"),
+                }
+            )
+
+    src = query_df.select(
+        query_id_col,
+        F.col(query_vector_col).cast("array<double>").alias(query_vector_col),
+    )
+    return src.mapInPandas(probe, schema=out_schema)
+
+
 class IVFIndex:
     """nlist-cell IVF index materialized as a DataFrame (cache or write
     partitionBy('cell') for reuse)."""
@@ -190,6 +294,7 @@ class IVFIndex:
         broadcast_queries: bool = True,
         cell_salt: int | None = None,
         where=None,
+        probe_strategy: str = "gemm",
     ) -> DataFrame:
         """Approximate top-k: probe the nprobe cells whose centroids are
         nearest (by cosine) to each query. Columns: query_id, id, score,
@@ -240,24 +345,41 @@ class IVFIndex:
         # same logical key in different partitions and the cogroup drops
         # most groups (observed: exactly ~nprobe/nlist of queries kept)
         cell_type = self.assigned.schema["cell"].dataType.simpleString()
-        cent = spark.createDataFrame(
-            self.centroids, ["cell", "centroid"]
-        ).withColumn("cell", F.col("cell").cast(cell_type))
-        q = query_df.select(
-            F.col(query_id_col).alias("__qid"),
-            F.col(query_vector_col).alias("__qv"),
-        )
-        # tiny crossJoin: queries × nlist centroids
-        wprobe = Window.partitionBy("__qid").orderBy(
-            F.desc("__csim"), F.asc("cell")
-        )
-        probes = (
-            q.crossJoin(F.broadcast(cent))
-            .withColumn("__csim", cosine_sim("__qv", "centroid"))
-            .withColumn("__pr", F.row_number().over(wprobe))
-            .filter(F.col("__pr") <= nprobe)
-            .select("__qid", "__qv", "cell")
-        )
+        if probe_strategy == "gemm":
+            # map-only Arrow GEMM probe: no crossJoin, no window shuffle —
+            # the expr twin below shuffles Q × nlist rows and evaluates an
+            # interpreted HOF per pair, and nlist ∝ √N (VERDICT r5 item 4)
+            probes = probe_cells_gemm(
+                query_df,
+                self.centroids,
+                nprobe,
+                metric="cosine",
+                query_id_col=query_id_col,
+                query_vector_col=query_vector_col,
+            ).withColumn("cell", F.col("cell").cast(cell_type))
+        elif probe_strategy == "expr":
+            cent = spark.createDataFrame(
+                self.centroids, ["cell", "centroid"]
+            ).withColumn("cell", F.col("cell").cast(cell_type))
+            q = query_df.select(
+                F.col(query_id_col).alias("__qid"),
+                F.col(query_vector_col).alias("__qv"),
+            )
+            # tiny crossJoin: queries × nlist centroids
+            wprobe = Window.partitionBy("__qid").orderBy(
+                F.desc("__csim"), F.asc("cell")
+            )
+            probes = (
+                q.crossJoin(F.broadcast(cent))
+                .withColumn("__csim", cosine_sim("__qv", "centroid"))
+                .withColumn("__pr", F.row_number().over(wprobe))
+                .filter(F.col("__pr") <= nprobe)
+                .select("__qid", "__qv", "cell")
+            )
+        else:
+            raise ValueError(
+                f"IVFIndex.search: unknown probe_strategy {probe_strategy!r}"
+            )
         if broadcast_queries:
             # The union of probed cells is collected driver-side (≤ nlist
             # ints, one tiny job over queries × centroids) and applied as a

@@ -23,7 +23,9 @@ nprobe/nlist of the data, and every stage is a DataFrame op:
   batch-query contract as ``knn_topk``'s broadcast path — → ADC
   distances from a shuffle-free Arrow gather kernel (LUTs in the
   closure; the interpreted-expr fold twin is kept as the
-  oracle/exactness path, bitwise-equal) → merged shortlist → optional
+  oracle/exactness path — same float64 op sequence, equal up to the
+  np.round/F.round midpoint caveat on ``pq._adc_scores_gemm``) →
+  merged shortlist → optional
   exact re-rank over the shortlist ids only (query vectors
   broadcast-joined, never a per-row lookup literal). For a DataFrame
   query side (unbounded Q) use ``search_df``/``topk_join_ivfpq``.
@@ -326,9 +328,11 @@ class IVFPQIndex:
         top-``take`` rows leave the kernel, so the merge window sees
         O(batches·Q·take) rows, never O(candidates).
         'expr' keeps the broadcast-LUT join + interpreted ``aggregate``
-        fold — the oracle/exactness twin (bitwise-equal distances: the
-        kernel accumulates the same rounded LUT entries in the same
-        subspace order; pytest-pinned), but the fold is evaluated
+        fold — the oracle/exactness twin (the kernel accumulates the
+        same rounded LUT entries in the same subspace order; equal up
+        to the np.round/F.round midpoint caveat on
+        ``pq._adc_scores_gemm``, pytest-pinned on the test corpus),
+        but the fold is evaluated
         interpreted per candidate row, a ~10× constant on the index's
         scan stage.
 
@@ -504,6 +508,7 @@ class IVFPQIndex:
         query_vector_col: str = "query_vector",
         where=None,
         cell_salt: Optional[int] = None,
+        probe_strategy: str = "gemm",
     ) -> DataFrame:
         """Both-sides-huge ADC search: the query side is a DataFrame
         (unbounded Q — nothing about the queries ever lands on the
@@ -540,40 +545,60 @@ class IVFPQIndex:
                 F.expr(where) if isinstance(where, str) else where
             )
 
-        # ---- probe fan-out: queries × nlist centroids (tiny broadcast
-        # crossJoin), window top-nprobe by (L2 asc, cell asc) — the same
-        # deterministic rule the driver-batch path applies via lexsort
         cents = sorted(self.ivf.centroids)
-        cent = spark.createDataFrame(
-            [(int(c), [float(x) for x in v]) for c, v in cents],
-            "cell int, __cent array<double>",
-        )
-        l2 = F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qv"),
-                    F.col("__cent"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        )
-        wprobe = Window.partitionBy("__qid").orderBy(
-            F.asc("__cd"), F.asc("cell")
-        )
-        probes = (
-            query_df.select(
-                F.col(query_id_col).alias("__qid"),
-                F.col(query_vector_col).cast("array<double>").alias("__qv"),
+        if probe_strategy == "gemm":
+            # map-only Arrow GEMM probe (VERDICT r5 item 4): the expr twin
+            # below shuffles Q × nlist rows through a window and evaluates
+            # an interpreted zip_with/aggregate fold per pair — and nlist
+            # grows ∝ √N. Same (dist ASC, cell ASC) rule after rounding.
+            from weaviate_txtai_spark.operators.ann import probe_cells_gemm
+
+            probes = probe_cells_gemm(
+                query_df,
+                cents,
+                nprobe,
+                metric="l2",
+                query_id_col=query_id_col,
+                query_vector_col=query_vector_col,
             )
-            .crossJoin(F.broadcast(cent))
-            .withColumn("__cd", l2)
-            .withColumn("__pr", F.row_number().over(wprobe))
-            .filter(F.col("__pr") <= min(nprobe, len(cents)))
-            .select("__qid", "__qv", "cell")
-        )
+        elif probe_strategy == "expr":
+            # probe fan-out: queries × nlist centroids (tiny broadcast
+            # crossJoin), window top-nprobe by (L2 asc, cell asc) — the
+            # same deterministic rule the driver-batch path uses (lexsort)
+            cent = spark.createDataFrame(
+                [(int(c), [float(x) for x in v]) for c, v in cents],
+                "cell int, __cent array<double>",
+            )
+            l2 = F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"),
+                        F.col("__cent"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                9,
+            )
+            wprobe = Window.partitionBy("__qid").orderBy(
+                F.asc("__cd"), F.asc("cell")
+            )
+            probes = (
+                query_df.select(
+                    F.col(query_id_col).alias("__qid"),
+                    F.col(query_vector_col).cast("array<double>").alias("__qv"),
+                )
+                .crossJoin(F.broadcast(cent))
+                .withColumn("__cd", l2)
+                .withColumn("__pr", F.row_number().over(wprobe))
+                .filter(F.col("__pr") <= min(nprobe, len(cents)))
+                .select("__qid", "__qv", "cell")
+            )
+        else:
+            raise ValueError(
+                f"search_df: unknown probe_strategy {probe_strategy!r}"
+            )
 
         # ---- cogrouped ADC: salt the cell key so one group never holds
         # a whole cell; EXPLICIT partition count (AQE coalesces
@@ -745,7 +770,8 @@ class IVFPQIndex:
         — so the codes table is scanned ONCE in place, with no join and
         no shuffle: each batch groups its rows by cell, gathers every
         probing query's distances (m gathers + adds accumulated in
-        subspace order — bitwise-equal to the expr fold), and emits
+        subspace order — the expr fold's op sequence, equal up to the
+        np.round/F.round midpoint caveat), and emits
         only each query's top-``take`` rows within the batch.
         (adc_dist, id) is a strict total order, so the per-batch cut is
         exact under the global merge window, which then sees
@@ -868,8 +894,11 @@ def tune_shortlist(
     (nprobe governs the COARSE miss rate, shortlist the FINE one: how
     deep the ADC prefix must go before the true top-k is inside it).
 
-    Ground truth is exact brute-force L2 top-k over the full corpus
-    (one scan per tuning run — fine on a few hundred sampled queries).
+    Ground truth is exact brute-force L2 top-k computed DISTRIBUTED
+    (``knn_topk_gemm(metric='l2')`` — one corpus scan, per-partition
+    top-k, only Q·k·partitions rows ever reach the driver; ADVICE r5:
+    the previous full-corpus ``collect()`` broke the bounded-driver-
+    state discipline and would OOM at the scale this module targets).
     Doubles shortlist 1, 2, 4, … ``max_shortlist``, measuring mean
     per-query recall@k at the FIXED nprobe, so the curve isolates the
     quantization-induced loss from the probe-induced loss. Returns
@@ -879,21 +908,21 @@ def tune_shortlist(
     100 TB the re-rank's float I/O is shortlist·n·Q rows, so every
     doubling you don't need is real money.
     """
-    import numpy as np
+    from weaviate_txtai_spark.operators.topk import knn_topk_gemm
 
     if not sample_queries:
         raise ValueError("tune_shortlist: empty sample_queries")
-    corpus = index.ivf.assigned.select(
-        F.col(index.id_col), F.col(index.vector_col).cast("array<double>")
-        .alias("__v")
-    ).collect()
-    ids = np.asarray([r[index.id_col] for r in corpus])
-    mat = np.asarray([list(r["__v"]) for r in corpus], dtype=np.float64)
     truth: dict = {}
-    for qid, qv in sample_queries:
-        d = ((mat - np.asarray(list(qv), dtype=np.float64)) ** 2).sum(axis=1)
-        order = np.lexsort((ids, np.round(d, 6)))[:k]
-        truth[qid] = set(ids[order].tolist())
+    truth_rows = knn_topk_gemm(
+        index.ivf.assigned,
+        [(qid, list(qv)) for qid, qv in sample_queries],
+        k,
+        vector_col=index.vector_col,
+        id_col=index.id_col,
+        metric="l2",
+    ).collect()  # ≤ Q·k rows — bounded by the sample size, not the corpus
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r[index.id_col])
 
     curve: dict[int, float] = {}
     shortlist = 1

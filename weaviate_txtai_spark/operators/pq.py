@@ -28,7 +28,8 @@ Spark shapes (scale notes):
   or an array<int>.
 - **ADC search** is an Arrow gather kernel by default: per batch the
   distance is m numpy gathers + adds over the code matrix, accumulated
-  in subspace order so it is bitwise-identical to the expr path (a
+  in subspace order — the identical float64 operation sequence to, and
+  in practice indistinguishable from, the expr path (a
   ``zip_with``/``aggregate`` fold over m ``element_at`` lookups, which
   Spark evaluates INTERPRETED per row — ~10× slower on the O(corpus)
   scan stage, kept as the oracle/exactness path). The corpus never
@@ -391,8 +392,10 @@ def adc_scores(
     O(corpus) scan stage it carries a ~10× constant vs the Arrow
     gather kernel (:func:`adc_topk` ``strategy='gemm'``, the default
     there). The kernel accumulates the same rounded LUT entries in the
-    same subspace order, so the two paths are bitwise-identical
-    (pytest-pinned in test_pq.py).
+    same subspace order, so the two paths agree except in one
+    measure-zero corner (see the rounding caveat on
+    :func:`_adc_scores_gemm`); equality is pytest-pinned on the test
+    corpus in test_pq.py.
 
     ``codes`` must carry ``code_col`` as array<int> (``packed=False``
     encoding); unpack a packed code first with :func:`pq_unpack`.
@@ -443,11 +446,19 @@ def _adc_scores_gemm(
     (adc_dist, id) is a strict total order, so the per-batch cut is
     exact and the downstream global top-n sees O(batches·n) rows.
 
-    Bitwise parity with the expr path: the kernel gathers the SAME
-    rounded LUT entries and accumulates them in the SAME subspace
-    order (dist += lut[s][code_s] for s = 0..m-1), i.e. the identical
-    float64 operation sequence as the ``aggregate`` fold, then applies
-    the same final round-6.
+    Parity with the expr path: the kernel gathers the SAME rounded LUT
+    entries and accumulates them in the SAME subspace order
+    (dist += lut[s][code_s] for s = 0..m-1), i.e. the identical float64
+    operation sequence as the ``aggregate`` fold, then a final round-6.
+
+    Rounding caveat (ADVICE r5): the final round uses ``np.round``
+    (half-even) while the expr twin's ``F.round`` is BigDecimal HALF_UP
+    over the double's shortest decimal repr — the two conventions can
+    differ ONLY when an accumulated distance lands exactly on a 10⁻⁶
+    midpoint, a measure-zero event for real-valued distances (and no
+    vectorized numpy op reproduces BigDecimal-on-shortest-repr
+    exactly). Parity is therefore near-certain, not guaranteed;
+    test_pq.py pins equality on the test corpus.
     """
     import numpy as np
     import pandas as pd

@@ -424,6 +424,7 @@ def _lsh_sizing(
     docstring for the two sizing rules)."""
     import math
 
+    planes_user_fixed = num_planes is not None
     if num_planes is None:
         num_planes = max(
             1,
@@ -454,7 +455,28 @@ def _lsh_sizing(
             if t <= max_tables or num_planes <= 1:
                 num_tables = max(1, min(t, max_tables))
                 break
-            # the table cap binds: trade bucket size for recall
+            if planes_user_fixed:
+                # the caller pinned num_planes for a bucket-size bound —
+                # silently loosening it would trade THEIR memory/size
+                # contract for recall (ADVICE r5). Cap tables, keep
+                # planes, and say what recall that buys.
+                import warnings
+
+                num_tables = max_tables
+                warnings.warn(
+                    "threshold_join: reaching target_recall="
+                    f"{target_recall} at num_planes={num_planes} needs "
+                    f"{t} tables (> cap {max_tables}); keeping your "
+                    f"num_planes with num_tables={max_tables} — modeled "
+                    f"recall {1.0 - (1.0 - p) ** max_tables:.3f}. Lower "
+                    "num_planes or pass num_tables explicitly to change "
+                    "the trade.",
+                    UserWarning,
+                    stacklevel=3,
+                )
+                break
+            # auto-sized planes, the table cap binds: trade bucket size
+            # for recall
             num_planes -= 1
     p = _collision(num_planes)
     modeled = 1.0 - (1.0 - p) ** num_tables

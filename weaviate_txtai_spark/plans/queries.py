@@ -63,9 +63,10 @@ _PRIORITY = [
     "agg_stats_txtai",
     "similarity_brute",
     "streaming_ingest",
-    # round-2/3 family representatives (each family keeps exactly one slot
-    # now that r4's CORRECTNESS run gave every member a driver row; the
-    # freed slots go to the round-4 families per VERDICT r4 item 1)
+    # round-2/3 family representatives (each family keeps one slot; every
+    # member now has ≥1 driver row from r04/r05. docs_normalize,
+    # repeated_passages, and ivfpq_knn ceded slots to the round-5 rotation
+    # — all three hold r04/r05 driver rows and stay judge-sweep covered)
     "kmeans_assign",
     "semantic_dedup",
     "docs_unigram_nll",
@@ -75,35 +76,38 @@ _PRIORITY = [
     "mixture_sample",
     "pretraining_manifest",
     "contamination_check",
-    "docs_normalize",
     "streaming_near_dedup",
     "dedup_incremental",
-    "repeated_passages",
     "bm25_topk",
     "hard_negatives",
     "knn_filtered",
     "ann_ivf_filtered",
-    "ivfpq_knn",
-    # round-5: DataFrame-query-side PQ-tier join (VERDICT r4 item 3);
-    # docs_redact_pii ceded its slot (r4 driver row) — still judge-sweep
-    # and pytest covered
+    # r5 driver row, kept: the flagship PQ-tier DataFrame-query join
     "sim_join_ivfpq",
-    # round-4 families rotated in (driver-unverified until r5)
-    "pq_knn_rerank",
-    "customer_scd2",
-    "temperature_mixture",
-    "events_funnel",
-    "events_retention",
-    "events_wow_retention",
-    "local_supplier_volume",
+    # de-vacuated THIS round (VERDICT r5 #2 + the new 0-row guard found a
+    # second): both need their first REAL driver row
     "nation_market_share",
-    "docs_zipf_fit",
-    "docs_quality_composite",
-    "balanced_shards",
-    "events_session_window",
-    "lineitem_correlations",
-    "events_asof_forward",
-    "streaming_enrich",
+    "global_sales_opportunity",
+    # round-5 families rotated in (driver-unverified until r6, VERDICT r5
+    # item 3). The r4 families ceded these slots — all 15 hold r05 driver
+    # rows. bpe_train_encode / encoder_semantic_search are rows-only by
+    # design (iterative merge loop / learned-model relevance gate).
+    "opq_knn_rerank",
+    "ivfopq_knn",
+    "binary_hamming_knn",
+    "binary_hamming_rerank",
+    "order_chain_components",
+    "events_resample",
+    "orders_snapshot_diff",
+    "dsir_importance",
+    "docs_gopher_repetition",
+    "min_cost_supplier",
+    "forecast_revenue",
+    "product_profit",
+    "parts_supplier_count",
+    "excess_suppliers",
+    "bpe_train_encode",
+    "encoder_semantic_search",
 ]
 
 

@@ -1832,21 +1832,29 @@ SELECT c_nationkey % 5 AS cntrycode,
 FROM customer c, pos
 WHERE c_nationkey % 5 IN (0, 1, 2)
   AND c_acctbal > pos.a
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1 ORDER BY 1
 """
 
 
 @register("global_sales_opportunity", _SALES_OPPORTUNITY_SQL)
 def global_sales_opportunity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (cntrycode adapted to nationkey buckets):
-    scalar-subquery threshold (one broadcast scalar, not a per-row
-    correlated subquery), anti-join against orders (never a NOT IN —
-    null-hostile and unplannable as a hash join), final small agg."""
+    """TPC-H Q22 shape (cntrycode adapted to nationkey buckets,
+    "never ordered" adapted to "no order since 1999" — the testdata
+    generator gives EVERY customer at least one order, so the literal
+    Q22 anti-join was empty at every SF and the gate vacuous,
+    VERDICT r5 guard): scalar-subquery threshold (one broadcast scalar,
+    not a per-row correlated subquery), anti-join against the
+    date-filtered orders (never a NOT IN — null-hostile and
+    unplannable as a hash join; the filter prunes the anti side BEFORE
+    the shuffle), final small agg."""
     c = load_table(spark, sf_dir, "customer").withColumn(
         "cntrycode", F.col("c_nationkey") % 5
     ).filter(F.col("cntrycode").isin(0, 1, 2))
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("a")
     )
@@ -2047,7 +2055,7 @@ WITH all_orders AS (
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE p.p_type LIKE '%BRASS%'
+  WHERE p.p_type = 'STANDARD'
 )
 SELECT o_year,
        round(sum(CASE WHEN s_nationkey = 7 THEN volume ELSE 0 END)
@@ -2066,8 +2074,11 @@ def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
+    # p_type = 'STANDARD' — a value the generator actually produces
+    # (VERDICT r5 #2: the TPC-H-literal '%BRASS%' matched 0 parts at every
+    # scale factor, so the gate verified nothing)
     p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_type").like("%BRASS%")
+        F.col("p_type") == "STANDARD"
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
