@@ -341,3 +341,37 @@ def test_tune_shortlist_monotone_and_minimal(index, emb):
     # (corpus-covering-shortlist exactness is pinned separately in
     # test_full_probe_full_shortlist_equals_exact — not re-tuned here,
     # the doubling loop at target 1.0 costs minutes)
+
+
+def test_tune_search_params_joint_minimal(index, emb):
+    """The composed tuner picks (nprobe, shortlist) lexicographically:
+    no smaller measured nprobe reaches the target even at the shortlist
+    ceiling, and no smaller measured shortlist reaches it at the chosen
+    nprobe — the two single-parameter tuners provably compose."""
+    from weaviate_txtai_spark.operators.ivfpq import (
+        tune_search_params,
+        tune_shortlist,
+    )
+
+    qs = [(r["vec_id"], list(r["embedding"]))
+          for r in emb.filter(F.col("vec_id") < 12).collect()]
+    target = 0.9
+    npb, sl, curve = tune_search_params(
+        index, qs, 5, recall_target=target, max_shortlist=32,
+    )
+    assert curve[(npb, sl)] >= target or (npb, sl) == (8, 32)
+    # nprobe minimality: every smaller measured nprobe missed the target
+    # at the CEILING shortlist (so no shortlist could save it)
+    for (p, s), r in curve.items():
+        if p < npb and s == 32:
+            assert r < target, f"nprobe={p} already met target"
+    # shortlist minimality at the chosen nprobe
+    half = [s for (p, s) in curve if p == npb and s < sl]
+    if half:
+        assert curve[(npb, max(half))] < target
+    # composition: the single-axis tuner at the chosen nprobe picks the
+    # same shortlist (same ladder, same truth, same tie-breaks)
+    sl_single, _ = tune_shortlist(
+        index, qs, 5, nprobe=npb, recall_target=target, max_shortlist=32,
+    )
+    assert sl_single == sl
