@@ -56,20 +56,18 @@ _NEW_FAMILY_GATES = {
     "binary_hamming_rerank", "order_chain_components", "events_resample",
     "orders_snapshot_diff", "dsir_importance", "docs_gopher_repetition",
     "min_cost_supplier", "forecast_revenue", "product_profit",
-    "parts_supplier_count", "excess_suppliers", "bpe_train_encode",
-    "encoder_semantic_search",
+    "parts_supplier_count", "excess_suppliers",
+    # r7: knn_l2/knn_dot promoted into the slots freed by the two
+    # rows-only gates (the driver has no rows-only mode — VERDICT r6 #2)
+    "knn_l2", "knn_dot",
 }
-
-# rows-only by design (iterative BPE merge loop / learned-model relevance
-# gate) — VERDICT r5 item 3 rotates them in anyway so the driver records
-# their weaker rows-only check; everything else in the window must oracle
-_ROWS_ONLY_IN_WINDOW = {"bpe_train_encode", "encoder_semantic_search"}
 
 
 def test_driver_sample_window_covers_survey_and_new_families():
     """The driver hashes the FIRST 50 queries() entries. Pin the window:
-    all §2 gates present, ≥25 post-r1 entries, and every windowed entry
-    oracle-able except the two designated rows-only gates."""
+    all §2 gates present, ≥25 post-r1 entries, and EVERY windowed entry
+    oracled — the driver has no rows-only mode, so an unoracled window
+    entry is a guaranteed-red `err: no_oracle` row (VERDICT r6 #2)."""
     names = list(Q.queries())
     window = names[:50]
     assert _SURVEY_GATES <= set(window)
@@ -77,7 +75,10 @@ def test_driver_sample_window_covers_survey_and_new_families():
     post_r1 = [n for n in window if n in set(Q._PRIORITY[16:])]
     assert len(post_r1) >= 25, post_r1
     osql = Q.oracle_sql()
-    assert all(n in osql for n in window if n not in _ROWS_ONLY_IN_WINDOW)
+    unoracled = [n for n in window if n not in osql]
+    assert not unoracled, (
+        f"window entries without oracle (driver records err): {unoracled}"
+    )
     # rotation must not drop or duplicate anything
     assert sorted(names) == sorted(Q.REGISTRY)
 
@@ -151,7 +152,22 @@ def test_no_oracled_gate_is_vacuous(oracle_con, name):
 def test_oracle_columns_match_spark_columns(spark, sf_dir, name):
     if name in _EXECUTING:
         pytest.skip("streaming query executes on build; covered by check_oracle")
-    spark_cols = sorted(Q.queries()[name](spark, sf_dir).columns)
+    df = Q.queries()[name](spark, sf_dir)
+    # the driver canonicalizes results through pandas sort_values, which
+    # raises `unhashable type` on list/dict cells (VERDICT r6 #1:
+    # orders_snapshot_diff's array<string>) — oracled gate output must
+    # be scalar-only; project arrays to strings at the gate boundary
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: oracled gate emits non-scalar columns {complex_cols} — "
+        "the driver's pandas canonicalizer cannot hash them"
+    )
+    spark_cols = sorted(df.columns)
     con = duckdb.connect()
     try:
         for t in TABLES:

@@ -66,21 +66,27 @@ def test_gemm_l2_metric_matches_expression_truth(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     ids = [0, 7, 42]
     qdf = _query_df(spark, emb, ids)
-    l2 = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                F.col("query_vector").cast("array<double>"),
-                lambda x, q: (x - q) * (x - q),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    # round the RANKING key to 6 (the repo's dist_round_decimals
+    # convention, now knn_topk_gemm's l2 default too): the GEMM's
+    # expanded form ||x||²−2x·q+||q||² carries ~1e-8 cancellation noise
+    # vs this (x−q)² fold — ranking both sides on the rounded key makes
+    # near-ties resolve by id ASC identically instead of flaking
+    # (ADVICE r6); only a ~1e-8-of-a-midpoint distance could still split
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("query_vector").cast("array<double>"),
+                    lambda x, q: (x - q) * (x - q),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
-    # 6-decimal compare (the repo's dist_round_decimals convention): the
-    # GEMM's expanded form ||x||²−2x·q+||q||² carries ~1e-8 cancellation
-    # noise vs the expr path's (x−q)² — identical ranks, not identical bits
     truth = {
         (r["query_id"], r["rank"]): (r["vec_id"], round(r["dist"], 6))
         for r in emb.crossJoin(F.broadcast(qdf))

@@ -371,7 +371,12 @@ class IVFIndex:
             )
             probes = (
                 q.crossJoin(F.broadcast(cent))
-                .withColumn("__csim", cosine_sim("__qv", "centroid"))
+                # round to 9 decimals BEFORE the (sim DESC, cell ASC)
+                # tie-break so the expr twin orders on the same key as
+                # probe_cells_gemm (which rounds its BLAS sims to 9) —
+                # unrounded, two centroids within ~1e-9 could rank
+                # differently across strategies (ADVICE r6)
+                .withColumn("__csim", F.round(cosine_sim("__qv", "centroid"), 9))
                 .withColumn("__pr", F.row_number().over(wprobe))
                 .filter(F.col("__pr") <= nprobe)
                 .select("__qid", "__qv", "cell")

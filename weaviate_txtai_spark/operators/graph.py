@@ -298,12 +298,16 @@ def connected_components(
         m = bidir.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no trailing distinct: small_star's min-agg is dup-insensitive
+        # and its own distinct dedups the round's output — dropping it
+        # removes one O(E) shuffle per round (duplicate inflation is
+        # bounded by neighbor multiplicity into the same min, small on
+        # the sparse graphs this targets)
         return (
             bidir.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(ed: DataFrame) -> DataFrame:
@@ -322,17 +326,38 @@ def connected_components(
             .distinct()
         )
 
+    def fingerprint(ed: DataFrame):
+        # shuffle-free edge-set digest: count + sum of per-edge hashes
+        # (map-side partial agg, one tiny job — vs the two exceptAll
+        # set-diff shuffles the fixpoint check used to run EVERY round,
+        # which dominated the per-round floor at small scale: 16.2 s →
+        # see NOTES.md r7). bit_xor, not sum: order-insensitive AND
+        # overflow-free under ANSI mode (edges are distinct, so the
+        # xor self-cancellation failure mode can't occur).
+        row = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(e)
     for _ in range(max_iter):
         nxt = small_star(large_star(e)).localCheckpoint(eager=True)
         # fixpoint: the edge SET is unchanged (both stars idempotent).
-        # exceptAll both ways is two set-diffs over (long, long) rows —
-        # cheap relative to the stars themselves.
-        changed = (
-            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
-        )
+        # Cheap digest first; only when it matches (≈ the final round)
+        # confirm EXACTLY with the two set-diffs, so a 2⁻⁶⁴-class hash
+        # collision can never terminate early with wrong labels.
+        nfp = fingerprint(nxt)
+        if nfp == fp:
+            changed = (
+                nxt.exceptAll(e).limit(1).count()
+                + e.exceptAll(nxt).limit(1).count()
+            )
+            if changed == 0:
+                e = nxt
+                break
+        fp = nfp
         e = nxt
-        if changed == 0:
-            break
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint within max_iter={max_iter} "

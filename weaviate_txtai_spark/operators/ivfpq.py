@@ -1017,6 +1017,13 @@ def tune_search_params(
         # smaller shortlist can hit, so the inner ladder never runs
         ceil_recall = measure(nprobe, max_shortlist)
         curve[(nprobe, max_shortlist)] = ceil_recall
+        if ceil_recall < recall_target and nprobe == nlist:
+            # exhaustive corner: recall is monotone non-decreasing in
+            # shortlist under exact re-rank, so if the ceiling misses at
+            # nprobe == nlist no inner-ladder point can hit — return the
+            # best-available operating point without log2(max_shortlist)
+            # wasted measured searches (ADVICE r6)
+            return nlist, max_shortlist, curve
         if ceil_recall >= recall_target or nprobe == nlist:
             shortlist = 1
             while shortlist < max_shortlist:

@@ -141,6 +141,7 @@ def knn_topk_gemm(
     id_col: str = "docid",
     query_id_type=None,
     metric: str = "cosine",
+    dist_round_decimals: "int | None" = 6,
 ) -> DataFrame:
     """Scale-path batch kNN: numpy GEMM per Arrow batch + two-level top-k.
 
@@ -162,6 +163,16 @@ def knn_topk_gemm(
     rank ASC — the truth metric for the PQ/IVF family). Both use one
     GEMM per Arrow batch: for l2 the distance matrix comes from
     ``||x||² − 2·x@qᵀ + ||q||²``, never a per-pair Python loop.
+
+    ``dist_round_decimals`` (l2 only, default 6 — the repo's PQ-family
+    convention): the expanded form carries ~1e-8 cancellation noise vs
+    an in-order ``(x−q)²`` fold, so near-tied distances could flip
+    ranks across the two formulations. Ranking (and the emitted score)
+    uses the ROUNDED distance, making ties resolve by id ASC
+    identically in both — up to the usual midpoint caveat: a true
+    distance within ~1e-8 of a 0.5·10⁻⁶ rounding boundary can still
+    round apart (same class as the ADC half-even/half-up note in
+    operators/pq.py). ``None`` disables rounding.
 
     Output: query_id, docid, score, rank — same contract as knn_topk.
     """
@@ -225,6 +236,11 @@ def knn_topk_gemm(
                 xsq = (mat * mat).sum(axis=1, keepdims=True)
                 d2 = xsq - 2.0 * (mat @ qmat.T) + qsq[None, :]
                 dists = np.sqrt(np.clip(d2, 0.0, None))  # (batch, Q)
+                if dist_round_decimals is not None:
+                    # rank on the rounded key (see docstring) so the
+                    # local tie-widening, the lexsort, and the final
+                    # window all agree with an expr-side round
+                    dists = np.round(dists, dist_round_decimals)
                 sims = -dists  # shared top-k code keeps "larger is better"
             else:
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -90,8 +90,7 @@ _PRIORITY = [
     "global_sales_opportunity",
     # round-5 families rotated in (driver-unverified until r6, VERDICT r5
     # item 3). The r4 families ceded these slots — all 15 hold r05 driver
-    # rows. bpe_train_encode / encoder_semantic_search are rows-only by
-    # design (iterative merge loop / learned-model relevance gate).
+    # rows.
     "opq_knn_rerank",
     "ivfopq_knn",
     "binary_hamming_knn",
@@ -106,8 +105,13 @@ _PRIORITY = [
     "product_profit",
     "parts_supplier_count",
     "excess_suppliers",
-    "bpe_train_encode",
-    "encoder_semantic_search",
+    # r7: bpe_train_encode / encoder_semantic_search moved BELOW the
+    # window — the driver has no rows-only mode and records `err:
+    # no_oracle` for unoracled entries (VERDICT r6 #2); both stay
+    # pytest- and judge-sweep covered. knn_l2 / knn_dot (oracled,
+    # never driver-verified) take the freed slots.
+    "knn_l2",
+    "knn_dot",
 ]
 
 

@@ -2587,14 +2587,14 @@ SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
        CASE WHEN o.o_orderkey IS NULL THEN 'added'
             WHEN n.o_orderkey IS NULL THEN 'removed'
             ELSE 'changed' END AS change,
-       CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN []
-            ELSE list_sort([c FOR c IN [
+       CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN ''
+            ELSE array_to_string(list_sort([c FOR c IN [
               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
                    THEN 'o_orderpriority' END,
               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
                    THEN 'o_orderstatus' END,
               CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
-                   THEN 'o_totalprice' END] IF c IS NOT NULL])
+                   THEN 'o_totalprice' END] IF c IS NOT NULL]), ',')
        END AS changed_cols
 FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
 WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
@@ -2613,7 +2613,12 @@ def orders_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority on ≡0 mod 13) diffed into the typed delta that would feed
     scd2_apply — added/removed/changed with the changed column names.
     One full-outer join, all change logic codegen; unchanged rows never
-    leave the join."""
+    leave the join.
+
+    Gate boundary projects the typed ``array<string>`` to a
+    comma-joined scalar: the driver's pandas canonicalizer cannot hash
+    list cells (VERDICT r6 #1); ``table_diff`` itself keeps the typed
+    API."""
     from weaviate_txtai_spark.operators.diff import table_diff
 
     orders = load_table(spark, sf_dir, "orders")
@@ -2631,7 +2636,9 @@ def orders_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 13 == 0, F.lit("0-RUSH"))
         .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
     )
-    return table_diff(old, new, key_cols=["o_orderkey"])
+    return table_diff(old, new, key_cols=["o_orderkey"]).withColumn(
+        "changed_cols", F.array_join(F.col("changed_cols"), ",")
+    )
 
 
 _ORDER_COMPONENTS_SQL = """
