@@ -67,6 +67,12 @@ HEADLINE_HEAVY = [
     "sim_join_ivfpq",
     "binary_hamming_rerank",
     "order_chain_components",
+    # round-7 (VERDICT r6 item 3b): the full composed pretraining
+    # pipeline timed end-to-end at the bench scale factor, plus the two
+    # new r7 retrieval families
+    "pretraining_manifest",
+    "retrieval_eval",
+    "maxsim_topk",
 ]
 
 

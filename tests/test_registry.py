@@ -56,10 +56,11 @@ _NEW_FAMILY_GATES = {
     "binary_hamming_rerank", "order_chain_components", "events_resample",
     "orders_snapshot_diff", "dsir_importance", "docs_gopher_repetition",
     "min_cost_supplier", "forecast_revenue", "product_profit",
-    "parts_supplier_count", "excess_suppliers",
     # r7: knn_l2/knn_dot promoted into the slots freed by the two
-    # rows-only gates (the driver has no rows-only mode — VERDICT r6 #2)
-    "knn_l2", "knn_dot",
+    # rows-only gates (the driver has no rows-only mode — VERDICT r6 #2);
+    # parts_supplier_count / excess_suppliers (r06 driver rows) ceded
+    # their slots to the round-7 families
+    "knn_l2", "knn_dot", "retrieval_eval", "ivfpq_append_search",
 }
 
 

@@ -1,0 +1,165 @@
+"""Retrieval-quality metrics: recall@k, precision@k, MRR@k, AP@k, nDCG@k.
+
+The evaluation half of the retrieval stack: every ANN tier in this repo
+(IVF / PQ / OPQ / binary-sign) trades recall for throughput, and the
+tuners (``operators.ivfpq.tune_shortlist`` / ``tune_search_params``)
+need recall measured DISTRIBUTED — collecting per-query result sets to
+the driver stops scaling at exactly the query volumes where tuning
+matters. This module computes the standard ranking metrics as pure
+DataFrame aggregations so a 10M-query evaluation sweep runs as two
+shuffles, not a driver loop.
+
+Scale shape: one equi-join of the system ranking against the truth set
+on (query, doc) — both sides shuffle-partitioned by the compound key —
+then one hash-aggregate per query. The only window is per-query over
+≤k ranked rows (bounded by construction). No collect, no crossJoin;
+truth-side per-query aggregates (|relevant|, ideal DCG) are computed
+with the same groupBy and joined back broadcast-eligible (Q rows).
+
+Reference parity note: the reference scores results with weaviate's
+certainty and leaves quality evaluation to the caller
+(/root/reference/weaviate_txtai/ann/weaviate.py:154-170 returns raw
+(id, score) pairs); this module is north-star surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query ranking metrics of ``results`` against ``truth``.
+
+    ``results``: (query, doc, rank) — the system ranking, rank 1-based;
+    rows with rank > k are ignored. ``truth``: (query, doc[, rel]) —
+    the relevant set; ``rel_col`` names a positive graded-relevance
+    column (binary 1.0 when omitted).
+
+    Output, one row per query appearing in ``results``:
+
+    - ``recall_at_k``    |top-k ∩ relevant| / |relevant|
+    - ``precision_at_k`` |top-k ∩ relevant| / k
+    - ``mrr_at_k``       1 / rank of the first relevant hit (0 if none)
+    - ``ap_at_k``        Σ_hits precision@hit-rank / min(|relevant|, k)
+    - ``ndcg_at_k``      DCG@k / ideal-DCG@k with gain rel, discount
+      log2(rank+1) (the standard Järvelin–Kekäläinen form)
+
+    Queries with an empty relevant set score 0 on every metric (the
+    division guards coalesce, they don't drop rows). All metrics are
+    rounded to ``decimals`` for stable cross-engine comparison.
+    """
+    rel = (
+        F.col(rel_col).cast("double")
+        if rel_col is not None
+        else F.lit(1.0)
+    )
+    t = truth.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        rel.alias("__rel"),
+    )
+
+    # per-query truth aggregates: |relevant| and ideal DCG@k (gains
+    # sorted descending — a window over the truth rows of ONE query,
+    # bounded by that query's relevant-set size)
+    wt = Window.partitionBy("__q").orderBy(F.desc("__rel"), F.asc("__d"))
+    tagg = (
+        t.withColumn("__i", F.row_number().over(wt))
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("__n_rel"),
+            F.sum(
+                F.when(
+                    F.col("__i") <= k,
+                    F.col("__rel") / F.log2(F.col("__i") + F.lit(1.0)),
+                ).otherwise(F.lit(0.0))
+            ).alias("__idcg"),
+        )
+    )
+
+    sys = results.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("long").alias("__r"),
+    ).filter(F.col("__r") <= k)
+
+    hits = sys.join(t, ["__q", "__d"], "left").select(
+        "__q",
+        "__r",
+        F.coalesce("__rel", F.lit(0.0)).alias("__rel"),
+    )
+    # cumulative hit count in rank order → precision@rank at each hit
+    wr = Window.partitionBy("__q").orderBy("__r")
+    hits = hits.withColumn(
+        "__cumhits",
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0)).over(wr),
+    )
+
+    per_q = hits.groupBy("__q").agg(
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0)).alias("__nhit"),
+        F.max(
+            F.when(F.col("__rel") > 0, 1.0 / F.col("__r"))
+        ).alias("__rr"),
+        F.sum(
+            F.when(
+                F.col("__rel") > 0,
+                F.col("__cumhits") / F.col("__r"),
+            ).otherwise(F.lit(0.0))
+        ).alias("__psum"),
+        F.sum(F.col("__rel") / F.log2(F.col("__r") + F.lit(1.0))).alias(
+            "__dcg"
+        ),
+    )
+
+    out = per_q.join(tagg, "__q", "left").select(
+        F.col("__q").alias(query_col),
+        F.round(
+            F.coalesce(F.col("__nhit") / F.col("__n_rel"), F.lit(0.0)),
+            decimals,
+        ).alias("recall_at_k"),
+        F.round(F.col("__nhit") / F.lit(float(k)), decimals).alias(
+            "precision_at_k"
+        ),
+        F.round(F.coalesce("__rr", F.lit(0.0)), decimals).alias("mrr_at_k"),
+        F.round(
+            F.coalesce(
+                F.col("__psum") / F.least(F.col("__n_rel"), F.lit(k)),
+                F.lit(0.0),
+            ),
+            decimals,
+        ).alias("ap_at_k"),
+        F.round(
+            F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg"))
+            .otherwise(F.lit(0.0)),
+            decimals,
+        ).alias("ndcg_at_k"),
+    )
+    return out
+
+
+def macro_metrics(per_query: DataFrame, decimals: int = 6) -> DataFrame:
+    """Macro-average of ``ranking_metrics`` output: one row, the mean of
+    each metric over queries (the headline number a tuning sweep
+    reports). Single hash-aggregate."""
+    cols = [
+        "recall_at_k",
+        "precision_at_k",
+        "mrr_at_k",
+        "ap_at_k",
+        "ndcg_at_k",
+    ]
+    return per_query.agg(
+        *[F.round(F.avg(c), decimals).alias(f"macro_{c}") for c in cols],
+        F.count(F.lit(1)).alias("n_queries"),
+    )

@@ -103,8 +103,13 @@ _PRIORITY = [
     "min_cost_supplier",
     "forecast_revenue",
     "product_profit",
-    "parts_supplier_count",
-    "excess_suppliers",
+    # r7 rotation: parts_supplier_count / excess_suppliers ceded their
+    # slots (both hold r06 driver hash-pass rows; judge-sweep + pytest
+    # keep them covered) to two round-7 families that need their first
+    # driver row: the distributed retrieval-metrics evaluator and the
+    # saved-index incremental append→search composition
+    "retrieval_eval",
+    "ivfpq_append_search",
     # r7: bpe_train_encode / encoder_semantic_search moved BELOW the
     # window — the driver has no rows-only mode and records `err:
     # no_oracle` for unoracled entries (VERDICT r6 #2); both stay

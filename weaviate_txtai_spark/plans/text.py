@@ -888,3 +888,68 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# round-7 surface: token-budget allocation (capped water-filling)
+# --------------------------------------------------------------------------
+
+_WATERFILL_SQL = """
+WITH tok AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS nt
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(sum(nt) AS DOUBLE) AS a FROM tok GROUP BY 1
+), tot AS (
+  SELECT sum(a) * 0.55 AS b FROM per_src
+), ranked AS (
+  SELECT source, a,
+         row_number() OVER (ORDER BY a, source) AS j,
+         sum(a) OVER (ORDER BY a, source) AS prefix,
+         count(*) OVER () AS n
+  FROM per_src
+), flagged AS (
+  SELECT *,
+         (prefix - a) + (n - j + 1) * a <= (SELECT b FROM tot) AS whole
+  FROM ranked
+), lvl AS (
+  SELECT max(CASE WHEN whole THEN prefix END) AS s_j,
+         max(CASE WHEN whole THEN j END) AS jj
+  FROM flagged
+)
+SELECT source,
+       round(a, 6) AS tokens,
+       round(CASE WHEN whole THEN a
+             ELSE least(a,
+                  ((SELECT b FROM tot) - coalesce((SELECT s_j FROM lvl), 0))
+                  / (n - coalesce((SELECT jj FROM lvl), 0))) END, 6) AS alloc
+FROM flagged ORDER BY source
+"""
+
+
+@register("token_budget_waterfill", _WATERFILL_SQL)
+def token_budget_waterfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining token-budget allocation (operators/budget.py
+    waterfill_allocation): whitespace token inventories per source,
+    budget = 55% of the corpus total, max-min fair water-filling —
+    sources below the water level θ are taken whole, larger sources
+    cap at θ with Σ alloc = budget exactly. The raw token count is the
+    fully-distributed groupBy; the θ construction is one closed-form
+    prefix-sum window over the per-source aggregate (#sources rows).
+    Integer token counts keep the whole/capped boundary test exact in
+    double math, so Spark and the oracle flag identical sources."""
+    from weaviate_txtai_spark.operators.budget import waterfill_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            .cast("long")
+        ).alias("tokens")
+    )
+    total = per_src.agg(F.sum("tokens").cast("double")).collect()[0][0]
+    return waterfill_allocation(
+        per_src, 0.55 * total, key_col="source", amount_col="tokens"
+    ).orderBy("source")

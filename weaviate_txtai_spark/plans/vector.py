@@ -1261,3 +1261,238 @@ def ivfopq_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < 3).collect()
     ]
     return idx.search(qs, 5, nprobe=8, shortlist=-(-n_corpus // 5))
+
+
+# --------------------------------------------------------------------------
+# round-7 surface: retrieval-quality metrics, late interaction (MaxSim),
+# saved-index incremental maintenance, search auto-tuning
+# --------------------------------------------------------------------------
+
+_RETRIEVAL_EVAL_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 7, 42)
+), pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cs,
+         round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
+  FROM embeddings e CROSS JOIN q
+), sys AS (
+  SELECT qid, vec_id, r FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS r
+    FROM pairs) WHERE r <= 10
+), truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id) AS tr
+    FROM pairs) WHERE tr <= 10
+), hits AS (
+  SELECT s.qid, s.r,
+         CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM sys s LEFT JOIN truth t ON s.qid = t.qid AND s.vec_id = t.vec_id
+), ch AS (
+  SELECT qid, r, hit,
+         sum(hit) OVER (PARTITION BY qid ORDER BY r) AS cumhits
+  FROM hits
+), idcg AS (
+  SELECT sum(1.0 / log2(i + 1.0)) AS v FROM range(1, 11) t(i)
+)
+SELECT qid AS query_id,
+       round(sum(hit) / 10.0, 6) AS recall_at_k,
+       round(sum(hit) / 10.0, 6) AS precision_at_k,
+       round(coalesce(max(CASE WHEN hit = 1 THEN 1.0 / r END), 0), 6) AS mrr_at_k,
+       round(sum(CASE WHEN hit = 1 THEN cumhits * 1.0 / r ELSE 0 END) / 10.0, 6)
+         AS ap_at_k,
+       round(sum(CASE WHEN hit = 1 THEN 1.0 / log2(r + 1.0) ELSE 0 END)
+             / (SELECT v FROM idcg), 6) AS ndcg_at_k
+FROM ch GROUP BY qid ORDER BY qid
+"""
+
+
+@register("retrieval_eval", _RETRIEVAL_EVAL_SQL)
+def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics (operators/evalmetrics.py
+    ranking_metrics): recall@10 / precision@10 / MRR@10 / AP@10 /
+    nDCG@10 of the COSINE top-10 ranking measured against the L2
+    top-10 truth for 3 probe queries — the rankings disagree exactly
+    where vector norms vary, so every metric is exercised away from
+    the trivial 1.0. All-DataFrame evaluation: one (query, doc)
+    equi-join against the truth set + per-query hash aggregates — the
+    distributed recall machinery the ANN tuners rely on, vs the
+    driver-side set math a collect()-based evaluator would do."""
+    from weaviate_txtai_spark.operators.evalmetrics import ranking_metrics
+
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id").isin(0, 7, 42)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("qv"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = emb.crossJoin(q).select(
+        "qid",
+        "vec_id",
+        F.round(cosine_sim(F.col("embedding").cast("array<double>"), "qv"), 6).alias("cs"),
+        F.round(dist, 6).alias("dist"),
+    )
+    wsys = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    sys = (
+        pairs.withColumn("r", F.row_number().over(wsys))
+        .filter(F.col("r") <= 10)
+        .select("qid", "vec_id", F.col("r").alias("rank"))
+    )
+    wtr = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    truth = (
+        pairs.withColumn("tr", F.row_number().over(wtr))
+        .filter(F.col("tr") <= 10)
+        .select("qid", "vec_id")
+    )
+    return ranking_metrics(
+        sys, truth, 10, query_col="qid", doc_col="vec_id", rank_col="rank"
+    ).select(
+        F.col("qid").alias("query_id"),
+        "recall_at_k",
+        "precision_at_k",
+        "mrr_at_k",
+        "ap_at_k",
+        "ndcg_at_k",
+    ).orderBy("query_id")
+
+
+_MAXSIM_TOPK_SQL = """
+WITH qt AS (
+  SELECT CAST(CASE WHEN vec_id IN (0, 7) THEN 0 ELSE 1 END AS BIGINT) AS qid,
+         vec_id AS tok, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 7, 13, 42)
+), dt AS (
+  SELECT vec_id % 100 AS did, CAST(embedding AS DOUBLE[]) AS dv
+  FROM embeddings
+), mx AS (
+  SELECT qt.qid, qt.tok, dt.did,
+         max(list_cosine_similarity(dt.dv, qt.qv)) AS m
+  FROM dt CROSS JOIN qt GROUP BY 1, 2, 3
+), sc AS (
+  SELECT qid AS query_id, did AS doc_id, round(sum(m), 6) AS score
+  FROM mx GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM sc
+) WHERE rank <= 5
+"""
+
+
+@register("maxsim_topk", _MAXSIM_TOPK_SQL)
+def maxsim_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late interaction (operators/lateinteraction.py):
+    2 queries × 2 token vectors each against a corpus of multi-vector
+    documents (vec_id % 100 groups the embeddings table into ~100
+    token bags). score(q,d) = Σ_t max_u cos(t,u), computed as ONE
+    GEMM + column-max per document group inside applyInPandas — doc
+    tokens shuffle once, the 4-row query token matrix rides in the
+    closure. Top-5 docs per query on the rounded score."""
+    from weaviate_txtai_spark.operators.lateinteraction import maxsim_topk
+
+    emb = _emb(spark, sf_dir)
+    qt = emb.filter(F.col("vec_id").isin(0, 7, 13, 42)).select(
+        F.when(F.col("vec_id").isin(0, 7), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("query_id"),
+        F.col("embedding").alias("vector"),
+    )
+    dt = emb.select(
+        (F.col("vec_id") % 100).alias("doc_id"),
+        F.col("embedding").alias("vector"),
+    )
+    return maxsim_topk(qt, dt, 5)
+
+
+@register("ivfpq_append_search", _SIM_JOIN_IVFPQ_SQL.replace(
+    "WHERE vec_id < 50", "WHERE vec_id < 10"))
+def ivfpq_append_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-model incremental maintenance end-to-end
+    (operators/ivfpq.py append_to_saved, VERDICT r6 item 3c): build
+    IVF-PQ on the FIRST HALF of the corpus, save it, physically append
+    the second half into the saved cell partitions (centroids and
+    codebooks frozen, old files untouched, cost O(new batch)), reload,
+    and search in exactness mode (nprobe == nlist, corpus-covering
+    shortlist) — the result must equal brute-force L2 top-3 over the
+    FULL corpus, which fails if appended rows were dropped, mis-celled,
+    or mis-encoded (the re-rank can only see candidates the ADC stage
+    proposes from the appended partitions)."""
+    import tempfile
+
+    from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+
+    emb = _emb(spark, sf_dir)
+    n_corpus = emb.count()
+    half = n_corpus // 2
+    idx = IVFPQIndex.build(
+        emb.filter(F.col("vec_id") < half),
+        nlist=8, m=8, k_pq=16, pq_iters=1, dist_round_decimals=6,
+    )
+    path = tempfile.mkdtemp(prefix="gate_ivfpq_append_")
+    idx.save(path)
+    idx.append_to_saved(path, emb.filter(F.col("vec_id") >= half))
+    reloaded = IVFPQIndex.load(spark, path)
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    ]
+    out = reloaded.search(qs, 3, nprobe=8, shortlist=-(-n_corpus // 3))
+    return out.select("query_id", "vec_id", "dist", "rank")
+
+
+@register("tune_search_params_gate", None)
+def tune_search_params_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (nprobe, shortlist) auto-tuner (operators/ivfpq.py
+    tune_search_params, VERDICT r6 item 3a) as a driver gate: tune a
+    small IVF-PQ index to recall ≥ 0.9 and return the measured curve
+    plus the chosen point flagged. Rows-only BY DESIGN (placed below
+    the sampled window): the recall curve depends on the MLlib
+    clustering and PQ codebooks, which no SQL oracle can replay — the
+    minimality/monotonicity/composition contracts are pinned instead
+    in tests/test_ivfpq.py (test_tune_search_params_joint_minimal) and
+    the curve's internal consistency (chosen point meets target or is
+    the exhaustive corner) is asserted here before returning."""
+    from weaviate_txtai_spark.operators.ivfpq import (
+        IVFPQIndex,
+        tune_search_params,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = IVFPQIndex.build(
+        emb, nlist=8, m=8, k_pq=16, pq_iters=1, dist_round_decimals=6
+    )
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 12).collect()
+    ]
+    npb, sl, curve = tune_search_params(
+        idx, qs, 5, recall_target=0.9, max_shortlist=32
+    )
+    # internal-consistency assert (the gate's own contract): the chosen
+    # point met the target, or it is the exhaustive corner
+    assert curve[(npb, sl)] >= 0.9 or (npb, sl) == (8, 32)
+    rows = [
+        (int(p), int(s), round(float(r), 6), p == npb and s == sl)
+        for (p, s), r in sorted(curve.items())
+    ]
+    return spark.createDataFrame(
+        rows, "nprobe int, shortlist int, recall double, chosen boolean"
+    )
