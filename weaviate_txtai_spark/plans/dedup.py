@@ -586,3 +586,21 @@ def dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("dedup_prefix_jaccard", _JACCARD_SQL)
+def dedup_prefix_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact set-similarity join
+    (operators/setjoin.py, round 7): the THIRD strategy under the same
+    brute-inverted-index oracle as dedup_ngram_jaccard /
+    dedup_minhash. Only each doc's p = n − ⌈θn⌉ + 1 RAREST shingles
+    enter the self-join (at θ=0.8 ~20% of the index volume, and the
+    prefix items are by construction the low-df keys — the stopword
+    hot-key blowup never materializes); candidates are a provable
+    superset of true pairs and are verified exactly, so the output is
+    identical to the all-items join."""
+    from weaviate_txtai_spark.operators.setjoin import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
