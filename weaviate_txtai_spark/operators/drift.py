@@ -1,0 +1,76 @@
+"""Distribution drift per group — exact two-sample Kolmogorov–Smirnov
+statistic against the pooled corpus.
+
+Corpus-health monitoring for a training pipeline: when one source's
+length / quality-score / token-count distribution drifts away from the
+corpus, its KS statistic sup_x |F_source(x) − F_corpus(x)| spikes long
+before means or quantiles move. Computed EXACTLY (not sampled): both
+empirical CDFs are step functions whose sup is attained at an observed
+value, so evaluating |F_g − F| on the global value grid is the true
+supremum.
+
+Scale shape: one groupBy (group, value) count over the corpus, then
+everything runs on the (groups × distinct-values) grid — bounded by
+the VALUE DOMAIN, not the corpus (lengths, scores and counts are
+discrete or pre-bucketed; 100 TB of documents still has ~10⁴ distinct
+lengths). The grid is built with a broadcast crossJoin of two tiny
+distinct frames; cumulative fractions are per-group windows over grid
+rows. Callers with a genuinely continuous column bucket it first —
+that is the standard KS-on-binned-data practice, and the docstring of
+the gate pins the discrete case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_drift(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact per-group KS statistic of ``value_col`` vs the pooled
+    distribution (the group's own rows INCLUDED in the pool — drift of
+    a part against the whole, the monitoring convention; a held-out
+    comparison is one filter away). NULL values are dropped from both
+    sides. Output: (group, n, ks) — group size and the statistic,
+    rounded to ``decimals``."""
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+
+    counts = base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c"))
+
+    # global step points + pooled cumulative fraction at each
+    gvals = counts.groupBy("__v").agg(F.sum("__c").alias("__gc"))
+    wg = Window.orderBy("__v")
+    total = gvals.agg(F.sum("__gc")).collect()[0][0]
+    gcdf = gvals.withColumn(
+        "__gcum", F.sum("__gc").over(wg) / F.lit(float(total))
+    ).select("__v", "__gcum")
+
+    groups = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
+
+    # grid: every group evaluated at every global step point
+    grid = groups.crossJoin(F.broadcast(gcdf))
+    grid = grid.join(counts, ["__g", "__v"], "left").fillna(0, ["__c"])
+    wgr = Window.partitionBy("__g").orderBy("__v")
+    grid = grid.withColumn(
+        "__gcdf", F.sum("__c").over(wgr) / F.col("__n")
+    )
+    return (
+        grid.groupBy("__g", "__n")
+        .agg(
+            F.round(F.max(F.abs(F.col("__gcdf") - F.col("__gcum"))), decimals)
+            .alias("ks")
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").alias("n"),
+            "ks",
+        )
+    )

@@ -953,3 +953,49 @@ def token_budget_waterfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(
         per_src, 0.55 * total, key_col="source", amount_col="tokens"
     ).orderBy("source")
+
+
+_SOURCE_DRIFT_KS_SQL = """
+WITH counts AS (
+  SELECT source AS g, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), gvals AS (
+  SELECT v, CAST(sum(c) AS DOUBLE) AS gc FROM counts GROUP BY 1
+), tot AS (
+  SELECT sum(gc) AS t FROM gvals
+), gcdf AS (
+  SELECT v, sum(gc) OVER (ORDER BY v) / (SELECT t FROM tot) AS gcum
+  FROM gvals
+), groups AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+), grid AS (
+  SELECT groups.g, groups.n, gcdf.v, gcdf.gcum,
+         coalesce(counts.c, 0) AS c
+  FROM groups CROSS JOIN gcdf
+  LEFT JOIN counts ON counts.g = groups.g AND counts.v = gcdf.v
+), cum AS (
+  SELECT g, n, gcum,
+         sum(c) OVER (PARTITION BY g ORDER BY v) * 1.0 / n AS gc2
+  FROM grid
+)
+SELECT g AS source, n, round(max(abs(gc2 - gcum)), 6) AS ks
+FROM cum GROUP BY 1, 2 ORDER BY source
+"""
+
+
+@register("source_drift_ks", _SOURCE_DRIFT_KS_SQL)
+def source_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (operators/drift.py ks_drift):
+    exact two-sample KS statistic of each source's document-length
+    (n_chars) distribution against the pooled corpus — the
+    corpus-health monitor that spikes when one source's length profile
+    shifts, before means or quantiles move. Exact sup over the global
+    step grid; everything after the first count runs on (sources ×
+    distinct lengths) rows, bounded by the value DOMAIN, not the
+    corpus."""
+    from weaviate_txtai_spark.operators.drift import ks_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_drift(
+        docs, group_col="source", value_col="n_chars"
+    ).orderBy("source")

@@ -1496,3 +1496,50 @@ def tune_search_params_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe int, shortlist int, recall double, chosen boolean"
     )
+
+
+_EMB_OUTLIERS_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cs
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), nn AS (
+  SELECT qid, round(cs, 6) AS cs FROM (
+    SELECT qid, cs,
+           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS r
+    FROM pairs) WHERE r <= 5
+), scored AS (
+  SELECT qid AS vec_id, round(1 - avg(cs), 6) AS outlier_score
+  FROM nn GROUP BY qid
+)
+SELECT vec_id, outlier_score,
+       CAST(row_number() OVER (ORDER BY outlier_score DESC, vec_id) AS INT)
+         AS rank
+FROM scored ORDER BY outlier_score DESC, vec_id LIMIT 10
+"""
+
+
+@register("embedding_outliers", _EMB_OUTLIERS_SQL)
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection (data-quality triage for a
+    training corpus): each vector's mean cosine DISTANCE to its 5
+    nearest neighbors — isolated points score high, clustered points
+    low; top-10 outliers. Built on the kNN graph (operators/graph.py
+    knn_graph → simjoin.topk_join), so the pair generation is the
+    both-sides-huge similarity-join machinery — never an all-pairs
+    crossJoin on the engine side (the oracle brute-forces, that's its
+    job)."""
+    from weaviate_txtai_spark.operators.graph import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    g = knn_graph(emb, 5)
+    scored = g.groupBy(F.col("src").alias("vec_id")).agg(
+        F.round(1 - F.avg("score"), 6).alias("outlier_score")
+    )
+    w = Window.orderBy(F.desc("outlier_score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy(F.desc("outlier_score"), F.asc("vec_id"))
+    )
