@@ -196,8 +196,46 @@ def main() -> None:
             strategy="bucketed",
         )
 
+    def q_prefix_jaccard(d):
+        # r7 PPJoin twin: prefix index only — candidate volume should
+        # track the all-items join's on this (hot-key-free) corpus
+        from weaviate_txtai_spark.operators.setjoin import (
+            jaccard_prefix_pairs,
+        )
+
+        return jaccard_prefix_pairs(d, threshold=0.8)
+
+    def q_maxsim(e):
+        # r7 late interaction: fixed 4-token query batch, doc tokens
+        # double → one GEMM per doc group, expected linear
+        from weaviate_txtai_spark.operators.lateinteraction import (
+            maxsim_topk,
+        )
+
+        qt = e.filter(F.col("vec_id").isin(0, 7, 13, 42)).select(
+            F.when(F.col("vec_id").isin(0, 7), F.lit(0))
+            .otherwise(F.lit(1)).cast("long").alias("query_id"),
+            F.col("embedding").alias("vector"),
+        )
+        dt = e.select(
+            (F.col("vec_id") % 1000).alias("doc_id"),
+            F.col("embedding").alias("vector"),
+        )
+        return maxsim_topk(qt, dt, 5)
+
+    def q_ks_drift(d):
+        # r7 drift monitor: corpus count is the only corpus-sized stage;
+        # the grid work is (sources × distinct lengths), data-size-free
+        from weaviate_txtai_spark.operators.drift import ks_drift
+
+        return ks_drift(d, group_col="source", value_col="n_chars")
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
+        ("dedup_prefix_jaccard", q_prefix_jaccard, q_prefix_jaccard,
+         docs1, docs2),
+        ("maxsim_topk", q_maxsim, q_maxsim, emb1, emb2),
+        ("source_drift_ks", q_ks_drift, q_ks_drift, docs1, docs2),
         ("dedup_minhash", q_minhash, q_minhash, docs1, docs2),
         ("dedup_simhash", q_simhash, q_simhash, docs1, docs2),
         ("dedup_embedding_lsh", embedding_dup_pairs_lsh,

@@ -376,3 +376,91 @@ def connected_components(
         "left_anti",
     ).select("node", F.col("node").alias("component"))
     return members.unionByName(roots).unionByName(lonely)
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via degree orientation (the classic
+    MapReduce scheme — Suri & Vassilvitskii, "Counting Triangles and
+    the Curse of the Last Reducer", WWW 2011; public knowledge).
+
+    Orient every undirected edge from the (degree, id)-smaller endpoint
+    to the larger; each triangle then has exactly ONE node with two
+    outgoing edges, so wedges joined on their common tail and closed
+    against the oriented edge set count each triangle exactly once —
+    and, the scale point, the wedge fan-out per node is bounded by its
+    OUT-degree, which the orientation caps at O(√E) even for celebrity
+    nodes (a high-degree hub's edges almost all point AT it).
+
+    Plan: degree aggregate → two broadcast-eligible joins to attach
+    endpoint ranks → wedge self-join on the tail → one equi-join
+    against the oriented edges to close — all shuffle-bounded, no
+    window, no iteration. Self-loops are dropped; duplicate/reverse
+    edge rows are deduped.
+
+    Output: ``node, triangles`` for every node in ≥1 triangle
+    (zero-triangle nodes are omitted — the caller left-joins a node
+    frame if a dense output is needed).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+    )
+    # canonical undirected form (lo, hi), deduped
+    und = e.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+    withdeg = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    # orient by (degree, id): lower rank -> higher rank
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("t"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("h"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dh"),
+    )
+
+    # wedges at common tail t: unordered head pair, ordered by the SAME
+    # (degree, id) rank so the closing edge — itself rank-oriented — can
+    # be matched with one equi-join
+    w1 = oriented.select(
+        F.col("t"), F.col("h").alias("h1"), F.col("dh").alias("dh1")
+    )
+    w2 = oriented.select(
+        F.col("t"), F.col("h").alias("h2"), F.col("dh").alias("dh2")
+    )
+    wedges = w1.join(w2, "t").filter(
+        (F.col("dh1") < F.col("dh2"))
+        | ((F.col("dh1") == F.col("dh2")) & (F.col("h1") < F.col("h2")))
+    )
+    closing = oriented.select(
+        F.col("t").alias("h1"), F.col("h").alias("h2")
+    )
+    tris = wedges.join(closing, ["h1", "h2"]).select("t", "h1", "h2")
+
+    per_node = (
+        tris.select(F.explode(F.array("t", "h1", "h2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node

@@ -2967,3 +2967,42 @@ def excess_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+_ORDER_TRIANGLES_SQL = """
+WITH sz AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey AS node,
+       CAST((sz.n - 1) * (sz.n - 2) / 2 AS BIGINT) AS triangles
+FROM orders o JOIN sz ON o.o_custkey = sz.o_custkey
+WHERE sz.n >= 3
+ORDER BY node
+"""
+
+
+@register("order_clique_triangles", _ORDER_TRIANGLES_SQL)
+def order_clique_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting with degree orientation
+    (operators/graph.py triangle_count — Suri & Vassilvitskii 2011):
+    per-customer order CLIQUES give a closed-form truth (each order in
+    an n-order clique sits in C(n−1, 2) triangles) while the engine
+    runs the real orientation + wedge-join machinery with no knowledge
+    of the clique structure. The wedge fan-out cap (out-degree ≤ O(√E)
+    after orientation) is what makes this survive celebrity nodes at
+    corpus scale."""
+    from weaviate_txtai_spark.operators.graph import triangle_count
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_custkey", F.col("o_orderkey").alias("k1"))
+    b = orders.select("o_custkey", F.col("o_orderkey").alias("k2"))
+    edges = (
+        a.join(b, "o_custkey")
+        .filter(F.col("k1") < F.col("k2"))
+        .select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+    )
+    return (
+        triangle_count(edges)
+        .select("node", "triangles")
+        .orderBy("node")
+    )
