@@ -78,3 +78,75 @@ def bm25_scores(
         .groupBy(F.col("__id").alias(id_col))
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
+
+
+def qlm_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001 — public knowledge): the language-model IR
+    scorer next to BM25's probabilistic-relevance one; the two disagree
+    exactly where document length and collection frequency pull apart,
+    which is why ensembles fuse both.
+
+    score(d) = Σ_{t∈q} log( (tf_{t,d} + μ·P(t|C)) / (|d| + μ) ),
+    computed via the standard decomposition
+        Σ_t log(μ·P(t|C)) − |q|·log(|d| + μ)
+        + Σ_{t: tf>0} log(1 + tf / (μ·P(t|C)))
+    so only HIT rows (docs × matched terms) ever aggregate — the same
+    shuffle profile as ``bm25_scores``: corpus scanned once with doc
+    length riding the explode, query-term hits are the only
+    corpus-dependent shuffle, collection stats are two broadcast
+    scalars. Query terms absent from the corpus are dropped (their
+    P(t|C) = 0 would zero every document's likelihood; the standard
+    practical convention).
+
+    Output: (doc_id, score) for docs containing ≥1 query term, score
+    rounded to 6dp (log-likelihoods, negative; higher = better).
+    """
+    qt = list(dict.fromkeys(query_terms))
+    exp = spread(docs).select(
+        F.col(id_col).alias("__id"),
+        token_count(text_col).alias("__len"),
+        F.explode(tokens(text_col)).alias("__t"),
+    )
+    hits = (
+        exp.filter(F.col("__t").isin(qt))
+        .groupBy("__id", "__len", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    hits = scoped_persist(hits)  # feeds cf and the score aggregate
+    ctot = docs.agg(
+        F.sum(token_count(text_col)).cast("double").alias("__c")
+    )
+    cf = (
+        hits.groupBy("__t")
+        .agg(F.sum("__tf").cast("double").alias("__cf"))
+        .crossJoin(F.broadcast(ctot))
+        .withColumn("__mup", F.lit(mu) * F.col("__cf") / F.col("__c"))
+    )
+    consts = cf.agg(
+        F.sum(F.log("__mup")).alias("__tc"),
+        F.count(F.lit(1)).alias("__nq"),
+    )
+    return (
+        hits.join(F.broadcast(cf.select("__t", "__mup")), "__t")
+        .withColumn("__part", F.log(F.lit(1.0) + F.col("__tf") / F.col("__mup")))
+        .groupBy("__id", "__len")
+        .agg(F.sum("__part").alias("__hs"))
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col("__id").alias(id_col),
+            F.round(
+                F.col("__tc")
+                - F.col("__nq") * F.log(F.col("__len") + F.lit(mu))
+                + F.col("__hs"),
+                6,
+            ).alias("score"),
+        )
+    )

@@ -999,3 +999,50 @@ def source_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(
         docs, group_col="source", value_col="n_chars"
     ).orderBy("source")
+
+
+_QLM_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), dl AS (
+  SELECT d.doc_id, CAST(coalesce(count(tok.t), 0) AS BIGINT) AS len
+  FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id GROUP BY 1
+), ctot AS (
+  SELECT CAST(sum(len) AS DOUBLE) AS c FROM dl
+), hits AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok
+  WHERE t IN (__TERMS__) GROUP BY 1, 2
+), cf AS (
+  SELECT t, 2000.0 * CAST(sum(tf) AS DOUBLE) / (SELECT c FROM ctot) AS mup
+  FROM hits GROUP BY 1
+), consts AS (
+  SELECT sum(ln(mup)) AS tc, count(*) AS nq FROM cf
+), persc AS (
+  SELECT h.doc_id, sum(ln(1 + h.tf / cf.mup)) AS hs
+  FROM hits h JOIN cf ON h.t = cf.t GROUP BY 1
+)
+SELECT p.doc_id,
+       round((SELECT tc FROM consts)
+             - (SELECT nq FROM consts) * ln(dl.len + 2000.0)
+             + p.hs, 6) AS score
+FROM persc p JOIN dl ON p.doc_id = dl.doc_id
+ORDER BY score DESC, p.doc_id LIMIT 10
+""".replace("__TERMS__", ", ".join(f"'{t}'" for t in _BM25_TERMS))
+
+
+@register("qlm_topk", _QLM_TOPK_SQL)
+def qlm_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-10 for the SAME 3-term query as
+    bm25_topk (operators/bm25.py qlm_scores) — the language-model IR
+    scorer beside the probabilistic one; same shuffle profile (doc
+    length rides the explode, only hit rows aggregate, collection
+    stats broadcast)."""
+    from weaviate_txtai_spark.operators.bm25 import qlm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        qlm_scores(docs, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
