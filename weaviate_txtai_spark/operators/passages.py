@@ -223,3 +223,252 @@ def ngram_containment(
         )
     )
     return scored.unionByName(shorts)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    base: int = 131,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from each doc's k-gram hash
+    stream, select the RIGHTMOST-MINIMUM hash of every window of ``w``
+    consecutive k-grams, then dedup the selected (pos, hash) pairs.
+    Guarantees: at least one fingerprint per ``w`` positions (density
+    2/(w+1) expected), and any verbatim token run of >= w+k-1 tokens
+    shared by two docs shares at least one fingerprint — the sparse
+    index ``repeated_passages``' dense window table cannot afford at
+    fingerprint-retention scale.
+
+    All per-doc work is ONE map-side projection over array expressions
+    (token hash -> positional k-gram rolling hash -> per-window
+    rightmost-min fold) — whole-stage codegen, no UDF, no shuffle; the
+    only exchange is whatever the caller does with the exploded
+    (doc, pos, fp) rows. Docs with >= 1 but < w k-grams yield a single
+    global-min fingerprint (standard short-doc convention); docs with
+    fewer than k tokens yield nothing.
+
+    The k-gram hash is the repo's arithmetic rolling hash
+    (``functions.text.rolling_fingerprint`` constants: per-token
+    ascii(first)*31+len folded mod 1e9+7 base 131) so any SQL engine
+    reproduces it exactly for oracle checks; base*mod ~ 1.3e11 keeps
+    the fold inside int64 under ANSI arithmetic. Fingerprint ties
+    resolve to the RIGHTMOST window position (fold updates on <=),
+    per the paper's robust-winnowing rule.
+
+    Output: ``id_col, pos, fp`` — pos is the 1-based token index of the
+    selected k-gram's start.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    modl = F.lit(mod).cast("long")
+    th = F.transform(
+        tokens(text_col), lambda t: (F.ascii(t) * 31 + F.length(t)).cast("long")
+    )
+    kg = F.transform(
+        F.sequence(F.lit(1), F.size("__th") - (k - 1)),
+        lambda i: F.aggregate(
+            F.slice("__th", i, k),
+            F.lit(0).cast("long"),
+            lambda a, x: F.pmod(a * base + x, modl),
+        ),
+    )
+    # short docs (1 <= m < w) get one window spanning all m k-grams
+    wlen = F.least(F.size("__kg"), F.lit(w))
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("__kg") - wlen + 1),
+        lambda j: F.aggregate(
+            F.sequence(j, j + wlen - 1),
+            F.struct(
+                (modl + 1).alias("fp"), F.lit(-1).cast("integer").alias("pos")
+            ),
+            lambda acc, p: F.when(
+                F.element_at(F.col("__kg"), p) <= acc["fp"],
+                F.struct(
+                    F.element_at(F.col("__kg"), p).alias("fp"),
+                    p.cast("integer").alias("pos"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), th.alias("__th"))
+        .filter(F.size("__th") >= k)
+        .select(id_col, kg.alias("__kg"))
+        .select(id_col, F.explode(F.array_distinct(sel)).alias("__f"))
+        .select(
+            id_col,
+            F.col("__f.pos").alias("pos"),
+            F.col("__f.fp").alias("fp"),
+        )
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """MOSS-style pair report over winnowed fingerprints: doc pairs
+    sharing >= ``min_shared`` distinct fingerprint VALUES, scored by
+    containment = shared / min(|A|, |B|) over each doc's distinct-value
+    fingerprint set. The sparse fingerprint sets stand in for the full
+    window tables, so the candidate join touches ~2/(w+1) of the
+    positions ``repeated_passages`` would.
+
+    Scale shape: fingerprint sets are per-doc DISTINCT aggregates (one
+    shuffle), the pair join goes through a per-fp inverted index with
+    hot fingerprints capped at ``max_df`` docs (boilerplate belongs to
+    ``repeated_passages``; this join targets rare clone material), and
+    sizes join back via two 1-row-per-doc aggregates.
+
+    Output: ``d1, d2, n_shared, containment``.
+    """
+    fps = (
+        winnow_fingerprints(
+            docs, text_col=text_col, id_col=id_col, k=k, w=w
+        )
+        .select(id_col, "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    rare = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("fp"),
+        "fp",
+    )
+    shared = (
+        rare.alias("a")
+        .join(rare.alias("b"), "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    containment = F.col("n_shared") / F.least(F.col("__na"), F.col("__nb"))
+    if round_decimals is not None:
+        containment = F.round(containment, round_decimals)
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("d1"), F.col("__n").alias("__na")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("d2"), F.col("__n").alias("__nb")),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            containment.alias("containment"),
+        )
+    )
+
+
+def shared_runs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_run_tokens: int = 12,
+    max_occ: int = 20,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Maximal shared verbatim token runs per doc pair — the
+    cross-document span report behind suffix-array dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021, §4):
+    for every doc pair sharing at least one run of >= ``min_run_tokens``
+    consecutive identical tokens, the longest such run and the run
+    count. ``repeated_passages`` answers "which WINDOWS are boilerplate";
+    this answers "which DOC PAIRS share a long clone, and how long" —
+    the forensic unit for license-header tracing and decontamination
+    audits.
+
+    Distributed re-expression of the suffix-array scan: positional
+    k-gram inverted index -> equi-join doc pairs on the hash -> runs are
+    islands of consecutive positions at constant offset p2-p1, found
+    with the classic gaps-and-islands trick (p1 - row_number() per
+    (d1, d2, diff) partition); a run of c matched k-gram positions spans
+    c + k - 1 tokens.
+
+    Scale: the ONLY pair-generating join is gated on hashes with total
+    occurrence count <= ``max_occ`` (pairs per hash bounded by
+    max_occ^2/2; corpus-hot boilerplate hashes never enter — they are
+    ``repeated_passages``' domain). The cap is the standard trade-off:
+    a run whose interior crosses a hotter-than-cap k-gram splits into
+    two reported runs.
+
+    Output: ``d1, d2, max_run_tokens, n_runs``.
+    """
+    tok = tokens(text_col)
+    grams = (
+        docs.select(F.col(id_col), tok.alias("__tok"))
+        .filter(F.size("__tok") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("__tok") - (k - 1))
+            ).alias("pos"),
+            F.col("__tok"),
+        )
+        .select(
+            id_col,
+            "pos",
+            _window_hash(
+                F.concat_ws(" ", F.slice("__tok", F.col("pos"), k)), hash_mode
+            ).alias("wh"),
+        )
+    )
+    rare = grams.join(
+        grams.groupBy("wh")
+        .agg(
+            F.countDistinct(id_col).alias("__docs"),
+            F.count(F.lit(1)).alias("__occ"),
+        )
+        .filter((F.col("__docs") >= 2) & (F.col("__occ") <= max_occ))
+        .select("wh"),
+        "wh",
+    )
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), "wh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.pos").alias("p1"),
+            F.col("b.pos").alias("p2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("d1", "d2", "__diff").orderBy("p1")
+    runs = (
+        pairs.withColumn("__diff", F.col("p2") - F.col("p1"))
+        .withColumn("__grp", F.col("p1") - F.row_number().over(win))
+        .groupBy("d1", "d2", "__diff", "__grp")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("run_tokens"))
+        .filter(F.col("run_tokens") >= min_run_tokens)
+    )
+    return runs.groupBy("d1", "d2").agg(
+        F.max("run_tokens").cast("long").alias("max_run_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )

@@ -604,3 +604,145 @@ def dedup_prefix_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: winnowing fingerprints (Schleimer 2003 / MOSS) + shared
+# verbatim runs (Lee et al. 2021 suffix-array semantics, re-expressed
+# as positional k-gram islands)
+# --------------------------------------------------------------------------
+
+# Shared CTE: k=5-gram rolling hashes -> w=4 rightmost-min winnowing ->
+# distinct (doc, pos, fp). Mirrors operators/passages.py
+# winnow_fingerprints arithmetic exactly (ascii*31+len token hash,
+# base-131 fold mod 1e9+7).
+_WINNOW_CTE = """
+WITH th AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                        t -> CAST(ascii(t) * 31 + length(t) AS BIGINT)) AS th
+  FROM documents
+), kgt AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(th) - 4),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 4)),
+                            (a, x) -> (a * 131 + x) % 1000000007)) AS kg
+  FROM th WHERE len(th) >= 5
+), sel AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, len(kg) - least(len(kg), 4) + 1),
+           j -> list_reduce(
+                  list_prepend({'fp': CAST(1000000008 AS BIGINT), 'pos': -1},
+                    list_transform(generate_series(j, j + least(len(kg), 4) - 1),
+                                   p -> {'fp': kg[p], 'pos': CAST(p AS INT)})),
+                  (acc, x) -> CASE WHEN x.fp <= acc.fp THEN x ELSE acc END)) AS sel
+  FROM kgt WHERE len(kg) >= 1
+), fps AS (
+  SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp
+  FROM (SELECT doc_id, unnest(sel) AS f FROM sel)
+)
+"""
+
+_WINNOW_FP_SQL = _WINNOW_CTE + """
+SELECT doc_id, pos, fp FROM fps
+WHERE doc_id % 7 = 3
+ORDER BY doc_id, pos
+"""
+
+
+@register("winnow_fingerprints", _WINNOW_FP_SQL)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (operators/passages.py
+    winnow_fingerprints — Schleimer/Wilkerson/Aiken 2003): per doc, the
+    rightmost-min k=5-gram rolling hash of every w=4 window, deduped to
+    (pos, fp). Entirely map-side codegen array expressions — the gate's
+    only exchange is the output sort. The doc_id % 7 slice keeps the
+    gate's row count driver-sized; the operator is per-doc, so the
+    slice commutes with the computation."""
+    from weaviate_txtai_spark.operators.passages import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 3
+    )
+    return (
+        winnow_fingerprints(docs, k=5, w=4)
+        .select("doc_id", "pos", F.col("fp").cast("long").alias("fp"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+_WINNOW_PAIRS_SQL = _WINNOW_CTE + """
+, s AS (SELECT DISTINCT doc_id, fp FROM fps),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+rare AS (SELECT s.* FROM s JOIN (SELECT fp FROM s GROUP BY fp
+         HAVING count(*) BETWEEN 2 AND 50) r USING (fp)),
+shared AS (
+  SELECT a.doc_id d1, b.doc_id d2, count(*) AS n_shared
+  FROM rare a JOIN rare b USING (fp) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / least(sa.n, sb.n), 6) AS containment
+FROM shared JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+ORDER BY d1, d2
+"""
+
+
+@register("winnow_pairs", _WINNOW_PAIRS_SQL)
+def winnow_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style clone-pair report over winnowed fingerprints
+    (operators/passages.py winnow_pairs): pairs sharing >= 2 distinct
+    fingerprint values, containment = shared/min(|A|,|B|). The pair
+    join runs on the SPARSE fingerprint sets (expected density 2/(w+1)
+    of the dense window table) through a df-capped inverted index —
+    never all-pairs."""
+    from weaviate_txtai_spark.operators.passages import winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=5, w=4, min_shared=2, max_df=50).orderBy(
+        "d1", "d2"
+    )
+
+
+_SHARED_RUNS_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS wh
+  FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+), rare AS (
+  SELECT g.* FROM g JOIN (
+    SELECT wh FROM g GROUP BY wh
+    HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 20) f USING (wh)
+), p AS (
+  SELECT a.doc_id d1, b.doc_id d2, a.pos p1, b.pos p2
+  FROM rare a JOIN rare b USING (wh) WHERE a.doc_id < b.doc_id
+), runs AS (
+  SELECT d1, d2, count(*) + 7 AS run_tokens
+  FROM (SELECT d1, d2, p2 - p1 AS diff,
+               p1 - row_number() OVER (PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS grp
+        FROM p)
+  GROUP BY d1, d2, diff, grp HAVING count(*) + 7 >= 12
+)
+SELECT d1, d2, CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY d1, d2 ORDER BY d1, d2
+"""
+
+
+@register("shared_run_pairs", _SHARED_RUNS_SQL)
+def shared_run_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared verbatim token runs per doc pair
+    (operators/passages.py shared_runs — the Lee et al. 2021
+    suffix-array span report as positional-k-gram islands). md5 hash
+    mode for cross-engine window identity; production mode is
+    xxhash64 (pytest pins mode parity)."""
+    from weaviate_txtai_spark.operators.passages import shared_runs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_runs(
+        docs, k=8, min_run_tokens=12, max_occ=20, hash_mode="md5"
+    ).orderBy("d1", "d2")
