@@ -1,0 +1,153 @@
+"""Behavioral-sequence analytics over event streams: ordered funnels and
+cohort retention.
+
+The reference's unit of analysis is the document object
+(`/root/reference/weaviate_txtai/ann/weaviate.py:140-147`); these
+operators extend the engine to the event-log side of a training-data /
+product-analytics pipeline (the `events` table): "of the users who
+signed up, how many then viewed, then clicked, then purchased — in that
+order?" and "of the users whose first event fell in week W, how many
+were still active k weeks later?".
+
+Scale notes
+-----------
+``funnel``: ONE user-keyed shuffle. Events are filtered to the funnel's
+types at the scan (predicate pushdown), pre-aggregated to a per-(user)
+row of per-step sorted timestamp arrays (map-side combine collapses
+each user's events before the exchange), and the sequential
+"first event of step i strictly after the step-i-1 time" recurrence is
+pure array expressions (`element_at` / `filter` / `array_min`) inside
+one codegen projection — no joins, no windows, no UDF. The k-way
+self-join formulation (the oracle SQL twin) shuffles the event table k
+times; this form shuffles it once. Per-user state is the user's own
+funnel-type timestamps — the same per-key bound every sessionizer
+carries; a user with millions of events is an upstream bot-filter
+problem, not a plan problem.
+
+``cohort_retention``: two shuffles — per-user min (first event week),
+then distinct (cohort, offset, user) pre-count — both map-side
+combined. The join carrying each user's cohort week back onto their
+activity weeks is user-keyed and reuses the first aggregate's
+partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Strict-order funnel conversion: a user reaches step i when they
+    have an event of type ``steps[i]`` STRICTLY after their step-i-1
+    completion time (step 0: their earliest ``steps[0]`` event).
+    Re-doing an earlier step never un-completes a later one; each
+    step's completion time is the EARLIEST possible (greedy), which is
+    optimal for strict-order funnels — if any event sequence completes
+    the funnel, the greedy recurrence does.
+
+    Returns one row per step: ``step_idx, step, n_users, conversion``
+    (conversion = n_users / step-0 users, NULL when no user enters).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {list(steps)!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {list(steps)!r}")
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(user_col, type_col, ts_col)
+        .groupBy(user_col)
+        .pivot(type_col, list(steps))
+        .agg(F.sort_array(F.collect_list(ts_col)))
+    )
+    # pivot names columns by the raw step strings; the recurrence reads
+    # them positionally
+    cols = [F.col(f"`{s}`") for s in steps]
+
+    def _first_after(arr: Column, prev: Column) -> Column:
+        # NOTE: the lambda must take exactly ONE parameter — a default
+        # arg (lambda x, p=prev: ...) reads as the (x, idx) two-arg
+        # form and binds prev to the array INDEX variable
+        return F.array_min(F.filter(arr, lambda x: x > prev))
+
+    # try_element_at: a user with no step-0 events has an EMPTY array
+    # after the pivot, and plain element_at throws under ANSI mode
+    t: list[Column] = [F.try_element_at(cols[0], F.lit(1))]
+    for i in range(1, len(steps)):
+        t.append(_first_after(cols[i], t[i - 1]))
+    reached = per_user.select(
+        *[
+            F.count(t[i]).cast("long").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', __n{i}" for i, s in enumerate(steps)
+    )
+    long = reached.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
+    )
+    from pyspark.sql.window import Window
+
+    # the stack output is k rows in one partition; this window never
+    # moves corpus-scale data
+    w = Window.partitionBy(F.lit(1))
+    return long.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            F.max(F.when(F.col("step_idx") == 0, F.col("n_users"))).over(w)
+            > 0,
+            F.round(
+                F.col("n_users")
+                / F.max(
+                    F.when(F.col("step_idx") == 0, F.col("n_users"))
+                ).over(w),
+                round_decimals,
+            ),
+        ).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = ISO week (Monday
+    date_trunc) of the user's FIRST event; one output row per
+    (cohort_week, week_offset) with the count of cohort users active in
+    that offset week. Offset 0 always contains the full cohort.
+
+    Output: ``cohort_week (date), week_offset (int), n_users (long)``.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first = (
+        events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
+    )
+    activity = events.select(
+        user_col, wk.alias("__wk")
+    ).distinct()
+    off = (F.datediff("__wk", "cohort_week") / 7).cast("int")
+    out = (
+        activity.join(first, user_col)
+        .select(user_col, "cohort_week", off.alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    if max_offset is not None:
+        out = out.filter(F.col("week_offset") <= max_offset)
+    return out

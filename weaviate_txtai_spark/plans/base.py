@@ -33,6 +33,11 @@ REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
 
 def register(name: str, oracle: Optional[str]):
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent overwrite hides a gate from the driver forever (a
+        # second registration of "events_funnel" nearly shadowed the
+        # original in r7) — duplicates must fail at import time
+        if name in REGISTRY:
+            raise ValueError(f"gate {name!r} registered twice")
         REGISTRY[name] = (fn, oracle)
         return fn
 

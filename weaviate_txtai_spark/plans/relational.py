@@ -3006,3 +3006,82 @@ def order_clique_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "triangles")
         .orderBy("node")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: behavioral-sequence analytics over the event log
+# (operators/funnel.py) — ordered funnels and cohort retention
+# --------------------------------------------------------------------------
+
+# Oracle is the k-way sequential-join formulation; the Spark operator is
+# the ONE-shuffle pivot + array-recurrence plan. Different formulations,
+# same semantics — the hash match cross-checks the recurrence.
+_EVENTS_FUNNEL_SQL = """
+WITH e AS (SELECT * FROM events WHERE event_id % 3 = 0),
+s0 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+counts AS (
+  SELECT 0 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s0) AS n_users
+  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN (SELECT n_users FROM counts WHERE step_idx = 0) > 0
+            THEN round(n_users / (SELECT n_users FROM counts WHERE step_idx = 0), 6)
+       END AS conversion
+FROM counts ORDER BY step_idx
+"""
+
+
+@register("events_funnel_onepass", _EVENTS_FUNNEL_SQL)
+def events_funnel_onepass_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel signup -> view -> click -> purchase
+    (operators/funnel.py funnel): ONE user-keyed shuffle — per-user
+    per-step sorted timestamp arrays via pivot, then the greedy
+    first-event-strictly-after recurrence as pure array expressions.
+    Complements `events_funnel` (the inline chained-join formulation,
+    k shuffles of the event table, 3 steps): same semantics family,
+    different physical plan — this one also reports conversion rates
+    and takes the step list as data. The oracle twin is the k-join
+    formulation, so the hash match proves the one-shuffle plan
+    equivalent. The event_id % 3 slice thins sequences so strict
+    ordering actually gates conversion (un-sliced, every sf0.01 user
+    completes every step — a vacuous 100% funnel)."""
+    from weaviate_txtai_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    return funnel(ev, ["signup", "view", "click", "purchase"]).orderBy(
+        "step_idx"
+    )
+
+
+_EVENTS_COHORT_SQL = """
+WITH wk AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+            FROM events WHERE value > 150),
+first AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+act AS (SELECT DISTINCT user_id, w FROM wk)
+SELECT cohort_week, CAST(datediff('day', cohort_week, w) / 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("events_cohort_retention", _EVENTS_COHORT_SQL)
+def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over high-value activity
+    (operators/funnel.py cohort_retention): cohort = ISO week of the
+    user's first value>150 event; rows are (cohort_week, week_offset,
+    active users). Two map-side-combined shuffles; the cohort join is
+    user-keyed. The value slice makes weekly activity sparse enough
+    that the matrix actually decays (the raw stream retains ~100% of
+    users every week at sf0.01)."""
+    from weaviate_txtai_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 150)
+    return cohort_retention(ev).orderBy("cohort_week", "week_offset")
