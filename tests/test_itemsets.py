@@ -1,0 +1,100 @@
+"""operators/itemsets.py: frequent pairs + association rules."""
+
+import pytest
+
+from weaviate_txtai_spark.operators.itemsets import (
+    association_rules,
+    basketize,
+    frequent_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def baskets(spark):
+    # 5 baskets: {a,b,c} {a,b} {a,c} {b,c} {a}; duplicate (1,a) row must
+    # not double-count
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "c"),
+        (5, "a"),
+    ]
+    return spark.createDataFrame(rows, ["order_id", "item"])
+
+
+def test_frequent_pairs_counts(baskets):
+    got = {
+        (r.p1, r.p2): r.pair_count
+        for r in frequent_pairs(
+            baskets, "order_id", "item", min_pair_count=1
+        ).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2}
+
+
+def test_min_pair_count_prunes(baskets):
+    assert (
+        frequent_pairs(baskets, "order_id", "item", min_pair_count=3).count()
+        == 0
+    )
+
+
+def test_item_pruning_apriori(spark):
+    # item z appears once -> pruned before pair generation at
+    # min_item_count=2, so (a,z) never forms even though they co-occur
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "z"), (2, "a"), (2, "b"), (3, "a"), (3, "b")],
+        ["order_id", "item"],
+    )
+    pairs = frequent_pairs(
+        df, "order_id", "item", min_pair_count=1, min_item_count=2
+    ).collect()
+    assert {(r.p1, r.p2) for r in pairs} == {("a", "b")}
+
+
+def test_max_basket_size_drops(spark):
+    big = [(1, f"i{i}") for i in range(10)] + [(2, "a"), (2, "b")]
+    df = spark.createDataFrame(big, ["order_id", "item"])
+    b = basketize(df, "order_id", "item", max_basket_size=5)
+    assert [r.basket for r in b.collect()] == [2]
+
+
+def test_association_rules_values(baskets):
+    rules = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            baskets, "order_id", "item", min_pair_count=1
+        ).collect()
+    }
+    # a in 4 baskets, b in 3, c in 3, n=5, pair (a,b)=2
+    r = rules[("a", "b")]
+    assert r.pair_count == 2
+    assert r.support == round(2 / 5, 6)
+    assert r.confidence == round(2 / 4, 6)
+    assert r.lift == round((2 / 4) / (3 / 5), 6)
+    r = rules[("b", "a")]
+    assert r.confidence == round(2 / 3, 6)
+    assert r.lift == round((2 / 3) / (4 / 5), 6)
+    # both directions for every frequent pair
+    assert len(rules) == 6
+
+
+def test_min_confidence_filters(baskets):
+    rules = association_rules(
+        baskets, "order_id", "item", min_pair_count=1, min_confidence=0.6
+    ).collect()
+    assert all(r.confidence >= 0.6 for r in rules)
+    assert {(r.antecedent, r.consequent) for r in rules} == {
+        ("b", "a"), ("c", "a"), ("b", "c"), ("c", "b")
+    }
+
+
+def test_pair_generation_is_map_side(baskets):
+    # plan shape: no self-join of the basket relation — pair fan-out is
+    # a generator (explode) over the per-basket array
+    plan = frequent_pairs(
+        baskets, "order_id", "item", min_pair_count=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan

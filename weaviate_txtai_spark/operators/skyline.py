@@ -1,0 +1,120 @@
+"""Skyline (Pareto frontier) queries: the rows not dominated by any
+other row across a set of minimize/maximize criteria.
+
+Row ``r`` is dominated when some row ``s`` is no worse on EVERY
+criterion and strictly better on at least one. The skyline is the set
+of non-dominated rows — "cheapest-for-its-size" parts,
+"fastest-for-its-cost" suppliers. Duplicate criterion vectors do not
+dominate each other; all copies survive (the standard skyline
+convention — dominance requires a strict improvement somewhere).
+
+Scale notes
+-----------
+The naive formulation is a quadratic NOT EXISTS self-join of the full
+table — a broadcast nested-loop over N² at corpus scale. This operator
+uses the classic two-phase distributed skyline (Börzsönyi 2001
+block-nested-loop locally, partition-union globally):
+
+1. **Local prune** (``mapInPandas``, map-only, no shuffle): each
+   partition computes its own skyline. Dominance is transitive, so a
+   row dominated within its partition is dominated globally — the
+   local pass only ever removes true negatives, and the union of local
+   skylines is a superset of the answer. Per-partition cost is
+   O(n_p · s_p) with s_p the LOCAL skyline size (vectorized numpy
+   compare against the kept set), and the surviving fraction is
+   tiny for realistically-correlated data (skyline size grows
+   ~O(log^(d-1) n) for independent dims).
+2. **Global verify**: the pruned candidate set anti-joins itself under
+   the dominance predicate with the candidate side ``broadcast`` —
+   an O(s²) broadcast nested-loop, but on s ≪ N survivors, not N.
+   No single-task bottleneck and no driver collect.
+
+Anti-correlated adversarial data (every row on the frontier) degrades
+to the quadratic verify on ~N rows — that is inherent to the skyline
+itself being O(N); no algorithm beats its own output size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dominates(
+    a: str, b: str, minimize: Sequence[str], maximize: Sequence[str]
+) -> Column:
+    """Column predicate: row-alias ``a`` dominates row-alias ``b``."""
+    no_worse = [F.col(f"{a}.{c}") <= F.col(f"{b}.{c}") for c in minimize]
+    no_worse += [F.col(f"{a}.{c}") >= F.col(f"{b}.{c}") for c in maximize]
+    better = [F.col(f"{a}.{c}") < F.col(f"{b}.{c}") for c in minimize]
+    better += [F.col(f"{a}.{c}") > F.col(f"{b}.{c}") for c in maximize]
+    cond = F.lit(True)
+    for p in no_worse:
+        cond = cond & p
+    strictly = F.lit(False)
+    for p in better:
+        strictly = strictly | p
+    return cond & strictly
+
+
+def skyline(
+    df: DataFrame,
+    minimize: Sequence[str] = (),
+    maximize: Sequence[str] = (),
+) -> DataFrame:
+    """All rows of ``df`` not dominated on (minimize ∪ maximize).
+    Criterion columns must be non-null numerics; other columns pass
+    through untouched."""
+    minimize, maximize = list(minimize), list(maximize)
+    crit = minimize + maximize
+    if not crit:
+        raise ValueError("skyline needs at least one criterion column")
+    if len(set(crit)) != len(crit):
+        raise ValueError(f"criterion listed twice: {crit}")
+
+    import numpy as np
+
+    schema = df.schema
+    # numpy view with maximize columns negated -> pure minimization
+    signs = [1.0] * len(minimize) + [-1.0] * len(maximize)
+
+    def _local_prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        m = np.column_stack(
+            [pdf[c].to_numpy(dtype=np.float64) * s for c, s in zip(crit, signs)]
+        )
+        # scan in lexicographic order of the minimized view: a row can
+        # only be dominated by one sorting BEFORE it (dominance implies
+        # lex-<=), so comparing against kept-so-far is complete
+        order = np.lexsort(m.T[::-1])
+        m = m[order]
+        kept_rows: list[int] = []
+        kept: np.ndarray | None = None
+        for i in range(len(m)):
+            r = m[i]
+            if kept is not None and bool(
+                ((kept <= r).all(axis=1) & (kept < r).any(axis=1)).any()
+            ):
+                continue
+            kept_rows.append(i)
+            kept = m[kept_rows]
+        yield pdf.iloc[order[kept_rows]]
+
+    candidates = df.mapInPandas(_local_prune, schema=schema)
+    # global O(s²) verify on the survivors only. Both join sides derive
+    # from `candidates`, so the local prune runs twice — two map-only
+    # scans of the source; the broadcast side is column-pruned to the
+    # criteria. Callers verifying over an expensive upstream plan
+    # should persist/checkpoint it first.
+    dom = _dominates("__d", "__c", minimize, maximize)
+    return candidates.alias("__c").join(
+        F.broadcast(candidates.select(*crit).alias("__d")),
+        on=dom,
+        how="left_anti",
+    )

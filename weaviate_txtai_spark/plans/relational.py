@@ -3085,3 +3085,84 @@ def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 150)
     return cohort_retention(ev).orderBy("cohort_week", "week_offset")
+
+
+# --------------------------------------------------------------------------
+# Round 7: market-basket association rules (operators/itemsets.py) and
+# Pareto skyline (operators/skyline.py)
+# --------------------------------------------------------------------------
+
+_BASKET_RULES_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+ic AS (SELECT item, count(*) AS c FROM b GROUP BY 1),
+p AS (SELECT a.item AS p1, c.item AS p2, count(*) AS cnt
+      FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+r AS (SELECT p1 AS antecedent, p2 AS consequent, cnt FROM p
+      UNION ALL SELECT p2, p1, cnt FROM p)
+SELECT r.antecedent, r.consequent, CAST(r.cnt AS BIGINT) AS pair_count,
+       round(r.cnt * 1.0 / n.n_baskets, 6) AS support,
+       round(r.cnt * 1.0 / ia.c, 6) AS confidence,
+       round((r.cnt * 1.0 / ia.c) / (ib.c * 1.0 / n.n_baskets), 6) AS lift
+FROM r
+JOIN ic ia ON r.antecedent = ia.item
+JOIN ic ib ON r.consequent = ib.item
+CROSS JOIN n
+ORDER BY antecedent, consequent
+"""
+
+
+@register("basket_rules", _BASKET_RULES_SQL)
+def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-2 association rules over order baskets (order = basket,
+    part = item), pair support >= 3: which parts sell together, with
+    support / confidence / lift (operators/itemsets.py). The Spark
+    plan generates pairs map-side from per-basket sorted arrays (no
+    basket self-join) with apriori item pruning available; the oracle
+    IS the textbook self-join, so the hash match proves the map-side
+    fan-out equivalent to the quadratic formulation."""
+    from weaviate_txtai_spark.operators.itemsets import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=3
+    ).orderBy("antecedent", "consequent")
+
+
+_PART_SKYLINE_SQL = """
+WITH p AS (SELECT p_partkey, p_retailprice, CAST(p_size AS INT) AS p_size,
+                  CAST(len(p_name) AS INT) AS name_len
+           FROM part)
+SELECT p_partkey, p_retailprice, p_size, name_len
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_retailprice <= a.p_retailprice
+    AND b.p_size >= a.p_size AND b.name_len >= a.name_len
+    AND (b.p_retailprice < a.p_retailprice
+         OR b.p_size > a.p_size OR b.name_len > a.name_len))
+ORDER BY p_partkey
+"""
+
+
+@register("part_skyline", _PART_SKYLINE_SQL)
+def part_skyline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: minimize retail price, maximize size
+    and name length — no part is cheaper AND bigger AND longer-named
+    (operators/skyline.py). The Spark plan is the two-phase
+    distributed skyline (per-partition mapInPandas prune, then an
+    O(survivors²) broadcast anti-join); the oracle is the quadratic
+    NOT EXISTS truth, so the hash match proves the local prune loses
+    nothing."""
+    from weaviate_txtai_spark.operators.skyline import skyline
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    return skyline(
+        p, minimize=["p_retailprice"], maximize=["p_size", "name_len"]
+    ).orderBy("p_partkey")

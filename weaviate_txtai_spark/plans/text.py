@@ -1046,3 +1046,37 @@ def qlm_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: exact phrase search via positional postings (operators/phrase.py)
+# --------------------------------------------------------------------------
+
+# Oracle is the direct sliding-window compare (tok[i]='a' AND
+# tok[i+1]='a') — an INDEPENDENT formulation, not a replay of the
+# postings construction, so the hash match checks the arithmetic
+# re-keying (pos − phrase_idx) end to end, overlaps included.
+_PHRASE_MATCH_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+)
+SELECT doc_id, CAST(s.x - 1 AS INT) AS start
+FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+WHERE tok[s.x] = 'a' AND tok[s.x + 1] = 'a'
+ORDER BY doc_id, start
+"""
+
+
+@register("phrase_match_positions", _PHRASE_MATCH_SQL)
+def phrase_match_positions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every occurrence of the exact phrase "a a" (a repeated-term
+    phrase — the hard case: one token feeds two phrase indices, and
+    overlapping occurrences like "a a a" must yield two starts).
+    The plan is postings-filter → arithmetic re-key → ONE aggregate;
+    no contains() corpus rescan, no k-way postings self-join
+    (operators/phrase.py)."""
+    from weaviate_txtai_spark.operators.phrase import phrase_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_match(docs, "a a").orderBy("doc_id", "start")
