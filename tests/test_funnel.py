@@ -130,3 +130,105 @@ def test_cohort_retention_max_offset(spark):
     full = cohort_retention(ev).count()
     capped = cohort_retention(ev, max_offset=1).count()
     assert full == 2 and capped == 1
+
+
+# ---------------------------------------------------------------- window
+
+
+def test_windowed_funnel_late_anchor_wins(spark):
+    # greedy-from-first-anchor would fail: signup@0 has no view within
+    # 10s, but signup@50 -> view@55 converts. Every anchor is tried.
+    ev = _events(
+        spark,
+        [
+            (1, "signup", _ts(1, 0)),
+            (1, "signup", _ts(1, 50)),
+            (1, "view", _ts(1, 55)),
+        ],
+    )
+    rows = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["signup", "view"], window=10).collect()
+    }
+    assert rows == {"signup": 1, "view": 1}
+
+
+def test_windowed_funnel_outside_window_drops(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "signup", _ts(1, 0)),
+            (1, "view", _ts(1, 30)),  # 30s after the only anchor
+        ],
+    )
+    rows = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["signup", "view"], window=10).collect()
+    }
+    assert rows == {"signup": 1, "view": 0}
+
+
+def test_windowed_funnel_boundary_inclusive_and_strict(spark):
+    ev = _events(
+        spark,
+        [
+            # view exactly at anchor+window: included
+            (1, "signup", _ts(1, 0)),
+            (1, "view", _ts(1, 10)),
+            # view exactly AT the anchor: strict > excludes it
+            (2, "signup", _ts(1, 0)),
+            (2, "view", _ts(1, 0)),
+        ],
+    )
+    rows = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["signup", "view"], window=10).collect()
+    }
+    assert rows == {"signup": 2, "view": 1}
+
+
+def test_windowed_funnel_whole_chain_within_anchor_window(spark):
+    # u1: chain 0 -> 4 -> 8 fits in 10s. u2: view fits but click lands
+    # at anchor+12 -> level 2 only. The window binds to the ANCHOR, not
+    # to the previous step.
+    ev = _events(
+        spark,
+        [
+            (1, "signup", _ts(1, 0)),
+            (1, "view", _ts(1, 4)),
+            (1, "click", _ts(1, 8)),
+            (2, "signup", _ts(1, 0)),
+            (2, "view", _ts(1, 9)),
+            (2, "click", _ts(1, 12)),
+        ],
+    )
+    rows = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["signup", "view", "click"], window=10).collect()
+    }
+    assert rows == {"signup": 2, "view": 2, "click": 1}
+
+
+def test_windowed_funnel_huge_window_matches_unwindowed(spark):
+    ev = _events(
+        spark,
+        [
+            (u, t, _ts(d, s))
+            for u, seq in [
+                (1, [("signup", 1, 0), ("view", 2, 0), ("click", 3, 0)]),
+                (2, [("signup", 1, 0), ("click", 2, 0), ("view", 3, 0)]),
+                (3, [("view", 1, 0), ("click", 2, 0)]),
+            ]
+            for t, d, s in seq
+        ],
+    )
+    steps = ["signup", "view", "click"]
+    a = {
+        (r["step_idx"], r["n_users"])
+        for r in funnel(ev, steps).collect()
+    }
+    b = {
+        (r["step_idx"], r["n_users"])
+        for r in funnel(ev, steps, window=10**9).collect()
+    }
+    assert a == b

@@ -1,0 +1,105 @@
+"""operators/rankstats.py: distributed average ranks + Spearman."""
+
+import math
+import random
+
+import pytest
+
+from weaviate_txtai_spark.operators.rankstats import avg_ranks, spearman
+
+
+def _py_avg_ranks(vals):
+    s = sorted(vals)
+    first = {}
+    for i, v in enumerate(s):
+        first.setdefault(v, i)
+    return [first[v] + (s.count(v) + 1) / 2.0 for v in vals]
+
+
+def _py_spearman(xs, ys):
+    rx, ry = _py_avg_ranks(xs), _py_avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    sx = math.sqrt(sum((a - mx) ** 2 for a in rx))
+    sy = math.sqrt(sum((b - my) ** 2 for b in ry))
+    return cov / (sx * sy)
+
+
+def test_avg_ranks_ties(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10.0, 20.0, 20.0, 30.0, 20.0])],
+        ["id", "v"],
+    )
+    got = {r.id: r.avg_rank for r in avg_ranks(df, "v").collect()}
+    # value 20 occupies ranks 2,3,4 -> avg 3
+    assert got == {0: 1.0, 1: 3.0, 2: 3.0, 3: 5.0, 4: 3.0}
+
+
+def test_avg_ranks_drops_nulls(spark):
+    df = spark.createDataFrame([(0, 1.0), (1, None), (2, 2.0)], ["id", "v"])
+    got = {r.id: r.avg_rank for r in avg_ranks(df, "v").collect()}
+    assert got == {0: 1.0, 2: 2.0}
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i) ** 3) for i in range(1, 40)], ["x", "y"]
+    ).repartition(6)
+    r = spearman(df, [("x", "y")]).collect()[0]
+    assert r.spearman == 1.0
+
+
+def test_spearman_reversed_is_minus_one(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(40 - i)) for i in range(1, 40)], ["x", "y"]
+    ).repartition(6)
+    assert spearman(df, [("x", "y")]).collect()[0].spearman == -1.0
+
+
+def test_spearman_matches_reference_with_ties(spark):
+    rng = random.Random(11)
+    xs = [float(rng.randint(0, 8)) for _ in range(200)]
+    ys = [x * 2 + rng.randint(0, 5) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"]).repartition(7)
+    got = spearman(df, [("x", "y")]).collect()[0].spearman
+    assert got == pytest.approx(round(_py_spearman(xs, ys), 6), abs=2e-6)
+
+
+def test_spearman_pairwise_null_handling(spark):
+    # the y-null row must not influence x's ranks
+    rows = [(1.0, 1.0), (2.0, None), (3.0, 2.0), (4.0, 3.0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = spearman(df, [("x", "y")]).collect()[0].spearman
+    xs = [1.0, 3.0, 4.0]
+    ys = [1.0, 2.0, 3.0]
+    assert got == pytest.approx(round(_py_spearman(xs, ys), 6), abs=2e-6)
+
+
+def test_spearman_multiple_pairs(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i * i), float(-i)) for i in range(1, 20)],
+        ["a", "b", "c"],
+    )
+    rows = {
+        (r.col_x, r.col_y): r.spearman
+        for r in spearman(df, [("a", "b"), ("a", "c")]).collect()
+    }
+    assert rows == {("a", "b"): 1.0, ("a", "c"): -1.0}
+
+
+def test_no_global_single_partition_window(spark):
+    # the plan must not contain an unpartitioned window (the
+    # scale-killer this operator exists to avoid)
+    df = spark.createDataFrame(
+        [(float(i), float(i % 7)) for i in range(50)], ["x", "y"]
+    )
+    plan = (
+        spearman(df, [("x", "y")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "__pid" in line, line

@@ -1,0 +1,115 @@
+"""A/B experiment readouts: two-proportion z-test and Welch's t-test.
+
+Training-data work is full of paired-cohort questions — does the new
+dedup config change downstream clickthrough, does a quality-filter
+variant shift per-user engagement — and the readout is always the same
+two statistics: a z-test on conversion rates and a Welch t-test on
+per-user means. Both are pure aggregates, so the distributed form is
+one map-side-combined pass; the statistics are emitted as test
+statistics (z / t and Welch's degrees of freedom), not p-values — Spark
+has no erf/Student-t CDF built-in, and thresholding |z| is what a
+pipeline gate does anyway.
+
+Scale notes: ONE groupBy over the unit key (user) to form per-unit
+outcomes, then a 2-row aggregate per variant and a broadcast-width
+final combine. Nothing is ever collected; both tests are a single job
+each. Formulas: pooled two-proportion z (Fleiss); Welch t with
+Welch–Satterthwaite df, sample (n−1) variances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    *,
+    group_a,
+    group_b,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pooled two-proportion z-test between ``group_a`` and ``group_b``.
+
+    ``df`` holds one row per experimental unit with a boolean/0-1
+    ``success_col``. Output (1 row): ``n_a, n_b, successes_a,
+    successes_b, rate_a, rate_b, abs_lift, z`` — z is
+    (rate_a − rate_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    rate; NULL when either arm is empty or p̂ is 0 or 1 (no variance).
+    """
+    g = F.col(group_col)
+    s = F.col(success_col).cast("double")
+    agg = df.filter(g.isin([group_a, group_b])).agg(
+        F.count(F.when(g == group_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(g == group_b, 1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(g == group_a, s)), F.lit(0.0))
+        .cast("long")
+        .alias("successes_a"),
+        F.coalesce(F.sum(F.when(g == group_b, s)), F.lit(0.0))
+        .cast("long")
+        .alias("successes_b"),
+    )
+    pa = F.col("successes_a") / F.col("n_a")
+    pb = F.col("successes_b") / F.col("n_b")
+    pool = (F.col("successes_a") + F.col("successes_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "successes_a",
+        "successes_b",
+        F.round(pa, round_decimals).alias("rate_a"),
+        F.round(pb, round_decimals).alias("rate_b"),
+        F.round(pa - pb, round_decimals).alias("abs_lift"),
+        F.round(
+            F.when(se > 0, (pa - pb) / se), round_decimals
+        ).alias("z"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    group_a,
+    group_b,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test on ``value_col`` means.
+
+    Output (1 row): ``n_a, n_b, mean_a, mean_b, t, welch_df`` — t is
+    (mean_a − mean_b)/sqrt(s²_a/n_a + s²_b/n_b) with sample variances,
+    and welch_df the Welch–Satterthwaite degrees of freedom. NULL t/df
+    when either arm has <2 units or both variances are 0.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    agg = df.filter(g.isin([group_a, group_b])).agg(
+        F.count(F.when(g == group_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(g == group_b, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(g == group_a, v)).alias("__ma"),
+        F.avg(F.when(g == group_b, v)).alias("__mb"),
+        F.var_samp(F.when(g == group_a, v)).alias("__va"),
+        F.var_samp(F.when(g == group_b, v)).alias("__vb"),
+    )
+    qa = F.col("__va") / F.col("n_a")
+    qb = F.col("__vb") / F.col("n_b")
+    t = (F.col("__ma") - F.col("__mb")) / F.sqrt(qa + qb)
+    dof = (qa + qb) * (qa + qb) / (
+        qa * qa / (F.col("n_a") - 1) + qb * qb / (F.col("n_b") - 1)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & ((qa + qb) > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("__ma", round_decimals).alias("mean_a"),
+        F.round("__mb", round_decimals).alias("mean_b"),
+        F.round(F.when(ok, t), round_decimals).alias("t"),
+        F.round(F.when(ok, dof), round_decimals).alias("welch_df"),
+    )

@@ -46,6 +46,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    window: "int | None" = None,
     round_decimals: int = 6,
 ) -> DataFrame:
     """Strict-order funnel conversion: a user reaches step i when they
@@ -55,6 +56,19 @@ def funnel(
     step's completion time is the EARLIEST possible (greedy), which is
     optimal for strict-order funnels — if any event sequence completes
     the funnel, the greedy recurrence does.
+
+    ``window`` (seconds) switches to ANCHORED conversion-window
+    semantics (ClickHouse ``windowFunnel``): a user reaches step i when
+    SOME step-0 event anchors a strictly-increasing chain through
+    steps 1..i that stays within ``window`` seconds of the anchor.
+    Greedy-from-the-first-anchor is NOT optimal here (a late anchor can
+    succeed where the earliest fails), so every step-0 timestamp is
+    tried as an anchor — a ``transform`` over the step-0 array; within
+    a FIXED anchor the greedy earliest-next chain is optimal (exchange
+    argument: replacing any chain element with an earlier valid one
+    never shrinks the feasible set), so max-over-anchors is exact.
+    Still one shuffle, still pure array expressions; per-user cost is
+    |step-0 events| × Σ|step-i events|.
 
     Returns one row per step: ``step_idx, step, n_users, conversion``
     (conversion = n_users / step-0 users, NULL when no user enters).
@@ -80,17 +94,47 @@ def funnel(
         # form and binds prev to the array INDEX variable
         return F.array_min(F.filter(arr, lambda x: x > prev))
 
-    # try_element_at: a user with no step-0 events has an EMPTY array
-    # after the pivot, and plain element_at throws under ANSI mode
-    t: list[Column] = [F.try_element_at(cols[0], F.lit(1))]
-    for i in range(1, len(steps)):
-        t.append(_first_after(cols[i], t[i - 1]))
-    reached = per_user.select(
-        *[
-            F.count(t[i]).cast("long").alias(f"__n{i}")
-            for i in range(len(steps))
-        ]
-    )
+    if window is None:
+        # try_element_at: a user with no step-0 events has an EMPTY
+        # array after the pivot, and plain element_at throws under
+        # ANSI mode
+        t: list[Column] = [F.try_element_at(cols[0], F.lit(1))]
+        for i in range(1, len(steps)):
+            t.append(_first_after(cols[i], t[i - 1]))
+        reached = per_user.select(
+            *[
+                F.count(t[i]).cast("long").alias(f"__n{i}")
+                for i in range(len(steps))
+            ]
+        )
+    else:
+
+        def _first_in_window(arr: Column, prev: Column, hi: Column) -> Column:
+            # one-parameter lambda (see _first_after's note); prev/hi
+            # captured by closure. A null prev nulls the predicate, so
+            # every element drops and the chain stays null — exactly
+            # the wanted "stuck at the previous step" propagation.
+            return F.array_min(
+                F.filter(
+                    arr, lambda x: (x > prev) & (x.cast("double") <= hi)
+                )
+            )
+
+        def _anchor_depth(a: Column) -> Column:
+            hi = a.cast("double") + F.lit(float(window))
+            prev, depth = a, F.lit(1)
+            for i in range(1, len(steps)):
+                prev = _first_in_window(cols[i], prev, hi)
+                depth = depth + F.when(prev.isNotNull(), 1).otherwise(0)
+            return depth
+
+        level = F.array_max(F.transform(cols[0], _anchor_depth))
+        reached = per_user.select(
+            *[
+                F.count(F.when(level >= i + 1, 1)).cast("long").alias(f"__n{i}")
+                for i in range(len(steps))
+            ]
+        )
     stack_args = ", ".join(
         f"{i}, '{s}', __n{i}" for i, s in enumerate(steps)
     )

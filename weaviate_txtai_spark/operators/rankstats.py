@@ -1,0 +1,153 @@
+"""Rank-based statistics: distributed average-rank assignment and
+Spearman rank correlation.
+
+``lineitem_correlations`` (plans/relational.py) profiles Pearson
+correlation / covariance; Pearson is blind to monotone-but-nonlinear
+association and is wrecked by heavy-tailed outliers — both endemic in
+pipeline telemetry (doc lengths, quality scores, token counts). The
+robust companion is Spearman's ρ: Pearson on the columns' fractional
+(tie-averaged) ranks.
+
+Scale notes
+-----------
+The textbook formulation ranks with ``rank() OVER (ORDER BY v)`` — a
+global-order window, i.e. every row through ONE task (the same
+scale-killer ids.py documents for dense-id assignment, and exactly what
+the DuckDB oracle twin does, correctly, at oracle scale). The
+scale-safe identity used here: the average rank of value v is
+
+    avg_rank(v) = (# rows with value < v) + (cnt(v) + 1) / 2
+
+which needs per-ROW nothing — only a prefix sum over the per-VALUE
+count table. The plan, per column:
+
+1. ``groupBy(value).count()`` — one map-side-combined shuffle; the
+   prefix-sum input shrinks from N rows to the distinct-value count.
+2. exclusive prefix sum over the value-ordered count table via the
+   ids.py two-pass scheme: ``repartitionByRange`` by value,
+   ``sortWithinPartitions``, per-partition subtotals (≤ one row per
+   partition to the driver), broadcast the cumulative offsets back.
+   No unpartitioned window anywhere.
+3. one value-keyed join maps each row to its avg rank; hot values are
+   fine — the rank table has one row per value, so skew meets a
+   broadcast-able side.
+
+Determinism caveat (same as ids.py): the two-pass prefix sum evaluates
+its input twice, so the source frame must be deterministic (file scans
+and deterministic transforms are; fresh ``rand()`` is not — persist
+first).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# monotonically_increasing_id packs the partition id above bit 33
+_LOCAL_MASK = (1 << 33) - 1
+
+
+def _prefix_sums(vc: DataFrame, value_col: str, count_col: str) -> DataFrame:
+    """Exclusive prefix sum of ``count_col`` over ``vc`` ordered by
+    ``value_col``, without a global window. Adds ``__before``."""
+    n_part = max(2, min(32, vc.sparkSession.sparkContext.defaultParallelism))
+    ordered = (
+        vc.repartitionByRange(n_part, F.col(value_col))
+        .sortWithinPartitions(value_col)
+        .withColumn("__mii", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mii", 33).cast("long"))
+        # the subtotal collect below and the returned frame BOTH read
+        # this plan; repartitionByRange picks its boundaries by
+        # sampling, so a re-evaluation could re-draw them and the
+        # collected offsets would describe the wrong partitioning —
+        # pin ONE materialization (table is distinct-values sized)
+        .localCheckpoint(eager=True)
+    )
+    # per-partition subtotal + intra-partition running sum stay narrow;
+    # only the ≤n_part subtotal rows are collected to build offsets
+    part_tot = (
+        ordered.groupBy("__pid")
+        .agg(F.sum(count_col).alias("__tot"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in part_tot:
+        offsets.append((r["__pid"], acc))
+        acc += r["__tot"]
+    spark = vc.sparkSession
+    off = spark.createDataFrame(offsets, ["__pid", "__off"]) if offsets else None
+    if off is None:
+        return vc.withColumn("__before", F.lit(0).cast("long"))
+    from pyspark.sql.window import Window
+
+    # running sum WITHIN each range partition: partitioned window, safe
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ordered.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "__before",
+            (
+                F.col("__off")
+                + F.coalesce(F.sum(count_col).over(w), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("__mii", "__pid", "__off")
+    )
+
+
+def avg_ranks(
+    df: DataFrame, value_col: str, *, out_col: str = "avg_rank"
+) -> DataFrame:
+    """``df`` with fractional (tie-averaged, 1-based) ranks of
+    ``value_col`` appended as ``out_col``. Null values are excluded
+    from ranking and dropped."""
+    rows = df.filter(F.col(value_col).isNotNull())
+    vc = rows.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    ranked = _prefix_sums(vc, value_col, "__cnt").select(
+        value_col,
+        (
+            F.col("__before") + (F.col("__cnt") + F.lit(1)) / F.lit(2.0)
+        ).alias(out_col),
+    )
+    return rows.join(ranked, value_col)
+
+
+def spearman(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation for each (x, y) column pair: one row
+    per pair — ``col_x, col_y, spearman``. Rows where either column is
+    null are dropped pairwise BEFORE ranking (ranks are computed on
+    the pairwise-complete subset, the standard Spearman convention)."""
+    if not pairs:
+        raise ValueError("no column pairs")
+    outs = []
+    for x, y in pairs:
+        sub = df.filter(
+            F.col(x).isNotNull() & F.col(y).isNotNull()
+        ).select(x, y)
+        rx = avg_ranks(sub, x, out_col="__rx")
+        rxy = avg_ranks(rx, y, out_col="__ry")
+        outs.append(
+            rxy.agg(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(F.corr("__rx", "__ry"), round_decimals).alias(
+                    "spearman"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

@@ -3166,3 +3166,186 @@ def part_skyline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(
         p, minimize=["p_retailprice"], maximize=["p_size", "name_len"]
     ).orderBy("p_partkey")
+
+
+_SPEARMAN_SQL = """
+WITH r AS (
+  SELECT rank() OVER (ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+         rank() OVER (ORDER BY l_extendedprice)
+           + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rp,
+         rank() OVER (ORDER BY l_discount)
+           + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd,
+         rank() OVER (ORDER BY l_tax)
+           + (count(*) OVER (PARTITION BY l_tax) - 1) / 2.0 AS rt
+  FROM lineitem)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+       round(corr(rq, rp), 6) AS spearman FROM r
+UNION ALL
+SELECT 'l_discount', 'l_tax', round(corr(rd, rt), 6) FROM r
+UNION ALL
+SELECT 'l_quantity', 'l_discount', round(corr(rq, rd), 6) FROM r
+ORDER BY col_x, col_y
+"""
+
+
+@register("lineitem_spearman", _SPEARMAN_SQL)
+def lineitem_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation over fact numerics — the robust,
+    monotone companion to `lineitem_correlations`' Pearson profile
+    (operators/rankstats.py). The oracle ranks with the textbook
+    global-order window (fine at oracle scale, ONE task at corpus
+    scale); the Spark plan assigns tie-averaged ranks from a
+    value-grouped prefix sum with no unpartitioned window — the hash
+    match proves the two rankings identical, ties included."""
+    from weaviate_txtai_spark.operators.rankstats import spearman
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman(
+        li,
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_discount", "l_tax"),
+            ("l_quantity", "l_discount"),
+        ],
+    ).orderBy("col_x", "col_y")
+
+
+# --------------------------------------------------------------------------
+# Round 7: experiment readouts (operators/abtest.py) + anchored-window
+# funnel (operators/funnel.py)
+# --------------------------------------------------------------------------
+
+_AB_ZTEST_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY 1),
+agg AS (
+  SELECT count(*) FILTER (variant = 'A') AS n_a,
+         count(*) FILTER (variant = 'B') AS n_b,
+         coalesce(sum(s) FILTER (variant = 'A'), 0) AS sa,
+         coalesce(sum(s) FILTER (variant = 'B'), 0) AS sb
+  FROM u)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(sa AS BIGINT) AS successes_a, CAST(sb AS BIGINT) AS successes_b,
+       round(sa * 1.0 / n_a, 6) AS rate_a,
+       round(sb * 1.0 / n_b, 6) AS rate_b,
+       round(sa * 1.0 / n_a - sb * 1.0 / n_b, 6) AS abs_lift,
+       round((sa * 1.0 / n_a - sb * 1.0 / n_b)
+             / sqrt(((sa + sb) * 1.0 / (n_a + n_b)) * (1 - (sa + sb) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM agg
+"""
+
+
+@register("ab_conversion_ztest", _AB_ZTEST_SQL)
+def ab_conversion_ztest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between even/odd user-id cohorts on
+    high-value purchase conversion (operators/abtest.py): per-user
+    outcomes from ONE map-side-combined groupBy, then a 1-row pooled-z
+    aggregate — the experiment readout as a single distributed job."""
+    from weaviate_txtai_spark.operators.abtest import two_proportion_ztest
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    return two_proportion_ztest(
+        per_user, "variant", "converted", group_a="A", group_b="B"
+    )
+
+
+_AB_WELCH_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         sum(value) AS tot
+  FROM events GROUP BY 1),
+agg AS (
+  SELECT count(*) FILTER (variant = 'A') AS n_a,
+         count(*) FILTER (variant = 'B') AS n_b,
+         avg(tot) FILTER (variant = 'A') AS ma,
+         avg(tot) FILTER (variant = 'B') AS mb,
+         var_samp(tot) FILTER (variant = 'A') AS va,
+         var_samp(tot) FILTER (variant = 'B') AS vb
+  FROM u)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t,
+       round(pow(va / n_a + vb / n_b, 2)
+             / (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1)),
+             6) AS welch_df
+FROM agg
+"""
+
+
+@register("ab_value_welch", _AB_WELCH_SQL)
+def ab_value_welch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t-test on per-user total event value
+    between even/odd user-id cohorts (operators/abtest.py) — the
+    continuous-metric companion to `ab_conversion_ztest`, with the
+    Welch–Satterthwaite degrees of freedom."""
+    from weaviate_txtai_spark.operators.abtest import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("tot")).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "tot",
+    )
+    return welch_ttest(per_user, "variant", "tot", group_a="A", group_b="B")
+
+
+# Oracle: the explicit chain-join EXISTS enumeration (every anchor ×
+# every chain), an independent formulation of the anchored-window
+# semantics — the hash match proves max-over-anchors greedy exact.
+_FUNNEL_WINDOWED_SQL = """
+WITH e AS (SELECT * FROM events WHERE event_id % 3 = 0),
+lvl AS (
+  SELECT e0.user_id,
+         max(CASE WHEN e2.ts IS NOT NULL THEN 3
+                  WHEN e1.ts IS NOT NULL THEN 2 ELSE 1 END) AS level
+  FROM e e0
+  LEFT JOIN e e1 ON e1.user_id = e0.user_id AND e1.event_type = 'view'
+        AND e1.ts > e0.ts AND epoch(e1.ts) <= epoch(e0.ts) + 86400
+  LEFT JOIN e e2 ON e2.user_id = e0.user_id AND e2.event_type = 'click'
+        AND e2.ts > e1.ts AND epoch(e2.ts) <= epoch(e0.ts) + 86400
+  WHERE e0.event_type = 'signup'
+  GROUP BY 1),
+counts AS (
+  SELECT 0 AS step_idx, 'signup' AS step,
+         (SELECT count(*) FROM lvl WHERE level >= 1) AS n_users
+  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM lvl WHERE level >= 2)
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM lvl WHERE level >= 3))
+SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN (SELECT n_users FROM counts WHERE step_idx = 0) > 0
+            THEN round(n_users / (SELECT n_users FROM counts WHERE step_idx = 0), 6)
+       END AS conversion
+FROM counts ORDER BY step_idx
+"""
+
+
+@register("events_funnel_windowed", _FUNNEL_WINDOWED_SQL)
+def events_funnel_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored conversion-window funnel signup -> view -> click within
+    24 h of the anchoring signup (ClickHouse windowFunnel semantics;
+    operators/funnel.py `window=`). Greedy-from-first-anchor is wrong
+    under a window, so every signup is tried as an anchor inside the
+    same one-shuffle array plan; the oracle enumerates all chains with
+    explicit joins, so the hash match proves max-over-anchors exact.
+    At sf0.01 the 24 h window converts 146 -> 58 -> 5 users — real
+    decay, not a vacuous 100% funnel."""
+    from weaviate_txtai_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    return funnel(
+        ev, ["signup", "view", "click"], window=86400
+    ).orderBy("step_idx")
