@@ -74,3 +74,66 @@ def ks_drift(
             "ks",
         )
     )
+
+
+def jsd_drift(
+    df: DataFrame,
+    *,
+    group_col: str,
+    token_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence (base-2, so 0 ≤ JSD ≤ 1) of
+    the group's token distribution vs the pooled corpus distribution
+    (group included in the pool, matching ``ks_drift``'s convention).
+    Input is one row per token OCCURRENCE (caller explodes documents);
+    output: (group, n_tokens, jsd).
+
+    The companion to ``ks_drift``: KS watches a NUMERIC column's CDF,
+    JSD watches the discrete token mass itself — vocabulary shifts,
+    boilerplate floods, language mix changes.
+
+    Scale shape — hit-rows-only decomposition (the QLM trick,
+    operators/bm25.py): with p the group's token frequency and q the
+    pooled frequency,
+
+        JSD = ½ Σ_present p·log2(2p/(p+q))
+            + ½ [ Σ_present q·log2(2q/(p+q)) + (1 − Σ_present q) ]
+
+    because every token ABSENT from the group contributes exactly
+    ½·q·log2(2q/q) = ½·q. So the plan only ever touches the group's
+    OWN (group, token) rows: one (group, token) count, a token-keyed
+    join to the 1-row-per-token pooled table, one group aggregate —
+    never a groups × vocabulary grid. Hot tokens meet aggregates and
+    a 1-row join side; skew-safe.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(token_col).alias("__t")
+    ).filter(F.col("__t").isNotNull())
+    counts = base.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    ntok = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    pooled = counts.groupBy("__t").agg(F.sum("__c").alias("__pc"))
+    total = pooled.agg(F.sum("__pc").alias("__tot"))
+
+    j = (
+        counts.join(ntok, "__g")
+        .join(pooled, "__t")
+        .join(F.broadcast(total))
+    )
+    p = F.col("__c") / F.col("__n")
+    q = F.col("__pc") / F.col("__tot")
+    lg2 = float(__import__("math").log(2.0))
+    term_p = p * (F.log(2 * p / (p + q)) / lg2)
+    term_q = q * (F.log(2 * q / (p + q)) / lg2)
+    return (
+        j.groupBy("__g")
+        .agg(
+            F.max("__n").cast("long").alias("n_tokens"),
+            F.round(
+                0.5 * F.sum(term_p)
+                + 0.5 * (F.sum(term_q) + (1 - F.sum(q))),
+                decimals,
+            ).alias("jsd"),
+        )
+        .select(F.col("__g").alias(group_col), "n_tokens", "jsd")
+    )

@@ -3349,3 +3349,45 @@ def events_funnel_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(
         ev, ["signup", "view", "click"], window=86400
     ).orderBy("step_idx")
+
+
+_CUSTOMER_AFFINITY_SQL = """
+WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+pd AS (SELECT p, count(*) AS d FROM cp GROUP BY 1 HAVING count(*) <= 20),
+g AS (SELECT cp.c, cp.p, pd.d FROM cp JOIN pd USING (p)),
+ed AS (SELECT c, count(*) AS ed FROM g GROUP BY 1),
+pr AS (SELECT a.c AS e1, b.c AS e2, CAST(count(*) AS BIGINT) AS common,
+              sum(1.0 / ln(a.d)) AS aa
+       FROM g a JOIN g b ON a.p = b.p AND a.c < b.c
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT pr.e1, pr.e2, pr.common,
+       round(pr.common * 1.0 / (d1.ed + d2.ed - pr.common), 6) AS jaccard,
+       round(pr.aa, 6) AS adamic_adar
+FROM pr JOIN ed d1 ON pr.e1 = d1.c JOIN ed d2 ON pr.e2 = d2.c
+ORDER BY e1, e2
+"""
+
+
+@register("customer_affinity", _CUSTOMER_AFFINITY_SQL)
+def customer_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the customer–part bipartite graph
+    (operators/linkpred.py): common-neighbors / neighborhood-Jaccard /
+    Adamic–Adar for customer pairs sharing ≥2 parts of item-degree ≤20.
+    The degree cap bounds the wedge join's per-item fan-out at C(20,2)
+    — the hottest shuffle key a 100 TB run ever sees is cap² rows —
+    and Adamic–Adar already discounts exactly the items the cap
+    drops."""
+    from weaviate_txtai_spark.operators.linkpred import link_scores
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+    )
+    return (
+        link_scores(
+            cp, "cust", "part", max_item_degree=20, min_common=2
+        )
+        .orderBy("e1", "e2")
+    )

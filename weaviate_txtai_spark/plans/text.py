@@ -1080,3 +1080,48 @@ def phrase_match_positions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_match(docs, "a a").orderBy("doc_id", "start")
+
+
+# Oracle: the FULL sources × vocabulary grid (cross join + left join),
+# the textbook JSD definition — independent of the Spark plan's
+# hit-rows-only decomposition, so the hash match proves the absent-token
+# mass term (1 − Σ_present q) exact.
+_SOURCE_JSD_SQL = """
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents),
+c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+n AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+pool AS (SELECT t, sum(c) AS pc FROM c GROUP BY 1),
+tot AS (SELECT sum(c) AS total FROM c),
+grid AS (
+  SELECT nn.source, nn.n, coalesce(cc.c, 0) * 1.0 / nn.n AS pv,
+         p.pc * 1.0 / tot.total AS qv
+  FROM n nn CROSS JOIN pool p CROSS JOIN tot
+  LEFT JOIN c cc ON cc.source = nn.source AND cc.t = p.t)
+SELECT source, CAST(max(n) AS BIGINT) AS n_tokens,
+       round(sum(CASE WHEN pv > 0 THEN 0.5 * pv * log2(2 * pv / (pv + qv))
+                      ELSE 0 END
+                 + 0.5 * qv * log2(2 * qv / (pv + qv))), 6) AS jsd
+FROM grid GROUP BY source ORDER BY source
+"""
+
+
+@register("source_drift_jsd", _SOURCE_JSD_SQL)
+def source_drift_jsd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen–Shannon divergence of the token distribution
+    vs the pooled corpus (operators/drift.py jsd_drift) — the discrete
+    vocabulary-drift companion to `source_drift_ks`' numeric-CDF
+    statistic. The Spark plan touches only each source's OWN
+    (source, token) rows (hit-rows-only decomposition; absent-token
+    mass folded into 1 − Σ q), never a sources × vocabulary grid."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.drift import jsd_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    return jsd_drift(
+        tok, group_col="source", token_col="tok"
+    ).orderBy("source")
