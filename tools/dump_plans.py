@@ -41,6 +41,10 @@ FLAGSHIPS = [
     ("binary_hamming_knn", "binary tier: xor+popcount scan, TakeOrdered"),
     ("events_resample", "resample+ffill: one agg shuffle, cached reuse, grid explode"),
     ("orders_snapshot_diff", "snapshot diff: one full-outer equi-join, codegen compare"),
+    ("events_funnel_onepass", "funnel: ONE user-keyed shuffle, array recurrence (no k-join)"),
+    ("basket_rules", "association rules: map-side pair explode, no basket self-join"),
+    ("phrase_match_positions", "phrase search: vocabulary-filtered postings, one aggregate, no join"),
+    ("lineitem_spearman", "spearman: value-grouped prefix-sum ranks, no unpartitioned window"),
 ]
 
 

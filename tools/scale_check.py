@@ -230,6 +230,85 @@ def main() -> None:
 
         return ks_drift(d, group_col="source", value_col="n_chars")
 
+    # r7 batch 2: event/fact-table operators. Clones shift the entity
+    # keys (+1M) so the doubled corpus has 2x independent users/orders,
+    # not denser ones — per-key state stays constant, the honest 2x.
+    ev1 = load_table(spark, SF_DIR, "events")
+    ev2 = ev1.unionByName(
+        ev1.withColumn("user_id", F.col("user_id") + F.lit(1_000_000))
+        .withColumn("event_id", F.col("event_id") + F.lit(100_000_000))
+    )
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    li2 = li1.unionByName(
+        li1.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(100_000_000))
+    )
+    cp1 = (
+        load_table(spark, SF_DIR, "orders")
+        .join(li1, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+    )
+    # clone shifts BOTH sides: 2x customers over 2x parts — item
+    # degrees constant, wedge fan-out per item constant, pairs ~2x
+    cp2 = cp1.unionByName(
+        cp1.withColumn("cust", F.col("cust") + F.lit(1_000_000))
+        .withColumn("part", F.col("part") + F.lit(1_000_000))
+    )
+
+    def q_funnel_windowed(e):
+        # per-user arrays: users double, per-user state constant ->
+        # linear; the anchored max-over-anchors is per-row expression
+        # work, no extra shuffle
+        from weaviate_txtai_spark.operators.funnel import funnel
+
+        return funnel(
+            e.filter(F.col("event_id") % 3 == 0),
+            ["signup", "view", "click"],
+            window=86400,
+        )
+
+    def q_spearman(li):
+        # value-grouped prefix sum: the clone repeats the same values,
+        # so the distinct-value table is SIZE-CONSTANT at 2x — only the
+        # (value groupBy + rank join) corpus stages double
+        from weaviate_txtai_spark.operators.rankstats import spearman
+
+        return spearman(
+            li,
+            [("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")],
+        )
+
+    def q_basket_rules(li):
+        # baskets double, per-basket pair fan-out constant -> pair
+        # table ~2x through one map-side-combined aggregate
+        from weaviate_txtai_spark.operators.itemsets import association_rules
+
+        return association_rules(
+            li, "l_orderkey", "l_partkey", min_pair_count=3
+        )
+
+    def q_affinity(cp):
+        # degree-capped wedge join: per-item fan-out bounded by
+        # C(cap,2); doubled independent entities -> ~2x wedges
+        from weaviate_txtai_spark.operators.linkpred import link_scores
+
+        return link_scores(cp, "cust", "part", max_item_degree=20, min_common=2)
+
+    def q_phrase(d):
+        # postings filter keeps only the phrase's terms; the clone's
+        # tokens are 'x'-prefixed so its postings are filtered out at
+        # the scan — the 2x cost is the doubled split+filter scan, the
+        # shuffle stays 1x (documented: cost ∝ phrase-term frequency)
+        from weaviate_txtai_spark.operators.phrase import phrase_match
+
+        return phrase_match(d, "a a")
+
+    def q_jsd(d):
+        from weaviate_txtai_spark.functions.text import tokens
+        from weaviate_txtai_spark.operators.drift import jsd_drift
+
+        tok = d.select("source", F.explode(tokens("text")).alias("tok"))
+        return jsd_drift(tok, group_col="source", token_col="tok")
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_prefix_jaccard", q_prefix_jaccard, q_prefix_jaccard,
@@ -247,6 +326,13 @@ def main() -> None:
         ("semantic_dedup", q_semantic(8), q_semantic(16), emb1, emb2),
         ("docs_unigram_nll", q_unigram, q_unigram, docs1, docs2),
         ("doc_centrality", q_centrality, q_centrality, emb1, emb2),
+        ("events_funnel_windowed", q_funnel_windowed, q_funnel_windowed,
+         ev1, ev2),
+        ("lineitem_spearman", q_spearman, q_spearman, li1, li2),
+        ("basket_rules", q_basket_rules, q_basket_rules, li1, li2),
+        ("customer_affinity", q_affinity, q_affinity, cp1, cp2),
+        ("phrase_match", q_phrase, q_phrase, docs1, docs2),
+        ("source_drift_jsd", q_jsd, q_jsd, docs1, docs2),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:

@@ -113,3 +113,76 @@ def welch_ttest(
         F.round(F.when(ok, t), round_decimals).alias("t"),
         F.round(F.when(ok, dof), round_decimals).alias("welch_df"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    group_a,
+    group_b,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test: the nonparametric
+    companion to :func:`welch_ttest` — rank-based, so heavy tails and
+    outliers (doc lengths, session values) cannot dominate the way they
+    dominate a mean.
+
+    Output (1 row): ``n_a, n_b, u_a, u_b, z`` where
+    U_a = R_a − n_a(n_a+1)/2 (R_a = group-A's pooled tie-averaged rank
+    sum), U_b = n_a·n_b − U_a, and z is the normal approximation with
+    the tie correction:
+    σ² = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))] over tie-group sizes
+    t. NULL z when either arm is empty or every value is tied (σ = 0).
+
+    Scale: ranks come from ``rankstats.avg_ranks`` (value-grouped
+    prefix sum, no global-order window); the tie term Σ(t³−t) is one
+    aggregate over the per-value count table. Nothing is collected but
+    the ≤P prefix-sum subtotals.
+    """
+    from weaviate_txtai_spark.operators.rankstats import avg_ranks
+
+    g = F.col(group_col)
+    sub = df.filter(
+        g.isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(group_col, value_col)
+    ranked = avg_ranks(sub, value_col, out_col="__r")
+    # tie-correction term from the per-value counts
+    ties = (
+        sub.groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            ).alias("__tie")
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.when(g == group_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(g == group_b, 1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(g == group_a, F.col("__r"))), F.lit(0.0)).alias(
+            "__ra"
+        ),
+    ).join(F.broadcast(ties))
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    ua = F.col("__ra") - na * (na + 1) / 2
+    ub = na * nb - ua
+    mu = na * nb / 2
+    # try_divide: n <= 1 makes n(n-1) zero; the null propagates into
+    # `ok` and the z output instead of an ANSI divide-by-zero error
+    var = (
+        na * nb / 12.0
+        * ((n + 1) - F.try_divide(F.col("__tie"), n * (n - 1)))
+    )
+    ok = (na > 0) & (nb > 0) & (var > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ua, round_decimals).alias("u_a"),
+        F.round(ub, round_decimals).alias("u_b"),
+        F.round(F.when(ok, (ua - mu) / F.sqrt(var)), round_decimals).alias(
+            "z"
+        ),
+    )

@@ -3391,3 +3391,142 @@ def customer_affinity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("e1", "e2")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: distributed statistics — OLS trend, Gini concentration,
+# Mann–Whitney U (operators/regression.py, inequality.py, abtest.py)
+# --------------------------------------------------------------------------
+
+# Oracle uses DuckDB's NATIVE regr_slope/regr_intercept/regr_r2 — an
+# independent implementation of the estimator (centered running stats
+# vs raw moments). x is re-based to months-since-1992 to keep the
+# moment cancellation far inside round-4 agreement.
+_NATION_TREND_SQL = """
+WITH m AS (
+  SELECT c.c_nationkey AS nationkey,
+         (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) AS x,
+         sum(o.o_totalprice) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2)
+SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(y, x), 4) AS slope,
+       round(regr_intercept(y, x), 4) AS intercept,
+       round(regr_r2(y, x), 4) AS r2
+FROM m GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+@register("nation_revenue_trend", _NATION_TREND_SQL)
+def nation_revenue_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of monthly order revenue
+    (operators/regression.py): slope/intercept/R² from the five raw
+    moments in ONE map-side-combined aggregate — no per-group fitting
+    loop, no collect. The oracle is DuckDB's native regr_* family, an
+    independent implementation of the same estimator."""
+    from weaviate_txtai_spark.operators.regression import ols_trend
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate")
+            ).alias("x"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    return (
+        ols_trend(monthly, "x", "y", group_col="nationkey", round_decimals=4)
+        .orderBy("nationkey")
+    )
+
+
+_REVENUE_GINI_SQL = """
+WITH cr AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey, sum(o.o_totalprice) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT nationkey, v,
+         rank() OVER (PARTITION BY nationkey ORDER BY v)
+           + (count(*) OVER (PARTITION BY nationkey, v) - 1) / 2.0 AS rr
+  FROM cr)
+SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+       round(sum(v), 2) AS total,
+       round((2 * sum(rr * v) - (count(*) + 1) * sum(v))
+             / (count(*) * sum(v)), 6) AS gini
+FROM r GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+@register("revenue_gini", _REVENUE_GINI_SQL)
+def revenue_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue within each nation
+    (operators/inequality.py): how unevenly is spend distributed over
+    customers. Tie-averaged ranks come from a prefix sum over the
+    per-(nation, value) count table — a window PARTITIONED by nation
+    over its value domain, never over rows. Oracle ranks with the
+    rank()/count() window formulation — independent."""
+    from weaviate_txtai_spark.operators.inequality import gini
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    out = gini(cr, "v", group_col="nationkey")
+    return out.select(
+        "nationkey", "n", F.round("total", 2).alias("total"), "gini"
+    ).orderBy("nationkey")
+
+
+_AB_MWU_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         sum(value) AS v
+  FROM events GROUP BY 1),
+r AS (
+  SELECT g, v,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rr
+  FROM u),
+t AS (SELECT coalesce(sum(c*c*c - c), 0) AS tie
+      FROM (SELECT count(*) AS c FROM u GROUP BY v)),
+a AS (
+  SELECT count(*) FILTER (g = 'A') AS na,
+         count(*) FILTER (g = 'B') AS nb,
+         sum(rr) FILTER (g = 'A') AS ra
+  FROM r)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ra - na * (na + 1) / 2, 6) AS u_a,
+       round(na * nb - (ra - na * (na + 1) / 2), 6) AS u_b,
+       round((ra - na * (na + 1) / 2 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1)
+                       - tie * 1.0 / ((na + nb) * (na + nb - 1)))), 6) AS z
+FROM a, t
+"""
+
+
+@register("ab_value_mwu", _AB_MWU_SQL)
+def ab_value_mwu_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U on per-user total event value between even/odd
+    user-id cohorts (operators/abtest.py) — the rank-based,
+    outlier-proof companion to `ab_value_welch`, with the tie-corrected
+    normal approximation. Ranks via the no-global-window prefix-sum
+    scheme (operators/rankstats.py); the oracle ranks with the textbook
+    window."""
+    from weaviate_txtai_spark.operators.abtest import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("v")).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("g"),
+        "v",
+    )
+    return mann_whitney_u(per_user, "g", "v", group_a="A", group_b="B")
