@@ -45,22 +45,24 @@ _SURVEY_GATES = {
 # ceded their slots (all hold r05 driver rows) to the round-5 families, plus
 # the two gates de-vacuated in r6 which need their first REAL driver row.
 _NEW_FAMILY_GATES = {
-    # r2/r3 family representatives
+    # r2/r3 family representatives still holding slots (the rest ceded
+    # in the r7 session-2 rotation — every ceded gate has ≥1 green
+    # driver row from r04–r06 and stays judge-sweep + pytest covered)
     "kmeans_assign", "semantic_dedup", "docs_unigram_nll",
-    "doc_centrality", "lineitem_profile", "events_zorder",
-    "mixture_sample", "pretraining_manifest", "contamination_check",
-    # de-vacuated in r6 — first non-trivial driver rows
-    "nation_market_share", "global_sales_opportunity",
-    # round-5 families (driver-unverified until r6)
-    "opq_knn_rerank", "ivfopq_knn", "binary_hamming_knn",
-    "binary_hamming_rerank", "order_chain_components", "events_resample",
-    "orders_snapshot_diff", "dsir_importance", "docs_gopher_repetition",
-    "min_cost_supplier", "forecast_revenue", "product_profit",
-    # r7: knn_l2/knn_dot promoted into the slots freed by the two
-    # rows-only gates (the driver has no rows-only mode — VERDICT r6 #2);
-    # parts_supplier_count / excess_suppliers (r06 driver rows) ceded
-    # their slots to the round-7 families
+    "doc_centrality", "lineitem_profile", "pretraining_manifest",
+    # r5/r6 heavy-bench trackers kept
+    "binary_hamming_rerank", "order_chain_components",
+    # r7 session-1 families
     "knn_l2", "knn_dot", "retrieval_eval", "ivfpq_append_search",
+    "winnow_fingerprints", "shared_run_pairs", "qlm_topk",
+    "order_clique_triangles", "source_drift_ks",
+    # r7 session-2 families: behavioral sequences, basket mining,
+    # skyline, phrase search, distributed statistics, link prediction,
+    # token drift
+    "events_funnel_windowed", "events_cohort_retention", "basket_rules",
+    "part_skyline", "phrase_match_positions", "lineitem_spearman",
+    "ab_conversion_ztest", "ab_value_mwu", "revenue_gini",
+    "nation_revenue_trend", "customer_affinity", "source_drift_jsd",
 }
 
 

@@ -72,37 +72,50 @@ _PRIORITY = [
     "docs_unigram_nll",
     "doc_centrality",
     "lineitem_profile",
-    "events_zorder",
-    "mixture_sample",
+    # r7 rotation 2: events_zorder, mixture_sample, contamination_check,
+    # dedup_incremental ceded (all hold ≥1 green driver row from
+    # r04–r06; judge-sweep + pytest keep them covered) to the session-2
+    # round-7 families below
+    # (streaming_near_dedup also ceded — r06 row; streaming_ingest keeps
+    # the streaming family's window slot)
     "pretraining_manifest",
-    "contamination_check",
-    "streaming_near_dedup",
-    "dedup_incremental",
     "bm25_topk",
     "hard_negatives",
     "knn_filtered",
     "ann_ivf_filtered",
     # r5 driver row, kept: the flagship PQ-tier DataFrame-query join
     "sim_join_ivfpq",
-    # de-vacuated THIS round (VERDICT r5 #2 + the new 0-row guard found a
-    # second): both need their first REAL driver row
-    "nation_market_share",
-    "global_sales_opportunity",
-    # round-5 families rotated in (driver-unverified until r6, VERDICT r5
-    # item 3). The r4 families ceded these slots — all 15 hold r05 driver
-    # rows.
-    "opq_knn_rerank",
-    "ivfopq_knn",
-    "binary_hamming_knn",
+    # r7 rotation 2: nation_market_share / global_sales_opportunity got
+    # their de-vacuated r6 driver rows; opq_knn_rerank, ivfopq_knn,
+    # binary_hamming_knn, events_resample, orders_snapshot_diff,
+    # dsir_importance, docs_gopher_repetition, min_cost_supplier,
+    # forecast_revenue, product_profit all hold r05/r06 rows — twelve
+    # slots ceded to round-7 session-1/2 families that have never had a
+    # driver row. binary_hamming_rerank and order_chain_components keep
+    # theirs (heavy-bench trackers, fresh plans this round).
     "binary_hamming_rerank",
     "order_chain_components",
-    "events_resample",
-    "orders_snapshot_diff",
-    "dsir_importance",
-    "docs_gopher_repetition",
-    "min_cost_supplier",
-    "forecast_revenue",
-    "product_profit",
+    # r7 session-1 families (winnowing, QLM, triangles, KS drift)
+    "winnow_fingerprints",
+    "shared_run_pairs",
+    "qlm_topk",
+    "order_clique_triangles",
+    "source_drift_ks",
+    # r7 session-2 families: behavioral sequences, basket mining,
+    # skyline, phrase search, distributed statistics, link prediction,
+    # token drift
+    "events_funnel_windowed",
+    "events_cohort_retention",
+    "basket_rules",
+    "part_skyline",
+    "phrase_match_positions",
+    "lineitem_spearman",
+    "ab_conversion_ztest",
+    "ab_value_mwu",
+    "revenue_gini",
+    "nation_revenue_trend",
+    "customer_affinity",
+    "source_drift_jsd",
     # r7 rotation: parts_supplier_count / excess_suppliers ceded their
     # slots (both hold r06 driver hash-pass rows; judge-sweep + pytest
     # keep them covered) to two round-7 families that need their first
