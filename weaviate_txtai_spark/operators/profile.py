@@ -120,3 +120,51 @@ def profile_table(
         "n_distinct long, min_str string, max_str string, "
         "min_num double, max_num double, mean double",
     )
+
+
+def benford(
+    df: DataFrame,
+    value_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Benford's-law conformance of ``value_col``'s first significant
+    digits — the classic fabricated-/truncated-data smell test for a
+    column that spans several orders of magnitude (amounts, counts,
+    file sizes).
+
+    One row per digit 1..9: ``digit, n, observed, expected,
+    chi2_term`` where expected = log10(1 + 1/d) and chi2_term =
+    n_total·(observed − expected)²/expected (summing the column gives
+    the χ² statistic, 8 df). Non-positive and null values are dropped
+    (they have no first significant digit).
+
+    Scale: first-digit extraction is pure codegen arithmetic
+    (d = ⌊x / 10^⌊log10 x⌋⌋ — no string formatting), then ONE
+    9-group aggregate; the total joins back as a broadcast of one row.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & (x > 0)).select(
+        F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+        .cast("int")
+        .alias("digit")
+    )
+    counts = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("__tot"))
+    obs = F.col("n") / F.col("__tot")
+    exp = F.log10(1 + 1 / F.col("digit").cast("double"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, round_decimals).alias("observed"),
+            F.round(exp, round_decimals).alias("expected"),
+            F.round(
+                F.col("__tot") * (obs - exp) * (obs - exp) / exp,
+                round_decimals,
+            ).alias("chi2_term"),
+        )
+    )

@@ -3530,3 +3530,112 @@ def ab_value_mwu_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     )
     return mann_whitney_u(per_user, "g", "v", group_a="A", group_b="B")
+
+
+# --------------------------------------------------------------------------
+# Round 7: q-gram edit-distance join, CUSUM change points, Benford
+# (operators/stringjoin.py, changepoint.py, profile.py)
+# --------------------------------------------------------------------------
+
+# Oracle: the quadratic levenshtein self-join — independent of the
+# q-gram count-filter plan, so the hash match proves the filter loses
+# no pair (the filter can only over-generate; the verify is exact).
+_SUPPLIER_MATCH_SQL = """
+SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+       a.s_name AS s1, b.s_name AS s2,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY id1, id2
+"""
+
+
+@register("supplier_name_matches", _SUPPLIER_MATCH_SQL)
+def supplier_name_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution at scale: all supplier-name pairs within edit
+    distance 1 via positional q-gram filtering + exact verify
+    (operators/stringjoin.py, Gravano 2001). The inverted-index join
+    keys on (gram, position bucket) so hot grams stay bounded; the
+    count filter prunes below-threshold pairs before any levenshtein
+    runs. fuzzy_source_match keeps the quadratic plan for tiny
+    domains; this is the corpus path."""
+    from weaviate_txtai_spark.operators.stringjoin import edit_distance_join
+
+    s = load_table(spark, sf_dir, "supplier")
+    return edit_distance_join(s, "s_suppkey", "s_name", k=1).orderBy(
+        "id1", "id2"
+    )
+
+
+# Oracle: the LITERAL Page recursion in a RECURSIVE CTE — the Spark
+# plan uses the running-extremum closed form (S⁺=P−min P), so the hash
+# match PROVES the closed form, not just replays it.
+_EVENTS_CUSUM_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+o AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+r AS (
+  SELECT event_type, day, x, rn,
+         greatest(0, x - 66 - 2) AS sp,
+         greatest(0, -(x - 66 + 2)) AS sn
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.x, o.rn,
+         greatest(0, r.sp + (o.x - 66 - 2)),
+         greatest(0, r.sn - (o.x - 66 + 2))
+  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+SELECT event_type, day, x, round(sp, 6) AS s_pos, round(sn, 6) AS s_neg,
+       (round(sp, 6) > 20 OR round(sn, 6) > 20) AS alarm
+FROM r ORDER BY event_type, day
+"""
+
+
+@register("events_daily_cusum", _EVENTS_CUSUM_SQL)
+def events_daily_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM trajectory over daily volumes
+    (operators/changepoint.py): Page's non-associative recursion
+    re-expressed as the running-extremum closed form — two cumulative
+    windows PARTITIONED by type, one shuffle, no recursion. The oracle
+    runs the literal recursion in a recursive CTE, so the hash match
+    proves the algebraic identity."""
+    from weaviate_txtai_spark.operators.changepoint import cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return cusum(
+        daily, "event_type", "day", "x", target=66.0, drift=2.0, threshold=20.0
+    ).orderBy("event_type", "day")
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+SELECT digit, n,
+       round(n / tot, 6) AS observed,
+       round(log10(1 + 1.0 / digit), 6) AS expected,
+       round(tot * pow(n / tot - log10(1 + 1.0 / digit), 2)
+             / log10(1 + 1.0 / digit), 6) AS chi2_term
+FROM c, t ORDER BY digit
+"""
+
+
+@register("totalprice_benford", _BENFORD_SQL)
+def totalprice_benford_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order totals
+    (operators/profile.py benford) — the fabricated-data smell test as
+    one 9-group aggregate; digit extraction is pure codegen arithmetic
+    (no string formatting)."""
+    from weaviate_txtai_spark.operators.profile import benford
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford(o, "o_totalprice").orderBy("digit")
