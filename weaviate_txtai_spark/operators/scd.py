@@ -116,3 +116,41 @@ def scd2_apply(
         .unionByName(closed_out)
         .unionByName(new_versions.select(history.columns))
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension VERSION
+    whose validity interval contains the fact's timestamp
+    (``valid_from ≤ ts < valid_to``, NULL valid_to = open). The
+    temporal-correctness read every SCD2 table exists for — "the
+    customer's segment AS OF the order date", leakage-free training
+    features.
+
+    Scale notes: the join is EQUI on the key columns (one shuffle,
+    AQE-skew-splittable) with the interval predicate as a residual
+    filter — per key only that key's few versions are scanned, never a
+    range cross-join. A well-formed SCD2 history (non-overlapping
+    intervals per key) yields ≤1 match per fact; overlaps would fan
+    out, which is a data bug this join surfaces rather than hides.
+    """
+    cond = None
+    for k in key_cols:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else (cond & c)
+    interval = (facts[ts_col] >= dim[valid_from_col]) & (
+        dim[valid_to_col].isNull() | (facts[ts_col] < dim[valid_to_col])
+    )
+    out = facts.join(dim, cond & interval, how)
+    # drop the dim's duplicate key columns
+    for k in key_cols:
+        out = out.drop(dim[k])
+    return out

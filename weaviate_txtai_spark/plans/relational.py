@@ -3639,3 +3639,150 @@ def totalprice_benford_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return benford(o, "o_totalprice").orderBy("digit")
+
+
+# --------------------------------------------------------------------------
+# Round 7: attribution, point-in-time dimension read, funnel latency
+# (operators/attribution.py, scd.py pit_join, funnel.py funnel_latency)
+# --------------------------------------------------------------------------
+
+# Oracle: correlated last-preceding-touch subquery per conversion —
+# independent of the Spark plan's co-grouped array assignment. Tie-break
+# on equal timestamps: (ts, event_type) DESC, matching sort_array's
+# struct order.
+_ATTRIBUTION_SQL = """
+WITH t AS (SELECT user_id, ts, event_type FROM events
+           WHERE event_type IN ('view', 'click')),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+credit AS (
+  SELECT c.value,
+         coalesce(
+           (SELECT t.event_type FROM t
+            WHERE t.user_id = c.user_id AND t.ts < c.ts
+            ORDER BY t.ts DESC, t.event_type DESC LIMIT 1),
+           '(none)') AS touch_type
+  FROM c)
+SELECT touch_type, round(count(*) * 1.0, 6) AS conversions,
+       round(sum(value), 6) AS credited_value
+FROM credit GROUP BY touch_type ORDER BY touch_type
+"""
+
+
+@register("purchase_attribution", _ATTRIBUTION_SQL)
+def purchase_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase's value credited to the
+    user's most recent preceding view/click
+    (operators/attribution.py). ONE user-keyed shuffle co-groups
+    touches and conversions; per-conversion credit is array work over
+    the user's own touches. The oracle is the correlated
+    last-preceding-touch subquery — independent formulation."""
+    from weaviate_txtai_spark.operators.attribution import attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution(
+        ev, touch_types=["view", "click"], conversion_type="purchase"
+    ).orderBy("touch_type")
+
+
+_PIT_SQL = """
+WITH dim AS (
+  SELECT c_custkey AS k, 'EARLY' AS segment,
+         TIMESTAMP '1992-01-01' AS valid_from,
+         TIMESTAMP '1996-01-01' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'LATE', TIMESTAMP '1996-01-01', NULL
+  FROM customer WHERE c_acctbal < 0),
+j AS (
+  SELECT coalesce(d.segment, '(no-version)') AS segment, o.o_totalprice
+  FROM orders o LEFT JOIN dim d
+    ON o.o_custkey = d.k
+   AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+   AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to))
+SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM j GROUP BY segment ORDER BY segment
+"""
+
+
+@register("orders_pit_segment", _PIT_SQL)
+def orders_pit_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 read (operators/scd.py pit_join): every order
+    picks the customer-segment VERSION valid at its order date — the
+    leakage-free temporal join. The dim: all customers EARLY
+    1992→1996; negative-balance customers gain an open LATE version at
+    1996 — so a positive-balance customer's 1997 order has NO valid
+    version ('(no-version)'), proving interval semantics rather than
+    latest-wins. Equi-join on the key with the interval as residual —
+    no range cross-join."""
+    from weaviate_txtai_spark.operators.scd import pit_join
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit("EARLY").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("1996-01-01").cast("timestamp").alias("valid_to"),
+    ).unionByName(
+        c.filter(F.col("c_acctbal") < 0).select(
+            F.col("c_custkey").alias("k"),
+            F.lit("LATE").alias("segment"),
+            F.lit("1996-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        "o_totalprice",
+    )
+    j = pit_join(o, dim, key_cols=["k"], ts_col="ts")
+    return (
+        j.groupBy(
+            F.coalesce("segment", F.lit("(no-version)")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+# Oracle: the k-join greedy times + quantile_cont — DuckDB's
+# interpolated quantile is the same estimator as Spark's percentile().
+_FUNNEL_LATENCY_SQL = """
+WITH e AS (SELECT * FROM events WHERE event_id % 3 = 0),
+s0 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+g1 AS (SELECT (epoch_us(s1.t) - epoch_us(s0.t)) / 1000000.0 AS gap
+       FROM s1 JOIN s0 USING (user_id)),
+g2 AS (SELECT (epoch_us(s2.t) - epoch_us(s1.t)) / 1000000.0 AS gap
+       FROM s2 JOIN s1 USING (user_id))
+SELECT 1 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(gap, 0.5), 6) AS p50,
+       round(quantile_cont(gap, 0.9), 6) AS p90
+FROM g1
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT),
+       round(quantile_cont(gap, 0.5), 6), round(quantile_cont(gap, 0.9), 6)
+FROM g2
+ORDER BY step_idx
+"""
+
+
+@register("events_funnel_latency", _FUNNEL_LATENCY_SQL)
+def events_funnel_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition-time percentiles between funnel steps
+    (operators/funnel.py funnel_latency): p50/p90 seconds from each
+    step's greedy completion to the next, over the same cohort
+    `events_funnel_onepass` counts. Gaps are exact microsecond diffs
+    (unix_micros first, divide second — casting each timestamp to
+    double loses ~4e-7 s at epoch magnitude)."""
+    from weaviate_txtai_spark.operators.funnel import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    return funnel_latency(ev, ["signup", "view", "click"]).orderBy("step_idx")
