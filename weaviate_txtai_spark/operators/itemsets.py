@@ -136,23 +136,42 @@ def association_rules(
     by the item vocabulary. n_baskets is computed as a 1-row aggregate
     and cross-joined (broadcast of one row), not collected to the
     driver, so the plan stays a single job.
+
+    All three statistics (pair counts, item counts, basket count)
+    derive from the SAME per-basket array frame, which is
+    ``scoped_persist``-ed: per-path column pruning makes the three
+    subtrees non-canonical so ReuseExchange alone cannot dedupe them
+    (measured: 4 scans + 3 distincts without the persist), and the
+    persisted frame is baskets-sized, far smaller than the edge
+    relation. Lifecycle is caller-controlled via ``cache_scope``.
+    Consequence: with a non-default ``min_item_count`` /
+    ``max_basket_size``, support/confidence/lift denominators are
+    computed over the PRUNED basket relation — self-consistent with
+    the pair counts, which is what the thresholds mean anyway.
     """
-    baskets = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    item_counts = baskets.groupBy("item").agg(
-        F.count(F.lit(1)).cast("long").alias("item_count")
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    b = scoped_persist(
+        basketize(
+            df,
+            basket_col,
+            item_col,
+            min_item_count=min_item_count,
+            max_basket_size=max_basket_size,
+        )
     )
-    n_baskets = baskets.select(
-        F.countDistinct("basket").cast("long").alias("n_baskets")
+    item_counts = (
+        b.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_count"))
     )
-    pairs = frequent_pairs(
-        df,
-        basket_col,
-        item_col,
-        min_pair_count=min_pair_count,
-        min_item_count=min_item_count,
-        max_basket_size=max_basket_size,
+    n_baskets = b.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    pairs = (
+        b.select(F.explode(_pairs_from_sorted_array(F.col("items"))).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
     )
     # both rule directions from each unordered pair
     rules = pairs.select(
