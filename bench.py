@@ -73,6 +73,13 @@ HEADLINE_HEAVY = [
     "pretraining_manifest",
     "retrieval_eval",
     "maxsim_topk",
+    # round-7 session-2 representatives: behavioral sequences, basket
+    # mining, phrase search, distributed ranks, q-gram string join
+    "events_funnel_windowed",
+    "basket_rules",
+    "phrase_match_positions",
+    "lineitem_spearman",
+    "supplier_name_matches",
 ]
 
 

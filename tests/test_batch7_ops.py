@@ -1,0 +1,74 @@
+"""operators/graph.k_core, rankstats.group_percentile_rank."""
+
+import pytest
+
+from weaviate_txtai_spark.operators.graph import k_core
+from weaviate_txtai_spark.operators.rankstats import group_percentile_rank
+
+
+def _clique(nodes):
+    return [(a, b) for a in nodes for b in nodes if a < b]
+
+
+def test_kcore_of_cliques(spark):
+    # K5 survives k=3; K3 does not; K4 exactly at k=3 (degree 3)
+    edges = _clique([1, 2, 3, 4, 5]) + _clique([10, 11, 12]) + _clique(
+        [20, 21, 22, 23]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.degree for r in k_core(df, 3).collect()}
+    assert got == {**{n: 4 for n in [1, 2, 3, 4, 5]},
+                   **{n: 3 for n in [20, 21, 22, 23]}}
+
+
+def test_kcore_cascade_peels_path(spark):
+    # a tail path hanging off a cycle: the 2-core is exactly the cycle;
+    # peeling must cascade down the path one layer per round
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    tail = [(4, 5), (5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(cycle + tail, ["src", "dst"])
+    got = {r.node: r.degree for r in k_core(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_kcore_empty_when_k_too_high(spark):
+    df = spark.createDataFrame(_clique([1, 2, 3]), ["src", "dst"])
+    assert k_core(df, 5).count() == 0
+
+
+def test_kcore_ignores_self_loops_and_dupes(spark):
+    edges = _clique([1, 2, 3]) + [(1, 1), (2, 2), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.degree for r in k_core(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_raises_past_max_iter(spark):
+    # a long path at k=2 peels one end-layer per round: > 2 rounds needed
+    path = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    with pytest.raises(RuntimeError):
+        k_core(df, 2, max_iter=2)
+
+
+def test_percentile_rank_cume_dist_semantics(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+            ("b", 7.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = sorted(
+        (r.g, r.v, r.pct_rank)
+        for r in group_percentile_rank(df, "v", group_col="g").collect()
+    )
+    assert got == [
+        ("a", 1.0, 0.25), ("a", 2.0, 0.75), ("a", 2.0, 0.75),
+        ("a", 5.0, 1.0), ("b", 7.0, 0.5), ("b", 9.0, 1.0),
+    ]
+
+
+def test_percentile_rank_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "g string, v double"
+    )
+    got = {r.v: r.pct_rank for r in
+           group_percentile_rank(df, "v", group_col="g").collect()}
+    assert got == {1.0: 0.5, 3.0: 1.0}

@@ -151,3 +151,49 @@ def spearman(
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+def group_percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+    out_col: str = "pct_rank",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Within-group percentile rank (``cume_dist`` semantics: fraction
+    of the group's rows with value ≤ this row's value) — the quantile
+    normalization that makes per-source quality thresholds comparable
+    ("keep each source's top 30%" instead of one global cutoff that a
+    verbose source dominates).
+
+    Scale: NO per-row window. One (group, value) count aggregate, an
+    inclusive prefix sum over each group's VALUE DOMAIN (window
+    partitioned by group over count rows), and one value-keyed join
+    back — the same shape as ``inequality.gini``. Ties share the
+    inclusive rank, exactly like ``cume_dist``. Nulls are dropped.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(value_col).isNotNull())
+    counts = base.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    ranked = (
+        counts.withColumn("__le", F.sum("__c").over(w))
+        .join(totals, group_col)
+        .select(
+            group_col,
+            value_col,
+            F.round(F.col("__le") / F.col("__n"), round_decimals).alias(
+                out_col
+            ),
+        )
+    )
+    return base.join(ranked, [group_col, value_col])

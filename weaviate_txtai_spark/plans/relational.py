@@ -3786,3 +3786,35 @@ def events_funnel_latency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
     return funnel_latency(ev, ["signup", "view", "click"]).orderBy("step_idx")
+
+
+_ORDER_KCORE_SQL = """
+WITH sz AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+SELECT o.o_orderkey AS node, CAST(sz.n - 1 AS BIGINT) AS degree
+FROM orders o JOIN sz ON o.o_custkey = sz.o_custkey
+WHERE sz.n >= 16
+ORDER BY node
+"""
+
+
+@register("order_clique_kcore", _ORDER_KCORE_SQL)
+def order_clique_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (operators/graph.py
+    k_core, k=15): per-customer order CLIQUES give a closed-form truth
+    (a K_n clique survives the k-core iff n ≥ k+1, every member at
+    degree n−1) while the engine runs the real degree-peel fixpoint
+    loop with no knowledge of the clique structure — the same
+    truth-vs-machinery split as `order_clique_triangles` and
+    `order_chain_components`. Cascading peel depth is pinned separately
+    in tests/test_batch7_ops.py (cycle + tail path)."""
+    from weaviate_txtai_spark.operators.graph import k_core
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_custkey", F.col("o_orderkey").alias("k1"))
+    b = orders.select("o_custkey", F.col("o_orderkey").alias("k2"))
+    edges = (
+        a.join(b, "o_custkey")
+        .filter(F.col("k1") < F.col("k2"))
+        .select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+    )
+    return k_core(edges, 15).orderBy("node")

@@ -1125,3 +1125,31 @@ def source_drift_jsd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsd_drift(
         tok, group_col="source", token_col="tok"
     ).orderBy("source")
+
+
+_DOCS_PCTRANK_SQL = """
+SELECT doc_id, source, n_chars,
+       round(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 6)
+         AS pct_rank
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("docs_length_pctrank", _DOCS_PCTRANK_SQL)
+def docs_length_pctrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile rank of document length
+    (operators/rankstats.py group_percentile_rank) — the quantile
+    normalization behind per-source quality cutoffs ("keep each
+    source's top 30%"), computed with NO per-row window: a
+    (source, length) count table, a prefix sum over each source's
+    value DOMAIN, and a value-keyed join back. The oracle IS the
+    per-row cume_dist window — fine at oracle scale, one giant
+    partition per hot source at corpus scale."""
+    from weaviate_txtai_spark.operators.rankstats import group_percentile_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return group_percentile_rank(
+        docs, "n_chars", group_col="source"
+    ).select("doc_id", "source", "n_chars", "pct_rank").orderBy("doc_id")
