@@ -72,3 +72,29 @@ def test_percentile_rank_drops_nulls(spark):
     got = {r.v: r.pct_rank for r in
            group_percentile_rank(df, "v", group_col="g").collect()}
     assert got == {1.0: 0.5, 3.0: 1.0}
+
+
+# --------------------------------------------------------- robust z-scores
+
+
+def test_robust_zscores_hand_computed(spark):
+    from weaviate_txtai_spark.operators.profile import robust_zscores
+
+    # group a: values 1..5 + outlier 100. median 3.5? n=6 -> median
+    # (3+4)/2 = 3.5; adevs |x-3.5| = 2.5,1.5,.5,.5,1.5,96.5 -> MAD 1.5
+    rows = [("a", float(x)) for x in [1, 2, 3, 4, 5, 100]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.v: r.rz for r in robust_zscores(df, "v", group_col="g").collect()}
+    assert got[100.0] == round(0.6745 * (100 - 3.5) / 1.5, 6)
+    assert got[3.0] == round(0.6745 * (-0.5) / 1.5, 6)
+    flagged = robust_zscores(df, "v", group_col="g", threshold=3.5).collect()
+    assert [r.v for r in flagged] == [100.0]
+
+
+def test_robust_zscores_mad_zero_is_null(spark):
+    from weaviate_txtai_spark.operators.profile import robust_zscores
+
+    rows = [("a", 5.0)] * 4 + [("a", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = robust_zscores(df, "v", group_col="g").collect()
+    assert all(r.rz is None for r in got)

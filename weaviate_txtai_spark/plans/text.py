@@ -1153,3 +1153,70 @@ def docs_length_pctrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_percentile_rank(
         docs, "n_chars", group_col="source"
     ).select("doc_id", "source", "n_chars", "pct_rank").orderBy("doc_id")
+
+
+# Oracle: the SAME BM25 core SQL as bm25_topk — the index path must be
+# bit-identical to the direct corpus scan, which is exactly the claim
+# worth gating (build once, query forever, lose nothing).
+_BM25_INDEX_SQL = (
+    _BM25_CORE_SQL
+    + "SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+)
+
+
+@register("bm25_index_topk", _BM25_INDEX_SQL)
+def bm25_index_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 answered from a PERSISTED inverted index
+    (operators/textindex.py) — the text-side twin of the vector tier's
+    save/load lifecycle: postings partitioned by term-hash bucket
+    (query prunes to its own buckets — PartitionFilters in the scan),
+    precomputed document frequencies, corpus stats. The query touches
+    only the three query terms' postings; the corpus is never
+    re-scanned. Same terms and oracle as `bm25_topk`, so the gate pins
+    index == direct bit-identity."""
+    import tempfile
+
+    from weaviate_txtai_spark.operators.textindex import (
+        bm25_from_index,
+        build_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_index_gate_")
+    build_text_index(docs, path)
+    return (
+        bm25_from_index(spark, path, _BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_DOCS_ROBUST_Z_SQL = """
+WITH m AS (SELECT source, median(n_chars) AS med FROM documents GROUP BY 1),
+d AS (SELECT doc_id, source, n_chars, abs(n_chars - med) AS adev, med
+      FROM documents JOIN m USING (source)),
+md AS (SELECT source, median(adev) AS mad FROM d GROUP BY 1)
+SELECT d.doc_id, d.source, d.n_chars,
+       round(0.6745 * (d.n_chars - d.med) / md.mad, 6) AS rz
+FROM d JOIN md USING (source)
+ORDER BY doc_id
+"""
+
+
+@register("docs_robust_zscores", _DOCS_ROBUST_Z_SQL)
+def docs_robust_zscores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores of document length per source
+    (operators/profile.py robust_zscores) — the 50%-breakdown
+    companion to `events_outliers`' mean/σ gate: two exact
+    interpolated-percentile aggregates and two group-keyed joins, no
+    window, no full sort."""
+    from weaviate_txtai_spark.operators.profile import robust_zscores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        robust_zscores(docs, "n_chars", group_col="source")
+        .select("doc_id", "source", "n_chars", "rz")
+        .orderBy("doc_id")
+    )
