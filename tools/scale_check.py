@@ -309,6 +309,78 @@ def main() -> None:
         tok = d.select("source", F.explode(tokens("text")).alias("tok"))
         return jsd_drift(tok, group_col="source", token_col="tok")
 
+    # r7 batch 3: string join, attribution, percentile rank, k-core,
+    # persisted text index
+    sup1 = load_table(spark, SF_DIR, "supplier")
+    # clone names differ in ≥2 chars from every original (one char
+    # would sit at edit distance 1 and create cross-half matches)
+    sup2 = sup1.unionByName(
+        sup1.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(1_000_000))
+        .withColumn(
+            "s_name",
+            F.concat(F.lit("XY"), F.substring("s_name", 3, 100)),
+        )
+    )
+    ord1 = load_table(spark, SF_DIR, "orders")
+    ord2 = ord1.unionByName(
+        ord1.withColumn("o_custkey", F.col("o_custkey") + F.lit(1_000_000))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100_000_000))
+    )
+
+    def q_editjoin(s):
+        from weaviate_txtai_spark.operators.stringjoin import (
+            edit_distance_join,
+        )
+
+        return edit_distance_join(s, "s_suppkey", "s_name", k=1)
+
+    def q_attribution(e):
+        from weaviate_txtai_spark.operators.attribution import attribution
+
+        return attribution(
+            e, touch_types=["view", "click"], conversion_type="purchase"
+        )
+
+    def q_pctrank(d):
+        from weaviate_txtai_spark.operators.rankstats import (
+            group_percentile_rank,
+        )
+
+        return group_percentile_rank(
+            d.select("doc_id", "source", "n_chars"),
+            "n_chars",
+            group_col="source",
+        )
+
+    def q_kcore(o):
+        # per-customer order cliques; 2x = 2x independent customers ->
+        # edges double, peel depth constant (clique-ish)
+        from weaviate_txtai_spark.operators.graph import k_core
+
+        a = o.select("o_custkey", F.col("o_orderkey").alias("k1"))
+        b = o.select("o_custkey", F.col("o_orderkey").alias("k2"))
+        edges = (
+            a.join(b, "o_custkey")
+            .filter(F.col("k1") < F.col("k2"))
+            .select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+        )
+        return k_core(edges, 15)
+
+    def q_text_index(d):
+        # build + query end-to-end (the ivfpq_knn pattern): build is one
+        # corpus pass + bucket-partitioned write; the query side is
+        # corpus-size-independent, so the ratio tracks the build
+        import tempfile
+
+        from weaviate_txtai_spark.operators.textindex import (
+            bm25_from_index,
+            build_text_index,
+        )
+
+        path = tempfile.mkdtemp(prefix="scale_textindex_")
+        build_text_index(d, path)
+        return bm25_from_index(spark, path, ["spark", "vector", "join"])
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_prefix_jaccard", q_prefix_jaccard, q_prefix_jaccard,
@@ -333,6 +405,11 @@ def main() -> None:
         ("customer_affinity", q_affinity, q_affinity, cp1, cp2),
         ("phrase_match", q_phrase, q_phrase, docs1, docs2),
         ("source_drift_jsd", q_jsd, q_jsd, docs1, docs2),
+        ("supplier_name_matches", q_editjoin, q_editjoin, sup1, sup2),
+        ("purchase_attribution", q_attribution, q_attribution, ev1, ev2),
+        ("docs_length_pctrank", q_pctrank, q_pctrank, docs1, docs2),
+        ("order_clique_kcore", q_kcore, q_kcore, ord1, ord2),
+        ("bm25_index_build_query", q_text_index, q_text_index, docs1, docs2),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:

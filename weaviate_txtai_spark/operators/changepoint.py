@@ -81,3 +81,72 @@ def cusum(
             (F.col("s_pos") > threshold) | (F.col("s_neg") > threshold),
         )
     return out
+
+
+def ewma(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-group exponentially weighted moving average:
+    s_1 = x_1; s_t = α·x_t + (1−α)·s_{t−1} — the smoother behind every
+    "trend line" on a volume dashboard and the EW baseline CUSUM-style
+    monitors subtract.
+
+    Scale notes: the recursion is evaluated as an ``aggregate`` fold
+    over each group's time-sorted (order, value) array — ONE group-keyed
+    shuffle, exact recursion semantics, no window tricks. The closed
+    form Σ α(1−α)^j·x looks window-friendly but needs (1−α)^(−j)
+    factors that overflow doubles after a few thousand steps, so the
+    fold is the numerically honest distributed form. Per-group state is
+    the group's own series — use on AGGREGATED grids (daily counts per
+    source), not raw events; a series of millions of points in one
+    group is a resample-first problem.
+
+    Output: one row per input row — group, order, value, ``ewma``.
+    """
+    if not (0 < alpha <= 1):
+        raise ValueError("alpha must be in (0, 1]")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        group_col, order_col, F.col(value_col).cast("double").alias("__v")
+    )
+    per_group = base.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col("__v")))
+        ).alias("__series")
+    )
+    # fold carries (index, prev_ewma); emit via transform over indices —
+    # aggregate() alone returns only the final state, so the running
+    # trajectory is rebuilt with a prefix fold per element. To stay
+    # O(n) (not O(n²)), fold ONCE accumulating the output array.
+    folded = F.aggregate(
+        F.col("__series"),
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0, x["__v"]
+                ).otherwise(
+                    F.lit(alpha) * x["__v"]
+                    + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    exploded = per_group.select(
+        group_col,
+        F.posexplode(
+            F.arrays_zip(F.col("__series"), folded.alias("__e"))
+        ).alias("__i", "__z"),
+    )
+    return exploded.select(
+        group_col,
+        F.col("__z.__series.o").alias(order_col),
+        F.col("__z.__series.__v").alias(value_col),
+        F.round(F.col("__z.__e"), round_decimals).alias("ewma"),
+    )

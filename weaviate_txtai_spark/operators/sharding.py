@@ -1,0 +1,83 @@
+"""Rendezvous (highest-random-weight) shard assignment — consistent
+placement with provable minimal movement on resharding.
+
+``balanced_shards`` (plans/pipeline.py) balances a static snapshot by
+size. The operational companion problem is RE-sharding a living corpus:
+``hash(key) % n`` moves (n−1)/n of all keys when n changes — every
+cache, co-location, and incremental-index assumption breaks at once.
+Rendezvous hashing (Thaler & Ravishankar 1998) assigns each key to
+``argmax over shards of h(key, shard)``; adding a shard moves ONLY the
+keys whose new shard wins the argmax — an expected 1/(n+1) of the
+corpus — and removing one moves only that shard's own keys.
+
+Scale notes: the assignment is a pure codegen projection — per key,
+|shards| hash evaluations and an argmax, no shuffle, no state, no
+lookup table. h is md5 over (key, ':', shard) compared as hex (uniform
+per (key, shard), engine-portable, deterministic). |shards| is
+inherently small (a cluster's shard count); for thousands of shards use
+two-level rendezvous (groups, then members) — same operator applied
+twice.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _weight(key: Column, shard: str) -> Column:
+    return F.md5(F.concat(key.cast("string"), F.lit(":" + shard)))
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    shards: Sequence[str],
+    *,
+    out_col: str = "shard",
+) -> DataFrame:
+    """``df`` plus ``out_col``: the rendezvous-chosen shard name for
+    each row's key. Deterministic; equal keys always land together."""
+    shards = list(shards)
+    if not shards:
+        raise ValueError("no shards")
+    if len(set(shards)) != len(shards):
+        raise ValueError(f"duplicate shard names: {shards}")
+    key = F.col(key_col)
+    best = F.struct(
+        _weight(key, shards[0]).alias("w"), F.lit(shards[0]).alias("s")
+    )
+    for s in shards[1:]:
+        cand = F.struct(_weight(key, s).alias("w"), F.lit(s).alias("s"))
+        # struct comparison is lexicographic on (w, s): ties on the
+        # md5 hex (impossible in practice) break by shard name,
+        # keeping the argmax total and deterministic
+        best = F.when(cand > best, cand).otherwise(best)
+    return df.withColumn(out_col, best["s"])
+
+
+def movement_on_reshard(
+    df: DataFrame,
+    key_col: str,
+    shards_before: Sequence[str],
+    shards_after: Sequence[str],
+) -> DataFrame:
+    """1-row report of a reshard's blast radius: ``n_keys, moved,
+    moved_frac`` — the fraction of keys whose assignment changes
+    between the two shard sets (rendezvous guarantee: ≈ |added|/|after|
+    for pure additions, exactly the removed shards' share for pure
+    removals; mod-n hashing would move ~(n−1)/n)."""
+    a = rendezvous_assign(df, key_col, shards_before, out_col="__a")
+    ab = rendezvous_assign(a, key_col, shards_after, out_col="__b")
+    return ab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(
+            F.when(F.col("__a") != F.col("__b"), 1).otherwise(0)
+        ).cast("long").alias("moved"),
+        F.round(
+            F.avg(F.when(F.col("__a") != F.col("__b"), 1.0).otherwise(0.0)),
+            6,
+        ).alias("moved_frac"),
+    )

@@ -3818,3 +3818,41 @@ def order_clique_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
     )
     return k_core(edges, 15).orderBy("node")
+
+
+# Oracle: the literal EWMA recursion in a recursive CTE (the cusum
+# pattern) — the Spark side is a one-shuffle array fold, so the hash
+# match proves the fold implements the recursion exactly.
+_EVENTS_EWMA_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+o AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+r AS (
+  SELECT event_type, day, x, rn, x AS s FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.x, o.rn, 0.3 * o.x + 0.7 * r.s
+  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+SELECT event_type, day, x, round(s, 6) AS ewma
+FROM r ORDER BY event_type, day
+"""
+
+
+@register("events_daily_ewma", _EVENTS_EWMA_SQL)
+def events_daily_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event volume per
+    type (operators/changepoint.py ewma, α=0.3): the non-associative
+    recursion as ONE group-keyed shuffle + an O(n) array fold — no
+    per-row window, no driver loop. Oracle = the literal recursion in
+    a recursive CTE."""
+    from weaviate_txtai_spark.operators.changepoint import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return ewma(daily, "event_type", "day", "x", alpha=0.3).orderBy(
+        "event_type", "day"
+    )

@@ -1220,3 +1220,34 @@ def docs_robust_zscores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "rz")
         .orderBy("doc_id")
     )
+
+
+# Oracle: per-doc window argmax over the (doc × shard) weight grid —
+# independent of the Spark side's expression-fold argmax.
+_SHARD_ASSIGN_SQL = """
+WITH s(shard) AS (VALUES ('s0'), ('s1'), ('s2'), ('s3'),
+                         ('s4'), ('s5'), ('s6'), ('s7')),
+w AS (
+  SELECT d.doc_id, s.shard,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || s.shard) AS h
+  FROM documents d CROSS JOIN s)
+SELECT doc_id, shard FROM w
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard DESC) = 1
+ORDER BY doc_id
+"""
+
+
+@register("doc_shard_assign", _SHARD_ASSIGN_SQL)
+def doc_shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment of documents
+    to 8 shards (operators/sharding.py): a pure codegen argmax over
+    per-shard hashes — no shuffle, no lookup table, and adding a shard
+    provably moves only ~1/(n+1) of keys (pinned with the movement
+    report in tests/test_batch9_ops.py). mod-n hashing would move
+    (n−1)/n on every reshard."""
+    from weaviate_txtai_spark.operators.sharding import rendezvous_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_assign(
+        docs, "doc_id", [f"s{i}" for i in range(8)]
+    ).orderBy("doc_id")
