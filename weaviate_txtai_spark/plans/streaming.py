@@ -273,3 +273,67 @@ def streaming_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_segment_rollup(spark, sf_dir).orderBy(
         "c_mktsegment", "event_type"
     )
+
+
+# Oracle: the literal per-event EWMA+CUSUM recursion (recursive CTE)
+# over the watermark-sealed prefix — Spark's event-time watermark is
+# max event-time TRUNCATED TO MILLIS minus the delay, reproduced
+# exactly below. Sealing order ties break by (ts, value) in both
+# engines. 1−α is written 0.7 because double(1−0.3) == double(0.7).
+_STREAM_MONITOR_SQL = """
+WITH RECURSIVE wm AS (
+  SELECT (CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 3600000) * 1000
+           AS wm_us
+  FROM events),
+e AS (
+  SELECT event_type AS key, ts, value AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, value) AS rn
+  FROM events, wm WHERE epoch_us(ts) < wm.wm_us),
+r AS (
+  SELECT key, ts, x, rn, x AS ew,
+         greatest(0, x - 100 - 2) AS sp,
+         greatest(0, -(x - 100 + 2)) AS sn
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.key, e.ts, e.x, e.rn,
+         0.3 * e.x + 0.7 * r.ew,
+         greatest(0, r.sp + (e.x - 100 - 2)),
+         greatest(0, r.sn - (e.x - 100 + 2))
+  FROM r JOIN e ON e.key = r.key AND e.rn = r.rn + 1)
+SELECT key, ts, x, round(ew, 6) AS ewma,
+       round(sp, 6) AS s_pos, round(sn, 6) AS s_neg,
+       (round(sp, 6) > 50 OR round(sn, 6) > 50) AS alarm
+FROM r ORDER BY key, ts, x
+"""
+
+
+@register("streaming_monitor", _STREAM_MONITOR_SQL)
+def streaming_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key EWMA+CUSUM monitor
+    (streaming/monitor.py, applyInPandasWithState): out-of-order rows
+    BUFFER in state until the event-time watermark passes them, then
+    seal in ts order through the carried recursion — so the stream's
+    output over a finite run equals the batch recursion on the sealed
+    prefix, which the recursive-CTE oracle replays literally. The
+    second custom stateful operator beside session windows; state per
+    key = carried stats + the un-sealed buffer (watermark-bounded)."""
+    from weaviate_txtai_spark.streaming.events import stream_events
+    from weaviate_txtai_spark.streaming.monitor import monitor_stream
+
+    stream = stream_events(spark, sf_dir).select(
+        F.col("event_type").alias("key"), "ts", F.col("value").alias("x")
+    )
+    out = monitor_stream(
+        stream, alpha=0.3, target=100.0, drift=2.0, threshold=50.0,
+        watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("monitor_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("monitor_stream_gate").orderBy("key", "ts", "x")
