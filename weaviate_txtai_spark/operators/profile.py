@@ -212,3 +212,80 @@ def robust_zscores(
     if threshold is not None:
         out = out.filter(F.abs(F.col("rz")) > threshold)
     return out
+
+
+def trimmed_means(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-group trimmed and winsorized means — the robust location
+    estimates between `events_outliers`' mean (breakdown 0) and
+    `robust_zscores`' median (efficiency loss under normality):
+
+    - ``trimmed_mean``: mean of values strictly inside the
+      [lower, upper] interpolated-percentile band (band ends included);
+    - ``winsor_mean``: mean after CLAMPING values to the band.
+
+    One exact percentile aggregate for the band, one broadcast-size
+    join back, one aggregate — no sort of the data, no window.
+    Output: group, n, trimmed_mean, winsor_mean.
+    """
+    if not (0 <= lower < upper <= 1):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    base = df.filter(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    band = base.groupBy(group_col).agg(
+        F.percentile(v, F.lit(lower)).alias("__lo"),
+        F.percentile(v, F.lit(upper)).alias("__hi"),
+    )
+    j = base.join(band, group_col)
+    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.avg(F.when((v >= F.col("__lo")) & (v <= F.col("__hi")), v)),
+            round_decimals,
+        ).alias("trimmed_mean"),
+        F.round(F.avg(clamped), round_decimals).alias("winsor_mean"),
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    *,
+    k: int = 5,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Re-identification risk report over quasi-identifier columns: a
+    row is k-anonymous when ≥ k rows share its full quasi-identifier
+    combination. One row out: ``k, n_rows, n_groups, risky_groups,
+    risky_rows, risky_frac`` (groups/rows below k). The release gate a
+    governed corpus export runs before shipping — one groupBy over the
+    quasi columns + a 1-row aggregate; nothing collected."""
+    if not quasi_cols:
+        raise ValueError("no quasi-identifier columns")
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return g.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count(F.when(F.col("__c") < k, 1)).cast("long").alias(
+            "risky_groups"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") < k, F.col("__c"))), F.lit(0)
+        ).cast("long").alias("risky_rows"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("__c") < k, F.col("__c"))), F.lit(0)
+            )
+            / F.sum("__c"),
+            round_decimals,
+        ).alias("risky_frac"),
+    )

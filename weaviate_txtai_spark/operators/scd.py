@@ -154,3 +154,57 @@ def pit_join(
     for k in key_cols:
         out = out.drop(dim[k])
     return out
+
+
+def log_state_as_of(
+    log: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    version_col: str = "version",
+    op_col: str = "op",
+    as_of: "int | None" = None,
+) -> DataFrame:
+    """Materialize a CDC/append log into table state AS OF a version —
+    poor-man's time travel over a plain parquet log, the read half of
+    what a lakehouse MERGE maintains natively.
+
+    ``log`` holds one row per mutation: key columns, payload columns,
+    a monotonically increasing ``version`` (unique per key — ties
+    within a key are an upstream sequencing bug and raise), and ``op``
+    in {'upsert', 'delete'}. The state as of v = for each key, the
+    payload of its latest version ≤ v, unless that op is a delete.
+
+    ONE key-grouped aggregate: ``max_by(struct(payload, op), version)``
+    over the version-filtered log — no window over the log, no
+    iterative fold; last-writer-wins is an associative max. Output:
+    key + payload columns of live rows.
+    """
+    base = log if as_of is None else log.filter(
+        F.col(version_col) <= as_of
+    )
+    payload = [
+        c
+        for c in log.columns
+        if c not in set(key_cols) | {version_col, op_col}
+    ]
+    picked = base.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload], F.col(op_col).alias("__op")),
+            F.col(version_col),
+        ).alias("__last"),
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col(version_col)).alias("__nv"),
+    )
+    # duplicate versions within a key make last-writer-wins ambiguous
+    dup = picked.filter(F.col("__n") != F.col("__nv"))
+    if dup.limit(1).count():
+        raise ValueError(
+            "duplicate version within a key — ambiguous log order"
+        )
+    return (
+        picked.filter(F.col("__last.__op") != "delete")
+        .select(
+            *key_cols,
+            *[F.col(f"__last.{c}").alias(c) for c in payload],
+        )
+    )

@@ -3856,3 +3856,124 @@ def events_daily_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(daily, "event_type", "day", "x", alpha=0.3).orderBy(
         "event_type", "day"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: robust means, k-anonymity, CDC-log time travel
+# (operators/profile.py, scd.py log_state_as_of)
+# --------------------------------------------------------------------------
+
+_TRIMMED_MEANS_SQL = """
+WITH band AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_extendedprice)
+               FILTER (l_extendedprice >= lo AND l_extendedprice <= hi),
+             6) AS trimmed_mean,
+       round(avg(least(greatest(l_extendedprice, lo), hi)), 6) AS winsor_mean
+FROM lineitem l JOIN band b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+"""
+
+
+@register("lineitem_trimmed_means", _TRIMMED_MEANS_SQL)
+def lineitem_trimmed_means_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5–95% trimmed and winsorized price means per return flag
+    (operators/profile.py trimmed_means) — the robust-location tier
+    between the raw mean and the median: one exact percentile
+    aggregate for the band, one join back, one aggregate."""
+    from weaviate_txtai_spark.operators.profile import trimmed_means
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_extendedprice", "price"
+    )
+    return (
+        trimmed_means(li, "price", group_col="l_returnflag")
+        .orderBy("l_returnflag")
+    )
+
+
+_K_ANON_SQL = """
+WITH g AS (
+  SELECT o_orderstatus, year(o_orderdate) AS y, month(o_orderdate) AS m,
+         o_orderpriority, count(*) AS c
+  FROM orders GROUP BY 1, 2, 3, 4)
+SELECT CAST(5 AS INT) AS k,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (c < 5) AS BIGINT) AS risky_groups,
+       CAST(coalesce(sum(c) FILTER (c < 5), 0) AS BIGINT) AS risky_rows,
+       round(coalesce(sum(c) FILTER (c < 5), 0) * 1.0 / sum(c), 6)
+         AS risky_frac
+FROM g
+"""
+
+
+@register("orders_k_anonymity", _K_ANON_SQL)
+def orders_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over (status, year, month, priority)
+    quasi-identifiers (operators/profile.py k_anonymity_report, k=5):
+    the fraction of rows re-identifiable because their quasi-identifier
+    combination is shared by < k rows. One groupBy + a 1-row
+    aggregate — the governance check a corpus export runs before
+    shipping."""
+    from weaviate_txtai_spark.operators.profile import k_anonymity_report
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        "o_orderpriority",
+    )
+    return k_anonymity_report(
+        o, ["o_orderstatus", "y", "m", "o_orderpriority"], k=5
+    )
+
+
+# Oracle: per-key argmax via max_by over the version-filtered log —
+# replayed directly; the time-travel semantics live in the version
+# filter + delete handling.
+_LOG_TIME_TRAVEL_SQL = """
+WITH log AS (
+  SELECT o_custkey AS k, o_totalprice AS payload, o_orderkey AS version,
+         CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op
+  FROM orders),
+cut AS (SELECT CAST(quantile_disc(version, 0.5) AS BIGINT) AS v FROM log),
+last AS (
+  SELECT k, max_by(payload, version) AS payload, max_by(op, version) AS op
+  FROM log, cut WHERE version <= cut.v GROUP BY k)
+SELECT k AS custkey, round(payload, 2) AS last_totalprice
+FROM last WHERE op <> 'delete'
+ORDER BY custkey
+"""
+
+
+@register("orders_log_time_travel", _LOG_TIME_TRAVEL_SQL)
+def orders_log_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-log time travel (operators/scd.py log_state_as_of): orders
+    as an append log (key = customer, version = orderkey, 'F' status =
+    delete), materialized AS OF the median version — per key one
+    associative max_by, no window over the log. The lakehouse
+    time-travel read as plain DataFrame algebra."""
+    from weaviate_txtai_spark.operators.scd import log_state_as_of
+
+    o = load_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").alias("payload"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderstatus") == "F", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    cut = log.agg(
+        F.percentile_approx("version", 0.5, 2147483647).alias("v")
+    ).collect()[0]["v"]
+    state = log_state_as_of(log, key_cols=["k"], as_of=int(cut))
+    return state.select(
+        F.col("k").alias("custkey"),
+        F.round("payload", 2).alias("last_totalprice"),
+    ).orderBy("custkey")
