@@ -98,3 +98,56 @@ def test_robust_zscores_mad_zero_is_null(spark):
     df = spark.createDataFrame(rows, ["g", "v"])
     got = robust_zscores(df, "v", group_col="g").collect()
     assert all(r.rz is None for r in got)
+
+
+# ----------------------------------------------------------- graph summary
+
+
+def test_graph_summary_star(spark):
+    from weaviate_txtai_spark.operators.graph import graph_summary
+
+    # star K1,4 + a self-loop + a dup edge: center degree 4, leaves 1
+    edges = [(0, i) for i in range(1, 5)] + [(0, 0), (1, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = graph_summary(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.max_degree) == (5, 4, 4)
+    assert r.avg_degree == round(8 / 5, 6)
+    assert r.density == round(8 / (5 * 4), 6)
+    # star is maximally disassortative for its size
+    assert r.assortativity == -1.0
+
+
+def test_graph_summary_regular_graph_null_assortativity(spark):
+    from weaviate_txtai_spark.operators.graph import graph_summary
+
+    # a 4-cycle: every degree 2 -> zero variance -> NULL
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    r = graph_summary(df).collect()[0]
+    assert r.assortativity is None
+    assert (r.n_nodes, r.n_edges, r.max_degree) == (4, 4, 2)
+
+
+def test_degree_powerlaw_mle(spark):
+    import math
+
+    from weaviate_txtai_spark.operators.graph import degree_powerlaw
+
+    # hand-built degree multiset via edges: path of 4 (degrees 1,2,2,1)
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    r = degree_powerlaw(df, d_min=1).collect()[0]
+    degs = [1, 2, 2, 1]
+    alpha = 1 + len(degs) / sum(math.log(d / 0.5) for d in degs)
+    assert r.n_tail == 4
+    assert r.alpha == pytest.approx(round(alpha, 6), abs=2e-6)
+
+
+def test_degree_powerlaw_degenerate_null(spark):
+    from weaviate_txtai_spark.operators.graph import degree_powerlaw
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    # both nodes degree 1 with d_min=1: denominator ln(1/0.5) > 0, fine;
+    # empty tail at d_min=5 -> NULL
+    r = degree_powerlaw(df, d_min=5).collect()[0]
+    assert r.n_tail == 0 and r.alpha is None

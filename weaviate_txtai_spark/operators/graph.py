@@ -532,3 +532,140 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge within max_iter={max_iter} rounds"
     )
+
+
+def graph_summary(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """One-row structural summary of an undirected graph: ``n_nodes,
+    n_edges, avg_degree, max_degree, density, assortativity`` — the
+    sanity panel to read BEFORE running components/PageRank/k-core on
+    an unfamiliar edge list (a near-complete graph or a +0.9
+    assortative core changes which algorithm is affordable).
+
+    Degree assortativity is the Pearson correlation of endpoint
+    degrees over edges, both directions counted (Newman 2002) — NULL
+    for degree-regular graphs (zero variance). Plan: canonical edge
+    dedup, one degree aggregate, two node-keyed joins to decorate
+    edges with endpoint degrees, one 1-row aggregate. Self-loops
+    dropped, duplicate edges count once.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    e = scoped_persist(e)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("__du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("__dv"))
+    decorated = both.join(du, "u").join(dv, "v")
+    # Pearson from raw moments: F.corr raises DIVIDE_BY_ZERO under
+    # ANSI on a degree-regular graph (zero variance); try_divide
+    # nulls it instead. x/y moments are symmetric over the
+    # both-directions edge list, so one set of sums suffices.
+    x = F.col("__du").cast("double")
+    y = F.col("__dv").cast("double")
+    stats = decorated.agg(
+        F.count(F.lit(1)).cast("double").alias("__m"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    ).select(
+        F.try_divide(
+            F.col("__m") * F.col("__sxy") - F.col("__sx") * F.col("__sy"),
+            F.sqrt(
+                (F.col("__m") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+                * (F.col("__m") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+            ),
+        ).alias("__assort")
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("__deg_sum"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    return (
+        base.join(F.broadcast(stats))
+        .select(
+            "n_nodes",
+            (F.col("__deg_sum") / 2).cast("long").alias("n_edges"),
+            F.round(F.col("__deg_sum") / F.col("n_nodes"), round_decimals)
+            .alias("avg_degree"),
+            "max_degree",
+            F.round(
+                F.try_divide(
+                    F.col("__deg_sum").cast("double"),
+                    F.col("n_nodes").cast("double")
+                    * (F.col("n_nodes") - 1),
+                ),
+                round_decimals,
+            ).alias("density"),
+            F.round("__assort", round_decimals).alias("assortativity"),
+        )
+    )
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    d_min: int = 1,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Discrete power-law exponent of the degree distribution by the
+    continuous-MLE approximation (Clauset–Shalizi–Newman 2009,
+    α̂ = 1 + n / Σ ln(d / (d_min − ½))) over nodes with degree ≥
+    ``d_min`` — the "is this a heavy-tailed graph?" gauge that decides
+    whether celebrity-node mitigations (degree caps, orientation) are
+    load-bearing or dead code on this corpus.
+
+    Output (1 row): ``n_tail, d_min, alpha`` — NULL alpha when the
+    tail is empty or degenerate (all degrees exactly d_min makes the
+    denominator 0). One degree aggregate + one 1-row aggregate.
+    """
+    if d_min < 1:
+        raise ValueError("d_min must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .filter(F.col("d") >= d_min)
+    )
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.lit(d_min).cast("int").alias("d_min"),
+        F.round(
+            1
+            + F.try_divide(
+                F.count(F.lit(1)).cast("double"),
+                F.sum(F.log(F.col("d") / F.lit(d_min - 0.5))),
+            ),
+            round_decimals,
+        ).alias("alpha"),
+    )

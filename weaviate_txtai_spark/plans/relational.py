@@ -3977,3 +3977,74 @@ def orders_log_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("custkey"),
         F.round("payload", 2).alias("last_totalprice"),
     ).orderBy("custkey")
+
+
+# Closed-form truths again (the order-clique trick): every node of a
+# K_n clique has degree n−1, edges = ΣC(n,2), and du = dv EXACTLY on
+# every edge, so assortativity is 1 whenever two clique sizes differ
+# (NULL when degree-regular). The Spark side builds real edges and
+# runs the real machinery.
+_ORDER_GRAPH_SUMMARY_SQL = """
+WITH sz AS (SELECT o_custkey, count(*) AS n FROM orders
+            GROUP BY 1 HAVING count(*) >= 2),
+d AS (SELECT o.o_orderkey, sz.n - 1 AS deg
+      FROM orders o JOIN sz USING (o_custkey))
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+       round(sum(deg) * 1.0 / count(*), 6) AS avg_degree,
+       CAST(max(deg) AS BIGINT) AS max_degree,
+       round(sum(deg) / (count(*) * (count(*) - 1.0)), 6) AS density,
+       CASE WHEN count(DISTINCT deg) > 1 THEN 1.0 END AS assortativity
+FROM d
+"""
+
+
+@register("order_graph_summary", _ORDER_GRAPH_SUMMARY_SQL)
+def order_graph_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural summary panel (operators/graph.py graph_summary) of
+    the per-customer order-clique graph: node/edge counts, degree
+    stats, density, degree assortativity (raw-moment Pearson,
+    try_divide-nulled for regular graphs). Clique structure gives
+    every statistic a closed form the oracle states directly."""
+    from weaviate_txtai_spark.operators.graph import graph_summary
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_custkey", F.col("o_orderkey").alias("k1"))
+    b = orders.select("o_custkey", F.col("o_orderkey").alias("k2"))
+    edges = (
+        a.join(b, "o_custkey")
+        .filter(F.col("k1") < F.col("k2"))
+        .select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+    )
+    return graph_summary(edges)
+
+
+_ORDER_POWERLAW_SQL = """
+WITH sz AS (SELECT o_custkey, count(*) AS n FROM orders
+            GROUP BY 1 HAVING count(*) >= 2),
+d AS (SELECT sz.n - 1 AS deg, o.o_orderkey
+      FROM orders o JOIN sz USING (o_custkey))
+SELECT CAST(count(*) AS BIGINT) AS n_tail, CAST(1 AS INT) AS d_min,
+       round(1 + count(*) * 1.0 / sum(ln(deg / 0.5)), 6) AS alpha
+FROM d
+"""
+
+
+@register("order_degree_powerlaw", _ORDER_POWERLAW_SQL)
+def order_degree_powerlaw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent MLE of the degree distribution
+    (operators/graph.py degree_powerlaw, Clauset 2009) — the
+    heavy-tail gauge that decides whether degree caps / orientation
+    are load-bearing on a corpus. Clique degrees give the oracle a
+    construction-free closed form."""
+    from weaviate_txtai_spark.operators.graph import degree_powerlaw
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_custkey", F.col("o_orderkey").alias("k1"))
+    b = orders.select("o_custkey", F.col("o_orderkey").alias("k2"))
+    edges = (
+        a.join(b, "o_custkey")
+        .filter(F.col("k1") < F.col("k2"))
+        .select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+    )
+    return degree_powerlaw(edges, d_min=1)
