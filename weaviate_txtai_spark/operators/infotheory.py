@@ -1,0 +1,111 @@
+"""Information-theoretic dependence between two categorical columns:
+entropies, mutual information, χ² independence, Cramér's V.
+
+The feature-triage questions a pipeline asks before trusting a
+stratification or suspecting a leak — "does source predict language?",
+"is event type independent of hour?" — are all functions of one
+contingency table. One operator computes the table once and derives
+every statistic from it.
+
+Scale notes: ONE corpus-sized shuffle (groupBy(x, y) count); marginals
+and totals are aggregates OVER THE JOINT TABLE (|X|·|Y| rows — the
+category-domain size, not the corpus), joined back by x / y keys. All
+logs base 2; conventions: 0·log 0 = 0. NULL categories participate as
+their own level only if the caller keeps them — rows with a NULL in
+either column are dropped here (document the cast upstream).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LN2 = math.log(2.0)
+
+
+def categorical_dependence(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """One row: ``n, h_x, h_y, h_xy, mi, nmi, chi2, dof, cramers_v``.
+
+    - h_* are Shannon entropies (bits); mi = h_x + h_y − h_xy ≥ 0;
+      nmi = mi / sqrt(h_x·h_y) (NULL when either marginal entropy is
+      0 — a constant column carries no information to normalize by);
+    - chi2 = Σ (o − e)²/e with e = row·col/n; dof = (|X|−1)(|Y|−1);
+      cramers_v = sqrt(chi2 / (n·min(|X|−1, |Y|−1))), NULL for
+      1-level columns.
+    """
+    base = df.filter(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y"))
+    joint = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    joint = scoped_persist(joint)
+    rx = joint.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    ry = joint.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    tot = joint.agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).cast("double").alias("__cells"),
+        F.count_distinct("__x").cast("double").alias("__kx"),
+        F.count_distinct("__y").cast("double").alias("__ky"),
+    )
+    dec = (
+        joint.join(rx, "__x")
+        .join(ry, "__y")
+        .join(F.broadcast(tot))
+    )
+    p = F.col("__c") / F.col("__n")
+    px = F.col("__cx") / F.col("__n")
+    py = F.col("__cy") / F.col("__n")
+    e = F.col("__cx") * F.col("__cy") / F.col("__n")
+    stats = dec.agg(
+        F.max("__n").alias("__n"),
+        F.max("__kx").alias("__kx"),
+        F.max("__ky").alias("__ky"),
+        (-F.sum(p * F.log(p)) / _LN2).alias("__hxy"),
+        # marginal entropies from the joint rows: each (x,y) cell
+        # contributes p·(−log px) — sums to Σ px·(−log px)
+        (-F.sum(p * F.log(px)) / _LN2).alias("__hx"),
+        (-F.sum(p * F.log(py)) / _LN2).alias("__hy"),
+        F.sum(
+            (F.col("__c") - e) * (F.col("__c") - e) / e
+        ).alias("__chi2_obs"),
+        # absent cells (o = 0) still contribute e to χ²: Σ_cells e over
+        # MISSING cells = n − Σ_present e
+        F.sum(e).alias("__e_present"),
+    )
+    mi = F.col("__hx") + F.col("__hy") - F.col("__hxy")
+    chi2 = F.col("__chi2_obs") + (F.col("__n") - F.col("__e_present"))
+    dof = (F.col("__kx") - 1) * (F.col("__ky") - 1)
+    return stats.select(
+        F.col("__n").cast("long").alias("n"),
+        F.round("__hx", round_decimals).alias("h_x"),
+        F.round("__hy", round_decimals).alias("h_y"),
+        F.round("__hxy", round_decimals).alias("h_xy"),
+        F.round(mi, round_decimals).alias("mi"),
+        F.round(
+            F.try_divide(mi, F.sqrt(F.col("__hx") * F.col("__hy"))),
+            round_decimals,
+        ).alias("nmi"),
+        F.round(chi2, round_decimals).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.try_divide(
+                    chi2,
+                    F.col("__n")
+                    * F.least(F.col("__kx") - 1, F.col("__ky") - 1),
+                )
+            ),
+            round_decimals,
+        ).alias("cramers_v"),
+    )

@@ -4048,3 +4048,52 @@ def order_degree_powerlaw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
     )
     return degree_powerlaw(edges, d_min=1)
+
+
+# Oracle: FULL |X|×|Y| grid (cross join + left join, absent cells o=0)
+# and marginal-table entropies — independent of the Spark side's
+# present-cells-only decomposition with the n−Σe missing-cell χ²
+# correction, so the hash match proves that correction exact.
+_EVENTS_DEPENDENCE_SQL = """
+WITH b AS (SELECT event_type AS x, hour(ts) AS y FROM events),
+j AS (SELECT x, y, count(*) * 1.0 AS c FROM b GROUP BY 1, 2),
+rx AS (SELECT x, sum(c) AS cx FROM j GROUP BY 1),
+ry AS (SELECT y, sum(c) AS cy FROM j GROUP BY 1),
+t AS (SELECT sum(c) AS n FROM j),
+grid AS (
+  SELECT rx.cx, ry.cy, coalesce(jj.c, 0) AS o, t.n
+  FROM rx CROSS JOIN ry CROSS JOIN t
+  LEFT JOIN j jj ON jj.x = rx.x AND jj.y = ry.y),
+hx AS (SELECT -sum(cx / t.n * log2(cx / t.n)) AS v FROM rx, t),
+hy AS (SELECT -sum(cy / t.n * log2(cy / t.n)) AS v FROM ry, t),
+hxy AS (SELECT -sum(c / t.n * log2(c / t.n)) AS v FROM j, t),
+chi AS (SELECT sum(pow(o - cx * cy / n, 2) / (cx * cy / n)) AS v FROM grid),
+k AS (SELECT (SELECT count(*) FROM rx) AS kx, (SELECT count(*) FROM ry) AS ky)
+SELECT CAST(t.n AS BIGINT) AS n,
+       round(hx.v, 6) AS h_x, round(hy.v, 6) AS h_y,
+       round(hxy.v, 6) AS h_xy,
+       round(hx.v + hy.v - hxy.v, 6) AS mi,
+       round((hx.v + hy.v - hxy.v) / sqrt(hx.v * hy.v), 6) AS nmi,
+       round(chi.v, 6) AS chi2,
+       CAST((k.kx - 1) * (k.ky - 1) AS BIGINT) AS dof,
+       round(sqrt(chi.v / (t.n * least(k.kx - 1, k.ky - 1))), 6) AS cramers_v
+FROM t, hx, hy, hxy, chi, k
+"""
+
+
+@register("events_type_hour_dependence", _EVENTS_DEPENDENCE_SQL)
+def events_type_hour_dependence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence panel between event type and hour of day
+    (operators/infotheory.py): entropies, mutual information, χ²
+    independence, Cramér's V — all from ONE joint-count shuffle;
+    marginals/totals are aggregates over the |X|·|Y| joint table, and
+    absent cells' χ² mass is folded algebraically (n − Σ_present e)
+    instead of materializing the grid."""
+    from weaviate_txtai_spark.operators.infotheory import (
+        categorical_dependence,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    return categorical_dependence(ev, "event_type", "hr")
