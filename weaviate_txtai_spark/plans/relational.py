@@ -4097,3 +4097,81 @@ def events_type_hour_dependence_q(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type", F.hour("ts").alias("hr")
     )
     return categorical_dependence(ev, "event_type", "hr")
+
+
+# Oracle: literal product() window (DuckDB has a true product
+# aggregate) — the Spark side folds exp(Σ ln) with a zero guard, so
+# the hash match checks genuinely different arithmetic.
+_SURVIVAL_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+s AS (SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0 GROUP BY 1),
+subj AS (
+  SELECT CASE WHEN s.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN p.t1 IS NOT NULL
+              THEN CAST(floor(epoch(p.t1 - s.t0) / 86400) AS INT)
+              ELSE CAST(floor(epoch(mx.m - s.t0) / 86400) AS INT) END AS t,
+         CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM s LEFT JOIN p USING (user_id), mx),
+c AS (SELECT variant, t, CAST(sum(e) AS BIGINT) AS n_events,
+             CAST(sum(1 - e) AS BIGINT) AS n_censored
+      FROM subj GROUP BY 1, 2),
+k AS (SELECT *, sum(n_events + n_censored)
+               OVER (PARTITION BY variant ORDER BY t
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS n_risk
+      FROM c)
+SELECT variant, t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+       round(product(1 - n_events * 1.0 / n_risk)
+               OVER (PARTITION BY variant ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS survival
+FROM k ORDER BY variant, t
+"""
+
+
+@register("signup_to_purchase_survival", _SURVIVAL_SQL)
+def signup_to_purchase_survival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-first-purchase curves per even/odd user
+    cohort (operators/survival.py): users who never purchase are
+    right-censored at the end of observation instead of dropped — the
+    unbiased way to compare conversion LATENCY between variants. Windows
+    run over each cohort's distinct-duration table, never per subject."""
+    from weaviate_txtai_spark.operators.survival import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    subj = (
+        s.join(p, "user_id", "left")
+        .join(F.broadcast(mx))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+                "variant"
+            ),
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("t1", "m"))
+                    - F.unix_micros("t0")
+                )
+                / F.lit(86400e6)
+            ).cast("int").alias("t"),
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("e"),
+        )
+    )
+    return kaplan_meier(subj, "t", "e", group_col="variant").orderBy(
+        "variant", "t"
+    )
