@@ -79,3 +79,45 @@ def test_postings_filtered_before_shuffle(docs):
     assert "Join" not in plan
     head = plan.split("Exchange", 1)[1]  # below the first exchange
     assert "Filter" in head and "Generate posexplode" in head
+
+
+def test_multi_phrase_one_pass(docs):
+    from weaviate_txtai_spark.operators.phrase import multi_phrase_match
+
+    got = {
+        (r.doc_id, r.phrase, r.start)
+        for r in multi_phrase_match(
+            docs, ["the cat", "cat sat", "a a"]
+        ).collect()
+    }
+    assert got == {
+        (0, "the cat", 0), (1, "the cat", 0), (1, "the cat", 2),
+        (3, "the cat", 3),
+        (0, "cat sat", 1), (1, "cat sat", 3), (2, "cat sat", 0),
+        (5, "a a", 0), (5, "a a", 1), (5, "a a", 2),
+    }
+
+
+def test_multi_phrase_shared_tokens_and_ids(docs):
+    from weaviate_txtai_spark.operators.phrase import multi_phrase_match
+
+    # dict ids + two phrases sharing the token 'cat' at different slots
+    got = {
+        (r.doc_id, r.phrase, r.start)
+        for r in multi_phrase_match(
+            docs, {"p1": "the cat the", "p2": "cat"}
+        ).collect()
+    }
+    assert (1, "p1", 0) in got
+    assert {(g[0]) for g in got if g[1] == "p2"} == {0, 1, 2, 3}
+
+
+def test_multi_phrase_rejects_bad_input(docs):
+    from weaviate_txtai_spark.operators.phrase import multi_phrase_match
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multi_phrase_match(docs, [])
+    with _pytest.raises(ValueError):
+        multi_phrase_match(docs, {"x": "  "})

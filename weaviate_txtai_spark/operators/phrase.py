@@ -127,3 +127,100 @@ def phrase_doc_counts(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
     )
+
+
+def multi_phrase_match(
+    source: DataFrame,
+    phrases: "dict[str, str] | list[str]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: bool = False,
+) -> DataFrame:
+    """All occurrences of EVERY phrase in one pass: rows
+    ``(doc_id, phrase, start)``. ``phrases`` is a list (each phrase is
+    its own id) or a {phrase_id: phrase_text} dict.
+
+    The blocklist/dictionary form of :func:`phrase_match` — a 10k-entry
+    banned-phrase sweep is ONE postings filter + ONE aggregate, not 10k
+    ``contains()`` corpus rescans. Each token maps to every
+    (phrase_id, position) slot it fills across the whole dictionary
+    (a broadcast-literal map, bounded by Σ phrase lengths); the
+    pos − idx re-key and the countDistinct-equals-length check then run
+    for all phrases in the same shuffle, with per-phrase lengths joined
+    from a broadcast table.
+    """
+    if isinstance(phrases, dict):
+        items = list(phrases.items())
+    else:
+        items = [(p, p) for p in phrases]
+    if not items:
+        raise ValueError("no phrases")
+    parsed = {}
+    for pid, text in items:
+        terms = [t for t in text.split(" ") if t != ""]
+        if not terms:
+            raise ValueError(f"empty phrase {pid!r}")
+        parsed[pid] = terms
+    if len(parsed) != len(items):
+        raise ValueError("duplicate phrase ids")
+
+    slots: dict[str, list] = {}
+    for pid, terms in parsed.items():
+        for i, t in enumerate(terms):
+            slots.setdefault(t, []).append((pid, i))
+    vocab = sorted(slots)
+    slot_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(pid).alias("pid"), F.lit(i).alias("idx")
+                        )
+                        for pid, i in slots[t]
+                    ]
+                )
+                for t in vocab
+            ]
+        ),
+    )
+    spark = source.sparkSession
+    lens = F.broadcast(
+        spark.createDataFrame(
+            [(pid, len(terms)) for pid, terms in parsed.items()],
+            ["pid", "__k"],
+        )
+    )
+    post = (
+        source
+        if postings
+        else build_postings(source, id_col=id_col, text_col=text_col)
+    )
+    hits = (
+        post.filter(F.col("term").isin(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            F.explode(F.element_at(slot_map, F.col("term"))).alias("s"),
+        )
+        .filter(F.col("pos") >= F.col("s.idx"))
+        .select(
+            "doc_id",
+            F.col("s.pid").alias("pid"),
+            (F.col("pos") - F.col("s.idx")).alias("start"),
+            F.col("s.idx").alias("idx"),
+        )
+    )
+    return (
+        hits.groupBy("doc_id", "pid", "start")
+        .agg(F.countDistinct("idx").alias("__n"))
+        .join(lens, "pid")
+        .filter(F.col("__n") == F.col("__k"))
+        .select(
+            "doc_id",
+            F.col("pid").alias("phrase"),
+            F.col("start").cast("int").alias("start"),
+        )
+    )

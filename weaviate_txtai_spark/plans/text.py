@@ -1251,3 +1251,41 @@ def doc_shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendezvous_assign(
         docs, "doc_id", [f"s{i}" for i in range(8)]
     ).orderBy("doc_id")
+
+
+# Oracle: per-phrase direct sliding-window compares, UNION ALL'd —
+# independent of the shared-shuffle slot-map plan.
+_MULTI_PHRASE_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+)
+SELECT doc_id, 'a a' AS phrase, CAST(s.x - 1 AS INT) AS start
+FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+WHERE tok[s.x] = 'a' AND tok[s.x + 1] = 'a'
+UNION ALL
+SELECT doc_id, 'table value', CAST(s.x - 1 AS INT)
+FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+WHERE tok[s.x] = 'table' AND tok[s.x + 1] = 'value'
+UNION ALL
+SELECT doc_id, 'spark a a', CAST(s.x - 1 AS INT)
+FROM t, unnest(generate_series(1, len(tok) - 2)) AS s(x)
+WHERE tok[s.x] = 'spark' AND tok[s.x + 1] = 'a' AND tok[s.x + 2] = 'a'
+ORDER BY doc_id, phrase, start
+"""
+
+
+@register("multi_phrase_match", _MULTI_PHRASE_SQL)
+def multi_phrase_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary phrase sweep (operators/phrase.py multi_phrase_match):
+    every occurrence of every blocklist phrase in ONE postings filter +
+    ONE aggregate — the token→(phrase, slot) map rides as a broadcast
+    literal, so a 10k-phrase banned-list costs the same shuffle count
+    as one phrase. The three gate phrases share tokens ('a a' inside
+    'spark a a') to pin cross-phrase slot handling."""
+    from weaviate_txtai_spark.operators.phrase import multi_phrase_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multi_phrase_match(
+        docs, ["a a", "table value", "spark a a"]
+    ).orderBy("doc_id", "phrase", "start")
