@@ -103,3 +103,52 @@ def test_rendezvous_rejects_bad_shards(spark):
         rendezvous_assign(df, "k", [])
     with pytest.raises(ValueError):
         rendezvous_assign(df, "k", ["a", "a"])
+
+
+# ------------------------------------------------------- rolling distinct
+
+
+def test_rolling_distinct_hand_computed(spark):
+    import datetime as dt
+
+    from weaviate_txtai_spark.operators.resample import rolling_distinct
+
+    def ts(day):
+        return dt.datetime(2024, 1, day, 12, 0)
+
+    rows = [
+        (1, ts(1)), (1, ts(1)),  # dup same day counts once
+        (2, ts(2)),
+        (1, ts(4)),
+        (3, ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        str(r.day): r.n_distinct
+        for r in rolling_distinct(
+            df, ts_col="ts", key_col="u", window_days=3
+        ).collect()
+    }
+    # trailing-3-day windows ending each day:
+    # d1:{1} d2:{1,2} d3:{1,2} d4:{1,2} d5:{1,3}
+    assert got == {
+        "2024-01-01": 1, "2024-01-02": 2, "2024-01-03": 2,
+        "2024-01-04": 2, "2024-01-05": 2,
+    }
+
+
+def test_rolling_distinct_window_one_is_daily(spark):
+    import datetime as dt
+
+    from weaviate_txtai_spark.operators.resample import rolling_distinct
+
+    rows = [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 1)),
+            (1, dt.datetime(2024, 1, 3))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        str(r.day): r.n_distinct
+        for r in rolling_distinct(
+            df, ts_col="ts", key_col="u", window_days=1
+        ).collect()
+    }
+    assert got == {"2024-01-01": 2, "2024-01-03": 1}

@@ -85,3 +85,51 @@ def resample_ffill(
         F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct count per day — WAU/MAU-style "distinct
+    users in the last N days ending each day". Sliding DISTINCT does
+    not decompose into per-day partials (the same key must count once
+    across the window), so the exact distributed form is cover-explode:
+    each distinct (key, active-day) pair is emitted into the N window
+    ends it covers, then ONE countDistinct per window end.
+
+    Shuffle volume: N × |distinct (key, day)| rows — linear with a
+    bounded ×N factor, vs the window-join formulation's day×day range
+    join. For monthly windows over years of data, the HLL sketch path
+    (approx_count_distinct per day + sketch union) is the cheap
+    alternative; this is the exact tier. Output: one row per day that
+    has ≥1 active key in its trailing window: ``day, n_distinct``.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    kd = df.select(
+        F.col(key_col).alias("__k"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("__d"),
+    ).distinct()
+    covered = kd.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+            )
+        ).alias("day"),
+    )
+    # windows ending after the last active day describe no real day
+    last_day = df.agg(
+        F.date_trunc("day", F.max(ts_col)).cast("date").alias("__mx")
+    )
+    return (
+        covered.join(F.broadcast(last_day))
+        .filter(F.col("day") <= F.col("__mx"))
+        .groupBy("day")
+        .agg(F.countDistinct("__k").cast("long").alias("n_distinct"))
+    )

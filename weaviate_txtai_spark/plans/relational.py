@@ -4175,3 +4175,34 @@ def signup_to_purchase_survival_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return kaplan_meier(subj, "t", "e", group_col="variant").orderBy(
         "variant", "t"
     )
+
+
+# Oracle: the day×activity range join — independent of the
+# cover-explode plan (each formulation "slides" differently).
+_ROLLING_WAU_SQL = """
+WITH kd AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events),
+bounds AS (SELECT min(d) AS mn, max(d) AS mx FROM kd),
+days AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+           AS d FROM bounds)
+SELECT days.d AS day, CAST(count(DISTINCT kd.user_id) AS BIGINT) AS n_distinct
+FROM days JOIN kd ON kd.d <= days.d AND kd.d >= days.d - 6
+GROUP BY days.d
+HAVING count(DISTINCT kd.user_id) > 0
+ORDER BY day
+"""
+
+
+@register("events_rolling_wau", _ROLLING_WAU_SQL)
+def events_rolling_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day
+    (operators/resample.py rolling_distinct): sliding DISTINCT doesn't
+    decompose into per-day partials, so the exact plan cover-explodes
+    each (user, day) pair into the ≤7 window ends it serves and runs
+    ONE countDistinct per end — ×7 linear fan-out instead of the
+    oracle's day×activity range join."""
+    from weaviate_txtai_spark.operators.resample import rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_distinct(ev, ts_col="ts", key_col="user_id", window_days=7)
+    return out.orderBy("day")
