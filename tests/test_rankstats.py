@@ -103,3 +103,49 @@ def test_no_global_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line:
             assert "__pid" in line, line
+
+
+# -------------------------------------------------- quantile normalization
+
+
+def test_qnorm_identical_groups_map_to_self(spark):
+    from weaviate_txtai_spark.operators.rankstats import quantile_normalize
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0]] + [
+        ("b", v) for v in [1.0, 2.0, 3.0]
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {(r.g, r.v): r.qnorm for r in
+           quantile_normalize(df, "v", group_col="g").collect()}
+    # both groups already match the pool: min->min, mid->mid, max->max
+    assert got == {("a", 1.0): 1.0, ("a", 2.0): 2.0, ("a", 3.0): 3.0,
+                   ("b", 1.0): 1.0, ("b", 2.0): 2.0, ("b", 3.0): 3.0}
+
+
+def test_qnorm_shifts_scaled_group_onto_pool(spark):
+    from weaviate_txtai_spark.operators.rankstats import quantile_normalize
+
+    # group b is group a shifted by +100: both must map onto the SAME
+    # pooled values at equal within-group ranks
+    a = [1.0, 2.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v + 100) for v in a]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {(r.g, r.v): r.qnorm for r in
+           quantile_normalize(df, "v", group_col="g").collect()}
+    for i, v in enumerate(a):
+        assert got[("a", v)] == got[("b", v + 100)], i
+    # extremes: rank-min maps to pooled min, rank-max to pooled max
+    assert got[("a", 1.0)] == 1.0
+    assert got[("b", 104.0)] == 104.0
+
+
+def test_qnorm_singleton_group_maps_to_median(spark):
+    from weaviate_txtai_spark.operators.rankstats import quantile_normalize
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 50.0]] + [("s", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r.qnorm for r in
+           quantile_normalize(df, "v", group_col="g").collect()
+           if r.g == "s"}
+    # f=0.5 -> smallest pooled value with cum_frac >= 0.5 (6 values)
+    assert got["s"] == 3.0

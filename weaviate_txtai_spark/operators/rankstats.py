@@ -197,3 +197,104 @@ def group_percentile_rank(
         )
     )
     return base.join(ranked, [group_col, value_col])
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str,
+    out_col: str = "qnorm",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Quantile normalization: replace each value with the POOLED
+    empirical quantile at its within-group fractional rank, so every
+    group's distribution becomes (a resampling of) the pooled one —
+    the batch-effect remover that makes per-source quality/length
+    features comparable when sources have systematically different
+    scales (microarray lineage, Bolstad 2003).
+
+    Mapping: within group g, a value with tie-averaged rank r̄ out of
+    n_g maps to fraction f = (r̄ − 1)/(n_g − 1) (singleton groups map
+    to f = 0.5), and the output is the pooled DISCRETE quantile: the
+    smallest pooled value whose inclusive cumulative fraction ≥ f.
+
+    Scale: everything runs on VALUE-DOMAIN tables. Per-group ranks
+    come from (group, value) counts + a group-partitioned prefix sum;
+    the pooled CDF is a window over pooled DISTINCT values (the
+    ks_drift grid discipline); the fraction→quantile lookup is a
+    forward as-of over the UNION of the two domain tables (one
+    domain-sized unpartitioned window, bounded by distinct values,
+    never rows); rows join the mapping back by (group, value).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(value_col).isNotNull())
+    counts = base.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    gv = (
+        counts.withColumn(
+            "__r", F.coalesce(F.sum("__c").over(wg), F.lit(0)) + (F.col("__c") + 1) / 2.0
+        )
+        .join(totals, group_col)
+        .select(
+            group_col,
+            value_col,
+            F.coalesce(
+                F.try_divide(F.col("__r") - 1, F.col("__n") - 1), F.lit(0.5)
+            ).alias("__f"),
+        )
+    )
+    pooled = base.groupBy(value_col).agg(F.count(F.lit(1)).alias("__pc"))
+    n_pool = pooled.agg(F.sum("__pc").alias("__np"))
+    wp = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pooled_cdf = (
+        pooled.withColumn("__le", F.sum("__pc").over(wp))
+        .join(F.broadcast(n_pool))
+        .select(
+            F.col(value_col).cast("double").alias("__pv"),
+            (F.col("__le") / F.col("__np")).alias("__frac"),
+        )
+    )
+    # forward as-of on the union: at each query fraction, the first
+    # pooled value at-or-after it. Query rows sort BEFORE pooled rows
+    # at equal fraction so an exact hit maps to itself.
+    q_rows = gv.select(
+        F.col("__f").alias("__frac"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast("double").alias("__pv"),
+        group_col,
+        value_col,
+    )
+    p_rows = pooled_cdf.select(
+        "__frac",
+        F.lit(1).alias("__tag"),
+        "__pv",
+        F.lit(None).alias(group_col),
+        F.lit(None).cast(dict(df.dtypes)[value_col]).alias(value_col),
+    )
+    w_fwd = Window.orderBy("__frac", "__tag").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    mapping = (
+        q_rows.unionByName(p_rows)
+        .withColumn(
+            "__q", F.first("__pv", ignorenulls=True).over(w_fwd)
+        )
+        .filter(F.col("__tag") == 0)
+        .select(
+            group_col,
+            value_col,
+            F.round("__q", round_decimals).alias(out_col),
+        )
+    )
+    return base.join(mapping, [group_col, value_col])

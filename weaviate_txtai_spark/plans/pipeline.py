@@ -1199,3 +1199,66 @@ def balanced_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 7: group-aware (leakage-safe) split + audit
+# --------------------------------------------------------------------------
+
+_GROUP_SPLIT_SQL = """
+WITH labeled AS (
+  SELECT user_id, event_id,
+         CASE WHEN ((user_id * 2654435761) % 4294967296) / 4294967296.0 < 0.8
+                THEN 'train'
+              WHEN ((user_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9
+                THEN 'valid'
+              ELSE 'test' END AS split
+  FROM events),
+leak AS (
+  SELECT coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS leaked
+  FROM (SELECT user_id, count(DISTINCT split) AS ns FROM labeled GROUP BY 1))
+SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(leak.leaked AS BIGINT) AS leaked_groups
+FROM labeled, leak GROUP BY split, leak.leaked ORDER BY split
+"""
+
+
+@register("events_group_split", _GROUP_SPLIT_SQL)
+def events_group_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split: the hash is taken on the
+    USER, not the row, so every user's events land in one split —
+    the leakage-safe discipline for behavioral data (`train_test_split`
+    hashes row ids, correct for i.i.d. docs, wrong when rows of one
+    entity correlate). The output carries a distributed leakage AUDIT
+    column (users spanning >1 split — structurally 0 here, and the
+    audit is the check a pipeline points at OTHER splits)."""
+    from weaviate_txtai_spark.functions.sampling import assign_split
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "split", assign_split("user_id")
+    )
+    leak = (
+        ev.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("__ns"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__ns") > 1, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("leaked")
+        )
+    )
+    return (
+        ev.join(F.broadcast(leak))
+        .groupBy("split", "leaked")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            F.col("leaked").alias("leaked_groups"),
+        )
+        .orderBy("split")
+    )

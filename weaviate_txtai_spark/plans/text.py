@@ -1289,3 +1289,48 @@ def multi_phrase_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_phrase_match(
         docs, ["a a", "table value", "spark a a"]
     ).orderBy("doc_id", "phrase", "start")
+
+
+# Oracle: per-(source,value) fraction via rank windows + a CORRELATED
+# min-subquery lookup into the pooled CDF — independent of the Spark
+# side's union-as-of mapping.
+_DOCS_QNORM_SQL = """
+WITH c AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+gv AS (
+  SELECT c.source, c.n_chars,
+         CASE WHEN t.n = 1 THEN 0.5
+              ELSE (coalesce(sum(c.c) OVER (PARTITION BY c.source
+                         ORDER BY c.n_chars
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + (c.c + 1) / 2.0 - 1) / (t.n - 1) END AS f
+  FROM c JOIN t USING (source)),
+pc AS (SELECT n_chars AS v, count(*) AS pc FROM documents GROUP BY 1),
+np AS (SELECT sum(pc) AS np FROM pc),
+pcdf AS (SELECT v, sum(pc) OVER (ORDER BY v) / np.np AS frac FROM pc, np)
+SELECT d.doc_id, d.source, d.n_chars,
+       round((SELECT min(v) FROM pcdf WHERE pcdf.frac >= gv.f), 6) AS qnorm
+FROM documents d JOIN gv ON d.source = gv.source AND d.n_chars = gv.n_chars
+ORDER BY doc_id
+"""
+
+
+@register("docs_length_qnorm", _DOCS_QNORM_SQL)
+def docs_length_qnorm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length across sources
+    (operators/rankstats.py quantile_normalize, Bolstad 2003): each
+    doc's length maps to the pooled quantile at its within-source
+    fractional rank, removing per-source scale effects before a global
+    length filter. All stages run on value-domain tables; the
+    fraction→quantile lookup is a forward as-of over the union of the
+    two domain CDFs."""
+    from weaviate_txtai_spark.operators.rankstats import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        quantile_normalize(docs, "n_chars", group_col="source")
+        .select("doc_id", "source", "n_chars", "qnorm")
+        .orderBy("doc_id")
+    )
