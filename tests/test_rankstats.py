@@ -149,3 +149,19 @@ def test_qnorm_singleton_group_maps_to_median(spark):
            if r.g == "s"}
     # f=0.5 -> smallest pooled value with cum_frac >= 0.5 (6 values)
     assert got["s"] == 3.0
+
+
+def test_spearman_listwise_matches_pairwise_on_nullfree(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i * i), float(i % 7)) for i in range(1, 60)],
+        ["a", "b", "c"],
+    ).repartition(5)
+    pairs = [("a", "b"), ("a", "c"), ("b", "c")]
+    pw = {(r.col_x, r.col_y): r.spearman
+          for r in spearman(df, pairs).collect()}
+    lw = {(r.col_x, r.col_y): r.spearman
+          for r in spearman(df, pairs, dropna="listwise").collect()}
+    assert pw == lw
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        spearman(df, pairs, dropna="nope")

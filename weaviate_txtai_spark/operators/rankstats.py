@@ -123,30 +123,74 @@ def spearman(
     df: DataFrame,
     pairs: Sequence[tuple[str, str]],
     *,
+    dropna: str = "pairwise",
     round_decimals: int = 6,
 ) -> DataFrame:
     """Spearman rank correlation for each (x, y) column pair: one row
-    per pair — ``col_x, col_y, spearman``. Rows where either column is
-    null are dropped pairwise BEFORE ranking (ranks are computed on
-    the pairwise-complete subset, the standard Spearman convention)."""
+    per pair — ``col_x, col_y, spearman``.
+
+    ``dropna='pairwise'`` (default, the standard convention): each
+    pair ranks over ITS null-complete subset — one ranking job per
+    (pair, column). ``dropna='listwise'``: rows with a null in ANY
+    involved column drop once, and each unique column is ranked ONCE
+    over the shared population and reused across its pairs — on
+    null-free data (enforced fact tables) the results are identical
+    and the ranking work falls from 2·|pairs| to |unique columns|
+    jobs (the gate's 3-pair profile: 6 → 4)."""
     if not pairs:
         raise ValueError("no column pairs")
+    if dropna not in ("pairwise", "listwise"):
+        raise ValueError(f"unknown dropna mode {dropna!r}")
     outs = []
-    for x, y in pairs:
-        sub = df.filter(
-            F.col(x).isNotNull() & F.col(y).isNotNull()
-        ).select(x, y)
-        rx = avg_ranks(sub, x, out_col="__rx")
-        rxy = avg_ranks(rx, y, out_col="__ry")
-        outs.append(
-            rxy.agg(
-                F.lit(x).alias("col_x"),
-                F.lit(y).alias("col_y"),
-                F.round(F.corr("__rx", "__ry"), round_decimals).alias(
-                    "spearman"
-                ),
+    if dropna == "listwise":
+        cols = sorted({c for p in pairs for c in p})
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(c).isNotNull()
+        sub = df.filter(cond).select(*cols)
+        # each column's (value → rank) map builds from the BASE frame
+        # (chaining avg_ranks would make map N's count aggregate
+        # re-evaluate N−1 prior joins — measured 10.8 s vs 4 s at
+        # sf0.1); the maps then join onto sub once each
+        ranked = sub
+        for c in cols:
+            vc = sub.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
+            m = _prefix_sums(vc, c, "__cnt").select(
+                c,
+                (
+                    F.col("__before") + (F.col("__cnt") + F.lit(1)) / F.lit(2.0)
+                ).alias(f"__r_{c}"),
             )
-        )
+            ranked = ranked.join(m, c)
+        from weaviate_txtai_spark.cache import scoped_persist
+
+        ranked = scoped_persist(ranked)
+        for x, y in pairs:
+            outs.append(
+                ranked.agg(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    F.round(
+                        F.corr(f"__r_{x}", f"__r_{y}"), round_decimals
+                    ).alias("spearman"),
+                )
+            )
+    else:
+        for x, y in pairs:
+            sub = df.filter(
+                F.col(x).isNotNull() & F.col(y).isNotNull()
+            ).select(x, y)
+            rx = avg_ranks(sub, x, out_col="__rx")
+            rxy = avg_ranks(rx, y, out_col="__ry")
+            outs.append(
+                rxy.agg(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    F.round(F.corr("__rx", "__ry"), round_decimals).alias(
+                        "spearman"
+                    ),
+                )
+            )
     res = outs[0]
     for o in outs[1:]:
         res = res.unionAll(o)

@@ -3208,6 +3208,9 @@ def lineitem_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_discount", "l_tax"),
             ("l_quantity", "l_discount"),
         ],
+        # TPC-H fact columns are null-free, so listwise == pairwise and
+        # each unique column ranks once (4 ranking jobs, not 6)
+        dropna="listwise",
     ).orderBy("col_x", "col_y")
 
 
