@@ -98,3 +98,34 @@ def test_pair_generation_is_map_side(baskets):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_frequent_triples(spark):
+    from weaviate_txtai_spark.operators.itemsets import frequent_itemsets
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "d"),
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "x"), (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, ["o", "i"])
+    got = {
+        (r.p1, r.p2, r.p3): r.set_count
+        for r in frequent_itemsets(df, "o", "i", size=3, min_count=2).collect()
+    }
+    assert got == {("a", "b", "c"): 2, ("a", "b", "d"): 2}
+
+
+def test_frequent_quads_and_small_baskets_skip(spark):
+    from weaviate_txtai_spark.operators.itemsets import frequent_itemsets
+
+    rows = [(o, i) for o in (1, 2) for i in "abcd"] + [(3, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, ["o", "i"])
+    got = frequent_itemsets(df, "o", "i", size=4, min_count=2).collect()
+    assert [(r.p1, r.p2, r.p3, r.p4, r.set_count) for r in got] == [
+        ("a", "b", "c", "d", 2)
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        frequent_itemsets(df, "o", "i", size=1)

@@ -226,3 +226,64 @@ def association_rules(
     if min_confidence > 0.0:
         out = out.filter(F.col("confidence") >= min_confidence)
     return out
+
+
+def _combos(arr: Column, k: int) -> Column:
+    """All k-combinations (order-preserving) of the sorted array, as an
+    array of k-element arrays — pure codegen, map-side."""
+    if k == 1:
+        return F.transform(arr, lambda x: F.array(x))
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                _combos(F.slice(arr, i + F.lit(2), F.size(arr)), k - 1),
+                lambda c: F.concat(F.array(x), c),
+            ),
+        )
+    )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    size: int,
+    min_count: int = 2,
+    min_item_count: int = 1,
+    max_basket_size: int = 1000,
+) -> DataFrame:
+    """Frequent itemsets of exactly ``size`` items: one row per
+    lexicographically ordered itemset with ``set_count ≥ min_count``.
+    Columns: ``p1..p<size>, set_count``.
+
+    The general-k sibling of :func:`frequent_pairs` — candidate
+    k-combinations are generated map-side from each basket's sorted
+    item array (C(|basket|, k) fan-out, bounded by ``max_basket_size``
+    and apriori item pruning; the classic SQL form is a k-way basket
+    self-join, shuffling the relation k times). One aggregate counts
+    them. Size 3 is the market-basket "trio" step; larger k grows the
+    per-basket term combinatorially — cap accordingly.
+    """
+    if size < 2:
+        raise ValueError("size must be >= 2")
+    b = basketize(
+        df,
+        basket_col,
+        item_col,
+        min_item_count=min_item_count,
+        max_basket_size=max_basket_size,
+    )
+    combos = (
+        b.filter(F.size("items") >= size)
+        .select(F.explode(_combos(F.col("items"), size)).alias("c"))
+    )
+    out = combos.select(
+        *[F.col("c")[i].alias(f"p{i + 1}") for i in range(size)]
+    )
+    return (
+        out.groupBy(*[f"p{i + 1}" for i in range(size)])
+        .agg(F.count(F.lit(1)).cast("long").alias("set_count"))
+        .filter(F.col("set_count") >= min_count)
+    )

@@ -4209,3 +4209,29 @@ def events_rolling_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = rolling_distinct(ev, ts_col="ts", key_col="user_id", window_days=7)
     return out.orderBy("day")
+
+
+_BASKET_TRIPLES_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS p1, c.p AS p2, d.p AS p3,
+       CAST(count(*) AS BIGINT) AS set_count
+FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+         JOIN b d ON a.o = d.o AND c.p < d.p
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+ORDER BY p1, p2, p3
+"""
+
+
+@register("basket_triples", _BASKET_TRIPLES_SQL)
+def basket_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (operators/itemsets.py
+    frequent_itemsets, size=3): candidate trios come from a map-side
+    C(|basket|, 3) combination explode + one aggregate; the oracle is
+    the 3-way basket self-join (two shuffling joins of the relation),
+    so the hash match proves the generator equivalent."""
+    from weaviate_txtai_spark.operators.itemsets import frequent_itemsets
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_itemsets(
+        li, "l_orderkey", "l_partkey", size=3, min_count=2
+    ).orderBy("p1", "p2", "p3")
