@@ -45,13 +45,17 @@ _SURVEY_GATES = {
 # ceded their slots (all hold r05 driver rows) to the round-5 families, plus
 # the two gates de-vacuated in r6 which need their first REAL driver row.
 _NEW_FAMILY_GATES = {
-    # r2/r3 family representatives still holding slots (the rest ceded
-    # in the r7 session-2 rotation — every ceded gate has ≥1 green
+    # long-running representatives still holding slots (rotation-3
+    # ceded the r2/r3 family reps — every ceded gate has ≥1 green
     # driver row from r04–r06 and stays judge-sweep + pytest covered)
-    "kmeans_assign", "semantic_dedup", "docs_unigram_nll",
-    "doc_centrality", "lineitem_profile", "pretraining_manifest",
+    "pretraining_manifest",
     # r5/r6 heavy-bench trackers kept
     "binary_hamming_rerank", "order_chain_components",
+    # r7 session-2 rotation 3: the stateful-streaming showpiece + the
+    # batch-5..14 families
+    "streaming_monitor", "supplier_name_matches", "events_daily_cusum",
+    "orders_pit_segment", "order_clique_kcore", "bm25_index_topk",
+    "signup_to_purchase_survival", "events_type_hour_dependence",
     # r7 session-1 families
     "knn_l2", "knn_dot", "retrieval_eval", "ivfpq_append_search",
     "winnow_fingerprints", "shared_run_pairs", "qlm_topk",

@@ -67,24 +67,26 @@ _PRIORITY = [
     # member now has ≥1 driver row from r04/r05. docs_normalize,
     # repeated_passages, and ivfpq_knn ceded slots to the round-5 rotation
     # — all three hold r04/r05 driver rows and stay judge-sweep covered)
-    "kmeans_assign",
-    "semantic_dedup",
-    "docs_unigram_nll",
-    "doc_centrality",
-    "lineitem_profile",
-    # r7 rotation 2: events_zorder, mixture_sample, contamination_check,
-    # dedup_incremental ceded (all hold ≥1 green driver row from
-    # r04–r06; judge-sweep + pytest keep them covered) to the session-2
-    # round-7 families below
-    # (streaming_near_dedup also ceded — r06 row; streaming_ingest keeps
-    # the streaming family's window slot)
+    # r7 rotation 3: kmeans_assign, semantic_dedup, docs_unigram_nll,
+    # doc_centrality, lineitem_profile, hard_negatives, knn_filtered,
+    # sim_join_ivfpq ceded (every one holds ≥1 green driver row from
+    # r04–r06, several hold three; judge-sweep + pytest + the heavy
+    # bench keep them covered) to eight session-2 round-7 families that
+    # have never had a driver row — headlined by streaming_monitor, the
+    # oracled STATEFUL streaming gate.
+    # Earlier cedes (rotation 2): events_zorder, mixture_sample,
+    # contamination_check, dedup_incremental, streaming_near_dedup.
     "pretraining_manifest",
     "bm25_topk",
-    "hard_negatives",
-    "knn_filtered",
     "ann_ivf_filtered",
-    # r5 driver row, kept: the flagship PQ-tier DataFrame-query join
-    "sim_join_ivfpq",
+    "streaming_monitor",
+    "supplier_name_matches",
+    "events_daily_cusum",
+    "orders_pit_segment",
+    "order_clique_kcore",
+    "bm25_index_topk",
+    "signup_to_purchase_survival",
+    "events_type_hour_dependence",
     # r7 rotation 2: nation_market_share / global_sales_opportunity got
     # their de-vacuated r6 driver rows; opq_knn_rerank, ivfopq_knn,
     # binary_hamming_knn, events_resample, orders_snapshot_diff,
