@@ -5,6 +5,8 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from weaviate_txtai_spark.operators.rankstats import avg_ranks, spearman
 
 
@@ -165,3 +167,46 @@ def test_spearman_listwise_matches_pairwise_on_nullfree(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         spearman(df, pairs, dropna="nope")
+
+
+# ------------------------------------------------- counted exact percentiles
+
+
+def test_group_percentiles_match_builtin(spark):
+    import random
+
+    from weaviate_txtai_spark.operators.rankstats import group_percentiles
+
+    rng = random.Random(13)
+    rows = [
+        (g, float(rng.randint(0, 50)))
+        for g in ("a", "b")
+        for _ in range(200)
+    ] + [("c", 7.0)]  # singleton group
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(6)
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r.g, r.p): r.value
+        for r in group_percentiles(df, "v", ps, group_col="g").collect()
+    }
+    want_rows = df.groupBy("g").agg(
+        *[
+            F.round(F.expr(f"percentile(v, {p})"), 6).alias(f"q{i}")
+            for i, p in enumerate(ps)
+        ]
+    ).collect()
+    for r in want_rows:
+        for i, p in enumerate(ps):
+            assert got[(r.g, p)] == r[f"q{i}"], (r.g, p)
+
+
+def test_group_percentiles_rejects_bad_p(spark):
+    from weaviate_txtai_spark.operators.rankstats import group_percentiles
+
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_percentiles(df, "v", [1.5], group_col="g")
+    with _pytest.raises(ValueError):
+        group_percentiles(df, "v", [], group_col="g")

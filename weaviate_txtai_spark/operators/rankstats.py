@@ -342,3 +342,111 @@ def quantile_normalize(
         )
     )
     return base.join(mapping, [group_col, value_col])
+
+
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: Sequence[float],
+    *,
+    group_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """EXACT interpolated percentiles per group WITHOUT buffering
+    (``F.percentile`` materializes every value of a group in one
+    aggregation buffer — the hidden OOM when a group holds billions of
+    rows; ``approx_percentile`` trades exactness away). This is the
+    third tier: exact values from the (group, value) COUNT table.
+
+    Method: value v covers sorted positions [before, before+cnt−1]
+    (exclusive prefix sums over each group's value domain); percentile
+    p needs positions ⌊h⌋ and ⌈h⌉ with h = (n−1)·p, each resolved by a
+    backward as-of against the 'before' offsets (union + one
+    group-partitioned window over domain+query rows), then linear
+    interpolation — identical to quantile_cont / percentile().
+
+    Output: one row per (group, percentile): ``group, p, value``.
+    """
+    from pyspark.sql.window import Window
+
+    ps = sorted(set(float(p) for p in percentiles))
+    if not ps or any(not (0 <= p <= 1) for p in ps):
+        raise ValueError(f"percentiles must be in [0,1]: {percentiles}")
+    base = df.filter(F.col(value_col).isNotNull())
+    counts = base.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = counts.withColumn(
+        "__before", F.coalesce(F.sum("__c").over(wg), F.lit(0))
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    # query rows: for each (group, p) the two integer positions + frac
+    pdf = totals.select(
+        group_col,
+        "__n",
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+    ).select(
+        group_col,
+        "p",
+        ((F.col("__n") - 1) * F.col("p")).alias("__h"),
+    )
+    q = pdf.select(
+        group_col,
+        "p",
+        "__h",
+        F.explode(
+            F.array_distinct(
+                F.array(F.floor("__h").cast("long"), F.ceil("__h").cast("long"))
+            )
+        ).alias("__pos"),
+    )
+    # backward as-of: the domain row covering __pos is the one with the
+    # greatest __before ≤ __pos (ranges partition the position space)
+    d_rows = dom.select(
+        group_col,
+        F.col("__before").cast("long").alias("__pos"),
+        F.lit(0).alias("__tag"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(None).cast("double").alias("p"),
+        F.lit(None).cast("double").alias("__h"),
+    )
+    q_rows = q.select(
+        group_col,
+        "__pos",
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("double").alias("__v"),
+        "p",
+        "__h",
+    )
+    w_back = (
+        Window.partitionBy(group_col)
+        .orderBy("__pos", "__tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = (
+        d_rows.unionByName(q_rows)
+        .withColumn("__val", F.last("__v", ignorenulls=True).over(w_back))
+        .filter(F.col("__tag") == 1)
+        .select(group_col, "p", "__h", "__pos", "__val")
+    )
+    # one row per (group,p) when h is integral, two otherwise — fold
+    # the pair back with interpolation
+    agg = resolved.groupBy(group_col, "p").agg(
+        F.max("__h").alias("__h"),
+        F.min_by("__val", "__pos").alias("__lo"),
+        F.max_by("__val", "__pos").alias("__hi"),
+    )
+    frac = F.col("__h") - F.floor("__h")
+    return agg.select(
+        group_col,
+        "p",
+        F.round(
+            F.col("__lo") + frac * (F.col("__hi") - F.col("__lo")),
+            round_decimals,
+        ).alias("value"),
+    )

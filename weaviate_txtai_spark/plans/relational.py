@@ -4235,3 +4235,38 @@ def basket_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(
         li, "l_orderkey", "l_partkey", size=3, min_count=2
     ).orderBy("p1", "p2", "p3")
+
+
+_COUNTED_PCTL_SQL = """
+WITH q AS (
+  SELECT o_orderpriority AS grp, CAST(p AS DOUBLE) AS p,
+         round(CASE p WHEN 0.5 THEN quantile_cont(o_totalprice, 0.5)
+                      WHEN 0.9 THEN quantile_cont(o_totalprice, 0.9)
+                      ELSE quantile_cont(o_totalprice, 0.99) END, 6) AS value
+  FROM orders CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p)
+  GROUP BY o_orderpriority, ps.p)
+SELECT grp, p, value FROM q ORDER BY grp, p
+"""
+
+
+@register("price_percentiles_counted", _COUNTED_PCTL_SQL)
+def price_percentiles_counted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles WITHOUT per-group buffering
+    (operators/rankstats.py group_percentiles): `price_quantiles`' own
+    docstring concedes that exact `percentile()` buffers every group
+    value and a 100 TB run must downgrade to approx — this third tier
+    keeps exactness by resolving ⌊h⌋/⌈h⌉ positions against the
+    (group, value) COUNT table with a backward as-of and interpolating.
+    The oracle is quantile_cont, i.e. the buffering implementation —
+    the hash match proves the counted form equals it."""
+    from weaviate_txtai_spark.operators.rankstats import group_percentiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        group_percentiles(
+            orders, "o_totalprice", [0.5, 0.9, 0.99],
+            group_col="o_orderpriority",
+        )
+        .withColumnRenamed("o_orderpriority", "grp")
+        .orderBy("grp", "p")
+    )
