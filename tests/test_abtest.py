@@ -2,6 +2,8 @@
 
 import math
 
+from pyspark.sql import functions as F
+
 from weaviate_txtai_spark.operators.abtest import (
     two_proportion_ztest,
     welch_ttest,
@@ -70,3 +72,17 @@ def test_welch_tiny_arm_is_null(spark):
     df = spark.createDataFrame(rows, ["variant", "value"])
     r = welch_ttest(df, "variant", "value", group_a="A", group_b="B").collect()[0]
     assert r.t is None
+
+
+def test_normal_two_sided_p_values(spark):
+    from weaviate_txtai_spark.operators.abtest import normal_two_sided_p
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.959964,), (2.575829,), (-1.959964,)], ["z"]
+    )
+    got = [
+        r.p for r in df.select(
+            F.round(normal_two_sided_p("z"), 4).alias("p")
+        ).collect()
+    ]
+    assert got == [1.0, 0.05, 0.01, 0.05]  # symmetric in z

@@ -381,6 +381,72 @@ def main() -> None:
         build_text_index(d, path)
         return bm25_from_index(spark, path, ["spark", "vector", "join"])
 
+    def q_survival(e):
+        # subjects (users) double independently; curve rows bounded by
+        # the duration DOMAIN — value-domain windows, not subjects
+        from weaviate_txtai_spark.operators.survival import kaplan_meier
+
+        mx = e.agg(F.max("ts").alias("m"))
+        s = (
+            e.filter(F.col("event_type") == "signup")
+            .groupBy("user_id").agg(F.min("ts").alias("t0"))
+        )
+        p = (
+            e.filter(F.col("event_type") == "purchase")
+            .join(s, "user_id").filter(F.col("ts") > F.col("t0"))
+            .groupBy("user_id").agg(F.min("ts").alias("t1"))
+        )
+        subj = (
+            s.join(p, "user_id", "left").join(F.broadcast(mx))
+            .select(
+                F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+                .alias("variant"),
+                F.floor(
+                    (F.unix_micros(F.coalesce("t1", "m"))
+                     - F.unix_micros("t0")) / F.lit(86400e6)
+                ).cast("int").alias("t"),
+                F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("e"),
+            )
+        )
+        return kaplan_meier(subj, "t", "e", group_col="variant")
+
+    def q_dependence(e):
+        # joint-count shuffle doubles; the stats run on the |X|x|Y|
+        # joint table, size-constant at 2x
+        from weaviate_txtai_spark.operators.infotheory import (
+            categorical_dependence,
+        )
+
+        return categorical_dependence(
+            e.select("event_type", F.hour("ts").alias("hr")),
+            "event_type", "hr",
+        )
+
+    def q_qnorm(d):
+        from weaviate_txtai_spark.operators.rankstats import (
+            quantile_normalize,
+        )
+
+        return quantile_normalize(
+            d.select("doc_id", "source", "n_chars"),
+            "n_chars", group_col="source",
+        )
+
+    def q_multiphrase(d):
+        from weaviate_txtai_spark.operators.phrase import multi_phrase_match
+
+        return multi_phrase_match(d, ["a a", "table value", "spark a a"])
+
+    def q_counted_pctl(o):
+        from weaviate_txtai_spark.operators.rankstats import (
+            group_percentiles,
+        )
+
+        return group_percentiles(
+            o, "o_totalprice", [0.5, 0.9, 0.99],
+            group_col="o_orderpriority",
+        )
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_prefix_jaccard", q_prefix_jaccard, q_prefix_jaccard,
@@ -410,6 +476,12 @@ def main() -> None:
         ("docs_length_pctrank", q_pctrank, q_pctrank, docs1, docs2),
         ("order_clique_kcore", q_kcore, q_kcore, ord1, ord2),
         ("bm25_index_build_query", q_text_index, q_text_index, docs1, docs2),
+        ("signup_to_purchase_survival", q_survival, q_survival, ev1, ev2),
+        ("events_type_hour_dependence", q_dependence, q_dependence, ev1, ev2),
+        ("docs_length_qnorm", q_qnorm, q_qnorm, docs1, docs2),
+        ("multi_phrase_match", q_multiphrase, q_multiphrase, docs1, docs2),
+        ("price_percentiles_counted", q_counted_pctl, q_counted_pctl,
+         ord1, ord2),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:

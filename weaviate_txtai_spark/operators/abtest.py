@@ -186,3 +186,24 @@ def mann_whitney_u(
             "z"
         ),
     )
+
+
+def normal_two_sided_p(z):
+    """Two-sided p-value under the standard normal, as a PURE codegen
+    expression: Φ via the Zelen–Severo polynomial (Abramowitz–Stegun
+    26.2.17, |ε| < 7.5e-8) — Spark has no erf/CDF builtin, and a UDF
+    would leave codegen. The approximation is DETERMINISTIC arithmetic,
+    so an oracle replays it bit-for-bit; do not quote it past ~7
+    decimals as the true p."""
+    z = z if not isinstance(z, str) else F.col(z)
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = t * (
+        0.319381530
+        + t * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    pdf = F.exp(-az * az / 2.0) / 2.5066282746310002  # sqrt(2π)
+    return 2.0 * pdf * poly

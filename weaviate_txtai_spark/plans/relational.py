@@ -4270,3 +4270,97 @@ def price_percentiles_counted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_orderpriority", "grp")
         .orderBy("grp", "p")
     )
+
+
+# p-values via the Zelen–Severo Φ polynomial (|ε|<7.5e-8) computed on
+# the ROUNDED statistic in BOTH engines — deterministic arithmetic, so
+# the oracle replays it exactly.
+_AB_PANEL_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS s,
+         sum(value) AS v
+  FROM events GROUP BY 1),
+zt AS (
+  SELECT round((sum(s) FILTER (g='A') * 1.0 / count(*) FILTER (g='A')
+                - sum(s) FILTER (g='B') * 1.0 / count(*) FILTER (g='B'))
+               / sqrt((sum(s) * 1.0 / count(*)) * (1 - sum(s) * 1.0 / count(*))
+                      * (1.0 / count(*) FILTER (g='A')
+                         + 1.0 / count(*) FILTER (g='B'))), 6) AS stat
+  FROM u),
+r AS (SELECT g, rank() OVER (ORDER BY v)
+               + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rr,
+             v FROM u),
+tie AS (SELECT coalesce(sum(c*c*c - c), 0) AS tie
+        FROM (SELECT count(*) AS c FROM u GROUP BY v)),
+mw AS (
+  SELECT round((sum(rr) FILTER (g='A')
+                - count(*) FILTER (g='A') * (count(*) FILTER (g='A') + 1) / 2
+                - count(*) FILTER (g='A') * count(*) FILTER (g='B') / 2.0)
+               / sqrt(count(*) FILTER (g='A') * count(*) FILTER (g='B') / 12.0
+                      * ((count(*) + 1)
+                         - max(tie.tie) * 1.0 / (count(*) * (count(*) - 1)))),
+               6) AS stat
+  FROM r, tie),
+panel AS (
+  SELECT 'conversion_z' AS test, stat FROM zt
+  UNION ALL SELECT 'value_mwu_z', stat FROM mw)
+SELECT test, stat,
+       round(2.0 * (exp(-abs(stat) * abs(stat) / 2.0) / 2.5066282746310002)
+             * ((1.0 / (1.0 + 0.2316419 * abs(stat)))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * abs(stat)))
+                     * (-0.356563782
+                        + (1.0 / (1.0 + 0.2316419 * abs(stat)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(stat)))
+                               * (-1.821255978
+                                  + (1.0 / (1.0 + 0.2316419 * abs(stat)))
+                                    * 1.330274429))))), 6) AS p_value
+FROM panel ORDER BY test
+"""
+
+
+@register("ab_experiment_panel", _AB_PANEL_SQL)
+def ab_experiment_panel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout PANEL: conversion z and Mann–Whitney z
+    side by side with two-sided p-values (operators/abtest.py
+    normal_two_sided_p — the Zelen–Severo Φ polynomial as pure codegen;
+    Spark has no erf, and a Python UDF would leave codegen). p is
+    computed on the rounded statistic in both engines so the hash
+    match is exact."""
+    from weaviate_txtai_spark.operators.abtest import (
+        mann_whitney_u,
+        normal_two_sided_p,
+        two_proportion_ztest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180), 1
+            ).otherwise(0)
+        ).alias("converted"),
+        F.sum("value").alias("v"),
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("g"),
+        "converted",
+        "v",
+    )
+    zt = two_proportion_ztest(
+        per_user, "g", "converted", group_a="A", group_b="B"
+    ).select(F.lit("conversion_z").alias("test"), F.col("z").alias("stat"))
+    mw = mann_whitney_u(
+        per_user, "g", "v", group_a="A", group_b="B"
+    ).select(F.lit("value_mwu_z").alias("test"), F.col("z").alias("stat"))
+    return (
+        zt.unionByName(mw)
+        .select(
+            "test",
+            "stat",
+            F.round(normal_two_sided_p(F.col("stat")), 6).alias("p_value"),
+        )
+        .orderBy("test")
+    )
