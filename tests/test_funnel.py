@@ -232,3 +232,9 @@ def test_windowed_funnel_huge_window_matches_unwindowed(spark):
         for r in funnel(ev, steps, window=10**9).collect()
     }
     assert a == b
+
+
+def test_windowed_funnel_rejects_nonpositive_window(spark):
+    ev = _events(spark, [(1, "signup", _ts(1))])
+    with pytest.raises(ValueError):
+        funnel(ev, ["signup", "view"], window=0)

@@ -55,6 +55,8 @@ def attribution(
     tt = [t for t in touch_types if t != conversion_type]
     if len(tt) != len(touch_types):
         raise ValueError("conversion_type cannot be a touch type")
+    if lookback is not None and lookback <= 0:
+        raise ValueError(f"lookback must be positive seconds, got {lookback!r}")
     ev = events.select(user_col, type_col, ts_col, value_col).filter(
         F.col(type_col).isin(list(touch_types) + [conversion_type])
     )

@@ -77,6 +77,8 @@ def funnel(
         raise ValueError(f"a funnel needs >= 2 steps, got {list(steps)!r}")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {list(steps)!r}")
+    if window is not None and window <= 0:
+        raise ValueError(f"window must be positive seconds, got {window!r}")
     per_user = (
         events.filter(F.col(type_col).isin(list(steps)))
         .select(user_col, type_col, ts_col)
