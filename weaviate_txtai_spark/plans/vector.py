@@ -1543,3 +1543,64 @@ def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy(F.desc("outlier_score"), F.asc("vec_id"))
     )
+
+
+# Oracle: the SAME greedy walk unrolled as four explicit argmax steps
+# (every step's distances rounded to 6dp BEFORE least/argmax in both
+# engines, so the traversal cannot diverge on float ulps).
+_KCENTER_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c1 AS (SELECT CAST(0 AS BIGINT) AS vec_id),
+d1 AS (SELECT e.vec_id,
+              round(1 - list_cosine_similarity(
+                        e.v, (SELECT v FROM e WHERE vec_id = 0)), 6) AS dmin
+       FROM e),
+c2 AS (SELECT vec_id FROM d1 WHERE vec_id NOT IN (SELECT vec_id FROM c1)
+       ORDER BY dmin DESC, vec_id LIMIT 1),
+d2 AS (SELECT d1.vec_id,
+              least(d1.dmin,
+                    round(1 - list_cosine_similarity(
+                              e.v, (SELECT e2.v FROM e e2 JOIN c2
+                                    ON e2.vec_id = c2.vec_id)), 6)) AS dmin
+       FROM d1 JOIN e ON d1.vec_id = e.vec_id),
+c3 AS (SELECT vec_id FROM d2
+       WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                            UNION SELECT vec_id FROM c2)
+       ORDER BY dmin DESC, vec_id LIMIT 1),
+d3 AS (SELECT d2.vec_id,
+              least(d2.dmin,
+                    round(1 - list_cosine_similarity(
+                              e.v, (SELECT e2.v FROM e e2 JOIN c3
+                                    ON e2.vec_id = c3.vec_id)), 6)) AS dmin
+       FROM d2 JOIN e ON d2.vec_id = e.vec_id),
+c4 AS (SELECT vec_id FROM d3
+       WHERE vec_id NOT IN (SELECT vec_id FROM c1
+                            UNION SELECT vec_id FROM c2
+                            UNION SELECT vec_id FROM c3)
+       ORDER BY dmin DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS INT) AS rank, vec_id, 0.0 AS min_dist FROM c1
+UNION ALL
+SELECT 2, c2.vec_id,
+       (SELECT dmin FROM d1 WHERE d1.vec_id = c2.vec_id) FROM c2
+UNION ALL
+SELECT 3, c3.vec_id,
+       (SELECT dmin FROM d2 WHERE d2.vec_id = c3.vec_id) FROM c3
+UNION ALL
+SELECT 4, c4.vec_id,
+       (SELECT dmin FROM d3 WHERE d3.vec_id = c4.vec_id) FROM c4
+ORDER BY rank
+"""
+
+
+@register("kcenter_coreset", _KCENTER_SQL)
+def kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset of the embedding corpus
+    (operators/coreset.py, Gonzalez farthest-point, k=4, seed vec 0) —
+    the diversity-first selection with the 2-approximation covering
+    guarantee. k driver iterations of one distributed argmax each; the
+    selected ≤k vectors ride as column literals, nothing corpus-sized
+    collects. Oracle: the same walk unrolled as explicit SQL steps."""
+    from weaviate_txtai_spark.operators.coreset import kcenter_coreset
+
+    emb = _emb(spark, sf_dir)
+    return kcenter_coreset(emb, 4, seed_id=0).orderBy("rank")
