@@ -152,3 +152,38 @@ def test_rolling_distinct_window_one_is_daily(spark):
         ).collect()
     }
     assert got == {"2024-01-01": 2, "2024-01-03": 1}
+
+
+# --------------------------------------------------- time-weighted average
+
+
+def test_twa_hand_computed(spark):
+    import datetime as dt
+
+    from weaviate_txtai_spark.operators.resample import time_weighted_avg
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+    # value 10 held 5 s, value 20 held 15 s, last sample weightless
+    rows = [("g", ts(0), 10.0), ("g", ts(5), 20.0), ("g", ts(20), 99.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    r = time_weighted_avg(
+        df, group_col="g", ts_col="ts", value_col="v"
+    ).collect()[0]
+    assert r.n_samples == 3
+    assert r.twa == round((10 * 5 + 20 * 15) / 20, 6)
+
+
+def test_twa_single_sample_null(spark):
+    import datetime as dt
+
+    from weaviate_txtai_spark.operators.resample import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [("g", dt.datetime(2024, 1, 1), 5.0)],
+        "g string, ts timestamp, v double",
+    )
+    assert time_weighted_avg(
+        df, group_col="g", ts_col="ts", value_col="v"
+    ).collect()[0].twa is None

@@ -129,3 +129,40 @@ def test_frequent_quads_and_small_baskets_skip(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         frequent_itemsets(df, "o", "i", size=1)
+
+
+def test_pmi_pairs_hand_computed(spark):
+    import math
+
+    from weaviate_txtai_spark.operators.itemsets import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cat dog"),
+            (1, "cat dog"),
+            (2, "cat fish"),
+            (3, "bird bird fish"),  # dup token counts once (presence)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.t1, r.t2): (r.pair_count, r.pmi)
+        for r in pmi_pairs(docs, min_pair_count=1).collect()
+    }
+    n = 4
+    # cat df 3, dog df 2, pair (cat,dog) 2 -> pmi = log2(4*2/(3*2))
+    assert got[("cat", "dog")][0] == 2
+    assert got[("cat", "dog")][1] == round(math.log2(n * 2 / (3 * 2)), 6)
+    assert got[("bird", "fish")][0] == 1
+    assert got[("bird", "fish")][1] == round(math.log2(n * 1 / (1 * 2)), 6)
+
+
+def test_pmi_df_cap_drops_stopword_grade_tokens(spark):
+    from weaviate_txtai_spark.operators.itemsets import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"the w{i} w{i % 2}") for i in range(6)], ["doc_id", "text"]
+    )
+    got = pmi_pairs(docs, min_pair_count=1, max_doc_freq=4).collect()
+    toks = {r.t1 for r in got} | {r.t2 for r in got}
+    assert "the" not in toks  # df 6 > cap

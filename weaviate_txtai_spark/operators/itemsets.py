@@ -287,3 +287,85 @@ def frequent_itemsets(
         .agg(F.count(F.lit(1)).cast("long").alias("set_count"))
         .filter(F.col("set_count") >= min_count)
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    max_doc_freq: "int | None" = None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in a
+    document: PMI(x,y) = log₂(N·c(x,y) / (c(x)·c(y))) over DOC-LEVEL
+    presence (the distributional-association statistic behind
+    collocation mining and "related terms" panels; Church & Hanks
+    1990). Counts are document frequencies, not token frequencies —
+    presence/absence, the standard doc-co-occurrence PMI.
+
+    Output: ``t1, t2 (t1 < t2), pair_count, pmi``.
+
+    Scale: the basket machinery verbatim — docs are baskets, tokens
+    are items, so pairs generate MAP-SIDE from per-doc sorted distinct
+    token arrays (never a token-granularity self-join), and
+    ``max_doc_freq`` drops stopword-grade tokens BEFORE the pair
+    fan-out (a token in every doc contributes C(N,2) pairs and carries
+    PMI ≈ 0 — the cap removes exactly the uninformative mass, the
+    linkpred/winnow df-cap move).
+    """
+    from weaviate_txtai_spark.cache import scoped_persist
+    from weaviate_txtai_spark.functions.text import tokens
+
+    pres = docs.select(
+        F.col(id_col).alias("basket"),
+        F.explode(tokens(text_col)).alias("item"),
+    )
+    base = pres.distinct()
+    if max_doc_freq is not None:
+        keep = (
+            base.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("item")
+        )
+        base = base.join(keep, "item")
+    b = scoped_persist(
+        base.groupBy("basket").agg(
+            F.sort_array(F.collect_set("item")).alias("items")
+        )
+    )
+    n_docs = b.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dfreq = (
+        b.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    )
+    pairs = (
+        b.select(F.explode(_pairs_from_sorted_array(F.col("items"))).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    d1 = dfreq.select(F.col("item").alias("p1"), F.col("__df").alias("__d1"))
+    d2 = dfreq.select(F.col("item").alias("p2"), F.col("__df").alias("__d2"))
+    ln2 = 0.6931471805599453
+    return (
+        pairs.join(d1, "p1")
+        .join(d2, "p2")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col("p1").alias("t1"),
+            F.col("p2").alias("t2"),
+            "pair_count",
+            F.round(
+                F.log(
+                    F.col("__n") * F.col("pair_count")
+                    / (F.col("__d1") * F.col("__d2"))
+                ) / ln2,
+                round_decimals,
+            ).alias("pmi"),
+        )
+    )

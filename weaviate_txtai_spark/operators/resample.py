@@ -133,3 +133,47 @@ def rolling_distinct(
         .groupBy("day")
         .agg(F.countDistinct("__k").cast("long").alias("n_distinct"))
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Time-weighted average per group over IRREGULAR samples: each
+    observation holds its value until the next one, so its weight is
+    the seconds until the next sample (the last sample gets zero
+    weight — it has held for no observable time). The honest mean for
+    unevenly-sampled state (price feeds, gauge metrics, queue depths),
+    where the arithmetic mean over-weights busy periods.
+
+    One group-partitioned lead() window + one aggregate. Groups with a
+    single sample (no held interval) return NULL. Output: ``group,
+    n_samples, twa``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        group_col,
+        F.col(ts_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy(group_col).orderBy("__t", "__v")
+    held = base.withColumn(
+        "__w",
+        (
+            F.unix_micros(F.lead("__t").over(w)) - F.unix_micros("__t")
+        ).cast("double") / 1e6,
+    )
+    return held.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("__v") * F.col("__w")), F.sum("__w")
+            ),
+            round_decimals,
+        ).alias("twa"),
+    )

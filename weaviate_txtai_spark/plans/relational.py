@@ -4364,3 +4364,32 @@ def ab_experiment_panel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("test")
     )
+
+
+_TWA_SQL = """
+WITH o AS (
+  SELECT event_type, ts, value,
+         (epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                  ORDER BY ts, value))
+          - epoch_us(ts)) / 1000000.0 AS w
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_samples,
+       round(sum(value * w) / sum(w), 6) AS twa
+FROM o GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_time_weighted_avg", _TWA_SQL)
+def events_time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean event value per type
+    (operators/resample.py time_weighted_avg): each sample weighted by
+    how long it HELD (seconds to the next sample), the honest mean for
+    irregular series where the arithmetic mean over-weights bursts.
+    One group-partitioned lead window + one aggregate; exact
+    unix_micros arithmetic (the funnel-latency precision discipline)."""
+    from weaviate_txtai_spark.operators.resample import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, group_col="event_type", ts_col="ts", value_col="value"
+    ).orderBy("event_type")

@@ -1334,3 +1334,34 @@ def docs_length_qnorm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "qnorm")
         .orderBy("doc_id")
     )
+
+
+_PMI_SQL = """
+WITH pres AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS item
+  FROM documents),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM pres),
+dfq AS (SELECT item, CAST(count(*) AS DOUBLE) AS df FROM pres GROUP BY 1),
+p AS (SELECT a.item AS t1, b.item AS t2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 100)
+SELECT p.t1, p.t2, p.pair_count,
+       round(log2(n.n * p.pair_count / (d1.df * d2.df)), 6) AS pmi
+FROM p JOIN dfq d1 ON p.t1 = d1.item JOIN dfq d2 ON p.t2 = d2.item, n
+ORDER BY t1, t2
+"""
+
+
+@register("token_pmi_pairs", _PMI_SQL)
+def token_pmi_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token-pair PMI (operators/itemsets.py pmi_pairs,
+    Church–Hanks collocation statistic): pairs generate map-side from
+    per-doc sorted distinct-token arrays — never a token-granularity
+    self-join (the oracle IS that self-join). min_pair_count=100 keeps
+    the gate to the statistically meaningful co-occurrences on the
+    small synthetic vocabulary."""
+    from weaviate_txtai_spark.operators.itemsets import pmi_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_pairs(docs, min_pair_count=100).orderBy("t1", "t2")
