@@ -1604,3 +1604,68 @@ def kcenter_coreset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return kcenter_coreset(emb, 4, seed_id=0).orderBy("rank")
+
+
+# Oracle: exact ε-pairs + recursive-CTE components over the core
+# sub-graph + min-label border assignment — the whole DBSCAN replayed
+# independently of the large-star/small-star machinery. Distances round
+# to 6dp BEFORE the ε comparison in both engines (boundary parity).
+_DBSCAN_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS i, b.vec_id AS j
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+       AND round(1 - list_cosine_similarity(a.v, b.v), 6) <= 0.65),
+und AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+deg AS (SELECT a, count(*) AS c FROM und GROUP BY 1),
+core AS (SELECT a AS n FROM deg WHERE c >= 3),
+ce AS (SELECT u.a, u.b FROM und u
+       JOIN core c1 ON u.a = c1.n JOIN core c2 ON u.b = c2.n),
+reach AS (
+  SELECT n AS node, n AS r FROM core
+  UNION
+  SELECT ce.b AS node, reach.r AS r FROM reach JOIN ce ON reach.node = ce.a),
+comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+border AS (
+  SELECT u.a AS id, min(comp.cluster) AS cluster
+  FROM und u JOIN comp ON u.b = comp.node
+  WHERE u.a NOT IN (SELECT n FROM core)
+  GROUP BY 1)
+SELECT core.n AS id, 'core' AS role, CAST(comp.cluster AS BIGINT) AS cluster
+FROM core JOIN comp ON core.n = comp.node
+UNION ALL
+SELECT id, 'border', CAST(cluster AS BIGINT) FROM border
+UNION ALL
+SELECT e.vec_id, 'noise', CAST(-1 AS BIGINT) FROM e
+WHERE e.vec_id NOT IN (SELECT n FROM core)
+  AND e.vec_id NOT IN (SELECT id FROM border)
+ORDER BY id
+"""
+
+
+@register("embedding_dbscan", _DBSCAN_SQL)
+def embedding_dbscan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embedding corpus (operators/dbscan.py; ε = 0.65
+    cosine distance, core = ≥3 neighbors): density clustering composed
+    from the engine's own primitives — ε-pairs (exact join at gate
+    scale; the LSH/IVF tiers are the corpus path), degree counting,
+    large-star/small-star components over the CORE sub-graph, min-label
+    border assignment. Oracle replays everything with a recursive CTE."""
+    from weaviate_txtai_spark.functions.vector import cosine_sim
+    from weaviate_txtai_spark.operators.dbscan import dbscan
+
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    pairs = a.join(
+        b,
+        (F.col("i") < F.col("j"))
+        & (F.round(1 - cosine_sim("va", "vb"), 6) <= 0.65),
+    ).select("i", "j")
+    ids = emb.select(F.col("vec_id").alias("id"))
+    out = dbscan(ids, pairs, min_neighbors=3)
+    # noise keeps NULL in the operator API; the gate flattens it to -1
+    # (a sortable scalar for the driver's canonicalizer)
+    return out.select(
+        "id", "role", F.coalesce("cluster", F.lit(-1)).alias("cluster")
+    ).orderBy("id")
