@@ -54,3 +54,64 @@ def test_nulls_dropped(spark):
     got = {r["g"]: r["n"] for r in ks_drift(
         _df(spark, rows), group_col="g", value_col="v").collect()}
     assert got == {"a": 1, "b": 1}
+
+
+# ----------------------------------------------------------------- PSI
+
+
+def test_psi_identical_group_is_zero(spark):
+    from weaviate_txtai_spark.operators.drift import psi_drift
+
+    rows = [("b", float(v)) for v in range(100)] + [
+        ("a", float(v)) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r.psi for r in psi_drift(
+        df, group_col="g", value_col="v", baseline="b", n_bins=5
+    ).collect()}
+    assert got["b"] == 0.0
+    assert got["a"] == 0.0  # same distribution, same bins
+
+
+def test_psi_shifted_group_is_large(spark):
+    from weaviate_txtai_spark.operators.drift import psi_drift
+
+    rows = [("b", float(v)) for v in range(100)] + [
+        ("shift", float(v + 200)) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r.psi for r in psi_drift(
+        df, group_col="g", value_col="v", baseline="b", n_bins=5
+    ).collect()}
+    # the shifted group lands entirely in the top bin: strongly drifted
+    assert got["shift"] > 0.25
+    assert got["b"] == 0.0
+
+
+def test_psi_hand_computed_with_floor(spark):
+    import math
+
+    from weaviate_txtai_spark.operators.drift import psi_drift
+
+    # baseline: 1..4 uniform, 2 bins (edge = median 2.5)
+    # group x: all values 4 -> bin0 empty (floored at 0.5)
+    rows = [("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0),
+            ("x", 4.0), ("x", 4.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r.psi for r in psi_drift(
+        df, group_col="g", value_col="v", baseline="b", n_bins=2
+    ).collect()}
+    pb = [0.5, 0.5]
+    pg = [0.5 / 2, 2 / 2]  # floored empty bin
+    want = sum((g - b) * math.log(g / b) for g, b in zip(pg, pb))
+    assert got["x"] == round(want, 6)
+
+
+def test_psi_missing_baseline_raises(spark):
+    from weaviate_txtai_spark.operators.drift import psi_drift
+
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        psi_drift(df, group_col="g", value_col="v", baseline="zzz")

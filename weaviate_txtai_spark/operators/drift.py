@@ -137,3 +137,83 @@ def jsd_drift(
         )
         .select(F.col("__g").alias(group_col), "n_tokens", "jsd")
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    baseline,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population stability index of each group vs a BASELINE group —
+    the model-monitoring industry standard beside KS (CDF distance)
+    and JSD (token mass): PSI = Σ_bins (p_g − p_b)·ln(p_g / p_b),
+    with bins the baseline's equal-frequency quantile bins (the
+    convention: the baseline defines the grid, each group is scored
+    against it). Rule-of-thumb thresholds: <0.1 stable, 0.1–0.25
+    drifting, >0.25 shifted.
+
+    Scale: bin edges are ONE percentile aggregate over the baseline;
+    every row maps to its bin with a codegen width_bucket-style
+    comparison against the ≤n_bins broadcast edges; one (group, bin)
+    count + a per-group aggregate. Empty bins are Laplace-floored at
+    0.5 counts (PSI is undefined on zeros; the floor is the standard
+    fix and both engines apply it identically).
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    edges_row = (
+        base.filter(F.col("__g") == baseline)
+        .agg(
+            F.percentile(
+                F.col("__v"),
+                F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)]),
+            ).alias("e")
+        )
+        .collect()
+    )
+    if not edges_row or edges_row[0]["e"] is None:
+        raise ValueError(f"baseline group {baseline!r} has no rows")
+    edges = sorted(set(edges_row[0]["e"]))
+    bin_expr = F.lit(0)
+    for e in edges:
+        bin_expr = bin_expr + F.when(F.col("__v") > e, 1).otherwise(0)
+    counts = base.withColumn("__bin", bin_expr).groupBy(
+        "__g", "__bin"
+    ).agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    totals = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    # dense (group × bin) grid so empty bins get the 0.5 floor
+    bins_df = counts.sparkSession.range(len(edges) + 1).select(
+        F.col("id").cast("int").alias("__bin")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(bins_df))
+        .join(counts, ["__g", "__bin"], "left")
+        .withColumn("__c", F.coalesce("__c", F.lit(0.0)))
+        .withColumn("__cf", F.greatest(F.col("__c"), F.lit(0.5)))
+    )
+    b_side = grid.filter(F.col("__g") == baseline).select(
+        "__bin",
+        (F.col("__cf") / F.col("__n")).alias("__pb"),
+    )
+    return (
+        grid.join(F.broadcast(b_side), "__bin")
+        .withColumn("__pg", F.col("__cf") / F.col("__n"))
+        .groupBy("__g")
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("__pg") - F.col("__pb"))
+                    * F.log(F.col("__pg") / F.col("__pb"))
+                ),
+                decimals,
+            ).alias("psi"),
+        )
+        .select(F.col("__g").alias(group_col), "n", "psi")
+    )

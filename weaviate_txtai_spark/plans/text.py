@@ -1365,3 +1365,47 @@ def token_pmi_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_pairs(docs, min_pair_count=100).orderBy("t1", "t2")
+
+
+# Oracle replays the PSI construction: baseline quantile edges,
+# correlated bin assignment, dense grid with the 0.5 Laplace floor.
+_PSI_SQL = """
+WITH b AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v FROM documents),
+ed AS (SELECT DISTINCT unnest(quantile_cont(v,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS e
+       FROM b WHERE g = 'src0'),
+ne AS (SELECT count(*) AS k FROM ed),
+binned AS (
+  SELECT g, (SELECT count(*) FROM ed WHERE b.v > ed.e) AS bin FROM b),
+c AS (SELECT g, bin, count(*) * 1.0 AS c FROM binned GROUP BY 1, 2),
+t AS (SELECT g, sum(c) AS n FROM c GROUP BY 1),
+grid AS (
+  SELECT t.g, gs.bin, t.n,
+         greatest(coalesce(c.c, 0), 0.5) AS cf
+  FROM t CROSS JOIN (SELECT unnest(generate_series(0, (SELECT k FROM ne)))
+                     AS bin) gs
+  LEFT JOIN c ON c.g = t.g AND c.bin = gs.bin),
+base AS (SELECT bin, cf / n AS pb FROM grid WHERE g = 'src0')
+SELECT grid.g AS source, CAST(max(grid.n) AS BIGINT) AS n,
+       round(sum((grid.cf / grid.n - base.pb)
+                 * ln((grid.cf / grid.n) / base.pb)), 6) AS psi
+FROM grid JOIN base USING (bin)
+GROUP BY grid.g ORDER BY source
+"""
+
+
+@register("source_drift_psi", _PSI_SQL)
+def source_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of document length per source vs the
+    src0 baseline (operators/drift.py psi_drift) — the third drift
+    lens beside KS (CDF sup-distance) and JSD (token mass): decile
+    bins from the BASELINE's quantiles, Laplace-floored empty bins,
+    the model-monitoring industry convention with its 0.1/0.25
+    rule-of-thumb thresholds."""
+    from weaviate_txtai_spark.operators.drift import psi_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_drift(
+        docs, group_col="source", value_col="n_chars",
+        baseline="src0", n_bins=10,
+    ).withColumnRenamed("source", "source").orderBy("source")
