@@ -141,3 +141,44 @@ def test_mwu_clear_separation_sign(spark):
     df = spark.createDataFrame(rows, ["g", "v"])
     r = mann_whitney_u(df, "g", "v", group_a="A", group_b="B").collect()[0]
     assert r.u_a == 100.0 and r.u_b == 0.0 and r.z > 3
+
+
+# ----------------------------------------------------------------- WOE/IV
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from weaviate_txtai_spark.operators.regression import woe_iv
+
+    # level A: 3 good 1 bad; level B: 1 good 3 bad; totals 4/4
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, ["f", "y"])
+    got = {r.f: r for r in woe_iv(df, "f", "y").collect()}
+    woe_a = math.log((3 / 4) / (1 / 4))
+    assert got["A"].woe == round(woe_a, 6)
+    assert got["A"].iv_term == round((3 / 4 - 1 / 4) * woe_a, 6)
+    assert got["B"].woe == round(-woe_a, 6)  # symmetric
+    assert (got["A"].n_good, got["A"].n_bad) == (3, 1)
+
+
+def test_woe_iv_zero_cell_floor(spark):
+    import math
+
+    from weaviate_txtai_spark.operators.regression import woe_iv
+
+    rows = [("pure", 1)] * 4 + [("other", 0)] * 4 + [("other", 1)] * 4
+    df = spark.createDataFrame(rows, ["f", "y"])
+    got = {r.f: r for r in woe_iv(df, "f", "y").collect()}
+    # 'pure' has 0 bads: floored at 0.5 of 4 total bads
+    woe = math.log((4 / 8) / (0.5 / 4))
+    assert got["pure"].woe == round(woe, 6)
+
+
+def test_woe_uninformative_feature_is_zero(spark):
+    from weaviate_txtai_spark.operators.regression import woe_iv
+
+    rows = [(f, y) for f in "ab" for y in (0, 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["f", "y"])
+    got = woe_iv(df, "f", "y").collect()
+    assert all(r.woe == 0.0 and r.iv_term == 0.0 for r in got)

@@ -72,3 +72,54 @@ def ols_trend(
         F.round(intercept, round_decimals).alias("intercept"),
         F.round(r2, round_decimals).alias("r2"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    target_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Weight of Evidence / Information Value of a CATEGORICAL feature
+    against a binary target — the credit-scoring-lineage feature-triage
+    statistic ("does this bucketed feature separate converters from
+    non-converters, and how is the separation distributed?").
+
+    Per level: WOE = ln(good% / bad%) with good = target 1, bad =
+    target 0, each as a share of ITS OWN class total; the level's IV
+    term is (good% − bad%)·WOE and Σ terms is the feature's IV
+    (rules of thumb: <0.02 useless, 0.1–0.3 medium, >0.5 suspicious).
+    Zero cells take the 0.5 Laplace floor (WOE undefined on zeros; the
+    ``psi_drift`` convention). Continuous features: bin first
+    (``group_percentile_rank`` / quantile bins).
+
+    One (level) count aggregate + a broadcast 1-row class-total join —
+    the cheapest possible plan. Output: one row per level —
+    ``<feature>, n, n_good, n_bad, woe, iv_term``.
+    """
+    base = df.filter(
+        F.col(feature_col).isNotNull() & F.col(target_col).isNotNull()
+    ).select(
+        F.col(feature_col).alias("__f"),
+        F.col(target_col).cast("int").alias("__y"),
+    )
+    lv = base.groupBy("__f").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("double").alias("__g"),
+        F.sum(1 - F.col("__y")).cast("double").alias("__b"),
+    )
+    tot = lv.agg(
+        F.sum("__g").alias("__tg"), F.sum("__b").alias("__tb")
+    )
+    gf = F.greatest(F.col("__g"), F.lit(0.5)) / F.col("__tg")
+    bf = F.greatest(F.col("__b"), F.lit(0.5)) / F.col("__tb")
+    woe = F.log(gf / bf)
+    return lv.join(F.broadcast(tot)).select(
+        F.col("__f").alias(feature_col),
+        "n",
+        F.col("__g").cast("long").alias("n_good"),
+        F.col("__b").cast("long").alias("n_bad"),
+        F.round(woe, round_decimals).alias("woe"),
+        F.round((gf - bf) * woe, round_decimals).alias("iv_term"),
+    )

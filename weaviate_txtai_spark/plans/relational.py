@@ -4393,3 +4393,56 @@ def events_time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(
         ev, group_col="event_type", ts_col="ts", value_col="value"
     ).orderBy("event_type")
+
+
+_WOE_IV_SQL = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 180
+                  THEN 1 ELSE 0 END) AS y,
+         count(*) AS n_ev
+  FROM events GROUP BY 1),
+f AS (SELECT CASE WHEN n_ev < 50 THEN 'low'
+                  WHEN n_ev < 80 THEN 'mid' ELSE 'high' END AS activity,
+             y FROM u),
+lv AS (SELECT activity, CAST(count(*) AS BIGINT) AS n,
+              sum(y) * 1.0 AS g, sum(1 - y) * 1.0 AS b
+       FROM f GROUP BY 1),
+t AS (SELECT sum(g) AS tg, sum(b) AS tb FROM lv)
+SELECT activity, n,
+       CAST(g AS BIGINT) AS n_good, CAST(b AS BIGINT) AS n_bad,
+       round(ln((greatest(g, 0.5) / t.tg) / (greatest(b, 0.5) / t.tb)), 6)
+         AS woe,
+       round((greatest(g, 0.5) / t.tg - greatest(b, 0.5) / t.tb)
+             * ln((greatest(g, 0.5) / t.tg) / (greatest(b, 0.5) / t.tb)),
+             6) AS iv_term
+FROM lv, t ORDER BY activity
+"""
+
+
+@register("activity_woe_iv", _WOE_IV_SQL)
+def activity_woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence / Information Value of a bucketed
+    activity-level feature against high-value conversion
+    (operators/regression.py woe_iv) — the credit-scoring feature
+    triage: per level, how the converter/non-converter mass separates,
+    Laplace-floored on zero cells; Σ iv_term is the feature's IV."""
+    from weaviate_txtai_spark.operators.regression import woe_iv
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180), 1
+            ).otherwise(0)
+        ).alias("y"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    feat = u.select(
+        F.when(F.col("n_ev") < 50, "low")
+        .when(F.col("n_ev") < 80, "mid")
+        .otherwise("high")
+        .alias("activity"),
+        "y",
+    )
+    return woe_iv(feat, "activity", "y").orderBy("activity")
