@@ -238,3 +238,36 @@ def test_windowed_funnel_rejects_nonpositive_window(spark):
     ev = _events(spark, [(1, "signup", _ts(1))])
     with pytest.raises(ValueError):
         funnel(ev, ["signup", "view"], window=0)
+
+
+def test_funnel_ab_hand_computed(spark):
+    import math
+
+    from weaviate_txtai_spark.operators.funnel import funnel_ab
+
+    rows = []
+    # variant A: 4 users signup, 3 view; variant B: 4 signup, 1 view
+    for u in range(4):
+        rows.append((u, "signup", _ts(1), "A"))
+        if u < 3:
+            rows.append((u, "view", _ts(2), "A"))
+    for u in range(10, 14):
+        rows.append((u, "signup", _ts(1), "B"))
+    rows.append((10, "view", _ts(2), "B"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, variant string"
+    )
+    got = {
+        r.step_idx: r
+        for r in funnel_ab(
+            ev, ["signup", "view"], variant_col="variant",
+            group_a="A", group_b="B",
+        ).collect()
+    }
+    assert got[0].z is None and got[0].rate_a == 1.0
+    r = got[1]
+    assert (r.n_a, r.n_b) == (3, 1)
+    assert r.rate_a == 0.75 and r.rate_b == 0.25
+    p = 4 / 8
+    z = (0.75 - 0.25) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert r.z == round(z, 6)

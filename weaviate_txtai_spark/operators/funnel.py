@@ -272,3 +272,59 @@ def funnel_latency(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def funnel_ab(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    variant_col: str,
+    group_a,
+    group_b,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: "int | None" = None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Funnel comparison between two variants: per step, each cohort's
+    reach rate (n_step / n_step0) and the pooled two-proportion z on
+    those rates — the experiment readout for "did the new flow move
+    step-3 conversion?", composed from :func:`funnel` (same greedy /
+    windowed semantics) and the `abtest` z formula on the step counts.
+
+    Output: one row per step — ``step_idx, step, n_a, n_b, rate_a,
+    rate_b, z`` (z NULL at step 0 — both rates are 1 by construction —
+    and whenever the pooled rate is degenerate).
+    """
+    fa = funnel(
+        events.filter(F.col(variant_col) == group_a), steps,
+        user_col=user_col, ts_col=ts_col, type_col=type_col, window=window,
+    ).select("step_idx", "step", F.col("n_users").alias("n_a"))
+    fb = funnel(
+        events.filter(F.col(variant_col) == group_b), steps,
+        user_col=user_col, ts_col=ts_col, type_col=type_col, window=window,
+    ).select("step_idx", F.col("n_users").alias("n_b"))
+    j = fa.join(fb, "step_idx")
+    base = j.filter(F.col("step_idx") == 0).select(
+        F.col("n_a").alias("__d_a"), F.col("n_b").alias("__d_b")
+    )
+    j = j.join(F.broadcast(base))
+    pa = F.col("n_a") / F.col("__d_a")
+    pb = F.col("n_b") / F.col("__d_b")
+    pool = (F.col("n_a") + F.col("n_b")) / (F.col("__d_a") + F.col("__d_b"))
+    se = F.sqrt(
+        pool * (1 - pool) * (1 / F.col("__d_a") + 1 / F.col("__d_b"))
+    )
+    return j.select(
+        "step_idx",
+        "step",
+        "n_a",
+        "n_b",
+        F.round(pa, round_decimals).alias("rate_a"),
+        F.round(pb, round_decimals).alias("rate_b"),
+        F.round(
+            F.when((F.col("step_idx") > 0) & (se > 0), (pa - pb) / se),
+            round_decimals,
+        ).alias("z"),
+    ).orderBy("step_idx")

@@ -4446,3 +4446,59 @@ def activity_woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     return woe_iv(feat, "activity", "y").orderBy("activity")
+
+
+# Oracle: the k-join funnel run per cohort + the pooled-z formula.
+_FUNNEL_AB_SQL = """
+WITH e AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v
+           FROM events WHERE event_id % 3 = 0),
+s0 AS (SELECT v, user_id, min(ts) AS t FROM e
+       WHERE event_type = 'signup' GROUP BY 1, 2),
+s1 AS (SELECT e.v, e.user_id, min(e.ts) AS t
+       FROM e JOIN s0 ON e.user_id = s0.user_id AND e.v = s0.v
+       WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1, 2),
+s2 AS (SELECT e.v, e.user_id, min(e.ts) AS t
+       FROM e JOIN s1 ON e.user_id = s1.user_id AND e.v = s1.v
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1, 2),
+c AS (
+  SELECT 0 AS step_idx, 'signup' AS step,
+         count(*) FILTER (v = 'A') AS n_a,
+         count(*) FILTER (v = 'B') AS n_b FROM s0
+  UNION ALL SELECT 1, 'view', count(*) FILTER (v = 'A'),
+         count(*) FILTER (v = 'B') FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FILTER (v = 'A'),
+         count(*) FILTER (v = 'B') FROM s2),
+d AS (SELECT n_a AS da, n_b AS db FROM c WHERE step_idx = 0)
+SELECT step_idx, step, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(n_a * 1.0 / d.da, 6) AS rate_a,
+       round(n_b * 1.0 / d.db, 6) AS rate_b,
+       CASE WHEN step_idx > 0
+             AND (n_a + n_b) * 1.0 / (d.da + d.db) > 0
+             AND (n_a + n_b) * 1.0 / (d.da + d.db) < 1
+            THEN round((n_a * 1.0 / d.da - n_b * 1.0 / d.db)
+                       / sqrt(((n_a + n_b) * 1.0 / (d.da + d.db))
+                              * (1 - (n_a + n_b) * 1.0 / (d.da + d.db))
+                              * (1.0 / d.da + 1.0 / d.db)), 6)
+       END AS z
+FROM c, d ORDER BY step_idx
+"""
+
+
+@register("events_funnel_ab", _FUNNEL_AB_SQL)
+def events_funnel_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel comparison between even/odd user cohorts
+    (operators/funnel.py funnel_ab): per step, each cohort's reach
+    rate and the pooled two-proportion z — the "did the variant move
+    step-2 conversion?" readout, still two one-shuffle funnels + a
+    3-row join."""
+    from weaviate_txtai_spark.operators.funnel import funnel_ab
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 3 == 0
+    ).withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    )
+    return funnel_ab(
+        ev, ["signup", "view", "click"], variant_col="variant",
+        group_a="A", group_b="B",
+    )
