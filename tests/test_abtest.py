@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from weaviate_txtai_spark.operators.abtest import (
@@ -86,3 +88,44 @@ def test_normal_two_sided_p_values(spark):
         ).collect()
     ]
     assert got == [1.0, 0.05, 0.01, 0.05]  # symmetric in z
+
+
+def test_cuped_reduces_variance_preserves_mean(spark):
+    import random
+
+    from weaviate_txtai_spark.operators.abtest import cuped_adjust
+
+    rng = random.Random(31)
+    rows = []
+    for _ in range(400):
+        x = rng.gauss(50, 10)          # pre-period covariate
+        y = x * 0.8 + rng.gauss(0, 3)  # strongly covariate-driven
+        rows.append((float(x), float(y)))
+    df = spark.createDataFrame(rows, ["x", "y"])
+    adj = cuped_adjust(df, "y", "x")
+    r = adj.agg(
+        F.avg("y").alias("my"), F.avg("adjusted").alias("ma"),
+        F.var_samp("y").alias("vy"), F.var_samp("adjusted").alias("va"),
+    ).collect()[0]
+    assert r.ma == pytest.approx(r.my, rel=1e-9)  # unbiased
+    assert r.va < r.vy * 0.3  # big variance cut on ρ≈0.93 data
+
+
+def test_cuped_null_covariate_passthrough(spark):
+    from weaviate_txtai_spark.operators.abtest import cuped_adjust
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (None, 30.0)], "x double, y double"
+    )
+    got = {r.y: r.adjusted for r in cuped_adjust(df, "y", "x").collect()}
+    assert got[30.0] == 30.0  # no covariate -> unadjusted
+
+
+def test_cuped_constant_covariate_noop(spark):
+    from weaviate_txtai_spark.operators.abtest import cuped_adjust
+
+    df = spark.createDataFrame(
+        [(5.0, float(v)) for v in range(10)], "x double, y double"
+    )
+    got = cuped_adjust(df, "y", "x").collect()
+    assert all(r.adjusted == r.y for r in got)  # var(x)=0 -> theta null

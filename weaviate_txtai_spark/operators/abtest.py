@@ -207,3 +207,44 @@ def normal_two_sided_p(z):
     )
     pdf = F.exp(-az * az / 2.0) / 2.5066282746310002  # sqrt(2π)
     return 2.0 * pdf * poly
+
+
+def cuped_adjust(
+    df: DataFrame,
+    value_col: str,
+    covariate_col: str,
+    *,
+    out_col: str = "adjusted",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 — the industry
+    standard for faster experiments): adjust each unit's metric by its
+    PRE-EXPERIMENT covariate, y′ = y − θ·(x − x̄) with
+    θ = cov(x, y)/var(x). Same mean (unbiased for the treatment
+    effect), variance shrunk by the covariate's explanatory share
+    (1 − ρ²), so the same experiment reaches significance sooner.
+
+    θ/x̄ come from ONE 1-row aggregate broadcast back — the whole
+    adjustment is a map-side projection after it. θ is computed on the
+    pooled data (the standard practice; a per-variant θ would bias the
+    difference). Rows with a NULL covariate pass through unadjusted
+    (x − x̄ treated as 0 — the no-information default)."""
+    x = F.col(covariate_col).cast("double")
+    y = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.covar_samp(x, y).alias("__cov"),
+        F.var_samp(x).alias("__var"),
+        F.avg(x).alias("__mx"),
+    ).select(
+        F.try_divide(F.col("__cov"), F.col("__var")).alias("__theta"),
+        "__mx",
+    )
+    return (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            out_col,
+            y
+            - F.coalesce(F.col("__theta"), F.lit(0.0))
+            * F.coalesce(x - F.col("__mx"), F.lit(0.0)),
+        )
+        .drop("__theta", "__mx")
+    )

@@ -4502,3 +4502,99 @@ def events_funnel_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["signup", "view", "click"], variant_col="variant",
         group_a="A", group_b="B",
     )
+
+
+# Oracle: the identical θ/x̄ aggregates + adjustment + Welch formulas
+# replayed; pre/post split at day 15 of the 30-day stream.
+_CUPED_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         sum(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN value END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END) AS y
+  FROM events GROUP BY 1),
+uu AS (SELECT v, coalesce(x, 0) AS x, y FROM u WHERE y IS NOT NULL),
+s AS (SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS mx FROM uu),
+adj AS (SELECT v, y, y - s.theta * (x - s.mx) AS ya FROM uu, s),
+w AS (
+  SELECT count(*) FILTER (v = 'A') AS na, count(*) FILTER (v = 'B') AS nb,
+         avg(y) FILTER (v = 'A') AS mya, avg(y) FILTER (v = 'B') AS myb,
+         var_samp(y) FILTER (v = 'A') AS vya,
+         var_samp(y) FILTER (v = 'B') AS vyb,
+         avg(ya) FILTER (v = 'A') AS maa, avg(ya) FILTER (v = 'B') AS mab,
+         var_samp(ya) FILTER (v = 'A') AS vaa,
+         var_samp(ya) FILTER (v = 'B') AS vab
+  FROM adj)
+SELECT round(s.theta, 6) AS theta,
+       round((SELECT var_samp(y) FROM uu), 6) AS var_y,
+       round((SELECT var_samp(ya) FROM adj), 6) AS var_adj,
+       round((mya - myb) / sqrt(vya / na + vyb / nb), 6) AS t_raw,
+       round((maa - mab) / sqrt(vaa / na + vab / nb), 6) AS t_cuped
+FROM w, s
+"""
+
+
+@register("ab_cuped_readout", _CUPED_SQL)
+def ab_cuped_readout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout
+    (operators/abtest.py cuped_adjust, Deng 2013): per-user POST-period
+    value adjusted by the PRE-period covariate (θ from one pooled
+    aggregate, broadcast back), then Welch t on raw vs adjusted —
+    the before/after panel showing how much experiment sensitivity the
+    covariate buys. Users with no post-period activity drop; missing
+    pre-period covariates default to 0 activity."""
+    from weaviate_txtai_spark.operators.abtest import cuped_adjust
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, F.col("value"))).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+            F.coalesce("x", F.lit(0.0)).alias("x"),
+            "y",
+        )
+    )
+    adj = cuped_adjust(u, "y", "x")
+    theta = u.agg(
+        F.round(
+            F.try_divide(
+                F.covar_samp(F.col("x"), F.col("y")), F.var_samp("x")
+            ),
+            6,
+        ).alias("theta")
+    )
+    stats = adj.agg(
+        F.count(F.when(F.col("v") == "A", 1)).alias("__na"),
+        F.count(F.when(F.col("v") == "B", 1)).alias("__nb"),
+        F.avg(F.when(F.col("v") == "A", F.col("y"))).alias("__mya"),
+        F.avg(F.when(F.col("v") == "B", F.col("y"))).alias("__myb"),
+        F.var_samp(F.when(F.col("v") == "A", F.col("y"))).alias("__vya"),
+        F.var_samp(F.when(F.col("v") == "B", F.col("y"))).alias("__vyb"),
+        F.avg(F.when(F.col("v") == "A", F.col("adjusted"))).alias("__maa"),
+        F.avg(F.when(F.col("v") == "B", F.col("adjusted"))).alias("__mab"),
+        F.var_samp(F.when(F.col("v") == "A", F.col("adjusted"))).alias("__vaa"),
+        F.var_samp(F.when(F.col("v") == "B", F.col("adjusted"))).alias("__vab"),
+        F.round(F.var_samp("y"), 6).alias("var_y"),
+        F.round(F.var_samp("adjusted"), 6).alias("var_adj"),
+    )
+    return stats.join(F.broadcast(theta)).select(
+        "theta",
+        "var_y",
+        "var_adj",
+        F.round(
+            (F.col("__mya") - F.col("__myb"))
+            / F.sqrt(F.col("__vya") / F.col("__na") + F.col("__vyb") / F.col("__nb")),
+            6,
+        ).alias("t_raw"),
+        F.round(
+            (F.col("__maa") - F.col("__mab"))
+            / F.sqrt(F.col("__vaa") / F.col("__na") + F.col("__vab") / F.col("__nb")),
+            6,
+        ).alias("t_cuped"),
+    )
