@@ -210,3 +210,50 @@ def test_group_percentiles_rejects_bad_p(spark):
         group_percentiles(df, "v", [1.5], group_col="g")
     with _pytest.raises(ValueError):
         group_percentiles(df, "v", [], group_col="g")
+
+
+# ------------------------------------------------- weighted percentiles
+
+
+def test_weighted_percentiles_hand_computed(spark):
+    from weaviate_txtai_spark.operators.rankstats import weighted_percentiles
+
+    # values 1..4 with weights 1,1,6,2 (W=10): p0.5 -> cum 8 at v=3;
+    # p0.2 -> cum 2 at v=2; p1.0 -> 4
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 6.0),
+            ("g", 4.0, 2.0)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {
+        r.p: r.value
+        for r in weighted_percentiles(
+            df, "v", "w", [0.2, 0.5, 1.0], group_col="g"
+        ).collect()
+    }
+    assert got == {0.2: 2.0, 0.5: 3.0, 1.0: 4.0}
+
+
+def test_weighted_percentiles_equal_weights_match_discrete(spark):
+    from weaviate_txtai_spark.operators.rankstats import weighted_percentiles
+
+    rows = [("g", float(v), 1.0) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {
+        r.p: r.value
+        for r in weighted_percentiles(
+            df, "v", "w", [0.1, 0.55, 0.91], group_col="g"
+        ).collect()
+    }
+    assert got == {0.1: 1.0, 0.55: 6.0, 0.91: 10.0}
+
+
+def test_weighted_percentiles_drops_bad_weights(spark):
+    from weaviate_txtai_spark.operators.rankstats import weighted_percentiles
+
+    rows = [("g", 1.0, 0.0), ("g", 2.0, -1.0), ("g", 3.0, None),
+            ("g", 4.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = weighted_percentiles(df, "v", "w", [0.5], group_col="g").collect()
+    assert [(r.p, r.value) for r in got] == [(0.5, 4.0)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        weighted_percentiles(df, "v", "w", [0.0], group_col="g")

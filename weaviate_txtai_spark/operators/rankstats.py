@@ -450,3 +450,68 @@ def group_percentiles(
             round_decimals,
         ).alias("value"),
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    percentiles: Sequence[float],
+    *,
+    group_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """WEIGHTED discrete percentiles per group: the smallest value
+    whose cumulative WEIGHT reaches p·W — "the NLL cutoff that keeps
+    the best 60% of TOKENS (not documents)", the knob a token-budgeted
+    quality filter actually needs (doc-level percentiles over-weight
+    short docs).
+
+    Same count-table discipline as ``group_percentiles``: one
+    (group, value) weight-sum aggregate, a group-partitioned inclusive
+    prefix sum over each group's value domain, and one threshold pick
+    per (group, p) — no per-row buffering, no sort of the data. Rows
+    with null/non-positive weight are dropped.
+
+    Output: one row per (group, p): ``group, p, value``.
+    """
+    from pyspark.sql.window import Window
+
+    ps = sorted(set(float(p) for p in percentiles))
+    if not ps or any(not (0 < p <= 1) for p in ps):
+        raise ValueError(
+            f"percentiles must be in (0,1] for the discrete rule: {percentiles}"
+        )
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col).cast("double") > 0)
+    )
+    wsum = base.groupBy(group_col, value_col).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("__w")
+    )
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = wsum.groupBy(group_col).agg(F.sum("__w").alias("__tw"))
+    cum = wsum.withColumn("__cw", F.sum("__w").over(wg))
+    qs = totals.select(
+        group_col,
+        "__tw",
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+    )
+    # smallest value with cum weight >= p*W: per (group,p), min value
+    # among qualifying domain rows — a join on the value-domain table
+    hit = (
+        qs.join(cum, group_col)
+        .filter(F.col("__cw") >= F.col("p") * F.col("__tw"))
+        .groupBy(group_col, "p")
+        .agg(F.min(value_col).alias("value"))
+    )
+    return hit.select(
+        group_col,
+        "p",
+        F.round(F.col("value").cast("double"), round_decimals).alias("value"),
+    )

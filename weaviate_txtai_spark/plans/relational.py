@@ -4598,3 +4598,40 @@ def ab_cuped_readout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_cuped"),
     )
+
+
+_WEIGHTED_PCTL_SQL = """
+WITH ws AS (SELECT l_returnflag AS grp, l_extendedprice AS v,
+                   sum(l_quantity) AS w
+            FROM lineitem GROUP BY 1, 2),
+cum AS (SELECT grp, v, sum(w) OVER (PARTITION BY grp ORDER BY v) AS cw
+        FROM ws),
+t AS (SELECT grp, sum(w) AS tw FROM ws GROUP BY 1),
+q AS (SELECT grp, tw, CAST(p AS DOUBLE) AS p
+      FROM t CROSS JOIN (VALUES (0.5), (0.9)) AS ps(p))
+SELECT q.grp, q.p, round(min(cum.v), 6) AS value
+FROM q JOIN cum ON q.grp = cum.grp AND cum.cw >= q.p * q.tw
+GROUP BY q.grp, q.p ORDER BY q.grp, q.p
+"""
+
+
+@register("quantity_weighted_price_pctl", _WEIGHTED_PCTL_SQL)
+def quantity_weighted_price_pctl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted price percentiles per return flag
+    (operators/rankstats.py weighted_percentiles): the cutoff below
+    which half the UNITS (not half the line items) ship — the same
+    knob a token-budgeted quality filter needs ("keep the best 60% of
+    tokens, not documents"). Count-table discipline: weight sums per
+    value, a group-partitioned prefix sum, one threshold pick — no
+    buffering."""
+    from weaviate_txtai_spark.operators.rankstats import weighted_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        weighted_percentiles(
+            li, "l_extendedprice", "l_quantity", [0.5, 0.9],
+            group_col="l_returnflag",
+        )
+        .withColumnRenamed("l_returnflag", "grp")
+        .orderBy("grp", "p")
+    )
