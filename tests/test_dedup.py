@@ -243,19 +243,21 @@ def test_incremental_no_self_pairs(spark):
     assert len(out) > 0  # cross-doc dups still found
 
 
-def test_duplicate_groups_raises_on_nonconvergence(spark):
-    import pytest
-
+def test_duplicate_groups_deep_chain(spark):
+    """A chain component (the worst case for the old one-hop label
+    propagation, which needed diameter-many rounds) converges under a
+    tiny round budget now that duplicate_groups shares the
+    star-alternation + local-finish kernel: the 8-edge graph is under
+    the local-finish threshold and resolves in one pass. The max_iter
+    guard on the distributed path is covered in test_components.py."""
     from weaviate_txtai_spark.operators.dedup import duplicate_groups
 
     chain = spark.createDataFrame(
         [(i, i + 1, 0.9) for i in range(8)], "d1 long, d2 long, jaccard double"
     )
-    with pytest.raises(RuntimeError, match="converge"):
-        duplicate_groups(chain, max_iter=2)
-    # enough iterations: one component labeled 0
-    groups = duplicate_groups(chain, max_iter=20).collect()
+    groups = duplicate_groups(chain, max_iter=2).collect()
     assert {r["group_id"] for r in groups} == {0}
+    assert {r["doc_id"] for r in groups} == set(range(9))
 
 
 def test_simhash_md5_rejects_wide_bits(spark):

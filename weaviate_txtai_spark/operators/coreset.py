@@ -88,6 +88,11 @@ def kcenter_coreset(
                 ),
             ),
         )
+        # each round nests another F.least over __dmin; truncate the
+        # O(k) expression lineage periodically so analysis time stays
+        # flat at large k (same checkpoint discipline as graph/rankstats)
+        if rank % 16 == 0:
+            cur = cur.localCheckpoint(eager=False)
     spark = df.sparkSession
     return spark.createDataFrame(
         selected, f"rank INT, {id_col} LONG, min_dist DOUBLE"

@@ -408,51 +408,26 @@ def minhash_lsh_pairs_incremental(
 
 
 def duplicate_groups(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
-    """Connected components over the dup-pair graph via iterative
-    label propagation (min-id), the standard Spark pattern for small
-    diameter graphs (near-dup clusters are tiny). Returns (doc_id,
-    group_id=min doc_id in component).
+    """Connected components over the dup-pair graph. Returns (doc_id,
+    group_id=min doc_id in component) for every doc appearing in a
+    pair.
 
-    Raises ``RuntimeError`` if the fixpoint hasn't converged within
-    ``max_iter`` (labels move one hop per iteration, so max_iter bounds
-    the component diameter) — returning unconverged labels would make
-    downstream ``dedup_survivors`` silently keep multiple
-    "representatives" of one group."""
-    converged = False
-    edges = pairs.select("d1", "d2").union(pairs.select("d2", "d1")).distinct()
-    labels = (
-        pairs.select(F.col("d1").alias("id"))
-        .union(pairs.select(F.col("d2").alias("id")))
-        .distinct()
-        .withColumn("grp", F.col("id"))
-    )
-    for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges.d2 == labels.id)
-            .groupBy(F.col("d1").alias("id"))
-            .agg(F.min("grp").alias("ngrp"))
-        )
-        new = labels.join(prop, "id", "left").select(
-            "id", F.least(F.col("grp"), F.coalesce("ngrp", "grp")).alias("grp")
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("n.grp") != F.col("l.grp"))
-            .count()
-        )
-        if not changed:
-            converged = True
-            break
-        # truncate the growing iterative lineage (standard Spark pattern)
-        labels = new.localCheckpoint()
-    if not converged:
-        raise RuntimeError(
-            f"duplicate_groups: label propagation did not converge in "
-            f"{max_iter} iterations — a component has diameter > {max_iter}; "
-            "raise max_iter"
-        )
-    return labels.select(F.col("id").alias("doc_id"), F.col("grp").alias("group_id"))
+    Delegates to ``graph.connected_components`` — alternating
+    large-star/small-star, O(log² n) rounds on any graph, with the
+    single-task local finish once the pair set is small. The previous
+    one-hop label propagation paid one distributed round per unit of
+    component DIAMETER plus a changed-count job per round; the shared
+    kernel converges in O(log²) rounds and, for the typical dup-pair
+    graph (well under the local-finish threshold), in ONE pass. Raises
+    ``RuntimeError`` past ``max_iter`` rather than returning
+    unconverged labels, which would make downstream
+    ``dedup_survivors`` silently keep multiple "representatives" of
+    one group."""
+    from weaviate_txtai_spark.operators.graph import connected_components
+
+    return connected_components(
+        pairs, src="d1", dst="d2", max_iter=max_iter
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
 
 
 def dedup_survivors(

@@ -236,12 +236,71 @@ def knn_graph(
     )
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Finish connectivity on a SMALL edge frame in one single-task pass
+    (the "finish locally once the contraction fits" step every
+    production CC implementation carries — GraphX's run and the
+    Kiveris et al. 2014 filtering variant both end this way; without it
+    the algorithm pays a full distributed round of pure job overhead
+    for every halving of an already-tiny graph).
+
+    Kernel: vectorized Shiloach–Vishkin-style hooking — scatter the
+    edge-min onto both endpoints (``np.minimum.at``), then pointer-jump
+    (``label = label[label]``) to a fixpoint, repeat until an entire
+    pass changes nothing. O(E) numpy work per pass, O(log n) passes; no
+    Python-level per-edge loop. Labels are indices into the SORTED node
+    array, so index order = id order and the converged shared label is
+    exactly the component's minimum id.
+
+    Runs executor-side via ``repartition(1).mapInPandas`` (never a
+    driver collect); input must be self-loop-free. Output: one
+    ``(node, component)`` row per distinct node — component minima
+    map to themselves (unlike the distributed fixpoint exit, roots are
+    already included)."""
+    import pandas as pd
+
+    def finish(batches):
+        import numpy as np
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"].to_numpy(dtype="int64"))
+            vs.append(b["v"].to_numpy(dtype="int64"))
+        if not us:
+            yield pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                "component": pd.Series([], dtype="int64")})
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+        a, b = idx[: len(u)], idx[len(u):]
+        label = np.arange(len(nodes), dtype="int64")
+        while True:
+            before = label.copy()
+            m = np.minimum(label[a], label[b])
+            np.minimum.at(label, a, m)
+            np.minimum.at(label, b, m)
+            while True:
+                jumped = label[label]
+                if np.array_equal(jumped, label):
+                    break
+                label = jumped
+            if np.array_equal(label, before):
+                break
+        yield pd.DataFrame({"node": nodes, "component": nodes[label]})
+
+    return edges.repartition(1).mapInPandas(
+        finish, "node bigint, component bigint"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_finish_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -254,20 +313,36 @@ def connected_components(
     be deep (citation chains, web graphs); near-dup clusters stay with
     the cheaper label propagation.
 
-    Each round is two groupBy-min + explode passes over the edge list
-    (shuffle O(E) rows of two longs each); the frame is
+    Each round is two single-shuffle star passes over the edge list
+    (each star's neighborhood minimum is a ``min OVER (PARTITION BY
+    u)`` window — ONE exchange per star, where the groupBy-min +
+    join-back formulation paid two) plus one distinct; the frame is
     localCheckpoint'd per round (same lineage discipline as
-    ``pagerank``). Convergence is detected by an edge-set fixpoint
-    (large-star + small-star both idempotent ⇔ every node points at
-    its component minimum); raises past ``max_iter`` rather than
-    returning wrong labels.
+    ``pagerank``), lazily, so the fingerprint job below is also the
+    materialization job. Convergence is detected by an edge-set
+    fixpoint (large-star + small-star both idempotent ⇔ every node
+    points at its component minimum); raises past ``max_iter`` rather
+    than returning wrong labels.
+
+    ``local_finish_edges``: whenever the (contracted) edge count —
+    already measured for free by the per-round fingerprint — is at or
+    below this bound, the remaining work is handed to
+    ``_local_components`` (one single-task vectorized pass) instead of
+    paying O(log²) more distributed rounds of pure job overhead. Both
+    star operations preserve every non-isolated node in the frame (a
+    node always survives as the ``v>u`` side of its smaller neighbor's
+    star or as a neighborhood minimum), so the intermediate edge set
+    connects exactly the original components over the original ids and
+    the local kernel's answer is the final answer. At 100 TB the early
+    rounds still run distributed and each round contracts the graph
+    geometrically; the threshold (2M edges ≈ 32 MB in one task) only
+    collapses the long tail of tiny rounds. Set 0 to force the
+    all-distributed path.
 
     Output: ``node, component`` — component is the minimum node id in
     the component (every node appears exactly once; isolated nodes of
     the edge list, i.e. self-loops, keep themselves).
     """
-    spark = edges.sparkSession
-
     # canonical undirected edge list (u, v) with u != v, deduped
     e = (
         edges.select(
@@ -286,25 +361,23 @@ def connected_components(
         F.col(src) == F.col(dst)
     ).distinct()
 
+    wu = Window.partitionBy("u")
+
     def large_star(ed: DataFrame) -> DataFrame:
         # per node u over the UNDIRECTED neighborhood (the running edge
         # frame is kept high->low oriented between rounds, so expand to
         # both directions first — a one-direction neighborhood makes the
         # star collapse to empty after round one): m = min(closed
-        # neighborhood); every neighbor v > u re-hangs onto m
+        # neighborhood); every neighbor v > u re-hangs onto m. The
+        # window attaches m in the SAME exchange that groups the
+        # neighborhood — no join-back shuffle. No trailing distinct:
+        # small_star's window-min is dup-insensitive and its own
+        # distinct dedups the round's output.
         bidir = ed.unionByName(
             ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = bidir.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        # no trailing distinct: small_star's min-agg is dup-insensitive
-        # and its own distinct dedups the round's output — dropping it
-        # removes one O(E) shuffle per round (duplicate inflation is
-        # bounded by neighbor multiplicity into the same min, small on
-        # the sparse graphs this targets)
         return (
-            bidir.join(m, "u")
+            bidir.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -312,16 +385,21 @@ def connected_components(
 
     def small_star(ed: DataFrame) -> DataFrame:
         # orient edges high->low, then per node u: all small neighbors
-        # (and u itself) hang onto the minimum
+        # (and u itself) hang onto the minimum — the (u, m) self-hang is
+        # emitted from EVERY row and deduped by the trailing distinct
+        # the round needs anyway, keeping the star at one exchange
         hi_lo = ed.filter(F.col("v") < F.col("u"))
-        m = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
-        hang_nbrs = (
-            hi_lo.join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        hang_self = m.select(F.col("u"), F.col("m").alias("v"))
         return (
-            hang_nbrs.unionByName(hang_self)
+            hi_lo.withColumn("m", F.min("v").over(wu))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("s")
+            )
+            .select("s.u", "s.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -340,42 +418,63 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    members = None
     fp = fingerprint(e)
-    for _ in range(max_iter):
-        nxt = small_star(large_star(e)).localCheckpoint(eager=True)
-        # fixpoint: the edge SET is unchanged (both stars idempotent).
-        # Cheap digest first; only when it matches (≈ the final round)
-        # confirm EXACTLY with the two set-diffs, so a 2⁻⁶⁴-class hash
-        # collision can never terminate early with wrong labels.
-        nfp = fingerprint(nxt)
-        if nfp == fp:
-            changed = (
-                nxt.exceptAll(e).limit(1).count()
-                + e.exceptAll(nxt).limit(1).count()
-            )
-            if changed == 0:
-                e = nxt
-                break
-        fp = nfp
-        e = nxt
+    if fp[0] <= local_finish_edges:
+        members = _local_components(e)
     else:
-        raise RuntimeError(
-            f"connected_components: no fixpoint within max_iter={max_iter} "
-            "rounds — raise max_iter (convergence is O(log² n) rounds)"
-        )
+        for _ in range(max_iter):
+            # lazy checkpoint: the fingerprint job right below is the
+            # first action, so it doubles as the materialization job —
+            # one job per round where eager=True paid two
+            nxt = small_star(large_star(e)).localCheckpoint(eager=False)
+            # fixpoint: the edge SET is unchanged (both stars
+            # idempotent). Cheap digest first; only when it matches
+            # (≈ the final round) confirm EXACTLY with the two
+            # set-diffs, so a 2⁻⁶⁴-class hash collision can never
+            # terminate early with wrong labels.
+            nfp = fingerprint(nxt)
+            if nfp[0] <= local_finish_edges:
+                members = _local_components(nxt)
+                break
+            if nfp == fp:
+                changed = (
+                    nxt.exceptAll(e).limit(1).count()
+                    + e.exceptAll(nxt).limit(1).count()
+                )
+                if changed == 0:
+                    e = nxt
+                    break
+            fp = nfp
+            e = nxt
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint within "
+                f"max_iter={max_iter} rounds — raise max_iter "
+                "(convergence is O(log² n) rounds)"
+            )
 
-    # at the fixpoint every edge is (node, component_min); component
-    # minima themselves and self-loop isolates map to themselves
-    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = e.select(F.col("v").alias("node")).distinct().join(
-        e.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
-    ).select("node", F.col("node").alias("component"))
+    if members is None:
+        # at the fixpoint every edge is (node, component_min); component
+        # minima map to themselves (the local-finish exit emits them
+        # directly, so this recovery is distributed-exit-only)
+        members = e.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+        roots = e.select(F.col("v").alias("node")).distinct().join(
+            e.select(F.col("u").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ).select("node", F.col("node").alias("component"))
+        members = members.unionByName(roots)
+
+    # self-loop isolates keep themselves
     lonely = isolated.join(
-        members.select("node").unionByName(roots.select("node")).distinct(),
+        members.select("node").distinct(),
         "node",
         "left_anti",
     ).select("node", F.col("node").alias("component"))
-    return members.unionByName(roots).unionByName(lonely)
+    return members.unionByName(lonely)
 
 
 def triangle_count(

@@ -1,7 +1,9 @@
 """Gate registry hub (SURVEY §2 + pipeline families).
 
-The 130 gate queries live in per-family modules (vector / relational /
-dedup / text / streaming / pipeline), each registering into
+The gate queries (``len(REGISTRY)`` of them — count one with
+``python -c "from weaviate_txtai_spark.plans.queries import queries;
+print(len(queries()))"``) live in per-family modules (vector /
+relational / dedup / text / streaming / pipeline), each registering into
 ``plans.base.REGISTRY`` on import; this module imports them all, re-
 exports every gate function for direct `from plans.queries import x_q`
 use, and defines the driver-facing ordered API: ``queries()`` /
