@@ -49,13 +49,38 @@ from pyspark.sql import functions as F
 _LOCAL_MASK = (1 << 33) - 1
 
 
-def _prefix_sums(vc: DataFrame, value_col: str, count_col: str) -> DataFrame:
+def _prefix_sums(
+    vc: DataFrame,
+    value_col: str,
+    count_col: str,
+    *,
+    by: str | None = None,
+    pre_materialize: bool = False,
+) -> DataFrame:
     """Exclusive prefix sum of ``count_col`` over ``vc`` ordered by
-    ``value_col``, without a global window. Adds ``__before``."""
+    ``value_col``, without a global window. Adds ``__before``.
+
+    ``by``: optional grouping column — the prefix sum restarts per
+    ``by`` value, so N independent rankings (e.g. one per unpivoted
+    source column) share ONE range shuffle instead of N. The subtotal
+    collect grows to ≤ n_part·|by-domain| rows — still driver-bounded
+    for the column-unpivot use (|by| = a handful of column names).
+
+    ``pre_materialize``: checkpoint ``vc`` BEFORE the range shuffle.
+    ``repartitionByRange`` runs a boundary-SAMPLING pass over its
+    input, so an expensive ``vc`` subtree (a wide explode + aggregate)
+    is otherwise computed twice — once for sampling, once for the real
+    shuffle. The checkpoint is domain-sized (distinct values, not
+    rows); callers with a trivially-cheap ``vc`` keep the default."""
+    keys = [by] if by else []
     n_part = max(2, min(32, vc.sparkSession.sparkContext.defaultParallelism))
+    if pre_materialize:
+        vc = vc.localCheckpoint(eager=True)
     ordered = (
-        vc.repartitionByRange(n_part, F.col(value_col))
-        .sortWithinPartitions(value_col)
+        vc.repartitionByRange(
+            n_part, *[F.col(k) for k in keys], F.col(value_col)
+        )
+        .sortWithinPartitions(*keys, value_col)
         .withColumn("__mii", F.monotonically_increasing_id())
         .withColumn("__pid", F.shiftright("__mii", 33).cast("long"))
         # the subtotal collect below and the returned frame BOTH read
@@ -66,31 +91,38 @@ def _prefix_sums(vc: DataFrame, value_col: str, count_col: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # per-partition subtotal + intra-partition running sum stay narrow;
-    # only the ≤n_part subtotal rows are collected to build offsets
+    # only the ≤n_part·|by| subtotal rows are collected to build offsets
     part_tot = (
-        ordered.groupBy("__pid")
+        ordered.groupBy("__pid", *keys)
         .agg(F.sum(count_col).alias("__tot"))
-        .orderBy("__pid")
+        .orderBy(*keys, "__pid")
         .collect()
     )
-    offsets, acc = [], 0
+    offsets, accs = [], {}
     for r in part_tot:
-        offsets.append((r["__pid"], acc))
-        acc += r["__tot"]
+        k = tuple(r[key] for key in keys)
+        acc = accs.get(k, 0)
+        offsets.append((r["__pid"], *k, acc))
+        accs[k] = acc + r["__tot"]
     spark = vc.sparkSession
-    off = spark.createDataFrame(offsets, ["__pid", "__off"]) if offsets else None
+    off = (
+        spark.createDataFrame(offsets, ["__pid", *keys, "__off"])
+        if offsets
+        else None
+    )
     if off is None:
         return vc.withColumn("__before", F.lit(0).cast("long"))
     from pyspark.sql.window import Window
 
-    # running sum WITHIN each range partition: partitioned window, safe
+    # running sum WITHIN each range partition (and by-group): a
+    # partitioned window, safe
     w = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__pid", *keys)
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        ordered.join(F.broadcast(off), "__pid")
+        ordered.join(F.broadcast(off), ["__pid", *keys])
         .withColumn(
             "__before",
             (
@@ -134,9 +166,14 @@ def spearman(
     (pair, column). ``dropna='listwise'``: rows with a null in ANY
     involved column drop once, and each unique column is ranked ONCE
     over the shared population and reused across its pairs — on
-    null-free data (enforced fact tables) the results are identical
-    and the ranking work falls from 2·|pairs| to |unique columns|
-    jobs (the gate's 3-pair profile: 6 → 4)."""
+    null-free data (enforced fact tables) the results are identical.
+    When every ranked column shares one dtype (the usual fact-table
+    case) the columns are additionally UNPIVOTED to (col, value) rows
+    and all of them rank in a SINGLE ``_prefix_sums`` pass keyed by
+    column name — ONE ranking job total instead of one per column (the
+    gate's 3-pair profile: 6 → 4 → 1); mixed-dtype column sets fall
+    back to one pass per column (stacking would cast, and a lossy cast
+    can merge distinct values into one tie)."""
     if not pairs:
         raise ValueError("no column pairs")
     if dropna not in ("pairwise", "listwise"):
@@ -153,28 +190,80 @@ def spearman(
         # re-evaluate N−1 prior joins — measured 10.8 s vs 4 s at
         # sf0.1); the maps then join onto sub once each
         ranked = sub
-        for c in cols:
-            vc = sub.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
-            m = _prefix_sums(vc, c, "__cnt").select(
-                c,
+        dtypes = dict(df.dtypes)
+        if len({dtypes[c] for c in cols}) == 1:
+            # same-dtype stack: one count shuffle + one range pass ranks
+            # every column; the per-column maps below are filters over
+            # the one checkpointed domain table, not new jobs
+            stacked = sub.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("__col"),
+                                F.col(c).alias("__val"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.__col", "s.__val")
+            vc = stacked.groupBy("__col", "__val").agg(
+                F.count(F.lit(1)).alias("__cnt")
+            )
+            dom = _prefix_sums(
+                vc, "__val", "__cnt", by="__col", pre_materialize=True
+            ).select(
+                "__col",
+                "__val",
                 (
                     F.col("__before") + (F.col("__cnt") + F.lit(1)) / F.lit(2.0)
-                ).alias(f"__r_{c}"),
+                ).alias("__r"),
             )
-            ranked = ranked.join(m, c)
-        from weaviate_txtai_spark.cache import scoped_persist
-
-        ranked = scoped_persist(ranked)
-        for x, y in pairs:
-            outs.append(
-                ranked.agg(
-                    F.lit(x).alias("col_x"),
-                    F.lit(y).alias("col_y"),
-                    F.round(
-                        F.corr(f"__r_{x}", f"__r_{y}"), round_decimals
-                    ).alias("spearman"),
+            for c in cols:
+                m = dom.filter(F.col("__col") == c).select(
+                    F.col("__val").alias(c), F.col("__r").alias(f"__r_{c}")
+                )
+                ranked = ranked.join(m, c)
+        else:
+            for c in cols:
+                vc = sub.groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
+                m = _prefix_sums(vc, c, "__cnt").select(
+                    c,
+                    (
+                        F.col("__before")
+                        + (F.col("__cnt") + F.lit(1)) / F.lit(2.0)
+                    ).alias(f"__r_{c}"),
+                )
+                ranked = ranked.join(m, c)
+        # ALL pair correlations in ONE aggregation job over the joined
+        # frame (corr is algebraic — every pair's moments accumulate in
+        # the same map-side pass), then the 1-row result inlines to one
+        # row per pair. One consumer ⇒ no persist needed; the previous
+        # per-pair agg loop paid a persist materialization plus
+        # |pairs|−1 extra scans of it.
+        one = ranked.agg(
+            *[
+                F.round(F.corr(f"__r_{x}", f"__r_{y}"), round_decimals).alias(
+                    f"__c{i}"
+                )
+                for i, (x, y) in enumerate(pairs)
+            ]
+        )
+        return one.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(x).alias("col_x"),
+                            F.lit(y).alias("col_y"),
+                            F.col(f"__c{i}").alias("spearman"),
+                        )
+                        for i, (x, y) in enumerate(pairs)
+                    ]
                 )
             )
+        )
     else:
         for x, y in pairs:
             sub = df.filter(
