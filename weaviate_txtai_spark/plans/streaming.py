@@ -69,10 +69,44 @@ def streaming_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.to_df().select("docid").orderBy("docid")
 
 
-@register("streaming_sessions", None)  # stateful op: rows-only (non-SQL)
+_STREAM_SESSIONS_SQL = """
+WITH wm AS (
+  SELECT (CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 3600000) * 1000
+           AS wm_us
+  FROM events),
+e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+sess AS (
+  SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, CAST(start_us // 1000000 AS BIGINT) AS start_s,
+       CAST(end_us // 1000000 AS BIGINT) AS end_s, n_events
+FROM sess, wm WHERE end_us + 1800000000 < wm.wm_us
+"""
+
+
+@register("streaming_sessions", _STREAM_SESSIONS_SQL)
 def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (applyInPandasWithState session windows);
-    equivalence to the batch lag-gap spec is asserted in
+    """Custom stateful operator (applyInPandasWithState session windows),
+    hash-oracled via availableNow batch replay — the streaming_monitor
+    pattern: every event arrives in the single data micro-batch while
+    the watermark is still 0 (nothing dropped), so the final emitted set
+    is exactly the batch sessionization (gaps-and-islands in the oracle)
+    restricted to watermark-SEALED sessions: end + gap < max(ts) − 1 h
+    (ms-floored, matching getCurrentWatermarkMs). The ms-truncated
+    timeout registration and the µs seal condition provably agree at
+    boundaries (end_us+gap_us < wm_ms·1000 ⇔ end_ms+gap_ms+1 ≤ wm_ms).
+    Equivalence to the batch lag-gap spec is also asserted in
     tests/test_sessions.py."""
     from weaviate_txtai_spark.streaming.events import stream_events
     from weaviate_txtai_spark.streaming.sessions import sessionize_stream
@@ -94,10 +128,38 @@ def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", None)  # mapInPandas features: rows-only
+_MULTIMODAL_SQL = """
+WITH h AS (
+  SELECT doc_id, sha256(coalesce(sha256(text), '')) AS d FROM documents),
+b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(d, 2 * s.i - 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(d, 2 * s.i, 1)) - 1) AS byte
+  FROM h, unnest(generate_series(1, 32)) AS s(i)),
+c AS (
+  SELECT doc_id, CAST(byte // 32 AS INTEGER) AS bin, count(*) AS c
+  FROM b GROUP BY 1, 2)
+SELECT doc_id,
+       round(coalesce(sum(CASE WHEN bin = 0 THEN c END), 0)
+             / sqrt(sum(c * c)), 6) AS f0,
+       8 AS dim
+FROM c GROUP BY doc_id
+"""
+
+
+@register("multimodal_features", _MULTIMODAL_SQL)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched feature extraction; deterministic
-    fake decoder (no codecs in container), real Spark plumbing."""
+    fake decoder (no codecs in container), real Spark plumbing.
+
+    Hash-oracled: the fake payload is the 64-char hex of sha2(text), the
+    fake decode is sha256(payload) bytes tiled to 64 'pixels' (each of
+    the 32 digest bytes appears exactly TWICE), and the feature is the
+    L2-normalized 8-bin byte histogram — so the ×2 cancels and
+    f0 = c₀/√Σc², which the oracle rebuilds from hex-nibble parsing in
+    plain SQL. A real codec would re-open the rows-only gap; the
+    PLUMBING contract (schema, Arrow batching, partition spread) is
+    what the gate pins."""
     from weaviate_txtai_spark.multimodal.binary import (
         attach_fake_payload,
         extract_features,
