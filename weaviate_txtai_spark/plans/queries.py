@@ -83,9 +83,6 @@ _PRIORITY = [
     "ann_ivf_filtered",
     "streaming_monitor",
     "supplier_name_matches",
-    "events_daily_cusum",
-    "orders_pit_segment",
-    "order_clique_kcore",
     "bm25_index_topk",
     "signup_to_purchase_survival",
     "events_type_hour_dependence",
@@ -99,27 +96,38 @@ _PRIORITY = [
     # theirs (heavy-bench trackers, fresh plans this round).
     "binary_hamming_rerank",
     "order_chain_components",
-    # r7 session-1 families (winnowing, QLM, triangles, KS drift)
+    # r7 session-1 families (winnowing, triangles, KS drift)
     "winnow_fingerprints",
-    "shared_run_pairs",
-    "qlm_topk",
     "order_clique_triangles",
     "source_drift_ks",
     # r7 session-2 families: behavioral sequences, basket mining,
-    # skyline, phrase search, distributed statistics, link prediction,
-    # token drift
+    # phrase search, distributed statistics
     "events_funnel_windowed",
-    "events_cohort_retention",
     "basket_rules",
-    "part_skyline",
     "phrase_match_positions",
     "lineitem_spearman",
     "ab_conversion_ztest",
-    "ab_value_mwu",
     "revenue_gini",
-    "nation_revenue_trend",
-    "customer_affinity",
-    "source_drift_jsd",
+    # r8 rotation (VERDICT r7 item 6): eleven slots ceded by gates that
+    # each hold a green r07 driver row in a family that keeps ≥1 other
+    # representative or heavy-bench/pytest coverage — shared_run_pairs,
+    # qlm_topk, order_clique_kcore, source_drift_jsd,
+    # events_cohort_retention, ab_value_mwu, nation_revenue_trend,
+    # part_skyline, customer_affinity, events_daily_cusum,
+    # orders_pit_segment — to the eleven still-never-sampled r7/r8
+    # families (incl. the two gates newly oracled this round:
+    # streaming_sessions, multimodal_features).
+    "kcenter_coreset",
+    "embedding_dbscan",
+    "totalprice_benford",
+    "orders_k_anonymity",
+    "orders_log_time_travel",
+    "activity_woe_iv",
+    "events_funnel_ab",
+    "ab_cuped_readout",
+    "source_drift_psi",
+    "streaming_sessions",
+    "multimodal_features",
     # r7 rotation: parts_supplier_count / excess_suppliers ceded their
     # slots (both hold r06 driver hash-pass rows; judge-sweep + pytest
     # keep them covered) to two round-7 families that need their first
