@@ -52,21 +52,27 @@ _NEW_FAMILY_GATES = {
     # r5/r6 heavy-bench trackers kept
     "binary_hamming_rerank", "order_chain_components",
     # r7 session-2 rotation 3: the stateful-streaming showpiece + the
-    # batch-5..14 families
-    "streaming_monitor", "supplier_name_matches", "events_daily_cusum",
-    "orders_pit_segment", "order_clique_kcore", "bm25_index_topk",
+    # surviving batch-5..14 families
+    "streaming_monitor", "supplier_name_matches", "bm25_index_topk",
     "signup_to_purchase_survival", "events_type_hour_dependence",
     # r7 session-1 families
     "knn_l2", "knn_dot", "retrieval_eval", "ivfpq_append_search",
-    "winnow_fingerprints", "shared_run_pairs", "qlm_topk",
-    "order_clique_triangles", "source_drift_ks",
-    # r7 session-2 families: behavioral sequences, basket mining,
-    # skyline, phrase search, distributed statistics, link prediction,
-    # token drift
-    "events_funnel_windowed", "events_cohort_retention", "basket_rules",
-    "part_skyline", "phrase_match_positions", "lineitem_spearman",
-    "ab_conversion_ztest", "ab_value_mwu", "revenue_gini",
-    "nation_revenue_trend", "customer_affinity", "source_drift_jsd",
+    "winnow_fingerprints", "order_clique_triangles", "source_drift_ks",
+    # r7 session-2 families kept through the r8 rotation (the ceded
+    # gates — shared_run_pairs, qlm_topk, order_clique_kcore,
+    # source_drift_jsd, events_cohort_retention, ab_value_mwu,
+    # nation_revenue_trend, part_skyline, customer_affinity,
+    # events_daily_cusum, orders_pit_segment — all hold green r07
+    # driver rows and stay judge-sweep + pytest covered)
+    "events_funnel_windowed", "basket_rules",
+    "phrase_match_positions", "lineitem_spearman",
+    "ab_conversion_ztest", "revenue_gini",
+    # r8 rotation: the eleven never-sampled families (VERDICT r7 item
+    # 6), incl. the two gates newly oracled this round
+    "kcenter_coreset", "embedding_dbscan", "totalprice_benford",
+    "orders_k_anonymity", "orders_log_time_travel", "activity_woe_iv",
+    "events_funnel_ab", "ab_cuped_readout", "source_drift_psi",
+    "streaming_sessions", "multimodal_features",
 }
 
 
