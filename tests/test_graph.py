@@ -100,3 +100,49 @@ def test_pagerank_exact_validation(spark):
         pagerank_exact(_edges(spark, [(1, 2)]), damping_num=101)
     with pytest.raises(ValueError, match="empty"):
         pagerank_exact(_edges(spark, []))
+
+
+def test_hits_star_graph(spark):
+    """One customer pointing at every supplier: that node is the unique
+    max hub; all suppliers tie at authority 1; pure-source nodes have
+    authority 0 and pure-sink nodes hub 0."""
+    from weaviate_txtai_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long"
+    )
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges).collect()}
+    assert out[1][0] == 1.0  # the 3-out-edge hub dominates
+    assert out[2][0] < 1.0
+    assert out[10][1] == 1.0  # pointed at by both hubs -> max authority
+    assert out[1][1] == 0.0 and out[10][0] == 0.0
+    assert set(out) == {1, 2, 10, 11, 12}
+
+
+def test_hits_is_deterministic_across_partitionings(spark):
+    from weaviate_txtai_spark.operators.graph import hits
+
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(20), 100 + rng.randrange(10)) for _ in range(60)]
+    df1 = spark.createDataFrame(edges, "src long, dst long")
+    df4 = df1.repartition(7)
+    a = sorted(map(tuple, hits(df1, n_iter=4).collect()))
+    b = sorted(map(tuple, hits(df4, n_iter=4).collect()))
+    assert a == b
+
+
+def test_hits_bipartite_symmetry(spark):
+    """Two disconnected complete bipartite blocks of equal shape: all
+    hubs tie and all authorities tie (per-block structure identical)."""
+    from weaviate_txtai_spark.operators.graph import hits
+
+    edges = [(u, d) for u in (1, 2) for d in (10, 11)] + [
+        (u, d) for u in (3, 4) for d in (12, 13)
+    ]
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()}
+    assert {out[n][0] for n in (1, 2, 3, 4)} == {1.0}
+    assert {out[n][1] for n in (10, 11, 12, 13)} == {1.0}

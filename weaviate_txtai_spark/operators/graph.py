@@ -768,3 +768,92 @@ def degree_powerlaw(
             round_decimals,
         ).alias("alpha"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+    step_decimals: int = 12,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public knowledge) over a
+    directed edge frame — the bipartite-flavored companion to
+    ``pagerank``: a good HUB points at good authorities, a good
+    AUTHORITY is pointed at by good hubs. On a curation graph
+    (curator → document, buyer → supplier, citing → cited) the two
+    scores separate "who selects well" from "what is selected".
+
+    Power iteration, ``n_iter`` fixed rounds: authority
+    a(v) = Σ h(u) over in-edges, then hub h(u) = Σ a(v) over
+    out-edges; each half-step L1-normalizes and rounds to
+    ``step_decimals`` so the trajectory is identical across partition
+    orders and engines (the k-means gate discipline — partial-sum
+    reorder perturbs doubles at ~1e-16, rounding absorbs it; 12 dp
+    keeps ~6 significant digits even at 1e-6-scale scores). Final
+    scores rescale to max = 1 and round to ``round_decimals``.
+
+    Scale shape per half-step: one hash join of the edge frame against
+    the (node, score) frame (V rows — AQE broadcasts while small) and
+    one groupBy partial-agg shuffle; edges are persisted once; 2·n_iter
+    bounded rounds, no window, nothing collected.
+
+    Output: ``node, hub, authority`` for every node in the edge frame
+    (0.0 for a side the node never plays)."""
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    e = scoped_persist(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    srcs = e.select(F.col("s").alias("node")).distinct()
+    dsts = e.select(F.col("d").alias("node")).distinct()
+
+    def _l1(scores: DataFrame, col: str) -> DataFrame:
+        tot = scores.agg(F.sum(col).alias("__tot"))
+        return scores.join(F.broadcast(tot)).select(
+            "node",
+            F.round(F.col(col) / F.col("__tot"), step_decimals).alias(col),
+        )
+
+    h = _l1(srcs.withColumn("h", F.lit(1.0)), "h").localCheckpoint(
+        eager=False
+    )
+    a = None
+    for _ in range(n_iter):
+        a = _l1(
+            e.join(h.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("h").alias("a")),
+            "a",
+        ).localCheckpoint(eager=False)
+        h = _l1(
+            e.join(a.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").alias("h")),
+            "h",
+        ).localCheckpoint(eager=False)
+
+    nodes = srcs.unionByName(dsts).distinct()
+    hmax = h.agg(F.max("h").alias("__mh"))
+    amax = a.agg(F.max("a").alias("__ma"))
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .join(F.broadcast(hmax))
+        .join(F.broadcast(amax))
+        .select(
+            "node",
+            F.round(
+                F.coalesce(F.col("h") / F.col("__mh"), F.lit(0.0)),
+                round_decimals,
+            ).alias("hub"),
+            F.round(
+                F.coalesce(F.col("a") / F.col("__ma"), F.lit(0.0)),
+                round_decimals,
+            ).alias("authority"),
+        )
+    )

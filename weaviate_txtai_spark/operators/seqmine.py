@@ -1,0 +1,118 @@
+"""Sequential pattern mining: frequent ordered event-type pairs within
+a time window (the 2-sequence core of PrefixSpan/GSP — Agrawal &
+Srikant 1996, public knowledge — which is what production "what follows
+what" analyses actually ship; longer patterns compose by re-running
+over matched prefixes).
+
+Unlike ``itemsets.basket_rules`` (UNORDERED co-occurrence inside a
+basket), a sequential pattern requires a→b in TIME ORDER within
+``window_seconds`` — "view then purchase within an hour", "error then
+retry within a minute".
+
+Scale notes: the only pairing is a per-user self-join bounded by the
+time window — both sides hash-partition on user_id, so the join is
+co-located, and the per-user fan-out is (events in window)², the same
+bound every sessionized funnel pays. Support counts DISTINCT users per
+pattern: the distinct is applied per (user, a, b) BEFORE the global
+aggregate, so the pattern table the final groupBy sees is at most
+|users|·|type pairs|. A ``max_user_events`` cap (documented, loud — not
+silent) bounds the quadratic blowup of bot-grade users, the
+``max_basket_size`` discipline from basket_rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sequence_pairs(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    min_support: int = 2,
+    max_user_events: int | None = None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Frequent ordered pairs: ``a, b, support, support_a, confidence,
+    lift`` where support = #users with ≥1 occurrence of type a followed
+    (strictly later, ≤ window_seconds) by type b; confidence =
+    support / support_a; lift = confidence / (support_b / n_users) —
+    the sequential analogue of association-rule confidence/lift, with
+    user-level support so hyperactive users can't dominate.
+
+    Self-pairs (a == b) are kept: "retry then retry" is a real pattern.
+    """
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    ).filter(F.col("t").isNotNull() & F.col("us").isNotNull())
+    if max_user_events is not None:
+        counts = e.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
+        dropped = counts.filter(F.col("__n") > max_user_events)
+        e = e.join(dropped.select("u"), "u", "left_anti")
+    # distinct (user, type, ts µs) — duplicate identical events would
+    # only re-derive the same (u, a, b) pattern rows the later distinct
+    # removes, but pruning them first shrinks the self-join input
+    e = e.distinct()
+
+    w_us = int(window_seconds) * 1_000_000
+    a = e.select(F.col("u"), F.col("t").alias("a"), F.col("us").alias("ta"))
+    b = e.select(F.col("u"), F.col("t").alias("b"), F.col("us").alias("tb"))
+    pats = (
+        a.join(b, "u")
+        .filter(
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") - F.col("ta") <= F.lit(w_us))
+        )
+        .select("u", "a", "b")
+        .distinct()
+    )
+    # scalar user count stays in-plan (1-row broadcast, never collected)
+    n_users = e.select("u").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__nu")
+    )
+    type_support = (
+        e.select("u", "t").distinct().groupBy("t").agg(
+            F.count(F.lit(1)).alias("__su")
+        )
+    )
+    sup = pats.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    return (
+        sup.join(
+            F.broadcast(
+                type_support.select(
+                    F.col("t").alias("a"), F.col("__su").alias("support_a")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                type_support.select(
+                    F.col("t").alias("b"), F.col("__su").alias("support_b")
+                )
+            ),
+            "b",
+        )
+        .join(F.broadcast(n_users))
+        .filter(F.col("support") >= int(min_support))
+        .select(
+            "a",
+            "b",
+            F.col("support").cast("long").alias("support"),
+            F.col("support_a").cast("long").alias("support_a"),
+            F.round(
+                F.col("support") / F.col("support_a"), round_decimals
+            ).alias("confidence"),
+            F.round(
+                (F.col("support") / F.col("support_a"))
+                / (F.col("support_b") / F.col("__nu")),
+                round_decimals,
+            ).alias("lift"),
+        )
+    )

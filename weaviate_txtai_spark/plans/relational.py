@@ -4635,3 +4635,296 @@ def quantity_weighted_price_pctl_q(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumnRenamed("l_returnflag", "grp")
         .orderBy("grp", "p")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8: leakage-safe feature encoding, calibration eval, FD discovery,
+# sequential pattern mining, HITS (operators/encoding.py, calibration.py,
+# fd.py, seqmine.py, graph.py hits)
+# --------------------------------------------------------------------------
+
+_TARGET_ENC_SQL = """
+WITH b AS (
+  SELECT o_orderpriority AS cat, CAST(o_orderkey % 5 AS INTEGER) AS fold,
+         CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END AS y
+  FROM orders),
+cf AS (SELECT cat, fold, count(*) AS n, sum(y) AS s FROM b GROUP BY 1, 2),
+t AS (SELECT sum(n) AS tn, sum(s) AS ts FROM cf),
+ft AS (SELECT fold, sum(n) AS fn, sum(s) AS fs FROM cf GROUP BY 1),
+gm AS (SELECT fold, (t.ts - ft.fs) / (t.tn - ft.fn) AS g FROM ft, t),
+ct AS (SELECT cat, sum(n) AS cn, sum(s) AS cs FROM cf GROUP BY 1)
+SELECT cf.cat AS o_orderpriority, cf.fold,
+       CAST(ct.cn - cf.n AS BIGINT) AS n_oof,
+       round((ct.cs - cf.s + 20.0 * gm.g) / (ct.cn - cf.n + 20.0), 6) AS enc
+FROM cf JOIN ct USING (cat) JOIN gm USING (fold)
+ORDER BY 1, 2
+"""
+
+
+@register("orders_priority_target_enc", _TARGET_ENC_SQL)
+def orders_priority_target_enc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding of order priority against
+    high-value conversion (operators/encoding.py) — the leakage-safe
+    category→mean-target mapping: each (category, fold) cell's encoding
+    is built from every fold EXCEPT its own, shrunk toward the global
+    OOF mean by a pseudo-count of 20 (Micci-Barreca smoothing). The
+    fold key is o_orderkey % 5 so the DuckDB twin can replay it."""
+    from weaviate_txtai_spark.operators.encoding import target_encoding_map
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") > 150000).cast("double").alias("y"),
+        (F.col("o_orderkey") % 5).cast("int").alias("fold"),
+    )
+    return target_encoding_map(
+        orders, "o_orderpriority", "y", fold_col="fold", n_folds=5,
+        smoothing=20.0,
+    ).orderBy("o_orderpriority", "fold")
+
+
+_CALIB_BINS_SQL = """
+WITH b AS (
+  SELECT least(greatest(value / 200.0, 0.0), 1.0) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+         count(*) AS n, sum(p) AS sp, sum(y) AS sy
+  FROM b GROUP BY 1)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(sp / n, 6) AS avg_prob,
+       round(sy / n, 6) AS frac_pos,
+       round((sp - sy) / n, 6) AS gap
+FROM g ORDER BY bin
+"""
+
+
+@register("events_calibration_bins", _CALIB_BINS_SQL)
+def events_calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of a value-derived pseudo-probability
+    against purchase conversion (operators/calibration.py
+    reliability_bins): per equal-width bin, mean predicted probability
+    vs empirical positive rate — the gap column is the per-bin
+    over/under-confidence a score-thresholded data filter inherits."""
+    from weaviate_txtai_spark.operators.calibration import reliability_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") / 200.0).alias("p"),
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    return reliability_bins(scored, "p", "y", n_bins=10).orderBy("bin")
+
+
+_CALIB_SUMMARY_SQL = """
+WITH b AS (
+  SELECT least(greatest(value / 200.0, 0.0), 1.0) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL),
+g AS (
+  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, count(*) AS n,
+         sum(p) AS sp, sum(y) AS sy, sum((p - y) * (p - y)) AS sq
+  FROM b GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+       round(sum(sq) / sum(n), 6) AS brier,
+       round(sum(abs(sp - sy)) / sum(n), 6) AS ece
+FROM g
+"""
+
+
+@register("events_calibration_summary", _CALIB_SUMMARY_SQL)
+def events_calibration_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + expected calibration error of the same
+    pseudo-probability (operators/calibration.py calibration_summary):
+    the one-row readout a filter-threshold review starts from."""
+    from weaviate_txtai_spark.operators.calibration import calibration_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        (F.col("value") / 200.0).alias("p"),
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    return calibration_summary(scored, "p", "y", n_bins=10)
+
+
+_FD_PROFILE_SQL = """
+WITH c1 AS (
+  SELECT o_orderkey AS x, o_custkey AS y FROM orders),
+g1 AS (SELECT x, max(c) AS keep, sum(c) AS n, count(*) AS ny
+       FROM (SELECT x, y, count(*) AS c FROM c1 GROUP BY 1, 2) GROUP BY x),
+r1 AS (SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating_groups,
+              round(1 - sum(keep) * 1.0 / sum(n), 6) AS g3_error
+       FROM g1),
+c2 AS (
+  SELECT o_custkey AS x, o_orderpriority AS y FROM orders),
+g2 AS (SELECT x, max(c) AS keep, sum(c) AS n, count(*) AS ny
+       FROM (SELECT x, y, count(*) AS c FROM c2 GROUP BY 1, 2) GROUP BY x),
+r2 AS (SELECT 'o_custkey', 'o_orderpriority', CAST(sum(n) AS BIGINT),
+              CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              round(1 - sum(keep) * 1.0 / sum(n), 6)
+       FROM g2),
+c3 AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y FROM orders),
+g3 AS (SELECT x, max(c) AS keep, sum(c) AS n, count(*) AS ny
+       FROM (SELECT x, y, count(*) AS c FROM c3 GROUP BY 1, 2) GROUP BY x),
+r3 AS (SELECT 'o_orderstatus', 'o_orderpriority', CAST(sum(n) AS BIGINT),
+              CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              round(1 - sum(keep) * 1.0 / sum(n), 6)
+       FROM g3)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+ORDER BY determinant
+"""
+
+
+@register("orders_fd_profile", _FD_PROFILE_SQL)
+def orders_fd_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery (operators/fd.py):
+    g3 error — the fraction of rows to delete for X → Y to hold
+    exactly — for three candidates over orders: the true key FD
+    (orderkey → custkey, g3 = 0), a non-dependency (custkey →
+    priority), and a low-cardinality non-dependency (status →
+    priority). The profile a pipeline runs before trusting a dedup or
+    join key."""
+    from weaviate_txtai_spark.operators.fd import fd_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return fd_profile(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    ).orderBy("determinant")
+
+
+_KEY_UNIQ_SQL = """
+WITH g AS (
+  SELECT l_orderkey, l_linenumber, count(*) AS c
+  FROM lineitem GROUP BY 1, 2)
+SELECT 'l_orderkey+l_linenumber' AS key,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) - count(*) AS BIGINT) AS n_dup_rows,
+       round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_fraction
+FROM g
+"""
+
+
+@register("lineitem_key_uniqueness", _KEY_UNIQ_SQL)
+def lineitem_key_uniqueness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness profile (operators/fd.py key_uniqueness): is
+    (orderkey, linenumber) actually a key of lineitem? n_dup_rows is
+    exactly what an exact dedup on that key would drop."""
+    from weaviate_txtai_spark.operators.fd import key_uniqueness
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_uniqueness(li, ["l_orderkey", "l_linenumber"])
+
+
+_SEQ_PAIRS_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u, event_type AS t, epoch_us(ts) AS us
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+p AS (
+  SELECT DISTINCT a.u, a.t AS a, b.t AS b
+  FROM e a JOIN e b ON a.u = b.u
+  WHERE b.us > a.us AND b.us - a.us <= 1800000000),
+nu AS (SELECT count(DISTINCT u) * 1.0 AS nu FROM e),
+tsup AS (SELECT t, count(DISTINCT u) AS su FROM e GROUP BY 1),
+s AS (SELECT a, b, count(*) AS support FROM p GROUP BY 1, 2)
+SELECT s.a, s.b, CAST(s.support AS BIGINT) AS support,
+       CAST(ta.su AS BIGINT) AS support_a,
+       round(s.support * 1.0 / ta.su, 6) AS confidence,
+       round((s.support * 1.0 / ta.su) / (tb.su / nu.nu), 6) AS lift
+FROM s JOIN tsup ta ON s.a = ta.t JOIN tsup tb ON s.b = tb.t, nu
+WHERE s.support >= 2
+ORDER BY s.a, s.b
+"""
+
+
+@register("events_sequence_pairs", _SEQ_PAIRS_SQL)
+def events_sequence_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ORDERED event-type pairs within a 30-minute window
+    (operators/seqmine.py) — the 2-sequence core of PrefixSpan/GSP,
+    with user-level support/confidence/lift so hyperactive users can't
+    dominate. The ordered complement to basket_rules' unordered
+    co-occurrence."""
+    from weaviate_txtai_spark.operators.seqmine import sequence_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_pairs(
+        ev, window_seconds=1800, min_support=2
+    ).orderBy("a", "b")
+
+
+_HITS_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+h0r AS MATERIALIZED (SELECT DISTINCT s AS node FROM e),
+h0 AS MATERIALIZED (SELECT node, round(1.0 / (SELECT count(*) FROM h0r), 12) AS h
+       FROM h0r),
+a1r AS MATERIALIZED (SELECT d AS node, sum(h) AS v FROM e JOIN h0 ON e.s = h0.node
+        GROUP BY 1),
+a1 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM a1r), 12) AS a FROM a1r),
+h1r AS MATERIALIZED (SELECT s AS node, sum(a) AS v FROM e JOIN a1 ON e.d = a1.node
+        GROUP BY 1),
+h1 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM h1r), 12) AS h FROM h1r),
+a2r AS MATERIALIZED (SELECT d AS node, sum(h) AS v FROM e JOIN h1 ON e.s = h1.node
+        GROUP BY 1),
+a2 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM a2r), 12) AS a FROM a2r),
+h2r AS MATERIALIZED (SELECT s AS node, sum(a) AS v FROM e JOIN a2 ON e.d = a2.node
+        GROUP BY 1),
+h2 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM h2r), 12) AS h FROM h2r),
+a3r AS MATERIALIZED (SELECT d AS node, sum(h) AS v FROM e JOIN h2 ON e.s = h2.node
+        GROUP BY 1),
+a3 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM a3r), 12) AS a FROM a3r),
+h3r AS MATERIALIZED (SELECT s AS node, sum(a) AS v FROM e JOIN a3 ON e.d = a3.node
+        GROUP BY 1),
+h3 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM h3r), 12) AS h FROM h3r),
+a4r AS MATERIALIZED (SELECT d AS node, sum(h) AS v FROM e JOIN h3 ON e.s = h3.node
+        GROUP BY 1),
+a4 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM a4r), 12) AS a FROM a4r),
+h4r AS MATERIALIZED (SELECT s AS node, sum(a) AS v FROM e JOIN a4 ON e.d = a4.node
+        GROUP BY 1),
+h4 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM h4r), 12) AS h FROM h4r),
+nodes AS MATERIALIZED (SELECT DISTINCT node
+          FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e))
+SELECT n.node,
+       round(coalesce(h4.h / (SELECT max(h) FROM h4), 0), 6) AS hub,
+       round(coalesce(a4.a / (SELECT max(a) FROM a4), 0), 6) AS authority
+FROM nodes n LEFT JOIN h4 ON n.node = h4.node
+             LEFT JOIN a4 ON n.node = a4.node
+ORDER BY n.node
+"""
+
+
+@register("customer_supplier_hits", _HITS_SQL)
+def customer_supplier_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the customer→supplier purchase
+    graph (operators/graph.py hits): hub = a customer whose orders
+    concentrate on authoritative suppliers, authority = a supplier
+    bought by strong hubs — PageRank's bipartite companion. Four power
+    iterations, each half-step L1-normalized and rounded at 12 dp (the
+    k-means trajectory-determinism discipline) so the DuckDB twin —
+    the same iterations UNROLLED as chained CTEs, since recursive CTEs
+    can't re-aggregate per step — replays it exactly. Supplier node
+    ids are offset by 1e6 so the two entity spaces can't collide."""
+    from weaviate_txtai_spark.operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    return hits(edges, n_iter=4).orderBy("node")
