@@ -38,7 +38,7 @@ is a crawl session.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -368,4 +368,119 @@ def pmi_pairs(
                 round_decimals,
             ).alias("pmi"),
         )
+    )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    min_item_count: int = 1,
+    max_basket_size: int = 1000,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Item–item co-occurrence similarity (the "co-visitation matrix"
+    behind item-based collaborative filtering — Sarwar et al. 2001,
+    public knowledge): for every unordered pair sharing ≥
+    ``min_pair_count`` baskets, cosine = co / √(n_i·n_j) and jaccard =
+    co / (n_i + n_j − co) over BASKET SETS.
+
+    Scale shape: co-counts come from the map-side sorted-array pair
+    generator (``frequent_pairs`` — never an item self-join); per-item
+    basket counts are an item-domain table broadcast onto the pair
+    table. Nothing is ever quadratic in items — only in observed
+    co-occurrence, which ``min_pair_count`` floors.
+
+    Output: ``p1, p2, pair_count, n1, n2, cosine, jaccard`` (p1 < p2).
+    """
+    co = frequent_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_pair_count=min_pair_count,
+        min_item_count=min_item_count,
+        max_basket_size=max_basket_size,
+    )
+    counts = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        co.join(
+            F.broadcast(
+                counts.select(F.col("item").alias("p1"), F.col("__n").alias("n1"))
+            ),
+            "p1",
+        )
+        .join(
+            F.broadcast(
+                counts.select(F.col("item").alias("p2"), F.col("__n").alias("n2"))
+            ),
+            "p2",
+        )
+        .select(
+            "p1",
+            "p2",
+            "pair_count",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(
+                F.col("pair_count") / F.sqrt(F.col("n1") * F.col("n2")),
+                round_decimals,
+            ).alias("cosine"),
+            F.round(
+                F.col("pair_count")
+                / (F.col("n1") + F.col("n2") - F.col("pair_count")),
+                round_decimals,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def also_bought_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int,
+    *,
+    min_pair_count: int = 2,
+    max_basket_size: int = 1000,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-item top-k neighbors by co-occurrence cosine (ties: higher
+    pair_count, then lower neighbor id — fully deterministic). The
+    ranking window is over the PAIR table partitioned by item — pair-
+    domain-sized, floored by min_pair_count, never a row window.
+
+    Output: ``item, rank, neighbor, cosine``."""
+    sim = item_similarity(
+        df,
+        basket_col,
+        item_col,
+        min_pair_count=min_pair_count,
+        max_basket_size=max_basket_size,
+        round_decimals=round_decimals,
+    )
+    both = sim.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"),
+        "cosine", "pair_count",
+    ).unionByName(
+        sim.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"),
+            "cosine", "pair_count",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.desc("pair_count"), F.asc("neighbor")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("item", "rank", "neighbor", "cosine")
     )

@@ -1,0 +1,98 @@
+"""Seasonality profiling over event streams: weekday indices and
+centered moving-average trend — the decomposition-lite a volume
+dashboard needs before any anomaly rule makes sense (a Saturday dip is
+seasonality, not an incident).
+
+Scale notes: everything runs on the DAILY GRID, never raw events — one
+(group, date) count aggregate reduces the corpus to ≤ groups×days rows,
+and every window after that is partitioned by group over that grid
+(value-domain discipline). Raw-event cost is exactly one
+map-side-combined shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def daily_counts(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The (group, day, n) grid everything here runs on."""
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def weekday_profile(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per (group, weekday): mean daily volume and the seasonal index
+    (weekday mean / the group's overall daily mean; 1.0 = flat).
+    Weekday numbering is ISO ``dayofweek``-style 1=Sunday…7=Saturday
+    (Spark's convention — the oracle twin mirrors it).
+
+    Output: ``grp, weekday, n_days, avg_n, index``."""
+    grid = daily_counts(events, group_col=group_col, ts_col=ts_col)
+    wd = grid.withColumn("weekday", F.dayofweek("day"))
+    per_wd = wd.groupBy("grp", "weekday").agg(
+        F.count(F.lit(1)).alias("n_days"), F.avg("n").alias("__a")
+    )
+    overall = grid.groupBy("grp").agg(F.avg("n").alias("__o"))
+    return (
+        per_wd.join(F.broadcast(overall), "grp")
+        .select(
+            "grp",
+            "weekday",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("__a", round_decimals).alias("avg_n"),
+            F.round(F.col("__a") / F.col("__o"), round_decimals).alias(
+                "index"
+            ),
+        )
+    )
+
+
+def trend_ma(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Centered moving-average trend over the daily grid: for each
+    (group, day), the mean daily count over the ±⌊w/2⌋ CALENDAR-day
+    band (a range window over day offsets, so gap days are neither
+    invented nor double-counted; edges average whatever the band
+    holds — the convention the oracle replays).
+
+    Output: ``grp, day, n, trend``."""
+    if window_days < 1 or window_days % 2 == 0:
+        raise ValueError("window_days must be odd and >= 1")
+    half = window_days // 2
+    grid = daily_counts(events, group_col=group_col, ts_col=ts_col)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-half, half)
+    )
+    return grid.select(
+        "grp",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.avg("n").over(w), round_decimals).alias("trend"),
+    )

@@ -16,9 +16,17 @@ worst-key imbalance ratio.
 
 Results are identical to the plain equi-join (inner/left) — only the
 physical distribution changes; a property test asserts that.
+
+``join_skew_topk`` / ``join_size_estimate`` are the MEASUREMENT side:
+per-side key histograms (map-side combined, key-domain output) joined
+into per-key output estimates — exact inner-join cardinality, hottest
+key's share, skew ratio, and the top keys to salt, all BEFORE the join
+runs. Use them to pick salt_factor instead of guessing.
 """
 
 from __future__ import annotations
+
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,3 +87,72 @@ def salted_join(
     )
     joined = left.join(right, keys + [_SALT], how)
     return joined.drop(_SALT)
+
+
+def _key_histograms(
+    left: DataFrame, right: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    lh = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    rh = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        lh.join(rh, list(keys), "full_outer")
+        .select(
+            *keys,
+            F.coalesce("n_left", F.lit(0)).cast("long").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("long").alias("n_right"),
+        )
+        .withColumn(
+            "out_rows", (F.col("n_left") * F.col("n_right")).cast("long")
+        )
+    )
+
+
+def join_skew_topk(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] | str,
+    k: int = 10,
+) -> DataFrame:
+    """The ``k`` keys contributing the most inner-join output rows:
+    ``<keys...>, n_left, n_right, out_rows`` ordered by out_rows DESC
+    (ties: key ASC — deterministic). Keys present on only one side
+    appear with out_rows 0 only if they make the top-k of an otherwise
+    empty join (i.e. effectively never) — the interesting rows are the
+    multiplying ones."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    h = _key_histograms(left, right, ks)
+    return (
+        h.orderBy(F.desc("out_rows"), *[F.asc(c) for c in ks]).limit(k)
+    )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] | str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """One row: ``n_keys_both, out_rows, max_key_rows, max_share,
+    skew_ratio`` — out_rows is the EXACT inner-join output cardinality
+    (Σ n_l·n_r over shared keys), max_share the hottest key's fraction
+    of it, and skew_ratio = max key contribution / mean contribution
+    (1.0 = perfectly uniform; a cluster plans salting when this is
+    10³+). NULL metrics on an empty join."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    h = _key_histograms(left, right, ks).filter(F.col("out_rows") > 0)
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_both"),
+        F.sum("out_rows").cast("long").alias("out_rows"),
+        F.max("out_rows").cast("long").alias("max_key_rows"),
+        F.round(
+            F.try_divide(F.max("out_rows"), F.sum("out_rows")),
+            round_decimals,
+        ).alias("max_share"),
+        F.round(
+            F.try_divide(
+                F.max("out_rows"), F.avg("out_rows")
+            ),
+            round_decimals,
+        ).alias("skew_ratio"),
+    )

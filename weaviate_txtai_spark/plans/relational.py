@@ -4928,3 +4928,210 @@ def customer_supplier_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") + 1000000).alias("dst"),
     )
     return hits(edges, n_iter=4).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Round 8 batch 2: item-item co-visitation, join-skew diagnostics,
+# seasonality profile + MA trend, Holt double smoothing
+# --------------------------------------------------------------------------
+
+_ALSO_BOUGHT_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+n AS (SELECT item, count(*) AS n FROM b GROUP BY 1),
+co AS (SELECT a.item AS p1, c.item AS p2, count(*) AS pc
+       FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+bo AS (SELECT p1 AS item, p2 AS neighbor, pc FROM co
+       UNION ALL SELECT p2, p1, pc FROM co),
+s AS (SELECT bo.item, bo.neighbor, bo.pc,
+             round(bo.pc / sqrt(ni.n * nn.n), 6) AS cosine
+      FROM bo JOIN n ni ON bo.item = ni.item
+              JOIN n nn ON bo.neighbor = nn.item),
+r AS (SELECT item, neighbor, cosine,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY cosine DESC, pc DESC,
+                                         neighbor ASC) AS rank
+      FROM s)
+SELECT item, CAST(rank AS INTEGER) AS rank, neighbor, cosine
+FROM r WHERE rank <= 3 ORDER BY item, rank
+"""
+
+
+@register("part_also_bought", _ALSO_BOUGHT_SQL)
+def part_also_bought_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation top-k (operators/itemsets.py
+    item_similarity / also_bought_topk — Sarwar 2001 item-based CF):
+    per part, the 3 parts most often co-ordered, cosine over basket
+    sets. Spark side generates pairs MAP-SIDE from per-order sorted
+    arrays (never an item self-join); the oracle IS the self-join
+    formulation, so the hash match proves the generator."""
+    from weaviate_txtai_spark.operators.itemsets import also_bought_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return also_bought_topk(
+        li, "l_orderkey", "l_partkey", 3, min_pair_count=2
+    ).orderBy("item", "rank")
+
+
+_JOIN_SIZE_SQL = """
+WITH lh AS (SELECT o_orderkey AS key, count(*) AS nl FROM orders GROUP BY 1),
+rh AS (SELECT l_orderkey AS key, count(*) AS nr FROM lineitem GROUP BY 1),
+h AS (SELECT lh.key, nl * nr AS out_rows FROM lh JOIN rh USING (key))
+SELECT CAST(count(*) AS BIGINT) AS n_keys_both,
+       CAST(sum(out_rows) AS BIGINT) AS out_rows,
+       CAST(max(out_rows) AS BIGINT) AS max_key_rows,
+       round(max(out_rows) * 1.0 / sum(out_rows), 6) AS max_share,
+       round(max(out_rows) * 1.0 / avg(out_rows), 6) AS skew_ratio
+FROM h
+"""
+
+
+@register("orderkey_join_size", _JOIN_SIZE_SQL)
+def orderkey_join_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size / skew pre-flight (operators/skew.py
+    join_size_estimate): the EXACT inner-join output cardinality of
+    orders⋈lineitem on orderkey plus the hottest key's share and the
+    skew ratio vs uniform — the measurement that picks between salting,
+    AQE skew split, and broadcast BEFORE the join runs. Two
+    map-side-combined key histograms, one key-domain join, a 1-row
+    combine."""
+    from weaviate_txtai_spark.operators.skew import join_size_estimate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key")
+    )
+    return join_size_estimate(orders, li, "key")
+
+
+_SKEW_TOPK_SQL = """
+WITH lh AS (SELECT o_custkey AS key, count(*) AS n_left
+            FROM orders GROUP BY 1),
+rh AS (SELECT o_custkey AS key, count(*) AS n_right
+       FROM orders GROUP BY 1)
+SELECT lh.key, CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(n_left * n_right AS BIGINT) AS out_rows
+FROM lh JOIN rh USING (key)
+ORDER BY out_rows DESC, key ASC LIMIT 10
+"""
+
+
+@register("custkey_join_skew_topk", _SKEW_TOPK_SQL)
+def custkey_join_skew_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keys to salt (operators/skew.py join_skew_topk): top-10
+    custkeys by SELF-join output contribution — the shape of a
+    sessionization or同-entity pairing blowup. Deterministic tie-break
+    by key."""
+    from weaviate_txtai_spark.operators.skew import join_skew_topk
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    return join_skew_topk(orders, orders, "key", 10)
+
+
+_WEEKDAY_SQL = """
+WITH g AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+wd AS (SELECT grp, dayofweek(day) + 1 AS weekday, count(*) AS n_days,
+              avg(n) AS a
+       FROM g GROUP BY 1, 2),
+o AS (SELECT grp, avg(n) AS ov FROM g GROUP BY 1)
+SELECT wd.grp, CAST(wd.weekday AS INTEGER) AS weekday,
+       CAST(wd.n_days AS BIGINT) AS n_days,
+       round(wd.a, 6) AS avg_n, round(wd.a / o.ov, 6) AS index
+FROM wd JOIN o ON wd.grp = o.grp
+ORDER BY wd.grp, weekday
+"""
+
+
+@register("events_weekday_profile", _WEEKDAY_SQL)
+def events_weekday_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality indices per event type
+    (operators/seasonal.py weekday_profile): weekday mean daily volume
+    over the group's overall daily mean — the baseline that separates
+    a Saturday dip from an incident. Runs entirely on the daily grid
+    (one raw-event shuffle). DuckDB numbers Sunday 0, Spark 1 — the
+    oracle shifts."""
+    from weaviate_txtai_spark.operators.seasonal import weekday_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return weekday_profile(ev).orderBy("grp", "weekday")
+
+
+_TREND_MA_SQL = """
+WITH g AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+SELECT grp, day, CAST(n AS BIGINT) AS n,
+       round(avg(n) OVER (PARTITION BY grp
+                          ORDER BY datediff('day', DATE '1970-01-01', day)
+                          RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+             6) AS trend
+FROM g ORDER BY grp, day
+"""
+
+
+@register("events_trend_ma", _TREND_MA_SQL)
+def events_trend_ma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day moving-average trend per event type
+    (operators/seasonal.py trend_ma): a CALENDAR range window over the
+    daily grid (gap days neither invented nor double-counted), the
+    trend component the weekday indices divide out."""
+    from weaviate_txtai_spark.operators.seasonal import trend_ma
+
+    ev = load_table(spark, sf_dir, "events")
+    return trend_ma(ev, window_days=7).orderBy("grp", "day")
+
+
+_HOLT_SQL = """
+WITH RECURSIVE g AS (
+  SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+e AS (SELECT grp, day, v,
+             CAST(round(v * 1000000, 0) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY grp ORDER BY day) AS rn
+      FROM g),
+r AS (
+  SELECT grp, day, v, rn, x AS l, CAST(0 AS BIGINT) AS b
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.grp, e.day, e.v, e.rn,
+         (((3 * e.x + 7 * (r.l + r.b)) - (((3 * e.x + 7 * (r.l + r.b)) % 10) + 10) % 10) // 10),
+         (((2 * ((((3 * e.x + 7 * (r.l + r.b)) - (((3 * e.x + 7 * (r.l + r.b)) % 10) + 10) % 10) // 10) - r.l) + 8 * r.b) - (((2 * ((((3 * e.x + 7 * (r.l + r.b)) - (((3 * e.x + 7 * (r.l + r.b)) % 10) + 10) % 10) // 10) - r.l) + 8 * r.b) % 10) + 10) % 10) // 10)
+  FROM r JOIN e ON e.grp = r.grp AND e.rn = r.rn + 1)
+SELECT grp, day, v, round(l / 1000000.0, 6) AS level,
+       round(b / 1000000.0, 6) AS trend,
+       round((l + b) / 1000000.0, 6) AS forecast
+FROM r ORDER BY grp, day
+"""
+
+
+@register("events_holt_forecast", _HOLT_SQL)
+def events_holt_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of daily volumes per event
+    type (operators/changepoint.py holt_linear_exact): level + trend +
+    one-step forecast, the trend-aware baseline a volume monitor
+    compares tomorrow against. Spark folds the recursion over each
+    group's sorted series in ONE shuffle; the oracle runs the literal
+    recursion in a recursive CTE. FIXED-POINT (the pagerank_exact
+    discipline): per-step float rounding was observed to flip at a
+    1e-15 boundary between engines and the recursion re-feeds the
+    flip, so state is scaled LONGs with an exact floor division —
+    bit-identical everywhere."""
+    from weaviate_txtai_spark.operators.changepoint import holt_linear_exact
+    from weaviate_txtai_spark.operators.seasonal import daily_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = daily_counts(ev).select(
+        "grp", "day", F.col("n").cast("double").alias("v")
+    )
+    return holt_linear_exact(
+        grid, "grp", "day", "v", alpha_num=3, beta_num=2, den=10
+    ).orderBy("grp", "day")
