@@ -80,6 +80,12 @@ HEADLINE_HEAVY = [
     "phrase_match_positions",
     "lineitem_spearman",
     "supplier_name_matches",
+    # round-8 representatives: co-visitation (map-side pair explode +
+    # pair-table window), HITS (iterative join+agg), ordered sequence
+    # mining (windowed per-user self-join)
+    "part_also_bought",
+    "customer_supplier_hits",
+    "events_sequence_pairs",
 ]
 
 

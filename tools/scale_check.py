@@ -447,6 +447,67 @@ def main() -> None:
             group_col="o_orderpriority",
         )
 
+    # r8: co-visitation, sequence mining, HITS, CC (shipped path AND
+    # forced-distributed stars), Holt fold
+    def q_also_bought(li):
+        from weaviate_txtai_spark.operators.itemsets import also_bought_topk
+
+        return also_bought_topk(
+            li, "l_orderkey", "l_partkey", 3, min_pair_count=2
+        )
+
+    def q_seq_pairs(e):
+        from weaviate_txtai_spark.operators.seqmine import sequence_pairs
+
+        return sequence_pairs(e, window_seconds=1800, min_support=2)
+
+    def q_hits(cp):
+        from weaviate_txtai_spark.operators.graph import hits
+
+        return hits(
+            cp.select(
+                F.col("cust").alias("src"),
+                (F.col("part") + F.lit(50_000_000)).alias("dst"),
+            ),
+            n_iter=4,
+        )
+
+    def _chain_edges(o):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+        return o.select(
+            F.col("o_orderkey").alias("src"),
+            F.coalesce(
+                F.lead("o_orderkey").over(w), F.col("o_orderkey")
+            ).alias("dst"),
+        )
+
+    def q_cc_default(o):
+        # the SHIPPED path: below the local-finish threshold at both
+        # sizes — measures init shuffles + the single-task numpy kernel
+        from weaviate_txtai_spark.operators.graph import connected_components
+
+        return connected_components(_chain_edges(o))
+
+    def q_cc_stars(o):
+        # forced all-distributed star rounds (the >2M-edge regime's
+        # per-round machinery, measured on the small corpus)
+        from weaviate_txtai_spark.operators.graph import connected_components
+
+        return connected_components(_chain_edges(o), local_finish_edges=0)
+
+    def q_holt(e):
+        from weaviate_txtai_spark.operators.changepoint import (
+            holt_linear_exact,
+        )
+        from weaviate_txtai_spark.operators.seasonal import daily_counts
+
+        grid = daily_counts(e).select(
+            "grp", "day", F.col("n").cast("double").alias("v")
+        )
+        return holt_linear_exact(grid, "grp", "day", "v")
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_prefix_jaccard", q_prefix_jaccard, q_prefix_jaccard,
@@ -482,6 +543,13 @@ def main() -> None:
         ("multi_phrase_match", q_multiphrase, q_multiphrase, docs1, docs2),
         ("price_percentiles_counted", q_counted_pctl, q_counted_pctl,
          ord1, ord2),
+        ("part_also_bought", q_also_bought, q_also_bought, li1, li2),
+        ("events_sequence_pairs", q_seq_pairs, q_seq_pairs, ev1, ev2),
+        ("customer_supplier_hits", q_hits, q_hits, cp1, cp2),
+        ("order_chain_components", q_cc_default, q_cc_default, ord1, ord2),
+        ("order_chain_components_stars", q_cc_stars, q_cc_stars,
+         ord1, ord2),
+        ("events_holt_forecast", q_holt, q_holt, ev1, ev2),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:

@@ -19,7 +19,7 @@ Welch–Satterthwaite df, sample (n−1) variances.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -247,4 +247,115 @@ def cuped_adjust(
             * F.coalesce(x - F.col("__mx"), F.lit(0.0)),
         )
         .drop("__theta", "__mx")
+    )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    *,
+    id_cols: "list[str] | None" = None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment (1995, public knowledge) over a
+    battery of test p-values — the correction a metrics platform applies
+    when one experiment readout fires hundreds of hypothesis tests and
+    "significant at 0.05" would be guaranteed noise.
+
+    q_i = min_{j ≥ i} ( p_(j) · n / j ), capped at 1 — computed as a
+    running minimum from the LARGEST p down.
+
+    Scale: the battery is test-domain-sized (one row per hypothesis —
+    hundreds, not billions), so the single unpartitioned rank window is
+    bounded by construction, the same justification as the drift grids.
+    Ties in p get identical q (rank() would double-count; row_number
+    per sorted order + the suffix-min makes tied p share the min —
+    asserted in tests). NULL p-values are dropped.
+
+    Output: the input's ``id_cols`` + ``p, q`` ordered by p."""
+    ids = list(id_cols) if id_cols else []
+    base = df.filter(F.col(p_col).isNotNull()).select(
+        *ids, F.col(p_col).cast("double").alias("p")
+    )
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
+    w_rank = Window.orderBy(F.asc("p"), *[F.asc(c) for c in ids])
+    w_suffix = Window.orderBy(F.asc("p"), *[F.asc(c) for c in ids]).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    return (
+        base.join(F.broadcast(n))
+        .withColumn("__i", F.row_number().over(w_rank))
+        .withColumn("__raw", F.col("p") * F.col("__n") / F.col("__i"))
+        .withColumn(
+            "q",
+            F.round(
+                F.least(F.min("__raw").over(w_suffix), F.lit(1.0)),
+                round_decimals,
+            ),
+        )
+        .select(*ids, F.round("p", round_decimals).alias("p"), "q")
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    group_a,
+    group_b,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Cliff's delta (1993, public knowledge): P(a > b) − P(a < b) over
+    all cross-group pairs — the ordinal, outlier-proof effect size that
+    belongs next to the Mann-Whitney U test (same dominance structure;
+    δ = 2U/(n_a·n_b) − 1).
+
+    Scale: NEVER the quadratic pair set. Both groups reduce to VALUE
+    DOMAIN count tables; a merged domain with group-partitioned prefix
+    sums gives, for every a-value, how many b-rows are strictly below /
+    tied — one shuffle over distinct values.
+
+    Output (1 row): ``n_a, n_b, delta`` (NULL when either group is
+    empty)."""
+    g = F.col(group_col)
+    base = df.filter(
+        g.isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(
+        F.when(g == group_a, F.lit("a")).otherwise(F.lit("b")).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    vc = base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    # per value: counts on each side, then b-side exclusive prefix over
+    # the merged value domain = #b strictly below that value
+    wide = vc.groupBy("__v").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__g") == "a", F.col("__c"))), F.lit(0)
+        ).alias("__ca"),
+        F.coalesce(
+            F.sum(F.when(F.col("__g") == "b", F.col("__c"))), F.lit(0)
+        ).alias("__cb"),
+    )
+    w_below = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_above = Window.orderBy("__v").rowsBetween(1, Window.unboundedFollowing)
+    dom = (
+        wide.withColumn(
+            "__b_below", F.coalesce(F.sum("__cb").over(w_below), F.lit(0))
+        )
+        .withColumn(
+            "__b_above", F.coalesce(F.sum("__cb").over(w_above), F.lit(0))
+        )
+    )
+    return dom.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("__ca") * (F.col("__b_below") - F.col("__b_above"))),
+                F.sum("__ca") * F.sum("__cb"),
+            ),
+            round_decimals,
+        ).alias("delta"),
     )

@@ -95,3 +95,62 @@ def key_uniqueness(
             (F.sum("__c") - F.count(F.lit(1))) / F.sum("__c"), round_decimals
         ).alias("dup_fraction"),
     )
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    child_keys: Sequence[str] | str,
+    parent_keys: Sequence[str] | str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Orphan-foreign-key audit: how many child rows reference a parent
+    key that does not exist — the referential check a lakehouse ingest
+    runs where a database would have had a constraint. NULL child keys
+    are counted separately (a null FK is "unlinked", not "broken").
+
+    Plan: one left-anti join of the child's KEY HISTOGRAM (map-side
+    combined — the anti-join touches key-domain rows, not child rows)
+    against the parent's distinct keys, plus a 1-row child aggregate.
+
+    Output (1 row): ``n_child, n_null_fk, n_orphan_rows,
+    n_orphan_keys, orphan_fraction`` (fraction over non-null rows;
+    NULL when no non-null rows)."""
+    ck = [child_keys] if isinstance(child_keys, str) else list(child_keys)
+    pk = [parent_keys] if isinstance(parent_keys, str) else list(parent_keys)
+    if len(ck) != len(pk):
+        raise ValueError("child_keys and parent_keys must align")
+    nonnull = F.lit(True)
+    for c in ck:
+        nonnull = nonnull & F.col(c).isNotNull()
+    base = child.select(*ck).withColumn("__ok", nonnull)
+    totals = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("__nn"),
+    )
+    hist = (
+        base.filter("__ok")
+        .groupBy(*ck)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    pkeys = parent.select(
+        *[F.col(p).alias(c) for c, p in zip(ck, pk)]
+    ).distinct()
+    orphans = hist.join(pkeys, ck, "left_anti").agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__or"),
+        F.count(F.lit(1)).alias("__ok_keys"),
+    )
+    return (
+        totals.join(F.broadcast(orphans))
+        .select(
+            F.col("__n").cast("long").alias("n_child"),
+            F.col("__nn").cast("long").alias("n_null_fk"),
+            F.col("__or").cast("long").alias("n_orphan_rows"),
+            F.col("__ok_keys").cast("long").alias("n_orphan_keys"),
+            F.round(
+                F.try_divide(F.col("__or"), F.col("__n") - F.col("__nn")),
+                round_decimals,
+            ).alias("orphan_fraction"),
+        )
+    )

@@ -96,3 +96,59 @@ def trend_ma(
         F.col("n").cast("long").alias("n"),
         F.round(F.avg("n").over(w), round_decimals).alias("trend"),
     )
+
+
+def fill_daily_gaps(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    fill: str = "zero",
+) -> DataFrame:
+    """Dense daily grid per group: every calendar day in [group's first
+    day, group's last day] gets a row — ``fill='zero'`` puts 0 on
+    missing days (count semantics: no events IS zero events),
+    ``fill='ffill'`` carries the last observed count forward (gauge
+    semantics). Downstream smoothing/trend operators assume a dense
+    grid; silently skipping gap days biases every window that spans
+    one.
+
+    Scale: the grid explodes one row per (group, day-in-span) from the
+    per-group [min, max] — output-sized, no join against raw events
+    beyond the initial daily count; the forward fill is a
+    group-partitioned last-non-null window over the grid.
+
+    Output: ``grp, day, n, observed``."""
+    if fill not in ("zero", "ffill"):
+        raise ValueError(f"fill must be zero|ffill, got {fill!r}")
+    grid = daily_counts(events, group_col=group_col, ts_col=ts_col)
+    span = grid.groupBy("grp").agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    dense = span.select(
+        "grp",
+        F.explode(F.sequence("__d0", "__d1")).alias("day"),
+    )
+    joined = dense.join(grid, ["grp", "day"], "left").select(
+        "grp", "day", F.col("n").alias("__obs")
+    )
+    if fill == "zero":
+        out = joined.select(
+            "grp",
+            "day",
+            F.coalesce("__obs", F.lit(0)).cast("long").alias("n"),
+            F.col("__obs").isNotNull().alias("observed"),
+        )
+    else:
+        w = (
+            Window.partitionBy("grp")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = joined.select(
+            "grp",
+            "day",
+            F.last("__obs", ignorenulls=True).over(w).cast("long").alias("n"),
+            F.col("__obs").isNotNull().alias("observed"),
+        )
+    return out

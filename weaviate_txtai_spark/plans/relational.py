@@ -5135,3 +5135,152 @@ def events_holt_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_linear_exact(
         grid, "grp", "day", "v", alpha_num=3, beta_num=2, den=10
     ).orderBy("grp", "day")
+
+
+# --------------------------------------------------------------------------
+# Round 8 batch 3: referential integrity, FDR correction, ordinal effect
+# size, dense-grid gap fill
+# --------------------------------------------------------------------------
+
+_REF_INTEGRITY_SQL = """
+WITH c AS (
+  SELECT l_orderkey AS k,
+         CASE WHEN l_orderkey IS NULL THEN 0 ELSE 1 END AS ok
+  FROM lineitem),
+t AS (SELECT count(*) AS n, sum(1 - ok) AS nn FROM c),
+h AS (SELECT k, count(*) AS cnt FROM c WHERE ok = 1 GROUP BY 1),
+o AS (
+  SELECT coalesce(sum(cnt), 0) AS orr, count(*) AS ok_keys
+  FROM h LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+       USING (k)
+  WHERE p.k IS NULL)
+SELECT CAST(t.n AS BIGINT) AS n_child, CAST(t.nn AS BIGINT) AS n_null_fk,
+       CAST(o.orr AS BIGINT) AS n_orphan_rows,
+       CAST(o.ok_keys AS BIGINT) AS n_orphan_keys,
+       round(o.orr * 1.0 / (t.n - t.nn), 6) AS orphan_fraction
+FROM t, o
+"""
+
+
+@register("lineitem_orders_integrity", _REF_INTEGRITY_SQL)
+def lineitem_orders_integrity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK audit (operators/fd.py referential_integrity):
+    lineitem rows whose orderkey has no orders parent — the referential
+    check an ingest runs where a database would have a constraint. The
+    anti-join runs on the child's KEY HISTOGRAM, never child rows."""
+    from weaviate_txtai_spark.operators.fd import referential_integrity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return referential_integrity(
+        li, orders, child_keys="l_orderkey", parent_keys="o_orderkey"
+    )
+
+
+_BH_SQL = """
+WITH t AS (
+  SELECT event_type AS test_id,
+         round(least(greatest(avg(value) - 99.0, 0.001), 0.999), 6) AS p
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+n AS (SELECT count(*) AS n FROM t),
+r AS (SELECT test_id, p, row_number() OVER (ORDER BY p, test_id) AS i
+      FROM t),
+q AS (SELECT test_id, p, round(least(min(p * n.n / i)
+               OVER (ORDER BY p, test_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+             1.0), 6) AS q
+      FROM r, n)
+SELECT test_id, p, q FROM q ORDER BY p, test_id
+"""
+
+
+@register("events_bh_fdr", _BH_SQL)
+def events_bh_fdr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment (operators/abtest.py
+    bh_adjust) over a per-event-type battery of derived pseudo
+    p-values: q_i = min suffix of p·n/rank, capped at 1 — the
+    multiple-testing correction a metrics readout applies before
+    calling anything significant. Battery is test-domain-sized, so the
+    one unpartitioned window is bounded by construction."""
+    from weaviate_txtai_spark.operators.abtest import bh_adjust
+
+    ev = load_table(spark, sf_dir, "events")
+    battery = ev.filter(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("test_id")
+    ).agg(
+        F.round(
+            F.least(
+                F.greatest(F.avg("value") - 99.0, F.lit(0.001)),
+                F.lit(0.999),
+            ),
+            6,
+        ).alias("p")
+    )
+    return bh_adjust(battery, "p", id_cols=["test_id"]).orderBy(
+        "p", "test_id"
+    )
+
+
+_CLIFFS_SQL = """
+WITH b AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g, value AS v
+  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+pairs AS (
+  SELECT sum(CASE WHEN a.v > bb.v THEN 1 WHEN a.v < bb.v THEN -1
+                  ELSE 0 END) AS s
+  FROM b a JOIN b bb ON a.g = 'a' AND bb.g = 'b'),
+n AS (SELECT count(*) FILTER (g = 'a') AS na,
+             count(*) FILTER (g = 'b') AS nb FROM b)
+SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+       round(pairs.s * 1.0 / (n.na * n.nb), 6) AS delta
+FROM pairs, n
+"""
+
+
+@register("purchase_value_cliffs_delta", _CLIFFS_SQL)
+def purchase_value_cliffs_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the A/B cohorts'
+    purchase values (operators/abtest.py cliffs_delta): P(a>b) − P(a<b)
+    computed from VALUE-DOMAIN count tables with prefix sums — the
+    oracle is the literal quadratic pair comparison, so the hash match
+    proves the domain identity. Companion to ab_value_mwu (δ =
+    2U/(n_a·n_b) − 1)."""
+    from weaviate_txtai_spark.operators.abtest import cliffs_delta
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("g"),
+        "value",
+    )
+    return cliffs_delta(purch, "g", "value", group_a="a", group_b="b")
+
+
+_GAPFILL_SQL = """
+WITH g AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+s AS (SELECT grp, min(day) AS d0, max(day) AS d1 FROM g GROUP BY 1),
+dense AS (SELECT grp, CAST(u.d AS DATE) AS day
+          FROM s, unnest(generate_series(s.d0, s.d1,
+                                         INTERVAL 1 DAY)) AS u(d))
+SELECT dense.grp, dense.day,
+       CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+       g.n IS NOT NULL AS observed
+FROM dense LEFT JOIN g ON dense.grp = g.grp AND dense.day = g.day
+ORDER BY dense.grp, dense.day
+"""
+
+
+@register("events_daily_gapfill", _GAPFILL_SQL)
+def events_daily_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid with zero fill (operators/seasonal.py
+    fill_daily_gaps): every calendar day in each group's span gets a
+    row — the precondition the smoothing/trend operators assume (a
+    skipped gap day silently biases every window spanning it). Grid
+    explodes from per-group [min,max] — output-sized."""
+    from weaviate_txtai_spark.operators.seasonal import fill_daily_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    return fill_daily_gaps(ev, fill="zero").orderBy("grp", "day")
