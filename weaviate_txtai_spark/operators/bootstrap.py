@@ -1,0 +1,129 @@
+"""Distributed bootstrap confidence intervals via Poisson resampling.
+
+Why it's the 100 TB method: the classical bootstrap resamples n rows
+WITH replacement — a global operation that can't run map-side. The
+Poisson bootstrap (Hanley & MacGibbon 2006; the standard trick in
+large-scale A/B platforms — public knowledge) replaces each replicate's
+multinomial row counts with independent Poisson(1) draws, which are
+row-local: every row decides its own weight in every replicate from a
+hash, so B replicates cost ONE map-side pass and one (replicate)
+aggregate — no resample shuffle, no driver data.
+
+Determinism: the per-(row, replicate) Poisson(1) draw inverts a
+Knuth-multiplicative hash uniform (the engine's established
+SQL-replicable PRN shape: ``((id + b·999983)·2654435761) mod 2³² /
+2³²`` — the replicate index folds in pre-multiply so streams
+decorrelate), so
+the DuckDB oracle replays the exact draws — no Spark-only hash
+function anywhere.
+
+Output quantiles use the percentile-of-B-means convention over the
+replicate DOMAIN (B rows), interpolated like quantile_cont.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Poisson(1) inverse-CDF thresholds: P(K <= k) for k = 0..7; a uniform
+# below threshold[k] (first hit) maps to count k. P(K>7) < 1e-5 — the
+# tail is folded into k=8 (bias < 1e-4 on any moment, identical on both
+# engines since the constants are literal).
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+]
+
+
+def _poisson1(u):
+    expr = F.lit(8)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    *,
+    id_col: str,
+    n_replicates: int = 50,
+    alpha: float = 0.05,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the MEAN of ``value_col``.
+
+    Each row contributes Poisson(1) copies of itself to each of
+    ``n_replicates`` replicate means (weighted mean = Σw·x / Σw); the
+    CI is the (α/2, 1−α/2) interpolated percentile of the B replicate
+    means. The point estimate is the plain sample mean.
+
+    Plan: one explode of a ``sequence(0, B−1)`` literal (row × B,
+    map-side), one (replicate) aggregate with map-side combine
+    (B-domain reduce side), one B-row percentile fold. Rows with NULL
+    value or id are dropped.
+
+    Output (1 row): ``n, mean, lo, hi, n_replicates``."""
+    if n_replicates < 2:
+        raise ValueError("n_replicates must be >= 2")
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    rep = base.select(
+        "__id",
+        "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__b"),
+    )
+    # the replicate index folds in BEFORE the multiply: an additive
+    # post-multiply term only shifts u by b*eps and every replicate
+    # would draw near-identical weights (observed: a tight CI around a
+    # biased value); pre-multiply, one step of b wraps the product many
+    # times and decorrelates the replicate streams
+    u = (
+        F.pmod(
+            (F.col("__id") + F.col("__b") * F.lit(999983))
+            * F.lit(2654435761),
+            F.lit(4294967296),
+        )
+        / F.lit(4294967296.0)
+    )
+    weighted = rep.withColumn("__w", _poisson1(u).cast("double"))
+    means = weighted.groupBy("__b").agg(
+        F.round(
+            F.try_divide(
+                F.sum(F.col("__w") * F.col("__x")), F.sum("__w")
+            ),
+            round_decimals + 3,
+        ).alias("__m")
+    )
+    # interpolated percentiles over the B replicate means: B rows —
+    # F.percentile's buffering is fine at replicate-domain size
+    lo_p, hi_p = alpha / 2, 1 - alpha / 2
+    ci = means.agg(
+        F.round(F.percentile("__m", F.lit(lo_p)), round_decimals).alias(
+            "lo"
+        ),
+        F.round(F.percentile("__m", F.lit(hi_p)), round_decimals).alias(
+            "hi"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("__x"), round_decimals).alias("mean"),
+    )
+    return stats.join(F.broadcast(ci)).select(
+        "n", "mean", "lo", "hi", "n_replicates"
+    )

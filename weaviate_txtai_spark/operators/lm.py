@@ -284,3 +284,39 @@ def bigram_nll(
         F.lit(None).cast("double").alias("nll"),
     )
     return out.unionByName(shorts)
+
+
+def negative_sampling_weights(
+    counts: DataFrame,
+    term_col: str,
+    count_col: str,
+    *,
+    power: float = 0.75,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """The word2vec negative-sampling distribution (Mikolov 2013,
+    public knowledge): P(term) ∝ count^0.75 — the tempering that keeps
+    ultra-frequent tokens from swallowing the negative budget while
+    still sampling them more than the tail. The same table drives
+    contrastive-pair mining and hard-negative quotas in embedding
+    training pipelines.
+
+    One term-domain pass + a 1-row broadcast total. Output: term,
+    count, ``weight`` (normalized, Σ = 1)."""
+    if power <= 0:
+        raise ValueError("power must be > 0")
+    base = counts.filter(
+        F.col(count_col).isNotNull() & (F.col(count_col) > 0)
+    ).select(
+        F.col(term_col).alias("term"),
+        F.col(count_col).cast("long").alias("count"),
+        F.pow(F.col(count_col).cast("double"), F.lit(float(power))).alias(
+            "__p"
+        ),
+    )
+    tot = base.agg(F.sum("__p").alias("__t"))
+    return base.join(F.broadcast(tot)).select(
+        "term",
+        "count",
+        F.round(F.col("__p") / F.col("__t"), round_decimals).alias("weight"),
+    )

@@ -289,3 +289,59 @@ def k_anonymity_report(
             round_decimals,
         ).alias("risky_frac"),
     )
+
+
+def zipf_fit(
+    counts: DataFrame,
+    term_col: str,
+    count_col: str,
+    *,
+    top_n: int = 1000,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over a term-frequency table: OLS of log(freq) on
+    log(rank) for the ``top_n`` most frequent terms — the corpus-health
+    gauge (natural text sits near slope −1; a badly deduped or
+    boilerplate-heavy crawl bends the curve) and the exponent behind
+    unigram-table sizing decisions.
+
+    Plan: TakeOrderedAndProject to the top_n (count DESC, term ASC —
+    deterministic ties), then ranks via one row_number over the
+    ALREADY-BOUNDED top_n rows (the post-limit bounded-window
+    discipline, see pq.py), then a closed-form OLS aggregate.
+
+    Output (1 row): ``n_terms, slope, intercept, r2``."""
+    from pyspark.sql import Window
+
+    if top_n < 3:
+        raise ValueError("top_n must be >= 3")
+    top = (
+        counts.filter(F.col(count_col).isNotNull() & (F.col(count_col) > 0))
+        .orderBy(F.desc(count_col), F.asc(term_col))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc(count_col), F.asc(term_col))
+    pts = top.withColumn("__r", F.row_number().over(w)).select(
+        F.log(F.col("__r").cast("double")).alias("__x"),
+        F.log(F.col(count_col).cast("double")).alias("__y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+        F.covar_pop("__x", "__y").alias("__cxy"),
+        F.var_pop("__x").alias("__vx"),
+        F.var_pop("__y").alias("__vy"),
+    )
+    slope = F.try_divide(F.col("__cxy"), F.col("__vx"))
+    r2 = F.try_divide(
+        F.col("__cxy") * F.col("__cxy"), F.col("__vx") * F.col("__vy")
+    )
+    return agg.select(
+        F.col("__n").cast("long").alias("n_terms"),
+        F.round(slope, round_decimals).alias("slope"),
+        F.round(
+            F.col("__my") - slope * F.col("__mx"), round_decimals
+        ).alias("intercept"),
+        F.round(r2, round_decimals).alias("r2"),
+    )

@@ -5284,3 +5284,58 @@ def events_daily_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return fill_daily_gaps(ev, fill="zero").orderBy("grp", "day")
+
+
+_BOOTSTRAP_SQL = """
+WITH base AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+         CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+rep AS (SELECT id, x, s.b FROM base,
+        unnest(generate_series(0, 49)) AS s(b)),
+u AS (SELECT x, b,
+             (((id + b * 999983) * 2654435761) % 4294967296)
+               / 4294967296.0 AS u
+      FROM rep),
+w AS (SELECT x, b,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS w
+      FROM u),
+m AS (SELECT b, round(sum(w * x) / sum(w), 9) AS m FROM w GROUP BY b),
+ci AS (SELECT round(quantile_cont(m, 0.025), 6) AS lo,
+              round(quantile_cont(m, 0.975), 6) AS hi,
+              CAST(count(*) AS BIGINT) AS n_replicates
+       FROM m),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, round(avg(x), 6) AS mean
+       FROM base)
+SELECT st.n, st.mean, ci.lo, ci.hi, ci.n_replicates FROM st, ci
+"""
+
+
+@register("lineitem_bootstrap_ci", _BOOTSTRAP_SQL)
+def lineitem_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CI for mean extended price
+    (operators/bootstrap.py — Hanley & MacGibbon 2006, the large-scale
+    A/B platform standard): each row contributes Poisson(1) copies per
+    replicate from a hash-inverted uniform, so 50 replicates cost ONE
+    map-side pass + a replicate-domain aggregate — no resample shuffle.
+    The draw inverts the engine's SQL-replicable Knuth hash, so the
+    oracle replays the exact resample."""
+    from weaviate_txtai_spark.operators.bootstrap import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_extendedprice",
+    )
+    return poisson_bootstrap_mean_ci(
+        li, "l_extendedprice", id_col="rid", n_replicates=50
+    )

@@ -1409,3 +1409,79 @@ def source_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, group_col="source", value_col="n_chars",
         baseline="src0", n_bins=10,
     ).withColumnRenamed("source", "source").orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Round 8 batch 4: Zipf fit + negative-sampling table over the token
+# frequency domain
+# --------------------------------------------------------------------------
+
+_ZIPF_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term ASC LIMIT 500),
+pts AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC)
+                       AS DOUBLE)) AS x,
+               ln(CAST(cnt AS DOUBLE)) AS y
+        FROM top),
+a AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+             covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy
+      FROM pts)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round(cxy / vx, 6) AS slope,
+       round(my - (cxy / vx) * mx, 6) AS intercept,
+       round(cxy * cxy / (vx * vy), 6) AS r2
+FROM a
+"""
+
+
+@register("token_zipf_fit", _ZIPF_SQL)
+def token_zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies
+    (operators/profile.py zipf_fit): OLS of log freq on log rank for
+    the top-500 terms — the corpus-health gauge (natural text ≈ slope
+    −1; boilerplate or bad dedup bends the curve). TakeOrdered bounds
+    the rank window to the already-limited top-N."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.profile import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return zipf_fit(counts, "term", "cnt", top_n=500)
+
+
+_NEGSAMPLE_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM tok GROUP BY 1),
+t AS (SELECT sum(pow(CAST(count AS DOUBLE), 0.75)) AS tt FROM c)
+SELECT term, count,
+       round(pow(CAST(count AS DOUBLE), 0.75) / t.tt, 9) AS weight
+FROM c, t ORDER BY term
+"""
+
+
+@register("token_negative_sampling", _NEGSAMPLE_SQL)
+def token_negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling distribution (operators/lm.py
+    negative_sampling_weights): P(term) ∝ count^0.75 over the token
+    domain — the tempered unigram table contrastive-pair mining and
+    hard-negative quotas draw from. One domain pass + a broadcast
+    total."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.lm import negative_sampling_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return negative_sampling_weights(counts, "term", "cnt").orderBy("term")
