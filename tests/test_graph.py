@@ -146,3 +146,22 @@ def test_hits_bipartite_symmetry(spark):
     ).collect()}
     assert {out[n][0] for n in (1, 2, 3, 4)} == {1.0}
     assert {out[n][1] for n in (10, 11, 12, 13)} == {1.0}
+
+
+def test_pagerank_exact_local_finish_bit_matches_distributed(spark):
+    """The threshold-gated single-task path must be BIT-identical to
+    the distributed star of integer jobs (same integer arithmetic),
+    including dangling handling and duplicate-edge double counting."""
+    import random
+
+    from weaviate_txtai_spark.operators.graph import pagerank_exact
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    edges += edges[:5]  # duplicates keep double-count semantics
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = sorted(map(tuple, pagerank_exact(df, iters=4).collect()))
+    dist = sorted(
+        map(tuple, pagerank_exact(df, iters=4, local_finish_edges=0).collect())
+    )
+    assert local == dist

@@ -118,6 +118,57 @@ def pagerank(
     return ranks
 
 
+def _local_pagerank_exact(
+    e: DataFrame,
+    iters: int,
+    damping_num: int,
+    damping_den: int,
+    scale: int,
+    n_nodes: int,
+) -> DataFrame:
+    """Single-task replica of the ``pagerank_exact`` integer recursion
+    (same motivation as ``_local_components``: below the threshold,
+    every distributed iteration is pure job overhead). The arithmetic
+    is INTEGER throughout — truncating division on non-negative values
+    == floor — so the result is bit-identical to the distributed path,
+    not approximately equal. Duplicate edge rows keep their
+    double-count semantics (no dedup, matching the distributed form).
+    Runs executor-side via ``repartition(1).mapInPandas``."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        srcs, dsts = [], []
+        for b in batches:
+            srcs.append(b["src"].to_numpy(dtype="int64"))
+            dsts.append(b["dst"].to_numpy(dtype="int64"))
+        if not srcs:
+            yield pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                "rank_fp": pd.Series([], dtype="int64")})
+            return
+        s = np.concatenate(srcs)
+        d = np.concatenate(dsts)
+        nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        si, di = inv[: len(s)], inv[len(s):]
+        n = len(nodes)
+        assert n == n_nodes
+        deg = np.zeros(n, dtype="int64")
+        np.add.at(deg, si, 1)
+        base = ((damping_den - damping_num) * scale) // (
+            damping_den * n
+        )
+        r = np.full(n, scale // n, dtype="int64")
+        for _ in range(iters):
+            dm = int(r[deg == 0].sum())
+            mass = np.zeros(n, dtype="int64")
+            np.add.at(mass, di, r[si] // deg[si])
+            r = base + (damping_num * (mass + dm // n)) // damping_den
+        yield pd.DataFrame({"id": nodes, "rank_fp": r})
+
+    return e.repartition(1).mapInPandas(run, "id bigint, rank_fp bigint")
+
+
 def pagerank_exact(
     edges: DataFrame,
     *,
@@ -127,6 +178,7 @@ def pagerank_exact(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    local_finish_edges: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank: every rank is a scaled LONG and every step
     is integer arithmetic (``div``), so the trajectory is identical TO
@@ -159,6 +211,14 @@ def pagerank_exact(
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank_exact: empty edge frame")
+    # small graph ⇒ the iterations are pure job overhead: finish in one
+    # task, BIT-IDENTICALLY (integer arithmetic — same reasoning as
+    # connected_components' local finish; 0 disables). The edge count
+    # reads the already-persisted frame — one cheap job.
+    if local_finish_edges and e.count() <= local_finish_edges:
+        return _local_pagerank_exact(
+            e, iters, damping_num, damping_den, scale, n_nodes
+        )
     deg = scoped_persist(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
     ranks = nodes.select("id", F.lit(scale // n_nodes).alias("r"))
