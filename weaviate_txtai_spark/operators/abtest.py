@@ -359,3 +359,72 @@ def cliffs_delta(
             round_decimals,
         ).alias("delta"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    *,
+    treat_value,
+    post_value,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger lineage,
+    public knowledge): the treatment effect when randomization wasn't
+    available but a parallel-trends control is —
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    with the standard independent-cells SE = √(Σ s²_c/n_c) over the
+    four cells (sample variances). The readout a rollout review uses
+    when a config change shipped to one cohort on a known date.
+
+    One map-side-combined pass over the rows; four cells + a 1-row
+    combine. Output: ``n_tpre, n_tpost, n_cpre, n_cpost, did, se`` —
+    NULL se when any cell has < 2 rows."""
+    is_t = F.col(group_col) == F.lit(treat_value)
+    is_post = F.col(period_col) == F.lit(post_value)
+    y = F.col(value_col).cast("double")
+
+    def cell(t: bool, p: bool, what):
+        c = (is_t if t else ~is_t) & (is_post if p else ~is_post)
+        return what(F.when(c, y))
+
+    agg = df.filter(F.col(value_col).isNotNull()).agg(
+        *[
+            a.alias(n)
+            for n, a in [
+                ("n_tpre", cell(True, False, F.count)),
+                ("n_tpost", cell(True, True, F.count)),
+                ("n_cpre", cell(False, False, F.count)),
+                ("n_cpost", cell(False, True, F.count)),
+                ("m_tpre", cell(True, False, F.avg)),
+                ("m_tpost", cell(True, True, F.avg)),
+                ("m_cpre", cell(False, False, F.avg)),
+                ("m_cpost", cell(False, True, F.avg)),
+                ("v_tpre", cell(True, False, F.var_samp)),
+                ("v_tpost", cell(True, True, F.var_samp)),
+                ("v_cpre", cell(False, False, F.var_samp)),
+                ("v_cpost", cell(False, True, F.var_samp)),
+            ]
+        ]
+    )
+    did = (F.col("m_tpost") - F.col("m_tpre")) - (
+        F.col("m_cpost") - F.col("m_cpre")
+    )
+    se = F.sqrt(
+        F.col("v_tpre") / F.col("n_tpre")
+        + F.col("v_tpost") / F.col("n_tpost")
+        + F.col("v_cpre") / F.col("n_cpre")
+        + F.col("v_cpost") / F.col("n_cpost")
+    )
+    return agg.select(
+        F.col("n_tpre").cast("long").alias("n_tpre"),
+        F.col("n_tpost").cast("long").alias("n_tpost"),
+        F.col("n_cpre").cast("long").alias("n_cpre"),
+        F.col("n_cpost").cast("long").alias("n_cpost"),
+        F.round(did, round_decimals).alias("did"),
+        F.round(se, round_decimals).alias("se"),
+    )

@@ -152,3 +152,64 @@ def fill_daily_gaps(
             F.col("__obs").isNotNull().alias("observed"),
         )
     return out
+
+
+def volume_anomalies(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    threshold: float = 0.5,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """The composed telemetry end-product: seasonally-adjusted volume
+    anomaly flags. Expected daily volume = centered MA trend × the
+    group's weekday index; a day is anomalous when
+    |ln(actual/expected)| > ``threshold`` (symmetric in spikes and
+    dips; 0.5 ≈ a ±65% departure). This is what a raw z-score can't do
+    — a Saturday dip is SEASON, not incident.
+
+    One daily-count shuffle; everything after runs on the grid (trend:
+    group-partitioned range window; weekday index: a weekday-domain
+    join). Output: ``grp, day, n, expected, log_ratio, anomaly``."""
+    if window_days < 1 or window_days % 2 == 0:
+        raise ValueError("window_days must be odd and >= 1")
+    half = window_days // 2
+    grid = daily_counts(events, group_col=group_col, ts_col=ts_col)
+    wtr = (
+        Window.partitionBy("grp")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-half, half)
+    )
+    with_trend = grid.withColumn(
+        "__trend", F.round(F.avg("n").over(wtr), round_decimals)
+    ).withColumn("__wd", F.dayofweek("day"))
+    per_wd = grid.withColumn("__wd", F.dayofweek("day")).groupBy(
+        "grp", "__wd"
+    ).agg(F.avg("n").alias("__a"))
+    overall = grid.groupBy("grp").agg(F.avg("n").alias("__o"))
+    idx = per_wd.join(F.broadcast(overall), "grp").select(
+        "grp",
+        "__wd",
+        F.round(F.col("__a") / F.col("__o"), round_decimals).alias("__idx"),
+    )
+    out = with_trend.join(F.broadcast(idx), ["grp", "__wd"]).select(
+        "grp",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("__trend") * F.col("__idx"), round_decimals).alias(
+            "expected"
+        ),
+    )
+    log_ratio = F.round(
+        F.log(F.try_divide(F.col("n"), F.col("expected"))), round_decimals
+    )
+    return out.select(
+        "grp",
+        "day",
+        "n",
+        "expected",
+        log_ratio.alias("log_ratio"),
+        (F.abs(log_ratio) > F.lit(float(threshold))).alias("anomaly"),
+    )

@@ -5339,3 +5339,164 @@ def lineitem_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_mean_ci(
         li, "l_extendedprice", id_col="rid", n_replicates=50
     )
+
+
+# --------------------------------------------------------------------------
+# Round 8 batch 5: conformal intervals, diff-in-diff, composed
+# seasonally-adjusted anomaly flags
+# --------------------------------------------------------------------------
+
+_CONFORMAL_SQL = """
+WITH base AS (
+  SELECT l_quantity * 3800.0 AS pred,
+         CAST(l_extendedprice AS DOUBLE) AS actual,
+         l_orderkey % 2 = 0 AS cal
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+r AS (SELECT round(abs(pred - actual), 6) AS r, cal FROM base),
+vc AS (SELECT r AS v, count(*) AS c FROM r WHERE cal GROUP BY 1),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vc),
+t AS (SELECT sum(c) AS n FROM vc),
+kk AS (SELECT CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k, n FROM t),
+q AS (SELECT kk.n AS n_cal, kk.k,
+             min(CASE WHEN cum.cum >= kk.k THEN cum.v END) AS qhat
+      FROM cum, kk GROUP BY kk.n, kk.k)
+SELECT CAST(q.n_cal AS BIGINT) AS n_cal, q.k, round(q.qhat, 6) AS qhat,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       round(avg(CASE WHEN r.r <= q.qhat THEN 1.0 ELSE 0.0 END), 6)
+         AS coverage
+FROM r, q WHERE NOT r.cal
+GROUP BY q.n_cal, q.k, q.qhat
+"""
+
+
+@register("price_conformal_interval", _CONFORMAL_SQL)
+def price_conformal_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction readout (operators/conformal.py):
+    a deliberately crude price predictor (quantity × 3800) gets a
+    distribution-free interval — qhat = the ⌈(n+1)(1−α)⌉-th smallest
+    calibration |residual| from the residual VALUE DOMAIN (no sort of
+    the rows), and the held-out coverage demonstrates the ≥ 1−α
+    guarantee the wrapper provides REGARDLESS of the model's quality."""
+    from weaviate_txtai_spark.operators.conformal import conformal_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        (F.col("l_quantity") * 3800.0).alias("pred"),
+        F.col("l_extendedprice").cast("double").alias("actual"),
+        (F.col("l_orderkey") % 2 == 0).alias("cal"),
+    )
+    return conformal_report(scored, "pred", "actual", cal_col="cal", alpha=0.1)
+
+
+_DID_SQL = """
+WITH mid AS (
+  SELECT min(epoch_us(ts))
+         + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS m
+  FROM events),
+b AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'ctrl' END AS g,
+         CASE WHEN epoch_us(ts) >= mid.m THEN 'post' ELSE 'pre' END AS p,
+         CAST(value AS DOUBLE) AS y
+  FROM events, mid WHERE value IS NOT NULL),
+a AS (
+  SELECT count(CASE WHEN g = 'treat' AND p = 'pre' THEN 1 END) AS n_tpre,
+         count(CASE WHEN g = 'treat' AND p = 'post' THEN 1 END) AS n_tpost,
+         count(CASE WHEN g = 'ctrl' AND p = 'pre' THEN 1 END) AS n_cpre,
+         count(CASE WHEN g = 'ctrl' AND p = 'post' THEN 1 END) AS n_cpost,
+         avg(CASE WHEN g = 'treat' AND p = 'pre' THEN y END) AS m_tpre,
+         avg(CASE WHEN g = 'treat' AND p = 'post' THEN y END) AS m_tpost,
+         avg(CASE WHEN g = 'ctrl' AND p = 'pre' THEN y END) AS m_cpre,
+         avg(CASE WHEN g = 'ctrl' AND p = 'post' THEN y END) AS m_cpost,
+         var_samp(CASE WHEN g = 'treat' AND p = 'pre' THEN y END) AS v_tpre,
+         var_samp(CASE WHEN g = 'treat' AND p = 'post' THEN y END) AS v_tpost,
+         var_samp(CASE WHEN g = 'ctrl' AND p = 'pre' THEN y END) AS v_cpre,
+         var_samp(CASE WHEN g = 'ctrl' AND p = 'post' THEN y END) AS v_cpost
+  FROM b)
+SELECT CAST(n_tpre AS BIGINT) AS n_tpre,
+       CAST(n_tpost AS BIGINT) AS n_tpost,
+       CAST(n_cpre AS BIGINT) AS n_cpre,
+       CAST(n_cpost AS BIGINT) AS n_cpost,
+       round((m_tpost - m_tpre) - (m_cpost - m_cpre), 6) AS did,
+       round(sqrt(v_tpre / n_tpre + v_tpost / n_tpost
+                  + v_cpre / n_cpre + v_cpost / n_cpost), 6) AS se
+FROM a
+"""
+
+
+@register("events_diff_in_diff", _DID_SQL)
+def events_diff_in_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (operators/abtest.py
+    diff_in_diff): user-parity cohorts around the stream's midpoint
+    timestamp — the rollout-review estimator when randomization wasn't
+    available but a parallel-trends control is. Four cells, one
+    map-side pass."""
+    from weaviate_txtai_spark.operators.abtest import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    # integer epoch-micros midpoint: timestamp-typed arithmetic differs
+    # in precision between engines (seconds vs micros) and the boundary
+    # rows flip cells
+    mid = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2
+            )
+        ).cast("long").alias("m")
+    )
+    b = ev.filter(F.col("value").isNotNull()).join(F.broadcast(mid)).select(
+        F.when(F.col("user_id") % 2 == 0, "treat").otherwise("ctrl").alias(
+            "g"
+        ),
+        F.when(F.unix_micros("ts") >= F.col("m"), "post")
+        .otherwise("pre")
+        .alias("p"),
+        "value",
+    )
+    return diff_in_diff(
+        b, "g", "p", "value", treat_value="treat", post_value="post"
+    )
+
+
+_VOL_ANOM_SQL = """
+WITH g AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+                  count(*) AS n
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+tr AS (SELECT grp, day, n, dayofweek(day) + 1 AS wd,
+              round(avg(n) OVER (PARTITION BY grp
+                     ORDER BY datediff('day', DATE '1970-01-01', day)
+                     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6)
+                AS trend
+       FROM g),
+wd AS (SELECT grp, dayofweek(day) + 1 AS wd, avg(n) AS a
+       FROM g GROUP BY 1, 2),
+o AS (SELECT grp, avg(n) AS ov FROM g GROUP BY 1),
+idx AS (SELECT wd.grp, wd.wd, round(wd.a / o.ov, 6) AS idx
+        FROM wd JOIN o ON wd.grp = o.grp),
+e AS (SELECT tr.grp, tr.day, tr.n,
+             round(tr.trend * idx.idx, 6) AS expected
+      FROM tr JOIN idx ON tr.grp = idx.grp AND tr.wd = idx.wd)
+SELECT grp, day, CAST(n AS BIGINT) AS n, expected,
+       round(ln(n / expected), 6) AS log_ratio,
+       abs(round(ln(n / expected), 6)) > 0.15 AS anomaly
+FROM e ORDER BY grp, day
+"""
+
+
+@register("events_volume_anomalies", _VOL_ANOM_SQL)
+def events_volume_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed telemetry end-product (operators/seasonal.py
+    volume_anomalies): expected volume = centered-MA trend × weekday
+    index; a day alarms when |ln(actual/expected)| exceeds the
+    threshold — seasonality-aware where a raw z-score calls every
+    weekend an incident. One daily-count shuffle; trend/index/flags
+    all run on the grid."""
+    from weaviate_txtai_spark.operators.seasonal import volume_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return volume_anomalies(ev, threshold=0.15).orderBy("grp", "day")
