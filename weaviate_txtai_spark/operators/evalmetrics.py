@@ -163,3 +163,65 @@ def macro_metrics(per_query: DataFrame, decimals: int = 6) -> DataFrame:
         *[F.round(F.avg(c), decimals).alias(f"macro_{c}") for c in cols],
         F.count(F.lit(1)).alias("n_queries"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Cohen's kappa (1960, public knowledge): chance-corrected
+    agreement between two raters over the same items — the first
+    number an LLM-judge pipeline reports (judge vs human, judge vs
+    judge) since raw agreement is inflated by class imbalance.
+
+    κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement and
+    p_e = Σ_k P_a(k)·P_b(k) the chance agreement from the marginals.
+
+    One (a, b) joint-count shuffle; marginals and the expectation fold
+    from the joint table (label-domain-sized). Rows with a NULL label
+    on either side are dropped. Output (1 row): ``n, p_o, p_e, kappa``
+    — kappa NULL when p_e = 1 (both raters constant: agreement is
+    trivially perfect and κ undefined)."""
+    base = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        F.col(rater_a_col).alias("__a"), F.col(rater_b_col).alias("__b")
+    )
+    joint = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    ma = joint.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    mb = joint.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    tot = joint.agg(F.sum("__c").alias("__n"))
+    po = joint.filter(F.col("__a") == F.col("__b")).agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__agree")
+    )
+    pe = (
+        ma.join(mb, ma.__a == mb.__b)
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("__ca") / F.col("__n"))
+                * (F.col("__cb") / F.col("__n"))
+            ).alias("__pe")
+        )
+    )
+    return (
+        tot.join(F.broadcast(po))
+        .join(F.broadcast(pe))
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            F.round(F.col("__agree") / F.col("__n"), round_decimals).alias(
+                "p_o"
+            ),
+            F.round("__pe", round_decimals).alias("p_e"),
+            F.round(
+                F.try_divide(
+                    F.col("__agree") / F.col("__n") - F.col("__pe"),
+                    F.lit(1.0) - F.col("__pe"),
+                ),
+                round_decimals,
+            ).alias("kappa"),
+        )
+    )

@@ -109,3 +109,81 @@ def categorical_dependence(
             round_decimals,
         ).alias("cramers_v"),
     )
+
+
+def llr_keyterms(
+    fg: DataFrame,
+    bg: DataFrame,
+    term_col: str,
+    count_col: str,
+    *,
+    top_k: int = 20,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Dunning log-likelihood-ratio keyness (Dunning 1993, public
+    knowledge): which terms are OVER-represented in a foreground corpus
+    vs a background — the domain-salience test behind "what makes this
+    source/cluster different", robust where raw frequency ratios
+    explode on rare terms.
+
+    Per term the 2×2 contingency (term-in-fg, term-in-bg, rest-fg,
+    rest-bg) scores G² = 2·Σ k·ln(k/E) (0·ln0 = 0). Only
+    over-represented terms (fg rate > bg rate) are returned, top_k by
+    G² (ties: term ASC).
+
+    Scale: one full-outer join of the two term-count tables
+    (term-domain-sized), scalar totals broadcast, a TakeOrdered top_k —
+    the rank is never a window over the corpus.
+
+    Output: ``term, fg_count, bg_count, g2`` (top_k rows)."""
+    f = fg.select(
+        F.col(term_col).alias("term"),
+        F.col(count_col).cast("double").alias("__a"),
+    )
+    b = bg.select(
+        F.col(term_col).alias("term"),
+        F.col(count_col).cast("double").alias("__b"),
+    )
+    m = (
+        f.join(b, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("__a", F.lit(0.0)).alias("__a"),
+            F.coalesce("__b", F.lit(0.0)).alias("__b"),
+        )
+    )
+    tot = m.agg(
+        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb")
+    )
+
+    def xlnx_ratio(k, e):
+        # k·ln(k/E) with the 0·ln0 = 0 convention
+        return F.when(k > 0, k * F.log(k / e)).otherwise(F.lit(0.0))
+
+    with_tot = m.join(F.broadcast(tot))
+    a, bb = F.col("__a"), F.col("__b")
+    c, d = F.col("__ta") - a, F.col("__tb") - bb
+    n = F.col("__ta") + F.col("__tb")
+    row1, row2 = a + bb, c + d
+    e_a = row1 * F.col("__ta") / n
+    e_b = row1 * F.col("__tb") / n
+    e_c = row2 * F.col("__ta") / n
+    e_d = row2 * F.col("__tb") / n
+    g2 = 2 * (
+        xlnx_ratio(a, e_a)
+        + xlnx_ratio(bb, e_b)
+        + xlnx_ratio(c, e_c)
+        + xlnx_ratio(d, e_d)
+    )
+    over = a / F.col("__ta") > bb / F.col("__tb")
+    return (
+        with_tot.filter(over)
+        .select(
+            "term",
+            a.cast("long").alias("fg_count"),
+            bb.cast("long").alias("bg_count"),
+            F.round(g2, round_decimals).alias("g2"),
+        )
+        .orderBy(F.desc("g2"), F.asc("term"))
+        .limit(top_k)
+    )

@@ -345,3 +345,51 @@ def zipf_fit(
         ).alias("intercept"),
         F.round(r2, round_decimals).alias("r2"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    *,
+    l: int = 2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """ℓ-diversity companion to ``k_anonymity_report`` (Machanavajjhala
+    2007, public knowledge): k-anonymity alone fails when an entire
+    quasi-group shares ONE sensitive value (the homogeneity attack — an
+    attacker who locates the group learns the secret without
+    re-identifying anyone). A group is ℓ-diverse when its rows span ≥ ℓ
+    DISTINCT sensitive values.
+
+    One (quasi, sensitive) count aggregate folded to per-group distinct
+    counts, then a 1-row report: ``l, n_rows, n_groups, weak_groups,
+    weak_rows, weak_frac`` (groups/rows below ℓ)."""
+    if not quasi_cols:
+        raise ValueError("no quasi-identifier columns")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    gs = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    g = gs.groupBy(*quasi_cols).agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__d")
+    )
+    return g.agg(
+        F.lit(l).cast("int").alias("l"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count(F.when(F.col("__d") < l, 1)).cast("long").alias(
+            "weak_groups"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("__d") < l, F.col("__n"))), F.lit(0)
+        ).cast("long").alias("weak_rows"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("__d") < l, F.col("__n"))), F.lit(0)
+            )
+            / F.sum("__n"),
+            round_decimals,
+        ).alias("weak_frac"),
+    )

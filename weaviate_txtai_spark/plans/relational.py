@@ -5500,3 +5500,151 @@ def events_volume_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return volume_anomalies(ev, threshold=0.15).orderBy("grp", "day")
+
+
+# --------------------------------------------------------------------------
+# Round 8 batch 6: l-diversity, judge agreement, LLR keyness
+# --------------------------------------------------------------------------
+
+_L_DIVERSITY_SQL = """
+WITH gs AS (
+  SELECT o_orderstatus AS s, year(o_orderdate) AS y,
+         month(o_orderdate) AS m, o_orderpriority AS pr,
+         CAST(floor(o_totalprice / 50000) AS INTEGER) AS band,
+         count(*) AS c
+  FROM orders GROUP BY 1, 2, 3, 4, 5),
+g AS (SELECT s, y, m, pr, sum(c) AS n, count(*) AS d
+      FROM gs GROUP BY 1, 2, 3, 4)
+SELECT CAST(3 AS INTEGER) AS l,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(CASE WHEN d < 3 THEN 1 END) AS BIGINT) AS weak_groups,
+       CAST(coalesce(sum(CASE WHEN d < 3 THEN n END), 0) AS BIGINT)
+         AS weak_rows,
+       round(coalesce(sum(CASE WHEN d < 3 THEN n END), 0) * 1.0
+             / sum(n), 6) AS weak_frac
+FROM g
+"""
+
+
+@register("orders_l_diversity", _L_DIVERSITY_SQL)
+def orders_l_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ℓ-diversity release gate (operators/profile.py
+    l_diversity_report, ℓ=3) over the same quasi-identifiers as the
+    k-anonymity gate, with the price BAND as the sensitive attribute —
+    k-anonymity's blind spot is a quasi-group whose rows all share one
+    sensitive value (the homogeneity attack); this reports the groups
+    spanning < ℓ distinct bands."""
+    from weaviate_txtai_spark.operators.profile import l_diversity_report
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("band"),
+    )
+    return l_diversity_report(
+        o, ["o_orderstatus", "y", "m", "o_orderpriority"], "band", l=3
+    )
+
+
+_KAPPA_SQL = """
+WITH r AS (
+  SELECT CASE WHEN value > 100 THEN 'keep' ELSE 'drop' END AS a,
+         CASE WHEN value + (event_id % 7) - 3 > 100
+              THEN 'keep' ELSE 'drop' END AS b
+  FROM events WHERE value IS NOT NULL),
+j AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+t AS (SELECT sum(c) AS n FROM j),
+po AS (SELECT coalesce(sum(c), 0) AS agree FROM j WHERE a = b),
+ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY 1),
+mb AS (SELECT b, sum(c) AS cb FROM j GROUP BY 1),
+pe AS (SELECT sum((ca * 1.0 / t.n) * (cb * 1.0 / t.n)) AS pe
+       FROM ma JOIN mb ON ma.a = mb.b, t)
+SELECT CAST(t.n AS BIGINT) AS n,
+       round(po.agree * 1.0 / t.n, 6) AS p_o,
+       round(pe.pe, 6) AS p_e,
+       round((po.agree * 1.0 / t.n - pe.pe) / (1 - pe.pe), 6) AS kappa
+FROM t, po, pe
+"""
+
+
+@register("judge_agreement_kappa", _KAPPA_SQL)
+def judge_agreement_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic keep/drop 'judges' over
+    event values (operators/evalmetrics.py cohens_kappa) — the
+    chance-corrected agreement an LLM-judge pipeline reports before
+    trusting a judge as a filter; raw agreement is inflated whenever
+    one class dominates. One joint-count shuffle; marginals fold from
+    the label-domain table."""
+    from weaviate_txtai_spark.operators.evalmetrics import cohens_kappa
+
+    ev = load_table(spark, sf_dir, "events")
+    rated = ev.filter(F.col("value").isNotNull()).select(
+        F.when(F.col("value") > 100, "keep").otherwise("drop").alias("a"),
+        F.when(
+            F.col("value") + (F.col("event_id") % 7) - 3 > 100, "keep"
+        ).otherwise("drop").alias("b"),
+    )
+    return cohens_kappa(rated, "a", "b")
+
+
+_LLR_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+f AS (SELECT term, CAST(count(*) AS DOUBLE) AS a FROM tok
+      WHERE source = 'src0' GROUP BY 1),
+b AS (SELECT term, CAST(count(*) AS DOUBLE) AS bb FROM tok
+      WHERE source <> 'src0' GROUP BY 1),
+m AS (SELECT coalesce(f.term, b.term) AS term,
+             coalesce(a, 0) AS a, coalesce(bb, 0) AS bb
+      FROM f FULL OUTER JOIN b ON f.term = b.term),
+t AS (SELECT sum(a) AS ta, sum(bb) AS tb FROM m),
+s AS (
+  SELECT term, a, bb,
+         2 * ((CASE WHEN a > 0
+                    THEN a * ln(a / ((a + bb) * t.ta / (t.ta + t.tb)))
+                    ELSE 0 END)
+            + (CASE WHEN bb > 0
+                    THEN bb * ln(bb / ((a + bb) * t.tb / (t.ta + t.tb)))
+                    ELSE 0 END)
+            + (CASE WHEN t.ta - a > 0 THEN (t.ta - a)
+                    * ln((t.ta - a) / ((t.ta - a + t.tb - bb)
+                                       * t.ta / (t.ta + t.tb)))
+                    ELSE 0 END)
+            + (CASE WHEN t.tb - bb > 0 THEN (t.tb - bb)
+                    * ln((t.tb - bb) / ((t.ta - a + t.tb - bb)
+                                        * t.tb / (t.ta + t.tb)))
+                    ELSE 0 END)) AS g2,
+         a / t.ta > bb / t.tb AS over
+  FROM m, t)
+SELECT term, CAST(a AS BIGINT) AS fg_count, CAST(bb AS BIGINT) AS bg_count,
+       round(g2, 6) AS g2
+FROM s WHERE over ORDER BY g2 DESC, term ASC LIMIT 20
+"""
+
+
+@register("source_llr_keyterms", _LLR_SQL)
+def source_llr_keyterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (operators/infotheory.py
+    llr_keyterms): the 20 terms most over-represented in source src0
+    vs the rest of the corpus — "what makes this source different",
+    robust where raw frequency ratios explode on rare terms. Term-
+    domain join + broadcast totals + TakeOrdered top-k."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.infotheory import llr_keyterms
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    fg = tok.filter(F.col("source") == "src0").groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bg = tok.filter(F.col("source") != "src0").groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return llr_keyterms(fg, bg, "term", "cnt", top_k=20)
