@@ -165,3 +165,34 @@ def test_pagerank_exact_local_finish_bit_matches_distributed(spark):
         map(tuple, pagerank_exact(df, iters=4, local_finish_edges=0).collect())
     )
     assert local == dist
+
+
+def test_hits_exact_parity_and_local_finish(spark):
+    """hits_exact: the local single-task path is BIT-identical to the
+    forced-distributed half-steps, tracks the float variant within the
+    quantization bound, and keeps the star-graph structure."""
+    import random
+
+    from weaviate_txtai_spark.operators.graph import hits, hits_exact
+
+    rng = random.Random(41)
+    edges = [(rng.randrange(40), 1000 + rng.randrange(15)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    loc = sorted(map(tuple, hits_exact(df, n_iter=4).collect()))
+    dist = sorted(
+        map(tuple, hits_exact(df, n_iter=4, local_finish_edges=0).collect())
+    )
+    assert loc == dist
+    fl = {r["node"]: (r["hub"], r["authority"])
+          for r in hits(df, n_iter=4).collect()}
+    ex = {t[0]: (t[1], t[2]) for t in loc}
+    assert max(
+        abs(fl[n][i] - ex[n][i]) for n in fl for i in (0, 1)
+    ) < 1e-4
+    star = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long"
+    )
+    out = {r["node"]: (r["hub"], r["authority"])
+           for r in hits_exact(star).collect()}
+    assert out[1][0] == 1.0 and out[10][1] == 1.0
+    assert out[1][1] == 0.0 and out[10][0] == 0.0

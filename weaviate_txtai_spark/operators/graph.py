@@ -917,3 +917,152 @@ def hits(
             ).alias("authority"),
         )
     )
+
+def _local_hits_exact(e: DataFrame, n_iter: int, scale: int) -> DataFrame:
+    """Single-task replica of the ``hits_exact`` integer recursion —
+    bit-identical: the quantized-floor normalization below is the same
+    pure-integer computation the distributed half-steps run, and every
+    intermediate is bounded within int64 by the same argument (v2 ≤
+    ~1e6, v2·scale ≤ ~1e18). See ``hits_exact`` for the algebra."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        ss, ds = [], []
+        for b in batches:
+            ss.append(b["s"].to_numpy(dtype="int64"))
+            ds.append(b["d"].to_numpy(dtype="int64"))
+        if not ss:
+            yield pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                "hub_fp": pd.Series([], dtype="int64"),
+                                "auth_fp": pd.Series([], dtype="int64")})
+            return
+        s = np.concatenate(ss)
+        d = np.concatenate(ds)
+        nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        si, di = inv[: len(s)], inv[len(s):]
+        n = len(nodes)
+        is_src = np.zeros(n, dtype=bool)
+        is_src[si] = True
+
+        def qnorm(vec):
+            t = int(vec.sum())
+            q = t // 1_000_000
+            t2 = t // q
+            return ((vec // q) * scale) // t2
+
+        h = np.where(is_src, scale // int(is_src.sum()), 0).astype("int64")
+        a = np.zeros(n, dtype="int64")
+        for _ in range(n_iter):
+            a = np.zeros(n, dtype="int64")
+            np.add.at(a, di, h[si])
+            a = qnorm(a)
+            h = np.zeros(n, dtype="int64")
+            np.add.at(h, si, a[di])
+            h = qnorm(h)
+        yield pd.DataFrame({"node": nodes, "hub_fp": h, "auth_fp": a})
+
+    return e.repartition(1).mapInPandas(
+        run, "node bigint, hub_fp bigint, auth_fp bigint"
+    )
+
+
+def hits_exact(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+    scale: int = 10**12,
+    round_decimals: int = 6,
+    local_finish_edges: int = 2_000_000,
+) -> DataFrame:
+    """Fixed-point HITS — the ORACLE-GRADE variant of ``hits`` (the
+    pagerank/pagerank_exact split): scores are scaled LONGs and each
+    half-step's L1 normalization is the QUANTIZED pure-integer floor
+
+        q = t div 10⁶;  t₂ = t div q;  out = ((v div q) · scale) div t₂
+
+    (t = Σ raw scores). The exact ``(v·scale) div t`` needs 128-bit
+    intermediates; the quantized form stays within int64 (v div q ≤
+    ~10⁶, × scale ≤ ~10¹⁸) at the cost of ≤1e-6 RELATIVE quantization —
+    applied IDENTICALLY by the distributed plan, the DuckDB oracle, and
+    the numpy local kernel, so the trajectory is bit-identical
+    everywhere, which per-step float rounding is not (a 1e-15 boundary
+    flip re-feeds through the recursion — the holt_linear_exact
+    lesson).
+
+    Below ``local_finish_edges`` the whole recursion runs in one
+    single-task pass (pure job overhead otherwise — 2·n_iter
+    half-steps of join+agg on a tiny frame; measured 5.7 s → ~1.5 s at
+    sf0.1 on the purchase graph).
+
+    Output: ``node, hub, authority`` — fixed-point scores max-rescaled
+    to 1 and rounded (doubles; the division of two longs is IEEE-exact
+    identical on both engines)."""
+    e = scoped_persist(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+
+    if local_finish_edges and e.count() <= local_finish_edges:
+        fp = _local_hits_exact(e, n_iter, scale)
+    else:
+        srcs = e.select(F.col("s").alias("node")).distinct()
+        n_src = srcs.count()
+        h = srcs.withColumn("h", F.lit(scale // n_src))
+
+        def qnorm_frame(scores: DataFrame, col: str) -> DataFrame:
+            tot = scores.agg(F.sum(col).alias("__t"))
+            return scores.join(F.broadcast(tot)).select(
+                "node",
+                F.expr(
+                    f"(({col} div (__t div 1000000)) * {scale}L)"
+                    f" div (__t div (__t div 1000000))"
+                ).alias(col),
+            )
+
+        a = None
+        for _ in range(n_iter):
+            a = qnorm_frame(
+                e.join(h.withColumnRenamed("node", "s"), "s")
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.sum("h").alias("a")),
+                "a",
+            ).localCheckpoint(eager=False)
+            h = qnorm_frame(
+                e.join(a.withColumnRenamed("node", "d"), "d")
+                .groupBy(F.col("s").alias("node"))
+                .agg(F.sum("a").alias("h")),
+                "h",
+            ).localCheckpoint(eager=False)
+        nodes = srcs.unionByName(
+            e.select(F.col("d").alias("node")).distinct()
+        ).distinct()
+        fp = (
+            nodes.join(h.withColumnRenamed("h", "hub_fp"), "node", "left")
+            .join(a.withColumnRenamed("a", "auth_fp"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub_fp", F.lit(0)).alias("hub_fp"),
+                F.coalesce("auth_fp", F.lit(0)).alias("auth_fp"),
+            )
+        )
+
+    hmax = fp.agg(F.max("hub_fp").alias("__mh"))
+    amax = fp.agg(F.max("auth_fp").alias("__ma"))
+    return (
+        fp.join(F.broadcast(hmax))
+        .join(F.broadcast(amax))
+        .select(
+            "node",
+            F.round(
+                F.col("hub_fp") / F.col("__mh"), round_decimals
+            ).alias("hub"),
+            F.round(
+                F.col("auth_fp") / F.col("__ma"), round_decimals
+            ).alias("authority"),
+        )
+    )

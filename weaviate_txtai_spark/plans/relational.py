@@ -4869,39 +4869,74 @@ WITH e AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
 h0r AS MATERIALIZED (SELECT DISTINCT s AS node FROM e),
-h0 AS MATERIALIZED (SELECT node, round(1.0 / (SELECT count(*) FROM h0r), 12) AS h
-       FROM h0r),
-a1r AS MATERIALIZED (SELECT d AS node, sum(h) AS v FROM e JOIN h0 ON e.s = h0.node
-        GROUP BY 1),
-a1 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM a1r), 12) AS a FROM a1r),
-h1r AS MATERIALIZED (SELECT s AS node, sum(a) AS v FROM e JOIN a1 ON e.d = a1.node
-        GROUP BY 1),
-h1 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM h1r), 12) AS h FROM h1r),
-a2r AS MATERIALIZED (SELECT d AS node, sum(h) AS v FROM e JOIN h1 ON e.s = h1.node
-        GROUP BY 1),
-a2 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM a2r), 12) AS a FROM a2r),
-h2r AS MATERIALIZED (SELECT s AS node, sum(a) AS v FROM e JOIN a2 ON e.d = a2.node
-        GROUP BY 1),
-h2 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM h2r), 12) AS h FROM h2r),
-a3r AS MATERIALIZED (SELECT d AS node, sum(h) AS v FROM e JOIN h2 ON e.s = h2.node
-        GROUP BY 1),
-a3 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM a3r), 12) AS a FROM a3r),
-h3r AS MATERIALIZED (SELECT s AS node, sum(a) AS v FROM e JOIN a3 ON e.d = a3.node
-        GROUP BY 1),
-h3 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM h3r), 12) AS h FROM h3r),
-a4r AS MATERIALIZED (SELECT d AS node, sum(h) AS v FROM e JOIN h3 ON e.s = h3.node
-        GROUP BY 1),
-a4 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM a4r), 12) AS a FROM a4r),
-h4r AS MATERIALIZED (SELECT s AS node, sum(a) AS v FROM e JOIN a4 ON e.d = a4.node
-        GROUP BY 1),
-h4 AS MATERIALIZED (SELECT node, round(v / (SELECT sum(v) FROM h4r), 12) AS h FROM h4r),
+h0 AS MATERIALIZED (
+  SELECT node, 1000000000000 // (SELECT count(*) FROM h0r) AS h
+  FROM h0r),
+a1r AS MATERIALIZED (SELECT d AS node, sum(h) AS v
+        FROM e JOIN h0 ON e.s = h0.node GROUP BY 1),
+a1t AS MATERIALIZED (SELECT sum(v) AS t FROM a1r),
+a1 AS MATERIALIZED (SELECT node,
+        ((v // (t // 1000000)) * 1000000000000)
+          // (t // (t // 1000000)) AS a
+        FROM a1r, a1t),
+h1r AS MATERIALIZED (SELECT s AS node, sum(a) AS v
+        FROM e JOIN a1 ON e.d = a1.node GROUP BY 1),
+h1t AS MATERIALIZED (SELECT sum(v) AS t FROM h1r),
+h1 AS MATERIALIZED (SELECT node,
+        ((v // (t // 1000000)) * 1000000000000)
+          // (t // (t // 1000000)) AS h
+        FROM h1r, h1t),
+a2r AS MATERIALIZED (SELECT d AS node, sum(h) AS v
+        FROM e JOIN h1 ON e.s = h1.node GROUP BY 1),
+a2t AS MATERIALIZED (SELECT sum(v) AS t FROM a2r),
+a2 AS MATERIALIZED (SELECT node,
+        ((v // (t // 1000000)) * 1000000000000)
+          // (t // (t // 1000000)) AS a
+        FROM a2r, a2t),
+h2r AS MATERIALIZED (SELECT s AS node, sum(a) AS v
+        FROM e JOIN a2 ON e.d = a2.node GROUP BY 1),
+h2t AS MATERIALIZED (SELECT sum(v) AS t FROM h2r),
+h2 AS MATERIALIZED (SELECT node,
+        ((v // (t // 1000000)) * 1000000000000)
+          // (t // (t // 1000000)) AS h
+        FROM h2r, h2t),
+a3r AS MATERIALIZED (SELECT d AS node, sum(h) AS v
+        FROM e JOIN h2 ON e.s = h2.node GROUP BY 1),
+a3t AS MATERIALIZED (SELECT sum(v) AS t FROM a3r),
+a3 AS MATERIALIZED (SELECT node,
+        ((v // (t // 1000000)) * 1000000000000)
+          // (t // (t // 1000000)) AS a
+        FROM a3r, a3t),
+h3r AS MATERIALIZED (SELECT s AS node, sum(a) AS v
+        FROM e JOIN a3 ON e.d = a3.node GROUP BY 1),
+h3t AS MATERIALIZED (SELECT sum(v) AS t FROM h3r),
+h3 AS MATERIALIZED (SELECT node,
+        ((v // (t // 1000000)) * 1000000000000)
+          // (t // (t // 1000000)) AS h
+        FROM h3r, h3t),
+a4r AS MATERIALIZED (SELECT d AS node, sum(h) AS v
+        FROM e JOIN h3 ON e.s = h3.node GROUP BY 1),
+a4t AS MATERIALIZED (SELECT sum(v) AS t FROM a4r),
+a4 AS MATERIALIZED (SELECT node,
+        ((v // (t // 1000000)) * 1000000000000)
+          // (t // (t // 1000000)) AS a
+        FROM a4r, a4t),
+h4r AS MATERIALIZED (SELECT s AS node, sum(a) AS v
+        FROM e JOIN a4 ON e.d = a4.node GROUP BY 1),
+h4t AS MATERIALIZED (SELECT sum(v) AS t FROM h4r),
+h4 AS MATERIALIZED (SELECT node,
+        ((v // (t // 1000000)) * 1000000000000)
+          // (t // (t // 1000000)) AS h
+        FROM h4r, h4t),
 nodes AS MATERIALIZED (SELECT DISTINCT node
-          FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e))
+          FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+mx AS MATERIALIZED (
+  SELECT (SELECT max(h) FROM h4) AS mh, (SELECT max(a) FROM a4) AS ma)
 SELECT n.node,
-       round(coalesce(h4.h / (SELECT max(h) FROM h4), 0), 6) AS hub,
-       round(coalesce(a4.a / (SELECT max(a) FROM a4), 0), 6) AS authority
+       round(coalesce(h4.h, 0) / mx.mh, 6) AS hub,
+       round(coalesce(a4.a, 0) / mx.ma, 6) AS authority
 FROM nodes n LEFT JOIN h4 ON n.node = h4.node
-             LEFT JOIN a4 ON n.node = a4.node
+             LEFT JOIN a4 ON n.node = a4.node, mx
 ORDER BY n.node
 """
 
@@ -4909,15 +4944,19 @@ ORDER BY n.node
 @register("customer_supplier_hits", _HITS_SQL)
 def customer_supplier_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the customer→supplier purchase
-    graph (operators/graph.py hits): hub = a customer whose orders
-    concentrate on authoritative suppliers, authority = a supplier
-    bought by strong hubs — PageRank's bipartite companion. Four power
-    iterations, each half-step L1-normalized and rounded at 12 dp (the
-    k-means trajectory-determinism discipline) so the DuckDB twin —
-    the same iterations UNROLLED as chained CTEs, since recursive CTEs
-    can't re-aggregate per step — replays it exactly. Supplier node
-    ids are offset by 1e6 so the two entity spaces can't collide."""
-    from weaviate_txtai_spark.operators.graph import hits
+    graph (operators/graph.py hits_exact — the fixed-point,
+    local-finish variant; the float `hits` stays for API breadth):
+    hub = a customer whose orders concentrate on authoritative
+    suppliers, authority = a supplier bought by strong hubs —
+    PageRank's bipartite companion. Four power iterations with the
+    quantized pure-integer L1 normalization, so the DuckDB twin — the
+    same iterations UNROLLED as MATERIALIZED chained CTEs (recursive
+    CTEs can't re-aggregate per step; inlining re-evaluates the
+    doubly-referenced chain exponentially) — replays the trajectory to
+    the bit (DuckDB's sum promotes to HUGEINT, numerically identical).
+    Supplier node ids are offset by 1e6 so the two entity spaces can't
+    collide."""
+    from weaviate_txtai_spark.operators.graph import hits_exact
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -4927,7 +4966,7 @@ def customer_supplier_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("src"),
         (F.col("l_suppkey") + 1000000).alias("dst"),
     )
-    return hits(edges, n_iter=4).orderBy("node")
+    return hits_exact(edges, n_iter=4).orderBy("node")
 
 
 # --------------------------------------------------------------------------
