@@ -185,3 +185,96 @@ def range_join(
         *[lhs[c] for c in left.columns],
         *[rhs[c] for c in r_payload],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    bucket_seconds: int,
+    on: Sequence[str] = (),
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    max_buckets_per_interval: int = 1000,
+) -> DataFrame:
+    """Inner join of every (left, right) INTERVAL pair that overlaps:
+    ``l.start ≤ r.end AND r.start ≤ l.end`` (closed intervals) — the
+    generalization of ``range_join`` from point-in-window to
+    interval×interval (sessions × incidents, maintenance windows ×
+    job runs, speech segments × transcript spans).
+
+    Scale: both sides explode to the epoch buckets their interval
+    covers and equi-join on (keys…, bucket); two overlapping intervals
+    must share ≥ 1 covered bucket, so the overlap predicate is a
+    residual on a LINEAR-size join — never the quadratic inequality
+    cross-join. Pairs sharing several buckets are deduped on the
+    bucket-domain join OUTPUT via the smaller "meet bucket" trick: a
+    pair is kept only in the FIRST bucket both cover (max of the two
+    start buckets), so no distinct over payload columns is needed.
+
+    ``max_buckets_per_interval`` bounds the explode of pathological
+    intervals (an interval spanning the whole corpus would explode to
+    every bucket): longer intervals RAISE, loudly — pick a coarser
+    ``bucket_seconds`` instead (the fan-out/selectivity knob, exactly
+    like range_join's window).
+
+    Returns left columns + right payload columns (caller renames to
+    avoid collisions before the call). NULL bounds are dropped.
+    """
+    keys = list(on)
+    w_us = int(bucket_seconds) * 1_000_000
+    r_payload = [
+        c for c in right.columns if c not in keys and c not in left.columns
+    ]
+
+    def buckets(start, end, side):
+        s_us = F.unix_micros(F.col(start))
+        e_us = F.unix_micros(F.col(end))
+        b0 = F.floor(s_us / w_us)
+        b1 = F.floor(e_us / w_us)
+        n = b1 - b0 + 1
+        guard = F.when(
+            n > max_buckets_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: a {side} interval covers "
+                    ),
+                    n.cast("string"),
+                    F.lit(
+                        f" buckets (> {max_buckets_per_interval}); widen "
+                        "bucket_seconds"
+                    ),
+                )
+            ),
+        ).otherwise(b0)
+        return F.explode(F.sequence(guard, b1)), b0
+
+    lf = left.filter(
+        F.col(left_start).isNotNull() & F.col(left_end).isNotNull()
+    )
+    rf = right.filter(
+        F.col(right_start).isNotNull() & F.col(right_end).isNotNull()
+    )
+    lex, lb0 = buckets(left_start, left_end, "left")
+    rex, rb0 = buckets(right_start, right_end, "right")
+    lhs = lf.withColumn("__b0", lb0).withColumn("__bucket", lex)
+    rhs = rf.withColumn("__rb0", rb0).withColumn("__bucket", rex)
+    cond = [lhs["__bucket"] == rhs["__bucket"]] + [
+        lhs[k] == rhs[k] for k in keys
+    ]
+    overlap = (
+        F.unix_micros(lhs[left_start]) <= F.unix_micros(rhs[right_end])
+    ) & (F.unix_micros(rhs[right_start]) <= F.unix_micros(lhs[left_end]))
+    # dedup without distinct: keep the pair only in its MEET bucket
+    meet = F.greatest(lhs["__b0"], rhs["__rb0"])
+    joined = (
+        lhs.join(rhs, cond)
+        .filter(overlap & (lhs["__bucket"] == meet))
+    )
+    return joined.select(
+        *[lhs[c] for c in lf.columns],
+        *[rhs[c] for c in r_payload],
+    )

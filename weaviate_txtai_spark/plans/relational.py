@@ -5687,3 +5687,115 @@ def source_llr_keyterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     return llr_keyterms(fg, bg, "term", "cnt", top_k=20)
+
+
+# --------------------------------------------------------------------------
+# Round 8 batch 7: interval-overlap join, cluster/ratio bootstrap
+# --------------------------------------------------------------------------
+
+_OVERLAP_SQL = """
+WITH l AS (
+  SELECT user_id, min(ts) AS start, max(ts) AS "end"
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)),
+r AS (
+  SELECT CAST(ts AS DATE) AS day,
+         min(ts) AS istart, max(ts) AS iend
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+  GROUP BY 1)
+SELECT l.user_id, l.start, l."end", r.istart, r.iend
+FROM l JOIN r ON epoch_us(l.start) <= epoch_us(r.iend)
+             AND epoch_us(r.istart) <= epoch_us(l."end")
+ORDER BY l.user_id, l.start, r.istart
+"""
+
+
+@register("session_incident_overlap", _OVERLAP_SQL)
+def session_incident_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/asof.py
+    interval_overlap_join): per-user daily activity spans × daily
+    purchase-burst windows — "whose session overlapped the incident".
+    Both sides explode to covered epoch buckets and equi-join (two
+    overlapping intervals must share a bucket), the overlap predicate
+    is a residual, and pair dedup is the meet-bucket trick (a pair
+    survives only in the first bucket both cover) — never a quadratic
+    inequality join, never a distinct over payload. The oracle IS the
+    quadratic formulation."""
+    from weaviate_txtai_spark.operators.asof import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    left = ev.groupBy("user_id", F.to_date("ts").alias("__d")).agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    ).drop("__d")
+    right = ev.filter(F.col("event_type") == "purchase").groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("istart"), F.max("ts").alias("iend")).drop(
+        "day"
+    )
+    return interval_overlap_join(
+        left,
+        right,
+        bucket_seconds=21600,
+        left_start="start",
+        left_end="end",
+        right_start="istart",
+        right_end="iend",
+    ).orderBy("user_id", "start", "istart")
+
+
+_RATIO_BOOT_SQL = """
+WITH base AS (
+  SELECT CAST(user_id AS BIGINT) AS id,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS n,
+         1.0 AS d
+  FROM events WHERE user_id IS NOT NULL),
+rep AS (SELECT id, n, d, s.b FROM base,
+        unnest(generate_series(0, 49)) AS s(b)),
+u AS (SELECT n, d, b,
+             (((id + b * 999983) * 2654435761) % 4294967296)
+               / 4294967296.0 AS u
+      FROM rep),
+w AS (SELECT n, d, b,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS w
+      FROM u),
+m AS (SELECT b, round(sum(w * n) / sum(w * d), 9) AS r FROM w GROUP BY b),
+ci AS (SELECT round(quantile_cont(r, 0.025), 6) AS lo,
+              round(quantile_cont(r, 0.975), 6) AS hi,
+              CAST(count(*) AS BIGINT) AS n_replicates
+       FROM m),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              round(sum(n) / sum(d), 6) AS ratio
+       FROM base)
+SELECT st.n, st.ratio, ci.lo, ci.hi, ci.n_replicates FROM st, ci
+"""
+
+
+@register("purchase_rate_bootstrap", _RATIO_BOOT_SQL)
+def purchase_rate_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER bootstrap CI for a ratio-of-sums metric
+    (operators/bootstrap.py poisson_bootstrap_ratio_ci): the purchase
+    RATE (purchases / events) resampled BY USER — the unit key as
+    id_col gives every row of a user the user's own Poisson draw per
+    replicate, the correct procedure when rows within a unit are
+    correlated (a per-row resample understates the variance). Same
+    one-map-side-pass shape as the mean CI."""
+    from weaviate_txtai_spark.operators.bootstrap import (
+        poisson_bootstrap_ratio_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_type") == "purchase").cast("double").alias("n"),
+        F.lit(1.0).alias("d"),
+    )
+    return poisson_bootstrap_ratio_ci(
+        ev, "n", "d", id_col="user_id", n_replicates=50
+    )
