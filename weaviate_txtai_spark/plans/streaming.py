@@ -399,3 +399,65 @@ def streaming_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("monitor_stream_gate").orderBy("key", "ts", "x")
+
+
+_STREAM_FUNNEL_SQL = """
+WITH wm AS (
+  SELECT (CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT) - 3600000) * 1000
+           AS wm_us
+  FROM events),
+e AS (
+  SELECT DISTINCT user_id,
+         CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+                         WHEN 'click' THEN 2 END AS s,
+         epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('signup', 'view', 'click')),
+a AS (SELECT user_id, us AS anchor FROM e, wm
+      WHERE s = 0 AND us + 86400000000 < wm.wm_us),
+t1 AS (SELECT a.user_id, a.anchor, min(e.us) AS v
+       FROM a LEFT JOIN e ON e.user_id = a.user_id AND e.s = 1
+            AND e.us > a.anchor AND e.us <= a.anchor + 86400000000
+       GROUP BY 1, 2),
+t2 AS (SELECT t1.user_id, t1.anchor, t1.v, min(e.us) AS c
+       FROM t1 LEFT JOIN e ON e.user_id = t1.user_id AND e.s = 2
+            AND e.us > t1.v AND e.us <= t1.anchor + 86400000000
+       GROUP BY 1, 2, 3)
+SELECT user_id, anchor AS anchor_us,
+       CAST(CASE WHEN c IS NOT NULL THEN 3
+                 WHEN v IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS level
+FROM t2 ORDER BY user_id, anchor_us
+"""
+
+
+@register("streaming_funnel", _STREAM_FUNNEL_SQL)
+def streaming_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD oracled custom stateful streaming operator
+    (streaming/funnel.py, applyInPandasWithState): per-anchor funnel
+    levels emitted only when the event-time watermark seals the
+    anchor's window (anchor + 24 h < wm) — the monitor/sessions replay
+    pattern: every event arrives in the single data micro-batch while
+    the watermark is 0, so the emitted set equals the batch
+    chain-EXISTS enumeration restricted to watermark-sealed anchors,
+    which the oracle replays via greedy min-chains (equivalent to
+    EXISTS — a later chain's step time is never earlier than the
+    greedy one's)."""
+    from weaviate_txtai_spark.streaming.events import stream_events
+    from weaviate_txtai_spark.streaming.funnel import funnel_stream
+
+    out = funnel_stream(
+        stream_events(spark, sf_dir),
+        ["signup", "view", "click"],
+        window_seconds=86400,
+        watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("funnel_stream_gate").orderBy(
+        "user_id", "anchor_us"
+    )
