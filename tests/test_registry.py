@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # the schema-only sweep (check_oracle covers them with full values)
 _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
               "streaming_dedup", "streaming_interval_join",
-              "streaming_enrich"}
+              "streaming_enrich", "streaming_funnel"}
 
 
 def test_every_oracle_query_is_registered():
@@ -57,22 +57,24 @@ _NEW_FAMILY_GATES = {
     "signup_to_purchase_survival", "events_type_hour_dependence",
     # r7 session-1 families
     "knn_l2", "knn_dot", "retrieval_eval", "ivfpq_append_search",
-    "winnow_fingerprints", "order_clique_triangles", "source_drift_ks",
-    # r7 session-2 families kept through the r8 rotation (the ceded
-    # gates — shared_run_pairs, qlm_topk, order_clique_kcore,
-    # source_drift_jsd, events_cohort_retention, ab_value_mwu,
-    # nation_revenue_trend, part_skyline, customer_affinity,
-    # events_daily_cusum, orders_pit_segment — all hold green r07
-    # driver rows and stay judge-sweep + pytest covered)
-    "events_funnel_windowed", "basket_rules",
-    "phrase_match_positions", "lineitem_spearman",
-    "ab_conversion_ztest", "revenue_gini",
-    # r8 rotation: the eleven never-sampled families (VERDICT r7 item
-    # 6), incl. the two gates newly oracled this round
+    # r7 families kept through the r8 rotations (all ceded gates —
+    # shared_run_pairs, qlm_topk, order_clique_kcore, source_drift_jsd,
+    # events_cohort_retention, ab_value_mwu, nation_revenue_trend,
+    # part_skyline, customer_affinity, events_daily_cusum,
+    # orders_pit_segment, winnow_fingerprints, order_clique_triangles,
+    # source_drift_ks, phrase_match_positions, ab_conversion_ztest,
+    # revenue_gini — hold green r07 driver rows and stay judge-sweep +
+    # pytest covered)
+    "events_funnel_windowed", "basket_rules", "lineitem_spearman",
+    # r8 rotation: seventeen never-sampled families (VERDICT r7 item
+    # 6 asked for ≥8), incl. the two gates newly oracled this round
+    # and six new r8 operator families
     "kcenter_coreset", "embedding_dbscan", "totalprice_benford",
     "orders_k_anonymity", "orders_log_time_travel", "activity_woe_iv",
     "events_funnel_ab", "ab_cuped_readout", "source_drift_psi",
     "streaming_sessions", "multimodal_features",
+    "streaming_funnel", "lineitem_bootstrap_ci", "part_also_bought",
+    "customer_supplier_hits", "events_holt_forecast", "orders_fd_profile",
 }
 
 

@@ -96,18 +96,22 @@ _PRIORITY = [
     # theirs (heavy-bench trackers, fresh plans this round).
     "binary_hamming_rerank",
     "order_chain_components",
-    # r7 session-1 families (winnowing, triangles, KS drift)
-    "winnow_fingerprints",
-    "order_clique_triangles",
-    "source_drift_ks",
-    # r7 session-2 families: behavioral sequences, basket mining,
-    # phrase search, distributed statistics
+    # r8 rotation 2: winnow_fingerprints, order_clique_triangles,
+    # source_drift_ks, phrase_match_positions, ab_conversion_ztest,
+    # revenue_gini (each holds a green r07 driver row; judge-sweep +
+    # pytest keep them covered) cede to six more never-sampled r8
+    # families — the stateful-streaming showpiece, the bootstrap tier,
+    # co-visitation, fixed-point HITS, Holt smoothing, FD discovery.
+    "streaming_funnel",
+    "lineitem_bootstrap_ci",
+    "part_also_bought",
+    "customer_supplier_hits",
+    "events_holt_forecast",
+    "orders_fd_profile",
+    # r7 heavy trackers kept
     "events_funnel_windowed",
     "basket_rules",
-    "phrase_match_positions",
     "lineitem_spearman",
-    "ab_conversion_ztest",
-    "revenue_gini",
     # r8 rotation (VERDICT r7 item 6): eleven slots ceded by gates that
     # each hold a green r07 driver row in a family that keeps ≥1 other
     # representative or heavy-bench/pytest coverage — shared_run_pairs,
