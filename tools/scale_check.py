@@ -462,14 +462,63 @@ def main() -> None:
         return sequence_pairs(e, window_seconds=1800, min_support=2)
 
     def q_hits(cp):
-        from weaviate_txtai_spark.operators.graph import hits
+        # the shipped gate path (fixed-point + local finish); both sizes
+        # sit under the threshold, so this measures init + the
+        # single-task integer kernel
+        from weaviate_txtai_spark.operators.graph import hits_exact
 
-        return hits(
+        return hits_exact(
             cp.select(
                 F.col("cust").alias("src"),
                 (F.col("part") + F.lit(50_000_000)).alias("dst"),
             ),
             n_iter=4,
+        )
+
+    def q_hits_stars(cp):
+        # forced all-distributed half-steps (the >threshold regime)
+        from weaviate_txtai_spark.operators.graph import hits_exact
+
+        return hits_exact(
+            cp.select(
+                F.col("cust").alias("src"),
+                (F.col("part") + F.lit(50_000_000)).alias("dst"),
+            ),
+            n_iter=4,
+            local_finish_edges=0,
+        )
+
+    def q_interval_overlap(e):
+        from weaviate_txtai_spark.operators.asof import interval_overlap_join
+
+        left = e.groupBy("user_id", F.to_date("ts").alias("__d")).agg(
+            F.min("ts").alias("start"), F.max("ts").alias("end")
+        ).drop("__d")
+        right = e.filter(F.col("event_type") == "purchase").groupBy(
+            F.to_date("ts").alias("day")
+        ).agg(
+            F.min("ts").alias("istart"), F.max("ts").alias("iend")
+        ).drop("day")
+        return interval_overlap_join(
+            left, right, bucket_seconds=21600,
+            right_start="istart", right_end="iend",
+        )
+
+    def q_bootstrap(li):
+        from weaviate_txtai_spark.operators.bootstrap import (
+            poisson_bootstrap_mean_ci,
+        )
+
+        return poisson_bootstrap_mean_ci(
+            li.select(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+                    "rid"
+                ),
+                "l_extendedprice",
+            ),
+            "l_extendedprice",
+            id_col="rid",
+            n_replicates=50,
         )
 
     def _chain_edges(o):
@@ -546,6 +595,11 @@ def main() -> None:
         ("part_also_bought", q_also_bought, q_also_bought, li1, li2),
         ("events_sequence_pairs", q_seq_pairs, q_seq_pairs, ev1, ev2),
         ("customer_supplier_hits", q_hits, q_hits, cp1, cp2),
+        ("customer_supplier_hits_stars", q_hits_stars, q_hits_stars,
+         cp1, cp2),
+        ("session_incident_overlap", q_interval_overlap,
+         q_interval_overlap, ev1, ev2),
+        ("lineitem_bootstrap_ci", q_bootstrap, q_bootstrap, li1, li2),
         ("order_chain_components", q_cc_default, q_cc_default, ord1, ord2),
         ("order_chain_components_stars", q_cc_stars, q_cc_stars,
          ord1, ord2),
