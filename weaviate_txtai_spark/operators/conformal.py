@@ -116,8 +116,18 @@ def conformal_report(
         F.round(F.first("qhat"), round_decimals).alias("qhat"),
         F.count(F.lit(1)).cast("long").alias("n_eval"),
         F.round(
-            F.avg(
-                F.when(F.col("__r") <= F.col("qhat"), 1.0).otherwise(0.0)
+            # qhat NULL means the calibration set is too small to
+            # certify (k > n): the interval is UNDEFINED, so report
+            # NULL coverage — the otherwise(0.0) fallthrough would
+            # misread as "measured zero coverage" (ADVICE r8)
+            F.when(
+                F.first("qhat").isNull(), F.lit(None).cast("double")
+            ).otherwise(
+                F.avg(
+                    F.when(F.col("__r") <= F.col("qhat"), 1.0).otherwise(
+                        0.0
+                    )
+                )
             ),
             round_decimals,
         ).alias("coverage"),

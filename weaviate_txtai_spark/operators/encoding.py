@@ -143,8 +143,12 @@ def target_encode(
     round_decimals: int = 6,
 ) -> DataFrame:
     """``df`` with the out-of-fold target encoding appended as
-    ``out_col`` (NULL category/target rows get NULL). One join against
-    the (category, fold) mapping — the corpus shuffles at most once."""
+    ``out_col``. NULL-category rows get NULL (no mapping key). NULL-
+    TARGET rows are excluded from FITTING the mapping but are still
+    encoded from their (category, fold) like any inference row — the
+    standard train/score asymmetry of OOF target encoding. One join
+    against the (category, fold) mapping — the corpus shuffles at most
+    once."""
     mapping = target_encoding_map(
         df,
         cat_col,

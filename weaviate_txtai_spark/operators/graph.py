@@ -864,6 +864,9 @@ def hits(
     (0.0 for a side the node never plays)."""
     from weaviate_txtai_spark.cache import scoped_persist
 
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1")
+
     e = scoped_persist(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
@@ -1001,6 +1004,14 @@ def hits_exact(
     Output: ``node, hub, authority`` — fixed-point scores max-rescaled
     to 1 and rounded (doubles; the division of two longs is IEEE-exact
     identical on both engines)."""
+    # mirror pagerank_exact's entry validation: the quantized norm
+    # floor-divides by (t div 1e6), so scale < 1e6 would raise
+    # ZeroDivisionError in the local kernel but NULL-out silently in
+    # the distributed plan — reject divergent failure modes up front
+    if scale < 1_000_000:
+        raise ValueError("hits_exact: scale must be >= 1e6")
+    if n_iter < 1:
+        raise ValueError("hits_exact: n_iter must be >= 1")
     e = scoped_persist(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s").isNotNull() & F.col("d").isNotNull())

@@ -117,9 +117,17 @@ def _funnel_group(
                 [t for _, t in kept],
             )
         )
+        # ALWAYS register an event-time timeout while state is kept.
+        # Without one, a group whose kept events hold no unsealed anchor
+        # (e.g. a user with only step>0 events) would never be re-invoked
+        # and its state would live for the stream's lifetime — the sweep
+        # below guarantees every kept event is revisited once it can no
+        # longer serve any anchor (ADVICE r8, state-eviction gap).
         if kept_anchors:
             seal_ms = (min(kept_anchors) + window_us) // 1000 + 1
-            state.setTimeoutTimestamp(seal_ms)
+        else:
+            seal_ms = (max(t for _, t in kept) + window_us) // 1000 + 1
+        state.setTimeoutTimestamp(seal_ms)
     elif state.exists:
         state.remove()
 
