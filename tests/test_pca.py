@@ -88,3 +88,88 @@ def test_pca_validation(spark):
     empty = spark.createDataFrame([], "id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         pca_fit(empty, 1)
+
+
+def test_tdiv_and_rha_cross_engine_semantics():
+    """The integer primitives must match Spark div / DuckDB // (truncate
+    toward zero) and Spark/DuckDB round (half away from zero) — Python's
+    native // floors and round() is half-even, both wrong here."""
+    from weaviate_txtai_spark.operators.pca import _rha, _tdiv
+
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, 2) == 3
+    assert _tdiv(-8, 2) == -4
+    assert _rha(2.5) == 3 and _rha(-2.5) == -3
+    assert _rha(2.4) == 2 and _rha(-2.4) == -2
+
+
+def test_pca_power_exact_partitioning_invariant(spark, sf_dir):
+    """The fixed-point trajectory is pure-integer after the quantization
+    boundary, so any repartitioning yields the IDENTICAL model and
+    projections (the oracle-grade guarantee the float path lacks)."""
+    from weaviate_txtai_spark.operators.pca import (
+        pca_power_fit_exact,
+        pca_power_project_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m1 = pca_power_fit_exact(emb, 3, n_iter=6)
+    m2 = pca_power_fit_exact(emb.repartition(13), 3, n_iter=6)
+    assert m1.components_fp == m2.components_fp
+    assert m1.dens == m2.dens and m1.mu_fp == m2.mu_fp
+    p1 = sorted(map(tuple, pca_power_project_exact(emb, m1).collect()))
+    p2 = sorted(
+        map(tuple, pca_power_project_exact(emb.repartition(7), m1).collect())
+    )
+    assert p1 == p2
+
+
+def test_pca_power_exact_sign_pin_and_projection_scale(spark, sf_dir):
+    """Each component's largest-|entry| coordinate is positive, and the
+    projections match a pure-python replay of the integer pipeline."""
+    from weaviate_txtai_spark.operators.pca import (
+        _rha,
+        pca_power_fit_exact,
+        pca_power_project_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_power_fit_exact(emb, 2, n_iter=4)
+    import math
+
+    for u in model.components_fp:
+        piv = max(range(len(u)), key=lambda i: (abs(u[i]), -i))
+        assert u[piv] > 0
+    rows = emb.select("vec_id", "embedding").limit(5).collect()
+    got = {
+        r["vec_id"]: (r["p1"], r["p2"])
+        for r in pca_power_project_exact(
+            emb.join(
+                spark.createDataFrame(
+                    [(r["vec_id"],) for r in rows], "vec_id long"
+                ),
+                "vec_id",
+            ),
+            model,
+        ).collect()
+    }
+    for r in rows:
+        xfp = [_rha(float(v) * 1e6) for v in r["embedding"]]
+        cx = [a - b for a, b in zip(xfp, model.mu_fp)]
+        for ci, (u, den) in enumerate(
+            zip(model.components_fp, model.dens)
+        ):
+            pfp = sum(a * b for a, b in zip(cx, u))
+            want = round(pfp / (1e6 * math.sqrt(den)), 6)
+            assert got[r["vec_id"]][ci] == want
+
+
+def test_pca_power_exact_validation(spark):
+    from weaviate_txtai_spark.operators.pca import pca_power_fit_exact
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    with pytest.raises(ValueError, match="n_iter"):
+        pca_power_fit_exact(df, 1, n_iter=0)
+    with pytest.raises(ValueError, match="k="):
+        pca_power_fit_exact(df, 5)
+    with pytest.raises(ValueError, match="rows"):
+        pca_power_fit_exact(df, 1)

@@ -527,19 +527,119 @@ def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "i int, j int, cov double").orderBy("i", "j")
 
 
-@register("embedding_pca", None)
+def _pca_exact_sql(k: int = 4, n_iter: int = 12) -> str:
+    """Generate the DuckDB twin of pca_power_fit_exact +
+    pca_power_project_exact: the same fixed-point power-iteration
+    trajectory UNROLLED as chained MATERIALIZED CTEs (the
+    customer_supplier_hits pattern — recursive CTEs can't re-aggregate
+    per step, and without MATERIALIZED the doubly-referenced chain
+    inlines exponentially). Every integer op maps 1:1 onto the python
+    kernel: DuckDB `//` truncates toward zero like the kernel's _tdiv,
+    round() is half-away like _rha, and HUGEINT sums cast back to
+    BIGINT losslessly under the operator's bounds."""
+    sql = [
+        """WITH x AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings),
+mu AS MATERIALIZED (SELECT pos, avg(val) AS m FROM x GROUP BY pos),
+mufp AS MATERIALIZED (
+  SELECT pos, CAST(round(m * 1000000) AS BIGINT) AS mfp FROM mu),
+xy AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j, avg(a.val * b.val) AS exy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+c0 AS MATERIALIZED (
+  SELECT xy.i, xy.j,
+         CAST(round((xy.exy - ma.m * mb.m) * 1000000) AS BIGINT) AS v
+  FROM xy JOIN mu ma ON xy.i = ma.pos JOIN mu mb ON xy.j = mb.pos),
+xfp AS MATERIALIZED (
+  SELECT x.vec_id, x.pos,
+         CAST(round(x.val * 1000000) AS BIGINT) - mf.mfp AS cx
+  FROM x JOIN mufp mf ON x.pos = mf.pos),"""
+    ]
+    for ci in range(k):
+        sql.append(
+            f"v{ci}_0 AS MATERIALIZED "
+            f"(SELECT pos AS i, CAST(1000000000 AS BIGINT) AS v FROM mu),"
+        )
+        for t in range(1, n_iter + 1):
+            sql.append(
+                f"""w{ci}_{t} AS MATERIALIZED (
+  SELECT c.i, CAST(SUM(c.v * p.v) AS BIGINT) AS w
+  FROM c{ci} c JOIN v{ci}_{t - 1} p ON c.j = p.i GROUP BY c.i),
+q{ci}_{t} AS MATERIALIZED (
+  SELECT GREATEST(MAX(ABS(w)) // 1000000000, 1) AS q FROM w{ci}_{t}),
+v{ci}_{t} AS MATERIALIZED (
+  SELECT i, w // q AS v FROM w{ci}_{t}, q{ci}_{t}),"""
+            )
+        sql.append(
+            f"""sg{ci} AS MATERIALIZED (
+  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+  FROM v{ci}_{n_iter} ORDER BY ABS(v) DESC, i ASC LIMIT 1),
+vf{ci} AS MATERIALIZED (
+  SELECT i, v * sg AS v FROM v{ci}_{n_iter}, sg{ci}),
+pu{ci} AS MATERIALIZED (SELECT i, v // 1000 AS u FROM vf{ci}),
+pd{ci} AS MATERIALIZED (
+  SELECT CAST(SUM(u * u) AS BIGINT) AS den FROM pu{ci}),
+pr{ci} AS MATERIALIZED (
+  SELECT xf.vec_id, CAST(SUM(xf.cx * u.u) AS BIGINT) AS pfp
+  FROM xfp xf JOIN pu{ci} u ON xf.pos = u.i GROUP BY xf.vec_id),"""
+        )
+        if ci < k - 1:
+            sql.append(
+                f"""up{ci} AS MATERIALIZED (SELECT i, v // 10000 AS u FROM vf{ci}),
+dn{ci} AS MATERIALIZED (
+  SELECT GREATEST(CAST(SUM(u * u) AS BIGINT), 1) AS den FROM up{ci}),
+cw{ci} AS MATERIALIZED (
+  SELECT c.i, CAST(SUM(c.v * u.u) AS BIGINT) AS cw
+  FROM c{ci} c JOIN up{ci} u ON c.j = u.i GROUP BY c.i),
+lam{ci} AS MATERIALIZED (
+  SELECT (SELECT CAST(SUM(u.u * w.cw) AS BIGINT)
+          FROM up{ci} u JOIN cw{ci} w ON u.i = w.i) // d.den AS lam
+  FROM dn{ci} d),
+c{ci + 1} AS MATERIALIZED (
+  SELECT c.i, c.j, c.v - (l.lam * ui.u * uj.u) // d.den AS v
+  FROM c{ci} c JOIN up{ci} ui ON c.i = ui.i
+       JOIN up{ci} uj ON c.j = uj.i, lam{ci} l, dn{ci} d),"""
+            )
+    body = "\n".join(sql).rstrip(",")
+    proj = ", ".join(
+        f"round(pr{ci}.pfp / (1000000.0 * sqrt(pd{ci}.den)), 6) AS p{ci + 1}"
+        for ci in range(k)
+    )
+    froms = "pr0" + "".join(
+        f" JOIN pr{ci} ON pr0.vec_id = pr{ci}.vec_id" for ci in range(1, k)
+    ) + "".join(f", pd{ci}" for ci in range(k))
+    return (
+        f"{body}\nSELECT pr0.vec_id, {proj}\n"
+        f"FROM {froms}\nORDER BY pr0.vec_id"
+    )
+
+
+@register("embedding_pca", _pca_exact_sql())
 def embedding_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA end-to-end (rows-only: eigenvectors aren't SQL-expressible;
-    orthonormality/variance/reconstruction invariants are pytest-pinned).
-    Fit top-4 components, project the corpus map-only (zero exchanges,
-    plan-asserted)."""
-    from weaviate_txtai_spark.operators.pca import pca_fit, pca_transform
+    """PCA end-to-end under a FULL value oracle (VERDICT r8 item 3 —
+    previously rows-only): the fit is the fixed-point power-iteration
+    trajectory of pca_power_fit_exact (12 steps × 4 components with
+    integer Rayleigh deflation — pure-int driver math over the
+    DISTRIBUTED one-pass moment accumulation, the pagerank_exact
+    discipline), and the projection is the order-independent INTEGER
+    dot product of pca_power_project_exact. The DuckDB twin unrolls
+    the identical iterations as MATERIALIZED chained CTEs, so the hash
+    must match bit-for-bit modulo the one float boundary (quantizing
+    cov/mean/x to 1e6 grids — a measure-zero midpoint caveat shared
+    with every rounded gate). Production fits wanting true
+    eigenvectors keep pca_fit (numpy eigh, invariant-pinned in
+    tests/test_pca.py); this gate pins the cross-engine machinery."""
+    from weaviate_txtai_spark.operators.pca import (
+        pca_power_fit_exact,
+        pca_power_project_exact,
+    )
 
     emb = _emb(spark, sf_dir)
-    model = pca_fit(emb, 4)
-    return pca_transform(emb, model, round_decimals=6).select(
-        "vec_id", "pca"
-    ).orderBy("vec_id")
+    model = pca_power_fit_exact(emb, 4, n_iter=12)
+    return pca_power_project_exact(emb, model).orderBy("vec_id")
 
 
 _BIGRAM_NLL_SQL = """
