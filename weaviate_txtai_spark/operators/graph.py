@@ -537,6 +537,308 @@ def connected_components(
     return members.unionByName(lonely)
 
 
+def _local_scc(edges: DataFrame) -> DataFrame:
+    """Single-task SCC finish: iterative Tarjan (O(V+E), exact) over a
+    SMALL directed edge frame — the same "finish locally once it fits"
+    step as ``_local_components``. Runs executor-side via
+    ``repartition(1).mapInPandas`` (never a driver collect); input must
+    be self-loop-free. Output: one ``(node, scc)`` row per distinct
+    node, scc = the MINIMUM node id in the strongly connected
+    component (the ``connected_components`` labeling convention)."""
+    import pandas as pd
+
+    def finish(batches):
+        import numpy as np
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"].to_numpy(dtype="int64"))
+            vs.append(b["v"].to_numpy(dtype="int64"))
+        if not us:
+            yield pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                "scc": pd.Series([], dtype="int64")})
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        a, b = inv[: len(u)], inv[len(u):]
+        n = len(nodes)
+        order = np.argsort(a, kind="stable")
+        b_s = b[order]
+        starts = np.searchsorted(a[order], np.arange(n + 1))
+        index_of = np.full(n, -1, dtype=np.int64)
+        low = np.zeros(n, dtype=np.int64)
+        on_stack = np.zeros(n, dtype=bool)
+        label = np.full(n, -1, dtype=np.int64)
+        counter = 0
+        stack: list[int] = []
+        for root in range(n):
+            if index_of[root] != -1:
+                continue
+            work = [(root, int(starts[root]))]
+            index_of[root] = low[root] = counter
+            counter += 1
+            stack.append(root)
+            on_stack[root] = True
+            while work:
+                vtx, ei = work[-1]
+                advanced = False
+                while ei < starts[vtx + 1]:
+                    w = int(b_s[ei])
+                    ei += 1
+                    if index_of[w] == -1:
+                        work[-1] = (vtx, ei)
+                        index_of[w] = low[w] = counter
+                        counter += 1
+                        stack.append(w)
+                        on_stack[w] = True
+                        work.append((w, int(starts[w])))
+                        advanced = True
+                        break
+                    elif on_stack[w]:
+                        if index_of[w] < low[vtx]:
+                            low[vtx] = index_of[w]
+                if advanced:
+                    continue
+                # vtx exhausted
+                if low[vtx] == index_of[vtx]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp.append(w)
+                        if w == vtx:
+                            break
+                    label[comp] = nodes[comp].min()
+                work.pop()
+                if work:
+                    parent = work[-1][0]
+                    if low[vtx] < low[parent]:
+                        low[parent] = low[vtx]
+        yield pd.DataFrame({"node": nodes, "scc": label})
+
+    return edges.repartition(1).mapInPandas(finish, "node bigint, scc bigint")
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    local_finish_edges: int = 2_000_000,
+) -> DataFrame:
+    """Strongly connected components by the COLORING algorithm (Orzan
+    2004; the MapReduce formulation in Kim et al. / the Slota et al.
+    trim-and-color family — public knowledge), composed from the
+    ``connected_components`` machinery: digest-checked fixpoints,
+    lazy localCheckpoint rounds, and a single-task exact finish
+    (iterative Tarjan) once the remaining edge set fits.
+
+    Outer rounds, each over the REMAINING graph:
+      1. TRIM — nodes with no in-edges or no out-edges are singleton
+         SCCs by definition; peel one frontier per pass (repeated
+         passes peel DAG-like regions geometrically).
+      2. COLOR — propagate ``c(v) = min(v, min over in-neighbors'
+         colors)`` to a fixpoint: c(v) is the minimum id that can
+         reach v. ROOTS (c(v)=v) are each the minimum id of their own
+         SCC (any smaller in-SCC id would be an ancestor).
+      3. MARK — within each color class, backward-close from the root:
+         the marked set {u : c(u)=r, u reaches r} is EXACTLY SCC(r)
+         (the same-color restriction is lossless: every node on a
+         u→…→r path with c(u)=c(r)=r has color r — a smaller-id
+         ancestor of an intermediate node would also reach r and
+         contradict c(r)=r).
+      4. Emit marked SCCs (scc = color = min id in the SCC), remove
+         them, repeat — at least one SCC per color class per round.
+
+    Scale shape: every inner step is one edges⋈colors hash join + one
+    groupBy partial-agg shuffle (the pagerank shape); nothing is
+    collected beyond 1-row digests. The known cost profile of coloring
+    — fixpoints take O(diameter) rounds — is why the Tarjan local
+    finish exists: at 100 TB the early trim/color rounds shrink the
+    graph distributed, and the deep-tail remainder finishes in one
+    task once ≤ ``local_finish_edges`` (the ``connected_components``
+    threshold argument). Set 0 to force all-distributed.
+
+    Output: ``node, scc`` — scc is the minimum node id in the SCC;
+    every node of the edge frame (self-loops included) appears exactly
+    once."""
+    e0 = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    all_nodes = scoped_persist(
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    e = scoped_persist(
+        e0.filter(F.col("u") != F.col("v")).distinct()
+    )
+
+    def digest(df: DataFrame, a: str, b: str):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({a}, {b}))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    done: list[DataFrame] = []
+    nodes = all_nodes
+    for _ in range(max_iter):
+        n_edges = e.count()
+        if n_edges == 0:
+            done.append(nodes.select("node", F.col("node").alias("scc")))
+            break
+        if n_edges <= local_finish_edges:
+            m = _local_scc(e)
+            lonely = nodes.join(
+                m.select("node"), "node", "left_anti"
+            ).select("node", F.col("node").alias("scc"))
+            done.append(m)
+            done.append(lonely)
+            break
+        # 1. trim to a fixpoint: no-in or no-out nodes are singletons;
+        # peeling exposes new frontier nodes, so iterate before paying
+        # a coloring round (node count is monotone — the count doubles
+        # as the fixpoint check). Also re-checks the local-finish bound
+        # after each peel.
+        n_nodes = nodes.count()
+        hit_local = False
+        while True:
+            srcs = e.select(F.col("u").alias("node")).distinct()
+            dsts = e.select(F.col("v").alias("node")).distinct()
+            # eager localCheckpoint, NOT persist: each peel's plan embeds
+            # the previous peel's plan three times (interior twice + e
+            # once), so without plan TRUNCATION the logical tree grows
+            # 3^k and the driver OOMs optimizing it — persist shortcuts
+            # execution but not the plan (the no-common-subplan trap,
+            # plan-size edition)
+            interior = srcs.join(dsts, "node").localCheckpoint(eager=True)
+            n_int = interior.count()
+            if n_int == n_nodes:
+                break
+            trimmed = nodes.join(interior, "node", "left_anti").select(
+                "node", F.col("node").alias("scc")
+            )
+            done.append(trimmed.localCheckpoint(eager=True))
+            nodes, n_nodes = interior, n_int
+            e = (
+                e.join(interior.withColumnRenamed("node", "u"), "u")
+                .join(interior.withColumnRenamed("node", "v"), "v")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+            n_e = e.count()
+            if n_e == 0:
+                done.append(
+                    nodes.select("node", F.col("node").alias("scc"))
+                )
+                hit_local = True
+                break
+            if n_e <= local_finish_edges:
+                m = _local_scc(e)
+                lonely = nodes.join(
+                    m.select("node"), "node", "left_anti"
+                ).select("node", F.col("node").alias("scc"))
+                done.append(m)
+                done.append(lonely)
+                hit_local = True
+                break
+        if hit_local:
+            break
+        # 2. color to fixpoint
+        colors = nodes.select("node", F.col("node").alias("c"))
+        fp = digest(colors, "node", "c")
+        for _ in range(max_iter * 4):
+            upd = (
+                e.join(
+                    colors.select(
+                        F.col("node").alias("u"), F.col("c").alias("cu")
+                    ),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("cu").alias("cin"))
+            )
+            colors = (
+                colors.join(upd, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("c"), F.coalesce(F.col("cin"), F.col("c"))
+                    ).alias("c"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            nfp = digest(colors, "node", "c")
+            if nfp == fp:
+                break
+            fp = nfp
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: coloring fixpoint not "
+                f"reached within {max_iter * 4} rounds"
+            )
+        colors = scoped_persist(colors)
+        # 3. same-color edge set + backward closure from roots
+        esame = scoped_persist(
+            e.join(
+                colors.select(F.col("node").alias("u"), F.col("c").alias("cu")),
+                "u",
+            )
+            .join(
+                colors.select(F.col("node").alias("v"), F.col("c").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") == F.col("cv"))
+            .select("u", "v")
+        )
+        marked = colors.filter(F.col("node") == F.col("c")).select("node")
+        marked = marked.localCheckpoint(eager=True)
+        for _ in range(max_iter * 4):
+            grown = (
+                esame.join(marked.withColumnRenamed("node", "v"), "v")
+                .select(F.col("u").alias("node"))
+                .distinct()
+                .join(marked, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if grown.limit(1).count() == 0:
+                break
+            marked = marked.unionByName(grown).localCheckpoint(eager=True)
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: backward closure not "
+                f"reached within {max_iter * 4} rounds"
+            )
+        # 4. emit SCCs of this wave, remove, continue
+        wave = colors.join(marked, "node").select(
+            "node", F.col("c").alias("scc")
+        )
+        done.append(wave.localCheckpoint(eager=True))
+        # same plan-truncation discipline as the trim loop: outer rounds
+        # compound too
+        nodes = nodes.join(marked, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(marked.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(marked.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components: not finished within "
+            f"max_iter={max_iter} outer rounds — raise max_iter"
+        )
+
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def triangle_count(
     edges: DataFrame,
     *,

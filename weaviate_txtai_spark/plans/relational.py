@@ -2675,6 +2675,65 @@ def order_chain_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, max_iter=25).orderBy("node")
 
 
+_ORDER_SCC_SQL = """
+WITH p AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+           AS rn
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         count(*) OVER (PARTITION BY o_custkey, (rn - 1) // 4) AS bn,
+         min(o_orderkey) OVER (PARTITION BY o_custkey, (rn - 1) // 4)
+           AS bmin
+  FROM p
+)
+SELECT CAST(o_orderkey AS BIGINT) AS node,
+       CAST(CASE WHEN bn = 4 THEN bmin ELSE o_orderkey END AS BIGINT)
+         AS scc
+FROM b ORDER BY node
+"""
+
+
+@register("order_scc", _ORDER_SCC_SQL)
+def order_scc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components via the coloring algorithm
+    (operators/graph.py strongly_connected_components: trim → min-color
+    → backward mark, Tarjan local finish — VERDICT r8 item 6). Gate
+    shape: each customer's orders form a DIRECTED chain (lead() over
+    orderkey; the last order self-loops so single-order customers stay
+    as nodes), plus a back-edge from every 4th position to the order
+    three positions earlier — so consecutive blocks of four orders are
+    4-cycles (one SCC each, labeled by the block-min orderkey) while
+    trailing partial blocks remain singletons. The truth is therefore
+    closed-form in SQL (window arithmetic over positions) while the
+    Spark side runs the real iterative machinery; the distributed path
+    is parity-pinned against Tarjan in tests/test_components.py."""
+    from weaviate_txtai_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    pos = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lead("o_orderkey").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_orderkey", 3).over(w).alias("back"),
+    )
+    chain = pos.select(
+        F.col("k").alias("src"),
+        F.coalesce(F.col("nxt"), F.col("k")).alias("dst"),
+    )
+    cycles = pos.filter(
+        (F.col("rn") % 4 == 0) & F.col("back").isNotNull()
+    ).select(F.col("k").alias("src"), F.col("back").alias("dst"))
+    return strongly_connected_components(
+        chain.unionByName(cycles)
+    ).orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # TPC-H Q2/Q6/Q9/Q16/Q20 analogues — the remaining decision-support shapes
 # (the testdata has no partsupp/commitdate/shipmode, so Q2/Q16/Q20 derive
