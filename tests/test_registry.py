@@ -31,50 +31,39 @@ def test_every_oracle_query_is_registered():
         assert name in qs
 
 
-# The SURVEY §2 reference-surface gates that must stay inside the driver's
-# 50-entry CORRECTNESS sample window (VERDICT r3 next-round item 1).
+# The SURVEY §2 reference-surface ANCHORS that must stay inside the driver's
+# 50-entry CORRECTNESS sample window. r9 rotation (VERDICT r8 item 1): the
+# other §2 gates each hold 2-6 green driver rows from r01-r08 and ceded
+# their slots so the 93 never-sampled gates can earn driver rows; they stay
+# judge-sweep + pytest covered.
 _SURVEY_GATES = {
-    "knn_topk", "knn_batch", "knn_batch_gemm", "vector_delete",
-    "vector_upsert", "vector_count", "docid_lookup", "full_scan",
-    "scan_limit", "similar_sql", "agg_stats_txtai", "similarity_brute",
-    "streaming_ingest",
+    "knn_topk", "similar_sql",
 }
 
-# Representative post-round-1 operator families that the rotation exists to
-# get driver-verified. r6 rotation (VERDICT r5 item 3): the round-4 families
-# ceded their slots (all hold r05 driver rows) to the round-5 families, plus
-# the two gates de-vacuated in r6 which need their first REAL driver row.
+# The r9 first-time window: 45 never-driver-sampled gates (verdict-named
+# r8 families first, then one representative per never-sampled r2-r7
+# family), the two gates newly oracled in r9 (order_scc, embedding_pca),
+# and orders_snapshot_diff (clears its stale r6 red driver mark).
 _NEW_FAMILY_GATES = {
-    # long-running representatives still holding slots (rotation-3
-    # ceded the r2/r3 family reps — every ceded gate has ≥1 green
-    # driver row from r04–r06 and stays judge-sweep + pytest covered)
-    "pretraining_manifest",
-    # r5/r6 heavy-bench trackers kept
-    "binary_hamming_rerank", "order_chain_components",
-    # r7 session-2 rotation 3: the stateful-streaming showpiece + the
-    # surviving batch-5..14 families
-    "streaming_monitor", "supplier_name_matches", "bm25_index_topk",
-    "signup_to_purchase_survival", "events_type_hour_dependence",
-    # r7 session-1 families
-    "knn_l2", "knn_dot", "retrieval_eval", "ivfpq_append_search",
-    # r7 families kept through the r8 rotations (all ceded gates —
-    # shared_run_pairs, qlm_topk, order_clique_kcore, source_drift_jsd,
-    # events_cohort_retention, ab_value_mwu, nation_revenue_trend,
-    # part_skyline, customer_affinity, events_daily_cusum,
-    # orders_pit_segment, winnow_fingerprints, order_clique_triangles,
-    # source_drift_ks, phrase_match_positions, ab_conversion_ztest,
-    # revenue_gini — hold green r07 driver rows and stay judge-sweep +
-    # pytest covered)
-    "events_funnel_windowed", "basket_rules", "lineitem_spearman",
-    # r8 rotation: seventeen never-sampled families (VERDICT r7 item
-    # 6 asked for ≥8), incl. the two gates newly oracled this round
-    # and six new r8 operator families
-    "kcenter_coreset", "embedding_dbscan", "totalprice_benford",
-    "orders_k_anonymity", "orders_log_time_travel", "activity_woe_iv",
-    "events_funnel_ab", "ab_cuped_readout", "source_drift_psi",
-    "streaming_sessions", "multimodal_features",
-    "streaming_funnel", "lineitem_bootstrap_ci", "part_also_bought",
-    "customer_supplier_hits", "events_holt_forecast", "orders_fd_profile",
+    "orders_snapshot_diff", "order_scc", "embedding_pca",
+    "events_calibration_bins", "events_calibration_summary",
+    "price_conformal_interval", "events_diff_in_diff",
+    "events_volume_anomalies", "events_daily_gapfill",
+    "events_weekday_profile", "events_trend_ma", "token_zipf_fit",
+    "token_negative_sampling", "lineitem_key_uniqueness",
+    "lineitem_orders_integrity", "purchase_value_cliffs_delta",
+    "events_bh_fdr", "orderkey_join_size", "custkey_join_skew_topk",
+    "purchase_rate_bootstrap", "session_incident_overlap",
+    "orders_l_diversity", "judge_agreement_kappa", "source_llr_keyterms",
+    "events_sequence_pairs", "orders_priority_target_enc",
+    "maxsim_topk", "embedding_outliers", "events_asof",
+    "events_range_join", "fuzzy_source_match", "multiset_setops",
+    "fk_integrity", "events_cohort_salted", "event_transitions",
+    "lineitem_unpivot", "events_funnel_onepass", "ab_value_welch",
+    "purchase_attribution", "events_funnel_latency", "events_daily_ewma",
+    "lineitem_trimmed_means", "order_graph_summary",
+    "order_degree_powerlaw", "events_rolling_wau", "basket_triples",
+    "price_percentiles_counted", "ab_experiment_panel",
 }
 
 
@@ -87,8 +76,11 @@ def test_driver_sample_window_covers_survey_and_new_families():
     window = names[:50]
     assert _SURVEY_GATES <= set(window)
     assert _NEW_FAMILY_GATES <= set(window)
-    post_r1 = [n for n in window if n in set(Q._PRIORITY[16:])]
-    assert len(post_r1) >= 25, post_r1
+    # ≥45 of the 50 must be gates the driver has never sampled
+    # (r9 rotation contract — VERDICT r8 item 1)
+    first_time = [n for n in window if n in _NEW_FAMILY_GATES
+                  and n != "orders_snapshot_diff"]
+    assert len(first_time) >= 45, len(first_time)
     osql = Q.oracle_sql()
     unoracled = [n for n in window if n not in osql]
     assert not unoracled, (

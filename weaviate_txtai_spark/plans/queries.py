@@ -45,107 +45,98 @@ from weaviate_txtai_spark.plans.pipeline import *  # noqa: F401,F403
 # --------------------------------------------------------------------------
 
 _PRIORITY = [
-    # SURVEY §2 reference-surface gates (S*/Q*/T* rows)
+    # ------------------------------------------------------------------
+    # r9 rotation (VERDICT r8 item 1): after r8 the driver had sampled
+    # 167 distinct gates while 93 oracled gates had NEVER earned a
+    # driver row (all verified green locally with tools/check_oracle.py
+    # — the faithful driver replica — at sf0.01 AND sf0.1). The r8
+    # window's 50 entries ALL hold fresh green r08 rows, so per the
+    # verdict's instruction ("cede slots from multi-row §2 holders …
+    # ≥45 first-time entries") the window now holds: two §2 anchors
+    # (the flagship kNN gate and the similar() SQL facade — every other
+    # §2 gate holds 2–6 green driver rows from r01–r08 and stays
+    # judge-sweep + pytest covered), orders_snapshot_diff (passing
+    # since the r8 array-boundary fix; its last driver row is the
+    # STALE r6 red — this row closes that ledger), the two gates newly
+    # oracled THIS round (order_scc — the coloring-algorithm SCC gate
+    # the verdict asked for — and embedding_pca, rows-only until r9),
+    # and 45 never-driver-sampled gates, verdict-named families first.
+    # The 48 still-unsampled gates are queued for the r10 window (see
+    # the r10 plan at the bottom of this list).
+    # ------------------------------------------------------------------
     "knn_topk",
-    "knn_batch",
-    "knn_batch_gemm",
-    # knn_l2 / knn_dot (multi-metric variants of the same kernel) ceded
-    # their slots to the round-4 PQ family — both remain judge-sweep and
-    # pytest covered
-    "pq_codes",
-    "pq_knn",
-    "vector_delete",
-    "vector_upsert",
-    "vector_count",
-    "vector_compact",
-    "docid_lookup",
-    "full_scan",
-    "scan_limit",
     "similar_sql",
-    "agg_stats_txtai",
-    "similarity_brute",
-    "streaming_ingest",
-    # round-2/3 family representatives (each family keeps one slot; every
-    # member now has ≥1 driver row from r04/r05. docs_normalize,
-    # repeated_passages, and ivfpq_knn ceded slots to the round-5 rotation
-    # — all three hold r04/r05 driver rows and stay judge-sweep covered)
-    # r7 rotation 3: kmeans_assign, semantic_dedup, docs_unigram_nll,
-    # doc_centrality, lineitem_profile, hard_negatives, knn_filtered,
-    # sim_join_ivfpq ceded (every one holds ≥1 green driver row from
-    # r04–r06, several hold three; judge-sweep + pytest + the heavy
-    # bench keep them covered) to eight session-2 round-7 families that
-    # have never had a driver row — headlined by streaming_monitor, the
-    # oracled STATEFUL streaming gate.
-    # Earlier cedes (rotation 2): events_zorder, mixture_sample,
-    # contamination_check, dedup_incremental, streaming_near_dedup.
-    "pretraining_manifest",
-    "bm25_topk",
-    "ann_ivf_filtered",
-    "streaming_monitor",
-    "supplier_name_matches",
-    "bm25_index_topk",
-    "signup_to_purchase_survival",
-    "events_type_hour_dependence",
-    # r7 rotation 2: nation_market_share / global_sales_opportunity got
-    # their de-vacuated r6 driver rows; opq_knn_rerank, ivfopq_knn,
-    # binary_hamming_knn, events_resample, orders_snapshot_diff,
-    # dsir_importance, docs_gopher_repetition, min_cost_supplier,
-    # forecast_revenue, product_profit all hold r05/r06 rows — twelve
-    # slots ceded to round-7 session-1/2 families that have never had a
-    # driver row. binary_hamming_rerank and order_chain_components keep
-    # theirs (heavy-bench trackers, fresh plans this round).
-    "binary_hamming_rerank",
-    "order_chain_components",
-    # r8 rotation 2: winnow_fingerprints, order_clique_triangles,
-    # source_drift_ks, phrase_match_positions, ab_conversion_ztest,
-    # revenue_gini (each holds a green r07 driver row; judge-sweep +
-    # pytest keep them covered) cede to six more never-sampled r8
-    # families — the stateful-streaming showpiece, the bootstrap tier,
-    # co-visitation, fixed-point HITS, Holt smoothing, FD discovery.
-    "streaming_funnel",
-    "lineitem_bootstrap_ci",
-    "part_also_bought",
-    "customer_supplier_hits",
-    "events_holt_forecast",
-    "orders_fd_profile",
-    # r7 heavy trackers kept
-    "events_funnel_windowed",
-    "basket_rules",
-    "lineitem_spearman",
-    # r8 rotation (VERDICT r7 item 6): eleven slots ceded by gates that
-    # each hold a green r07 driver row in a family that keeps ≥1 other
-    # representative or heavy-bench/pytest coverage — shared_run_pairs,
-    # qlm_topk, order_clique_kcore, source_drift_jsd,
-    # events_cohort_retention, ab_value_mwu, nation_revenue_trend,
-    # part_skyline, customer_affinity, events_daily_cusum,
-    # orders_pit_segment — to the eleven still-never-sampled r7/r8
-    # families (incl. the two gates newly oracled this round:
-    # streaming_sessions, multimodal_features).
-    "kcenter_coreset",
-    "embedding_dbscan",
-    "totalprice_benford",
-    "orders_k_anonymity",
-    "orders_log_time_travel",
-    "activity_woe_iv",
-    "events_funnel_ab",
-    "ab_cuped_readout",
-    "source_drift_psi",
-    "streaming_sessions",
-    "multimodal_features",
-    # r7 rotation: parts_supplier_count / excess_suppliers ceded their
-    # slots (both hold r06 driver hash-pass rows; judge-sweep + pytest
-    # keep them covered) to two round-7 families that need their first
-    # driver row: the distributed retrieval-metrics evaluator and the
-    # saved-index incremental append→search composition
-    "retrieval_eval",
-    "ivfpq_append_search",
-    # r7: bpe_train_encode / encoder_semantic_search moved BELOW the
-    # window — the driver has no rows-only mode and records `err:
-    # no_oracle` for unoracled entries (VERDICT r6 #2); both stay
-    # pytest- and judge-sweep covered. knn_l2 / knn_dot (oracled,
-    # never driver-verified) take the freed slots.
-    "knn_l2",
-    "knn_dot",
+    "orders_snapshot_diff",
+    "order_scc",
+    "embedding_pca",
+    # verdict-named r8 families without a driver row
+    "events_calibration_bins",
+    "events_calibration_summary",
+    "price_conformal_interval",
+    "events_diff_in_diff",
+    "events_volume_anomalies",
+    "events_daily_gapfill",
+    "events_weekday_profile",
+    "events_trend_ma",
+    "token_zipf_fit",
+    "token_negative_sampling",
+    "lineitem_key_uniqueness",
+    "lineitem_orders_integrity",
+    "purchase_value_cliffs_delta",
+    "events_bh_fdr",
+    "orderkey_join_size",
+    "custkey_join_skew_topk",
+    "purchase_rate_bootstrap",
+    "session_incident_overlap",
+    "orders_l_diversity",
+    "judge_agreement_kappa",
+    "source_llr_keyterms",
+    "events_sequence_pairs",
+    "orders_priority_target_enc",
+    # never-sampled r2–r7 families, one representative per family
+    "maxsim_topk",
+    "embedding_outliers",
+    "events_asof",
+    "events_range_join",
+    "fuzzy_source_match",
+    "multiset_setops",
+    "fk_integrity",
+    "events_cohort_salted",
+    "event_transitions",
+    "lineitem_unpivot",
+    "events_funnel_onepass",
+    "ab_value_welch",
+    "purchase_attribution",
+    "events_funnel_latency",
+    "events_daily_ewma",
+    "lineitem_trimmed_means",
+    "order_graph_summary",
+    "order_degree_powerlaw",
+    "events_rolling_wau",
+    "basket_triples",
+    "price_percentiles_counted",
+    "ab_experiment_panel",
+    # ------------------------------------------------------------------
+    # r10 plan (the remaining never-sampled oracled gates, to rotate in
+    # once the 45 above hold r09 rows): events_time_weighted_avg,
+    # quantity_weighted_price_pctl, events_rolling_avg,
+    # customer_value_deciles, docs_grouping_sets, revenue_percentile,
+    # events_outliers, quantity_rank_ties, customer_order_counts,
+    # events_hourly_incremental, events_seasonal_outliers,
+    # returned_items, shipping_priority, promo_revenue,
+    # nation_trade_volume, large_orders, disjunctive_selection,
+    # lapsed_high_value_customers, part_revenue_share,
+    # top_revenue_supplier, small_quantity_revenue,
+    # late_shipment_priority, events_distinct_users, dedup_weights,
+    # dedup_prefix_jaccard, winnow_pairs, tfidf_top_terms, bigram_top,
+    # doc_chunks, pack_sequences, docs_repetition, bpe_token_counts,
+    # token_budget_waterfill, docs_length_pctrank, docs_robust_zscores,
+    # doc_shard_assign, multi_phrase_match, docs_length_qnorm,
+    # token_pmi_pairs, streaming_interval_join, streaming_dedup,
+    # train_test_split, stratified_sample, label_centroids,
+    # quality_weighted_sample, docs_quality_tiers, source_quota_sample,
+    # events_group_split — plus any gate newly oracled in r9.
+    # ------------------------------------------------------------------
 ]
 
 
