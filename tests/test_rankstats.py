@@ -257,3 +257,116 @@ def test_weighted_percentiles_drops_bad_weights(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         weighted_percentiles(df, "v", "w", [0.0], group_col="g")
+
+
+# ----------------------------------------- listwise moments path (r9)
+
+
+def _row_path(df, pairs, **kw):
+    """Force the row-join listwise fallback by disabling the moments
+    path (a fake big-big pair check via monkey level: call the module
+    fn with every column classified big is impossible from outside, so
+    use the internal seam — pass small_cols=[] making all columns big,
+    which for any real pair is big-big and returns None internally)."""
+    from weaviate_txtai_spark.operators.rankstats import spearman
+
+    return spearman(df, pairs, dropna="listwise", small_cols=[], **kw)
+
+
+def test_moments_path_matches_row_path_with_ties(spark):
+    rng = random.Random(23)
+    rows = [
+        (float(rng.randint(0, 6)), float(rng.randint(0, 900)),
+         float(rng.randint(0, 4)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["s1", "bigv", "s2"]).repartition(5)
+    pairs = [("s1", "bigv"), ("s1", "s2"), ("s2", "bigv")]
+    # probe classifies bigv big only with a low threshold
+    from weaviate_txtai_spark.operators.rankstats import (
+        _spearman_listwise_moments,
+    )
+
+    sub = df.select("bigv", "s1", "s2")
+    fast = _spearman_listwise_moments(
+        sub, pairs, ["bigv", "s1", "s2"], 6, broadcast_domain=32
+    )
+    assert fast is not None
+    got = {(r.col_x, r.col_y): r.spearman for r in fast.collect()}
+    want = {(r.col_x, r.col_y): r.spearman
+            for r in _row_path(df, pairs).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6), k
+
+
+def test_moments_local_finish_matches_distributed(spark):
+    rng = random.Random(5)
+    rows = [
+        (float(rng.randint(0, 6)), float(rng.randint(0, 500)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["s", "b"]).repartition(4)
+    from weaviate_txtai_spark.operators.rankstats import (
+        _spearman_listwise_moments,
+    )
+
+    pairs = [("s", "b")]
+    loc = _spearman_listwise_moments(
+        df, pairs, ["b", "s"], 6, broadcast_domain=32
+    ).collect()
+    dist = _spearman_listwise_moments(
+        df, pairs, ["b", "s"], 6, broadcast_domain=32,
+        local_finish_domain=0,
+    ).collect()
+    assert sorted(map(tuple, loc)) == sorted(map(tuple, dist))
+
+
+def test_moments_hint_matches_probe(spark):
+    rng = random.Random(7)
+    rows = [
+        (float(rng.randint(0, 6)), float(rng.randint(0, 500)),
+         float(rng.randint(0, 3)))
+        for _ in range(250)
+    ]
+    df = spark.createDataFrame(rows, ["s1", "b", "s2"])
+    from weaviate_txtai_spark.operators.rankstats import spearman
+
+    pairs = [("s1", "b"), ("s1", "s2")]
+    hinted = spearman(
+        df, pairs, dropna="listwise", small_cols=["s1", "s2"]
+    ).collect()
+    probed = spearman(df, pairs, dropna="listwise").collect()
+    assert sorted(map(tuple, hinted)) == sorted(map(tuple, probed))
+
+
+def test_moments_constant_column_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(50)], ["c", "v"]
+    )
+    from weaviate_txtai_spark.operators.rankstats import spearman
+
+    r = spearman(
+        df, [("c", "v")], dropna="listwise", small_cols=["c", "v"]
+    ).collect()[0]
+    assert r.spearman is None
+
+
+def test_moments_bigbig_falls_back_to_row_path(spark):
+    rng = random.Random(9)
+    rows = [(float(rng.randint(0, 800)), float(rng.randint(0, 900)))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, ["b1", "b2"])
+    from weaviate_txtai_spark.operators.rankstats import (
+        _spearman_listwise_moments,
+        spearman,
+    )
+
+    assert _spearman_listwise_moments(
+        df, [("b1", "b2")], ["b1", "b2"], 6, broadcast_domain=32
+    ) is None
+    # the public API still answers via the row path
+    got = spearman(
+        df, [("b1", "b2")], dropna="listwise", small_cols=[]
+    ).collect()[0]
+    assert got.spearman is not None

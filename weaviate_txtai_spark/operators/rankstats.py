@@ -151,12 +151,342 @@ def avg_ranks(
     return rows.join(ranked, value_col)
 
 
+def _bigcol_moments_local(
+    per_x: DataFrame,
+    x: str,
+    pair_ids: "list[tuple[int, str]]",
+    mean: float,
+) -> DataFrame:
+    """Single-task Spearman moments for one big column from its
+    (value, cnt, Σ centered-partner-rank…) domain table: sort by value,
+    exclusive prefix counts → centered ranks, then the Σcnt·cx² and
+    Σcx·(Σcy) reductions — one 1-row output. Runs executor-side via
+    ``repartition(1).mapInPandas`` (never a driver collect). Sort order
+    parity: pandas mergesort on the raw column orders numerics,
+    decimals, and strings identically to Spark's ordering (UTF-8 byte
+    order preserves codepoint order)."""
+    import pandas as pd
+
+    sxx_name = f"__sxx_{x}"
+    out_cols = [sxx_name] + [f"__sxy_{i}" for i, _ in pair_ids]
+    schema = ", ".join(f"{c} double" for c in out_cols)
+
+    def kernel(batches):
+        import numpy as np
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            yield pd.DataFrame({c: [None] for c in out_cols})
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(x, kind="mergesort", ignore_index=True)
+        cnt = pdf["__cnt"].to_numpy(dtype="int64")
+        before = np.concatenate(([0], np.cumsum(cnt[:-1])))
+        crx = before + (cnt + 1) / 2.0 - mean
+        out = {sxx_name: [float((crx * crx * cnt).sum())]}
+        for i, y in pair_ids:
+            s = pdf[f"__s_{y}"].to_numpy(dtype="float64")
+            out[f"__sxy_{i}"] = [float((crx * s).sum())]
+        yield pd.DataFrame(out)
+
+    return per_x.repartition(1).mapInPandas(kernel, schema)
+
+
+def _spearman_listwise_moments(
+    sub: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+    cols: Sequence[str],
+    round_decimals: int,
+    *,
+    broadcast_domain: int = 16384,
+    small_cols: "Sequence[str] | None" = None,
+    local_finish_domain: int = 4_000_000,
+):
+    """Listwise Spearman WITHOUT any row-level rank join — the moments
+    path (r9, VERDICT r8 item 2). Returns None when the shape doesn't
+    fit (some pair has two big-domain columns) and the caller falls
+    back to the row-join formulation.
+
+    The identity: with listwise ranks sharing one population of size n,
+    every column's mean rank is exactly (n+1)/2, so for centered ranks
+    c = r − (n+1)/2,  ρ(x,y) = Σcx·cy / √(Σcx²·Σcy²). Each moment is
+    computable from DOMAIN-sized tables:
+
+    - small column (≲``broadcast_domain`` distinct values, probed with
+      one approx_count_distinct pass): its (value → centered rank, cnt)
+      map comes from a tiny grouped count (map-side collapsed) and
+      BROADCASTS; Σcy² = Σ cnt·cy² over the map.
+    - small × small pair: Σcx·cy = Σ cnt₂·cx·cy over the pair's joint
+      value table — another map-side-collapsed groupBy.
+    - big × small pair: ONE groupBy(big) over the corpus accumulates,
+      per big value, the row count AND Σcy of each small partner
+      (partner ranks joined map-side from the broadcast maps); the big
+      column's own ranks then come from ``_prefix_sums`` over that SAME
+      table, and Σcx·cy = Σ cx·(per-value Σcy) — domain-sized end to
+      end. No row ever meets a big rank map.
+
+    Precision: centered moments avoid the Σr² ≈ n³ cancellation that
+    overflows double precision at n ≳ 1e6 raw ranks; Σcx² ≈ n³/12 is
+    all-positive (no cancellation) and Σcx·cy errors stay ~1e-16
+    relative, far inside the 6-dp gate rounding.
+
+    At 100 TB: two corpus scans (probe + one per big column, each a
+    pruned 2–4 column projection) and one small-partner broadcast; the
+    shuffles carry value domains, never rows."""
+    if small_cols is not None:
+        # caller-supplied domain knowledge (e.g. the gate knows its
+        # dimension-like columns): skip the cardinality probe; n comes
+        # from the tiny domain table below instead of a corpus count.
+        # A wrong hint costs performance (an oversized "small" map),
+        # never correctness — every moment identity holds for any split.
+        n = None
+        probe = {c: 1 for c in cols}  # joint-size guard falls back
+        small = [c for c in cols if c in set(small_cols)]
+    else:
+        probe = sub.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.approx_count_distinct(c).alias(c) for c in cols],
+        ).collect()[0]
+        n = probe["__n"]
+        if n == 0:
+            return None  # row path yields the NULL-corr convention
+        small = [c for c in cols if probe[c] <= broadcast_domain]
+    big = [c for c in cols if c not in set(small)]
+    if any(x in set(big) and y in set(big) for x, y in pairs):
+        return None
+
+    # small domain tables per dtype group: one stacked map-side-collapsed
+    # pass per group, CHECKPOINTED — every downstream moment frame below
+    # is a separate crossJoin branch, and Spark shares no common subplans
+    # across branches, so an un-materialized dom would re-scan the corpus
+    # once per branch (the no-common-subplan trap, NOTES.md). The table
+    # stores the raw exclusive prefix count __b; centered ranks derive
+    # lazily once n is known.
+    dtypes = dict(sub.dtypes)
+    doms: list[DataFrame] = []
+    by_dtype: dict[str, list[str]] = {}
+    for c in small:
+        by_dtype.setdefault(dtypes[c], []).append(c)
+    from pyspark.sql.window import Window
+
+    for group in by_dtype.values():
+        stacked = sub.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("__col"), F.col(c).alias("__val")
+                        )
+                        for c in group
+                    ]
+                )
+            ).alias("s")
+        ).select("s.__col", "s.__val")
+        vc = stacked.groupBy("__col", "__val").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        w = (
+            Window.partitionBy("__col")
+            .orderBy("__val")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        dom = vc.select(
+            "__col",
+            "__val",
+            "__cnt",
+            F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__b"),
+        ).localCheckpoint(eager=True)
+        doms.append(dom)
+    if n is None:
+        # hint mode: every column shares the listwise population, so any
+        # small column's counts sum to n — a 1-row agg over the tiny
+        # checkpointed domain, not a corpus job
+        if doms:
+            first_col = next(iter(by_dtype.values()))[0]
+            n = doms[0].filter(F.col("__col") == first_col).agg(
+                F.sum("__cnt")
+            ).collect()[0][0] or 0
+        else:
+            n = sub.count()
+        if n == 0:
+            return None
+    mean = (n + 1) / 2.0
+
+    def _cr():
+        return (
+            F.col("__b")
+            + (F.col("__cnt") + F.lit(1)) / F.lit(2.0)
+            - F.lit(mean)
+        )
+
+    maps: dict[str, DataFrame] = {}
+    for dom, group in zip(doms, by_dtype.values()):
+        for c in group:
+            maps[c] = dom.filter(F.col("__col") == c).select(
+                "__val", _cr().alias("__cr"), "__cnt"
+            )
+
+    frames: list[DataFrame] = []
+    # ALL small-column variance moments in one agg per (tiny) dom
+    for dom, group in zip(doms, by_dtype.values()):
+        frames.append(
+            dom.agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("__col") == c,
+                            F.col("__cnt") * _cr() * _cr(),
+                        )
+                    ).alias(f"__sxx_{c}")
+                    for c in group
+                ]
+            )
+        )
+    # small × small pairs: ONE corpus groupBy over every small column
+    # (map-side collapsed; the product domain is probed ≤ domain^k —
+    # guarded below), then each pair's joint re-aggregates the tiny
+    # grouped table instead of paying its own corpus scan
+    ss_pairs = [
+        (i, x, y) for i, (x, y) in enumerate(pairs)
+        if x in maps and y in maps
+    ]
+    if ss_pairs:
+        est = 1
+        for c in small:
+            est *= max(int(probe[c]), 1)
+        if len(small) <= 4 and est <= 4_000_000:
+            allj = (
+                sub.groupBy(*small)
+                .agg(F.count(F.lit(1)).alias("__c2"))
+                .localCheckpoint(eager=True)
+            )
+            joint_src = {
+                (x, y): allj.groupBy(x, y).agg(
+                    F.sum("__c2").alias("__c2")
+                )
+                for _, x, y in ss_pairs
+            }
+        else:
+            joint_src = {
+                (x, y): sub.groupBy(x, y).agg(
+                    F.count(F.lit(1)).alias("__c2")
+                )
+                for _, x, y in ss_pairs
+            }
+        for i, x, y in ss_pairs:
+            joint = (
+                joint_src[(x, y)]
+                .join(
+                    F.broadcast(
+                        maps[x].select(
+                            F.col("__val").alias(x),
+                            F.col("__cr").alias("__crx"),
+                        )
+                    ),
+                    x,
+                )
+                .join(
+                    F.broadcast(
+                        maps[y].select(
+                            F.col("__val").alias(y),
+                            F.col("__cr").alias("__cry"),
+                        )
+                    ),
+                    y,
+                )
+            )
+            frames.append(
+                joint.agg(
+                    F.sum(
+                        F.col("__c2") * F.col("__crx") * F.col("__cry")
+                    ).alias(f"__sxy_{i}")
+                )
+            )
+    # big columns: one corpus groupBy each, carrying partner Σcy
+    for x in big:
+        partners = sorted(
+            {y for p in pairs for y in p if x in p and y != x}
+        )
+        base = sub.select(x, *partners)
+        for y in partners:
+            base = base.join(
+                F.broadcast(
+                    maps[y].select(
+                        F.col("__val").alias(y),
+                        F.col("__cr").alias(f"__cr_{y}"),
+                    )
+                ),
+                y,
+            )
+        per_x = base.groupBy(x).agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            *[F.sum(f"__cr_{y}").alias(f"__s_{y}") for y in partners],
+        ).localCheckpoint(eager=True)
+        pair_ids = []
+        for i, (px, py) in enumerate(pairs):
+            if x in (px, py):
+                pair_ids.append((i, py if px == x else px))
+        n_vals = per_x.count()
+        if n_vals <= local_finish_domain:
+            # single-task numpy finish (the connected_components /
+            # hits_exact local-finish discipline): the value-domain
+            # table fits one task, so sort + prefix + moment reduction
+            # run in ONE cheap job instead of the range-shuffle +
+            # subtotal-collect + window machinery — pure job-floor
+            # savings, measured, with the distributed path kept for
+            # larger domains and parity-pinned in tests
+            frames.append(
+                _bigcol_moments_local(per_x, x, pair_ids, mean)
+            )
+        else:
+            ranked = _prefix_sums(per_x, x, "__cnt")
+            crx = (
+                F.col("__before")
+                + (F.col("__cnt") + F.lit(1)) / F.lit(2.0)
+                - F.lit(mean)
+            )
+            aggs = [F.sum(crx * crx * F.col("__cnt")).alias(f"__sxx_{x}")]
+            for i, y in pair_ids:
+                aggs.append(
+                    F.sum(crx * F.col(f"__s_{y}")).alias(f"__sxy_{i}")
+                )
+            frames.append(ranked.agg(*aggs))
+
+    one = frames[0]
+    for fr in frames[1:]:
+        one = one.crossJoin(fr)
+    return one.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(x).alias("col_x"),
+                        F.lit(y).alias("col_y"),
+                        F.round(
+                            F.try_divide(
+                                F.col(f"__sxy_{i}"),
+                                F.sqrt(
+                                    F.col(f"__sxx_{x}")
+                                    * F.col(f"__sxx_{y}")
+                                ),
+                            ),
+                            round_decimals,
+                        ).alias("spearman"),
+                    )
+                    for i, (x, y) in enumerate(pairs)
+                ]
+            )
+        )
+    )
+
+
 def spearman(
     df: DataFrame,
     pairs: Sequence[tuple[str, str]],
     *,
     dropna: str = "pairwise",
     round_decimals: int = 6,
+    small_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Spearman rank correlation for each (x, y) column pair: one row
     per pair — ``col_x, col_y, spearman``.
@@ -185,6 +515,11 @@ def spearman(
         for c in cols:
             cond = cond & F.col(c).isNotNull()
         sub = df.filter(cond).select(*cols)
+        fast = _spearman_listwise_moments(
+            sub, pairs, cols, round_decimals, small_cols=small_cols
+        )
+        if fast is not None:
+            return fast
         # each column's (value → rank) map builds from the BASE frame
         # (chaining avg_ranks would make map N's count aggregate
         # re-evaluate N−1 prior joins — measured 10.8 s vs 4 s at

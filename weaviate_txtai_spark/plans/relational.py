@@ -3267,9 +3267,12 @@ def lineitem_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_discount", "l_tax"),
             ("l_quantity", "l_discount"),
         ],
-        # TPC-H fact columns are null-free, so listwise == pairwise and
-        # each unique column ranks once (4 ranking jobs, not 6)
+        # TPC-H fact columns are null-free, so listwise == pairwise;
+        # the moments path computes every correlation from domain-sized
+        # tables (no row-level rank join), and the hint pins the known
+        # dimension-like columns so the cardinality probe is skipped
         dropna="listwise",
+        small_cols=["l_quantity", "l_discount", "l_tax"],
     ).orderBy("col_x", "col_y")
 
 
