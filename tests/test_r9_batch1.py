@@ -1,0 +1,228 @@
+"""Round-9 batch 1: MMR diversified selection, Fellegi–Sunter record
+linkage, Jelinek–Mercer trigram NLL, stratified ATE."""
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ MMR
+
+
+def _py_mmr(rows, k, lam, rd=6):
+    """Plain-python greedy reference over (id, rel, vec) rows."""
+    import numpy as np
+
+    rows = sorted(rows)
+    ids = [r[0] for r in rows]
+    rel = np.array([r[1] for r in rows])
+    mat = np.array([r[2] for r in rows], dtype=float)
+    n = len(ids)
+    red = np.zeros(n)
+    taken = [False] * n
+    out = []
+    for _ in range(min(k, n)):
+        obj = np.round(lam * rel - (1 - lam) * red, rd + 1)
+        best = max(
+            (o, -i) for i, o in enumerate(obj) if not taken[i]
+        )
+        i = -best[1]
+        taken[i] = True
+        out.append((ids[i], float(obj[i])))
+        red = np.maximum(red, np.round(mat @ mat[i], rd))
+    return out
+
+
+def test_mmr_matches_reference_and_diversifies(spark):
+    from weaviate_txtai_spark.operators.mmr import mmr_select
+
+    rng = random.Random(3)
+    vecs = []
+    for i in range(20):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        vecs.append([x / n for x in v])
+    # two near-identical top candidates: plain top-k keeps both, MMR
+    # must skip the redundant twin
+    vecs[1] = list(vecs[0])
+    rows = [
+        (0, i, round(1.0 - i * 0.01, 6), vecs[i]) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, vector array<double>"
+    )
+    got = [
+        (r["doc_id"], r["mmr"])
+        for r in mmr_select(df, 5, lam=0.5).orderBy("rank").collect()
+    ]
+    want = _py_mmr([(i, r, v) for _, i, r, v in rows], 5, 0.5)
+    assert got == want
+    picked = [d for d, _ in got]
+    assert 0 in picked and 1 not in picked, picked  # twin suppressed
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    from weaviate_txtai_spark.operators.mmr import mmr_select
+
+    rows = [
+        (0, i, round(0.9 - i * 0.1, 6), [1.0, 0.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, vector array<double>"
+    )
+    got = [r["doc_id"] for r in
+           mmr_select(df, 3, lam=1.0).orderBy("rank").collect()]
+    assert got == [0, 1, 2]
+
+
+def test_mmr_validation(spark):
+    from weaviate_txtai_spark.operators.mmr import mmr_select
+
+    df = spark.createDataFrame(
+        [(0, 1, 0.5, [1.0])],
+        "query_id long, doc_id long, score double, vector array<double>",
+    )
+    with pytest.raises(ValueError, match="k"):
+        mmr_select(df, 0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_select(df, 1, lam=1.5)
+
+
+# ------------------------------------------------- Fellegi–Sunter
+
+
+def test_fs_weights_hand_computed(spark):
+    from weaviate_txtai_spark.operators.recordlinkage import (
+        fs_score,
+        fs_weights,
+    )
+
+    # 4 matches (3 agree), 8 non-matches (2 agree) on one field
+    rows = [(True, i < 3) for i in range(4)] + [
+        (False, i < 2) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "is_match boolean, eq boolean")
+    w = fs_weights(df, ["eq"], "is_match")
+    m, u = 3 / 4, 2 / 8
+    assert w["eq"][0] == round(math.log2(m / u), 9)
+    assert w["eq"][1] == round(math.log2((1 - m) / (1 - u)), 9)
+    scored = {
+        (r["is_match"], r["eq"]): r["score"]
+        for r in fs_score(df, w).collect()
+    }
+    assert scored[(True, True)] == round(w["eq"][0], 6)
+    assert scored[(False, False)] == round(w["eq"][1], 6)
+
+
+def test_fs_weights_clamp_and_validation(spark):
+    from weaviate_txtai_spark.operators.recordlinkage import fs_weights
+
+    # degenerate field: matches ALWAYS agree -> m clamps below 1
+    rows = [(True, True)] * 3 + [(False, False)] * 3
+    df = spark.createDataFrame(rows, "is_match boolean, eq boolean")
+    w = fs_weights(df, ["eq"], "is_match")
+    assert math.isfinite(w["eq"][0]) and math.isfinite(w["eq"][1])
+    only = spark.createDataFrame(
+        [(True, True)], "is_match boolean, eq boolean"
+    )
+    with pytest.raises(ValueError, match="matches"):
+        fs_weights(only, ["eq"], "is_match")
+    with pytest.raises(ValueError, match="agreement"):
+        fs_weights(df, [], "is_match")
+
+
+def test_fs_separates_true_pairs(spark, sf_dir):
+    """On the gate fixture, true pairs must dominate the top scores."""
+    from weaviate_txtai_spark.plans.relational import (
+        customer_linkage_fs_q,
+    )
+
+    rows = customer_linkage_fs_q(spark, sf_dir).collect()
+    assert len(rows) == 40
+    frac_match = sum(1 for r in rows if r["is_match"]) / len(rows)
+    assert frac_match >= 0.9, frac_match
+
+
+# ---------------------------------------------- trigram JM NLL
+
+
+def test_trigram_jm_hand_computed(spark):
+    from weaviate_txtai_spark.operators.lm import trigram_jm_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_trigrams"], r["nll"])
+           for r in trigram_jm_nll(docs, round_decimals=6).collect()}
+    # corpus: tokens a,b,c,a,b -> T=5; c(abc)=1, c(ab)=2, c(bc)=1,
+    # c(b)=2, c(c)=1
+    p = 0.6 * (1 / 2) + 0.3 * (1 / 2) + 0.1 * (1 / 5)
+    assert out[1] == (1, round(-math.log(p), 6))
+    assert out[2] == (0, None) and out[3] == (0, None)
+
+
+def test_trigram_jm_catches_scrambled_bigram_text(spark):
+    """A doc reusing corpus BIGRAMS in an unseen order scores worse
+    than the canonical phrasing — what the bigram model cannot fully
+    separate, the trigram term does."""
+    from weaviate_txtai_spark.operators.lm import trigram_jm_nll
+
+    base = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(20)]
+    # "brown fox" and "the quick" are corpus bigrams; this order breaks
+    # every trigram
+    docs = base + [(100, "over the quick brown fox lazy dog jumps")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["nll"]
+           for r in trigram_jm_nll(df, round_decimals=6).collect()}
+    assert out[100] > out[0]
+
+
+def test_trigram_jm_validation(spark):
+    from weaviate_txtai_spark.operators.lm import trigram_jm_nll
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="lambdas"):
+        trigram_jm_nll(df, lambdas=(0.5, 0.5, 0.5))
+
+
+# ---------------------------------------------- stratified ATE
+
+
+def test_stratified_ate_closed_form(spark):
+    from weaviate_txtai_spark.operators.abtest import stratified_ate
+
+    rows = []
+    # stratum 0: treat mean 1.0 (3 units), control mean 0.0 (3 units)
+    rows += [(0, True, 1.0)] * 3 + [(0, False, 0.0)] * 3
+    # stratum 1: treat mean 0.5 (4), control mean 0.25 (4)
+    rows += [(1, True, 1.0), (1, True, 0.0)] * 2
+    rows += [(1, False, 1.0), (1, False, 0.0), (1, False, 0.0),
+             (1, False, 0.0)]
+    # stratum 2: only one control unit -> trimmed
+    rows += [(2, True, 1.0)] * 2 + [(2, False, 1.0)]
+    df = spark.createDataFrame(rows, "stratum int, t boolean, y double")
+    out = {r["stratum"]: r for r in
+           stratified_ate(df, "t", "y", "stratum").collect()}
+    assert set(out) == {0, 1, -1}
+    assert out[0]["diff"] == 1.0 and out[1]["diff"] == 0.25
+    w0, w1 = 6 / 14, 8 / 14
+    assert out[-1]["diff"] == round(w0 * 1.0 + w1 * 0.25, 6)
+    assert out[-1]["se"] is not None and out[-1]["se"] > 0
+    assert out[0]["se"] is None
+
+
+def test_stratified_ate_single_stratum_equals_raw_diff(spark):
+    from weaviate_txtai_spark.operators.abtest import stratified_ate
+
+    rows = [(0, True, float(i % 2)) for i in range(10)] + [
+        (0, False, float(i % 3 == 0)) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "stratum int, t boolean, y double")
+    out = {r["stratum"]: r for r in
+           stratified_ate(df, "t", "y", "stratum").collect()}
+    assert out[-1]["diff"] == round(5 / 10 - 3 / 9, 6)

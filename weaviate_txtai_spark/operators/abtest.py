@@ -428,3 +428,100 @@ def diff_in_diff(
         F.round(did, round_decimals).alias("did"),
         F.round(se, round_decimals).alias("se"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    stratum_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Stratified (post-stratification) average treatment effect — the
+    closed-form causal estimator between the raw difference-in-means
+    and a fitted propensity model (Imbens & Rubin, public knowledge):
+    within each stratum the arms are compared directly, and strata
+    combine weighted by their population share,
+
+        ATE = Σ_s (n_s / n) · (ȳ₁ₛ − ȳ₀ₛ)
+        SE² = Σ_s (n_s / n)² · (v₁ₛ/n₁ₛ + v₀ₛ/n₀ₛ)
+
+    Strata with fewer than 2 units in either arm are EXCLUDED (no
+    within-arm variance is estimable); n re-normalizes over the kept
+    strata, so the estimand is the ATE on the covered population — the
+    standard positivity trim, deterministic here.
+
+    One groupBy(stratum, treat) partial-agg shuffle (map-side combined)
+    + a strata-domain pivot and 1-row reduction — nothing row-scale
+    past the first aggregate. Output: one row per kept stratum
+    (``stratum, n1, n0, diff, weight``, SE NULL) plus the pooled row
+    (``stratum = -1``) carrying the ATE as ``diff``, weight 1, and the
+    pooled ``se``.
+    """
+    cell = df.groupBy(
+        F.col(stratum_col).alias("stratum"),
+        F.col(treat_col).cast("boolean").alias("__t"),
+    ).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col(outcome_col).cast("double")).alias("s"),
+        F.var_samp(F.col(outcome_col).cast("double")).alias("v"),
+    )
+    wide = (
+        cell.groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("__t"), F.col("m"))).alias("n1"),
+            F.sum(F.when(~F.col("__t"), F.col("m"))).alias("n0"),
+            F.sum(F.when(F.col("__t"), F.col("s"))).alias("s1"),
+            F.sum(F.when(~F.col("__t"), F.col("s"))).alias("s0"),
+            F.sum(F.when(F.col("__t"), F.col("v"))).alias("v1"),
+            F.sum(F.when(~F.col("__t"), F.col("v"))).alias("v0"),
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n0") >= 2))
+    )
+    kept = wide.select(
+        "stratum",
+        "n1",
+        "n0",
+        (F.col("n1") + F.col("n0")).alias("ns"),
+        (F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")).alias(
+            "__d"
+        ),
+        (F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")).alias(
+            "__vw"
+        ),
+    )
+    tot = kept.agg(F.sum("ns").alias("__n"))
+    per = kept.join(F.broadcast(tot)).select(
+        F.col("stratum").cast("long").alias("stratum"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        F.round("__d", round_decimals).alias("diff"),
+        F.round(F.col("ns") / F.col("__n"), round_decimals).alias(
+            "weight"
+        ),
+        F.lit(None).cast("double").alias("se"),
+    )
+    pooled = (
+        kept.join(F.broadcast(tot))
+        .agg(
+            F.lit(-1).cast("long").alias("stratum"),
+            F.sum("n1").cast("long").alias("n1"),
+            F.sum("n0").cast("long").alias("n0"),
+            F.round(
+                F.sum(F.col("ns") / F.col("__n") * F.col("__d")),
+                round_decimals,
+            ).alias("diff"),
+            F.round(F.lit(1.0), round_decimals).alias("weight"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.pow(F.col("ns") / F.col("__n"), 2)
+                        * F.col("__vw")
+                    )
+                ),
+                round_decimals,
+            ).alias("se"),
+        )
+    )
+    return per.unionByName(pooled)

@@ -320,3 +320,126 @@ def negative_sampling_weights(
         "count",
         F.round(F.col("__p") / F.col("__t"), round_decimals).alias("weight"),
     )
+
+
+def trigram_jm_nll(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: "tuple[float, float, float]" = (0.6, 0.3, 0.1),
+    round_decimals: Optional[int] = None,
+) -> DataFrame:
+    """Per-document mean NLL under a Jelinek–Mercer INTERPOLATED
+    trigram model (Jelinek & Mercer 1980; the KenLM-family smoothing
+    CCNet-style quality filters actually run, one order beyond
+    :func:`bigram_nll`):
+
+        p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/c(w₁w₂) + λ₂·c(w₂w₃)/c(w₂)
+                   + λ₁·c(w₃)/T
+
+    Every observed trigram's context counts are ≥1 (the context occurs
+    in the same position), and the unigram floor keeps p > 0, so no
+    add-alpha is needed — interpolation IS the smoothing. Docs with
+    < 3 tokens surface with n_trigrams=0 and NULL nll.
+
+    Plan shape: the trigram stream is the same narrow zip-with-tail
+    explode as the bigram one (no join against the text); counts are
+    three partial-agg shuffles (trigram / bigram / unigram keys);
+    scoring joins the stream against the three count tables plus the
+    1-row total (broadcast). The bigram and unigram tables each feed
+    TWO joins (context and continuation), so they persist
+    (no-common-subplan rule; release via ``cache_scope``); the trigram
+    table has one consumer and stays shuffle-side.
+    """
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if abs(l3 + l2 + l1 - 1.0) > 1e-9 or min(l3, l2, l1) <= 0:
+        raise ValueError("trigram_jm_nll: lambdas must be positive and sum to 1")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 2, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 2, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+        lambda ab, c: F.struct(
+            ab["w1"].alias("w1"), ab["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    stream = docs.select(F.col(id_col), F.explode(tri).alias("t")).select(
+        id_col,
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+    uni = scoped_persist(
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    bigr = scoped_persist(
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("b1"), b.alias("b2")),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.b1").alias("b1"), F.col("b.b2").alias("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tcounts = stream.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    total = uni.agg(F.sum("cu").alias("tot"))
+    scored = (
+        stream.join(tcounts, ["w1", "w2", "w3"])
+        .join(
+            bigr.select(
+                F.col("b1").alias("w1"), F.col("b2").alias("w2"),
+                F.col("cb").alias("c12"),
+            ),
+            ["w1", "w2"],
+        )
+        .join(
+            bigr.select(
+                F.col("b1").alias("w2"), F.col("b2").alias("w3"),
+                F.col("cb").alias("c23"),
+            ),
+            ["w2", "w3"],
+        )
+        .join(
+            uni.select(F.col("term").alias("w2"), F.col("cu").alias("c2")),
+            "w2",
+        )
+        .join(
+            uni.select(F.col("term").alias("w3"), F.col("cu").alias("c3")),
+            "w3",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(
+                F.lit(l3) * (F.col("ct") / F.col("c12"))
+                + F.lit(l2) * (F.col("c23") / F.col("c2"))
+                + F.lit(l1) * (F.col("c3") / F.col("tot"))
+            ).alias("logp"),
+        )
+    )
+    nll = -F.avg("logp")
+    if round_decimals is not None:
+        nll = F.round(nll, round_decimals)
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"), nll.alias("nll")
+    )
+    shorts = docs.filter(F.col(text_col).isNull() | (n < 3)).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_trigrams"),
+        F.lit(None).cast("double").alias("nll"),
+    )
+    return out.unionByName(shorts)

@@ -1362,3 +1362,61 @@ def events_group_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_TRIGRAM_JM_SQL = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+),
+tg AS MATERIALIZED (
+  SELECT doc_id, tok[s.x] AS w1, tok[s.x + 1] AS w2, tok[s.x + 2] AS w3
+  FROM t, unnest(generate_series(1, len(tok) - 2)) AS s(x)
+  WHERE len(tok) >= 3
+),
+cu AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(tok) AS term FROM t) GROUP BY 1),
+cb AS MATERIALIZED (
+  SELECT b1, b2, CAST(count(*) AS BIGINT) AS cb
+  FROM (SELECT tok[s.x] AS b1, tok[s.x + 1] AS b2
+        FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+        WHERE len(tok) >= 2) GROUP BY 1, 2),
+ctr AS MATERIALIZED (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS ct
+  FROM tg GROUP BY 1, 2, 3),
+tot AS MATERIALIZED (SELECT CAST(sum(cu) AS BIGINT) AS tot FROM cu)
+SELECT * FROM (
+  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(-avg(ln(
+             CAST(0.6 AS DOUBLE) * (ct / c12)
+           + CAST(0.3 AS DOUBLE) * (c23 / c2)
+           + CAST(0.1 AS DOUBLE) * (c3 / tot.tot))), 6) AS nll
+  FROM tg
+  JOIN ctr USING (w1, w2, w3)
+  JOIN (SELECT b1 AS w1, b2 AS w2, cb AS c12 FROM cb) USING (w1, w2)
+  JOIN (SELECT b1 AS w2, b2 AS w3, cb AS c23 FROM cb) USING (w2, w3)
+  JOIN (SELECT term AS w2, cu AS c2 FROM cu) USING (w2)
+  JOIN (SELECT term AS w3, cu AS c3 FROM cu) USING (w3)
+  , tot
+  GROUP BY tg.doc_id
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM t WHERE tok IS NULL OR len(tok) < 3
+) ORDER BY doc_id
+"""
+
+
+@register("docs_trigram_jm_nll", _TRIGRAM_JM_SQL)
+def docs_trigram_jm_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer interpolated trigram NLL (operators/lm.py
+    trigram_jm_nll) — the KenLM-family smoothing one order past the
+    bigram gate: interpolation with the bigram/unigram backoffs IS the
+    smoothing (no add-alpha), matching what CCNet-style quality tiers
+    actually run. Same narrow zip-with-tail explode as the bigram
+    stream; the bigram and unigram count tables each feed two joins
+    (context + continuation) and persist once."""
+    from weaviate_txtai_spark.operators.lm import trigram_jm_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_jm_nll(docs, round_decimals=6).orderBy("doc_id")

@@ -5861,3 +5861,197 @@ def purchase_rate_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_ratio_ci(
         ev, "n", "d", id_col="user_id", n_replicates=50
     )
+
+
+_FS_LINKAGE_SQL = """
+WITH a AS MATERIALIZED (
+  SELECT c_custkey AS ak, c_nationkey AS an, c_mktsegment AS aseg,
+         floor(c_acctbal / 1000) AS abucket,
+         substr(c_name, 1, 8) AS aname
+  FROM customer),
+b AS MATERIALIZED (
+  SELECT c_custkey AS bk, c_nationkey AS bn,
+         CASE WHEN c_custkey % 5 = 0 THEN 'PERTURBED'
+              ELSE c_mktsegment END AS bseg,
+         CASE WHEN c_custkey % 3 = 0 THEN floor(c_acctbal / 1000) + 1
+              ELSE floor(c_acctbal / 1000) END AS bbucket,
+         CASE WHEN c_custkey % 11 = 0 THEN 'XXXXXXXX'
+              ELSE substr(c_name, 1, 8) END AS bname
+  FROM customer),
+p AS MATERIALIZED (
+  SELECT ak, bk, (ak = bk) AS is_match,
+         (aseg = bseg) AS eq_seg,
+         (abucket = bbucket) AS eq_bucket,
+         (aname = bname) AS eq_name
+  FROM a JOIN b ON an = bn),
+cnt AS MATERIALIZED (SELECT
+  CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+  CAST(sum(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT) AS nu,
+  CAST(sum(CASE WHEN is_match AND eq_seg THEN 1 ELSE 0 END) AS BIGINT) AS am_seg,
+  CAST(sum(CASE WHEN NOT is_match AND eq_seg THEN 1 ELSE 0 END) AS BIGINT) AS au_seg,
+  CAST(sum(CASE WHEN is_match AND eq_bucket THEN 1 ELSE 0 END) AS BIGINT) AS am_bucket,
+  CAST(sum(CASE WHEN NOT is_match AND eq_bucket THEN 1 ELSE 0 END) AS BIGINT) AS au_bucket,
+  CAST(sum(CASE WHEN is_match AND eq_name THEN 1 ELSE 0 END) AS BIGINT) AS am_name,
+  CAST(sum(CASE WHEN NOT is_match AND eq_name THEN 1 ELSE 0 END) AS BIGINT) AS au_name
+  FROM p),
+w AS MATERIALIZED (SELECT
+  round(log2(LEAST(GREATEST(am_seg / nm, 1e-6), 1 - 1e-6)
+           / LEAST(GREATEST(au_seg / nu, 1e-6), 1 - 1e-6)), 9) AS wa_seg,
+  round(log2((1 - LEAST(GREATEST(am_seg / nm, 1e-6), 1 - 1e-6))
+           / (1 - LEAST(GREATEST(au_seg / nu, 1e-6), 1 - 1e-6))), 9) AS wd_seg,
+  round(log2(LEAST(GREATEST(am_bucket / nm, 1e-6), 1 - 1e-6)
+           / LEAST(GREATEST(au_bucket / nu, 1e-6), 1 - 1e-6)), 9) AS wa_bucket,
+  round(log2((1 - LEAST(GREATEST(am_bucket / nm, 1e-6), 1 - 1e-6))
+           / (1 - LEAST(GREATEST(au_bucket / nu, 1e-6), 1 - 1e-6))), 9) AS wd_bucket,
+  round(log2(LEAST(GREATEST(am_name / nm, 1e-6), 1 - 1e-6)
+           / LEAST(GREATEST(au_name / nu, 1e-6), 1 - 1e-6)), 9) AS wa_name,
+  round(log2((1 - LEAST(GREATEST(am_name / nm, 1e-6), 1 - 1e-6))
+           / (1 - LEAST(GREATEST(au_name / nu, 1e-6), 1 - 1e-6))), 9) AS wd_name
+  FROM cnt)
+SELECT ak AS a_key, bk AS b_key, is_match,
+       round((CASE WHEN eq_seg THEN wa_seg ELSE wd_seg END)
+           + (CASE WHEN eq_bucket THEN wa_bucket ELSE wd_bucket END)
+           + (CASE WHEN eq_name THEN wa_name ELSE wd_name END), 6) AS score
+FROM p, w
+QUALIFY row_number() OVER (
+    ORDER BY round((CASE WHEN eq_seg THEN wa_seg ELSE wd_seg END)
+        + (CASE WHEN eq_bucket THEN wa_bucket ELSE wd_bucket END)
+        + (CASE WHEN eq_name THEN wa_name ELSE wd_name END), 6) DESC,
+    ak, bk) <= 40
+ORDER BY a_key, b_key
+"""
+
+
+@register("customer_linkage_fs", _FS_LINKAGE_SQL)
+def customer_linkage_fs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage (operators/recordlinkage.py): the
+    customer table re-linked against a deterministically perturbed copy
+    (segment rewritten on keys ≡0 mod 5, balance bucket shifted on ≡0
+    mod 3, name prefix destroyed on ≡0 mod 11 — the orders_snapshot_diff
+    fixture style). Blocking on nationkey bounds candidates; m/u
+    probabilities are estimated from the truth labels (same custkey) in
+    ONE 1-row aggregate; scoring is a pure map over literal weights
+    (rounded 9 dp so a last-ulp libm log2 difference cannot reach the
+    6-dp score). Output: the 40 highest-scoring pairs — the supervised
+    half of FS; the EM-fitted variant shares the scoring kernel."""
+    from weaviate_txtai_spark.cache import scoped_persist
+    from weaviate_txtai_spark.operators.recordlinkage import (
+        fs_score,
+        fs_weights,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("ak"),
+        F.col("c_nationkey").alias("an"),
+        F.col("c_mktsegment").alias("aseg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("abucket"),
+        F.substring("c_name", 1, 8).alias("aname"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("bk"),
+        F.col("c_nationkey").alias("bn"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment")).alias("bseg"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.floor(F.col("c_acctbal") / 1000) + 1,
+        ).otherwise(F.floor(F.col("c_acctbal") / 1000)).alias("bbucket"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("XXXXXXXX"))
+        .otherwise(F.substring("c_name", 1, 8)).alias("bname"),
+    )
+    pairs = scoped_persist(
+        a.join(b, F.col("an") == F.col("bn")).select(
+            "ak",
+            "bk",
+            (F.col("ak") == F.col("bk")).alias("is_match"),
+            (F.col("aseg") == F.col("bseg")).alias("eq_seg"),
+            (F.col("abucket") == F.col("bbucket")).alias("eq_bucket"),
+            (F.col("aname") == F.col("bname")).alias("eq_name"),
+        )
+    )
+    w = fs_weights(pairs, ["eq_seg", "eq_bucket", "eq_name"], "is_match")
+    scored = fs_score(pairs, w)
+    return (
+        scored.orderBy(F.desc("score"), "ak", "bk")
+        .limit(40)
+        .select(
+            F.col("ak").alias("a_key"),
+            F.col("bk").alias("b_key"),
+            "is_match",
+            "score",
+        )
+        .orderBy("a_key", "b_key")
+    )
+
+
+_STRAT_ATE_SQL = """
+WITH u AS MATERIALIZED (
+  SELECT user_id,
+         ((user_id * 2654435761) % 4294967296) % 2 = 0 AS treat,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS y,
+         CAST(hour(min(ts)) // 6 AS INT) AS stratum
+  FROM events GROUP BY user_id
+),
+wide AS MATERIALIZED (
+  SELECT stratum,
+         CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         sum(CASE WHEN treat THEN y END) AS s1,
+         sum(CASE WHEN NOT treat THEN y END) AS s0,
+         var_samp(CASE WHEN treat THEN y END) AS v1,
+         var_samp(CASE WHEN NOT treat THEN y END) AS v0
+  FROM u GROUP BY stratum
+  HAVING n1 >= 2 AND n0 >= 2
+),
+kept AS MATERIALIZED (
+  SELECT stratum, n1, n0, n1 + n0 AS ns,
+         s1 / n1 - s0 / n0 AS d,
+         v1 / n1 + v0 / n0 AS vw
+  FROM wide),
+tot AS MATERIALIZED (SELECT CAST(sum(ns) AS BIGINT) AS n FROM kept)
+SELECT * FROM (
+  SELECT CAST(stratum AS BIGINT) AS stratum, n1, n0,
+         round(d, 6) AS diff,
+         round(ns / CAST(n AS DOUBLE), 6) AS weight,
+         CAST(NULL AS DOUBLE) AS se
+  FROM kept, tot
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(sum(n1) AS BIGINT),
+         CAST(sum(n0) AS BIGINT),
+         round(sum(ns / CAST(n AS DOUBLE) * d), 6),
+         round(1.0, 6),
+         round(sqrt(sum(pow(ns / CAST(n AS DOUBLE), 2) * vw)), 6)
+  FROM kept, tot GROUP BY n
+) ORDER BY stratum
+"""
+
+
+@register("events_stratified_ate", _STRAT_ATE_SQL)
+def events_stratified_ate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified average treatment effect (operators/abtest.py
+    stratified_ate): per-user conversion under a deterministic
+    Knuth-hash treatment split, stratified by signup-hour quarter —
+    the closed-form causal readout between raw difference-in-means and
+    a fitted propensity model; strata lacking 2 units in either arm
+    are trimmed (positivity). One groupBy(user) + one groupBy(stratum,
+    arm) shuffle; everything after is strata-domain."""
+    from weaviate_txtai_spark.operators.abtest import stratified_ate
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("double").alias("y"),
+        (F.hour(F.min("ts")).cast("int") / 6).cast("int").alias("stratum"),
+    ).select(
+        "user_id",
+        (
+            (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2
+            == 0
+        ).alias("treat"),
+        "y",
+        "stratum",
+    )
+    return stratified_ate(u, "treat", "y", "stratum").orderBy("stratum")

@@ -1669,3 +1669,94 @@ def embedding_dbscan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "role", F.coalesce("cluster", F.lit(-1)).alias("cluster")
     ).orderBy("id")
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7, pool: int = 12,
+             qids: str = "3, 17") -> str:
+    """DuckDB twin of the mmr_select greedy trajectory, the k selection
+    steps UNROLLED as chained MATERIALIZED CTEs (the hits/pca oracle
+    pattern). Every rounded quantity the kernel carries — pool rel
+    scores, pairwise similarities, per-step objectives — is rounded at
+    the same 6-dp grid here, so the greedy argmax trajectory replays
+    exactly (ties break on the lowest doc id in both engines)."""
+    parts = [
+        f"""WITH nv AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pool AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.v, q.v), 6) AS rel, e.v AS dv
+  FROM nv e CROSS JOIN (SELECT * FROM nv WHERE vec_id IN ({qids})) q
+  QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id ASC
+  ) <= {pool}),
+pw AS MATERIALIZED (
+  SELECT a.query_id, a.doc_id AS i, b.doc_id AS j,
+         round(list_cosine_similarity(a.dv, b.dv), 6) AS s
+  FROM pool a JOIN pool b USING (query_id)),
+c0 AS MATERIALIZED (
+  SELECT query_id, doc_id, rel, CAST(0.0 AS DOUBLE) AS red FROM pool),"""
+    ]
+    L = f"CAST({lam} AS DOUBLE)"
+    M = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    for t in range(1, k + 1):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT query_id, doc_id,
+         round({L} * rel - {M} * red, 7) AS mmr, {t} AS rank
+  FROM c{t - 1}
+  QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round({L} * rel - {M} * red, 7) DESC, doc_id ASC) = 1),"""
+        )
+        if t < k:
+            parts.append(
+                f"""c{t} AS MATERIALIZED (
+  SELECT c.query_id, c.doc_id, c.rel, GREATEST(c.red, pw.s) AS red
+  FROM c{t - 1} c
+  JOIN s{t} ON c.query_id = s{t}.query_id
+  JOIN pw ON pw.query_id = c.query_id AND pw.i = c.doc_id
+         AND pw.j = s{t}.doc_id
+  WHERE c.doc_id <> s{t}.doc_id),"""
+            )
+    body = "\n".join(parts).rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, doc_id, rank, mmr FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"{body}\nSELECT * FROM (\n{union}\n) ORDER BY query_id, rank"
+
+
+@register("mmr_diversified", _mmr_sql())
+def mmr_diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: kNN top-12 candidate pools for two query
+    vectors, then greedy MMR selection of 5 (λ=0.7) — the
+    redundancy-suppressing re-rank every RAG pipeline bolts onto its
+    ANN output (operators/mmr.py; Carbonell & Goldstein 1998). The
+    greedy loop runs per-query inside one applyInPandas group (pool
+    rows only — nothing corpus-scale shuffles); the trajectory carries
+    only 6-dp-rounded quantities so the unrolled-CTE oracle replays it
+    exactly. Vectors are L2-normalized upstream so the kernel's dot
+    product is cosine similarity."""
+    from weaviate_txtai_spark.functions.vector import normalize_vec
+    from weaviate_txtai_spark.operators.mmr import mmr_select
+    from weaviate_txtai_spark.operators.topk import knn_topk
+
+    emb = _emb(spark, sf_dir)
+    nv = emb.select(
+        "vec_id", normalize_vec("embedding").alias("nvec")
+    )
+    qd = emb.filter(F.col("vec_id").isin(3, 17)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    pool = knn_topk(
+        emb, qd, 12, vector_col="embedding", id_col="vec_id",
+        score_round=6,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "score")
+    cands = pool.join(
+        nv.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    ).select("query_id", "doc_id", "score", F.col("nvec").alias("vector"))
+    return mmr_select(
+        cands, 5, lam=0.7, score_col="score", vector_col="vector"
+    ).orderBy("query_id", "rank")
