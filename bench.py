@@ -86,6 +86,12 @@ HEADLINE_HEAVY = [
     "part_also_bought",
     "customer_supplier_hits",
     "events_sequence_pairs",
+    # round-9 representatives: coloring-SCC (trim/color/Tarjan),
+    # blocked Fellegi-Sunter linkage (9M candidate pairs at sf0.1),
+    # interpolated trigram LM (5-join scoring stream)
+    "order_scc",
+    "customer_linkage_fs",
+    "docs_trigram_jm_nll",
 ]
 
 

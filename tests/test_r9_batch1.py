@@ -226,3 +226,95 @@ def test_stratified_ate_single_stratum_equals_raw_diff(spark):
     out = {r["stratum"]: r for r in
            stratified_ate(df, "t", "y", "stratum").collect()}
     assert out[-1]["diff"] == round(5 / 10 - 3 / 9, 6)
+
+
+# ---------------------------------------------- sequence triples
+
+
+def test_sequence_triples_hand_fixture(spark):
+    from weaviate_txtai_spark.operators.seqmine import sequence_triples
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 1, 2: a -> b -> c chain inside windows
+    for u in (1, 2):
+        rows += [(u, "a", t0), (u, "b", t0 + dt.timedelta(minutes=5)),
+                 (u, "c", t0 + dt.timedelta(minutes=9))]
+    # user 3: a -> b, but c beyond the second hop's window
+    rows += [(3, "a", t0), (3, "b", t0 + dt.timedelta(minutes=5)),
+             (3, "c", t0 + dt.timedelta(minutes=40))]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {(r["a"], r["b"], r["c"]): r["support"]
+           for r in sequence_triples(df, window_seconds=600,
+                                     min_support=2).collect()}
+    assert out[("a", "b", "c")] == 2
+    assert ("b", "c", "a") not in out
+
+
+def test_sequence_triples_not_greedy(spark):
+    """A later a-occurrence completes the chain when the earliest one
+    cannot — greedy earliest-match would miss this pattern."""
+    from weaviate_txtai_spark.operators.seqmine import sequence_triples
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t0),                                  # early a: its b is too late
+        (1, "a", t0 + dt.timedelta(minutes=20)),       # late a works
+        (1, "b", t0 + dt.timedelta(minutes=25)),
+        (1, "c", t0 + dt.timedelta(minutes=29)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {(r["a"], r["b"], r["c"]) for r in
+           sequence_triples(df, window_seconds=600, min_support=1).collect()}
+    assert ("a", "b", "c") in out
+
+
+# ---------------------------------------------- DP noisy counts
+
+
+def test_dp_counts_noise_shape_and_floor(spark):
+    import math
+
+    from weaviate_txtai_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(i % 10,) for i in range(1000)]
+    df = spark.createDataFrame(rows, "cohort long")
+    out = {r["cohort"]: r["noisy_count"]
+           for r in dp_noisy_counts(df, ["cohort"], epsilon=1.0).collect()}
+    assert len(out) == 10
+    # replicate the hash draw for cohort 3
+    k = 3 % 2147483648
+    u = ((k * 2654435761) % 4294967296 + 0.5) / 4294967296.0
+    c = u - 0.5
+    noise = -1.0 * math.copysign(1.0, c) * math.log(
+        max(1.0 - 2.0 * abs(c), 2.0 ** -33)
+    )
+    assert out[3] == round(max(100 + noise, 0.0), 6)
+    assert all(v >= 0 for v in out.values())
+
+
+def test_dp_counts_epsilon_scales_noise_and_salt_varies(spark):
+    from weaviate_txtai_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(7,)] * 100
+    df = spark.createDataFrame(rows, "cohort long")
+    tight = dp_noisy_counts(df, ["cohort"], epsilon=10.0).collect()[0][1]
+    loose = dp_noisy_counts(df, ["cohort"], epsilon=0.1).collect()[0][1]
+    assert abs(tight - 100) * 10 <= abs(loose - 100) + 1e-9
+    s0 = dp_noisy_counts(df, ["cohort"], salt=0).collect()[0][1]
+    s1 = dp_noisy_counts(df, ["cohort"], salt=12345).collect()[0][1]
+    assert s0 != s1
+
+
+def test_dp_counts_validation(spark):
+    from weaviate_txtai_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([(1,)], "cohort long")
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["cohort"], epsilon=0.0)
+    with pytest.raises(ValueError, match="group"):
+        dp_noisy_counts(df, [])

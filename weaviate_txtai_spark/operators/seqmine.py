@@ -116,3 +116,76 @@ def sequence_pairs(
             ).alias("lift"),
         )
     )
+
+
+def sequence_triples(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    min_support: int = 2,
+    max_user_events: int | None = None,
+) -> DataFrame:
+    """Frequent ordered TRIPLES a→b→c — one GSP/PrefixSpan level past
+    :func:`sequence_pairs`: a user supports (a, b, c) iff some
+    occurrence chain tₐ < t_b < t_c exists with both hops inside
+    ``window_seconds``. Existence is checked over ALL chains (two
+    self-joins composed on the SHARED middle event), not greedily —
+    greedy earliest-match is complete only without the window bound.
+
+    Scale shape: the hop frame is the same user-co-located windowed
+    self-join sequence_pairs runs; the second hop joins hop⋈hop on
+    (user, middle event) — still co-located on user, per-user fan-out
+    (events-in-window)³ worst case, bounded by the same documented
+    ``max_user_events`` cap. Support is distinct-users per pattern
+    (per-user dedup BEFORE the global aggregate).
+
+    Output: ``a, b, c, support`` (patterns with support ≥
+    ``min_support``)."""
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    ).filter(F.col("t").isNotNull() & F.col("us").isNotNull())
+    if max_user_events is not None:
+        counts = e.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
+        dropped = counts.filter(F.col("__n") > max_user_events)
+        e = e.join(dropped.select("u"), "u", "left_anti")
+    e = e.distinct()
+    w_us = int(window_seconds) * 1_000_000
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    hops = scoped_persist(
+        e.select(F.col("u"), F.col("t").alias("x"), F.col("us").alias("tx"))
+        .join(
+            e.select(
+                F.col("u"), F.col("t").alias("y"), F.col("us").alias("ty")
+            ),
+            "u",
+        )
+        .filter(
+            (F.col("ty") > F.col("tx"))
+            & (F.col("ty") - F.col("tx") <= F.lit(w_us))
+        )
+    )
+    pats = (
+        hops.select("u", F.col("x").alias("a"), F.col("y").alias("b"),
+                    F.col("ty").alias("tmid"))
+        .join(
+            hops.select(
+                F.col("u"), F.col("x").alias("b2"),
+                F.col("tx").alias("tmid"), F.col("y").alias("c"),
+            ),
+            ["u", "tmid"],
+        )
+        .filter(F.col("b") == F.col("b2"))
+        .select("u", "a", "b", "c")
+        .distinct()
+    )
+    return (
+        pats.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )

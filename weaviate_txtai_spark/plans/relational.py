@@ -6055,3 +6055,76 @@ def events_stratified_ate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum",
     )
     return stratified_ate(u, "treat", "y", "stratum").orderBy("stratum")
+
+
+_SEQ_TRIPLES_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, event_type AS t, epoch_us(ts) AS us
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+h AS MATERIALIZED (
+  SELECT a.u, a.t AS x, a.us AS tx, b.t AS y, b.us AS ty
+  FROM e a JOIN e b ON a.u = b.u
+  WHERE b.us > a.us AND b.us - a.us <= 7200000000),
+p AS (
+  SELECT DISTINCT h1.u, h1.x AS a, h1.y AS b, h2.y AS c
+  FROM h h1 JOIN h h2
+    ON h1.u = h2.u AND h1.ty = h2.tx AND h1.y = h2.x)
+SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+FROM p GROUP BY a, b, c HAVING count(*) >= 2
+ORDER BY a, b, c
+"""
+
+
+@register("events_sequence_triples", _SEQ_TRIPLES_SQL)
+def events_sequence_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ordered event-type TRIPLES a→b→c with both hops inside
+    a two-hour window (operators/seqmine.py sequence_triples) — one
+    GSP level past events_sequence_pairs. Chains compose on the SHARED
+    middle event (two user-co-located self-joins); existence is over
+    all chains, not greedy earliest-match, which is incomplete under a
+    per-hop window bound. Support = distinct users."""
+    from weaviate_txtai_spark.operators.seqmine import sequence_triples
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_triples(
+        ev, window_seconds=7200, min_support=2
+    ).orderBy("a", "b", "c")
+
+
+_DP_COUNTS_SQL = """
+WITH g AS (
+  SELECT user_id % 50 AS cohort, count(*) AS c
+  FROM events GROUP BY 1),
+n AS (
+  SELECT cohort, c,
+         ((((cohort % 2147483648) * 2654435761) % 4294967296) + 0.5)
+           / 4294967296.0 AS u
+  FROM g)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       round(GREATEST(
+         c + (-1.0) * CASE WHEN u - 0.5 < 0 THEN -1.0
+                           WHEN u - 0.5 > 0 THEN 1.0 ELSE 0.0 END
+             * ln(GREATEST(1.0 - 2.0 * abs(u - 0.5), power(2.0, -33))),
+         0.0), 6) AS noisy_count
+FROM n ORDER BY cohort
+"""
+
+
+@register("events_dp_cohort_counts", _DP_COUNTS_SQL)
+def events_dp_cohort_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private cohort-size release (operators/
+    privacy.py dp_noisy_counts, Laplace mechanism ε=1): per-cohort
+    event counts perturbed by hash-seeded Laplace noise and floored at
+    zero — the aggregate-perturbation companion to the k-anonymity /
+    ℓ-diversity row-suppression gates. The noise draw is a
+    deterministic Knuth-hash inverse-CDF, so the release is
+    reproducible AND the oracle replays it exactly (the privacy
+    calculus is the same as a fresh draw while the salt stays
+    private)."""
+    from weaviate_txtai_spark.operators.privacy import dp_noisy_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.select((F.col("user_id") % 50).alias("cohort"))
+    return dp_noisy_counts(cohorts, ["cohort"], epsilon=1.0).orderBy(
+        "cohort"
+    )
