@@ -318,3 +318,69 @@ def test_dp_counts_validation(spark):
         dp_noisy_counts(df, ["cohort"], epsilon=0.0)
     with pytest.raises(ValueError, match="group"):
         dp_noisy_counts(df, [])
+
+
+# ---------------------------------------------- Bradley–Terry
+
+
+def test_bt_dominant_item_ranks_first(spark):
+    from weaviate_txtai_spark.operators.btrank import bradley_terry_exact
+
+    # 1 beats everyone; 2 beats 3; 3 beats nothing
+    pairs = [(1, 2)] * 5 + [(1, 3)] * 5 + [(2, 3)] * 4 + [(3, 2)] * 1
+    df = spark.createDataFrame(pairs, "winner long, loser long")
+    out = {r["item"]: r["strength"]
+           for r in bradley_terry_exact(df, n_iter=8).collect()}
+    assert out[1] == 1.0
+    assert out[1] > out[2] > out[3] > 0
+
+
+def test_bt_symmetric_record_equal_strengths(spark):
+    from weaviate_txtai_spark.operators.btrank import bradley_terry_exact
+
+    pairs = [(1, 2)] * 3 + [(2, 1)] * 3
+    df = spark.createDataFrame(pairs, "winner long, loser long")
+    out = {r["item"]: r["strength"]
+           for r in bradley_terry_exact(df).collect()}
+    assert out[1] == out[2] == 1.0
+
+
+def test_bt_never_winning_item_floors_not_crashes(spark):
+    from weaviate_txtai_spark.operators.btrank import bradley_terry_exact
+
+    pairs = [(1, 2)] * 10
+    df = spark.createDataFrame(pairs, "winner long, loser long")
+    out = {r["item"]: r["strength"]
+           for r in bradley_terry_exact(df).collect()}
+    assert out[1] == 1.0 and out[2] == 0.0
+
+
+def test_bt_matches_scipy_free_reference(spark):
+    """Fixed-point trajectory tracks a float MM reference on the final
+    ordering (values differ by quantization; ORDER must agree)."""
+    import random
+
+    from weaviate_txtai_spark.operators.btrank import bradley_terry_exact
+
+    rng = random.Random(13)
+    true = {i: 2.0 ** i for i in range(4)}
+    pairs = []
+    for _ in range(800):
+        i, j = rng.sample(range(4), 2)
+        pi = true[i] / (true[i] + true[j])
+        pairs.append((i, j) if rng.random() < pi else (j, i))
+    df = spark.createDataFrame(pairs, "winner long, loser long")
+    out = {r["item"]: r["strength"]
+           for r in bradley_terry_exact(df, n_iter=12).collect()}
+    ranked = sorted(out, key=lambda k: out[k])
+    assert ranked == [0, 1, 2, 3], (ranked, out)
+
+
+def test_bt_validation(spark):
+    import pytest as _pytest
+
+    from weaviate_txtai_spark.operators.btrank import bradley_terry_exact
+
+    df = spark.createDataFrame([(1, 2)], "winner long, loser long")
+    with _pytest.raises(ValueError, match="n_iter"):
+        bradley_terry_exact(df, n_iter=0)

@@ -6128,3 +6128,72 @@ def events_dp_cohort_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(cohorts, ["cohort"], epsilon=1.0).orderBy(
         "cohort"
     )
+
+
+def _bt_sql(n_iter: int = 8) -> str:
+    """DuckDB twin of bradley_terry_exact on the order-price preference
+    pairs: the T MM iterations unrolled as MATERIALIZED chained CTEs
+    (the hits/pca oracle pattern) in the same pure-integer arithmetic
+    (// == Spark div on the non-negative values here)."""
+    parts = [
+        """WITH cmp AS MATERIALIZED (
+  SELECT a.l_partkey AS i, b.l_partkey AS j
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_extendedprice > b.l_extendedprice),
+und AS MATERIALIZED (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT i, j FROM cmp UNION ALL SELECT j AS i, i AS j FROM cmp)
+  GROUP BY 1, 2),
+wins AS MATERIALIZED (
+  SELECT i, CAST(count(*) AS BIGINT) AS w FROM cmp GROUP BY 1),
+p0 AS MATERIALIZED (
+  SELECT DISTINCT i, CAST(1000000000 AS BIGINT) AS p FROM und),"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT u.i,
+         CAST(SUM((u.n * 1000000000) // GREATEST(pi.p + pj.p, 1))
+              AS BIGINT) AS denom
+  FROM und u
+  JOIN p{t - 1} pi ON u.i = pi.i
+  JOIN p{t - 1} pj ON u.j = pj.i
+  GROUP BY u.i),
+p{t} AS MATERIALIZED (
+  SELECT d.i,
+         LEAST((COALESCE(w.w, 0) * 1000000000)
+                 // GREATEST(d.denom, 1),
+               CAST(1000000000000 AS BIGINT)) AS p
+  FROM d{t} d LEFT JOIN wins w ON d.i = w.i),"""
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body},\nmx AS MATERIALIZED (SELECT MAX(p) AS m FROM p{n_iter})\n"
+        f"SELECT p{n_iter}.i AS item,\n"
+        f"       round(p{n_iter}.p / CAST(mx.m AS DOUBLE), 6) AS strength\n"
+        f"FROM p{n_iter}, mx ORDER BY item"
+    )
+
+
+@register("part_bt_ranking", _bt_sql())
+def part_bt_ranking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference ranking (operators/btrank.py
+    bradley_terry_exact) — the arena-style pairwise-judgment aggregator
+    LLM eval pipelines run, exercised on a deterministic preference
+    fixture: within each order, the pricier lineitem's part "beats" the
+    cheaper one. Eight MM iterations in scaled-long arithmetic with
+    floor divisions, a 1-unit denominator floor (never-winning items)
+    and a 1e12 cap (never-losing items, ANSI-safe sums) — the
+    pagerank_exact/hits_exact fixed-point discipline, replayed
+    bit-identically by the unrolled-CTE oracle."""
+    from weaviate_txtai_spark.operators.btrank import bradley_terry_exact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("wi"),
+                  F.col("l_extendedprice").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("lo"),
+                  F.col("l_extendedprice").alias("pb"))
+    pairs = a.join(b, "l_orderkey").filter(
+        F.col("pa") > F.col("pb")
+    ).select(F.col("wi").alias("winner"), F.col("lo").alias("loser"))
+    return bradley_terry_exact(pairs, n_iter=8).orderBy("item")
