@@ -225,3 +225,47 @@ def cohens_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    *,
+    label_col: str,
+    score_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """ROC AUC of ``score_col`` as a ranker for the boolean/0-1
+    ``label_col`` — the classifier-quality readout pipelines attach to
+    every learned quality filter before trusting its threshold.
+
+    Computed via the rank-sum identity AUC = U⁺/(n⁺·n⁻) with
+    U⁺ = R⁺ − n⁺(n⁺+1)/2 over tie-averaged pooled ranks — exactly the
+    Mann-Whitney statistic, so ties contribute ½ as the ROC trapezoid
+    requires. NULL rows (either column) are excluded; one-class inputs
+    yield NULL auc.
+
+    Scale: ranks come from ``rankstats.avg_ranks`` (value-domain prefix
+    sums, no global-order window); everything after is one aggregate.
+    """
+    from weaviate_txtai_spark.operators.rankstats import avg_ranks
+
+    pos = F.col(label_col).cast("int") == 1
+    sub = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(label_col, score_col)
+    ranked = avg_ranks(sub, score_col, out_col="__r")
+    agg = ranked.agg(
+        F.count(F.when(pos, 1)).cast("long").alias("n_pos"),
+        F.count(F.when(~pos, 1)).cast("long").alias("n_neg"),
+        F.coalesce(F.sum(F.when(pos, F.col("__r"))), F.lit(0.0)).alias(
+            "__rp"
+        ),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    u = F.col("__rp") - np_ * (np_ + 1) / 2
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.try_divide(u, (np_ * nn).cast("double")), round_decimals)
+        .alias("auc"),
+    )

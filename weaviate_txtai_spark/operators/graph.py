@@ -133,18 +133,23 @@ def _local_pagerank_exact(
     == floor — so the result is bit-identical to the distributed path,
     not approximately equal. Duplicate edge rows keep their
     double-count semantics (no dedup, matching the distributed form).
-    Runs executor-side via ``repartition(1).mapInPandas``."""
+    Runs executor-side via ``repartition(1).mapInPandas``. Node ids may
+    be any orderable type (ints, strings — e.g. TextRank term graphs):
+    the kernel factorizes them with ``np.unique`` and the output id
+    column keeps the input's Spark type."""
     import pandas as pd
+
+    id_type = dict(e.dtypes)["src"]
 
     def run(batches):
         import numpy as np
 
         srcs, dsts = [], []
         for b in batches:
-            srcs.append(b["src"].to_numpy(dtype="int64"))
-            dsts.append(b["dst"].to_numpy(dtype="int64"))
+            srcs.append(b["src"].to_numpy())
+            dsts.append(b["dst"].to_numpy())
         if not srcs:
-            yield pd.DataFrame({"id": pd.Series([], dtype="int64"),
+            yield pd.DataFrame({"id": pd.Series([], dtype="object"),
                                 "rank_fp": pd.Series([], dtype="int64")})
             return
         s = np.concatenate(srcs)
@@ -166,7 +171,9 @@ def _local_pagerank_exact(
             r = base + (damping_num * (mass + dm // n)) // damping_den
         yield pd.DataFrame({"id": nodes, "rank_fp": r})
 
-    return e.repartition(1).mapInPandas(run, "id bigint, rank_fp bigint")
+    return e.repartition(1).mapInPandas(
+        run, f"id {id_type}, rank_fp bigint"
+    )
 
 
 def pagerank_exact(
@@ -1379,3 +1386,58 @@ def hits_exact(
             ).alias("authority"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first shortest hop counts, level-synchronous.
+
+    The bounded-radius reachability primitive curation pipelines run
+    over entity/citation/co-purchase graphs ("everything within k hops
+    of a seed set"): each level is ONE frontier-against-edges join plus
+    a distinct and an anti-join against the settled set — the classic
+    Pregel BFS superstep as DataFrame ops. Distances are INTEGERS, so
+    the result is bit-identical on any engine with no rounding
+    discipline needed (a recursive CTE replays it directly).
+
+    Output: ``node, dist`` (int) for every node within ``max_hops`` of
+    any seed; seeds themselves carry dist 0 (whether or not they touch
+    an edge). Level-synchronous expansion guarantees minimality.
+
+    Scale: per hop one shuffle on the node key; the settled set only
+    grows, and newly-settled frontiers are lazily localCheckpointed so
+    the k-level lineage never compounds (the order_scc 3^k lesson).
+    Directed semantics — pass both directions for undirected graphs.
+    """
+    if max_hops < 0:
+        raise ValueError("bfs_hops: max_hops must be >= 0")
+    e = scoped_persist(
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.s == frontier.node)
+            .select(F.col("d").alias("node"))
+            .distinct()
+        )
+        newly = (
+            nxt.join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(newly)
+        frontier = newly.select("node")
+    return dist

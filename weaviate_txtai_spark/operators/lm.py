@@ -443,3 +443,95 @@ def trigram_jm_nll(
         F.lit(None).cast("double").alias("nll"),
     )
     return out.unionByName(shorts)
+
+
+def good_turing_rstar(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_r: int = 15,
+    ngram: int = 1,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Good–Turing adjusted frequencies over the unigram vocabulary
+    (Good 1953): r* = (r+1)·N_{r+1}/N_r from the count-of-counts table
+    N_r — the smoothing estimate LM pipelines use to reserve mass for
+    unseen types (p₀ = N₁/T) and to deflate low-count types whose raw
+    MLE overestimates them.
+
+    Output: one row per r in 1..``max_r`` with ``r, n_r, r_star,
+    p_unseen`` — ``r_star`` NULL where N_{r+1} = 0 (undefined without a
+    fitted extension; the Gale–Sampson smoothing that fills those holes
+    regresses log N_r on log r, which ``zipf_fit`` already provides),
+    and ``p_unseen`` the N₁/T leave-one-out mass (0.0 when the corpus
+    has no hapaxes), repeated per row for a flat schema. Rows with
+    N_r = 0 are absent (no types at that count).
+
+    ``ngram``: type space to count — 1 (unigrams) or 2 (bigrams).
+    Saturated synthetic corpora can lack low-count unigram types
+    entirely; the bigram space is quadratically sparser and keeps the
+    low-r rows Good–Turing exists for.
+
+    Scale: one token-count shuffle + one count-of-counts aggregate;
+    everything after is count-domain-sized (≤ max types) joined by
+    r = r+1. All ratios are exact-integer doubles → deterministic
+    rounding.
+    """
+    if max_r < 1:
+        raise ValueError("good_turing_rstar: max_r must be >= 1")
+    if ngram == 1:
+        counts, _ = unigram_counts(docs, text_col=text_col)
+    elif ngram == 2:
+        toks = tokens(text_col)
+        n = F.size(toks)
+        counts = (
+            docs.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        raise ValueError("good_turing_rstar: ngram must be 1 or 2")
+    nr = scoped_persist(
+        counts.groupBy(F.col("c").alias("r")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_r")
+        )
+    )
+    tot = counts.agg(F.sum("c").cast("double").alias("__t"))
+    # always-1-row N1 (0.0 when no hapaxes) so a saturated corpus
+    # degrades to p_unseen = 0 instead of an empty result
+    n1 = nr.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).cast("double").alias("__n1")
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        nr.filter(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(n1))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.round(
+                (F.col("r") + 1)
+                * F.col("n_r1").cast("double")
+                / F.col("n_r"),
+                round_decimals,
+            ).alias("r_star"),
+            F.round(F.col("__n1") / F.col("__t"), round_decimals).alias(
+                "p_unseen"
+            ),
+        )
+        .orderBy("r")
+    )

@@ -123,3 +123,93 @@ def woe_iv(
         F.round(woe, round_decimals).alias("woe"),
         F.round((gf - bf) * woe, round_decimals).alias("iv_term"),
     )
+
+
+def ols2(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Two-feature OLS with intercept, y ~ b0 + b1·x1 + b2·x2, via the
+    normal equations solved in closed form (Cramer on the 3×3 Gram
+    matrix) — multiple regression as ONE aggregation pass, the
+    covariate-adjustment workhorse one step past :func:`ols_trend`.
+
+    Cross-engine determinism (the nation_trade_volume discipline):
+    every Gram/moment sum is a DECIMAL(38,10) sum of per-row-cast
+    products — exact and order-independent — so the doubles entering
+    Cramer are identical on both engines and all downstream arithmetic
+    is reproducible without per-step rounding.
+
+    Output (1 row): ``n, b0, b1, b2, r2`` — betas NULL when the Gram
+    matrix is singular (collinear or constant features, n < 3); r2
+    additionally NULL for constant y. SSE uses the fitted identity
+    SSE = Σy² − b·X'y (no second pass over the data).
+
+    Scale: one partial-agg shuffle producing 10 moments; everything
+    after is scalar math on one row.
+    """
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & x1.isNotNull() & x2.isNotNull()
+    ).select(y.alias("__y"), x1.alias("__x1"), x2.alias("__x2"))
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,10)")).cast("double")
+
+    a = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("__x1")).alias("s1"),
+        dsum(F.col("__x2")).alias("s2"),
+        dsum(F.col("__y")).alias("sy"),
+        dsum(F.col("__x1") * F.col("__x1")).alias("s11"),
+        dsum(F.col("__x1") * F.col("__x2")).alias("s12"),
+        dsum(F.col("__x2") * F.col("__x2")).alias("s22"),
+        dsum(F.col("__x1") * F.col("__y")).alias("s1y"),
+        dsum(F.col("__x2") * F.col("__y")).alias("s2y"),
+        dsum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    # Cramer columns: replace A's column i with c = (sy, s1y, s2y)
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    d1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    d2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = (F.col("n") >= 3) & (det != 0)
+    b0 = F.when(ok, d0 / det)
+    b1 = F.when(ok, d1 / det)
+    b2 = F.when(ok, d2 / det)
+    sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    sst = syy - sy * sy / n
+    r2 = F.when(ok, F.lit(1.0) - F.try_divide(sse, sst))
+    return a.select(
+        "n",
+        F.round(b0, round_decimals).alias("b0"),
+        F.round(b1, round_decimals).alias("b1"),
+        F.round(b2, round_decimals).alias("b2"),
+        F.round(r2, round_decimals).alias("r2"),
+    )

@@ -81,3 +81,84 @@ def movement_on_reshard(
             6,
         ).alias("moved_frac"),
     )
+
+
+def largest_remainder_apportion(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    *,
+    total: int,
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of ``total`` integer
+    units across keys, proportional to summed ``weight_col`` — the
+    shard/budget allocator for "give each source its fair share of N
+    output shards (or N training slots)" where fractional shares are
+    meaningless and Σ alloc == total must hold EXACTLY.
+
+    Pure integer arithmetic end to end: base_s = ⌊T·w_s/W⌋ and the
+    remainder rank uses rem_s = (T·w_s) mod W — both longs — so there
+    is no float quota anywhere and the result is bit-identical across
+    engines. Remainder ties break on the key ascending.
+
+    Output: ``key_col, weight, alloc`` with Σ alloc == total. Weights
+    are cast to long (fractional weights should be pre-scaled by the
+    caller). Zero/negative-weight keys keep base 0 but still compete
+    for remainders deterministically at rem 0.
+
+    Scale: one groupBy(key) corpus reduction, then key-domain-sized
+    math: the remainder rank is a domain² self-join (no unpartitioned
+    window), fine for the |sources|-scale domains this targets.
+    """
+    if total < 0:
+        raise ValueError("largest_remainder_apportion: total must be >= 0")
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    w = scoped_persist(
+        df.groupBy(F.col(key_col).alias("k")).agg(
+            # negative totals clamp to 0: a negative share is
+            # meaningless and trunc-vs-floor division would diverge
+            F.greatest(
+                F.sum(F.col(weight_col).cast("long")), F.lit(0)
+            ).alias("w")
+        )
+    )
+    big_w = w.agg(
+        F.greatest(F.sum("w"), F.lit(1)).cast("long").alias("__W")
+    )
+    quot0 = scoped_persist(
+        w.join(F.broadcast(big_w)).select(
+            "k",
+            "w",
+            F.expr(f"({total}L * w) div __W").alias("base"),
+            F.expr(f"({total}L * w) % __W").alias("rem"),
+        )
+    )
+    base_sum = quot0.agg(F.sum("base").cast("long").alias("__bs"))
+    quot = quot0.join(F.broadcast(base_sum)).select(
+        "k", "w", "base", "rem",
+        (F.lit(total) - F.col("__bs")).alias("leftover"),
+    )
+    a, b = quot.alias("a"), quot.alias("b")
+    rank = (
+        a.join(
+            b,
+            (F.col("b.rem") > F.col("a.rem"))
+            | ((F.col("b.rem") == F.col("a.rem"))
+               & (F.col("b.k") < F.col("a.k"))),
+            "left",
+        )
+        .groupBy(F.col("a.k").alias("k"))
+        .agg((F.count(F.col("b.k")) + 1).alias("rk"))
+    )
+    return (
+        quot.join(rank, "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("w").alias("weight"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )

@@ -1420,3 +1420,144 @@ def docs_trigram_jm_nll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return trigram_jm_nll(docs, round_decimals=6).orderBy("doc_id")
+
+
+_TEXTRANK_SQL = (
+    """
+WITH t AS MATERIALIZED (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents),
+bi AS MATERIALIZED (
+  SELECT tok[s.x] AS a, tok[s.x + 1] AS b
+  FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+  WHERE len(tok) >= 2 AND tok[s.x] <> tok[s.x + 1]),
+edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM bi
+  UNION
+  SELECT b AS src, a AS dst FROM bi),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+r0 AS (
+  SELECT id, CAST(1000000000000 // nn.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn
+)
+"""
+    + _PR_ITER.format(cur=0, next=1)
+    + _PR_ITER.format(cur=1, next=2)
+    + _PR_ITER.format(cur=2, next=3)
+    + """
+SELECT term, rank_fp FROM (
+  SELECT id AS term, r AS rank_fp,
+         row_number() OVER (ORDER BY r DESC, id) AS rn
+  FROM r3)
+WHERE rn <= 20 ORDER BY rank_fp DESC, term
+"""
+)
+
+
+@register("docs_textrank_terms", _TEXTRANK_SQL)
+def docs_textrank_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keyterms (operators/textrank.py textrank_terms):
+    PageRank over the undirected adjacent-token co-occurrence graph —
+    the unsupervised keyword extractor of Mihalcea & Tarau 2004, on the
+    fixed-point PageRank so scores are exact longs (no float tie
+    hazard at the top-k cut). Undirected construction = no dangling
+    vertices, matching the oracle's dangling-free _PR_ITER body. The
+    only corpus-sized stage is the adjacent-pair explode; the graph is
+    vocabulary-sized."""
+    from weaviate_txtai_spark.operators.textrank import textrank_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_terms(docs, top_k=20, iters=3)
+
+
+_BFS_SQL = """
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT 'p:' || l_partkey AS p, 's:' || l_suppkey AS s
+  FROM lineitem GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT p AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, p AS dst FROM pairs),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT 'p:' || l_partkey AS node
+  FROM lineitem WHERE l_partkey % 97 = 0),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 3
+)
+SELECT node, CAST(min(d) AS INT) AS dist
+FROM walk GROUP BY 1 ORDER BY node
+"""
+
+
+@register("part_supplier_bfs", _BFS_SQL)
+def part_supplier_bfs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (operators/graph.py bfs_hops) over
+    the undirected part–supplier bipartite graph from lineitem, seeded
+    at every 97th part: the bounded-radius reachability sweep curation
+    pipelines run from a seed set. Level-synchronous supersteps — one
+    frontier⋈edges shuffle + anti-join per hop, lazily checkpointed —
+    and the distances are integers, so a recursive CTE replays the
+    result exactly (the first purely-recursive-CTE graph oracle)."""
+    from weaviate_txtai_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("p"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")) \
+        .unionByName(
+            pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")))
+    seeds = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .select(F.concat(F.lit("p:"), F.col("l_partkey")).alias("node"))
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=3).orderBy("node")
+
+
+_APPORTION_SQL = """
+WITH w AS MATERIALIZED (
+  SELECT source AS k,
+         GREATEST(CAST(sum(n_chars) AS BIGINT), 0) AS w
+  FROM documents GROUP BY 1),
+ww AS (SELECT GREATEST(CAST(sum(w) AS BIGINT), 1) AS tw FROM w),
+q AS MATERIALIZED (
+  SELECT k, w, (1000 * w) // tw AS base, (1000 * w) % tw AS rem
+  FROM w, ww),
+bs AS (SELECT CAST(sum(base) AS BIGINT) AS bs FROM q),
+rk AS (
+  SELECT a.k, 1 + count(b.k) AS rk
+  FROM q a LEFT JOIN q b
+    ON (b.rem > a.rem) OR (b.rem = a.rem AND b.k < a.k)
+  GROUP BY 1)
+SELECT q.k AS source, q.w AS weight,
+       CAST(q.base
+            + CASE WHEN rk.rk <= 1000 - bs.bs THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM q JOIN rk ON q.k = rk.k, bs ORDER BY source
+"""
+
+
+@register("source_shard_apportion", _APPORTION_SQL)
+def source_shard_apportion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment (operators/sharding.py
+    largest_remainder_apportion): split 1000 output shards across
+    sources proportional to character mass, Σ alloc == 1000 EXACTLY.
+    Pure integer quotas — base = ⌊T·w/W⌋, remainder rank on (T·w) mod W
+    — so no float anywhere; the remainder rank is a source-domain²
+    self-join, not an unpartitioned window."""
+    from weaviate_txtai_spark.operators.sharding import (
+        largest_remainder_apportion,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return largest_remainder_apportion(
+        docs, "source", "n_chars", total=1000
+    ).orderBy("source")

@@ -135,7 +135,12 @@ _PRIORITY = [
     # token_pmi_pairs, streaming_interval_join, streaming_dedup,
     # train_test_split, stratified_sample, label_centroids,
     # quality_weighted_sample, docs_quality_tiers, source_quota_sample,
-    # events_group_split — plus any gate newly oracled in r9.
+    # events_group_split — plus the gates newly oracled in r9:
+    # customer_linkage_fs, docs_trigram_jm_nll, events_stratified_ate,
+    # mmr_diversified, events_sequence_triples, events_dp_cohort_counts,
+    # part_bt_ranking, docs_nb_langid, source_chi2_terms,
+    # purchase_value_auc, docs_textrank_terms, part_supplier_bfs,
+    # purchase_isotonic_fit, source_shard_apportion, token_good_turing.
     # ------------------------------------------------------------------
 ]
 

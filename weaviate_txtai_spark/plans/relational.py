@@ -6197,3 +6197,245 @@ def part_bt_ranking_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa") > F.col("pb")
     ).select(F.col("wi").alias("winner"), F.col("lo").alias("loser"))
     return bradley_terry_exact(pairs, n_iter=8).orderBy("item")
+
+
+_AUC_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         value AS s
+  FROM events WHERE value IS NOT NULL),
+vc AS MATERIALIZED (
+  SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS np
+  FROM e GROUP BY 1),
+r AS (
+  SELECT s, np,
+         COALESCE(sum(c) OVER (
+           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) + (c + 1) / 2.0 AS ar
+  FROM vc),
+agg AS (
+  SELECT (SELECT CAST(sum(y) AS BIGINT) FROM e) AS n_pos,
+         (SELECT CAST(count(*) - sum(y) AS BIGINT) FROM e) AS n_neg,
+         sum(np * ar) AS rp
+  FROM r)
+SELECT n_pos, n_neg,
+       round((rp - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc
+FROM agg
+"""
+
+
+@register("purchase_value_auc", _AUC_SQL)
+def purchase_value_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of event value as a purchase ranker
+    (operators/evalmetrics.py roc_auc) — the classifier-quality readout
+    every learned quality filter gets before its threshold is trusted.
+    Rank-sum identity AUC = U⁺/(n⁺n⁻) over tie-averaged ranks from the
+    value-domain prefix-sum (no global-order window); ranks are exact
+    multiples of ½ below 2^53, so the float sum replays exactly."""
+    from weaviate_txtai_spark.operators.evalmetrics import roc_auc
+
+    ev = load_table(spark, sf_dir, "events")
+    return roc_auc(
+        ev.select(
+            (F.col("event_type") == "purchase").alias("y"),
+            F.col("value"),
+        ),
+        label_col="y",
+        score_col="value",
+    )
+
+
+_ISOTONIC_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT CAST(floor(value) AS INT) AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL),
+b AS MATERIALIZED (
+  SELECT bucket, sum(y) AS sy, CAST(count(*) AS DOUBLE) AS n
+  FROM e GROUP BY 1),
+pref AS MATERIALIZED (
+  SELECT bucket, sy, n,
+         sum(sy) OVER (ORDER BY bucket) AS s_incl,
+         sum(n) OVER (ORDER BY bucket) AS n_incl
+  FROM b),
+m AS MATERIALIZED (
+  SELECT j.bucket AS xj,
+         min((k.s_incl - (j.s_incl - j.sy))
+             / (k.n_incl - (j.n_incl - j.n))) AS mj
+  FROM pref j JOIN pref k ON j.bucket <= k.bucket GROUP BY 1),
+fit AS (
+  SELECT i.bucket, max(m.mj) AS f
+  FROM pref i JOIN m ON m.xj <= i.bucket GROUP BY 1)
+SELECT b.bucket, CAST(b.n AS BIGINT) AS n,
+       round(b.sy / b.n, 6) AS y_mean, round(fit.f, 6) AS y_iso
+FROM b JOIN fit ON b.bucket = fit.bucket ORDER BY b.bucket
+"""
+
+
+@register("purchase_isotonic_fit", _ISOTONIC_SQL)
+def purchase_isotonic_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of P(purchase | value bucket)
+    (operators/isotonic.py isotonic_fit) — the non-parametric monotone
+    calibrator quality-classifier scores get before thresholding.
+    Computed via the minimax characterization fit(i) = max_{j≤i}
+    min_{k≥j} mean(y over j..k): after one corpus aggregate the
+    quadratic runs over the BUCKET domain only (B² range self-joins, no
+    unpartitioned window, no sequential PAV stack). Binary y makes
+    every interval mean an exact-integer ratio — deterministic across
+    engines with no rounding discipline."""
+    from weaviate_txtai_spark.operators.isotonic import isotonic_fit
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("int").alias("bucket"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0).alias("y"),
+    )
+    return isotonic_fit(pts, "bucket", "y").orderBy("bucket")
+
+
+def _markov_sql(n_iter: int = 8) -> str:
+    """DuckDB twin of markov_stationary_exact on the per-user
+    consecutive event-type transitions: the T power steps unrolled as
+    MATERIALIZED chained CTEs in the same scaled-long floor arithmetic
+    (// == Spark div on the non-negative masses here)."""
+    parts = [
+        """WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+tr AS MATERIALIZED (
+  SELECT prev_type AS src, event_type AS dst,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+tot AS MATERIALIZED (
+  SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM tr GROUP BY 1),
+states AS MATERIALIZED (
+  SELECT src AS id FROM tr UNION SELECT dst FROM tr),
+ns AS (SELECT count(*) AS n FROM states),
+p0 AS MATERIALIZED (
+  SELECT id, CAST(1000000000 // ns.n AS BIGINT) AS m
+  FROM states, ns),"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""dm{t} AS MATERIALIZED (
+  SELECT CAST(COALESCE(sum(p.m), 0) AS BIGINT) AS dm
+  FROM p{t - 1} p LEFT JOIN tot ON p.id = tot.src
+  WHERE tot.src IS NULL),
+c{t} AS MATERIALIZED (
+  SELECT tr.dst,
+         CAST(sum((p.m * tr.cnt) // tt.tot) AS BIGINT) AS mass
+  FROM tr JOIN p{t - 1} p ON p.id = tr.src
+  JOIN tot tt ON tt.src = tr.src
+  GROUP BY 1),
+p{t} AS MATERIALIZED (
+  SELECT s.id,
+         CAST(COALESCE(c.mass, 0) + d.dm // ns.n AS BIGINT) AS m
+  FROM states s LEFT JOIN c{t} c ON c.dst = s.id, dm{t} d, ns),"""
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body},\ntm AS (SELECT CAST(sum(m) AS DOUBLE) AS t"
+        f" FROM p{n_iter})\n"
+        f"SELECT p{n_iter}.id AS state,"
+        f" round(p{n_iter}.m / tm.t, 6) AS pi\n"
+        f"FROM p{n_iter}, tm ORDER BY state"
+    )
+
+
+@register("event_type_stationary", _markov_sql())
+def event_type_stationary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov stationary distribution over event types
+    (operators/markov.py markov_stationary_exact): the long-run state
+    occupancy of the per-user journey chain — where sessions spend
+    their time, the follow-on readout to event_transitions' one-step
+    matrix. Eight power steps in scaled-long floor arithmetic with
+    uniform dangling redistribution (the pagerank_exact discipline),
+    replayed bit-identically by the unrolled-CTE oracle."""
+    from weaviate_txtai_spark.operators.markov import (
+        markov_stationary_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return markov_stationary_exact(tr, n_iter=8).orderBy("state")
+
+
+_OLS2_SQL = """
+WITH b AS (
+  SELECT value AS y, CAST(hour(ts) AS DOUBLE) AS x1,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS x2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x1 AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x2 AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x1 * x1 AS DECIMAL(38,10))) AS DOUBLE) AS s11,
+         CAST(sum(CAST(x1 * x2 AS DECIMAL(38,10))) AS DOUBLE) AS s12,
+         CAST(sum(CAST(x2 * x2 AS DECIMAL(38,10))) AS DOUBLE) AS s22,
+         CAST(sum(CAST(x1 * y AS DECIMAL(38,10))) AS DOUBLE) AS s1y,
+         CAST(sum(CAST(x2 * y AS DECIMAL(38,10))) AS DOUBLE) AS s2y,
+         CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+  FROM b),
+k AS (
+  SELECT *,
+    CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+      - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det,
+    sy * (s11 * s22 - s12 * s12)
+      - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS d0,
+    CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+      - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS d1,
+    CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+      - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS d2
+  FROM a),
+f AS (
+  SELECT n,
+         CASE WHEN n >= 3 AND det <> 0 THEN d0 / det END AS b0,
+         CASE WHEN n >= 3 AND det <> 0 THEN d1 / det END AS b1,
+         CASE WHEN n >= 3 AND det <> 0 THEN d2 / det END AS b2,
+         sy, s1y, s2y, syy, s1, s2
+  FROM k)
+SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+       round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                   / (syy - sy * sy / CAST(n AS DOUBLE)), 6) AS r2
+FROM f
+"""
+
+
+@register("events_value_ols2", _OLS2_SQL)
+def events_value_ols2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (operators/regression.py ols2): event value
+    regressed on hour-of-day and the purchase flag — multiple
+    regression as ONE aggregation pass via the 3×3 normal equations in
+    closed form. Every moment is an exact DECIMAL(38,10) sum
+    (order-independent, the nation_trade_volume discipline), so the
+    doubles entering Cramer are identical across engines and the fit
+    needs no per-step rounding."""
+    from weaviate_txtai_spark.operators.regression import ols2
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("value").alias("y"),
+        F.hour("ts").cast("double").alias("x1"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0).alias("x2"),
+    )
+    return ols2(pts, "y", "x1", "x2")

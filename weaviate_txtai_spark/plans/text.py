@@ -1485,3 +1485,173 @@ def token_negative_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return negative_sampling_weights(counts, "term", "cnt").orderBy("term")
+
+
+_NB_LANGID_SQL = """
+WITH tr AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents WHERE doc_id % 5 <> 0),
+te AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents WHERE doc_id % 5 = 0),
+ctc AS MATERIALIZED (
+  SELECT lang AS c, t AS term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT lang, unnest(tok) AS t FROM tr) GROUP BY 1, 2),
+cls AS MATERIALIZED (
+  SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM ctc GROUP BY 1),
+pri AS MATERIALIZED (
+  SELECT lang AS c, CAST(count(*) AS BIGINT) AS dc FROM tr GROUP BY 1),
+vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ctc),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM tr),
+cstats AS MATERIALIZED (
+  SELECT cls.c, ln(pri.dc / CAST(nd.ndocs AS DOUBLE)) AS logprior,
+         ln(cls.nc + 1.0 * vv.v) AS lognorm
+  FROM cls JOIN pri USING (c), vv, nd),
+tf AS MATERIALIZED (
+  SELECT u.doc_id, u.t AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS t FROM te) u
+  JOIN (SELECT DISTINCT term FROM ctc) vcb ON u.t = vcb.term
+  GROUP BY 1, 2),
+s0 AS MATERIALIZED (
+  SELECT tf.doc_id, cs.c,
+         sum(tf.tf * ln(COALESCE(ctc.n, 0) + 1.0)) AS s,
+         CAST(sum(tf.tf) AS BIGINT) AS ndt
+  FROM tf CROSS JOIN (SELECT c FROM cstats) cs
+  LEFT JOIN ctc ON ctc.c = cs.c AND ctc.term = tf.term
+  GROUP BY 1, 2),
+scored AS MATERIALIZED (
+  SELECT s0.doc_id, s0.c,
+         round(s0.s + cs.logprior - s0.ndt * cs.lognorm, 6) AS score
+  FROM s0 JOIN cstats cs ON s0.c = cs.c),
+pick AS (
+  SELECT doc_id, c AS pred, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+  FROM scored)
+SELECT p.doc_id, p.pred, p.score, te.lang AS actual,
+       CAST(CASE WHEN p.pred = te.lang THEN 1 ELSE 0 END AS INT) AS correct
+FROM pick p JOIN te ON p.doc_id = te.doc_id
+WHERE p.rn = 1 ORDER BY p.doc_id
+"""
+
+
+@register("docs_nb_langid", _NB_LANGID_SQL)
+def docs_nb_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID (operators/nbayes.py
+    nb_classify) — train on the doc_id%5!=0 split, classify the held-out
+    fifth, report prediction + truth + hit flag. The generative-counts
+    classifier pretraining pipelines run as the cheap router before
+    anything neural: train side is two count shuffles, scoring is the
+    sparse (test-term × class) join — never a dense V×C grid. Scores are
+    rounded log-joints (trigram-NLL float discipline); argmax tie-break
+    (score DESC, class ASC) replays in the oracle."""
+    from weaviate_txtai_spark.operators.nbayes import nb_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    preds = nb_classify(train, test, label_col="lang")
+    return (
+        preds.join(test.select("doc_id", F.col("lang").alias("actual")),
+                   "doc_id")
+        .select(
+            "doc_id", "pred", "score", "actual",
+            F.when(F.col("pred") == F.col("actual"), 1)
+            .otherwise(0).cast("int").alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHI2_TERMS_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT source,
+         list_distinct(
+           list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+p AS (SELECT source AS class, unnest(tok) AS term FROM d),
+n11 AS MATERIALIZED (
+  SELECT class, term, CAST(count(*) AS DOUBLE) AS n11
+  FROM p GROUP BY 1, 2),
+dft AS MATERIALIZED (
+  SELECT term, sum(n11) AS df_t FROM n11 GROUP BY 1),
+nc AS (SELECT source AS class, CAST(count(*) AS DOUBLE) AS n_c
+       FROM documents GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+sc AS MATERIALIZED (
+  SELECT class, term,
+         round(n_total
+               * (n11 * (n_total - n_c - df_t + n11)
+                  - (df_t - n11) * (n_c - n11))
+               * (n11 * (n_total - n_c - df_t + n11)
+                  - (df_t - n11) * (n_c - n11))
+               / (n_c * (n_total - n_c) * df_t * (n_total - df_t)),
+               4) AS chi2,
+         CAST(n11 AS BIGINT) AS n11
+  FROM n11 JOIN dft USING (term) JOIN nc USING (class), tot
+  WHERE df_t < n_total
+    AND n11 * (n_total - n_c - df_t + n11)
+        > (df_t - n11) * (n_c - n11))
+SELECT class, term, chi2, n11 FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY class ORDER BY chi2 DESC, term) AS rn
+  FROM sc)
+WHERE rn <= 10 ORDER BY class, chi2 DESC, term
+"""
+
+
+@register("source_chi2_terms", _CHI2_TERMS_SQL)
+def source_chi2_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source χ² term selection (operators/featsel.py chi2_terms):
+    the supervised companion to source_llr_keyterms — 2×2
+    document-presence contingency per (source, term), positively
+    associated top-10 per source. Three count shuffles; the class and
+    corpus totals ride broadcast; the cut is a class-partitioned
+    window. All products are exact integer-valued doubles below 2^53,
+    so the rounded statistic replays bit-identically."""
+    from weaviate_txtai_spark.operators.featsel import chi2_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_terms(docs, class_col="source", top_k=10)
+
+
+_GOOD_TURING_SQL = """
+WITH t AS MATERIALIZED (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents),
+bg AS (
+  SELECT tok[s.x] || ' ' || tok[s.x + 1] AS term
+  FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+  WHERE len(tok) >= 2),
+c AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+nr AS MATERIALIZED (
+  SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM c),
+n1 AS (SELECT CAST(COALESCE(
+         sum(CASE WHEN r = 1 THEN n_r END), 0) AS DOUBLE) AS n1 FROM nr)
+SELECT nr.r, nr.n_r,
+       round((nr.r + 1) * CAST(nx.n_r AS DOUBLE) / nr.n_r, 6) AS r_star,
+       round(n1.n1 / tot.t, 6) AS p_unseen
+FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1, tot, n1
+WHERE nr.r <= 15 ORDER BY nr.r
+"""
+
+
+@register("token_good_turing", _GOOD_TURING_SQL)
+def token_good_turing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing adjusted frequencies r* = (r+1)·N_{r+1}/N_r from the
+    unigram count-of-counts (operators/lm.py good_turing_rstar), plus
+    the N₁/T unseen-mass estimate — the LM smoothing companion to
+    docs_zipf_fit (whose log-log regression is the Gale–Sampson fill
+    for the N_{r+1}=0 holes, surfaced here as NULL r*). BIGRAM type
+    space: the synthetic unigram vocabulary is saturated (min count 26
+    — no low-r types at all), while bigrams keep the low-count tail
+    Good–Turing exists for. One token shuffle + one count-of-counts
+    aggregate; everything after is count-domain-sized."""
+    from weaviate_txtai_spark.operators.lm import good_turing_rstar
+
+    docs = load_table(spark, sf_dir, "documents")
+    return good_turing_rstar(docs, max_r=15, ngram=2)
