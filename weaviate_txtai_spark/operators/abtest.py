@@ -525,3 +525,88 @@ def stratified_ate(
         )
     )
     return per.unionByName(pooled)
+
+
+def chisq_gof(
+    df: DataFrame,
+    group_col: str,
+    expected: "dict[object, float]",
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Chi-square goodness-of-fit of observed group counts against the
+    ``expected`` fraction map — the sample-ratio-mismatch (SRM) guard
+    every experiment readout should run FIRST: a significant χ² here
+    means the assignment itself is broken and downstream effect
+    estimates are untrustworthy.
+
+    χ² = Σ_g (O_g − N·e_g)²/(N·e_g) over the expected groups (rows in
+    groups outside ``expected`` are ignored — they are a different bug;
+    expected-but-unobserved groups contribute with O = 0). The p-value
+    uses the Wilson–Hilferty cube-root normal approximation on the
+    ROUNDED statistic (|ε| ~ 1e-3 at k−1 ≥ 2 — an SRM alarm fires at
+    p < 0.001, far coarser), composed with the Zelen–Severo Φ
+    polynomial — all pure deterministic arithmetic, so an SQL oracle
+    replays it exactly.
+
+    Output (1 row): ``n, k, chi2, p_value``; p NULL when N = 0.
+
+    Scale: one groupBy(group) count of the corpus, then k-row math
+    against a broadcast literal frame.
+    """
+    if len(expected) < 2:
+        raise ValueError("chisq_gof: need at least 2 expected groups")
+    fr = sum(expected.values())
+    if abs(fr - 1.0) > 1e-9 or min(expected.values()) <= 0:
+        raise ValueError(
+            "chisq_gof: expected fractions must be positive and sum to 1"
+        )
+    spark = df.sparkSession
+    exp_df = spark.createDataFrame(
+        [(g, float(e)) for g, e in expected.items()], ["__g", "__e"]
+    )
+    counts = (
+        df.select(F.col(group_col).alias("__g"))
+        .join(F.broadcast(exp_df), "__g")  # ignore non-expected groups
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    )
+    cells = exp_df.join(counts, "__g", "left").select(
+        "__g", "__e", F.coalesce("__o", F.lit(0)).alias("__o")
+    )
+    tot = cells.agg(F.sum("__o").cast("double").alias("__n"))
+    agg = (
+        cells.join(F.broadcast(tot))
+        .select(
+            "__n",
+            F.when(
+                F.col("__n") > 0,
+                (F.col("__o") - F.col("__n") * F.col("__e"))
+                * (F.col("__o") - F.col("__n") * F.col("__e"))
+                / (F.col("__n") * F.col("__e")),
+            ).alias("__t"),
+        )
+        .groupBy("__n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.round(F.sum("__t"), round_decimals).alias("chi2"),
+        )
+    )
+    kdf = (F.col("k") - 1).cast("double")  # degrees of freedom
+    # Wilson–Hilferty: (χ²/ν)^⅓ ~ N(1 − 2/(9ν), 2/(9ν))
+    z = (
+        F.pow(F.col("chi2") / kdf, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * kdf))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * kdf))
+    # upper-tail normal p from the two-sided helper: 1 − Φ(z)
+    p_upper = F.when(
+        z >= 0, normal_two_sided_p(z) / 2
+    ).otherwise(F.lit(1.0) - normal_two_sided_p(z) / 2)
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        "k",
+        "chi2",
+        F.round(
+            F.when(F.col("chi2").isNotNull(), p_upper), round_decimals
+        ).alias("p_value"),
+    )

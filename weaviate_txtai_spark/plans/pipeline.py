@@ -1561,3 +1561,129 @@ def source_shard_apportion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return largest_remainder_apportion(
         docs, "source", "n_chars", total=1000
     ).orderBy("source")
+
+
+_TWONN_SQL = """
+WITH sims AS (
+  SELECT q.vec_id AS src,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6)
+           AS s,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS rk
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id),
+top2 AS (
+  SELECT src,
+         1 - max(CASE WHEN rk = 1 THEN s END) AS d1,
+         1 - max(CASE WHEN rk = 2 THEN s END) AS d2
+  FROM sims WHERE rk <= 2 GROUP BY 1),
+mu AS (
+  SELECT ln(d2 / d1) AS lnmu FROM top2 WHERE d1 > 0 AND d2 > d1)
+SELECT CAST(count(*) AS BIGINT) AS n_used,
+       round(count(*) / sum(lnmu), 6) AS id_mle
+FROM mu
+"""
+
+
+@register("embedding_intrinsic_dim", _TWONN_SQL)
+def embedding_intrinsic_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension MLE (operators/intdim.py
+    twonn_intrinsic_dim; Facco et al. 2017): id = n/Σ ln(d₂/d₁) over
+    each point's two nearest cosine neighbors — the embedding-space
+    health diagnostic (collapsed vs unstructured encoder) run before
+    any retrieval metric moves. Distances come 6-dp-rounded from
+    knn_graph so both engines build μ from identical doubles;
+    duplicates (d₁=0) and zero-information ties (d₂=d₁) are excluded
+    via n_used."""
+    from weaviate_txtai_spark.operators.intdim import twonn_intrinsic_dim
+
+    return twonn_intrinsic_dim(_emb(spark, sf_dir))
+
+
+def _ppr_sql(iters: int = 3) -> str:
+    """DuckDB twin of personalized_pagerank_exact over the 3-NN cosine
+    graph with the vec_id%50 seed set: the fixed-point iterations
+    unrolled (the _PR_ITER pattern plus seed-gated teleport/dangling
+    terms)."""
+    parts = [
+        """WITH sims AS (
+  SELECT q.vec_id AS src, e.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS rk
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id),
+edges AS MATERIALIZED (SELECT src, dst FROM sims WHERE rk <= 3),
+sd AS MATERIALIZED (
+  SELECT DISTINCT vec_id AS id FROM embeddings WHERE vec_id % 50 = 0),
+nodes0 AS (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+  UNION SELECT id FROM sd),
+nodes AS MATERIALIZED (
+  SELECT n.id, CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS is_seed
+  FROM nodes0 n LEFT JOIN sd s ON n.id = s.id),
+ns AS (SELECT count(*) AS k FROM sd),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (
+  SELECT id, is_seed,
+         CAST(CASE WHEN is_seed = 1 THEN 1000000000000 // ns.k
+              ELSE 0 END AS BIGINT) AS r
+  FROM nodes, ns),"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""dg{t} AS MATERIALIZED (
+  SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT) AS dm
+  FROM r{t - 1} p LEFT JOIN deg ON p.id = deg.src
+  WHERE deg.src IS NULL),
+r{t} AS MATERIALIZED (
+  SELECT nd.id, nd.is_seed,
+         CAST(CASE WHEN nd.is_seed = 1
+                   THEN (15 * 1000000000000) // (100 * ns.k)
+                   ELSE 0 END
+              + (85 * (COALESCE(m.mass, 0)
+                       + CASE WHEN nd.is_seed = 1
+                              THEN d.dm // ns.k ELSE 0 END)) // 100
+              AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN ns CROSS JOIN dg{t} d
+  LEFT JOIN (
+    SELECT e.dst AS id, CAST(sum(p.r // dg.d) AS BIGINT) AS mass
+    FROM edges e JOIN r{t - 1} p ON p.id = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst) m ON m.id = nd.id),"""
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT id AS vec_id, r AS ppr_fp FROM r{iters} ORDER BY vec_id"
+    )
+
+
+@register("seeded_expansion_ppr", _ppr_sql())
+def seeded_expansion_ppr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seed-set expansion (operators/graph.py
+    personalized_pagerank_exact; Haveliwala 2002): teleport returns to
+    the vec_id%50 seed documents, so scores rank the corpus by graph
+    proximity to the seeds over the 3-NN cosine graph — the "grow a
+    trusted seed corpus" curation primitive. Fixed-point scaled-long
+    arithmetic (the pagerank_exact discipline); the oracle replays the
+    graph build and all three seed-gated integer iterations."""
+    from weaviate_txtai_spark.operators.graph import (
+        knn_graph,
+        personalized_pagerank_exact,
+    )
+
+    emb = _emb(spark, sf_dir)
+    g = knn_graph(emb, 3)
+    seeds = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+    return (
+        personalized_pagerank_exact(g, seeds, iters=3, seed_col="vec_id")
+        .select(F.col("id").alias("vec_id"), F.col("rank_fp").alias("ppr_fp"))
+        .orderBy("vec_id")
+    )

@@ -140,7 +140,9 @@ _PRIORITY = [
     # mmr_diversified, events_sequence_triples, events_dp_cohort_counts,
     # part_bt_ranking, docs_nb_langid, source_chi2_terms,
     # purchase_value_auc, docs_textrank_terms, part_supplier_bfs,
-    # purchase_isotonic_fit, source_shard_apportion, token_good_turing.
+    # purchase_isotonic_fit, source_shard_apportion, token_good_turing,
+    # event_type_stationary, events_value_ols2, events_srm_check,
+    # embedding_intrinsic_dim, seeded_expansion_ppr.
     # ------------------------------------------------------------------
 ]
 

@@ -6439,3 +6439,80 @@ def events_value_ols2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0).alias("x2"),
     )
     return ols2(pts, "y", "x1", "x2")
+
+
+_SRM_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN user_id % 10 < 5 THEN 'A'
+              WHEN user_id % 10 < 8 THEN 'B' ELSE 'C' END AS g
+  FROM events),
+exp AS (
+  SELECT 'A' AS g, 0.5 AS e
+  UNION ALL SELECT 'B', 0.3 UNION ALL SELECT 'C', 0.2),
+cells AS (
+  SELECT exp.g, exp.e, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+  FROM exp LEFT JOIN (
+    SELECT g, count(*) AS o FROM u GROUP BY 1) c ON exp.g = c.g),
+tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+agg AS (
+  SELECT CAST(tot.n AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         round(sum(CASE WHEN tot.n > 0 THEN
+           (o - tot.n * e) * (o - tot.n * e) / (tot.n * e) END), 6)
+           AS chi2
+  FROM cells, tot GROUP BY tot.n),
+z AS (
+  SELECT n, k, chi2,
+         (pow(chi2 / (k - 1), 1.0 / 3.0)
+          - (1.0 - 2.0 / (9.0 * (k - 1))))
+         / sqrt(2.0 / (9.0 * (k - 1))) AS zz
+  FROM agg)
+SELECT n, k, chi2,
+       round(CASE WHEN chi2 IS NULL THEN NULL
+                  WHEN zz >= 0 THEN
+         (exp(-abs(zz) * abs(zz) / 2.0) / 2.5066282746310002)
+         * ((1.0 / (1.0 + 0.2316419 * abs(zz)))
+            * (0.319381530
+               + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                 * (-0.356563782
+                    + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                      * (1.781477937
+                         + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                           * (-1.821255978
+                              + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                                * 1.330274429)))))
+                  ELSE 1.0 -
+         (exp(-abs(zz) * abs(zz) / 2.0) / 2.5066282746310002)
+         * ((1.0 / (1.0 + 0.2316419 * abs(zz)))
+            * (0.319381530
+               + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                 * (-0.356563782
+                    + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                      * (1.781477937
+                         + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                           * (-1.821255978
+                              + (1.0 / (1.0 + 0.2316419 * abs(zz)))
+                                * 1.330274429)))))
+             END, 6) AS p_value
+FROM z
+"""
+
+
+@register("events_srm_check", _SRM_SQL)
+def events_srm_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard (operators/abtest.py chisq_gof): χ²
+    goodness-of-fit of the distinct-user 50/30/20 bucket assignment
+    against its intended fractions — the FIRST readout of any
+    experiment panel (a broken assignment invalidates every downstream
+    estimate). Wilson–Hilferty normal approximation on the rounded
+    statistic + the Zelen–Severo Φ polynomial — pure deterministic
+    arithmetic, replayed exactly by the oracle."""
+    from weaviate_txtai_spark.operators.abtest import chisq_gof
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        F.when(F.col("user_id") % 10 < 5, "A")
+        .when(F.col("user_id") % 10 < 8, "B")
+        .otherwise("C").alias("g")
+    )
+    return chisq_gof(users, "g", {"A": 0.5, "B": 0.3, "C": 0.2})
