@@ -610,3 +610,91 @@ def chisq_gof(
             F.when(F.col("chi2").isNotNull(), p_upper), round_decimals
         ).alias("p_value"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test: does a binary treatment associate
+    with a binary outcome CONSISTENTLY across strata? The
+    confounder-adjusted 2×2 test (the binary-outcome companion to
+    ``stratified_ate``), guarding against Simpson-style reversals that
+    a pooled 2×2 hides.
+
+    Per stratum s with table (a=T1O1, n1=T1, m1=O1, N):
+    E_s = n1·m1/N, V_s = n1·n0·m1·m0/(N²(N−1)); the statistic is
+    CMH = (Σa − ΣE)²/ΣV ~ χ²(1), two-sided p via the Zelen–Severo Φ on
+    √CMH of the ROUNDED statistic. Strata with N < 2 or a degenerate
+    margin (V = 0) contribute nothing, per the standard treatment.
+    Treatment/outcome are truthy casts (int 0/1).
+
+    Output (1 row): ``k_strata, n, cmh, p_value`` (NULL statistic when
+    every stratum is degenerate).
+
+    Scale: one (stratum) groupBy over the corpus, then stratum-domain
+    math and a 1-row reduce — no pair expansion.
+    """
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    cells = (
+        df.filter(
+            F.col(stratum_col).isNotNull()
+            & t.isin(0, 1) & y.isin(0, 1)
+        )
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("N"),
+            F.sum(t).cast("double").alias("n1"),
+            F.sum(y).cast("double").alias("m1"),
+            F.sum(t * y).cast("double").alias("a"),
+        )
+    )
+    n0 = F.col("N") - F.col("n1")
+    m0 = F.col("N") - F.col("m1")
+    usable = (
+        (F.col("N") >= 2)
+        & (F.col("n1") > 0) & (n0 > 0)
+        & (F.col("m1") > 0) & (m0 > 0)
+    )
+    per = cells.select(
+        "N",
+        F.when(usable, F.col("a")).alias("__a"),
+        F.when(
+            usable, F.col("n1") * F.col("m1") / F.col("N")
+        ).alias("__e"),
+        F.when(
+            usable,
+            F.col("n1") * n0 * F.col("m1") * m0
+            / (F.col("N") * F.col("N") * (F.col("N") - 1)),
+        ).alias("__v"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("N").cast("long").alias("n"),
+        F.sum("__a").alias("__sa"),
+        F.sum("__e").alias("__se"),
+        F.sum("__v").alias("__sv"),
+    )
+    dev = F.col("__sa") - F.col("__se")
+    cmh = F.round(
+        F.when(F.col("__sv") > 0, dev * dev / F.col("__sv")),
+        round_decimals,
+    )
+    stat = agg.select("k_strata", "n", cmh.alias("cmh"))
+    return stat.select(
+        "k_strata",
+        "n",
+        "cmh",
+        F.round(
+            F.when(
+                F.col("cmh").isNotNull(),
+                normal_two_sided_p(F.sqrt(F.col("cmh"))),
+            ),
+            round_decimals,
+        ).alias("p_value"),
+    )

@@ -1541,3 +1541,94 @@ def personalized_pagerank_exact(
             )
         )
     return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected graph:
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard "do these labels
+    respect the graph structure?" diagnostic, run over the kNN graph
+    of an embedding corpus to score a clustering / topic labeling
+    against geometric neighborhoods before trusting it for curation.
+
+    The input edge frame is SYMMETRIZED and deduplicated internally
+    (least/greatest endpoint ordering), so directed kNN edges are fine;
+    self-loops are dropped. Every term is a ratio of exact integer
+    counts — deterministic across engines with output-only rounding.
+
+    Output: one row per label — ``label, n_nodes, e_in, d_sum,
+    q_part`` — plus the graph totals repeated (``m_edges``) so
+    Σ q_part is the modularity. Unlabeled endpoints count toward m and
+    degrees but form no community row (document the labeling gap
+    upstream).
+
+    Scale: one distinct over the symmetrized edge key, one degree agg,
+    two label joins (labels broadcast-eligible at dimension size), one
+    groupBy(label) — no quadratic anywhere.
+    """
+    und = scoped_persist(
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .distinct()
+    )
+    lab = scoped_persist(
+        labels.select(
+            F.col(id_col).alias("__id"), F.col(label_col).alias("__lab")
+        ).distinct()
+    )
+    m = und.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    deg = (
+        und.select(F.col("u").alias("__id"))
+        .unionByName(und.select(F.col("v").alias("__id")))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    d_c = (
+        deg.join(lab, "__id")
+        .groupBy("__lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("__d").cast("long").alias("d_sum"),
+        )
+    )
+    e_c = (
+        und.join(lab.withColumnRenamed("__id", "u"), "u")
+        .withColumnRenamed("__lab", "__lu")
+        .join(
+            lab.withColumnRenamed("__id", "v").withColumnRenamed(
+                "__lab", "__lv"
+            ),
+            "v",
+        )
+        .filter(F.col("__lu") == F.col("__lv"))
+        .groupBy(F.col("__lu").alias("__lab"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    return (
+        d_c.join(e_c, "__lab", "left")
+        .join(F.broadcast(m))
+        .select(
+            F.col("__lab").alias("label"),
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "d_sum",
+            F.col("__m").cast("long").alias("m_edges"),
+            F.round(
+                F.coalesce("e_in", F.lit(0)) / F.col("__m")
+                - (F.col("d_sum") / (2 * F.col("__m")))
+                * (F.col("d_sum") / (2 * F.col("__m"))),
+                round_decimals,
+            ).alias("q_part"),
+        )
+    )

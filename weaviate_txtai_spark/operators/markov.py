@@ -105,3 +105,68 @@ def markov_stationary_exact(
             F.round(F.col("m") / F.col("__t"), round_decimals).alias("pi"),
         )
     )
+
+
+def markov_entropy_rate(
+    transitions: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    count_col: str = "n",
+    n_iter: int = 8,
+    scale: int = 10**9,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Entropy rate of the observed chain, H = −Σ_u π_u Σ_v p̂_uv ln p̂_uv
+    (nats/step) — how predictable the next event is given the current
+    one; the sequence-compressibility number behind session-journey
+    complexity scoring and synthetic-log fidelity checks.
+
+    π comes from :func:`markov_stationary_exact` (already rounded, so
+    the float products start from identical doubles on both engines);
+    p̂_uv are exact integer ratios. One extra join + aggregate on top of
+    the stationary solve.
+
+    Output (1 row): ``n_states, n_transitions, entropy_rate``.
+    """
+    pi = markov_stationary_exact(
+        transitions,
+        src_col=src_col,
+        dst_col=dst_col,
+        count_col=count_col,
+        n_iter=n_iter,
+        scale=scale,
+        round_decimals=round_decimals,
+    )
+    t = transitions.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(count_col).cast("long").alias("cnt"),
+    ).filter(F.col("cnt") > 0)
+    tot = t.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    per_state = (
+        t.join(tot, "src")
+        .select(
+            "src",
+            (
+                -(F.col("cnt") / F.col("tot"))
+                * F.log(F.col("cnt") / F.col("tot"))
+            ).alias("__h"),
+        )
+        .groupBy("src")
+        .agg(F.sum("__h").alias("__hs"), F.count(F.lit(1)).alias("__k"))
+    )
+    return (
+        pi.join(per_state, pi.state == per_state.src, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_states"),
+            F.coalesce(F.sum("__k"), F.lit(0))
+            .cast("long").alias("n_transitions"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("pi") * F.col("__hs")), F.lit(0.0)
+                ),
+                round_decimals,
+            ).alias("entropy_rate"),
+        )
+    )

@@ -1687,3 +1687,61 @@ def seeded_expansion_ppr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("vec_id"), F.col("rank_fp").alias("ppr_fp"))
         .orderBy("vec_id")
     )
+
+
+_MODULARITY_SQL = """
+WITH sims AS (
+  SELECT q.vec_id AS src, e.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS rk
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM sims WHERE rk <= 3),
+lab AS MATERIALIZED (SELECT vec_id AS id, label FROM embeddings),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+deg AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+  GROUP BY 1),
+dc AS (
+  SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg.d) AS BIGINT) AS d_sum
+  FROM deg JOIN lab ON deg.id = lab.id GROUP BY 1),
+ec AS (
+  SELECT l1.label, CAST(count(*) AS BIGINT) AS e_in
+  FROM und JOIN lab l1 ON und.u = l1.id
+  JOIN lab l2 ON und.v = l2.id
+  WHERE l1.label = l2.label GROUP BY 1)
+SELECT dc.label, dc.n_nodes,
+       CAST(COALESCE(ec.e_in, 0) AS BIGINT) AS e_in, dc.d_sum,
+       CAST(m.m AS BIGINT) AS m_edges,
+       round(COALESCE(ec.e_in, 0) / m.m
+             - (dc.d_sum / (2 * m.m)) * (dc.d_sum / (2 * m.m)), 6)
+         AS q_part
+FROM dc LEFT JOIN ec ON dc.label = ec.label, m
+ORDER BY dc.label
+"""
+
+
+@register("knn_label_modularity", _MODULARITY_SQL)
+def knn_label_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label partition over the symmetrized
+    3-NN cosine graph (operators/graph.py modularity): do the corpus
+    labels respect embedding-space neighborhoods? Σ q_part over the
+    rows is the modularity — the clustering-quality diagnostic run
+    before trusting labels for curation splits. Every term is an exact
+    integer-count ratio; one distinct + one degree agg + two
+    broadcast-size label joins."""
+    from weaviate_txtai_spark.operators.graph import knn_graph, modularity
+
+    emb = _emb(spark, sf_dir)
+    g = knn_graph(emb, 3)
+    labels = emb.select("vec_id", "label")
+    return modularity(
+        g, labels, id_col="vec_id", label_col="label"
+    ).orderBy("label")

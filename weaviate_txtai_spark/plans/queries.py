@@ -142,7 +142,8 @@ _PRIORITY = [
     # purchase_value_auc, docs_textrank_terms, part_supplier_bfs,
     # purchase_isotonic_fit, source_shard_apportion, token_good_turing,
     # event_type_stationary, events_value_ols2, events_srm_check,
-    # embedding_intrinsic_dim, seeded_expansion_ppr.
+    # embedding_intrinsic_dim, seeded_expansion_ppr, knn_label_modularity,
+    # event_chain_entropy_rate, purchase_cmh.
     # ------------------------------------------------------------------
 ]
 

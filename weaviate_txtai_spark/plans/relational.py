@@ -6295,7 +6295,7 @@ def purchase_isotonic_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_fit(pts, "bucket", "y").orderBy("bucket")
 
 
-def _markov_sql(n_iter: int = 8) -> str:
+def _markov_sql(n_iter: int = 8, final: "str | None" = None) -> str:
     """DuckDB twin of markov_stationary_exact on the per-user
     consecutive event-type transitions: the T power steps unrolled as
     MATERIALIZED chained CTEs in the same scaled-long floor arithmetic
@@ -6337,13 +6337,14 @@ p{t} AS MATERIALIZED (
   FROM states s LEFT JOIN c{t} c ON c.dst = s.id, dm{t} d, ns),"""
         )
     body = "\n".join(parts).rstrip(",")
-    return (
-        f"{body},\ntm AS (SELECT CAST(sum(m) AS DOUBLE) AS t"
-        f" FROM p{n_iter})\n"
-        f"SELECT p{n_iter}.id AS state,"
-        f" round(p{n_iter}.m / tm.t, 6) AS pi\n"
-        f"FROM p{n_iter}, tm ORDER BY state"
-    )
+    if final is None:
+        final = (
+            f"tm AS (SELECT CAST(sum(m) AS DOUBLE) AS t FROM p{n_iter})\n"
+            f"SELECT p{n_iter}.id AS state,"
+            f" round(p{n_iter}.m / tm.t, 6) AS pi\n"
+            f"FROM p{n_iter}, tm ORDER BY state"
+        )
+    return f"{body},\n{final}"
 
 
 @register("event_type_stationary", _markov_sql())
@@ -6516,3 +6517,109 @@ def events_srm_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C").alias("g")
     )
     return chisq_gof(users, "g", {"A": 0.5, "B": 0.3, "C": 0.2})
+
+
+_ENTROPY_RATE_FINAL = """tm AS (SELECT CAST(sum(m) AS DOUBLE) AS t FROM p8),
+pi AS (SELECT p8.id, round(p8.m / tm.t, 6) AS pi FROM p8, tm),
+hs AS (
+  SELECT tr.src,
+         sum(-(tr.cnt * 1.0 / tt.tot) * ln(tr.cnt * 1.0 / tt.tot)) AS hs,
+         CAST(count(*) AS BIGINT) AS k
+  FROM tr JOIN tot tt ON tt.src = tr.src GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_states,
+       CAST(COALESCE(sum(hs.k), 0) AS BIGINT) AS n_transitions,
+       round(COALESCE(sum(pi.pi * hs.hs), 0), 6) AS entropy_rate
+FROM pi LEFT JOIN hs ON pi.id = hs.src"""
+
+
+@register("event_chain_entropy_rate", _markov_sql(final=_ENTROPY_RATE_FINAL))
+def event_chain_entropy_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey chain (operators/markov.py
+    markov_entropy_rate): H = −Σ_u π_u Σ_v p̂_uv ln p̂_uv in nats/step —
+    how predictable the next event is, the sequence-compressibility
+    companion to event_type_stationary (same fixed-point π, one extra
+    join + aggregate). π is rounded before the float products, so both
+    engines start from identical doubles."""
+    from weaviate_txtai_spark.operators.markov import markov_entropy_rate
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return markov_entropy_rate(tr, n_iter=8)
+
+
+_CMH_SQL = """
+WITH u AS (
+  SELECT user_id, (user_id // 2) % 4 AS s,
+         CAST(user_id % 2 AS INT) AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1, 2, 3),
+cells AS (
+  SELECT s, CAST(count(*) AS DOUBLE) AS N,
+         CAST(sum(t) AS DOUBLE) AS n1,
+         CAST(sum(y) AS DOUBLE) AS m1,
+         CAST(sum(t * y) AS DOUBLE) AS a
+  FROM u GROUP BY 1),
+per AS (
+  SELECT N,
+    CASE WHEN N >= 2 AND n1 > 0 AND N - n1 > 0
+              AND m1 > 0 AND N - m1 > 0 THEN a END AS a,
+    CASE WHEN N >= 2 AND n1 > 0 AND N - n1 > 0
+              AND m1 > 0 AND N - m1 > 0 THEN n1 * m1 / N END AS e,
+    CASE WHEN N >= 2 AND n1 > 0 AND N - n1 > 0
+              AND m1 > 0 AND N - m1 > 0
+         THEN n1 * (N - n1) * m1 * (N - m1) / (N * N * (N - 1)) END AS v
+  FROM cells),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_strata,
+         CAST(sum(N) AS BIGINT) AS n,
+         round(CASE WHEN sum(v) > 0 THEN
+           (sum(a) - sum(e)) * (sum(a) - sum(e)) / sum(v) END, 6) AS cmh
+  FROM per),
+zz AS (SELECT k_strata, n, cmh, sqrt(cmh) AS stat FROM agg)
+SELECT k_strata, n, cmh,
+       round(CASE WHEN cmh IS NULL THEN NULL ELSE
+         2.0 * (exp(-abs(stat) * abs(stat) / 2.0) / 2.5066282746310002)
+         * ((1.0 / (1.0 + 0.2316419 * abs(stat)))
+            * (0.319381530
+               + (1.0 / (1.0 + 0.2316419 * abs(stat)))
+                 * (-0.356563782
+                    + (1.0 / (1.0 + 0.2316419 * abs(stat)))
+                      * (1.781477937
+                         + (1.0 / (1.0 + 0.2316419 * abs(stat)))
+                           * (-1.821255978
+                              + (1.0 / (1.0 + 0.2316419 * abs(stat)))
+                                * 1.330274429)))))
+             END, 6) AS p_value
+FROM zz
+"""
+
+
+@register("purchase_cmh", _CMH_SQL)
+def purchase_cmh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 test (operators/abtest.py
+    cmh_test): does user parity associate with purchasing CONSISTENTLY
+    across the (user_id div 2) % 4 strata — the binary-outcome,
+    Simpson-reversal-proof companion to events_stratified_ate. Counts
+    only (exact ratios); two-sided p via Zelen–Severo Φ on √CMH of the
+    rounded statistic."""
+    from weaviate_txtai_spark.operators.abtest import cmh_test
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y")
+    ).select(
+        F.expr("(user_id div 2) % 4").alias("s"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        "y",
+    )
+    return cmh_test(users, "s", "t", "y")
