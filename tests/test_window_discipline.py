@@ -74,6 +74,9 @@ _WHITELIST = {
     " quantile_buckets sketch",
     "docs_quality_tiers": "exact ntile tier split (plans/pipeline.py"
     " documents the quantile_buckets twin)",
+    "customer_rfm_segments": "exact ntile RFM scores over the PURCHASER"
+    " domain (one row per user after groupBy); quantile_buckets is the"
+    " documented corpus-scale twin",
     "docs_quality_composite": "exact percent_rank composite score;"
     " same sketch twin",
     # --- global-frame scalar max over an already-aggregated frame ---

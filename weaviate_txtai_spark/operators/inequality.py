@@ -77,3 +77,90 @@ def gini(
     if group_col is None:
         return out.drop("__g")
     return out.withColumnRenamed("__g", group_col)
+
+
+def theil_decomposition(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Theil T inequality index with its exact between/within-group
+    decomposition (Theil 1967) — the property Gini lacks: T_total =
+    T_between + T_within ADDITIVELY, so "how much revenue inequality is
+    across nations vs inside them" is a single readout.
+
+        T_total   = (1/n) Σ_i (x_i/μ) ln(x_i/μ)
+        T_between = Σ_g (n_g/n)(μ_g/μ) ln(μ_g/μ)
+        T_within  = Σ_g (n_g/n)(μ_g/μ) T_g
+
+    Non-positive values are excluded (ln); output (1 row): ``n,
+    n_groups, theil_total, theil_between, theil_within`` — the identity
+    total = between + within holds to float precision (pinned in
+    tests).
+
+    Scale: one groupBy(group) pass for the group moments plus one
+    corpus aggregate for T_g's inner sum — two shuffles total, no pair
+    expansion.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & (x > 0)).select(
+        F.col(group_col).alias("__g"), x.alias("__x")
+    )
+    g = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__ng"),
+        F.avg("__x").alias("__mug"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__x").alias("__mu"),
+    )
+    # within-group Theil T_g needs each row against ITS group mean
+    tg = (
+        base.join(F.broadcast(g), "__g")
+        .select(
+            "__g",
+            ((F.col("__x") / F.col("__mug"))
+             * F.log(F.col("__x") / F.col("__mug"))).alias("__t"),
+        )
+        .groupBy("__g")
+        .agg(F.avg("__t").alias("__tg"))
+    )
+    parts = (
+        g.join(tg, "__g")
+        .join(F.broadcast(tot))
+        .select(
+            (
+                (F.col("__ng") / F.col("__n"))
+                * (F.col("__mug") / F.col("__mu"))
+            ).alias("__w"),
+            F.log(F.col("__mug") / F.col("__mu")).alias("__lb"),
+            "__tg",
+        )
+    )
+    total = (
+        base.join(F.broadcast(tot))
+        .agg(
+            F.avg(
+                (F.col("__x") / F.col("__mu"))
+                * F.log(F.col("__x") / F.col("__mu"))
+            ).alias("__tt")
+        )
+    )
+    return (
+        parts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.col("__w") * F.col("__lb")).alias("__tb"),
+            F.sum(F.col("__w") * F.col("__tg")).alias("__tw"),
+        )
+        .join(F.broadcast(total))
+        .join(F.broadcast(tot))
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            "n_groups",
+            F.round("__tt", round_decimals).alias("theil_total"),
+            F.round("__tb", round_decimals).alias("theil_between"),
+            F.round("__tw", round_decimals).alias("theil_within"),
+        )
+    )

@@ -393,3 +393,74 @@ def l_diversity_report(
             round_decimals,
         ).alias("weak_frac"),
     )
+
+
+def burstiness(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: "tuple[str, ...]" = ("event_id",),
+    min_gaps: int = 2,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-key burstiness of the inter-event time distribution
+    (Goh & Barabási 2008): B = (σ−μ)/(σ+μ) over consecutive gaps —
+    −1 = perfectly periodic, 0 = Poisson, →1 = bursty. The behavioral
+    fingerprint that separates bots/schedulers (periodic) from humans
+    (bursty) in event-log triage.
+
+    Gaps are integer epoch-microseconds (timestamp arithmetic differs
+    in precision across engines); ties at identical timestamps break on
+    ``order_cols``. Keys with fewer than ``min_gaps`` gaps (need ≥2 for
+    a sample σ) are dropped.
+
+    Output: ``key_col, n_gaps, mean_gap_us (whole µs), b`` — b NULL for σ+μ = 0
+    (all gaps zero). Moments are order-independent (exact long Σgap,
+    decimal-summed Σgap²), so the result replays across engines.
+
+    Scale: one lag window PARTITIONED by the key + one groupBy(key);
+    nothing global.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    gaps = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            key_col,
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            ).alias("__gap"),
+        )
+        .filter(F.col("__gap").isNotNull())
+    )
+    # order-independent moments: Σgap is an exact LONG, Σgap² an exact
+    # DECIMAL sum of per-row-rounded double squares (the
+    # nation_trade_volume discipline) — a float avg/stddev over
+    # µs-magnitude gaps reorders across engines past the 6-dp grid
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("__gap").cast("long").alias("__sg"),
+        F.sum(
+            (F.col("__gap").cast("double") * F.col("__gap").cast("double"))
+            .cast("decimal(38,6)")
+        ).cast("double").alias("__sq"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("__sg").cast("double")  # < 2^53; long*long would overflow
+    mu = sg / n
+    var = (F.col("__sq") - sg * sg / n) / (n - 1)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        key_col,
+        "n_gaps",
+        # whole µs (floor): a double at 1e10 magnitude cannot carry
+        # decimal places, and round()'s nearest-double differs across
+        # engines in the last ulp there — the integer is exact
+        F.expr("__sg div n_gaps").alias("mean_gap_us"),
+        F.round(
+            F.try_divide(sd - mu, sd + mu), round_decimals
+        ).alias("b"),
+    )

@@ -213,3 +213,71 @@ def volume_anomalies(
         log_ratio.alias("log_ratio"),
         (F.abs(log_ratio) > F.lit(float(threshold))).alias("anomaly"),
     )
+
+
+def acf(
+    series: DataFrame,
+    *,
+    t_col: str = "t",
+    y_col: str = "y",
+    max_lag: int = 14,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function r_k for k = 1..``max_lag`` over a
+    REGULAR integer-indexed series (caller gap-fills — pair formation
+    joins on t+k, so holes silently shrink n_pairs instead of erroring):
+
+        r_k = Σ_t (y_t − ȳ)(y_{t+k} − ȳ) / Σ_t (y_t − ȳ)²
+
+    The seasonality fingerprint behind "is there a weekly cycle" checks
+    (r₇ spike) and residual-whiteness tests after a trend fit.
+
+    Scale: ONE join of the series against itself fanned out by a
+    broadcast lag list (L·n rows, L small), one groupBy(lag); the mean
+    and denominator are a single 1-row aggregate riding a broadcast.
+
+    Output: ``lag, n_pairs, acf`` — NULL acf for a constant series
+    (zero denominator).
+    """
+    if max_lag < 1:
+        raise ValueError("acf: max_lag must be >= 1")
+    s = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    stats = s.agg(
+        F.avg("y").alias("__mu"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    centered = s.join(F.broadcast(stats)).select(
+        "t", (F.col("y") - F.col("__mu")).alias("c")
+    )
+    denom = centered.agg(F.sum(F.col("c") * F.col("c")).alias("__d"))
+    lags = s.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = centered.select(F.col("t"), F.col("c").alias("ca"))
+    b = centered.select(
+        F.col("t").alias("tb"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("__num"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(denom))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.when(F.col("__d") > 0, F.col("__num") / F.col("__d")),
+                round_decimals,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

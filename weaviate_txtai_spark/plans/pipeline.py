@@ -1745,3 +1745,61 @@ def knn_label_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(
         g, labels, id_col="vec_id", label_col="label"
     ).orderBy("label")
+
+
+def _setcover_sql(k: int = 8) -> str:
+    """DuckDB twin of greedy_set_cover: k greedy steps unrolled (the
+    MMR/BT pattern) — each step one anti-join gain count, a 1-row
+    ORDER BY gain DESC, doc LIMIT 1 pick, and a cumulative covered-set
+    union. Pure integer gains, so the trajectory replays exactly."""
+    parts = [
+        """WITH tk AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents),
+it AS MATERIALIZED (
+  SELECT DISTINCT doc, tok[s.x] || ' ' || tok[s.x + 1] AS term
+  FROM tk, unnest(generate_series(1, len(tok) - 1)) AS s(x)
+  WHERE len(tok) >= 2),"""
+    ]
+    for s in range(1, k + 1):
+        src = "it" if s == 1 else f"it ANTI JOIN c{s - 1} USING (term)"
+        cov_prev = (
+            ""
+            if s == 1
+            else f"SELECT term FROM c{s - 1} UNION "
+        )
+        parts.append(
+            f"""g{s} AS (
+  SELECT doc, CAST(count(*) AS BIGINT) AS gain
+  FROM {src} GROUP BY 1),
+p{s} AS MATERIALIZED (
+  SELECT {s} AS rank, doc, gain FROM g{s}
+  ORDER BY gain DESC, doc LIMIT 1),
+c{s} AS MATERIALIZED (
+  {cov_prev}SELECT DISTINCT term FROM it JOIN p{s} USING (doc)),"""
+        )
+    body = "\n".join(parts).rstrip(",")
+    union = "\nUNION ALL ".join(f"SELECT * FROM p{s}" for s in range(1, k + 1))
+    return (
+        f"{body}\n"
+        f"SELECT CAST(rank AS INT) AS rank, doc AS doc_id, gain FROM (\n"
+        f"{union}) WHERE gain > 0 ORDER BY rank"
+    )
+
+
+@register("coverage_set_cover", _setcover_sql())
+def coverage_set_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection (operators/setcover.py
+    greedy_set_cover): 8 exemplar docs maximizing distinct-token
+    coverage — the (1−1/e) greedy of Nemhauser et al., the seed-set /
+    probe-corpus builder. Integer gains with doc-id tie-breaks, picks
+    eagerly checkpointed per step (1 row each), replayed exactly by the
+    unrolled-CTE oracle."""
+    from weaviate_txtai_spark.operators.setcover import greedy_set_cover
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = greedy_set_cover(docs, 8, ngram=2)
+    return out.select(
+        F.col("rank").cast("int").alias("rank"), "doc_id", "gain"
+    ).orderBy("rank")

@@ -143,7 +143,8 @@ _PRIORITY = [
     # purchase_isotonic_fit, source_shard_apportion, token_good_turing,
     # event_type_stationary, events_value_ols2, events_srm_check,
     # embedding_intrinsic_dim, seeded_expansion_ppr, knn_label_modularity,
-    # event_chain_entropy_rate, purchase_cmh.
+    # event_chain_entropy_rate, purchase_cmh, customer_rfm_segments,
+    # user_burstiness, revenue_theil, coverage_set_cover, events_daily_acf.
     # ------------------------------------------------------------------
 ]
 

@@ -6623,3 +6623,208 @@ def purchase_cmh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     return cmh_test(users, "s", "t", "y")
+
+
+_RFM_SQL = """
+WITH b AS (
+  SELECT user_id AS u, epoch_us(ts) AS us, value AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type = 'purchase'),
+pu AS MATERIALIZED (
+  SELECT u, max(us) AS last_us, CAST(count(*) AS BIGINT) AS frequency,
+         sum(v) AS monetary
+  FROM b GROUP BY 1),
+mx AS (SELECT max(last_us) AS cmax FROM pu),
+r AS (
+  SELECT u, cmax - last_us AS recency_us, frequency, monetary
+  FROM pu, mx),
+s AS (
+  SELECT u, recency_us, frequency, monetary,
+         CAST(ntile(5) OVER (ORDER BY recency_us DESC, u) AS INT)
+           AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency ASC, u) AS INT)
+           AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary ASC, u) AS INT)
+           AS m_score
+  FROM r)
+SELECT u AS user_id, recency_us, frequency,
+       round(monetary, 6) AS monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s ORDER BY user_id
+"""
+
+
+@register("customer_rfm_segments", _RFM_SQL)
+def customer_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers (operators/rfm.py rfm_segments):
+    exact quintile scores on recency (integer epoch-µs from the corpus
+    max), frequency, and spend, with the user id tie-breaking every
+    ntile ordering so bucket assignment replays exactly. The
+    global-order ntile is domain-bounded (one row per purchaser after
+    the groupBy; quantile_buckets is the documented corpus-scale
+    twin)."""
+    from weaviate_txtai_spark.operators.rfm import rfm_segments
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return rfm_segments(ev, warn_rows=None).orderBy("user_id")
+
+
+_BURSTINESS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE ts IS NOT NULL),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(CAST(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sq
+  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+f AS (
+  SELECT user_id, n_gaps, sg // n_gaps AS mgap,
+         sg / CAST(n_gaps AS DOUBLE) AS mu,
+         sqrt(greatest((sq - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                             / n_gaps) / (n_gaps - 1), 0.0)) AS sd
+  FROM a WHERE n_gaps >= 2)
+SELECT user_id, n_gaps, CAST(mgap AS BIGINT) AS mean_gap_us,
+       round(CASE WHEN sd + mu <> 0 THEN (sd - mu) / (sd + mu) END, 6)
+         AS b
+FROM f ORDER BY user_id
+"""
+
+
+@register("user_burstiness", _BURSTINESS_SQL)
+def user_burstiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps
+    (operators/profile.py burstiness; Goh–Barabási): the periodic-vs-
+    bursty fingerprint behind bot/scheduler triage. Gaps are integer
+    epoch-µs; moments are order-independent (long Σgap + decimal Σgap²)
+    because float sums at µs magnitude reorder past the 6-dp grid.
+    One user-partitioned lag window + one groupBy."""
+    from weaviate_txtai_spark.operators.profile import burstiness
+
+    ev = load_table(spark, sf_dir, "events")
+    return burstiness(ev).orderBy("user_id")
+
+
+_THEIL_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS g, CAST(sum(o.o_totalprice) AS DOUBLE) AS x
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey, n.n_name),
+base AS MATERIALIZED (SELECT g, x FROM rev WHERE x > 0),
+grp AS MATERIALIZED (
+  SELECT g, CAST(count(*) AS DOUBLE) AS ng, avg(x) AS mug
+  FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS mu FROM base),
+tg AS (
+  SELECT base.g, avg((x / mug) * ln(x / mug)) AS tgv
+  FROM base JOIN grp ON base.g = grp.g GROUP BY base.g),
+parts AS (
+  SELECT (ng / tot.n) * (mug / tot.mu) AS w,
+         ln(mug / tot.mu) AS lb, tgv
+  FROM grp JOIN tg ON grp.g = tg.g, tot),
+ttot AS (
+  SELECT avg((x / tot.mu) * ln(x / tot.mu)) AS tt FROM base, tot)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM grp) AS BIGINT) AS n_groups,
+       round(ttot.tt, 6) AS theil_total,
+       round(sum(w * lb), 6) AS theil_between,
+       round(sum(w * tgv), 6) AS theil_within
+FROM parts, tot, ttot GROUP BY tot.n, ttot.tt
+"""
+
+
+@register("revenue_theil", _THEIL_SQL)
+def revenue_theil_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of per-customer revenue with the exact
+    between/within-NATION decomposition (operators/inequality.py
+    theil_decomposition) — the additive-decomposition property Gini
+    lacks: is revenue concentration a cross-country or within-country
+    phenomenon? Two shuffles (customer revenue, group moments); the
+    total = between + within identity is pinned in tests."""
+    from weaviate_txtai_spark.operators.inequality import (
+        theil_decomposition,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n), c.c_nationkey == n.n_nationkey
+        )
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum("o_totalprice").cast("double").alias("x"))
+    )
+    return theil_decomposition(rev, "x", "n_name")
+
+
+_ACF_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+pad AS (
+  SELECT x.t, b.d0 + CAST(x.t AS INT) AS d
+  FROM b, unnest(generate_series(0, datediff('day', d0, d1))) AS x(t)),
+ser AS MATERIALIZED (
+  SELECT pad.t, CAST(COALESCE(daily.y, 0) AS DOUBLE) AS y
+  FROM pad LEFT JOIN daily ON pad.d = daily.d),
+st AS (SELECT avg(y) AS mu FROM ser),
+cen AS MATERIALIZED (SELECT t, y - st.mu AS c FROM ser, st),
+dn AS (SELECT sum(c * c) AS dd FROM cen),
+lags AS (SELECT x.l FROM unnest(generate_series(1, 14)) AS x(l)),
+p AS (
+  SELECT lags.l, CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(a.c * b2.c) AS num
+  FROM cen a CROSS JOIN lags
+  JOIN cen b2 ON b2.t = a.t + lags.l
+  GROUP BY 1)
+SELECT CAST(l AS INT) AS lag, n_pairs,
+       round(CASE WHEN dd > 0 THEN num / dd END, 6) AS acf
+FROM p, dn ORDER BY lag
+"""
+
+
+@register("events_daily_acf", _ACF_SQL)
+def events_daily_acf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the zero-filled daily event-count
+    series at lags 1..14 (operators/seasonal.py acf) — the seasonality
+    fingerprint (an r₇ spike = weekly cycle) and residual-whiteness
+    readout. One self-join fanned by a broadcast lag list + one
+    groupBy(lag); mean and denominator ride 1-row broadcasts."""
+    from weaviate_txtai_spark.operators.seasonal import acf
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    pad = bounds.select(
+        F.col("d0"),
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("t"),
+    )
+    series = (
+        pad.join(
+            daily,
+            daily.d == F.date_add(F.col("d0"), F.col("t")),
+            "left",
+        )
+        .select("t", F.coalesce("y", F.lit(0)).cast("double").alias("y"))
+    )
+    return acf(series, t_col="t", y_col="y", max_lag=14)
