@@ -138,3 +138,121 @@ def attribution(
             ),
         )
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    *,
+    channels: Sequence[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Data-driven Shapley channel attribution (the simplified-game
+    formulation of Dalessandro et al. 2012 / Shapley 1953): the
+    coalition value v(S) is the observed conversion RATE of users whose
+    exposure set is exactly S, and each channel's credit is
+
+        φ_i = Σ_{S ∌ i} |S|!·(k−|S|−1)!/k! · (v(S∪{i}) − v(S))
+
+    — the marketing-standard alternative to positional rules (last /
+    first / linear above), immune to path-position gaming. Unobserved
+    exposure sets carry v = 0 (the standard simplified choice; they
+    contribute no lift evidence).
+
+    Exposure sets are bitmasks over the ``channels`` list (k ≤ 20
+    enforced; the subset domain is 2^k rows — attribution channel
+    counts are single digits in practice). All coalition values are
+    exact conversion-count ratios; the factorial weights are rational
+    literals — deterministic across engines with output-only rounding.
+
+    Output: one row per channel — ``channel, shapley, exposed_users``
+    (users whose exposure set contains the channel).
+
+    Scale: ONE groupBy(user) to form exposure sets, one groupBy(mask);
+    everything after runs on the 2^k subset domain.
+    """
+    import math as _math
+
+    k = len(channels)
+    if k < 1:
+        raise ValueError("shapley_attribution: need at least 1 channel")
+    if k > 20:
+        raise ValueError("shapley_attribution: too many channels (2^k)")
+    if conversion_type in channels:
+        raise ValueError("conversion_type cannot be a channel")
+    spark = events.sparkSession
+    # per-user exposure bitmask + converted flag
+    bit = None
+    for i, ch in enumerate(channels):
+        term = F.max(
+            F.when(F.col(type_col) == ch, F.lit(1 << i)).otherwise(0)
+        )
+        bit = term if bit is None else bit + term
+    users = events.groupBy(user_col).agg(
+        bit.cast("long").alias("mask"),
+        F.max(
+            F.when(F.col(type_col) == conversion_type, 1).otherwise(0)
+        ).alias("conv"),
+    )
+    rates = users.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("conv").cast("double").alias("c"),
+    )
+    masks = spark.range(0, 1 << k).select(F.col("id").alias("mask"))
+    v = masks.join(rates, "mask", "left").select(
+        "mask",
+        F.coalesce(F.col("c") / F.col("n"), F.lit(0.0)).alias("v"),
+    )
+    # popcount as explicit bit sums (identical integer arithmetic in
+    # any SQL engine; no bit_count dialect dependence)
+    pop = sum(
+        F.shiftright(F.col("mask"), i).bitwiseAND(F.lit(1))
+        for i in range(k)
+    )
+    v = v.select("mask", "v", pop.alias("s"))
+    # weights w(s) = s!(k-1-s)!/k! as a literal CASE over s = 0..k-1
+    expr = None
+    for s in range(k):
+        wt = (
+            _math.factorial(s) * _math.factorial(k - 1 - s)
+            / _math.factorial(k)
+        )
+        cond = (F.col("s") == s, F.lit(wt))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    chan = spark.createDataFrame(
+        [(i, ch, 1 << i) for i, ch in enumerate(channels)],
+        ["i", "channel", "bitval"],
+    )
+    base = v.join(F.broadcast(chan)).filter(
+        F.col("mask").bitwiseAND(F.col("bitval")) == 0
+    )
+    with_union = base.join(
+        v.select(
+            F.col("mask").alias("mask2"), F.col("v").alias("v2")
+        ),
+        F.col("mask2") == F.col("mask") + F.col("bitval"),
+    )
+    phi = (
+        with_union.select(
+            "channel", "i",
+            (expr * (F.col("v2") - F.col("v"))).alias("__t"),
+        )
+        .groupBy("channel", "i")
+        .agg(F.round(F.sum("__t"), round_decimals).alias("shapley"))
+    )
+    exposed = (
+        users.join(F.broadcast(chan))
+        .filter(F.col("mask").bitwiseAND(F.col("bitval")) != 0)
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("exposed_users"))
+    )
+    return (
+        phi.join(exposed, "channel", "left")
+        .select(
+            "channel",
+            "shapley",
+            F.coalesce("exposed_users", F.lit(0)).alias("exposed_users"),
+        )
+    )

@@ -164,3 +164,69 @@ def theil_decomposition(
             F.round("__tw", round_decimals).alias("theil_within"),
         )
     )
+
+
+def abc_classes(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    a_cut: float = 0.80,
+    b_cut: float = 0.95,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """ABC (Pareto) classification: rank keys by summed value and class
+    them by cumulative share — A up to ``a_cut`` (the vital few), B up
+    to ``b_cut``, C the long tail. The inventory/priority workhorse
+    ("which 20% of parts carry 80% of revenue"), and the concentration
+    readout that pairs with :func:`gini`.
+
+    Cumulative shares come from the value-domain prefix machinery
+    (``rankstats._prefix_sums`` on the DESC-ordered revenue domain — no
+    global-order window), with the whole tie group included in its own
+    cumulative mass (tied keys always share a class). Sums are exact:
+    per-row DECIMAL(28,8) casts, then integer units of 10⁻⁸ through the
+    prefix (whose accumulator is a long), so shares and class
+    boundaries are deterministic across engines. Requires total value
+    below ~9·10¹⁰ in raw units (int64 at scale 8) — money-scale safe.
+
+    Output: ``key_col, value, cum_share, abc_class`` — value rounded at
+    2 (money convention), share at ``round_decimals``.
+    """
+    if not (0 < a_cut < b_cut < 1):
+        raise ValueError("abc_classes: need 0 < a_cut < b_cut < 1")
+    from weaviate_txtai_spark.operators.rankstats import _prefix_sums
+
+    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(F.col(value_col).cast("decimal(28,8)")).alias("__v")
+    )
+    # the prefix machinery is integer-only (long __before), so carry
+    # the mass in EXACT integer units of 10^-8 (the decimal's scale):
+    # the cast is lossless and every cumulative sum is exact
+    units = (F.col("__v") * F.lit(10**8)).cast("long")
+    per_key = per_key.select("__k", "__v", units.alias("__u"))
+    vv = per_key.groupBy(F.col("__v")).agg(
+        F.sum("__u").alias("__mass")
+    ).select((-F.col("__v")).alias("__ord"), "__v", "__mass")
+    pref = _prefix_sums(vv, "__ord", "__mass").select(
+        "__v",
+        (F.col("__before") + F.col("__mass")).alias("__cum"),
+    )
+    total = per_key.agg(F.sum("__u").alias("__tot"))
+    share = (
+        F.col("__cum").cast("double") / F.col("__tot").cast("double")
+    )
+    return (
+        per_key.join(pref, "__v")
+        .join(F.broadcast(total))
+        .select(
+            F.col("__k").alias(key_col),
+            # round the EXACT decimal (half-up on true midpoints),
+            # not the double — money values hit .005 midpoints exactly
+            F.round(F.col("__v"), 2).cast("double").alias("value"),
+            F.round(share, round_decimals).alias("cum_share"),
+            F.when(share <= a_cut, "A")
+            .when(share <= b_cut, "B")
+            .otherwise("C").alias("abc_class"),
+        )
+    )

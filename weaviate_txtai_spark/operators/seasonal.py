@@ -281,3 +281,80 @@ def acf(
         )
         .orderBy("lag")
     )
+
+
+def sax_symbols(
+    series: DataFrame,
+    *,
+    t_col: str = "t",
+    y_col: str = "y",
+    n_segments: int = 16,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """SAX symbolization (Lin, Keogh et al. 2003): z-normalize a regular
+    integer-indexed series, reduce it with PAA (equal integer segments
+    seg = ⌊t·w/n⌋), and map each segment mean to an alphabet-4 symbol
+    at the standard Gaussian breakpoints ±0.6745 / 0 — the time-series
+    "word" used for indexing, motif discovery, and cheap shape joins
+    over metric streams.
+
+    Determinism: the series values are exact (counts), so the moment
+    sums stay below 2^53 and μ/σ are identical doubles on both engines;
+    each segment's z-mean is ROUNDED before the breakpoint comparison,
+    so the symbol is a pure function of the rounded value.
+
+    Output: ``seg, n_points, paa_z, symbol`` — σ = 0 (constant series)
+    yields NULL paa_z and symbol ``'b'`` (the zero bucket) everywhere.
+
+    Scale: one 1-row moment aggregate + one groupBy(seg); the segment
+    count is fixed and small.
+    """
+    if n_segments < 1:
+        raise ValueError("sax_symbols: n_segments must be >= 1")
+    s = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    stats = s.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("y") * F.col("y")).alias("__sq"),
+        (F.max("t") + 1).alias("__len"),
+    )
+    mu = F.col("__sy") / F.col("__n")
+    var = (F.col("__sq") - F.col("__sy") * mu) / F.col("__n")
+    segs = (
+        s.join(F.broadcast(stats))
+        .select(
+            F.expr(f"(t * {int(n_segments)}L) div __len").alias("seg"),
+            "y", "__sy", "__sq", "__n",
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("y").alias("__segsum"),
+        )
+    )
+    z = (
+        segs.join(F.broadcast(stats))
+        .select(
+            F.col("seg").cast("int").alias("seg"),
+            "n_points",
+            F.round(
+                F.try_divide(
+                    F.col("__segsum") / F.col("n_points") - mu,
+                    F.sqrt(F.greatest(var, F.lit(0.0))),
+                ),
+                round_decimals,
+            ).alias("paa_z"),
+        )
+    )
+    sym = (
+        F.when(F.col("paa_z").isNull(), "b")
+        .when(F.col("paa_z") < -0.6745, "a")
+        .when(F.col("paa_z") < 0.0, "b")
+        .when(F.col("paa_z") < 0.6745, "c")
+        .otherwise("d")
+    )
+    return z.select("seg", "n_points", "paa_z", sym.alias("symbol")) \
+        .orderBy("seg")

@@ -144,7 +144,8 @@ _PRIORITY = [
     # event_type_stationary, events_value_ols2, events_srm_check,
     # embedding_intrinsic_dim, seeded_expansion_ppr, knn_label_modularity,
     # event_chain_entropy_rate, purchase_cmh, customer_rfm_segments,
-    # user_burstiness, revenue_theil, coverage_set_cover, events_daily_acf.
+    # user_burstiness, revenue_theil, coverage_set_cover, events_daily_acf,
+    # purchase_shapley_attribution, part_abc_classes, events_daily_sax.
     # ------------------------------------------------------------------
 ]
 

@@ -6828,3 +6828,187 @@ def events_daily_acf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", F.coalesce("y", F.lit(0)).cast("double").alias("y"))
     )
     return acf(series, t_col="t", y_col="y", max_lag=14)
+
+
+_ABC_SQL = """
+WITH pk AS MATERIALIZED (
+  SELECT l_partkey AS k,
+         sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(28,8))) AS v
+  FROM lineitem GROUP BY 1),
+vv AS (SELECT v, CAST(sum(CAST(v * 100000000 AS BIGINT)) AS BIGINT)
+              AS mass FROM pk GROUP BY 1),
+pref AS (
+  SELECT v, sum(mass) OVER (
+    ORDER BY v DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS cum
+  FROM vv),
+tot AS (SELECT CAST(sum(CAST(v * 100000000 AS BIGINT)) AS BIGINT) AS t
+        FROM pk)
+SELECT pk.k AS l_partkey, CAST(round(pk.v, 2) AS DOUBLE) AS value,
+       round(CAST(pref.cum AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+         AS cum_share,
+       CASE WHEN CAST(pref.cum AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                 <= 0.80 THEN 'A'
+            WHEN CAST(pref.cum AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                 <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM pk JOIN pref ON pk.v = pref.v, tot ORDER BY l_partkey
+"""
+
+
+@register("part_abc_classes", _ABC_SQL)
+def part_abc_classes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by discounted revenue
+    (operators/inequality.py abc_classes): A carries 80% of revenue, B
+    to 95%, C the tail — the inventory-priority readout that pairs with
+    gini. Cumulative shares ride the value-domain prefix machinery (no
+    global-order window); tie groups share a class; decimal-exact sums
+    make the boundaries deterministic."""
+    from weaviate_txtai_spark.operators.inequality import abc_classes
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "r"
+        ),
+    )
+    return abc_classes(rev, "l_partkey", "r").orderBy("l_partkey")
+
+
+_SAX_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+pad AS (
+  SELECT x.t, b.d0 + CAST(x.t AS INT) AS d
+  FROM b, unnest(generate_series(0, datediff('day', d0, d1))) AS x(t)),
+ser AS MATERIALIZED (
+  SELECT pad.t, CAST(COALESCE(daily.y, 0) AS DOUBLE) AS y
+  FROM pad LEFT JOIN daily ON pad.d = daily.d),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(y) AS sy,
+         sum(y * y) AS sq, max(t) + 1 AS len
+  FROM ser),
+sg AS (
+  SELECT (t * 16) // len AS seg, CAST(count(*) AS BIGINT) AS n_points,
+         sum(y) AS segsum
+  FROM ser, st GROUP BY 1),
+z AS (
+  SELECT CAST(seg AS INT) AS seg, n_points,
+         round(CASE WHEN (st.sq - st.sy * (st.sy / st.n)) / st.n > 0
+                    THEN (segsum / n_points - st.sy / st.n)
+                         / sqrt((st.sq - st.sy * (st.sy / st.n)) / st.n)
+               END, 6) AS paa_z
+  FROM sg, st)
+SELECT seg, n_points, paa_z,
+       CASE WHEN paa_z IS NULL THEN 'b'
+            WHEN paa_z < -0.6745 THEN 'a'
+            WHEN paa_z < 0.0 THEN 'b'
+            WHEN paa_z < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z ORDER BY seg
+"""
+
+
+@register("events_daily_sax", _SAX_SQL)
+def events_daily_sax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the zero-filled daily event-count series
+    (operators/seasonal.py sax_symbols; Lin–Keogh): z-normalize, PAA
+    into 16 equal integer segments, alphabet-4 symbols at the Gaussian
+    breakpoints — the time-series word behind motif discovery and cheap
+    shape joins. Count-valued series keep every moment below 2^53, and
+    each segment mean is rounded BEFORE the breakpoint compare, so the
+    word is a pure function of rounded values."""
+    from weaviate_txtai_spark.operators.seasonal import sax_symbols
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    pad = bounds.select(
+        F.col("d0"),
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("t"),
+    )
+    series = pad.join(
+        daily, daily.d == F.date_add(F.col("d0"), F.col("t")), "left"
+    ).select("t", F.coalesce("y", F.lit(0)).cast("double").alias("y"))
+    return sax_symbols(series, n_segments=16)
+
+
+_SHAPLEY_SQL = """
+WITH users AS MATERIALIZED (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            + max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+            + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+            + max(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END)
+            AS BIGINT) AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+rates AS (
+  SELECT mask, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(conv) AS DOUBLE) AS c
+  FROM users GROUP BY 1),
+masks AS (SELECT CAST(x.m AS BIGINT) AS mask
+          FROM unnest(generate_series(0, 15)) AS x(m)),
+v AS MATERIALIZED (
+  SELECT masks.mask, COALESCE(rates.c / rates.n, 0.0) AS v,
+         ((masks.mask >> 0) & 1) + ((masks.mask >> 1) & 1)
+           + ((masks.mask >> 2) & 1) + ((masks.mask >> 3) & 1) AS s
+  FROM masks LEFT JOIN rates ON masks.mask = rates.mask),
+chan AS (
+  SELECT 0 AS i, 'view' AS channel, 1 AS bitval
+  UNION ALL SELECT 1, 'click', 2
+  UNION ALL SELECT 2, 'signup', 4
+  UNION ALL SELECT 3, 'error', 8),
+phi AS (
+  SELECT chan.channel,
+         round(sum(
+           (CASE v.s WHEN 0 THEN 0.25
+                     WHEN 1 THEN 1.0 / 12
+                     WHEN 2 THEN 1.0 / 12
+                     WHEN 3 THEN 0.25 END)
+           * (v2.v - v.v)), 6) AS shapley
+  FROM v JOIN chan ON (v.mask & chan.bitval) = 0
+  JOIN v v2 ON v2.mask = v.mask + chan.bitval
+  GROUP BY 1),
+exposed AS (
+  SELECT chan.channel, CAST(count(*) AS BIGINT) AS exposed_users
+  FROM users JOIN chan ON (users.mask & chan.bitval) <> 0
+  GROUP BY 1)
+SELECT phi.channel, phi.shapley,
+       CAST(COALESCE(exposed.exposed_users, 0) AS BIGINT)
+         AS exposed_users
+FROM phi LEFT JOIN exposed ON phi.channel = exposed.channel
+ORDER BY phi.channel
+"""
+
+
+@register("purchase_shapley_attribution", _SHAPLEY_SQL)
+def purchase_shapley_attribution_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-driven Shapley channel attribution (operators/attribution.py
+    shapley_attribution; Dalessandro et al.): coalition value = observed
+    conversion rate per exact exposure set, credit = the Shapley sum
+    over the 2^4 subset lattice — the positional-gaming-proof companion
+    to the last/first/linear models. Exact count ratios and rational
+    factorial weights; one groupBy(user) + subset-domain math."""
+    from weaviate_txtai_spark.operators.attribution import (
+        shapley_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return shapley_attribution(
+        ev,
+        channels=["view", "click", "signup", "error"],
+        conversion_type="purchase",
+    ).orderBy("channel")
