@@ -208,3 +208,80 @@ def poisson_bootstrap_ratio_ci(
     return stats.join(F.broadcast(ci)).select(
         "n", "ratio", "lo", "hi", "n_replicates"
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Delete-one-GROUP jackknife SE for a ratio metric θ = Σnum/Σden
+    (Quenouille/Tukey; the deleted unit is the experimentation unit —
+    user/cluster — so within-group correlation is respected, the same
+    motivation as the cluster bootstrap, but deterministic and
+    resample-free): θ_(i) = (N−num_i)/(D−den_i) in closed form from the
+    grand totals, then
+
+        se² = (g−1)/g · Σ_i (θ_(i) − θ̄_(.))² .
+
+    Groups whose deletion empties the denominator are excluded from the
+    pseudo-value set (reported via ``g_used``). Grand totals are exact
+    DECIMAL sums, so every θ_(i) is a deterministic double.
+
+    Output (1 row): ``g, g_used, theta, se_jack``.
+
+    Scale: one groupBy(group) + one broadcast of the 1-row totals + one
+    final aggregate — no resampling, no replicate fan-out.
+    """
+    per = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.sum(F.col(num_col).cast("decimal(28,8)")).alias("__ni"),
+        F.sum(F.col(den_col).cast("decimal(28,8)")).alias("__di"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("__ni").cast("double").alias("__N"),
+        F.sum("__di").cast("double").alias("__D"),
+    )
+    loo = per.join(F.broadcast(tot)).select(
+        "g",
+        "__N",
+        "__D",
+        F.try_divide(
+            F.col("__N") - F.col("__ni").cast("double"),
+            F.col("__D") - F.col("__di").cast("double"),
+        ).alias("__t"),
+    )
+    # center pseudo-values at θ̂ BEFORE summing: θ_(i) cluster within
+    # ~1/g of θ̂, and Σθ² − g·θ̄² would cancel catastrophically; the
+    # centered form keeps both sums at the deviation scale
+    d = F.col("__t") - F.col("__N") / F.col("__D")
+    agg = loo.agg(
+        F.max("g").alias("g"),
+        F.max("__N").alias("__N"),
+        F.max("__D").alias("__D"),
+        F.count(F.when(F.col("__t").isNotNull(), 1))
+        .cast("long").alias("g_used"),
+        F.sum(F.when(F.col("__t").isNotNull(), d)).alias("__sd"),
+        F.sum(F.when(F.col("__t").isNotNull(), d * d)).alias("__sd2"),
+    )
+    gu = F.col("g_used").cast("double")
+    ss = F.col("__sd2") - F.col("__sd") * F.col("__sd") / gu
+    return agg.select(
+        "g",
+        "g_used",
+        F.round(
+            F.try_divide(F.col("__N"), F.col("__D")), round_decimals
+        ).alias("theta"),
+        F.round(
+            F.when(
+                F.col("g_used") >= 2,
+                F.sqrt(
+                    F.greatest((gu - 1) / gu * ss, F.lit(0.0))
+                ),
+            ),
+            round_decimals,
+        ).alias("se_jack"),
+    )

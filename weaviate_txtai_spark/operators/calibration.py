@@ -87,3 +87,81 @@ def calibration_summary(
             round_decimals,
         ).alias("ece"),
     )
+
+
+def eb_beta_binomial_shrink(
+    df: DataFrame,
+    key_col: str,
+    success_col: str,
+    *,
+    round_decimals: int = 6,
+    prior_decimals: int = 9,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-key success
+    rates (Robbins 1956 / the "sort by rating with few reviews" fix):
+    fit Beta(α, β) to the observed per-key rates by method of moments,
+
+        α+β = m(1−m)/v − 1,   α = m·(α+β)
+
+    (m, v = mean and sample variance of raw rates), then shrink each
+    key toward the prior: rate_eb = (c+α)/(n+α+β). Keys with few
+    trials move most — exactly what a quality/return/defect ranking
+    needs before trusting small-sample extremes.
+
+    When the MoM solution is invalid (v = 0, v ≥ m(1−m), or a
+    non-positive α/β), shrinkage degrades to the raw rate with NULL
+    priors — the documented fallback, not an error.
+
+    Determinism: α and β are rounded at ``prior_decimals`` BEFORE
+    application, so every row's shrunken rate is a pure function of
+    rounded doubles on both engines.
+
+    Output: one row per key — ``key_col, n, c, rate_raw, rate_eb``
+    plus the fitted ``alpha, beta`` repeated (flat schema).
+
+    Scale: one groupBy(key) + a 1-row moment aggregate riding a
+    broadcast; no quadratic anywhere.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col(success_col).cast("int")).cast("double").alias("c"),
+    )
+    rates = per_key.select("__k", "n", "c", (F.col("c") / F.col("n")).alias("__r"))
+    mom = rates.agg(
+        F.avg("__r").alias("__m"),
+        F.var_samp("__r").alias("__v"),
+    )
+    m, v = F.col("__m"), F.col("__v")
+    ok = (
+        v.isNotNull() & (v > 0) & (m > 0) & (m < 1)
+        & (v < m * (1 - m))
+    )
+    ab = F.when(ok, m * (1 - m) / v - 1)
+    prior = mom.select(
+        F.round(ab * m, prior_decimals).alias("alpha"),
+        F.round(ab * (1 - m), prior_decimals).alias("beta"),
+    ).select(
+        # a non-positive fitted prior is as unusable as a degenerate one
+        F.when(F.col("alpha") > 0, F.col("alpha")).alias("alpha"),
+        F.when(F.col("beta") > 0, F.col("beta")).alias("beta"),
+    )
+    both = (F.col("alpha").isNotNull()) & (F.col("beta").isNotNull())
+    return (
+        rates.join(F.broadcast(prior))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("n").cast("long").alias("n"),
+            F.col("c").cast("long").alias("c"),
+            F.round("__r", round_decimals).alias("rate_raw"),
+            F.round(
+                F.when(
+                    both,
+                    (F.col("c") + F.col("alpha"))
+                    / (F.col("n") + F.col("alpha") + F.col("beta")),
+                ).otherwise(F.col("__r")),
+                round_decimals,
+            ).alias("rate_eb"),
+            "alpha",
+            "beta",
+        )
+    )

@@ -57,3 +57,70 @@ def twonn_intrinsic_dim(
             round_decimals,
         ).alias("id_mle"),
     )
+
+
+def knn_label_loo_accuracy(
+    emb: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Leave-one-out kNN label accuracy over an embedding corpus: each
+    point is classified by the majority label of its k nearest cosine
+    neighbors (self excluded by construction) and scored against its
+    own label — the direct "do labels agree with geometry" readout,
+    the classifier-view companion to the modularity diagnostic.
+
+    Majority ties break on the smaller label (vote count DESC, label
+    ASC) — deterministic and replayable. Output: one row per true
+    label — ``label, n, n_correct, accuracy`` — so per-class collapse
+    is visible, not averaged away.
+
+    Scale: the kNN graph build (GEMM/IVF paths apply); then one
+    label join + a per-point window over ≤k vote rows.
+    """
+    from pyspark.sql import Window as W
+
+    from weaviate_txtai_spark.operators.graph import knn_graph
+
+    g = knn_graph(emb, k, id_col=id_col, vector_col=vector_col)
+    lab = emb.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lab")
+    )
+    votes = (
+        g.join(lab.withColumnRenamed("__id", "dst"), "dst")
+        .groupBy(F.col("src"), F.col("__lab").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("__votes"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("__votes"), F.asc("pred"))
+    top = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("src", "pred")
+    )
+    scored = top.join(
+        lab.withColumnRenamed("__id", "src").withColumnRenamed(
+            "__lab", "truth"
+        ),
+        "src",
+    )
+    return (
+        scored.groupBy(F.col("truth").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("pred") == F.col("truth"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            label_col,
+            "n",
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n"), round_decimals
+            ).alias("accuracy"),
+        )
+    )

@@ -1803,3 +1803,50 @@ def coverage_set_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("rank").cast("int").alias("rank"), "doc_id", "gain"
     ).orderBy("rank")
+
+
+_KNN_LOO_SQL = """
+WITH sims AS (
+  SELECT q.vec_id AS src, e.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id ASC) AS rk
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id),
+g AS MATERIALIZED (SELECT src, dst FROM sims WHERE rk <= 3),
+votes AS (
+  SELECT g.src, e.label AS pred, count(*) AS v
+  FROM g JOIN embeddings e ON g.dst = e.vec_id GROUP BY 1, 2),
+top AS (
+  SELECT src, pred FROM (
+    SELECT src, pred,
+           row_number() OVER (
+             PARTITION BY src ORDER BY v DESC, pred ASC) AS rn
+    FROM votes) WHERE rn = 1),
+scored AS (
+  SELECT e.label AS truth, top.pred
+  FROM top JOIN embeddings e ON top.src = e.vec_id)
+SELECT truth AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM scored GROUP BY 1 ORDER BY label
+"""
+
+
+@register("knn_label_loo_accuracy", _KNN_LOO_SQL)
+def knn_label_loo_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 3-NN label accuracy per class
+    (operators/intdim.py knn_label_loo_accuracy): majority-of-neighbors
+    classification scored against each point's own label — the
+    classifier-view companion to knn_label_modularity, with per-class
+    rows so collapse is visible. Vote ties break (count DESC, label
+    ASC); built on the same knn_graph whose scale paths are pinned."""
+    from weaviate_txtai_spark.operators.intdim import (
+        knn_label_loo_accuracy,
+    )
+
+    return knn_label_loo_accuracy(_emb(spark, sf_dir)).orderBy("label")

@@ -145,7 +145,8 @@ _PRIORITY = [
     # embedding_intrinsic_dim, seeded_expansion_ppr, knn_label_modularity,
     # event_chain_entropy_rate, purchase_cmh, customer_rfm_segments,
     # user_burstiness, revenue_theil, coverage_set_cover, events_daily_acf,
-    # purchase_shapley_attribution, part_abc_classes, events_daily_sax.
+    # purchase_shapley_attribution, part_abc_classes, events_daily_sax,
+    # part_return_rate_eb, purchase_rate_jackknife, knn_label_loo_accuracy.
     # ------------------------------------------------------------------
 ]
 

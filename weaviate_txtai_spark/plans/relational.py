@@ -7012,3 +7012,109 @@ def purchase_shapley_attribution_q(
         channels=["view", "click", "signup", "error"],
         conversion_type="purchase",
     ).orderBy("channel")
+
+
+_EB_SHRINK_SQL = """
+WITH pk AS MATERIALIZED (
+  SELECT l_partkey AS k, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS c
+  FROM lineitem GROUP BY 1),
+r AS (SELECT k, n, c, c / n AS rr FROM pk),
+mom AS (SELECT avg(rr) AS m, var_samp(rr) AS v FROM r),
+prior0 AS (
+  SELECT CASE WHEN v IS NOT NULL AND v > 0 AND m > 0 AND m < 1
+                   AND v < m * (1 - m)
+              THEN round((m * (1 - m) / v - 1) * m, 9) END AS alpha,
+         CASE WHEN v IS NOT NULL AND v > 0 AND m > 0 AND m < 1
+                   AND v < m * (1 - m)
+              THEN round((m * (1 - m) / v - 1) * (1 - m), 9) END AS beta
+  FROM mom),
+prior AS (
+  SELECT CASE WHEN alpha > 0 THEN alpha END AS alpha,
+         CASE WHEN beta > 0 THEN beta END AS beta
+  FROM prior0)
+SELECT r.k AS l_partkey, CAST(r.n AS BIGINT) AS n,
+       CAST(r.c AS BIGINT) AS c, round(r.rr, 6) AS rate_raw,
+       round(CASE WHEN prior.alpha IS NOT NULL
+                   AND prior.beta IS NOT NULL
+             THEN (r.c + prior.alpha)
+                  / (r.n + prior.alpha + prior.beta)
+             ELSE r.rr END, 6) AS rate_eb,
+       prior.alpha, prior.beta
+FROM r, prior ORDER BY l_partkey
+"""
+
+
+@register("part_return_rate_eb", _EB_SHRINK_SQL)
+def part_return_rate_eb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-part return rates
+    (operators/calibration.py eb_beta_binomial_shrink): method-of-
+    moments Beta prior fitted on the observed rates, small-sample parts
+    pulled hardest toward it — the fix for trusting a 1-of-1 return
+    rate over a 3-of-40. Priors rounded at 9 dp before application so
+    every shrunken rate is a pure function of rounded doubles."""
+    from weaviate_txtai_spark.operators.calibration import (
+        eb_beta_binomial_shrink,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+    )
+    return eb_beta_binomial_shrink(li, "l_partkey", "ret").orderBy(
+        "l_partkey"
+    )
+
+
+_JACKKNIFE_SQL = """
+WITH per AS MATERIALIZED (
+  SELECT user_id,
+         sum(CAST(CASE WHEN event_type = 'purchase' THEN 1.0
+                  ELSE 0.0 END AS DECIMAL(28,8))) AS ni,
+         sum(CAST(1.0 AS DECIMAL(28,8))) AS di
+  FROM events GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS g,
+         CAST(sum(ni) AS DOUBLE) AS N, CAST(sum(di) AS DOUBLE) AS D
+  FROM per),
+loo AS (
+  SELECT tot.g, tot.N, tot.D,
+         CASE WHEN tot.D - CAST(di AS DOUBLE) <> 0
+              THEN (tot.N - CAST(ni AS DOUBLE))
+                   / (tot.D - CAST(di AS DOUBLE)) END AS t
+  FROM per, tot),
+agg AS (
+  SELECT max(g) AS g, max(N) AS N, max(D) AS D,
+         CAST(count(t) AS BIGINT) AS g_used,
+         sum(CASE WHEN t IS NOT NULL THEN t - N / D END) AS sd,
+         sum(CASE WHEN t IS NOT NULL
+                  THEN (t - N / D) * (t - N / D) END) AS sd2
+  FROM loo)
+SELECT g, g_used, round(N / D, 6) AS theta,
+       round(CASE WHEN g_used >= 2 THEN
+         sqrt(greatest((g_used - 1.0) / g_used
+                       * (sd2 - sd * sd / g_used), 0.0)) END, 6)
+         AS se_jack
+FROM agg
+"""
+
+
+@register("purchase_rate_jackknife", _JACKKNIFE_SQL)
+def purchase_rate_jackknife_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-USER jackknife SE for the purchase-per-event ratio
+    (operators/bootstrap.py jackknife_ratio): the deterministic,
+    resample-free companion to the cluster bootstrap — θ_(i) in closed
+    form from exact-decimal grand totals, pseudo-values centered at θ̂
+    before summing (the uncentered Σθ² − gθ̄² cancels catastrophically).
+    One groupBy(user) + a broadcast of the 1-row totals."""
+    from weaviate_txtai_spark.operators.bootstrap import jackknife_ratio
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0).alias("num"),
+        F.lit(1.0).alias("den"),
+    )
+    return jackknife_ratio(per, "user_id", "num", "den")
