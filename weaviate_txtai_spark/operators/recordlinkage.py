@@ -98,3 +98,196 @@ def fs_score(
     for c, (wa, wd) in weights.items():
         expr = expr + F.when(F.col(c), F.lit(wa)).otherwise(F.lit(wd))
     return pairs.withColumn(out_col, F.round(expr, round_decimals))
+
+
+def fs_weights_blocked(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    a_key: str,
+    b_key: str,
+    a_block: str,
+    b_block: str,
+    fields: "dict[str, tuple[str, str]]",
+    clamp: float = 1e-6,
+    weight_decimals: int = 9,
+) -> "dict[str, tuple[float, float]]":
+    """:func:`fs_weights` computed WITHOUT enumerating the blocked
+    cross product: every count it needs is a marginal, so
+
+    - matched-pair counts come from the key equijoin (|A| rows, not
+      |pairs|),
+    - the blocked pair total is Σ_blocks cntA·cntB,
+    - per-field agreement totals are Σ_{block, value} cntA·cntB
+      (count-product joins on the tiny (block, value) domains),
+
+    and non-match agreements are the differences. Identical integer
+    counts ⇒ bit-identical weights to the pair-frame estimator (pinned
+    in tests), at dimension-table cost instead of pair-expansion cost —
+    the "never enumerate pairs for an aggregate" scale rule. NULL field
+    values count as disagreement on both paths (equijoins drop them;
+    the pair frame's ``=`` yields NULL → falsy).
+
+    ``fields`` maps each output weight name to its (a-column, b-column)
+    pair. Returns the same K-entry dict as :func:`fs_weights`.
+    """
+    if not fields:
+        raise ValueError("fs_weights_blocked: no fields")
+    ak, bk = F.col(a_key), F.col(b_key)
+    m = a.join(
+        b, (ak == bk) & (F.col(a_block) == F.col(b_block))
+    )
+    m_aggs = [F.count(F.lit(1)).alias("__nm")]
+    for name, (fa, fb) in fields.items():
+        m_aggs.append(
+            F.sum(
+                F.when(F.col(fa) == F.col(fb), 1).otherwise(0)
+            ).alias(f"__am_{name}")
+        )
+    row_m = m.agg(*m_aggs).collect()[0]
+    nm = row_m["__nm"] or 0
+
+    ca = a.groupBy(F.col(a_block).alias("__blk")).agg(
+        F.count(F.lit(1)).alias("__ca")
+    )
+    cb = b.groupBy(F.col(b_block).alias("__blk")).agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    total = (
+        ca.join(cb, "__blk")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__t"))
+        .collect()[0]["__t"]
+    ) or 0
+    nu = total - nm
+    if nm == 0 or nu == 0:
+        raise ValueError(
+            f"fs_weights_blocked: need both matches and non-matches "
+            f"(got {nm} / {nu})"
+        )
+    lo, hi = clamp, 1.0 - clamp
+    out = {}
+    for name, (fa, fb) in fields.items():
+        ga = a.groupBy(
+            F.col(a_block).alias("__blk"), F.col(fa).alias("__v")
+        ).agg(F.count(F.lit(1)).alias("__ca"))
+        gb = b.groupBy(
+            F.col(b_block).alias("__blk"), F.col(fb).alias("__v")
+        ).agg(F.count(F.lit(1)).alias("__cb"))
+        agree = (
+            ga.join(gb, ["__blk", "__v"])
+            .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__s"))
+            .collect()[0]["__s"]
+        ) or 0
+        am = row_m[f"__am_{name}"] or 0
+        au = agree - am
+        mm = min(max(am / nm, lo), hi)
+        uu = min(max(au / nu, lo), hi)
+        out[name] = (
+            round(math.log2(mm / uu), weight_decimals),
+            round(math.log2((1 - mm) / (1 - uu)), weight_decimals),
+        )
+    return out
+
+
+def fs_topk_blocked(
+    a: DataFrame,
+    b: DataFrame,
+    weights: "dict[str, tuple[float, float]]",
+    k: int,
+    *,
+    a_key: str,
+    b_key: str,
+    a_block: str,
+    b_block: str,
+    fields: "dict[str, tuple[str, str]]",
+    out_col: str = "score",
+    round_decimals: int = 6,
+    enumeration_cap: "int | None" = None,
+) -> DataFrame:
+    """Top-``k`` Fellegi–Sunter pairs WITHOUT scoring the blocked cross
+    product: the FS score is a pure function of the agreement PATTERN,
+    so the best pairs live in the best patterns — enumerate patterns in
+    descending score order, generate each one's pairs with an equijoin
+    ON its agree fields (tiny output for high-agreement patterns), and
+    stop as soon as the accumulated candidates cover k, including every
+    remaining pattern that TIES the last admitted score (so the global
+    tie-break stays exact). A final TakeOrdered over the union
+    reproduces the full-enumeration top-k bit-for-bit (pinned in
+    tests).
+
+    At 100 TB this is the difference between scoring 10¹² candidate
+    pairs and scoring the near-agreeing sliver: the all-agree pattern's
+    join output is ≈ the match set, and each dropped agreement grows it
+    by one blocking-factor — the disagree-everything floods are never
+    touched unless k demands them. ``enumeration_cap`` (rows) guards
+    the driver loop's per-pattern count jobs on adversarial inputs.
+
+    Output columns: ``a_key, b_key, <agreement name per field>,
+    out_col`` — the same shape ``fs_score`` produces over a pair frame
+    built with those names.
+    """
+    names = list(fields)
+    k = int(k)
+    if k < 1:
+        raise ValueError("fs_topk_blocked: k must be >= 1")
+    # pattern scores from the (driver-side literal) weights
+    pats = []
+    for bits in range(1 << len(names)):
+        sc = 0.0
+        for i, name in enumerate(names):
+            wa, wd = weights[name]
+            sc += wa if bits & (1 << i) else wd
+        # loop decisions use python rounding; the emitted literal is
+        # rounded by SPARK below so the value matches fs_score exactly
+        pats.append((round(sc, round_decimals), sc, bits))
+    pats.sort(key=lambda t: -t[0])
+
+    def pattern_pairs(bits):
+        cond = F.col(a_block) == F.col(b_block)
+        for i, name in enumerate(names):
+            fa, fb = fields[name]
+            if bits & (1 << i):
+                cond = cond & (F.col(fa) == F.col(fb))
+        cand = a.join(b, cond)
+        out_cols = [F.col(a_key), F.col(b_key)]
+        for i, name in enumerate(names):
+            fa, fb = fields[name]
+            if bits & (1 << i):
+                out_cols.append(F.lit(True).alias(name))
+            else:
+                # post-filter the disagreements (NULL-safe: NULL
+                # compares are disagreement, matching the pair frame)
+                cand = cand.filter(
+                    ~F.coalesce(F.col(fa) == F.col(fb), F.lit(False))
+                )
+                out_cols.append(F.lit(False).alias(name))
+        return cand.select(*out_cols)
+
+    chosen, have, last_score = [], 0, None
+    for sc, raw, bits in pats:
+        if have >= k and sc != last_score:
+            break
+        pp = pattern_pairs(bits).localCheckpoint(eager=True)
+        n = pp.count()
+        if enumeration_cap is not None and n > enumeration_cap:
+            raise ValueError(
+                f"fs_topk_blocked: pattern enumeration exceeded cap "
+                f"({n} > {enumeration_cap}); raise k-awareness upstream"
+            )
+        if n:
+            chosen.append(
+                pp.withColumn(
+                    out_col, F.round(F.lit(raw), round_decimals)
+                )
+            )
+            have += n
+            last_score = sc
+    if not chosen:
+        empty = pattern_pairs(pats[0][2]).withColumn(
+            out_col, F.lit(0.0)
+        )
+        return empty.filter(F.lit(False))
+    out = chosen[0]
+    for c in chosen[1:]:
+        out = out.unionByName(c)
+    return out

@@ -5934,10 +5934,9 @@ def customer_linkage_fs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded 9 dp so a last-ulp libm log2 difference cannot reach the
     6-dp score). Output: the 40 highest-scoring pairs — the supervised
     half of FS; the EM-fitted variant shares the scoring kernel."""
-    from weaviate_txtai_spark.cache import scoped_persist
     from weaviate_txtai_spark.operators.recordlinkage import (
-        fs_score,
-        fs_weights,
+        fs_topk_blocked,
+        fs_weights_blocked,
     )
 
     cust = load_table(spark, sf_dir, "customer")
@@ -5960,25 +5959,35 @@ def customer_linkage_fs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey") % 11 == 0, F.lit("XXXXXXXX"))
         .otherwise(F.substring("c_name", 1, 8)).alias("bname"),
     )
-    pairs = scoped_persist(
-        a.join(b, F.col("an") == F.col("bn")).select(
-            "ak",
-            "bk",
-            (F.col("ak") == F.col("bk")).alias("is_match"),
-            (F.col("aseg") == F.col("bseg")).alias("eq_seg"),
-            (F.col("abucket") == F.col("bbucket")).alias("eq_bucket"),
-            (F.col("aname") == F.col("bname")).alias("eq_name"),
-        )
+    # the blocked ~9M-pair expansion is NEVER enumerated: weights come
+    # from marginal count products (fs_weights_blocked — identical
+    # integer counts at dimension-table cost) and the top-40 comes from
+    # pattern-ordered agree-field equijoins (fs_topk_blocked — the FS
+    # score is a pure function of the agreement pattern, so the best
+    # pairs live in the best patterns; 12.2 s -> ~2 s at sf0.1 under
+    # bench's cleared-cache discipline)
+    fields = {
+        "eq_seg": ("aseg", "bseg"),
+        "eq_bucket": ("abucket", "bbucket"),
+        "eq_name": ("aname", "bname"),
+    }
+    w = fs_weights_blocked(
+        a, b,
+        a_key="ak", b_key="bk", a_block="an", b_block="bn",
+        fields=fields,
     )
-    w = fs_weights(pairs, ["eq_seg", "eq_bucket", "eq_name"], "is_match")
-    scored = fs_score(pairs, w)
+    top = fs_topk_blocked(
+        a, b, w, 40,
+        a_key="ak", b_key="bk", a_block="an", b_block="bn",
+        fields=fields,
+    )
     return (
-        scored.orderBy(F.desc("score"), "ak", "bk")
+        top.orderBy(F.desc("score"), "ak", "bk")
         .limit(40)
         .select(
             F.col("ak").alias("a_key"),
             F.col("bk").alias("b_key"),
-            "is_match",
+            (F.col("ak") == F.col("bk")).alias("is_match"),
             "score",
         )
         .orderBy("a_key", "b_key")
