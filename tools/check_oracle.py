@@ -91,8 +91,22 @@ def main():
             # then sort row lists
             sidx = [sdf.columns.index(c) for c in scols]
             didx = [ddf.columns.index(c) for c in dcols]
-            ss = sorted(tuple(r[i] for i in sidx) for r in srows)
-            dd = sorted(tuple(r[i] for i in didx) for r in drows)
+
+            # NULLs sort first (python can't compare None < float; the
+            # driver's pandas canonicalizer has its own NULL ordering —
+            # identical on both sides is all that matters here)
+            def _key(row):
+                return tuple(
+                    (v is None, "" if v is None else norm(v))
+                    for v in row
+                )
+
+            ss = sorted(
+                (tuple(r[i] for i in sidx) for r in srows), key=_key
+            )
+            dd = sorted(
+                (tuple(r[i] for i in didx) for r in drows), key=_key
+            )
             if ss != dd:
                 diffs = [
                     (a, b) for a, b in zip(ss, dd) if a != b

@@ -557,6 +557,54 @@ def main() -> None:
         )
         return holt_linear_exact(grid, "grp", "day", "v")
 
+    def q_nb(d):
+        # train-side counts + sparse (test-term x class) scoring join
+        from weaviate_txtai_spark.operators.nbayes import nb_classify
+
+        return nb_classify(
+            d.filter(F.col("doc_id") % 5 != 0),
+            d.filter(F.col("doc_id") % 5 == 0),
+            label_col="lang",
+        )
+
+    def q_textrank(d):
+        # adjacent-pair explode (corpus-sized) + vocab-sized pagerank
+        from weaviate_txtai_spark.operators.textrank import textrank_terms
+
+        return textrank_terms(d, top_k=20, iters=3)
+
+    def q_setcover(d):
+        # 8 greedy steps x (anti-join + agg + 1-row pick)
+        from weaviate_txtai_spark.operators.setcover import greedy_set_cover
+
+        return greedy_set_cover(d, 8, ngram=2)
+
+    # BFS needs the GRAPH to double, not edge multiplicity: clone with
+    # shifted part AND supplier keys (a disconnected second component)
+    li2_bfs = li1.unionByName(
+        li1.withColumn("l_partkey", F.col("l_partkey") + F.lit(10_000_000))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(10_000_000))
+    )
+
+    def q_bfs(l):
+        from weaviate_txtai_spark.operators.graph import bfs_hops
+
+        pairs = l.select(
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("p"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        ).distinct()
+        edges = pairs.select(
+            F.col("p").alias("src"), F.col("s").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        )
+        seeds = (
+            l.filter(F.col("l_partkey") % 97 == 0)
+            .select(F.concat(F.lit("p:"), F.col("l_partkey")).alias("node"))
+            .distinct()
+        )
+        return bfs_hops(edges, seeds, max_hops=3)
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_prefix_jaccard", q_prefix_jaccard, q_prefix_jaccard,
@@ -604,6 +652,10 @@ def main() -> None:
         ("order_chain_components_stars", q_cc_stars, q_cc_stars,
          ord1, ord2),
         ("events_holt_forecast", q_holt, q_holt, ev1, ev2),
+        ("docs_nb_langid", q_nb, q_nb, docs1, docs2),
+        ("docs_textrank_terms", q_textrank, q_textrank, docs1, docs2),
+        ("coverage_set_cover", q_setcover, q_setcover, docs1, docs2),
+        ("part_supplier_bfs", q_bfs, q_bfs, li1, li2_bfs),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:

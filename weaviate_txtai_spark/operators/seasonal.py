@@ -358,3 +358,223 @@ def sax_symbols(
     )
     return z.select("seg", "n_points", "paa_z", sym.alias("symbol")) \
         .orderBy("seg")
+
+
+def xcf(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    *,
+    t_col: str = "t",
+    y_col: str = "y",
+    max_lag: int = 7,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Sample cross-correlation r_k between two regular integer-indexed
+    series for k = −``max_lag`` .. +``max_lag``:
+
+        r_k = Σ_t (a_t − ā)(b_{t+k} − b̄) / √(Σ(a−ā)² · Σ(b−b̄)²)
+
+    — the lead-lag detector ("do errors precede purchase dips, and by
+    how many days?"); positive k means the A signal LEADS B by k steps.
+    Same join shape as :func:`acf` with a signed lag list.
+
+    Output: ``lag, n_pairs, xcf`` — NULL for a constant series.
+    """
+    if max_lag < 1:
+        raise ValueError("xcf: max_lag must be >= 1")
+
+    def prep(s, name):
+        base = s.select(
+            F.col(t_col).cast("long").alias("t"),
+            F.col(y_col).cast("double").alias(name),
+        ).filter(F.col(name).isNotNull())
+        st = base.agg(F.avg(name).alias("__mu"))
+        return base.join(F.broadcast(st)).select(
+            "t", (F.col(name) - F.col("__mu")).alias(name)
+        )
+
+    ca = prep(series_a, "ca")
+    cb = prep(series_b, "cb")
+    da = ca.agg(F.sum(F.col("ca") * F.col("ca")).alias("__da"))
+    db = cb.agg(F.sum(F.col("cb") * F.col("cb")).alias("__db"))
+    lags = series_a.sparkSession.range(
+        -max_lag, max_lag + 1
+    ).select(F.col("id").alias("lag"))
+    pairs = (
+        ca.join(F.broadcast(lags))
+        .join(
+            cb.select(F.col("t").alias("tb"), "cb"),
+            F.col("tb") == F.col("t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("__num"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(da))
+        .join(F.broadcast(db))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.when(
+                    (F.col("__da") > 0) & (F.col("__db") > 0),
+                    F.col("__num")
+                    / F.sqrt(F.col("__da") * F.col("__db")),
+                ),
+                round_decimals,
+            ).alias("xcf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def mann_kendall(
+    series: DataFrame,
+    *,
+    t_col: str = "t",
+    y_col: str = "y",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test (Mann 1945; Kendall 1975): the
+    nonparametric "is this metric drifting" check run on daily series
+    where a linear fit is distorted by outliers and seasonality —
+    S = Σ_{i<j} sign(y_j − y_i), variance with the tie correction
+    σ² = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the ±1-continuity-
+    corrected z. All INTEGER statistics on a count-valued series, so S
+    and σ² replay exactly; p via the Zelen–Severo Φ polynomial.
+
+    Output (1 row): ``n, s, var_s, z, p_value`` — z NULL when σ = 0
+    (constant series).
+
+    Scale: the time-domain pair join is quadratic in the SERIES length
+    (a few hundred days after the daily reduction), not the corpus —
+    the corpus-sized stage is the daily groupBy upstream.
+    """
+    from weaviate_txtai_spark.operators.abtest import normal_two_sided_p
+
+    s = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    a = s.select(F.col("t").alias("ti"), F.col("y").alias("yi"))
+    b = s.select(F.col("t").alias("tj"), F.col("y").alias("yj"))
+    sgn = F.when(F.col("yj") > F.col("yi"), 1).when(
+        F.col("yj") < F.col("yi"), -1
+    ).otherwise(0)
+    s_stat = (
+        a.join(b, F.col("tj") > F.col("ti"))
+        .agg(F.coalesce(F.sum(sgn), F.lit(0)).cast("long").alias("s"))
+    )
+    ties = (
+        s.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__t") * (F.col("__t") - 1)
+                    * (2 * F.col("__t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("__tie"),
+            F.sum("__t").cast("long").alias("n"),
+        )
+    )
+    j = s_stat.join(F.broadcast(ties))
+    n = F.col("n")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("__tie")) / F.lit(18.0)
+    )
+    sc = F.col("s").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(sc > 0, (sc - 1) / F.sqrt(var_s))
+        .when(sc < 0, (sc + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    out = j.select(
+        "n",
+        "s",
+        F.round(var_s, round_decimals).alias("var_s"),
+        F.round(z, round_decimals).alias("z"),
+    )
+    return out.select(
+        "n",
+        "s",
+        "var_s",
+        "z",
+        F.round(
+            F.when(F.col("z").isNotNull(),
+                   normal_two_sided_p(F.col("z"))),
+            round_decimals,
+        ).alias("p_value"),
+    )
+
+
+def haar_dwt(
+    series: DataFrame,
+    *,
+    t_col: str = "t",
+    y_col: str = "y",
+    levels: int = 4,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of a regular
+    integer-indexed series: level ℓ pairs adjacent level-(ℓ−1)
+    approximations into an approximation (mean) and a detail
+    (half-difference) — the multi-resolution energy fingerprint used
+    for burst localization ("WHICH week moved") and cheap compressed
+    time-series matching, complementing SAX's symbolic view.
+
+    Odd-length tails at any level carry their single element up
+    unchanged (no padding is invented). All coefficients are dyadic
+    rationals of the input values — exact doubles for count-valued
+    input at any realistic magnitude, so no rounding discipline is
+    needed beyond the output.
+
+    Output: one row per (level, k): ``level, k, approx, detail`` —
+    ``detail`` NULL for a carried odd tail; level 0 rows are absent
+    (they ARE the input).
+
+    Scale: ``levels`` aggregates, each a groupBy on the halved index —
+    the series after the daily reduction is tiny; the corpus-sized
+    stage is upstream.
+    """
+    if levels < 1:
+        raise ValueError("haar_dwt: levels must be >= 1")
+    cur = series.select(
+        F.col(t_col).cast("long").alias("k"),
+        F.col(y_col).cast("double").alias("a"),
+    ).filter(F.col("a").isNotNull())
+    outs = []
+    for lvl in range(1, levels + 1):
+        nxt = (
+            cur.groupBy(F.expr("k div 2").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.avg("a").alias("approx"),
+                ((F.sum(F.when(F.expr("k % 2 = 0"), F.col("a")))
+                  - F.sum(F.when(F.expr("k % 2 = 1"), F.col("a"))))
+                 / 2.0).alias("detail"),
+            )
+        )
+        nxt = nxt.select(
+            "k",
+            F.col("approx").alias("a"),
+            F.when(F.col("__c") == 2, F.col("detail")).alias("detail"),
+        )
+        outs.append(
+            nxt.select(
+                F.lit(lvl).alias("level"),
+                F.col("k").cast("long").alias("k"),
+                F.round("a", round_decimals).alias("approx"),
+                F.round("detail", round_decimals).alias("detail"),
+            )
+        )
+        cur = nxt.select("k", "a")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level", "k")

@@ -7127,3 +7127,222 @@ def purchase_rate_jackknife_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("den"),
     )
     return jackknife_ratio(per, "user_id", "num", "den")
+
+
+_XCF_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ye,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS yp
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+pad AS (
+  SELECT x.t, b.d0 + CAST(x.t AS INT) AS d
+  FROM b, unnest(generate_series(0, datediff('day', d0, d1))) AS x(t)),
+se AS MATERIALIZED (
+  SELECT pad.t, CAST(COALESCE(daily.ye, 0) AS DOUBLE) AS y
+  FROM pad LEFT JOIN daily ON pad.d = daily.d),
+sp AS MATERIALIZED (
+  SELECT pad.t, CAST(COALESCE(daily.yp, 0) AS DOUBLE) AS y
+  FROM pad LEFT JOIN daily ON pad.d = daily.d),
+ma AS (SELECT avg(y) AS mu FROM se),
+mb AS (SELECT avg(y) AS mu FROM sp),
+ca AS MATERIALIZED (SELECT t, y - ma.mu AS c FROM se, ma),
+cb AS MATERIALIZED (SELECT t, y - mb.mu AS c FROM sp, mb),
+da AS (SELECT sum(c * c) AS v FROM ca),
+db AS (SELECT sum(c * c) AS v FROM cb),
+lags AS (SELECT x.l FROM unnest(generate_series(-7, 7)) AS x(l)),
+p AS (
+  SELECT lags.l, CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(a.c * b2.c) AS num
+  FROM ca a CROSS JOIN lags
+  JOIN cb b2 ON b2.t = a.t + lags.l
+  GROUP BY 1)
+SELECT CAST(l AS INT) AS lag, n_pairs,
+       round(CASE WHEN da.v > 0 AND db.v > 0
+                  THEN num / sqrt(da.v * db.v) END, 6) AS xcf
+FROM p, da, db ORDER BY lag
+"""
+
+
+@register("purchase_error_xcf", _XCF_SQL)
+def purchase_error_xcf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the daily error and purchase count
+    series at lags −7..+7 (operators/seasonal.py xcf): the lead-lag
+    detector — positive lag means errors LEAD purchases by that many
+    days. Same broadcast-lag join shape as the ACF gate, two padded
+    series instead of one."""
+    from weaviate_txtai_spark.operators.seasonal import xcf
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("long").alias("ye"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("yp"),
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    pad = bounds.select(
+        F.col("d0"),
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("t"),
+    )
+    joined = pad.join(
+        daily, daily.d == F.date_add(F.col("d0"), F.col("t")), "left"
+    )
+    se = joined.select(
+        "t", F.coalesce("ye", F.lit(0)).cast("double").alias("y")
+    )
+    sp = joined.select(
+        "t", F.coalesce("yp", F.lit(0)).cast("double").alias("y")
+    )
+    return xcf(se, sp, max_lag=7)
+
+
+_MK_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS MATERIALIZED (
+  SELECT datediff('day', DATE '1970-01-01', d) AS t,
+         CAST(y AS DOUBLE) AS y
+  FROM daily),
+st AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN b.y > a.y THEN 1
+                                WHEN b.y < a.y THEN -1 ELSE 0 END), 0)
+              AS BIGINT) AS s
+  FROM s a JOIN s b ON b.t > a.t),
+ties AS (
+  SELECT CAST(COALESCE(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+           AS tie,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM (SELECT count(*) AS c FROM s GROUP BY y)),
+j AS (
+  SELECT st.s, ties.n,
+         (ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie) / 18.0
+           AS var_s
+  FROM st, ties),
+z AS (
+  SELECT n, s, round(var_s, 6) AS var_s,
+         round(CASE WHEN var_s > 0 THEN
+           CASE WHEN s > 0 THEN (s - 1.0) / sqrt(var_s)
+                WHEN s < 0 THEN (s + 1.0) / sqrt(var_s)
+                ELSE 0.0 END END, 6) AS z
+  FROM j)
+SELECT n, s, var_s, z,
+       round(CASE WHEN z IS NULL THEN NULL ELSE
+         2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002)
+         * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+            * (0.319381530
+               + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                 * (-0.356563782
+                    + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                      * (1.781477937
+                         + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                           * (-1.821255978
+                              + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                * 1.330274429)))))
+             END, 6) AS p_value
+FROM z
+"""
+
+
+@register("events_daily_mann_kendall", _MK_SQL)
+def events_daily_mann_kendall_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the observed daily event
+    counts (operators/seasonal.py mann_kendall): the outlier-proof "is
+    volume drifting" check — integer S and tie-corrected variance
+    replay exactly; continuity-corrected z, Φ-polynomial p. The pair
+    join is quadratic in DAYS (post-reduction), not events."""
+    from weaviate_txtai_spark.operators.seasonal import mann_kendall
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .select(
+            F.datediff(
+                F.col("d"), F.lit("1970-01-01").cast("date")
+            ).alias("t"),
+            "y",
+        )
+    )
+    return mann_kendall(daily, t_col="t", y_col="y")
+
+
+def _haar_sql(levels: int = 4) -> str:
+    """DuckDB twin of haar_dwt on the padded daily counts: chained
+    halving CTEs, one per level."""
+    head = """WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+b AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+pad AS (
+  SELECT x.t, b.d0 + CAST(x.t AS INT) AS d
+  FROM b, unnest(generate_series(0, datediff('day', d0, d1))) AS x(t)),
+l0 AS MATERIALIZED (
+  SELECT pad.t AS k, CAST(COALESCE(daily.y, 0) AS DOUBLE) AS a
+  FROM pad LEFT JOIN daily ON pad.d = daily.d),"""
+    parts = [head]
+    for lvl in range(1, levels + 1):
+        parts.append(
+            f"""l{lvl} AS MATERIALIZED (
+  SELECT k // 2 AS k, count(*) AS c, avg(a) AS a,
+         (sum(CASE WHEN k % 2 = 0 THEN a END)
+          - sum(CASE WHEN k % 2 = 1 THEN a END)) / 2.0 AS det
+  FROM l{lvl - 1} GROUP BY 1),"""
+        )
+    body = "\n".join(parts).rstrip(",")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {lvl} AS level, CAST(k AS BIGINT) AS k,"
+        f" round(a, 6) AS approx,"
+        f" round(CASE WHEN c = 2 THEN det END, 6) AS detail FROM l{lvl}"
+        for lvl in range(1, levels + 1)
+    )
+    return (
+        f"{body}\n"
+        f"SELECT CAST(level AS INT) AS level, k, approx, detail FROM (\n"
+        f"{selects}) ORDER BY level, k"
+    )
+
+
+@register("events_daily_haar", _haar_sql())
+def events_daily_haar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the padded daily
+    count series, 4 levels (operators/seasonal.py haar_dwt): the
+    multi-resolution burst localizer ("WHICH week moved") pairing with
+    the SAX word. Dyadic-rational coefficients of count input are
+    exact doubles — no rounding discipline beyond output."""
+    from weaviate_txtai_spark.operators.seasonal import haar_dwt
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    pad = bounds.select(
+        F.col("d0"),
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("t"),
+    )
+    series = pad.join(
+        daily, daily.d == F.date_add(F.col("d0"), F.col("t")), "left"
+    ).select("t", F.coalesce("y", F.lit(0)).cast("double").alias("y"))
+    return haar_dwt(series, levels=4).select(
+        F.col("level").cast("int").alias("level"), "k", "approx", "detail"
+    )
