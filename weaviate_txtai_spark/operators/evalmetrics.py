@@ -269,3 +269,116 @@ def roc_auc(
         F.round(F.try_divide(u, (np_ * nn).cast("double")), round_decimals)
         .alias("auc"),
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    success_col: str,
+    *,
+    ks: "tuple[int, ...]" = (1, 5, 10),
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, the HumanEval estimator):
+    per task with n attempts and c successes,
+
+        pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i<k} (n−c−i)/(n−i)
+
+    averaged over tasks — the standard "would k samples have solved it"
+    readout for eval harnesses scoring repeated generations. Tasks with
+    n < k clamp k to n (with every attempt failing, C(n−c,k)/C(n,k)=1
+    still holds; the clamp just drops the empty factors), so small-n
+    tasks contribute their exact all-attempt estimate instead of being
+    dropped.
+
+    The product is evaluated factor-by-factor in DOUBLE (factors
+    unrolled per literal k in a FIXED order, each factor an exact
+    integer; numerator floors at 0 when c successes force a hit within
+    any k draws): the running product rounds identically on any IEEE
+    engine evaluating the same expression order, with no int64
+    overflow ceiling for heavy-attempt tasks.
+
+    Output: one row per k — ``k, n_tasks, pass_at_k``.
+
+    Scale: one groupBy(task) + a |ks|-literal map + one 1-row mean.
+    """
+    if not ks or min(ks) < 1:
+        raise ValueError("pass_at_k: ks must be positive")
+    per = df.groupBy(F.col(task_col).alias("__t")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(success_col).cast("int")).cast("long").alias("__c"),
+    )
+    n, c = F.col("__n"), F.col("__c")
+    outs = []
+    for k in ks:
+        num = F.lit(1.0)
+        den = F.lit(1.0)
+        for i in range(int(k)):
+            in_range = F.lit(i) < F.least(F.lit(int(k)), n)
+            num = num * F.when(
+                in_range,
+                F.greatest(n - c - F.lit(i), F.lit(0)).cast("double"),
+            ).otherwise(F.lit(1.0))
+            den = den * F.when(
+                in_range, (n - F.lit(i)).cast("double")
+            ).otherwise(F.lit(1.0))
+        p = F.lit(1.0) - num / den
+        outs.append(
+            per.agg(
+                F.lit(int(k)).cast("int").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                F.round(F.avg(p), round_decimals).alias("pass_at_k"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def wilson_interval(
+    df: DataFrame,
+    key_col: str,
+    success_col: str,
+    *,
+    z: float = 1.959963985,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-key Wilson score interval for a binomial rate (Wilson 1927)
+    — "how not to sort by average rating": rank by the LOWER bound so
+    a 1-of-1 success cannot outrank a 95-of-100.
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    Closed-form deterministic arithmetic on exact count ratios; the
+    default z is the two-sided 95% literal.
+
+    Output: ``key_col, n, c, rate, wilson_lb, wilson_ub``.
+
+    Scale: one groupBy(key); everything else is a map.
+    """
+    per = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col(success_col).cast("int")).cast("double").alias("c"),
+    )
+    n, c = F.col("n"), F.col("c")
+    p = c / n
+    z2 = float(z) * float(z)
+    denom = 1 + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n))
+        / denom
+    )
+    return per.select(
+        F.col("__k").alias(key_col),
+        n.cast("long").alias("n"),
+        c.cast("long").alias("c"),
+        F.round(p, round_decimals).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), round_decimals)
+        .alias("wilson_lb"),
+        F.round(F.least(center + half, F.lit(1.0)), round_decimals)
+        .alias("wilson_ub"),
+    )

@@ -7346,3 +7346,98 @@ def events_daily_haar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return haar_dwt(series, levels=4).select(
         F.col("level").cast("int").alias("level"), "k", "approx", "detail"
     )
+
+
+def _passk_sql(ks=(1, 5, 10)) -> str:
+    """DuckDB twin of pass_at_k on per-user purchase attempts: the
+    integer factor products unrolled per literal k."""
+    blocks = []
+    for k in ks:
+        num = "CAST(1 AS DOUBLE)"
+        den = "CAST(1 AS DOUBLE)"
+        for i in range(k):
+            num += (
+                f" * (CASE WHEN {i} < least({k}, n)"
+                f" THEN CAST(greatest(n - c - {i}, 0) AS DOUBLE)"
+                f" ELSE 1.0 END)"
+            )
+            den += (
+                f" * (CASE WHEN {i} < least({k}, n)"
+                f" THEN CAST(n - {i} AS DOUBLE) ELSE 1.0 END)"
+            )
+        blocks.append(
+            f"SELECT CAST({k} AS INT) AS k,"
+            f" CAST(count(*) AS BIGINT) AS n_tasks,"
+            f" round(avg(1.0 - ({num}) / ({den})), 6)"
+            f" AS pass_at_k FROM per"
+        )
+        # ordered rows per k, unioned
+    body = "\nUNION ALL ".join(blocks)
+    return (
+        "WITH per AS MATERIALIZED (\n"
+        "  SELECT user_id, CAST(count(*) AS BIGINT) AS n,\n"
+        "         CAST(sum(CASE WHEN event_type = 'purchase'\n"
+        "                  THEN 1 ELSE 0 END) AS BIGINT) AS c\n"
+        "  FROM events GROUP BY 1)\n"
+        f"SELECT * FROM (\n{body}) ORDER BY k"
+    )
+
+
+@register("purchase_pass_at_k", _passk_sql())
+def purchase_pass_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k over per-user event attempts (operators/
+    evalmetrics.py pass_at_k; the HumanEval estimator of Chen et al.):
+    "would k sampled events include a purchase" per user, averaged —
+    the repeated-generation eval readout, exercised on the events
+    fixture. Exact integer factor products per literal k; n<k tasks
+    clamp instead of dropping."""
+    from weaviate_txtai_spark.operators.evalmetrics import pass_at_k
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        "user_id",
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    return pass_at_k(per, "user_id", "s").orderBy("k")
+
+
+_WILSON_SQL = """
+WITH per AS MATERIALIZED (
+  SELECT l_partkey AS k, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS c
+  FROM lineitem GROUP BY 1),
+w AS (
+  SELECT k, n, c, c / n AS p,
+         1 + 1.959963985 * 1.959963985 / n AS dnm,
+         (c / n + 1.959963985 * 1.959963985 / (2 * n)) AS ctr_num,
+         1.959963985 * sqrt((c / n) * (1 - c / n) / n
+             + 1.959963985 * 1.959963985 / (4 * n * n)) AS half_num
+  FROM per)
+SELECT k AS l_partkey, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+       round(p, 6) AS rate,
+       round(greatest(ctr_num / dnm - half_num / dnm, 0.0), 6)
+         AS wilson_lb,
+       round(least(ctr_num / dnm + half_num / dnm, 1.0), 6)
+         AS wilson_ub
+FROM w ORDER BY l_partkey
+"""
+
+
+@register("part_return_wilson", _WILSON_SQL)
+def part_return_wilson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for per-part return rates
+    (operators/evalmetrics.py wilson_interval) — rank by the LOWER
+    bound so a 1-of-1 return cannot outrank a 95-of-100; the
+    closed-form frequentist companion to the EB shrinkage gate on the
+    same fixture. Pure deterministic arithmetic on exact count
+    ratios."""
+    from weaviate_txtai_spark.operators.evalmetrics import (
+        wilson_interval,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+    )
+    return wilson_interval(li, "l_partkey", "ret").orderBy("l_partkey")
