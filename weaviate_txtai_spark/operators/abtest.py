@@ -698,3 +698,86 @@ def cmh_test(
             round_decimals,
         ).alias("p_value"),
     )
+
+
+def simpson_check(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Simpson's-paradox detector for a binary treatment/outcome: does
+    the POOLED rate difference disagree in sign with the per-stratum
+    differences? The pre-flight check that decides whether a pooled
+    readout is even admissible before CMH/stratified estimates run.
+
+    Output (1 row): ``k_strata, k_usable, pooled_diff, n_agree,
+    n_reverse, n_zero, reversed`` — ``reversed`` true when the pooled
+    sign is non-zero and a strict MAJORITY of usable strata (both arms
+    present) carry the opposite sign. Rate differences are exact count
+    ratios; sign logic is integer — deterministic everywhere.
+
+    Scale: one (stratum) groupBy + a 1-row reduce.
+    """
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    cells = (
+        df.filter(
+            F.col(stratum_col).isNotNull() & t.isin(0, 1) & y.isin(0, 1)
+        )
+        .groupBy(F.col(stratum_col).alias("__s"))
+        .agg(
+            F.sum(t).cast("double").alias("n1"),
+            F.sum(1 - t).cast("double").alias("n0"),
+            F.sum(t * y).cast("double").alias("c1"),
+            F.sum((1 - t) * y).cast("double").alias("c0"),
+        )
+    )
+    usable = (F.col("n1") > 0) & (F.col("n0") > 0)
+    # try_divide: ANSI evaluates both branches of a when(), so the
+    # bare ratio would DIVIDE_BY_ZERO on single-arm strata
+    diff = F.try_divide(F.col("c1"), F.col("n1")) - F.try_divide(
+        F.col("c0"), F.col("n0")
+    )
+    sgn = F.when(diff > 0, 1).when(diff < 0, -1).otherwise(0)
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum(F.when(usable, 1).otherwise(0)).cast("long").alias(
+            "k_usable"
+        ),
+        F.sum(F.when(usable, sgn)).alias("__sgnsum"),
+        F.sum("n1").alias("__n1"),
+        F.sum("n0").alias("__n0"),
+        F.sum("c1").alias("__c1"),
+        F.sum("c0").alias("__c0"),
+        F.sum(F.when(usable & (sgn > 0), 1).otherwise(0))
+        .cast("long").alias("__pos"),
+        F.sum(F.when(usable & (sgn < 0), 1).otherwise(0))
+        .cast("long").alias("__neg"),
+        F.sum(F.when(usable & (sgn == 0), 1).otherwise(0))
+        .cast("long").alias("n_zero"),
+    )
+    pooled = F.try_divide(F.col("__c1"), F.col("__n1")) - F.try_divide(
+        F.col("__c0"), F.col("__n0")
+    )
+    psgn = F.when(pooled > 0, 1).when(pooled < 0, -1).otherwise(0)
+    n_agree = F.when(psgn > 0, F.col("__pos")).when(
+        psgn < 0, F.col("__neg")
+    ).otherwise(F.lit(0))
+    n_reverse = F.when(psgn > 0, F.col("__neg")).when(
+        psgn < 0, F.col("__pos")
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "k_strata",
+        "k_usable",
+        F.round(pooled, round_decimals).alias("pooled_diff"),
+        n_agree.cast("long").alias("n_agree"),
+        n_reverse.cast("long").alias("n_reverse"),
+        "n_zero",
+        (
+            (psgn != 0)
+            & (n_reverse * 2 > F.col("k_usable"))
+        ).alias("reversed"),
+    )

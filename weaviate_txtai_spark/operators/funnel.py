@@ -328,3 +328,82 @@ def funnel_ab(
             round_decimals,
         ).alias("z"),
     ).orderBy("step_idx")
+
+
+def cohort_ltv(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_filter=None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Cohort LTV triangle: cumulative value PER COHORT USER by weekly
+    age — the revenue companion to :func:`cohort_retention` ("how much
+    has the March cohort earned per head by week 6"), the payback-curve
+    readout growth teams monitor per acquisition cohort.
+
+    Cohort = ISO week of the user's first event; age = whole weeks from
+    the cohort week; ``value_filter`` (a boolean Column) restricts
+    which rows carry value (e.g. purchases only) while every user still
+    anchors a cohort. Cumulative sums run in a window PARTITIONED by
+    cohort (bounded by the calendar); value mass is decimal-summed so
+    the cumulative doubles replay across engines.
+
+    Output: ``cohort_week, week_offset, cohort_users, week_value,
+    cum_value, ltv_per_user``.
+    """
+    from pyspark.sql import Window as W
+
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias(
+            "cohort_week"
+        )
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    val = F.col(value_col).cast("decimal(28,8)")
+    if value_filter is not None:
+        val = F.when(value_filter, val).otherwise(F.lit(0).cast(
+            "decimal(28,8)"))
+    weekly = (
+        events.join(first, user_col)
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col(ts_col)).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("int").alias("week_offset"),
+            val.alias("__v"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("__v").alias("__wv"))
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        weekly.withColumn("__cum", F.sum("__wv").over(w))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            # round the exact DECIMAL, then cast (money midpoints
+            # flip engines when rounded as doubles — the ABC lesson)
+            F.round(F.col("__wv"), 2).cast("double").alias("week_value"),
+            F.round(F.col("__cum"), 2).cast("double").alias("cum_value"),
+            F.round(
+                F.col("__cum").cast("double") / F.col("cohort_users"),
+                round_decimals,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

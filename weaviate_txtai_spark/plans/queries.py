@@ -148,7 +148,8 @@ _PRIORITY = [
     # purchase_shapley_attribution, part_abc_classes, events_daily_sax,
     # part_return_rate_eb, purchase_rate_jackknife, knn_label_loo_accuracy,
     # purchase_error_xcf, events_daily_mann_kendall, events_daily_haar,
-    # purchase_pass_at_k, part_return_wilson.
+    # purchase_pass_at_k, part_return_wilson, cohort_ltv_triangle,
+    # purchase_simpson_check.
     # ------------------------------------------------------------------
 ]
 

@@ -7441,3 +7441,120 @@ def part_return_wilson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R").cast("int").alias("ret"),
     )
     return wilson_interval(li, "l_partkey", "ret").orderBy("l_partkey")
+
+
+_LTV_SQL = """
+WITH first AS MATERIALIZED (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY 1),
+weekly AS MATERIALIZED (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7
+              AS INT) AS week_offset,
+         sum(CAST(CASE WHEN e.event_type = 'purchase'
+                  THEN e.value ELSE 0 END AS DECIMAL(28,8))) AS wv
+  FROM events e JOIN first f ON e.user_id = f.user_id
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort_week, week_offset, wv,
+         sum(wv) OVER (PARTITION BY cohort_week ORDER BY week_offset
+                       ROWS UNBOUNDED PRECEDING) AS cv
+  FROM weekly)
+SELECT c.cohort_week, c.week_offset, s.cohort_users,
+       CAST(round(c.wv, 2) AS DOUBLE) AS week_value,
+       CAST(round(c.cv, 2) AS DOUBLE) AS cum_value,
+       round(CAST(c.cv AS DOUBLE) / s.cohort_users, 6) AS ltv_per_user
+FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+ORDER BY c.cohort_week, c.week_offset
+"""
+
+
+@register("cohort_ltv_triangle", _LTV_SQL)
+def cohort_ltv_triangle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV payback triangle (operators/funnel.py cohort_ltv):
+    cumulative purchase value per cohort head by weekly age — the
+    revenue companion to events_retention on the same ISO-week cohort
+    anchors. Value mass is decimal-summed (exact), the cumulative runs
+    in a cohort-partitioned window, and per-head division is one
+    broadcast join."""
+    from weaviate_txtai_spark.operators.funnel import cohort_ltv
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_ltv(
+        ev, value_filter=(F.col("event_type") == "purchase")
+    )
+
+
+_SIMPSON_SQL = """
+WITH u AS (
+  SELECT user_id, (user_id // 2) % 4 AS s,
+         CAST(user_id % 2 AS INT) AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1, 2, 3),
+cells AS (
+  SELECT s, CAST(sum(t) AS DOUBLE) AS n1,
+         CAST(sum(1 - t) AS DOUBLE) AS n0,
+         CAST(sum(t * y) AS DOUBLE) AS c1,
+         CAST(sum((1 - t) * y) AS DOUBLE) AS c0
+  FROM u GROUP BY 1),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_strata,
+         CAST(sum(CASE WHEN n1 > 0 AND n0 > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS k_usable,
+         sum(n1) AS sn1, sum(n0) AS sn0,
+         sum(c1) AS sc1, sum(c0) AS sc0,
+         CAST(sum(CASE WHEN n1 > 0 AND n0 > 0
+                        AND c1 / n1 - c0 / n0 > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN n1 > 0 AND n0 > 0
+                        AND c1 / n1 - c0 / n0 < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg,
+         CAST(sum(CASE WHEN n1 > 0 AND n0 > 0
+                        AND c1 / n1 - c0 / n0 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_zero
+  FROM cells),
+p AS (
+  SELECT *, CASE WHEN sn1 > 0 AND sn0 > 0
+                 THEN sc1 / sn1 - sc0 / sn0 END AS pooled
+  FROM agg)
+SELECT k_strata, k_usable, round(pooled, 6) AS pooled_diff,
+       CAST(CASE WHEN pooled > 0 THEN pos
+                 WHEN pooled < 0 THEN neg
+                 ELSE 0 END AS BIGINT) AS n_agree,
+       CAST(CASE WHEN pooled > 0 THEN neg
+                 WHEN pooled < 0 THEN pos
+                 ELSE 0 END AS BIGINT) AS n_reverse,
+       n_zero,
+       COALESCE(pooled <> 0, FALSE)
+         AND 2 * (CASE WHEN pooled > 0 THEN neg
+                       WHEN pooled < 0 THEN pos
+                       ELSE 0 END) > k_usable AS reversed
+FROM p
+"""
+
+
+@register("purchase_simpson_check", _SIMPSON_SQL)
+def purchase_simpson_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox pre-flight (operators/abtest.py simpson_check)
+    on the CMH fixture: does the pooled parity→purchase rate difference
+    disagree in sign with the majority of usable strata? Exact count
+    ratios and integer sign logic — the admissibility gate that runs
+    BEFORE purchase_cmh's adjusted estimate is trusted."""
+    from weaviate_txtai_spark.operators.abtest import simpson_check
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y")
+    ).select(
+        F.expr("(user_id div 2) % 4").alias("s"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        "y",
+    )
+    return simpson_check(users, "s", "t", "y")
