@@ -45,6 +45,10 @@ FLAGSHIPS = [
     ("basket_rules", "association rules: map-side pair explode, no basket self-join"),
     ("phrase_match_positions", "phrase search: vocabulary-filtered postings, one aggregate, no join"),
     ("lineitem_spearman", "spearman: value-grouped prefix-sum ranks, no unpartitioned window"),
+    ("customer_linkage_fs", "FS linkage: marginal-count weights + pattern-ordered top-k, the blocked cross product never scored"),
+    ("docs_nb_langid", "naive Bayes: sparse (test-term x class) scoring join, never a dense VxC grid"),
+    ("part_supplier_bfs", "multi-source BFS: one frontier shuffle per hop, anti-join vs settled set"),
+    ("purchase_isotonic_fit", "isotonic PAV: bucket-domain B-squared range joins, no global window, no pool stack"),
 ]
 
 
