@@ -102,3 +102,35 @@ def test_simpson_degenerate_strata_and_counts(spark):
     r = simpson_check(df.unionByName(extra), "s", "t", "y").collect()[0]
     assert r["k_strata"] == 2 and r["k_usable"] == 1
     assert r["reversed"] is False
+
+
+# ------------------------------------------------------------ odds ratio
+
+
+def test_odds_ratio_hand_2x2(spark):
+    from weaviate_txtai_spark.operators.abtest import odds_ratio
+
+    import math
+
+    rows = [(1, 1)] * 30 + [(1, 0)] * 20 + [(0, 1)] * 10 + [(0, 0)] * 40
+    df = spark.createDataFrame(rows, "t int, y int")
+    r = odds_ratio(df, "t", "y").collect()[0]
+    want = (30 * 40) / (20 * 10)
+    assert r["or_"] == pytest.approx(want)
+    se = math.sqrt(1 / 30 + 1 / 20 + 1 / 10 + 1 / 40)
+    assert r["or_lo"] == pytest.approx(
+        round(math.exp(math.log(want) - 1.959963985 * se), 6), abs=1e-9
+    )
+    assert r["corrected"] is False
+
+
+def test_odds_ratio_haldane_correction_on_zero_cell(spark):
+    from weaviate_txtai_spark.operators.abtest import odds_ratio
+
+    rows = [(1, 1)] * 5 + [(1, 0)] * 5 + [(0, 0)] * 10  # c = 0
+    df = spark.createDataFrame(rows, "t int, y int")
+    r = odds_ratio(df, "t", "y").collect()[0]
+    assert r["corrected"] is True
+    want = (5.5 * 10.5) / (5.5 * 0.5)
+    assert r["or_"] == pytest.approx(round(want, 6))
+    assert r["or_lo"] is not None  # correction keeps the CI finite

@@ -781,3 +781,62 @@ def simpson_check(
             & (n_reverse * 2 > F.col("k_usable"))
         ).alias("reversed"),
     )
+
+
+def odds_ratio(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    *,
+    z: float = 1.959963985,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pooled 2×2 odds ratio with the Woolf log-CI and the
+    Haldane–Anscombe +½ correction applied only when a cell is zero —
+    the effect-size readout that pairs with the CMH/Simpson gates
+    (those test; this sizes).
+
+        OR = (a·d)/(b·c),  CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d))
+
+    Cells are exact counts; the correction rule is integer, so both
+    engines apply it identically; ln/exp on identical doubles with
+    output rounding (the repo's float discipline).
+
+    Output (1 row): ``a, b, c, d, corrected, or_, or_lo, or_hi`` —
+    NULL interval when any corrected cell is still 0 (an empty margin).
+
+    Scale: ONE 1-row aggregate.
+    """
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    agg = df.filter(t.isin(0, 1) & y.isin(0, 1)).agg(
+        F.sum(t * y).cast("long").alias("a"),
+        F.sum(t * (1 - y)).cast("long").alias("b"),
+        F.sum((1 - t) * y).cast("long").alias("c"),
+        F.sum((1 - t) * (1 - y)).cast("long").alias("d"),
+    )
+    any_zero = (
+        (F.col("a") == 0) | (F.col("b") == 0)
+        | (F.col("c") == 0) | (F.col("d") == 0)
+    )
+    def cell(name):
+        return F.col(name).cast("double") + F.when(
+            any_zero, F.lit(0.5)
+        ).otherwise(F.lit(0.0))
+    aa, bb, cc, dd = cell("a"), cell("b"), cell("c"), cell("d")
+    ok = (aa > 0) & (bb > 0) & (cc > 0) & (dd > 0)
+    lor = F.log(aa * dd / (bb * cc))
+    se = F.sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd)
+    return agg.select(
+        "a", "b", "c", "d",
+        any_zero.alias("corrected"),
+        F.round(F.when(ok, F.exp(lor)), round_decimals).alias("or_"),
+        F.round(
+            F.when(ok, F.exp(lor - F.lit(float(z)) * se)),
+            round_decimals,
+        ).alias("or_lo"),
+        F.round(
+            F.when(ok, F.exp(lor + F.lit(float(z)) * se)),
+            round_decimals,
+        ).alias("or_hi"),
+    )

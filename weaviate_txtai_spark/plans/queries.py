@@ -149,7 +149,7 @@ _PRIORITY = [
     # part_return_rate_eb, purchase_rate_jackknife, knn_label_loo_accuracy,
     # purchase_error_xcf, events_daily_mann_kendall, events_daily_haar,
     # purchase_pass_at_k, part_return_wilson, cohort_ltv_triangle,
-    # purchase_simpson_check.
+    # purchase_simpson_check, purchase_odds_ratio.
     # ------------------------------------------------------------------
 ]
 

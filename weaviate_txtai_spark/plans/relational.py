@@ -7558,3 +7558,65 @@ def purchase_simpson_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     return simpson_check(users, "s", "t", "y")
+
+
+_ODDS_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(sum(t * y) AS BIGINT) AS a,
+         CAST(sum(t * (1 - y)) AS BIGINT) AS b,
+         CAST(sum((1 - t) * y) AS BIGINT) AS c,
+         CAST(sum((1 - t) * (1 - y)) AS BIGINT) AS d
+  FROM u),
+k AS (
+  SELECT a, b, c, d,
+         (a = 0 OR b = 0 OR c = 0 OR d = 0) AS corrected,
+         CAST(a AS DOUBLE)
+           + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                  THEN 0.5 ELSE 0.0 END AS aa,
+         CAST(b AS DOUBLE)
+           + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                  THEN 0.5 ELSE 0.0 END AS bb,
+         CAST(c AS DOUBLE)
+           + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                  THEN 0.5 ELSE 0.0 END AS cc,
+         CAST(d AS DOUBLE)
+           + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                  THEN 0.5 ELSE 0.0 END AS dd
+  FROM agg)
+SELECT a, b, c, d, corrected,
+       round(CASE WHEN aa > 0 AND bb > 0 AND cc > 0 AND dd > 0
+             THEN exp(ln(aa * dd / (bb * cc))) END, 6) AS or_,
+       round(CASE WHEN aa > 0 AND bb > 0 AND cc > 0 AND dd > 0
+             THEN exp(ln(aa * dd / (bb * cc))
+                  - 1.959963985
+                    * sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd)) END, 6)
+         AS or_lo,
+       round(CASE WHEN aa > 0 AND bb > 0 AND cc > 0 AND dd > 0
+             THEN exp(ln(aa * dd / (bb * cc))
+                  + 1.959963985
+                    * sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd)) END, 6)
+         AS or_hi
+FROM k
+"""
+
+
+@register("purchase_odds_ratio", _ODDS_SQL)
+def purchase_odds_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled 2×2 odds ratio with the Woolf log-CI (operators/abtest.py
+    odds_ratio): the effect-size companion to purchase_cmh and the
+    Simpson pre-flight on the same parity→purchase fixture; the
+    Haldane–Anscombe +½ applies only on zero cells (integer rule,
+    identical on both engines). One 1-row aggregate."""
+    from weaviate_txtai_spark.operators.abtest import odds_ratio
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y")
+    ).select((F.col("user_id") % 2).cast("int").alias("t"), "y")
+    return odds_ratio(users, "t", "y")
