@@ -747,7 +747,6 @@ def simpson_check(
         F.sum(F.when(usable, 1).otherwise(0)).cast("long").alias(
             "k_usable"
         ),
-        F.sum(F.when(usable, sgn)).alias("__sgnsum"),
         F.sum("n1").alias("__n1"),
         F.sum("n0").alias("__n0"),
         F.sum("c1").alias("__c1"),

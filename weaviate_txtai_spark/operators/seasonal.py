@@ -319,14 +319,17 @@ def sax_symbols(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum("y").alias("__sy"),
         F.sum(F.col("y") * F.col("y")).alias("__sq"),
-        (F.max("t") + 1).alias("__len"),
+        F.min("t").alias("__t0"),
+        # span from min(t), not 0: a regular series starting at t0 > 0
+        # must not skew its PAA segments (ADVICE r9)
+        (F.max("t") - F.min("t") + 1).alias("__len"),
     )
     mu = F.col("__sy") / F.col("__n")
     var = (F.col("__sq") - F.col("__sy") * mu) / F.col("__n")
     segs = (
         s.join(F.broadcast(stats))
         .select(
-            F.expr(f"(t * {int(n_segments)}L) div __len").alias("seg"),
+            F.expr(f"((t - __t0) * {int(n_segments)}L) div __len").alias("seg"),
             "y", "__sy", "__sq", "__n",
         )
         .groupBy("seg")

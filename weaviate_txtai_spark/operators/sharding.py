@@ -124,14 +124,20 @@ def largest_remainder_apportion(
         )
     )
     big_w = w.agg(
-        F.greatest(F.sum("w"), F.lit(1)).cast("long").alias("__W")
+        F.sum("w").cast("long").alias("__W0"),
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("long").alias("__K"),
     )
+    # all-zero weights fall back to equal weights (round-robin): with
+    # W clamped to 1 every base would be 0 and leftover = total could
+    # exceed the key count, breaking Σ alloc == total (ADVICE r9)
+    we = "(CASE WHEN __W0 = 0 THEN 1L ELSE w END)"
+    big = "(CASE WHEN __W0 = 0 THEN __K ELSE __W0 END)"
     quot0 = scoped_persist(
         w.join(F.broadcast(big_w)).select(
             "k",
             "w",
-            F.expr(f"({total}L * w) div __W").alias("base"),
-            F.expr(f"({total}L * w) % __W").alias("rem"),
+            F.expr(f"({total}L * {we}) div {big}").alias("base"),
+            F.expr(f"({total}L * {we}) % {big}").alias("rem"),
         )
     )
     base_sum = quot0.agg(F.sum("base").cast("long").alias("__bs"))

@@ -6212,7 +6212,7 @@ _AUC_SQL = """
 WITH e AS MATERIALIZED (
   SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
          value AS s
-  FROM events WHERE value IS NOT NULL),
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
 vc AS MATERIALIZED (
   SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS np
   FROM e GROUP BY 1),
