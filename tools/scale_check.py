@@ -43,6 +43,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def merge_write(path: str, result: dict) -> dict:
+    """Read-merge-write SCALE_CHECK.json: top-level sections this run
+    did NOT re-measure (e.g. ``tail_4x`` from tools/tail4x.py) are
+    preserved — the r9 full re-measure silently clobbered tail_4x
+    while SCALING.md still cited it (VERDICT r9 task 3). Returns the
+    merged dict; asserts no previous section is lost."""
+    previous = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            previous = json.load(f)
+    merged = dict(previous)
+    merged.update(result)
+    lost = set(previous) - set(merged)
+    assert not lost, f"scale_check would drop sections: {lost}"
+    with open(path, "w") as f:
+        f.write(json.dumps(merged) + "\n")
+    return merged
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -850,11 +869,9 @@ def main() -> None:
             "ivf_recall": ivf_recall,
             "ivfpq": ivfpq,
         }
-        line = json.dumps(result)
-        print(line)
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "SCALE_CHECK.json"), "w") as f:
-            f.write(line + "\n")
+        print(json.dumps(result))
+        merge_write(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE_CHECK.json"), result)
     finally:
         shutil.rmtree(pack_dir, ignore_errors=True)
     spark.stop()

@@ -8,8 +8,9 @@ Writes the measurements into SCALE_CHECK.json under "tail_4x".
 
 Usage: python tools/tail4x.py
 """
-import sys, time, json
+import os, sys, time, json
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master("local[32]")
     .config("spark.sql.shuffle.partitions","32")
@@ -89,9 +90,7 @@ for name, (fn, i1, i2, i4) in cases.items():
                      rows=(n1,n2,n4))
     print(name, out[name], flush=True)
 print(json.dumps(out))
-import os
+from scale_check import merge_write
 path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CHECK.json")
-blob = json.load(open(path))
-blob["tail_4x"] = out
-json.dump(blob, open(path, "w"), indent=1)
+merge_write(path, {"tail_4x": out})
 print("merged into", path)
