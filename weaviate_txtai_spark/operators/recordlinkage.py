@@ -189,6 +189,192 @@ def fs_weights_blocked(
     return out
 
 
+def fs_pattern_counts(
+    pairs: DataFrame,
+    agree_cols: Sequence[str],
+) -> "dict[int, int]":
+    """Exact agreement-PATTERN counts from an explicit candidate frame:
+    one groupBy over the K booleans (≤2^K groups). Returns
+    {bitmask: count} with bit i = agree_cols[i] agreeing; NULL
+    indicators count as disagreement (COALESCE FALSE), matching the
+    blocked marginal path."""
+    if not agree_cols:
+        raise ValueError("fs_pattern_counts: no agreement columns")
+    bit = F.lit(0)
+    for i, c in enumerate(agree_cols):
+        bit = bit + F.when(
+            F.coalesce(F.col(c), F.lit(False)), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    rows = (
+        pairs.groupBy(bit.alias("__bits"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    return {int(r["__bits"]): int(r["__n"]) for r in rows}
+
+
+def fs_pattern_counts_blocked(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    a_block: str,
+    b_block: str,
+    fields: "dict[str, tuple[str, str]]",
+) -> "dict[int, int]":
+    """Exact agreement-pattern counts over the blocked cross product
+    WITHOUT enumerating it — the unsupervised twin of
+    :func:`fs_weights_blocked`'s marginal trick.
+
+    For every subset T of the K fields, the at-least-T agreement total
+    A_T = Σ_{block, joint T-values} cntA·cntB is a count-product join on
+    the tiny (block, values) domain (2^K such aggregates). Möbius
+    inversion on the subset lattice then recovers each EXACT pattern
+    count: n_S = Σ_{T ⊇ S} (−1)^{|T\\S|} A_T. Identical integers to the
+    pair-frame groupBy (pinned in tests) at dimension-table cost; NULL
+    field values never equijoin, i.e. count as disagreement on both
+    paths. Returns {bitmask: count}, zero-count patterns included."""
+    names = list(fields)
+    if not names:
+        raise ValueError("fs_pattern_counts_blocked: no fields")
+    K = len(names)
+    at_least: dict[int, int] = {}
+    for tbits in range(1 << K):
+        acols = [a_block] + [fields[names[i]][0] for i in range(K)
+                             if tbits & (1 << i)]
+        bcols = [b_block] + [fields[names[i]][1] for i in range(K)
+                             if tbits & (1 << i)]
+        ga = a.groupBy(
+            *[F.col(c).alias(f"__j{j}") for j, c in enumerate(acols)]
+        ).agg(F.count(F.lit(1)).alias("__ca"))
+        gb = b.groupBy(
+            *[F.col(c).alias(f"__j{j}") for j, c in enumerate(bcols)]
+        ).agg(F.count(F.lit(1)).alias("__cb"))
+        keys = [f"__j{j}" for j in range(len(acols))]
+        tot = (
+            ga.join(gb, keys)
+            .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__t"))
+            .collect()[0]["__t"]
+        )
+        at_least[tbits] = int(tot or 0)
+    out: dict[int, int] = {}
+    for sbits in range(1 << K):
+        n = 0
+        rest = [i for i in range(K) if not sbits & (1 << i)]
+        for extra in range(1 << len(rest)):
+            tbits, popc = sbits, 0
+            for j, i in enumerate(rest):
+                if extra & (1 << j):
+                    tbits |= 1 << i
+                    popc += 1
+            n += (-1 if popc % 2 else 1) * at_least[tbits]
+        out[sbits] = n
+    return out
+
+
+def fs_em_fit(
+    pattern_counts: "dict[int, int]",
+    n_fields: int,
+    *,
+    n_iter: int = 8,
+    scale: int = 10**12,
+    p0: "int | None" = None,
+    m0: "int | None" = None,
+    u0: "int | None" = None,
+) -> "dict[str, object]":
+    """EM-fitted unsupervised Fellegi–Sunter parameters (Winkler 1988:
+    conditional-independence mixture of match/non-match over K binary
+    agreement indicators) from the 2^K pattern-count table — the
+    domain-sized state the whole corpus reduces to, so the loop is pure
+    driver-side arithmetic.
+
+    Fixed-point discipline (the pagerank_exact / pca_power_fit_exact
+    pattern): every probability is an INTEGER in units of 1/scale and
+    every step is integer multiply + truncating divide on positive
+    values (Python ``//`` == SQL ``//`` there), so the trajectory —
+    hence the fitted m/u and the weights derived from them — replays
+    bit-identically as unrolled SQL CTEs in any engine. E-step products
+    rescale after each factor (A ← A·f // scale) to stay within 128-bit
+    headroom; M-step ratios clamp to [1, scale−1].
+
+    Returns ``{"p": int, "m": [int]*K, "u": [int]*K, "trajectory":
+    [...]}`` (all scaled); ``trajectory`` holds each iteration's params
+    for convergence tests."""
+    if n_fields < 1:
+        raise ValueError("fs_em_fit: need at least one field")
+    if n_iter < 1:
+        raise ValueError("fs_em_fit: n_iter must be >= 1")
+    counts = {
+        g: int(pattern_counts.get(g, 0)) for g in range(1 << n_fields)
+    }
+    if any(v < 0 for v in counts.values()):
+        raise ValueError("fs_em_fit: negative pattern count")
+    N = sum(counts.values())
+    if N == 0:
+        raise ValueError("fs_em_fit: empty pattern table")
+    sc = int(scale)
+    clamp = lambda x: min(max(x, 1), sc - 1)  # noqa: E731
+    p = clamp(p0 if p0 is not None else sc // 10)
+    m = [clamp(m0 if m0 is not None else 9 * sc // 10)] * n_fields
+    u = [clamp(u0 if u0 is not None else sc // 10)] * n_fields
+    traj = []
+    for _ in range(n_iter):
+        S = 0
+        sm = [0] * n_fields
+        su = [0] * n_fields
+        for g, n in counts.items():
+            if not n:
+                continue
+            A = p
+            B = sc - p
+            for k in range(n_fields):
+                if g & (1 << k):
+                    A = A * m[k] // sc
+                    B = B * u[k] // sc
+                else:
+                    A = A * (sc - m[k]) // sc
+                    B = B * (sc - u[k]) // sc
+            w = A * sc // max(A + B, 1)
+            S += n * w
+            for k in range(n_fields):
+                if g & (1 << k):
+                    sm[k] += n * w
+                    su[k] += n * (sc - w)
+        p = clamp(S // N)
+        m = [clamp(sm[k] * sc // max(S, 1)) for k in range(n_fields)]
+        u = [
+            clamp(su[k] * sc // max(N * sc - S, 1))
+            for k in range(n_fields)
+        ]
+        traj.append({"p": p, "m": list(m), "u": list(u)})
+    return {"p": p, "m": m, "u": u, "scale": sc, "trajectory": traj}
+
+
+def fs_em_weights(
+    fit: "dict[str, object]",
+    names: Sequence[str],
+    *,
+    weight_decimals: int = 9,
+) -> "dict[str, tuple[float, float]]":
+    """FS (w_agree, w_disagree) from an :func:`fs_em_fit` result — the
+    same 9-dp-rounded log2 shape :func:`fs_weights` emits, so
+    :func:`fs_score` / :func:`fs_topk_blocked` consume it unchanged.
+    log2 runs on one double ratio of the two exact scaled integers, so
+    a last-ulp libm difference dies in the rounding."""
+    sc = int(fit["scale"])
+    sc_m = [int(x) for x in fit["m"]]
+    sc_u = [int(x) for x in fit["u"]]
+    out = {}
+    for i, name in enumerate(names):
+        out[name] = (
+            round(math.log2(sc_m[i] / sc_u[i]), weight_decimals),
+            round(
+                math.log2((sc - sc_m[i]) / (sc - sc_u[i])),
+                weight_decimals,
+            ),
+        )
+    return out
+
+
 def fs_topk_blocked(
     a: DataFrame,
     b: DataFrame,

@@ -5994,6 +5994,181 @@ def customer_linkage_fs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_em_sql(n_iter: int = 8, sc: int = 10**12) -> str:
+    """DuckDB twin of the EM-fitted Fellegi–Sunter gate: the EM loop is
+    UNROLLED as one CTE triple (E-step, pattern weights, M-step sums)
+    per iteration over the 8-row pattern-count table, in the SAME
+    scaled-integer arithmetic as operators/recordlinkage.fs_em_fit
+    (HUGEINT multiply + truncating ``//``, clamp to [1, sc−1]) — so the
+    fitted m/u are bit-identical integers on both engines and only the
+    final 9-dp-rounded log2 touches floats (the pca_power_fit_exact
+    oracle pattern)."""
+    header = f"""
+WITH a AS MATERIALIZED (
+  SELECT c_custkey AS ak, c_nationkey AS an, c_mktsegment AS aseg,
+         floor(c_acctbal / 1000) AS abucket,
+         substr(c_name, 10, 9) AS aname
+  FROM customer),
+b AS MATERIALIZED (
+  SELECT c_custkey AS bk, c_nationkey AS bn,
+         CASE WHEN c_custkey % 5 = 0 THEN 'PERTURBED'
+              ELSE c_mktsegment END AS bseg,
+         CASE WHEN c_custkey % 3 = 0 THEN floor(c_acctbal / 1000) + 1
+              ELSE floor(c_acctbal / 1000) END AS bbucket,
+         CASE WHEN c_custkey % 11 = 0 THEN 'XXXXXXXXX'
+              ELSE substr(c_name, 10, 9) END AS bname
+  FROM customer),
+p AS MATERIALIZED (
+  SELECT ak, bk,
+         COALESCE(aseg = bseg, FALSE) AS g1,
+         COALESCE(abucket = bbucket, FALSE) AS g2,
+         COALESCE(aname = bname, FALSE) AS g3
+  FROM a JOIN b ON an = bn),
+pc AS MATERIALIZED (
+  SELECT g1, g2, g3, CAST(count(*) AS HUGEINT) AS n
+  FROM p GROUP BY 1, 2, 3),
+it0 AS (SELECT CAST({sc // 10} AS HUGEINT) AS p,
+               CAST({9 * sc // 10} AS HUGEINT) AS m1,
+               CAST({9 * sc // 10} AS HUGEINT) AS m2,
+               CAST({9 * sc // 10} AS HUGEINT) AS m3,
+               CAST({sc // 10} AS HUGEINT) AS u1,
+               CAST({sc // 10} AS HUGEINT) AS u2,
+               CAST({sc // 10} AS HUGEINT) AS u3)"""
+    parts = [header]
+    for i in range(1, n_iter + 1):
+        prev = f"it{i - 1}"
+        parts.append(f""",
+e{i} AS (SELECT n, g1, g2, g3,
+  (((((p
+    * (CASE WHEN g1 THEN m1 ELSE {sc} - m1 END)) // {sc})
+    * (CASE WHEN g2 THEN m2 ELSE {sc} - m2 END)) // {sc})
+    * (CASE WHEN g3 THEN m3 ELSE {sc} - m3 END)) // {sc} AS A,
+  ((((({sc} - p)
+    * (CASE WHEN g1 THEN u1 ELSE {sc} - u1 END) // {sc})
+    * (CASE WHEN g2 THEN u2 ELSE {sc} - u2 END)) // {sc})
+    * (CASE WHEN g3 THEN u3 ELSE {sc} - u3 END)) // {sc} AS B
+  FROM pc, {prev}),
+w{i} AS (SELECT n, g1, g2, g3,
+  (A * {sc}) // GREATEST(A + B, 1) AS w FROM e{i}),
+s{i} AS (SELECT sum(n * w) AS S, sum(n) AS N,
+  sum(CASE WHEN g1 THEN n * w ELSE 0 END) AS sm1,
+  sum(CASE WHEN g2 THEN n * w ELSE 0 END) AS sm2,
+  sum(CASE WHEN g3 THEN n * w ELSE 0 END) AS sm3,
+  sum(CASE WHEN g1 THEN n * ({sc} - w) ELSE 0 END) AS su1,
+  sum(CASE WHEN g2 THEN n * ({sc} - w) ELSE 0 END) AS su2,
+  sum(CASE WHEN g3 THEN n * ({sc} - w) ELSE 0 END) AS su3
+  FROM w{i}),
+it{i} AS (SELECT
+  LEAST(GREATEST(S // N, 1), {sc} - 1) AS p,
+  LEAST(GREATEST((sm1 * {sc}) // GREATEST(S, 1), 1), {sc} - 1) AS m1,
+  LEAST(GREATEST((sm2 * {sc}) // GREATEST(S, 1), 1), {sc} - 1) AS m2,
+  LEAST(GREATEST((sm3 * {sc}) // GREATEST(S, 1), 1), {sc} - 1) AS m3,
+  LEAST(GREATEST((su1 * {sc}) // GREATEST(N * {sc} - S, 1), 1),
+        {sc} - 1) AS u1,
+  LEAST(GREATEST((su2 * {sc}) // GREATEST(N * {sc} - S, 1), 1),
+        {sc} - 1) AS u2,
+  LEAST(GREATEST((su3 * {sc}) // GREATEST(N * {sc} - S, 1), 1),
+        {sc} - 1) AS u3
+  FROM s{i})""")
+    parts.append(f""",
+fw AS (SELECT
+  round(log2(CAST(m1 AS DOUBLE) / CAST(u1 AS DOUBLE)), 9) AS wa1,
+  round(log2(CAST({sc} - m1 AS DOUBLE) / CAST({sc} - u1 AS DOUBLE)), 9)
+    AS wd1,
+  round(log2(CAST(m2 AS DOUBLE) / CAST(u2 AS DOUBLE)), 9) AS wa2,
+  round(log2(CAST({sc} - m2 AS DOUBLE) / CAST({sc} - u2 AS DOUBLE)), 9)
+    AS wd2,
+  round(log2(CAST(m3 AS DOUBLE) / CAST(u3 AS DOUBLE)), 9) AS wa3,
+  round(log2(CAST({sc} - m3 AS DOUBLE) / CAST({sc} - u3 AS DOUBLE)), 9)
+    AS wd3
+  FROM it{n_iter})
+SELECT ak AS a_key, bk AS b_key, (ak = bk) AS is_match,
+       round((CASE WHEN g1 THEN wa1 ELSE wd1 END)
+           + (CASE WHEN g2 THEN wa2 ELSE wd2 END)
+           + (CASE WHEN g3 THEN wa3 ELSE wd3 END), 6) AS score
+FROM p, fw
+QUALIFY row_number() OVER (
+    ORDER BY round((CASE WHEN g1 THEN wa1 ELSE wd1 END)
+        + (CASE WHEN g2 THEN wa2 ELSE wd2 END)
+        + (CASE WHEN g3 THEN wa3 ELSE wd3 END), 6) DESC,
+    ak, bk) <= 40
+ORDER BY a_key, b_key""")
+    return "".join(parts)
+
+
+_FS_EM_SQL = _fs_em_sql()
+
+
+@register("customer_linkage_em", _FS_EM_SQL)
+def customer_linkage_em_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-fitted UNSUPERVISED Fellegi–Sunter linkage (Winkler 1988;
+    operators/recordlinkage.py fs_em_fit): the same perturbed-copy
+    customer fixture as customer_linkage_fs, but with no truth labels —
+    m/u/p are fitted by 8 EM iterations over the 2^K agreement-pattern
+    table. The pattern counts come from inclusion–exclusion over
+    marginal count-products (fs_pattern_counts_blocked — the blocked
+    cross product is never enumerated), the EM loop is driver-side
+    scaled-integer fixed-point (bit-identical to the oracle's unrolled
+    CTEs), and the top-40 pairs come from the pattern-ordered equijoin
+    path (fs_topk_blocked) exactly like the supervised gate. The name
+    field uses the DISCRIMINATIVE c_name suffix so the EM's dominant
+    mixture component is the true-match cluster (fitted p ≈ the real
+    match rate; pinned in tests)."""
+    from weaviate_txtai_spark.operators.recordlinkage import (
+        fs_em_fit,
+        fs_em_weights,
+        fs_pattern_counts_blocked,
+        fs_topk_blocked,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("ak"),
+        F.col("c_nationkey").alias("an"),
+        F.col("c_mktsegment").alias("aseg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("abucket"),
+        F.substring("c_name", 10, 9).alias("aname"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("bk"),
+        F.col("c_nationkey").alias("bn"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment")).alias("bseg"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.floor(F.col("c_acctbal") / 1000) + 1,
+        ).otherwise(F.floor(F.col("c_acctbal") / 1000)).alias("bbucket"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("XXXXXXXXX"))
+        .otherwise(F.substring("c_name", 10, 9)).alias("bname"),
+    )
+    fields = {
+        "eq_seg": ("aseg", "bseg"),
+        "eq_bucket": ("abucket", "bbucket"),
+        "eq_name": ("aname", "bname"),
+    }
+    counts = fs_pattern_counts_blocked(
+        a, b, a_block="an", b_block="bn", fields=fields
+    )
+    fit = fs_em_fit(counts, len(fields), n_iter=8)
+    w = fs_em_weights(fit, list(fields))
+    top = fs_topk_blocked(
+        a, b, w, 40,
+        a_key="ak", b_key="bk", a_block="an", b_block="bn",
+        fields=fields,
+    )
+    return (
+        top.orderBy(F.desc("score"), "ak", "bk")
+        .limit(40)
+        .select(
+            F.col("ak").alias("a_key"),
+            F.col("bk").alias("b_key"),
+            (F.col("ak") == F.col("bk")).alias("is_match"),
+            "score",
+        )
+        .orderBy("a_key", "b_key")
+    )
+
+
 _STRAT_ATE_SQL = """
 WITH u AS MATERIALIZED (
   SELECT user_id,
