@@ -25,62 +25,48 @@ _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
               "streaming_enrich", "streaming_funnel"}
 
 
+# The r10 first-time window (VERDICT r9 task 1): every slot is a gate
+# the driver has never sampled — 45 of the 48 never-sampled pre-r9
+# gates, the four r9 gates touched by this round's ADVICE fixes, and
+# the new customer_linkage_em. The §2 anchors (knn_topk, similar_sql)
+# rotate OUT this round: each holds 2-6 green driver rows from r01-r09.
+_R10_WINDOW = {
+    "events_time_weighted_avg", "quantity_weighted_price_pctl",
+    "events_rolling_avg", "customer_value_deciles", "docs_grouping_sets",
+    "revenue_percentile", "events_outliers", "quantity_rank_ties",
+    "customer_order_counts", "events_hourly_incremental",
+    "events_seasonal_outliers", "returned_items", "shipping_priority",
+    "promo_revenue", "nation_trade_volume", "large_orders",
+    "disjunctive_selection", "lapsed_high_value_customers",
+    "part_revenue_share", "top_revenue_supplier",
+    "small_quantity_revenue", "late_shipment_priority",
+    "events_distinct_users", "dedup_weights", "dedup_prefix_jaccard",
+    "winnow_pairs", "tfidf_top_terms", "bigram_top", "doc_chunks",
+    "pack_sequences", "docs_repetition", "bpe_token_counts",
+    "token_budget_waterfill", "docs_length_pctrank",
+    "docs_robust_zscores", "doc_shard_assign", "multi_phrase_match",
+    "docs_length_qnorm", "token_pmi_pairs", "streaming_interval_join",
+    "streaming_dedup", "train_test_split", "stratified_sample",
+    "label_centroids", "docs_quality_tiers",
+    "purchase_value_auc", "events_daily_sax", "purchase_simpson_check",
+    "source_shard_apportion", "customer_linkage_em",
+}
+
+
 def test_every_oracle_query_is_registered():
     qs = Q.queries()
     for name in Q.oracle_sql():
         assert name in qs
 
 
-# The SURVEY §2 reference-surface ANCHORS that must stay inside the driver's
-# 50-entry CORRECTNESS sample window. r9 rotation (VERDICT r8 item 1): the
-# other §2 gates each hold 2-6 green driver rows from r01-r08 and ceded
-# their slots so the 93 never-sampled gates can earn driver rows; they stay
-# judge-sweep + pytest covered.
-_SURVEY_GATES = {
-    "knn_topk", "similar_sql",
-}
-
-# The r9 first-time window: 45 never-driver-sampled gates (verdict-named
-# r8 families first, then one representative per never-sampled r2-r7
-# family), the two gates newly oracled in r9 (order_scc, embedding_pca),
-# and orders_snapshot_diff (clears its stale r6 red driver mark).
-_NEW_FAMILY_GATES = {
-    "orders_snapshot_diff", "order_scc", "embedding_pca",
-    "events_calibration_bins", "events_calibration_summary",
-    "price_conformal_interval", "events_diff_in_diff",
-    "events_volume_anomalies", "events_daily_gapfill",
-    "events_weekday_profile", "events_trend_ma", "token_zipf_fit",
-    "token_negative_sampling", "lineitem_key_uniqueness",
-    "lineitem_orders_integrity", "purchase_value_cliffs_delta",
-    "events_bh_fdr", "orderkey_join_size", "custkey_join_skew_topk",
-    "purchase_rate_bootstrap", "session_incident_overlap",
-    "orders_l_diversity", "judge_agreement_kappa", "source_llr_keyterms",
-    "events_sequence_pairs", "orders_priority_target_enc",
-    "maxsim_topk", "embedding_outliers", "events_asof",
-    "events_range_join", "fuzzy_source_match", "multiset_setops",
-    "fk_integrity", "events_cohort_salted", "event_transitions",
-    "lineitem_unpivot", "events_funnel_onepass", "ab_value_welch",
-    "purchase_attribution", "events_funnel_latency", "events_daily_ewma",
-    "lineitem_trimmed_means", "order_graph_summary",
-    "order_degree_powerlaw", "events_rolling_wau", "basket_triples",
-    "price_percentiles_counted", "ab_experiment_panel",
-}
-
-
-def test_driver_sample_window_covers_survey_and_new_families():
-    """The driver hashes the FIRST 50 queries() entries. Pin the window:
-    all §2 gates present, ≥25 post-r1 entries, and EVERY windowed entry
-    oracled — the driver has no rows-only mode, so an unoracled window
-    entry is a guaranteed-red `err: no_oracle` row (VERDICT r6 #2)."""
+def test_driver_sample_window_is_the_r10_rotation():
+    """The driver hashes the FIRST 50 queries() entries. Pin the r10
+    window: exactly the planned 50 first-time gates, every one oracled
+    — the driver has no rows-only mode, so an unoracled window entry is
+    a guaranteed-red `err: no_oracle` row (VERDICT r6 #2, r9 task 4)."""
     names = list(Q.queries())
     window = names[:50]
-    assert _SURVEY_GATES <= set(window)
-    assert _NEW_FAMILY_GATES <= set(window)
-    # ≥45 of the 50 must be gates the driver has never sampled
-    # (r9 rotation contract — VERDICT r8 item 1)
-    first_time = [n for n in window if n in _NEW_FAMILY_GATES
-                  and n != "orders_snapshot_diff"]
-    assert len(first_time) >= 45, len(first_time)
+    assert set(window) == _R10_WINDOW
     osql = Q.oracle_sql()
     unoracled = [n for n in window if n not in osql]
     assert not unoracled, (
@@ -88,6 +74,22 @@ def test_driver_sample_window_covers_survey_and_new_families():
     )
     # rotation must not drop or duplicate anything
     assert sorted(names) == sorted(Q.REGISTRY)
+
+
+def test_rows_only_gates_structurally_excluded_from_window():
+    """_ordered_names() must REFUSE a window containing a rows-only
+    gate (the bpe_train_encode / encoder_semantic_search stale-red
+    lesson, VERDICT r9 task 4): swap one in and expect the loud
+    failure."""
+    rows_only = [n for n in Q.REGISTRY if Q.REGISTRY[n][1] is None]
+    assert rows_only, "expected some rows-only gates in the registry"
+    orig = Q._PRIORITY[:]
+    try:
+        Q._PRIORITY[0] = rows_only[0]
+        with pytest.raises(AssertionError, match="rows-only"):
+            Q._ordered_names()
+    finally:
+        Q._PRIORITY[:] = orig
 
 
 def test_oracle_sql_order_matches_queries_order():
