@@ -100,6 +100,68 @@ def test_robust_zscores_mad_zero_is_null(spark):
     assert all(r.rz is None for r in got)
 
 
+def test_robust_zscores_exact_int_path(spark):
+    """The exact-integer path (added after the docs_robust_zscores
+    sf0.1 divergence: the TRUE rz can land exactly on a 1e-6 midpoint,
+    where engines rounding doubles disagree) must equal a
+    Fraction-based half-away-from-zero reference on every value."""
+    from fractions import Fraction
+
+    from weaviate_txtai_spark.operators.profile import robust_zscores
+
+    # 2,10,18 -> med 10, MAD 8: exact rz = ±0.6745 and 0
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 10), ("a", 18)], ["g", "v"]
+    )
+    got = {
+        r.v: r.rz
+        for r in robust_zscores(
+            df, "v", group_col="g", exact_int=True
+        ).collect()
+    }
+    assert got == {2: -0.6745, 10: 0.0, 18: 0.6745}
+
+    # 0,5,11,16 -> med 8, MAD 5.5 (both on the half grid): check every
+    # value against the exact rational rounded half-away
+    df2 = spark.createDataFrame(
+        [("a", 0), ("a", 5), ("a", 11), ("a", 16)], ["g", "v"]
+    )
+    got2 = {
+        r.v: r.rz
+        for r in robust_zscores(
+            df2, "v", group_col="g", exact_int=True
+        ).collect()
+    }
+
+    def ref(x, med, mad):
+        q = Fraction(
+            6745 * (2 * x - int(2 * med)) * 10**6, 10**4 * int(2 * mad)
+        )
+        sign = -1 if q < 0 else 1
+        q = abs(q)
+        return sign * ((q.numerator * 2 + q.denominator)
+                       // (2 * q.denominator)) / 10**6
+
+    for x in (0, 5, 11, 16):
+        assert got2[x] == ref(x, 8.0, 5.5), x
+
+    # a true 1e-6 midpoint (the sf0.1 case shape): delta=-3, MAD=8 ->
+    # rz = -0.2529375 exactly, half-away -> -0.252938
+    assert ref(5, 8.0, 8.0) == -0.252938
+    df3 = spark.createDataFrame(
+        [("a", 0), ("a", 8), ("a", 16), ("a", 5)], ["g", "v"]
+    )
+    # med(0,5,8,16)=6.5, MAD of adevs(6.5,1.5,1.5,9.5)=4.0
+    got3 = {
+        r.v: r.rz
+        for r in robust_zscores(
+            df3, "v", group_col="g", exact_int=True
+        ).collect()
+    }
+    for x in (0, 5, 8, 16):
+        assert got3[x] == ref(x, 6.5, 4.0), x
+
+
 # ----------------------------------------------------------- graph summary
 
 

@@ -177,6 +177,7 @@ def robust_zscores(
     group_col: str,
     threshold: "float | None" = None,
     round_decimals: int = 6,
+    exact_int: bool = False,
 ) -> DataFrame:
     """Median/MAD robust z-scores per group — the outlier detector that
     heavy tails cannot recruit: rz = 0.6745·(x − median)/MAD (0.6745
@@ -189,6 +190,16 @@ def robust_zscores(
     window, no sort of the full data. rz is NULL when MAD = 0 (half
     the group identical). ``threshold`` filters to |rz| > threshold;
     None returns every scored row.
+
+    ``exact_int``: for INTEGER values the interpolated median/MAD live
+    on the half grid, so rz = 6745·(2x−2med) / (10⁴·2mad) is an exact
+    rational and its true value can land EXACTLY on a 1e-6 midpoint —
+    where engines rounding a last-ulp-different double (or the same
+    double under different tie conventions) disagree. The exact path
+    computes round-half-away-from-zero in pure integer arithmetic
+    ((|num|·2 + den) div (2·den), sign reapplied), replayable
+    bit-identically in any engine; rz is then num/10^round_decimals as
+    one double division of exact integers.
     """
     base = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("double")
@@ -201,14 +212,42 @@ def robust_zscores(
             F.abs(v - F.col("__med")), F.lit(0.5)
         ).alias("__mad")
     )
-    rz = F.round(
-        F.lit(0.6745)
-        * F.try_divide(v - F.col("__med"), F.col("__mad")),
-        round_decimals,
-    )
-    out = with_med.join(mad, group_col).withColumn("rz", rz).drop(
-        "__med", "__mad"
-    )
+    if exact_int:
+        pow10 = 10 ** int(round_decimals)
+        out = (
+            with_med.join(mad, group_col)
+            .withColumn(
+                "__num",
+                F.lit(6745)
+                * (
+                    F.col(value_col).cast("long") * 2
+                    - (F.col("__med") * 2).cast("long")
+                )
+                * F.lit(pow10),
+            )
+            .withColumn(
+                "__den", F.lit(10**4) * (F.col("__mad") * 2).cast("long")
+            )
+            .withColumn(
+                "rz",
+                F.expr(
+                    "CASE WHEN __den = 0 THEN NULL ELSE "
+                    "(CASE WHEN __num < 0 THEN -1L ELSE 1L END) * "
+                    "((abs(__num) * 2 + __den) div (2 * __den)) END"
+                ).cast("double")
+                / F.lit(float(pow10)),
+            )
+            .drop("__med", "__mad", "__num", "__den")
+        )
+    else:
+        rz = F.round(
+            F.lit(0.6745)
+            * F.try_divide(v - F.col("__med"), F.col("__mad")),
+            round_decimals,
+        )
+        out = with_med.join(mad, group_col).withColumn("rz", rz).drop(
+            "__med", "__mad"
+        )
     if threshold is not None:
         out = out.filter(F.abs(F.col("rz")) > threshold)
     return out

@@ -1195,11 +1195,22 @@ _DOCS_ROBUST_Z_SQL = """
 WITH m AS (SELECT source, median(n_chars) AS med FROM documents GROUP BY 1),
 d AS (SELECT doc_id, source, n_chars, abs(n_chars - med) AS adev, med
       FROM documents JOIN m USING (source)),
-md AS (SELECT source, median(adev) AS mad FROM d GROUP BY 1)
-SELECT d.doc_id, d.source, d.n_chars,
-       round(0.6745 * (d.n_chars - d.med) / md.mad, 6) AS rz
-FROM d JOIN md USING (source)
-ORDER BY doc_id
+md AS (SELECT source, median(adev) AS mad FROM d GROUP BY 1),
+-- exact-integer half-away rounding: the true rz = 6745·Δ2/(10⁴·mad2)
+-- can land EXACTLY on a 1e-6 midpoint (caught by the r10 sf0.1
+-- sweep), where rounding a double diverges across engines — so both
+-- sides round in integer arithmetic and divide once at the end
+z AS (SELECT d.doc_id, d.source, d.n_chars,
+        6745 * (2 * d.n_chars - CAST(2 * d.med AS BIGINT)) * 1000000
+          AS num,
+        10000 * CAST(2 * md.mad AS BIGINT) AS den
+      FROM d JOIN md USING (source))
+SELECT doc_id, source, n_chars,
+       CASE WHEN den = 0 THEN NULL
+            ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((abs(num) * 2 + den) // (2 * den)) / 1000000.0 END
+         AS rz
+FROM z ORDER BY doc_id
 """
 
 
@@ -1216,7 +1227,7 @@ def docs_robust_zscores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return (
-        robust_zscores(docs, "n_chars", group_col="source")
+        robust_zscores(docs, "n_chars", group_col="source", exact_int=True)
         .select("doc_id", "source", "n_chars", "rz")
         .orderBy("doc_id")
     )
