@@ -19,6 +19,8 @@ Welch–Satterthwaite df, sample (n−1) variances.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -838,4 +840,127 @@ def odds_ratio(
             F.when(ok, F.exp(lor + F.lit(float(z)) * se)),
             round_decimals,
         ).alias("or_hi"),
+    )
+
+
+def sprt_constants(
+    p0: float,
+    p1: float,
+    *,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    scale: int = 10**9,
+) -> "dict[str, int]":
+    """Scaled-integer constants for the Bernoulli SPRT (Wald 1945):
+    per-success / per-failure log-likelihood-ratio increments and the
+    two decision boundaries, each ``round(ln(·)·scale)`` — computed
+    ONCE driver-side so the walk itself is pure integer arithmetic
+    (k·c1 + (n−k)·c0 vs a/b), replayable bit-identically in SQL with
+    the same literals."""
+    if not (0 < p0 < p1 < 1):
+        raise ValueError("sprt: need 0 < p0 < p1 < 1")
+    if not (0 < alpha < 1 and 0 < beta < 1):
+        raise ValueError("sprt: alpha/beta must be in (0,1)")
+    sc = int(scale)
+    return {
+        "c1": round(math.log(p1 / p0) * sc),
+        "c0": round(math.log((1 - p1) / (1 - p0)) * sc),
+        "a": round(math.log((1 - beta) / alpha) * sc),
+        "b": round(math.log(beta / (1 - alpha)) * sc),
+        "scale": sc,
+    }
+
+
+def sprt_bernoulli(
+    periods: DataFrame,
+    period_col: str,
+    trials_col: str,
+    successes_col: str,
+    *,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    scale: int = 10**9,
+    max_periods: int = 100_000,
+) -> DataFrame:
+    """Wald's sequential probability ratio test for a Bernoulli rate,
+    evaluated at period checkpoints (the always-valid alternative to a
+    fixed-horizon z-test: stop the experiment the moment the evidence
+    crosses a boundary, with α/β guaranteed regardless of WHEN you
+    look). H0: p = p0 vs H1: p = p1; boundaries A = ln((1−β)/α),
+    B = ln(β/(1−α)).
+
+    The cumulative LLR after k successes in n trials is
+    k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) — LINEAR in (k, n), so with
+    the constants pre-scaled to integers (``sprt_constants``) the whole
+    walk and both crossing tests are exact integer comparisons: no
+    float accumulates, and the decision replays bit-identically as a
+    windowed SQL cumulative over the same literals.
+
+    Scale: callers aggregate raw events to (period, trials, successes)
+    first — the corpus-sized reduction; the scan for the FIRST crossing
+    folds driver-side over ≤ ``max_periods`` rows (the domain-sized-
+    iteration discipline: kaplan_meier, fs_em_fit).
+
+    Output (1 row): ``decision`` ('accept_h1' | 'accept_h0' |
+    'continue'), ``stop_period`` (period value at the crossing; the
+    last period when continuing), ``n_periods_used, k_success,
+    n_trials, llr_scaled, a_scaled, b_scaled``.
+    """
+    c = sprt_constants(p0, p1, alpha=alpha, beta=beta, scale=scale)
+    rows = (
+        periods.filter(
+            F.col(trials_col).isNotNull() & (F.col(trials_col) > 0)
+        )
+        .select(
+            F.col(period_col).cast("long").alias("t"),
+            F.col(trials_col).cast("long").alias("n"),
+            F.col(successes_col).cast("long").alias("s"),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    if len(rows) > max_periods:
+        raise ValueError(
+            f"sprt_bernoulli: {len(rows)} periods exceeds cap "
+            f"{max_periods}"
+        )
+    if not rows:
+        raise ValueError("sprt_bernoulli: no periods")
+    k = n = used = 0
+    llr = 0
+    decision, stop_t = "continue", int(rows[-1]["t"])
+    for r in rows:
+        k += int(r["s"])
+        n += int(r["n"])
+        used += 1
+        llr = k * c["c1"] + (n - k) * c["c0"]
+        if llr >= c["a"]:
+            decision, stop_t = "accept_h1", int(r["t"])
+            break
+        if llr <= c["b"]:
+            decision, stop_t = "accept_h0", int(r["t"])
+            break
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("decision", StringType(), False),
+            StructField("stop_period", LongType(), False),
+            StructField("n_periods_used", LongType(), False),
+            StructField("k_success", LongType(), False),
+            StructField("n_trials", LongType(), False),
+            StructField("llr_scaled", LongType(), False),
+            StructField("a_scaled", LongType(), False),
+            StructField("b_scaled", LongType(), False),
+        ]
+    )
+    return periods.sparkSession.createDataFrame(
+        [(decision, stop_t, used, k, n, llr, c["a"], c["b"])], schema
     )

@@ -503,3 +503,92 @@ def burstiness(
             F.try_divide(sd - mu, sd + mu), round_decimals
         ).alias("b"),
     )
+
+
+def heaps_fit(
+    doc_tokens: DataFrame,
+    doc_col: str,
+    token_col: str,
+    *,
+    step: int,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps 1978): V(N) ≈ K·N^β —
+    the vocab-vs-corpus-size exponent behind tokenizer-vocab and
+    dedup-budget sizing (natural text: β ≈ 0.4–0.6; β near 1 means the
+    stream keeps minting new types — OCR noise or ids; β near 0 means a
+    saturated/templated corpus). The companion to ``zipf_fit`` (the two
+    exponents are duals).
+
+    Checkpoints are STEP-buckets of the doc-id order: bucket b holds
+    docs with ⌊doc/step⌋ = b; after bucket b the corpus has
+    N_b = Σ tokens and V_b = Σ first-occurrences in buckets ≤ b. OLS of
+    ln V on ln N over the checkpoints.
+
+    Scale shape: token totals and first-occurrence counts reduce to ONE
+    bucket-domain table each (groupBy(token) → min(doc) for first
+    occurrences — the corpus-sized reduction; everything after is
+    bucket-domain), prefixes come from a buckets² self-join (checkpoint
+    count is user-bounded, never row-bounded), and the OLS is one
+    moment aggregate over ≤ #buckets points.
+
+    Output (1 row): ``n_checkpoints, total_tokens, vocab, heaps_beta,
+    heaps_k, r2``.
+    """
+    if step < 1:
+        raise ValueError("heaps_fit: step must be >= 1")
+    base = doc_tokens.select(
+        (F.col(doc_col).cast("long") / F.lit(int(step)))
+        .cast("long").alias("__b"),
+        F.col(doc_col).cast("long").alias("__doc"),
+        F.col(token_col).alias("__tok"),
+    ).filter(F.col("__tok").isNotNull())
+    tok_per_bucket = base.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__nt")
+    )
+    first_occ = base.groupBy("__tok").agg(F.min("__doc").alias("__fd"))
+    new_per_bucket = first_occ.groupBy(
+        (F.col("__fd") / F.lit(int(step))).cast("long").alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nv"))
+    per_bucket = tok_per_bucket.join(new_per_bucket, "__b", "left").select(
+        "__b", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv")
+    )
+    a, b = per_bucket.alias("a"), per_bucket.alias("b")
+    ckpt = (
+        a.join(b, F.col("b.__b") <= F.col("a.__b"))
+        .groupBy(F.col("a.__b").alias("__b"))
+        .agg(
+            F.sum("b.__nt").cast("long").alias("__N"),
+            F.sum("b.__nv").cast("long").alias("__V"),
+        )
+        .filter((F.col("__N") > 0) & (F.col("__V") > 0))
+    )
+    pts = ckpt.coalesce(1).select(
+        F.log(F.col("__N").cast("double")).alias("__x"),
+        F.log(F.col("__V").cast("double")).alias("__y"),
+        "__N", "__V", "__b",
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checkpoints"),
+        F.max("__N").alias("total_tokens"),
+        F.max("__V").alias("vocab"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+        F.covar_pop("__x", "__y").alias("__cxy"),
+        F.var_pop("__x").alias("__vx"),
+        F.var_pop("__y").alias("__vy"),
+    )
+    slope = F.try_divide(F.col("__cxy"), F.col("__vx"))
+    r2 = F.try_divide(
+        F.col("__cxy") * F.col("__cxy"), F.col("__vx") * F.col("__vy")
+    )
+    return agg.select(
+        "n_checkpoints",
+        "total_tokens",
+        "vocab",
+        F.round(slope, round_decimals).alias("heaps_beta"),
+        F.round(
+            F.exp(F.col("__my") - slope * F.col("__mx")), round_decimals
+        ).alias("heaps_k"),
+        F.round(r2, round_decimals).alias("r2"),
+    )

@@ -939,3 +939,86 @@ def weighted_percentiles(
         "p",
         F.round(F.col("value").cast("double"), round_decimals).alias("value"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Kendall rank correlation τ-b between two columns (Kendall 1938,
+    tie-corrected form) — the concordant-vs-discordant companion to the
+    listwise Spearman: τ-b = (C − D) / √((n₀−T₁)(n₀−T₂)) with
+    n₀ = n(n−1)/2 and T₁/T₂ the same-value pair counts in x / y.
+
+    Scale shape: the corpus reduces to the 2-D VALUE-DOMAIN contingency
+    table in one groupBy(x, y); C and D are Σ n_a·n_b over cell pairs
+    with strictly ordered x — a domain² join (|x-domain|·|y-domain|
+    squared PAIRS of CELLS, never of rows), intended for the
+    low-cardinality numeric pairs rank correlation is asked of (the
+    Spearman value-domain precedent). Everything is exact integer
+    counts; the only float work is one sqrt of a product of two exact
+    ≤2⁵³ integers — correctly rounded IEEE on every engine.
+
+    Output (1 row): ``n, n_concordant, n_discordant, tie_x, tie_y,
+    tau_b`` (NULL τ when either column is constant).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    cells = scoped_persist(cells)
+    a = cells.select(
+        F.col("__x").alias("xa"), F.col("__y").alias("ya"),
+        F.col("__c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("xb"), F.col("__y").alias("yb"),
+        F.col("__c").alias("cb"),
+    )
+    pairs = a.join(b, F.col("xa") < F.col("xb")).agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("__C"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("__D"),
+    )
+    xm = cells.groupBy("__x").agg(F.sum("__c").alias("__cx")).agg(
+        F.sum(F.col("__cx") * (F.col("__cx") - 1)).cast("long").alias("__tx2")
+    )
+    ym = cells.groupBy("__y").agg(F.sum("__c").alias("__cy")).agg(
+        F.sum(F.col("__cy") * (F.col("__cy") - 1)).cast("long").alias("__ty2")
+    )
+    tot = cells.agg(F.sum("__c").cast("long").alias("__n"))
+    joined = pairs.join(F.broadcast(xm)).join(F.broadcast(ym)).join(
+        F.broadcast(tot)
+    )
+    n0x2 = F.col("__n") * (F.col("__n") - 1)  # 2·n₀ (exact long)
+    tau = F.round(
+        F.try_divide(
+            (F.col("__C") - F.col("__D")).cast("double") * F.lit(2.0),
+            F.sqrt(
+                (n0x2 - F.col("__tx2")).cast("double")
+                * (n0x2 - F.col("__ty2")).cast("double")
+            ),
+        ),
+        round_decimals,
+    )
+    return joined.select(
+        F.col("__n").alias("n"),
+        F.col("__C").alias("n_concordant"),
+        F.col("__D").alias("n_discordant"),
+        (F.col("__tx2") / 2).cast("long").alias("tie_x"),
+        (F.col("__ty2") / 2).cast("long").alias("tie_y"),
+        tau.alias("tau_b"),
+    )

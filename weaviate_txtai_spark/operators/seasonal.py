@@ -581,3 +581,83 @@ def haar_dwt(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("level", "k")
+
+
+def single_changepoint(
+    series: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    *,
+    score_scale: int = 10**6,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Exact single-changepoint detection (binary segmentation step 1):
+    the split k (1 ≤ k < n over the t-ordered series) minimizing the
+    two-segment SSE, equivalently maximizing the between-segment sum of
+    squares BSS(k) = D_k² / (n·k·(n−k)) with D_k = S_k·n − S·k (S_k the
+    prefix sum) — integer-exact, so the argmax needs no float. Scores
+    are compared as ``D²·score_scale // (k(n−k))`` (same truncation on
+    every engine); ties break on the smaller k.
+
+    Scale: one groupBy upstream to the time grid, driver fold over
+    ≤ ``max_points`` rows (domain-sized iteration). Output (1 row):
+    ``k, t_split, n, mean_before, mean_after, score`` — means are exact
+    integer divisions emitted as doubles.
+    """
+    rows = (
+        series.filter(F.col(y_col).isNotNull())
+        .select(
+            F.col(t_col).cast("long").alias("t"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    n = len(rows)
+    if n > max_points:
+        raise ValueError(
+            f"single_changepoint: {n} points exceeds cap {max_points}"
+        )
+    if n < 2:
+        raise ValueError("single_changepoint: need at least 2 points")
+    ys = [int(r["y"]) for r in rows]
+    total = sum(ys)
+    best_k, best_score = None, -1
+    s1 = 0
+    for k in range(1, n):
+        s1 += ys[k - 1]
+        d = s1 * n - total * k
+        score = d * d * int(score_scale) // (k * (n - k))
+        if score > best_score:
+            best_k, best_score = k, score
+    sb = sum(ys[:best_k])
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("t_split", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("mean_before", DoubleType(), False),
+            StructField("mean_after", DoubleType(), False),
+            StructField("score", LongType(), False),
+        ]
+    )
+    return series.sparkSession.createDataFrame(
+        [
+            (
+                best_k,
+                int(rows[best_k]["t"]),
+                n,
+                sb / best_k,
+                (total - sb) / (n - best_k),
+                best_score,
+            )
+        ],
+        schema,
+    )

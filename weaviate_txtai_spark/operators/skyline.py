@@ -118,3 +118,93 @@ def skyline(
         on=dom,
         how="left_anti",
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """2-D specialization of :func:`skyline` maximizing (``x_col``,
+    ``y_col``) — pure JVM-side DataFrame ops, no Python workers: a
+    point is on the frontier iff its y is the max among its own x AND
+    strictly above every y at higher x, so the whole answer is a
+    SUFFIX MAX over the x-domain, computed hierarchically (per-x max →
+    range-binned bucket max → cross-bucket suffix from the buckets²
+    join → within-bucket self-join; ~|x-domain|^1.5 integer work,
+    no unpartitioned window). Prefer this for two maximize criteria on
+    integer-scalable columns; the general :func:`skyline` handles any
+    minimize/maximize mix at mapInPandas cost. Both cast to long
+    (pre-scale decimals to integer units). Output: ``id_col, x_col,
+    y_col`` for every non-dominated row; equal (x, y) duplicates are
+    all kept (dominance needs one strict inequality)."""
+    if n_buckets < 1:
+        raise ValueError("skyline_2d: n_buckets must be >= 1")
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    gx = scoped_persist(
+        pts.groupBy("__x").agg(F.max("__y").alias("__ymax"))
+    )
+    span = gx.agg(
+        F.min("__x").alias("__lo"),
+        (F.max("__x") - F.min("__x") + 1).alias("__w"),
+    )
+    binned = scoped_persist(
+        gx.join(F.broadcast(span)).select(
+            "__x",
+            "__ymax",
+            F.expr(
+                f"((__x - __lo) * {int(n_buckets)}L) div __w"
+            ).alias("__b"),
+        )
+    )
+    bmax = binned.groupBy("__b").agg(F.max("__ymax").alias("__bm"))
+    hi, lo = bmax.alias("hi"), bmax.alias("lo")
+    suffix_b = (
+        lo.join(hi, F.col("hi.__b") > F.col("lo.__b"), "left")
+        .groupBy(F.col("lo.__b").alias("__b"))
+        .agg(F.max(F.col("hi.__bm")).alias("__suf_b"))
+    )
+    a, c = binned.alias("a"), binned.alias("c")
+    within = (
+        a.join(
+            c,
+            (F.col("a.__b") == F.col("c.__b"))
+            & (F.col("c.__x") > F.col("a.__x")),
+            "left",
+        )
+        .groupBy(F.col("a.__x").alias("__x"))
+        .agg(F.max(F.col("c.__ymax")).alias("__suf_w"))
+    )
+    suf = (
+        binned.join(within, "__x")
+        .join(suffix_b, "__b")
+        .select(
+            "__x",
+            "__ymax",
+            F.greatest(
+                F.coalesce("__suf_w", F.lit(None).cast("long")),
+                F.coalesce("__suf_b", F.lit(None).cast("long")),
+            ).alias("__suf"),
+        )
+    )
+    frontier_x = suf.filter(
+        F.col("__suf").isNull() | (F.col("__suf") < F.col("__ymax"))
+    )
+    return (
+        pts.join(frontier_x, "__x")
+        .filter(F.col("__y") == F.col("__ymax"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__x").alias(x_col),
+            F.col("__y").alias(y_col),
+        )
+    )

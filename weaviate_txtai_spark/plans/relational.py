@@ -7795,3 +7795,225 @@ def purchase_odds_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y")
     ).select((F.col("user_id") % 2).cast("int").alias("t"), "y")
     return odds_ratio(users, "t", "y")
+
+
+_KENDALL_SQL = """
+WITH cells AS MATERIALIZED (
+  SELECT l_quantity AS x, l_discount AS y, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2),
+cd AS (
+  SELECT CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+           AS BIGINT) AS C,
+         CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+           AS BIGINT) AS D
+  FROM cells a JOIN cells b ON a.x < b.x),
+tx AS (SELECT CAST(sum(cx * (cx - 1)) AS BIGINT) AS tx2
+       FROM (SELECT CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x)),
+ty AS (SELECT CAST(sum(cy * (cy - 1)) AS BIGINT) AS ty2
+       FROM (SELECT CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y)),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+SELECT n, C AS n_concordant, D AS n_discordant,
+       tx2 // 2 AS tie_x, ty2 // 2 AS tie_y,
+       round(CAST(C - D AS DOUBLE) * 2.0
+             / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+                  * CAST(n * (n - 1) - ty2 AS DOUBLE)), 6) AS tau_b
+FROM cd, tx, ty, tot
+"""
+
+
+@register("lineitem_kendall_tau", _KENDALL_SQL)
+def lineitem_kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation between quantity and discount
+    (operators/rankstats.py kendall_tau_b) — the concordant/discordant
+    companion to lineitem_spearman: the corpus reduces to the ≤50×11
+    value-domain contingency table in one groupBy, C/D come from cell
+    PAIRS (never row pairs), ties from the marginals, and the only
+    float op is one sqrt of exact integers."""
+    from weaviate_txtai_spark.operators.rankstats import kendall_tau_b
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kendall_tau_b(li, "l_quantity", "l_discount")
+
+
+_CHANGEPOINT_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+grid AS (
+  SELECT CAST(datediff('day', d0, u.x) AS BIGINT) AS t,
+         COALESCE(y, 0) AS y, u.x AS day
+  FROM span,
+       LATERAL (SELECT unnest(generate_series(d0, d1,
+                       INTERVAL 1 DAY)) AS x) u
+  LEFT JOIN daily ON daily.d = u.x),
+pre AS (
+  SELECT t, day,
+         CAST(sum(y) OVER (ORDER BY t) AS HUGEINT) AS s1,
+         CAST((SELECT sum(y) FROM grid) AS HUGEINT) AS s,
+         CAST((SELECT count(*) FROM grid) AS HUGEINT) AS n
+  FROM grid),
+scores AS (
+  SELECT t + 1 AS k, n,
+         (s1 * n - s * (t + 1)) * (s1 * n - s * (t + 1)) * 1000000
+           // ((t + 1) * (n - t - 1)) AS score,
+         s1, s
+  FROM pre WHERE t + 1 < n),
+best AS (SELECT * FROM scores ORDER BY score DESC, k ASC LIMIT 1)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(k AS BIGINT) AS t_split,
+       CAST(n AS BIGINT) AS n,
+       CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+       CAST(s - s1 AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_after,
+       CAST(score AS BIGINT) AS score
+FROM best
+"""
+
+
+@register("events_daily_changepoint", _CHANGEPOINT_SQL)
+def events_daily_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-changepoint split of the zero-filled daily event
+    count series (operators/seasonal.py single_changepoint) — binary
+    segmentation's first step, the OFFLINE companion to the online
+    events_daily_cusum monitor: argmax of the between-segment sum of
+    squares, compared as exact integers (D²·10⁶ // k(n−k)), ties to
+    the smaller k; the corpus reduces to the day grid in one groupBy
+    and the argmax folds driver-side over ≤ horizon-days rows."""
+    from weaviate_txtai_spark.operators.seasonal import single_changepoint
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    pad = bounds.select(
+        F.col("d0"),
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("d1", "d0"))
+        ).alias("t"),
+    )
+    series = pad.join(
+        daily, daily.d == F.date_add(F.col("d0"), F.col("t")), "left"
+    ).select("t", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+    return single_changepoint(series)
+
+
+def _sprt_sql() -> str:
+    """DuckDB twin of events_sprt_decision: the SAME scaled-integer
+    SPRT constants (sprt_constants(0.1, 0.2), computed once here and
+    embedded as literals) drive a windowed cumulative walk; the first
+    boundary crossing — or the final row when none — is selected with
+    exact integer comparisons, mirroring the driver-side fold."""
+    from weaviate_txtai_spark.operators.abtest import sprt_constants
+
+    c = sprt_constants(0.1, 0.2, alpha=0.05, beta=0.05)
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS s
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+org AS (SELECT min(d) AS d0 FROM daily),
+w AS (SELECT CAST(datediff('day', d0, d) AS BIGINT) AS t,
+             CAST(sum(s) OVER (ORDER BY d) AS BIGINT) AS k,
+             CAST(sum(n) OVER (ORDER BY d) AS BIGINT) AS nn,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily, org),
+l AS (SELECT t, i, k, nn,
+             k * {c["c1"]} + (nn - k) * {c["c0"]} AS llr
+      FROM w),
+crs AS (SELECT * FROM l WHERE llr >= {c["a"]} OR llr <= {c["b"]}
+        ORDER BY t LIMIT 1),
+fin AS (SELECT * FROM l ORDER BY t DESC LIMIT 1),
+sel AS (SELECT * FROM crs
+        UNION ALL
+        SELECT * FROM fin WHERE (SELECT count(*) FROM crs) = 0)
+SELECT CASE WHEN llr >= {c["a"]} THEN 'accept_h1'
+            WHEN llr <= {c["b"]} THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       t AS stop_period,
+       i AS n_periods_used,
+       k AS k_success,
+       nn AS n_trials,
+       llr AS llr_scaled,
+       CAST({c["a"]} AS BIGINT) AS a_scaled,
+       CAST({c["b"]} AS BIGINT) AS b_scaled
+FROM sel
+"""
+
+
+@register("events_sprt_decision", _sprt_sql())
+def events_sprt_decision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT on the daily purchase rate (operators/abtest.py
+    sprt_bernoulli): H0 p=0.1 vs H1 p=0.2 at α=β=0.05 — the
+    sequential always-valid stopping decision an experiment platform
+    runs instead of a fixed-horizon z-test. The LLR walk is exact
+    integer arithmetic on pre-scaled log constants (no accumulating
+    float), the corpus reduces to the day grid in one groupBy, and the
+    first-crossing scan folds driver-side over ≤ horizon-days rows."""
+    from weaviate_txtai_spark.operators.abtest import sprt_bernoulli
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("s"),
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    periods = daily.join(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("long").alias("t"), "n", "s"
+    )
+    return sprt_bernoulli(
+        periods, "t", "n", "s", p0=0.1, p1=0.2, alpha=0.05, beta=0.05
+    )
+
+
+_PARETO_SQL = """
+WITH p AS MATERIALIZED (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+           AS BIGINT) AS rc,
+         CAST(sum(l_quantity) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1)
+SELECT pk AS partkey, CAST(rc AS DOUBLE) / 100.0 AS revenue,
+       q AS quantity
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.rc >= a.rc AND b.q >= a.q AND (b.rc > a.rc OR b.q > a.q))
+ORDER BY partkey
+"""
+
+
+@register("part_pareto_frontier", _PARETO_SQL)
+def part_pareto_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline) of parts maximizing (revenue,
+    quantity) — operators/skyline.py skyline_2d: the dominance
+    shortlist behind any two-objective trade-off question. The Spark
+    side never runs the quadratic NOT EXISTS: per-x max + bucketed
+    hierarchical suffix max (all exact integer comparisons on exact
+    decimal cents); the oracle is the independent naive anti-join."""
+    from weaviate_txtai_spark.operators.skyline import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            * 100
+        ).cast("long").alias("rc"),
+        F.sum("l_quantity").cast("long").alias("quantity"),
+    )
+    sky = skyline_2d(per_part, "partkey", "rc", "quantity")
+    return sky.select(
+        "partkey",
+        (F.col("rc").cast("double") / F.lit(100.0)).alias("revenue"),
+        "quantity",
+    ).orderBy("partkey")

@@ -1666,3 +1666,52 @@ def token_good_turing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return good_turing_rstar(docs, max_r=15, ngram=2)
+
+
+_HEAPS_SQL = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM documents),
+tb AS (SELECT doc_id // 25 AS b, CAST(count(*) AS BIGINT) AS nt
+       FROM tok GROUP BY 1),
+fo AS (SELECT min(doc_id) AS fd FROM tok GROUP BY term),
+vb AS (SELECT fd // 25 AS b, CAST(count(*) AS BIGINT) AS nv
+       FROM fo GROUP BY 1),
+pb AS (SELECT tb.b AS b, nt, COALESCE(nv, 0) AS nv
+       FROM tb LEFT JOIN vb ON tb.b = vb.b),
+ck AS (SELECT b, CAST(sum(nt) OVER (ORDER BY b) AS BIGINT) AS N,
+              CAST(sum(nv) OVER (ORDER BY b) AS BIGINT) AS V
+       FROM pb),
+pts AS (SELECT ln(CAST(N AS DOUBLE)) AS x, ln(CAST(V AS DOUBLE)) AS y,
+               N, V
+        FROM ck WHERE N > 0 AND V > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+       CAST(max(N) AS BIGINT) AS total_tokens,
+       CAST(max(V) AS BIGINT) AS vocab,
+       round(covar_pop(x, y) / var_pop(x), 6) AS heaps_beta,
+       round(exp(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x)), 6)
+         AS heaps_k,
+       round(covar_pop(x, y) * covar_pop(x, y)
+             / (var_pop(x) * var_pop(y)), 6) AS r2
+FROM pts
+"""
+
+
+@register("docs_heaps_law", _HEAPS_SQL)
+def docs_heaps_law_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the document stream
+    (operators/profile.py heaps_fit) — V(N) ≈ K·N^β, the dual of the
+    Zipf gate and the exponent behind tokenizer-vocab sizing: token
+    totals and type first-occurrences reduce to ONE 25-doc-bucket
+    table each, prefixes come from the buckets² self-join, and the fit
+    is one moment aggregate over the checkpoints."""
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.profile import heaps_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    return heaps_fit(doc_tokens, "doc_id", "term", step=25)
