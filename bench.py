@@ -92,6 +92,14 @@ HEADLINE_HEAVY = [
     "order_scc",
     "customer_linkage_fs",
     "docs_trigram_jm_nll",
+    # round-10 representatives (newly baselined this round — r9's 45
+    # entries above stay untouched for like-for-like comparison):
+    # EM-fitted unsupervised FS (8 marginal-count aggregates + the
+    # integer EM + pattern-ordered top-k), the 2-D skyline (hierarchical
+    # suffix max), Heaps vocab-growth fit (two corpus reductions)
+    "customer_linkage_em",
+    "part_pareto_frontier",
+    "docs_heaps_law",
 ]
 
 

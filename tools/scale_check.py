@@ -624,6 +624,73 @@ def main() -> None:
         )
         return bfs_hops(edges, seeds, max_hops=3)
 
+    # r10 additions: value-domain tau, hierarchical skyline, bucket-
+    # prefix Heaps fit, marginal-count EM linkage (customer clone is a
+    # DISJOINT component: keys AND blocking nation shifted)
+    cust1 = load_table(spark, SF_DIR, "customer")
+    cust2 = cust1.unionByName(
+        cust1.withColumn("c_custkey", F.col("c_custkey") + F.lit(10_000_000))
+        .withColumn("c_nationkey", F.col("c_nationkey") + F.lit(25))
+    )
+
+    def q_kendall(l):
+        from weaviate_txtai_spark.operators.rankstats import kendall_tau_b
+
+        return kendall_tau_b(l, "l_quantity", "l_discount")
+
+    def q_skyline(l):
+        from weaviate_txtai_spark.operators.skyline import skyline_2d
+
+        per_part = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long").alias("rc"),
+            F.sum("l_quantity").cast("long").alias("q"),
+        )
+        return skyline_2d(per_part, "pk", "rc", "q")
+
+    def q_heaps(d):
+        from weaviate_txtai_spark.functions.text import tokens as toks
+        from weaviate_txtai_spark.operators.profile import heaps_fit
+
+        dt = d.select("doc_id", F.explode(toks("text")).alias("term"))
+        return heaps_fit(dt, "doc_id", "term", step=25)
+
+    def q_linkage_em(cust):
+        from weaviate_txtai_spark.operators.recordlinkage import (
+            fs_em_fit, fs_em_weights, fs_pattern_counts_blocked,
+            fs_topk_blocked,
+        )
+
+        a = cust.select(
+            F.col("c_custkey").alias("ak"),
+            F.col("c_nationkey").alias("an"),
+            F.col("c_mktsegment").alias("aseg"),
+            F.floor(F.col("c_acctbal") / 1000).alias("abucket"),
+            F.substring("c_name", 10, 9).alias("aname"),
+        )
+        b = cust.select(
+            F.col("c_custkey").alias("bk"),
+            F.col("c_nationkey").alias("bn"),
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("PERTURBED"))
+            .otherwise(F.col("c_mktsegment")).alias("bseg"),
+            F.when(F.col("c_custkey") % 3 == 0,
+                   F.floor(F.col("c_acctbal") / 1000) + 1)
+            .otherwise(F.floor(F.col("c_acctbal") / 1000)).alias("bbucket"),
+            F.when(F.col("c_custkey") % 11 == 0, F.lit("XXXXXXXXX"))
+            .otherwise(F.substring("c_name", 10, 9)).alias("bname"),
+        )
+        fields = {"eq_seg": ("aseg", "bseg"),
+                  "eq_bucket": ("abucket", "bbucket"),
+                  "eq_name": ("aname", "bname")}
+        counts = fs_pattern_counts_blocked(
+            a, b, a_block="an", b_block="bn", fields=fields
+        )
+        w = fs_em_weights(fs_em_fit(counts, 3, n_iter=8), list(fields))
+        return fs_topk_blocked(
+            a, b, w, 40, a_key="ak", b_key="bk",
+            a_block="an", b_block="bn", fields=fields,
+        )
+
     cases = [
         ("dedup_ngram_jaccard", q_jaccard, q_jaccard, docs1, docs2),
         ("dedup_prefix_jaccard", q_prefix_jaccard, q_prefix_jaccard,
@@ -675,6 +742,10 @@ def main() -> None:
         ("docs_textrank_terms", q_textrank, q_textrank, docs1, docs2),
         ("coverage_set_cover", q_setcover, q_setcover, docs1, docs2),
         ("part_supplier_bfs", q_bfs, q_bfs, li1, li2_bfs),
+        ("lineitem_kendall_tau", q_kendall, q_kendall, li1, li2),
+        ("part_pareto_frontier", q_skyline, q_skyline, li1, li2),
+        ("docs_heaps_law", q_heaps, q_heaps, docs1, docs2),
+        ("customer_linkage_em", q_linkage_em, q_linkage_em, cust1, cust2),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:
