@@ -341,3 +341,38 @@ def test_retrieval_eval_truth_join_shuffles_on_compound_key(spark, sf_dir):
     df = Q.retrieval_eval_q(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_kendall_no_cartesian_and_pruned_scan(spark, sf_dir):
+    """τ-b: the cell-pair join must be a real join on the x-inequality
+    over the tiny cell table — never a row-level cross — and the
+    lineitem scan must read only the two correlated columns."""
+    df = Q.lineitem_kendall_tau_q(spark, sf_dir)
+    schema = scan_read_schema(df, "lineitem")
+    assert schema and "l_extendedprice" not in schema
+    assert "l_quantity" in schema and "l_discount" in schema
+
+
+def test_pareto_frontier_no_quadratic_anti_join(spark, sf_dir):
+    """skyline_2d: no broadcast nested loop over the parts domain —
+    the plan is groupBys + equi/inequality joins on bucket-sized
+    sides; the lineitem scan is pruned to the three needed columns."""
+    df = Q.part_pareto_frontier_q(spark, sf_dir)
+    schema = scan_read_schema(df, "lineitem")
+    assert schema and "l_orderkey" not in schema
+    plan = physical_plan(df)
+    # the quadratic NOT EXISTS shape would appear as a nested-loop
+    # anti join; the hierarchical path has none
+    assert "ExistenceJoin" not in plan
+    assert not re.search(r"BroadcastNestedLoopJoin.*LeftAnti", plan)
+
+
+def test_heaps_single_corpus_reduction(spark, sf_dir):
+    """heaps_fit: the documents scan reads only doc_id + text, and the
+    checkpoint prefix runs on bucket-domain rows (no row-level window
+    — asserted globally by the window-discipline walk; here: scan
+    pruning + at least one codegen stage)."""
+    df = Q.docs_heaps_law_q(spark, sf_dir)
+    schema = scan_read_schema(df, "documents")
+    assert schema and "source" not in schema and "lang" not in schema
+    assert codegen_stage_count(df) >= 1

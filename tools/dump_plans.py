@@ -49,6 +49,9 @@ FLAGSHIPS = [
     ("docs_nb_langid", "naive Bayes: sparse (test-term x class) scoring join, never a dense VxC grid"),
     ("part_supplier_bfs", "multi-source BFS: one frontier shuffle per hop, anti-join vs settled set"),
     ("purchase_isotonic_fit", "isotonic PAV: bucket-domain B-squared range joins, no global window, no pool stack"),
+    ("lineitem_kendall_tau", "kendall tau-b: 2-D value-domain cell pairs, never row pairs; one sqrt of exact ints"),
+    ("part_pareto_frontier", "2-D skyline: hierarchical suffix max (per-x max, bucket max, buckets-squared), no unpartitioned window, no quadratic anti-join"),
+    ("docs_heaps_law", "heaps fit: corpus reduced to step-bucket totals + first-occurrence counts, buckets-squared prefix, one moment aggregate"),
 ]
 
 
