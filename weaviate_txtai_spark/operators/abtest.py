@@ -964,3 +964,115 @@ def sprt_bernoulli(
     return periods.sparkSession.createDataFrame(
         [(decision, stop_t, used, k, n, llr, c["a"], c["b"])], schema
     )
+
+
+def permutation_test_rates(
+    df: DataFrame,
+    unit_col: str,
+    treat_col: str,
+    outcome_col: str,
+    *,
+    n_perms: int = 64,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Permutation (randomization) test for a rate difference — the
+    assumption-free companion to the two-proportion z-test: re-assign
+    units to arms ``n_perms`` times, recompute the rate difference,
+    and report the fraction of permutations at least as extreme as the
+    observed split (with the standard +1 add-one so p is never 0).
+
+    Determinism: "random" permutations are the Knuth multiplicative
+    hash of (unit + seed) mod 2 — the repo's established replayable
+    randomness (dp_noisy_counts, split_fraction) — and the extremity
+    comparison |Δ_s| ≥ |Δ_obs| is CROSS-MULTIPLIED exact-integer
+    (|a_s|·b_obs ≥ |a_obs|·b_s with a = s1·n0 − s0·n1, b = n1·n0), so
+    no float ever decides a permutation. p itself is an exact rational
+    rounded once.
+
+    Scale: ONE pass forms per-unit outcomes, a seed-explode (units ×
+    n_perms, map-side) feeds one groupBy(seed) — n_perms+1 result rows
+    total; the final compare is a broadcast of the 1-row observed
+    stats. Output (1 row): ``n1, n0, obs_diff, n_perms, n_extreme,
+    p_value``.
+    """
+    if n_perms < 1:
+        raise ValueError("permutation_test_rates: n_perms must be >= 1")
+    units = (
+        df.filter(
+            F.col(unit_col).isNotNull()
+            & F.col(treat_col).cast("int").isin(0, 1)
+        )
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(
+            F.max(F.col(treat_col).cast("int")).alias("__t"),
+            F.max(F.col(outcome_col).cast("int")).alias("__y"),
+        )
+    )
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    units = scoped_persist(units)
+    obs = units.agg(
+        F.sum("__t").cast("long").alias("n1"),
+        F.sum(1 - F.col("__t")).cast("long").alias("n0"),
+        F.sum(F.col("__t") * F.col("__y")).cast("long").alias("s1"),
+        F.sum((1 - F.col("__t")) * F.col("__y")).cast("long").alias("s0"),
+    )
+    perms = units.select(
+        "__u",
+        "__y",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(n_perms)))
+        ).alias("__seed"),
+    ).select(
+        "__seed",
+        "__y",
+        # Knuth multiplicative hash, ANSI-safe: (u + seed) mod 2^31
+        # keeps the multiplicand below 2^31 so the product < 2^63
+        (
+            F.expr("((__u + __seed) % 2147483648L) * 2654435761L")
+            % F.lit(4294967296)
+            % 2
+        ).cast("int").alias("__pt"),
+    )
+    per_seed = perms.groupBy("__seed").agg(
+        F.sum("__pt").cast("long").alias("pn1"),
+        F.sum(1 - F.col("__pt")).cast("long").alias("pn0"),
+        F.sum(F.col("__pt") * F.col("__y")).cast("long").alias("ps1"),
+        F.sum((1 - F.col("__pt")) * F.col("__y")).cast("long").alias("ps0"),
+    )
+    a_obs = F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1")
+    b_obs = F.col("n1") * F.col("n0")
+    a_p = F.col("ps1") * F.col("pn0") - F.col("ps0") * F.col("pn1")
+    b_p = F.col("pn1") * F.col("pn0")
+    # degenerate permutations (an empty arm) count as extreme —
+    # |Δ| is undefined there and the conservative call keeps p valid
+    extreme = F.when(b_p == 0, F.lit(1)).otherwise(
+        F.when(
+            F.abs(a_p.cast("decimal(38,0)")) * b_obs.cast("decimal(38,0)")
+            >= F.abs(a_obs.cast("decimal(38,0)"))
+            * b_p.cast("decimal(38,0)"),
+            1,
+        ).otherwise(0)
+    )
+    counted = per_seed.join(F.broadcast(obs)).agg(
+        F.sum(extreme).cast("long").alias("n_extreme")
+    )
+    return (
+        obs.join(F.broadcast(counted))
+        .select(
+            "n1",
+            "n0",
+            F.round(
+                F.try_divide(F.col("s1"), F.col("n1"))
+                - F.try_divide(F.col("s0"), F.col("n0")),
+                round_decimals,
+            ).alias("obs_diff"),
+            F.lit(int(n_perms)).cast("long").alias("n_perms"),
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme") + 1)
+                / F.lit(float(n_perms + 1)),
+                round_decimals,
+            ).alias("p_value"),
+        )
+    )

@@ -89,3 +89,126 @@ def kaplan_meier(
         "n_censored",
         "survival",
     )
+
+
+_LOGRANK_CAP = 100_000
+
+
+def logrank_test(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — does one cohort's
+    survival curve differ from the other's? At each distinct pooled
+    event time t: O₁ accumulates group-1 events, E₁ the hypergeometric
+    expectation d_t·n1_t/n_t, V the hypergeometric variance
+    d_t·(n1_t/n_t)(1−n1_t/n_t)(n_t−d_t)/(n_t−1); the statistic is
+    χ² = (O₁−E₁)²/V (1 df). The inference companion to
+    :func:`kaplan_meier` — two curves that LOOK apart need this before
+    anyone ships the conclusion.
+
+    Determinism: E and V accumulate as SCALED-INTEGER truncating
+    divisions per event time (term-by-term ``//``, exact ints in,
+    exact ints out), so the sums are order-free integers that replay
+    bit-identically in SQL; χ² is one double expression over the final
+    integers. Groups are the two DISTINCT values of ``group_col``
+    (ascending order defines group 1); more than two raises.
+
+    Scale: one groupBy(duration, group) corpus reduction, then a
+    driver fold over the pooled duration domain (≤ cap rows — the
+    kaplan_meier discipline).
+
+    Output (1 row): ``n1, n2, o1, e1, v, chi2`` (e1/v exact scaled
+    divisions emitted as doubles; NULL chi2 when V = 0).
+    """
+    grp = (
+        subjects.filter(
+            F.col(duration_col).isNotNull()
+            & (F.col(duration_col) >= 0)
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(group_col).alias("g"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col(event_col).cast("int") == 1, 1).otherwise(0)
+            ).cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .orderBy("t", "g")
+    )
+    rows = grp.collect()
+    if len(rows) > _LOGRANK_CAP:
+        raise ValueError(
+            f"logrank_test: duration domain {len(rows)} exceeds cap "
+            f"{_LOGRANK_CAP}; coarsen the time unit"
+        )
+    groups = sorted({r["g"] for r in rows})
+    if len(groups) != 2:
+        raise ValueError(
+            f"logrank_test: need exactly 2 groups, got {groups}"
+        )
+    g1 = groups[0]
+    by_t: "dict[int, list]" = {}
+    for r in rows:
+        by_t.setdefault(int(r["t"]), []).append(r)
+    n1 = sum(int(r["c"]) for r in rows if r["g"] == g1)
+    n2 = sum(int(r["c"]) for r in rows if r["g"] != g1)
+    rem1, rem = n1, n1 + n2
+    sc = int(scale)
+    o1 = 0
+    e1_s = 0
+    v_s = 0
+    for t in sorted(by_t):
+        d = sum(int(r["d"]) for r in by_t[t])
+        c = sum(int(r["c"]) for r in by_t[t])
+        d1 = sum(int(r["d"]) for r in by_t[t] if r["g"] == g1)
+        c1 = sum(int(r["c"]) for r in by_t[t] if r["g"] == g1)
+        if d > 0 and rem > 1:
+            o1 += d1
+            e1_s += d * rem1 * sc // rem
+            v_s += (
+                d * rem1 * (rem - rem1) * (rem - d) * sc
+                // (rem * rem * (rem - 1))
+            )
+        rem1 -= c1
+        rem -= c
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    chi2 = None
+    if v_s > 0:
+        chi2 = float((o1 * sc - e1_s) ** 2) / float(v_s * sc)
+    schema = StructType(
+        [
+            StructField("n1", LongType(), False),
+            StructField("n2", LongType(), False),
+            StructField("o1", LongType(), False),
+            StructField("e1", DoubleType(), False),
+            StructField("v", DoubleType(), False),
+            StructField("chi2", DoubleType(), True),
+        ]
+    )
+    return subjects.sparkSession.createDataFrame(
+        [
+            (
+                n1,
+                n2,
+                o1,
+                e1_s / sc,
+                v_s / sc,
+                round(chi2, 6) if chi2 is not None else None,
+            )
+        ],
+        schema,
+    )

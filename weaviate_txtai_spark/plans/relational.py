@@ -2782,8 +2782,9 @@ def forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRODUCT_PROFIT_SQL = """
 SELECT n.n_name AS nation,
        CAST(year(o.o_orderdate) AS INT) AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity
+                 AS DECIMAL(28,8))), 2) AS DOUBLE) AS profit
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2828,13 +2829,19 @@ def product_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
+            # decimal-cast the per-row double summand before summing:
+            # a float sum's addition order differs across engines, and
+            # the r10 sf0.1 sweep caught a .005 money midpoint here
+            # (the nation_trade_volume lesson)
             F.round(
                 F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+                    ).cast("decimal(28,8)")
                 ),
                 2,
-            ).alias("profit")
+            ).cast("double").alias("profit")
         )
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
@@ -4274,7 +4281,8 @@ def events_rolling_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BASKET_TRIPLES_SQL = """
-WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 512 AS p
+           FROM lineitem)
 SELECT a.p AS p1, c.p AS p2, d.p AS p3,
        CAST(count(*) AS BIGINT) AS set_count
 FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
@@ -4290,12 +4298,18 @@ def basket_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent_itemsets, size=3): candidate trios come from a map-side
     C(|basket|, 3) combination explode + one aggregate; the oracle is
     the 3-way basket self-join (two shuffling joins of the relation),
-    so the hash match proves the generator equivalent."""
+    so the hash match proves the generator equivalent. Items are part
+    BUCKETS (l_partkey % 512): with raw part keys the trip-repeat
+    probability collapses as the catalog grows and the r10 sf0.1
+    sweep found the gate VACUOUS (0 rows both sides) — buckets keep
+    the itemset space dense at every SF."""
     from weaviate_txtai_spark.operators.itemsets import frequent_itemsets
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 512).alias("item")
+    )
     return frequent_itemsets(
-        li, "l_orderkey", "l_partkey", size=3, min_count=2
+        li, "l_orderkey", "item", size=3, min_count=2
     ).orderBy("p1", "p2", "p3")
 
 
