@@ -1027,12 +1027,14 @@ def permutation_test_rates(
         "__seed",
         "__y",
         # Knuth multiplicative hash, ANSI-safe: (u + seed) mod 2^31
-        # keeps the multiplicand below 2^31 so the product < 2^63
-        (
-            F.expr("((__u + __seed) % 2147483648L) * 2654435761L")
-            % F.lit(4294967296)
-            % 2
-        ).cast("int").alias("__pt"),
+        # keeps the multiplicand below 2^31 so the product < 2^63.
+        # The label is the TOP bit of the 32-bit product — the LOW bit
+        # of x·odd is just x's parity, which would make every "random"
+        # permutation the observed split or its complement
+        F.expr(
+            "CAST((((__u + __seed) % 2147483648L) * 2654435761L"
+            " % 4294967296L) div 2147483648L AS INT)"
+        ).alias("__pt"),
     )
     per_seed = perms.groupBy("__seed").agg(
         F.sum("__pt").cast("long").alias("pn1"),

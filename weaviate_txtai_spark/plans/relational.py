@@ -8031,3 +8031,179 @@ def part_pareto_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rc").cast("double") / F.lit(100.0)).alias("revenue"),
         "quantity",
     ).orderBy("partkey")
+
+
+_LOGRANK_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+s AS (SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0 GROUP BY 1),
+subj AS (
+  SELECT CASE WHEN s.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN p.t1 IS NOT NULL
+              THEN CAST(floor(epoch(p.t1 - s.t0) / 86400) AS INT)
+              ELSE CAST(floor(epoch(mx.m - s.t0) / 86400) AS INT) END AS t,
+         CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM s LEFT JOIN p USING (user_id), mx),
+c AS (SELECT t,
+        CAST(sum(e) AS BIGINT) AS d,
+        CAST(count(*) AS BIGINT) AS cc,
+        CAST(sum(CASE WHEN variant = 'A' THEN e ELSE 0 END) AS BIGINT)
+          AS d1,
+        CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS c1
+      FROM subj GROUP BY 1),
+k AS (SELECT t, d, d1,
+        CAST(sum(cc) OVER (ORDER BY t
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS HUGEINT) AS n,
+        CAST(sum(c1) OVER (ORDER BY t
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS HUGEINT) AS n1
+      FROM c),
+terms AS (SELECT
+        CASE WHEN d > 0 AND n > 1 THEN d1 ELSE 0 END AS o1t,
+        CASE WHEN d > 0 AND n > 1
+             THEN (d * n1 * 1000000) // n ELSE 0 END AS e1t,
+        CASE WHEN d > 0 AND n > 1
+             THEN (d * n1 * (n - n1) * (n - d) * 1000000)
+                  // (n * n * (n - 1))
+             ELSE 0 END AS vt
+      FROM k),
+agg AS (SELECT CAST(sum(o1t) AS HUGEINT) AS o1,
+               CAST(sum(e1t) AS HUGEINT) AS e1s,
+               CAST(sum(vt) AS HUGEINT) AS vs
+        FROM terms),
+sizes AS (SELECT
+        CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS na,
+        CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nb
+      FROM subj)
+SELECT na AS n1, nb AS n2, CAST(o1 AS BIGINT) AS o1,
+       CAST(e1s AS DOUBLE) / 1000000.0 AS e1,
+       CAST(vs AS DOUBLE) / 1000000.0 AS v,
+       CASE WHEN vs > 0
+            THEN round(CAST((o1 * 1000000 - e1s) * (o1 * 1000000 - e1s)
+                         AS DOUBLE)
+                       / CAST(vs * 1000000 AS DOUBLE), 6)
+            ELSE NULL END AS chi2
+FROM agg, sizes
+"""
+
+
+@register("signup_survival_logrank", _LOGRANK_SQL)
+def signup_survival_logrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test between the even/odd signup cohorts'
+    time-to-first-purchase curves (operators/survival.py logrank_test)
+    — the inference companion to signup_to_purchase_survival: two KM
+    curves that LOOK apart need this before the conclusion ships. E/V
+    accumulate as term-wise scaled-integer truncating divisions over
+    exact hypergeometric counts, so the sums replay bit-identically;
+    the only float work is the final χ² expression."""
+    from weaviate_txtai_spark.operators.survival import logrank_test
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    subj = (
+        s.join(p, "user_id", "left")
+        .join(F.broadcast(mx))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+                "variant"
+            ),
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("t1", "m"))
+                    - F.unix_micros("t0")
+                )
+                / F.lit(86400e6)
+            ).cast("int").alias("t"),
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("e"),
+        )
+    )
+    return logrank_test(subj, "t", "e", "variant")
+
+
+def _perm_test_sql(n_perms: int = 64) -> str:
+    return f"""
+WITH users AS MATERIALIZED (
+  SELECT user_id AS u,
+         CAST(user_id % 2 AS INT) AS t,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS INT) AS y
+  FROM events GROUP BY 1, 2),
+obs AS (SELECT CAST(sum(t) AS BIGINT) AS n1,
+               CAST(sum(1 - t) AS BIGINT) AS n0,
+               CAST(sum(t * y) AS BIGINT) AS s1,
+               CAST(sum((1 - t) * y) AS BIGINT) AS s0
+        FROM users),
+perms AS (
+  SELECT s.seed,
+         CAST((((u + s.seed) % 2147483648) * 2654435761)
+              % 4294967296 // 2147483648 AS INT) AS pt,
+         y
+  FROM users, (SELECT unnest(generate_series(1, {n_perms})) AS seed) s),
+per_seed AS (
+  SELECT seed,
+         CAST(sum(pt) AS BIGINT) AS pn1,
+         CAST(sum(1 - pt) AS BIGINT) AS pn0,
+         CAST(sum(pt * y) AS BIGINT) AS ps1,
+         CAST(sum((1 - pt) * y) AS BIGINT) AS ps0
+  FROM perms GROUP BY 1),
+ext AS (
+  SELECT CAST(sum(CASE
+           WHEN pn1 * pn0 = 0 THEN 1
+           WHEN abs(CAST(ps1 * pn0 - ps0 * pn1 AS HUGEINT))
+                * (obs.n1 * obs.n0)
+                >= abs(CAST(obs.s1 * obs.n0 - obs.s0 * obs.n1
+                         AS HUGEINT))
+                * (pn1 * pn0)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM per_seed, obs)
+SELECT obs.n1, obs.n0,
+       round(CAST(obs.s1 AS DOUBLE) / obs.n1
+             - CAST(obs.s0 AS DOUBLE) / obs.n0, 6) AS obs_diff,
+       CAST({n_perms} AS BIGINT) AS n_perms,
+       ext.n_extreme,
+       round((ext.n_extreme + 1) / {float(n_perms + 1)!r}, 6) AS p_value
+FROM obs, ext
+"""
+
+
+@register("purchase_permutation_test", _perm_test_sql())
+def purchase_permutation_test_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permutation test for the even/odd purchase-rate difference
+    (operators/abtest.py permutation_test_rates): 64 label
+    re-assignments via the replayable Knuth hash, extremity decided by
+    CROSS-MULTIPLIED exact-integer comparison (no float ever picks a
+    permutation), p as an exact add-one rational. The assumption-free
+    companion to the z-test — under the null the split is just one of
+    the permutations, so p concentrates near uniform."""
+    from weaviate_txtai_spark.operators.abtest import (
+        permutation_test_rates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "y"
+        ),
+    )
+    return permutation_test_rates(ev, "user_id", "t", "y", n_perms=64)
