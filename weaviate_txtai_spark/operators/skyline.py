@@ -143,12 +143,17 @@ def skyline_2d(
     all kept (dominance needs one strict inequality)."""
     if n_buckets < 1:
         raise ValueError("skyline_2d: n_buckets must be >= 1")
-    pts = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(x_col).cast("long").alias("__x"),
-        F.col(y_col).cast("long").alias("__y"),
-    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     from weaviate_txtai_spark.cache import scoped_persist
+
+    # pts feeds both the per-x max AND the final join-back — persist so
+    # the caller's upstream aggregate runs once, not twice
+    pts = scoped_persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(x_col).cast("long").alias("__x"),
+            F.col(y_col).cast("long").alias("__y"),
+        ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    )
 
     gx = scoped_persist(
         pts.groupBy("__x").agg(F.max("__y").alias("__ymax"))
