@@ -48,6 +48,18 @@ def test_kendall_tau_matches_brute_force(spark):
     assert r.tau_b == round(tau, 6)
 
 
+def test_kendall_tau_cell_cap_guards_quadratic(spark):
+    from weaviate_txtai_spark.operators.rankstats import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(i, i * 3 % 17) for i in range(50)], "x int, y int"
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        kendall_tau_b(df, "x", "y", max_cells=10)
+    # within the cap it runs
+    assert kendall_tau_b(df, "x", "y", max_cells=1000).count() == 1
+
+
 def test_kendall_tau_perfect_and_constant(spark):
     from weaviate_txtai_spark.operators.rankstats import kendall_tau_b
 

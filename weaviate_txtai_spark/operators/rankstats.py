@@ -947,6 +947,7 @@ def kendall_tau_b(
     y_col: str,
     *,
     round_decimals: int = 6,
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """Kendall rank correlation τ-b between two columns (Kendall 1938,
     tie-corrected form) — the concordant-vs-discordant companion to the
@@ -963,7 +964,10 @@ def kendall_tau_b(
     ≤2⁵³ integers — correctly rounded IEEE on every engine.
 
     Output (1 row): ``n, n_concordant, n_discordant, tie_x, tie_y,
-    tau_b`` (NULL τ when either column is constant).
+    tau_b`` (NULL τ when either column is constant). ``max_cells``
+    guards the quadratic: a near-continuous column makes the cell
+    table row-sized and the pair join a disaster — fail loudly and
+    tell the caller to bucket first.
     """
     cells = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
@@ -975,6 +979,13 @@ def kendall_tau_b(
     from weaviate_txtai_spark.cache import scoped_persist
 
     cells = scoped_persist(cells)
+    n_cells = cells.limit(int(max_cells) + 1).count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"kendall_tau_b: > {max_cells} distinct (x, y) cells — the "
+            f"cell-pair join is quadratic in the value domain; bucket "
+            f"or quantize the columns first"
+        )
     a = cells.select(
         F.col("__x").alias("xa"), F.col("__y").alias("ya"),
         F.col("__c").alias("ca"),
