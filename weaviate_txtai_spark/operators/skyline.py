@@ -126,7 +126,7 @@ def skyline_2d(
     x_col: str,
     y_col: str,
     *,
-    n_buckets: int = 64,
+    n_buckets: "int | None" = None,
 ) -> DataFrame:
     """2-D specialization of :func:`skyline` maximizing (``x_col``,
     ``y_col``) — pure JVM-side DataFrame ops, no Python workers: a
@@ -140,9 +140,17 @@ def skyline_2d(
     minimize/maximize mix at mapInPandas cost. Both cast to long
     (pre-scale decimals to integer units). Output: ``id_col, x_col,
     y_col`` for every non-dominated row; equal (x, y) duplicates are
-    all kept (dominance needs one strict inequality)."""
-    if n_buckets < 1:
+    all kept (dominance needs one strict inequality).
+
+    ``n_buckets=None`` (default) auto-sizes to ⌈√|x-domain|⌉ — the
+    optimum of the Σ(size²) within-bucket work, keeping total work at
+    ~|x-domain|^1.5 at any scale (a fixed count degrades to quadratic
+    when the domain outgrows it). The answer is bucketing-invariant
+    (pinned in tests), so the choice affects only the plan."""
+    if n_buckets is not None and n_buckets < 1:
         raise ValueError("skyline_2d: n_buckets must be >= 1")
+    import math as _math
+
     from weaviate_txtai_spark.cache import scoped_persist
 
     # pts feeds both the per-x max AND the final join-back — persist so
@@ -158,6 +166,8 @@ def skyline_2d(
     gx = scoped_persist(
         pts.groupBy("__x").agg(F.max("__y").alias("__ymax"))
     )
+    if n_buckets is None:
+        n_buckets = max(1, _math.isqrt(gx.count()))
     span = gx.agg(
         F.min("__x").alias("__lo"),
         (F.max("__x") - F.min("__x") + 1).alias("__w"),
