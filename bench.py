@@ -100,6 +100,9 @@ HEADLINE_HEAVY = [
     "customer_linkage_em",
     "part_pareto_frontier",
     "docs_heaps_law",
+    # round-10 continuation: the classifier-quality tier (8 fixed-point
+    # GD aggregates over the cached feature table + map-only scoring)
+    "docs_quality_classifier",
 ]
 
 

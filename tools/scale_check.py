@@ -655,6 +655,41 @@ def main() -> None:
         dt = d.select("doc_id", F.explode(toks("text")).alias("term"))
         return heaps_fit(dt, "doc_id", "term", step=25)
 
+    def q_clf(d):
+        from weaviate_txtai_spark.cache import scoped_persist
+        from weaviate_txtai_spark.functions.text import tokens as toks
+        from weaviate_txtai_spark.operators.classifier import (
+            fit_hard_sigmoid_gd,
+            normalized_features,
+            score_hard_sigmoid,
+        )
+
+        tok = d.select("doc_id", F.explode(toks("text")).alias("term"))
+        tf = tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("nt"),
+            F.countDistinct("term").cast("long").alias("nd"),
+            F.sum(F.length("term")).cast("long").alias("tl"),
+        )
+        f0 = d.join(tf, "doc_id", "left").select(
+            "doc_id",
+            F.when(
+                F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+                1,
+            ).otherwise(0).cast("int").alias("y"),
+            F.coalesce("nt", F.lit(0)).cast("long").alias("nt"),
+            F.coalesce("nd", F.lit(0)).cast("long").alias("nd"),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("nc"),
+            F.coalesce("tl", F.lit(0)).cast("long").alias("tl"),
+        )
+        xcols = ["x1", "x2", "x3", "x4"]
+        feats = scoped_persist(
+            normalized_features(f0, ["nt", "nd", "nc", "tl"], out_cols=xcols)
+        )
+        w = fit_hard_sigmoid_gd(feats, xcols, "y", n_iter=8)
+        return feats.select(
+            "doc_id", score_hard_sigmoid(xcols, w).alias("p")
+        )
+
     def q_linkage_em(cust):
         from weaviate_txtai_spark.operators.recordlinkage import (
             fs_em_fit, fs_em_weights, fs_pattern_counts_blocked,
@@ -746,6 +781,7 @@ def main() -> None:
         ("part_pareto_frontier", q_skyline, q_skyline, li1, li2),
         ("docs_heaps_law", q_heaps, q_heaps, docs1, docs2),
         ("customer_linkage_em", q_linkage_em, q_linkage_em, cust1, cust2),
+        ("docs_quality_classifier", q_clf, q_clf, docs1, docs2),
     ]
 
     def run_once(fn, data) -> tuple[float, int]:

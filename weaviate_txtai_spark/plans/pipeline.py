@@ -1864,3 +1864,143 @@ def knn_label_loo_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return knn_label_loo_accuracy(_emb(spark, sf_dir)).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# Classifier-based quality filtering (the GPT-3 / CCNet / FineWeb recipe)
+# --------------------------------------------------------------------------
+
+def _quality_clf_sql(n_iter: int = 8) -> str:
+    """DuckDB twin of the hard-sigmoid GD quality classifier: the full
+    training trajectory UNROLLED as chained MATERIALIZED CTEs (the
+    _pca_exact_sql pattern — one g{t}/w{t} pair per iteration). Every
+    integer op maps 1:1 onto operators/classifier.py: DuckDB ``//``
+    truncates toward zero like the kernel's _tdiv and Spark's ``div``
+    (all three verified), LEAST/GREATEST is the hard-sigmoid clamp, and
+    HUGEINT gradient sums are exact at any corpus size."""
+    sql = [
+        """WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         CAST(count(DISTINCT term) AS BIGINT) AS nd,
+         CAST(sum(len(term)) AS BIGINT) AS tl
+  FROM tok GROUP BY 1),
+f0 AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+              THEN 1 ELSE 0 END AS y,
+         coalesce(tf.nt, 0) AS nt, coalesce(tf.nd, 0) AS nd,
+         coalesce(d.n_chars, 0) AS nc, coalesce(tf.tl, 0) AS tl
+  FROM documents d LEFT JOIN tf USING (doc_id)),
+mx AS MATERIALIZED (
+  SELECT GREATEST(max(nt), 1) AS m1, GREATEST(max(nd), 1) AS m2,
+         GREATEST(max(nc), 1) AS m3, GREATEST(max(tl), 1) AS m4
+  FROM f0),
+f AS MATERIALIZED (
+  SELECT doc_id, y,
+         (nt * 10000) // m1 AS x1, (nd * 10000) // m2 AS x2,
+         (nc * 10000) // m3 AS x3, (tl * 10000) // m4 AS x4
+  FROM f0, mx),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+w0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,
+         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+         CAST(0 AS BIGINT) AS w4),"""
+    ]
+    z = ("(10000 * w.b + f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3"
+         " + f.x4 * w.w4) // 10000")
+    p = f"LEAST(GREATEST(({z} + 2000000) // 4, 0), 1000000)"
+    for t in range(1, n_iter + 1):
+        sql.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT CAST(SUM(r * 10000) AS HUGEINT) AS g0,
+         CAST(SUM(r * x1) AS HUGEINT) AS g1,
+         CAST(SUM(r * x2) AS HUGEINT) AS g2,
+         CAST(SUM(r * x3) AS HUGEINT) AS g3,
+         CAST(SUM(r * x4) AS HUGEINT) AS g4
+  FROM (SELECT {p} - f.y * 1000000 AS r, f.x1, f.x2, f.x3, f.x4
+        FROM f, w{t - 1} w)),
+w{t} AS MATERIALIZED (
+  SELECT w.b  - CAST((5 * g.g0) // (10 * nn.n * 10000) AS BIGINT) AS b,
+         w.w1 - CAST((5 * g.g1) // (10 * nn.n * 10000) AS BIGINT) AS w1,
+         w.w2 - CAST((5 * g.g2) // (10 * nn.n * 10000) AS BIGINT) AS w2,
+         w.w3 - CAST((5 * g.g3) // (10 * nn.n * 10000) AS BIGINT) AS w3,
+         w.w4 - CAST((5 * g.g4) // (10 * nn.n * 10000) AS BIGINT) AS w4
+  FROM w{t - 1} w, g{t} g, nn),"""
+        )
+    body = "\n".join(sql).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT doc_id, CAST(label AS INT) AS label,\n"
+        f"       round(pp / 1000000.0, 6) AS score, pp >= 500000 AS keep\n"
+        f"FROM (SELECT f.doc_id, f.y AS label, {p} AS pp\n"
+        f"      FROM f, w{n_iter} w)\n"
+        f"ORDER BY doc_id"
+    )
+
+
+@register("docs_quality_classifier", _quality_clf_sql())
+def docs_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering — the GPT-3 appendix-A /
+    CCNet §4.3 / FineWeb recipe the LM-perplexity gates don't cover: a
+    linear classifier trained to tell REFERENCE sources (src0-src4)
+    from the rest of the crawl, then every document scored and kept iff
+    reference-like (score >= 0.5). Training is full-batch gradient
+    descent with the integer-exact hard sigmoid
+    (operators/classifier.py): the corpus reduces once to a persisted
+    4-feature fixed-point table (tokens, distinct tokens, chars, total
+    token length, max-normalized); each of the 8 iterations is ONE
+    map-side-partial aggregate producing 5 decimal gradient sums, and
+    the weights update driver-side in exact int arithmetic — the
+    pagerank_exact fixed-point discipline, so the DuckDB oracle replays
+    the identical trajectory hash-exactly. Scoring is map-only."""
+    from weaviate_txtai_spark.cache import scoped_persist
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.classifier import (
+        W_SCALE,
+        fit_hard_sigmoid_gd,
+        normalized_features,
+        score_hard_sigmoid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.countDistinct("term").cast("long").alias("nd"),
+        F.sum(F.length("term")).cast("long").alias("tl"),
+    )
+    f0 = docs.join(tf, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 1
+        ).otherwise(0).cast("int").alias("y"),
+        F.coalesce("nt", F.lit(0)).cast("long").alias("nt"),
+        F.coalesce("nd", F.lit(0)).cast("long").alias("nd"),
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("nc"),
+        F.coalesce("tl", F.lit(0)).cast("long").alias("tl"),
+    )
+    # persisted: the GD loop runs n_iter aggregates + one scoring pass
+    # over the 4-long-per-doc feature table (~40 bytes/doc cached)
+    xcols = ["x1", "x2", "x3", "x4"]
+    feats = scoped_persist(
+        normalized_features(f0, ["nt", "nd", "nc", "tl"], out_cols=xcols)
+    )
+    w = fit_hard_sigmoid_gd(feats, xcols, "y", n_iter=8)
+    return (
+        feats.select(
+            "doc_id",
+            F.col("y").alias("label"),
+            score_hard_sigmoid(xcols, w).alias("__p"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            F.round(F.col("__p") / F.lit(float(W_SCALE)), 6).alias("score"),
+            (F.col("__p") >= F.lit(W_SCALE // 2)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
