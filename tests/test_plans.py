@@ -376,3 +376,19 @@ def test_heaps_single_corpus_reduction(spark, sf_dir):
     schema = scan_read_schema(df, "documents")
     assert schema and "source" not in schema and "lang" not in schema
     assert codegen_stage_count(df) >= 1
+
+
+def test_quality_classifier_scoring_is_map_only(spark, sf_dir):
+    """docs_quality_classifier: after training (driver-side weights),
+    scoring must be a projection over the PERSISTED feature table —
+    no join above the cache boundary, weights inlined as literals;
+    the only exchange above it is the deterministic output sort. The
+    documents scan below the cache reads only the needed columns."""
+    df = Q.docs_quality_classifier_q(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan
+    above_cache = plan.split("InMemoryTableScan")[0]
+    assert "Join" not in above_cache
+    # feature build below the cache prunes the documents scan
+    schema = scan_read_schema(df, "documents")
+    assert schema and "lang" not in schema

@@ -52,6 +52,7 @@ FLAGSHIPS = [
     ("lineitem_kendall_tau", "kendall tau-b: 2-D value-domain cell pairs, never row pairs; one sqrt of exact ints"),
     ("part_pareto_frontier", "2-D skyline: hierarchical suffix max (per-x max, bucket max, buckets-squared), no unpartitioned window, no quadratic anti-join"),
     ("docs_heaps_law", "heaps fit: corpus reduced to step-bucket totals + first-occurrence counts, buckets-squared prefix, one moment aggregate"),
+    ("docs_quality_classifier", "classifier quality tier: scoring is a literal-weight projection over the persisted feature table; the one exchange above the cache is the output sort"),
 ]
 
 

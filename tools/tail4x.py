@@ -1,10 +1,13 @@
 """1x/2x/4x scaling profile of the SCALE_CHECK ratio-tail cases
 (VERDICT r8 item 4): the four operators whose r8 2x ratios were worst
 (customer_affinity 1.83, dedup_prefix_jaccard 1.49, source_drift_jsd
-1.45, threshold_join_bucketed 1.43). The 4x corpus is two more
-perturbed clones (token prefixes 'y'/'z'; a third sign-flip pattern for
-embeddings), so every doubling is structurally honest like the 2x one.
-Writes the measurements into SCALE_CHECK.json under "tail_4x".
+1.45, threshold_join_bucketed 1.43), extended in r10 with that round's
+two worst (docs_heaps_law 1.44, customer_linkage_em 1.58-with-2x-
+output). The 4x corpus is two more perturbed clones (token prefixes
+'y'/'z'; a third sign-flip pattern for embeddings; disjoint key+nation
+shifts for customers), so every doubling is structurally honest like
+the 2x one. Writes the measurements into SCALE_CHECK.json under
+"tail_4x".
 
 Usage: python tools/tail4x.py
 """
@@ -52,6 +55,14 @@ def cp_clone(c, off):
 cp2 = cp1.unionByName(cp_clone(cp1, 1_000_000))
 cp4 = cp2.unionByName(cp_clone(cp1, 2_000_000)).unionByName(cp_clone(cp1, 3_000_000))
 
+cust1 = load_table(spark, SF, "customer")
+def cust_clone(c, off):
+    # disjoint component: keys AND the blocking nation shifted
+    return (c.withColumn("c_custkey", F.col("c_custkey")+F.lit(off))
+        .withColumn("c_nationkey", F.col("c_nationkey")+F.lit(off//400_000)))
+cust2 = cust1.unionByName(cust_clone(cust1, 10_000_000))
+cust4 = cust2.unionByName(cust_clone(cust1, 20_000_000)).unionByName(cust_clone(cust1, 30_000_000))
+
 def q_affinity(cp):
     from weaviate_txtai_spark.operators.linkpred import link_scores
     return link_scores(cp, "cust", "part", max_item_degree=20, min_common=2)
@@ -67,6 +78,33 @@ def q_threshold_bucketed(e):
     from weaviate_txtai_spark.operators.simjoin import threshold_join
     left = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector"))
     return threshold_join(left, e, 0.9, right_id="vec_id", right_vec="embedding", strategy="bucketed")
+def q_heaps(d):
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.operators.profile import heaps_fit
+    dt = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return heaps_fit(dt, "doc_id", "term", step=25)
+def q_linkage_em(cust):
+    from weaviate_txtai_spark.operators.recordlinkage import (
+        fs_em_fit, fs_em_weights, fs_pattern_counts_blocked, fs_topk_blocked)
+    a = cust.select(
+        F.col("c_custkey").alias("ak"), F.col("c_nationkey").alias("an"),
+        F.col("c_mktsegment").alias("aseg"),
+        F.floor(F.col("c_acctbal")/1000).alias("abucket"),
+        F.substring("c_name", 10, 9).alias("aname"))
+    b = cust.select(
+        F.col("c_custkey").alias("bk"), F.col("c_nationkey").alias("bn"),
+        F.when(F.col("c_custkey")%5==0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment")).alias("bseg"),
+        F.when(F.col("c_custkey")%3==0, F.floor(F.col("c_acctbal")/1000)+1)
+        .otherwise(F.floor(F.col("c_acctbal")/1000)).alias("bbucket"),
+        F.when(F.col("c_custkey")%11==0, F.lit("XXXXXXXXX"))
+        .otherwise(F.substring("c_name", 10, 9)).alias("bname"))
+    fields = {"eq_seg": ("aseg","bseg"), "eq_bucket": ("abucket","bbucket"),
+              "eq_name": ("aname","bname")}
+    counts = fs_pattern_counts_blocked(a, b, a_block="an", b_block="bn", fields=fields)
+    w = fs_em_weights(fs_em_fit(counts, 3, n_iter=8), list(fields))
+    return fs_topk_blocked(a, b, w, 40, a_key="ak", b_key="bk",
+                           a_block="an", b_block="bn", fields=fields)
 
 from weaviate_txtai_spark.cache import cache_scope
 def run(fn, inp):
@@ -81,6 +119,8 @@ cases = {
     "dedup_prefix_jaccard": (q_prefix_jaccard, docs1, docs2, docs4),
     "source_drift_jsd": (q_jsd, docs1, docs2, docs4),
     "threshold_join_bucketed": (q_threshold_bucketed, emb1, emb2, emb4),
+    "docs_heaps_law": (q_heaps, docs1, docs2, docs4),
+    "customer_linkage_em": (q_linkage_em, cust1, cust2, cust4),
 }
 out = {}
 for name, (fn, i1, i2, i4) in cases.items():
