@@ -129,6 +129,51 @@ def main() -> None:
         .collect()[0]
     )
 
+    # 5b'. classifier quality tier (the GPT-3/FineWeb recipe): a linear
+    # classifier trained to tell reference sources from the rest, every
+    # doc scored reference-likeness in [0,1] — integer-exact GD, so the
+    # run is bit-reproducible on any cluster
+    from weaviate_txtai_spark.cache import cache_scope
+    from weaviate_txtai_spark.functions.text import tokens as _toks
+    from weaviate_txtai_spark.operators.classifier import (
+        W_SCALE,
+        fit_hard_sigmoid_gd,
+        normalized_features,
+        score_hard_sigmoid,
+    )
+
+    with cache_scope():
+        tf = (
+            curated.select("doc_id", F.explode(_toks("text")).alias("t"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("nt"),
+                F.countDistinct("t").cast("long").alias("nd"),
+                F.sum(F.length("t")).cast("long").alias("tl"),
+            )
+        )
+        clf_feats = normalized_features(
+            curated.join(tf, "doc_id", "left").select(
+                "doc_id",
+                F.when(F.col("source").isin("src0", "src1", "src2"), 1)
+                .otherwise(0).cast("int").alias("y"),
+                F.coalesce("nt", F.lit(0)).cast("long").alias("nt"),
+                F.coalesce("nd", F.lit(0)).cast("long").alias("nd"),
+                F.coalesce("tl", F.lit(0)).cast("long").alias("tl"),
+            ),
+            ["nt", "nd", "tl"],
+            out_cols=["x1", "x2", "x3"],
+        ).persist()
+        clf_w = fit_hard_sigmoid_gd(clf_feats, ["x1", "x2", "x3"], "y")
+        clf_mean = (
+            clf_feats.select(
+                (score_hard_sigmoid(["x1", "x2", "x3"], clf_w)
+                 / F.lit(float(W_SCALE))).alias("p")
+            )
+            .agg(F.round(F.avg("p"), 4).alias("m"))
+            .collect()[0]["m"]
+        )
+
     # 5c. SemDeDup (the full recipe): cluster cheap PCA projections,
     # verify cosine on the full embeddings, keep one member per near-dup
     # neighborhood
@@ -246,6 +291,7 @@ def main() -> None:
     print(f"embedding pairs @.95 {n_emb_pairs:>8} (cross-check signal)")
     print(f"unigram-LM head keep {n_lm_keep:>8}  (nll <= corpus mean)")
     print(f"mean bigram NLL      {big_row['mean_bigram_nll']:>8}")
+    print(f"clf mean ref-score   {clf_mean:>8}  (hard-sigmoid GD, w={clf_w})")
     print(f"semantic survivors   {n_sem_survivors:>8}  (PCA-clustered, full-space verify @.95)")
     print(f"quality tiers        {tier_counts}")
     print(f"soft-dedup mass      {soft_w:>8}  effective docs (1/cluster-size weights)")
