@@ -141,3 +141,33 @@ def test_empty_features_raises(spark):
     feats = spark.createDataFrame([], "y int, x1 long")
     with pytest.raises(ValueError, match="empty"):
         fit_hard_sigmoid_gd(feats, ["x1"], "y", n_iter=1)
+
+
+# -------------------------------------------------- overflow-bound property
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=X_SCALE),
+            st.integers(min_value=0, max_value=X_SCALE),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_py_kernel_bounds(rows, n_iter):
+    """The docstring's overflow-safety bounds, pinned: each update step
+    moves a weight by at most lr*W_SCALE (= W_SCALE/2 at the default
+    lr), so |w_j| <= n_iter*W_SCALE/2 and every per-row gradient term
+    stays within 1e10 — the headroom the long arithmetic relies on."""
+    w = _py_fit(rows, n_iter=n_iter)
+    for wj in w:
+        assert abs(wj) <= n_iter * W_SCALE // 2 + n_iter  # +slack for tdiv
+    for row in rows:
+        p = _py_score(w, row[1:])
+        assert 0 <= p <= W_SCALE
+        for x in row[1:]:
+            assert abs((p - row[0] * W_SCALE) * x) <= 10**10
