@@ -137,7 +137,12 @@ _PRIORITY = [
     # knn_label_loo_accuracy, purchase_error_xcf,
     # events_daily_mann_kendall, events_daily_haar, purchase_pass_at_k,
     # part_return_wilson, cohort_ltv_triangle, purchase_odds_ratio —
-    # plus any gate newly oracled in r10 (see NOTES.md r10 log).
+    # plus the 8 never-sampled gates newly oracled in r10 (see NOTES.md
+    # r10 log): lineitem_kendall_tau, events_daily_changepoint,
+    # docs_heaps_law, events_sprt_decision, part_pareto_frontier,
+    # signup_survival_logrank, purchase_permutation_test,
+    # docs_quality_classifier — 41 + 8 = 49 gates fill the 50-slot
+    # window with one slot spare.
     # The 7 rows-only-by-design gates (HLL/GK/CMS sketches, BPE, the
     # SVD encoder, the nprobe tuner) are STRUCTURALLY excluded from the
     # sampled window by the oracle assert in _ordered_names().
