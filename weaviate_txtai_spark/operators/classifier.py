@@ -101,8 +101,11 @@ def fit_hard_sigmoid_gd(
 
     ``features`` must already hold integer fixed-point features in
     ``[0, X_SCALE]`` and an int 0/1 ``label_col`` — build them with
-    :func:`normalized_features`. The caller should persist ``features``
-    (this runs ``n_iter + 1`` aggregates over it).
+    :func:`normalized_features`. ``label_col`` must be NON-NULL on every
+    row (a NULL label would drop its row from the gradient sums while
+    still counting in N — coalesce labels upstream, as the gate's
+    CASE/otherwise construction does). The caller should persist
+    ``features`` (this runs ``n_iter + 1`` aggregates over it).
 
     Update (all exact ints):
         r_i  = p_i - y_i * W_SCALE
