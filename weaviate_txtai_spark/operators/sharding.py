@@ -46,15 +46,19 @@ def rendezvous_assign(
     if len(set(shards)) != len(shards):
         raise ValueError(f"duplicate shard names: {shards}")
     key = F.col(key_col)
-    best = F.struct(
-        _weight(key, shards[0]).alias("w"), F.lit(shards[0]).alias("s")
-    )
-    for s in shards[1:]:
-        cand = F.struct(_weight(key, s).alias("w"), F.lit(s).alias("s"))
-        # struct comparison is lexicographic on (w, s): ties on the
-        # md5 hex (impossible in practice) break by shard name,
-        # keeping the argmax total and deterministic
-        best = F.when(cand > best, cand).otherwise(best)
+    # struct comparison is lexicographic on (w, s): ties on the md5 hex
+    # (impossible in practice) break by shard name, keeping the argmax
+    # total and deterministic. greatest() keeps the expression LINEAR in
+    # |shards| — the previous when(cand > best).otherwise(best) chain
+    # re-embedded `best` twice per level, growing the codegen'd
+    # projection 2^|shards|-fold and blowing Janino's 64 KB method limit
+    # at 8 shards (whole-stage codegen then silently fell back to
+    # interpreted execution).
+    cands = [
+        F.struct(_weight(key, s).alias("w"), F.lit(s).alias("s"))
+        for s in shards
+    ]
+    best = cands[0] if len(cands) == 1 else F.greatest(*cands)
     return df.withColumn(out_col, best["s"])
 
 
