@@ -133,7 +133,7 @@ def main() -> None:
     # classifier trained to tell reference sources from the rest, every
     # doc scored reference-likeness in [0,1] — integer-exact GD, so the
     # run is bit-reproducible on any cluster
-    from weaviate_txtai_spark.cache import cache_scope
+    from weaviate_txtai_spark.cache import cache_scope, scoped_persist
     from weaviate_txtai_spark.functions.text import tokens as _toks
     from weaviate_txtai_spark.operators.classifier import (
         W_SCALE,
@@ -152,7 +152,9 @@ def main() -> None:
                 F.sum(F.length("t")).cast("long").alias("tl"),
             )
         )
-        clf_feats = normalized_features(
+        # scoped_persist, not bare .persist(): cache_scope only releases
+        # what scoped_persist registered
+        clf_feats = scoped_persist(normalized_features(
             curated.join(tf, "doc_id", "left").select(
                 "doc_id",
                 F.when(F.col("source").isin("src0", "src1", "src2"), 1)
@@ -163,7 +165,7 @@ def main() -> None:
             ),
             ["nt", "nd", "tl"],
             out_cols=["x1", "x2", "x3"],
-        ).persist()
+        ))
         clf_w = fit_hard_sigmoid_gd(clf_feats, ["x1", "x2", "x3"], "y")
         clf_mean = (
             clf_feats.select(

@@ -62,6 +62,60 @@ def merge_write(path: str, result: dict) -> dict:
     return merged
 
 
+def q_heaps(d):
+    """Heaps-law fit query body — module-level so tools/tail4x.py reuses
+    the IDENTICAL construction (1x/2x here, 4x there must stay
+    structurally comparable)."""
+    from pyspark.sql import functions as F
+
+    from weaviate_txtai_spark.functions.text import tokens as toks
+    from weaviate_txtai_spark.operators.profile import heaps_fit
+
+    dt = d.select("doc_id", F.explode(toks("text")).alias("term"))
+    return heaps_fit(dt, "doc_id", "term", step=25)
+
+
+def q_linkage_em(cust):
+    """EM-linkage query body (perturbed b-side) — module-level for the
+    same tail4x reuse reason as q_heaps."""
+    from pyspark.sql import functions as F
+
+    from weaviate_txtai_spark.operators.recordlinkage import (
+        fs_em_fit, fs_em_weights, fs_pattern_counts_blocked,
+        fs_topk_blocked,
+    )
+
+    a = cust.select(
+        F.col("c_custkey").alias("ak"),
+        F.col("c_nationkey").alias("an"),
+        F.col("c_mktsegment").alias("aseg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("abucket"),
+        F.substring("c_name", 10, 9).alias("aname"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("bk"),
+        F.col("c_nationkey").alias("bn"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment")).alias("bseg"),
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.floor(F.col("c_acctbal") / 1000) + 1)
+        .otherwise(F.floor(F.col("c_acctbal") / 1000)).alias("bbucket"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("XXXXXXXXX"))
+        .otherwise(F.substring("c_name", 10, 9)).alias("bname"),
+    )
+    fields = {"eq_seg": ("aseg", "bseg"),
+              "eq_bucket": ("abucket", "bbucket"),
+              "eq_name": ("aname", "bname")}
+    counts = fs_pattern_counts_blocked(
+        a, b, a_block="an", b_block="bn", fields=fields
+    )
+    w = fs_em_weights(fs_em_fit(counts, 3, n_iter=8), list(fields))
+    return fs_topk_blocked(
+        a, b, w, 40, a_key="ak", b_key="bk",
+        a_block="an", b_block="bn", fields=fields,
+    )
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -648,12 +702,7 @@ def main() -> None:
         )
         return skyline_2d(per_part, "pk", "rc", "q")
 
-    def q_heaps(d):
-        from weaviate_txtai_spark.functions.text import tokens as toks
-        from weaviate_txtai_spark.operators.profile import heaps_fit
-
-        dt = d.select("doc_id", F.explode(toks("text")).alias("term"))
-        return heaps_fit(dt, "doc_id", "term", step=25)
+    # q_heaps / q_linkage_em are module-level (shared with tools/tail4x.py)
 
     def q_clf(d):
         from weaviate_txtai_spark.cache import scoped_persist
@@ -688,42 +737,6 @@ def main() -> None:
         w = fit_hard_sigmoid_gd(feats, xcols, "y", n_iter=8)
         return feats.select(
             "doc_id", score_hard_sigmoid(xcols, w).alias("p")
-        )
-
-    def q_linkage_em(cust):
-        from weaviate_txtai_spark.operators.recordlinkage import (
-            fs_em_fit, fs_em_weights, fs_pattern_counts_blocked,
-            fs_topk_blocked,
-        )
-
-        a = cust.select(
-            F.col("c_custkey").alias("ak"),
-            F.col("c_nationkey").alias("an"),
-            F.col("c_mktsegment").alias("aseg"),
-            F.floor(F.col("c_acctbal") / 1000).alias("abucket"),
-            F.substring("c_name", 10, 9).alias("aname"),
-        )
-        b = cust.select(
-            F.col("c_custkey").alias("bk"),
-            F.col("c_nationkey").alias("bn"),
-            F.when(F.col("c_custkey") % 5 == 0, F.lit("PERTURBED"))
-            .otherwise(F.col("c_mktsegment")).alias("bseg"),
-            F.when(F.col("c_custkey") % 3 == 0,
-                   F.floor(F.col("c_acctbal") / 1000) + 1)
-            .otherwise(F.floor(F.col("c_acctbal") / 1000)).alias("bbucket"),
-            F.when(F.col("c_custkey") % 11 == 0, F.lit("XXXXXXXXX"))
-            .otherwise(F.substring("c_name", 10, 9)).alias("bname"),
-        )
-        fields = {"eq_seg": ("aseg", "bseg"),
-                  "eq_bucket": ("abucket", "bbucket"),
-                  "eq_name": ("aname", "bname")}
-        counts = fs_pattern_counts_blocked(
-            a, b, a_block="an", b_block="bn", fields=fields
-        )
-        w = fs_em_weights(fs_em_fit(counts, 3, n_iter=8), list(fields))
-        return fs_topk_blocked(
-            a, b, w, 40, a_key="ak", b_key="bk",
-            a_block="an", b_block="bn", fields=fields,
         )
 
     cases = [

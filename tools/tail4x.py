@@ -78,33 +78,9 @@ def q_threshold_bucketed(e):
     from weaviate_txtai_spark.operators.simjoin import threshold_join
     left = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector"))
     return threshold_join(left, e, 0.9, right_id="vec_id", right_vec="embedding", strategy="bucketed")
-def q_heaps(d):
-    from weaviate_txtai_spark.functions.text import tokens
-    from weaviate_txtai_spark.operators.profile import heaps_fit
-    dt = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    return heaps_fit(dt, "doc_id", "term", step=25)
-def q_linkage_em(cust):
-    from weaviate_txtai_spark.operators.recordlinkage import (
-        fs_em_fit, fs_em_weights, fs_pattern_counts_blocked, fs_topk_blocked)
-    a = cust.select(
-        F.col("c_custkey").alias("ak"), F.col("c_nationkey").alias("an"),
-        F.col("c_mktsegment").alias("aseg"),
-        F.floor(F.col("c_acctbal")/1000).alias("abucket"),
-        F.substring("c_name", 10, 9).alias("aname"))
-    b = cust.select(
-        F.col("c_custkey").alias("bk"), F.col("c_nationkey").alias("bn"),
-        F.when(F.col("c_custkey")%5==0, F.lit("PERTURBED"))
-        .otherwise(F.col("c_mktsegment")).alias("bseg"),
-        F.when(F.col("c_custkey")%3==0, F.floor(F.col("c_acctbal")/1000)+1)
-        .otherwise(F.floor(F.col("c_acctbal")/1000)).alias("bbucket"),
-        F.when(F.col("c_custkey")%11==0, F.lit("XXXXXXXXX"))
-        .otherwise(F.substring("c_name", 10, 9)).alias("bname"))
-    fields = {"eq_seg": ("aseg","bseg"), "eq_bucket": ("abucket","bbucket"),
-              "eq_name": ("aname","bname")}
-    counts = fs_pattern_counts_blocked(a, b, a_block="an", b_block="bn", fields=fields)
-    w = fs_em_weights(fs_em_fit(counts, 3, n_iter=8), list(fields))
-    return fs_topk_blocked(a, b, w, 40, a_key="ak", b_key="bk",
-                           a_block="an", b_block="bn", fields=fields)
+# q_heaps / q_linkage_em are imported from scale_check (same bodies
+# must drive the 1x/2x and 4x harnesses)
+from scale_check import q_heaps, q_linkage_em  # noqa: E402
 
 from weaviate_txtai_spark.cache import cache_scope
 def run(fn, inp):

@@ -70,6 +70,12 @@ def _z_sql(feature_cols: Sequence[str], weights: Sequence[int]) -> str:
     literals are driver ints; the whole expression is JVM-side long
     arithmetic (bounded: |x*w| <= 1e4 * ~1e7, summed over d+1 terms).
     """
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"_z_sql: got {len(weights)} weights for {len(feature_cols)} "
+            f"features (+1 bias expected) — a silent zip-truncation here "
+            f"would score with features dropped"
+        )
     terms = [f"{int(X_SCALE)}L * {int(weights[0])}L"] + [
         f"{c} * {int(w)}L" for c, w in zip(feature_cols, weights[1:])
     ]
