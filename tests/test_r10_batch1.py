@@ -75,6 +75,14 @@ def test_kendall_tau_perfect_and_constant(spark):
         [(i, 7) for i in range(10)], "x int, y int"
     )
     assert kendall_tau_b(const, "x", "y").collect()[0].tau_b is None
+    # constant X empties the cell-pair join entirely: the C/D counts
+    # must come back 0 (a bare sum over zero rows is NULL), tau NULL
+    constx = spark.createDataFrame(
+        [(7, i) for i in range(10)], "x int, y int"
+    )
+    row = kendall_tau_b(constx, "x", "y").collect()[0]
+    assert row.tau_b is None
+    assert row.n_concordant == 0 and row.n_discordant == 0
 
 
 # -------------------------------------------------------- changepoint
@@ -294,3 +302,60 @@ def test_skyline_single_bucket_path(spark):
     df = spark.createDataFrame(pts, "id long, x long, y long")
     assert skyline_2d(df, "id", "x", "y", n_buckets=1).count() == 20
     assert skyline_2d(df, "id", "x", "y", n_buckets=50).count() == 20
+
+
+# ------------------------------------- review-fix regressions (r10 cont.)
+
+def test_heaps_fit_negative_and_huge_doc_ids(spark):
+    """Bucketing is integer div (truncating), not a double-precision
+    division: negative ids bucket like DuckDB's // and ids above 2^53
+    do not collapse into each other."""
+    from weaviate_txtai_spark.operators.profile import heaps_fit
+
+    big = 2**60
+    rows = [(d, t) for d in (-3, -1, 0, 1, big, big + 1)
+            for t in (f"tok{d}", "shared")]
+    dt = spark.createDataFrame(rows, "doc_id long, term string")
+    out = heaps_fit(dt, "doc_id", "term", step=2).collect()[0]
+    # buckets: -3 div 2 = -1, -1 div 2 = 0 (trunc!), 0,1 -> 0,
+    # big and big+1 -> same distinct huge bucket => 3 checkpoints
+    assert out.n_checkpoints == 3
+    assert out.total_tokens == 12
+    assert out.vocab == 7  # 6 unique tok{d} + "shared"
+
+
+def test_permutation_labels_valid_for_negative_unit_ids(spark):
+    """pmod keeps the permutation hash label in {0,1} for negative unit
+    ids (plain % gave __pt = -1, corrupting arm counts)."""
+    from weaviate_txtai_spark.operators.abtest import (
+        permutation_test_rates,
+    )
+
+    rows = [(u, 1 if u % 2 == 0 else 0, 1 if u % 3 == 0 else 0)
+            for u in range(-20, 20)]
+    df = spark.createDataFrame(rows, "u long, t int, y int")
+    out = permutation_test_rates(df, "u", "t", "y", n_perms=16).collect()[0]
+    # every permutation must partition all 40 units into the two arms
+    assert out.n1 + out.n0 == 40
+    assert 0.0 < out.p_value <= 1.0
+    # label validity: with plain %, negative ids gave __pt = -1 and
+    # n_extreme could exceed n_perms; pmod keeps it bounded
+    assert 0 <= out.n_extreme <= out.n_perms
+
+
+def test_logrank_chi2_exact_rational_rounding(spark):
+    """chi2 is rounded half-away in exact integer arithmetic (no float
+    round path): parity against the hand-computed rational."""
+    from weaviate_txtai_spark.operators.survival import logrank_test
+
+    rows = ([("A", t, 1) for t in (1, 2, 3, 5)]
+            + [("B", t, 1) for t in (2, 4, 6, 8)]
+            + [("A", 9, 0), ("B", 9, 0)])
+    df = spark.createDataFrame(rows, "variant string, t int, e int")
+    out = logrank_test(df, "t", "e", "variant").collect()[0]
+    assert out.chi2 is not None
+    # recompute from the emitted exact aggregates: the emitted chi2 must
+    # be the half-away 6dp rounding of (o1 - e1)^2 / v
+    import math
+    expect = (out.o1 - out.e1) ** 2 / out.v
+    assert math.isclose(out.chi2, expect, rel_tol=0, abs_tol=5e-6)

@@ -55,10 +55,15 @@ def merge_write(path: str, result: dict) -> dict:
             previous = json.load(f)
     merged = dict(previous)
     merged.update(result)
-    lost = set(previous) - set(merged)
-    assert not lost, f"scale_check would drop sections: {lost}"
     with open(path, "w") as f:
         f.write(json.dumps(merged) + "\n")
+    # verify against the FILE, not the in-memory dict (dict.update can
+    # never drop keys, so an in-memory check would be vacuous): re-read
+    # what was actually written and assert every prior section survived
+    with open(path) as f:
+        written = json.load(f)
+    lost = set(previous) - set(written)
+    assert not lost, f"scale_check dropped sections on disk: {lost}"
     return merged
 
 

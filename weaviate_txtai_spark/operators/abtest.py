@@ -1026,13 +1026,15 @@ def permutation_test_rates(
     ).select(
         "__seed",
         "__y",
-        # Knuth multiplicative hash, ANSI-safe: (u + seed) mod 2^31
-        # keeps the multiplicand below 2^31 so the product < 2^63.
+        # Knuth multiplicative hash, ANSI-safe: pmod keeps the
+        # multiplicand in [0, 2^31) — NON-NEGATIVE even for negative
+        # unit ids (plain % keeps the dividend's sign, which would make
+        # __pt = -1 and corrupt pn0/pn1) — so the product < 2^63.
         # The label is the TOP bit of the 32-bit product — the LOW bit
         # of x·odd is just x's parity, which would make every "random"
         # permutation the observed split or its complement
         F.expr(
-            "CAST((((__u + __seed) % 2147483648L) * 2654435761L"
+            "CAST((pmod(__u + __seed, 2147483648L) * 2654435761L"
             " % 4294967296L) div 2147483648L AS INT)"
         ).alias("__pt"),
     )

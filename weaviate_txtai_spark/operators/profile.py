@@ -199,7 +199,11 @@ def robust_zscores(
     computes round-half-away-from-zero in pure integer arithmetic
     ((|num|·2 + den) div (2·den), sign reapplied), replayable
     bit-identically in any engine; rz is then num/10^round_decimals as
-    one double division of exact integers.
+    one double division of exact integers. Headroom bound: |num| =
+    6745·10⁶·|2x−2med| must fit int64, i.e. |x − median| ≤ ~6.8e8 per
+    group — beyond that Spark's ANSI mode raises (and DuckDB errors on
+    the BIGINT oracle side); pre-scale wider-range columns before the
+    exact path.
     """
     base = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("double")
@@ -537,9 +541,11 @@ def heaps_fit(
     """
     if step < 1:
         raise ValueError("heaps_fit: step must be >= 1")
+    # integer div, not (x / step).cast(long): the double-precision path
+    # misbuckets ids above 2^53, and div's truncate-toward-zero matches
+    # DuckDB's // on negative ids exactly
     base = doc_tokens.select(
-        (F.col(doc_col).cast("long") / F.lit(int(step)))
-        .cast("long").alias("__b"),
+        F.expr(f"CAST({doc_col} AS LONG) div {int(step)}L").alias("__b"),
         F.col(doc_col).cast("long").alias("__doc"),
         F.col(token_col).alias("__tok"),
     ).filter(F.col("__tok").isNotNull())
@@ -548,7 +554,7 @@ def heaps_fit(
     )
     first_occ = base.groupBy("__tok").agg(F.min("__doc").alias("__fd"))
     new_per_bucket = first_occ.groupBy(
-        (F.col("__fd") / F.lit(int(step))).cast("long").alias("__b")
+        F.expr(f"__fd div {int(step)}L").alias("__b")
     ).agg(F.count(F.lit(1)).cast("long").alias("__nv"))
     per_bucket = tok_per_bucket.join(new_per_bucket, "__b", "left").select(
         "__b", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv")

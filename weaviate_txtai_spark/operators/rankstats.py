@@ -994,14 +994,23 @@ def kendall_tau_b(
         F.col("__x").alias("xb"), F.col("__y").alias("yb"),
         F.col("__c").alias("cb"),
     )
+    # coalesce(0): a constant-x input empties the cell-pair join, and a
+    # sum over zero rows is NULL — the counts must come back 0 (tau_b
+    # itself is NULL then, via try_divide's 0 denominator)
     pairs = a.join(b, F.col("xa") < F.col("xb")).agg(
-        F.sum(
-            F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb"))
-            .otherwise(F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).cast("long").alias("__C"),
-        F.sum(
-            F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb"))
-            .otherwise(F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb"))
+                .otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).cast("long").alias("__D"),
     )
     xm = cells.groupBy("__x").agg(F.sum("__c").alias("__cx")).agg(

@@ -232,7 +232,14 @@ def fs_pattern_counts_blocked(
     count: n_S = Σ_{T ⊇ S} (−1)^{|T\\S|} A_T. Identical integers to the
     pair-frame groupBy (pinned in tests) at dimension-table cost; NULL
     field values never equijoin, i.e. count as disagreement on both
-    paths. Returns {bitmask: count}, zero-count patterns included."""
+    paths. Returns {bitmask: count}, zero-count patterns included.
+
+    The 2^K aggregates each re-scan ``a`` and ``b`` DELIBERATELY
+    unpersisted: for direct table projections, 2^K cheap scans beat
+    persisting (the measured shared-joint-table pessimization in
+    NOTES.md — a row-unique field makes the "reduction" corpus-sized).
+    Callers whose ``a``/``b`` carry EXPENSIVE upstream lineage (joins,
+    aggregates) should scoped_persist them before calling."""
     names = list(fields)
     if not names:
         raise ValueError("fs_pattern_counts_blocked: no fields")

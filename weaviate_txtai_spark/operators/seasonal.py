@@ -602,7 +602,11 @@ def single_changepoint(
     Scale: one groupBy upstream to the time grid, driver fold over
     ≤ ``max_points`` rows (domain-sized iteration). Output (1 row):
     ``k, t_split, n, mean_before, mean_after, score`` — means are exact
-    integer divisions emitted as doubles.
+    integer divisions emitted as doubles. Headroom bound: score ≈
+    BSS·n·score_scale must fit int64 (LongType output / the oracle's
+    BIGINT cast) — |Σy|·score_scale up to ~3e18 is safe; pre-scale
+    larger-magnitude series (both engines error loudly past the bound,
+    createDataFrame on the Spark side, CAST on DuckDB's).
     """
     rows = (
         series.filter(F.col(y_col).isNotNull())

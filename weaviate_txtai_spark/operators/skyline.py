@@ -205,10 +205,9 @@ def skyline_2d(
         .select(
             "__x",
             "__ymax",
-            F.greatest(
-                F.coalesce("__suf_w", F.lit(None).cast("long")),
-                F.coalesce("__suf_b", F.lit(None).cast("long")),
-            ).alias("__suf"),
+            # greatest() skips NULLs natively (NULL only when BOTH
+            # suffix branches are NULL — the max-x point)
+            F.greatest("__suf_w", "__suf_b").alias("__suf"),
         )
     )
     frontier_x = suf.filter(

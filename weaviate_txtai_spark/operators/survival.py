@@ -186,9 +186,15 @@ def logrank_test(
         StructType,
     )
 
+    # exact-rational half-away rounding, no float path: chi2 is a ratio
+    # of exact ints, and a float-divide-then-round would use python's
+    # half-EVEN against the oracle's half-away (the docs_robust_zscores
+    # r10 lesson). num >= 0 and den > 0, so // == truncation here.
     chi2 = None
     if v_s > 0:
-        chi2 = float((o1 * sc - e1_s) ** 2) / float(v_s * sc)
+        num = (o1 * sc - e1_s) ** 2
+        den = v_s * sc
+        chi2 = ((2 * num * 10**6 + den) // (2 * den)) / 1e6
     schema = StructType(
         [
             StructField("n1", LongType(), False),
@@ -207,7 +213,7 @@ def logrank_test(
                 o1,
                 e1_s / sc,
                 v_s / sc,
-                round(chi2, 6) if chi2 is not None else None,
+                chi2,
             )
         ],
         schema,

@@ -8085,9 +8085,9 @@ SELECT na AS n1, nb AS n2, CAST(o1 AS BIGINT) AS o1,
        CAST(e1s AS DOUBLE) / 1000000.0 AS e1,
        CAST(vs AS DOUBLE) / 1000000.0 AS v,
        CASE WHEN vs > 0
-            THEN round(CAST((o1 * 1000000 - e1s) * (o1 * 1000000 - e1s)
-                         AS DOUBLE)
-                       / CAST(vs * 1000000 AS DOUBLE), 6)
+            THEN CAST((2 * (o1 * 1000000 - e1s) * (o1 * 1000000 - e1s)
+                         * 1000000 + vs * 1000000)
+                      // (2 * vs * 1000000) AS DOUBLE) / 1000000.0
             ELSE NULL END AS chi2
 FROM agg, sizes
 """
@@ -8153,7 +8153,8 @@ obs AS (SELECT CAST(sum(t) AS BIGINT) AS n1,
         FROM users),
 perms AS (
   SELECT s.seed,
-         CAST((((u + s.seed) % 2147483648) * 2654435761)
+         CAST((((((u + s.seed) % 2147483648) + 2147483648) % 2147483648)
+                * 2654435761)
               % 4294967296 // 2147483648 AS INT) AS pt,
          y
   FROM users, (SELECT unnest(generate_series(1, {n_perms})) AS seed) s),
