@@ -459,8 +459,19 @@ def stratified_ate(
     past the first aggregate. Output: one row per kept stratum
     (``stratum, n1, n0, diff, weight``, SE NULL) plus the pooled row
     (``stratum = -1``) carrying the ATE as ``diff``, weight 1, and the
-    pooled ``se``.
+    pooled ``se``. ``stratum_col`` must be integral (the output casts
+    it to long to share a column with the -1 pooled sentinel): a
+    string stratum would silently cast to NULL on every row, so
+    non-numeric dtypes raise here — hash/encode string strata first.
     """
+    dtypes = dict(df.dtypes)
+    sdt = dtypes.get(stratum_col, "")
+    if sdt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"stratified_ate: stratum_col {stratum_col!r} has dtype "
+            f"{sdt!r}; an integral stratum is required (the long cast "
+            f"in the output would NULL every non-numeric label)"
+        )
     cell = df.groupBy(
         F.col(stratum_col).alias("stratum"),
         F.col(treat_col).cast("boolean").alias("__t"),
@@ -481,7 +492,12 @@ def stratified_ate(
         )
         .filter((F.col("n1") >= 2) & (F.col("n0") >= 2))
     )
-    kept = wide.select(
+    # persisted: kept feeds three branches (tot, per, pooled) and Spark
+    # shares no common subplans — unpersisted, the corpus groupBy ran
+    # once per branch (strata-domain rows, trivial to cache)
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    kept = scoped_persist(wide.select(
         "stratum",
         "n1",
         "n0",
@@ -492,7 +508,7 @@ def stratified_ate(
         (F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")).alias(
             "__vw"
         ),
-    )
+    ))
     tot = kept.agg(F.sum("ns").alias("__n"))
     per = kept.join(F.broadcast(tot)).select(
         F.col("stratum").cast("long").alias("stratum"),
@@ -825,7 +841,17 @@ def odds_ratio(
             any_zero, F.lit(0.5)
         ).otherwise(F.lit(0.0))
     aa, bb, cc, dd = cell("a"), cell("b"), cell("c"), cell("d")
-    ok = (aa > 0) & (bb > 0) & (cc > 0) & (dd > 0)
+    # empty-MARGIN guard on the RAW counts: after the +0.5 correction
+    # every cell is positive, so a corrected-cell check could never
+    # fire — a table with no treated rows (a+b=0), no control rows,
+    # no positives, or no negatives has no estimable OR and must emit
+    # the documented NULL interval rather than a spurious finite one
+    ok = (
+        (F.col("a") + F.col("b") > 0)
+        & (F.col("c") + F.col("d") > 0)
+        & (F.col("a") + F.col("c") > 0)
+        & (F.col("b") + F.col("d") > 0)
+    )
     lor = F.log(aa * dd / (bb * cc))
     se = F.sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd)
     return agg.select(

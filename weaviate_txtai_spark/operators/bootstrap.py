@@ -11,8 +11,9 @@ aggregate — no resample shuffle, no driver data.
 
 Determinism: the per-(row, replicate) Poisson(1) draw inverts a
 Knuth-multiplicative hash uniform (the engine's established
-SQL-replicable PRN shape: ``((id + b·999983)·2654435761) mod 2³² /
-2³²`` — the replicate index folds in pre-multiply so streams
+SQL-replicable PRN shape: ``(((id + b·999983) mod 2³¹)·2654435761)
+mod 2³² / 2³²`` (the inner mod keeps the multiplicand below 2³¹ so the
+product fits int64 for ANY id — ids past ~3.5e9 overflowed without it) — the replicate index folds in pre-multiply so streams
 decorrelate), so
 the DuckDB oracle replays the exact draws — no Spark-only hash
 function anywhere.
@@ -93,7 +94,8 @@ def poisson_bootstrap_mean_ci(
     # times and decorrelates the replicate streams
     u = (
         F.pmod(
-            (F.col("__id") + F.col("__b") * F.lit(999983))
+            F.pmod(F.col("__id") + F.col("__b") * F.lit(999983),
+                   F.lit(2147483648))
             * F.lit(2654435761),
             F.lit(4294967296),
         )
@@ -177,7 +179,8 @@ def poisson_bootstrap_ratio_ci(
     )
     u = (
         F.pmod(
-            (F.col("__id") + F.col("__b") * F.lit(999983))
+            F.pmod(F.col("__id") + F.col("__b") * F.lit(999983),
+                   F.lit(2147483648))
             * F.lit(2654435761),
             F.lit(4294967296),
         )

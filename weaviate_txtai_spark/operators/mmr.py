@@ -57,8 +57,13 @@ def mmr_select(
         raise ValueError("mmr_select: lam must be in [0, 1]")
     import pandas as pd
 
+    # query/id pass through with their INPUT dtypes (string doc ids are
+    # as legitimate as longs): hardcoding long here NULLed/crashed every
+    # non-integer id inside the Arrow batch
+    dtypes = dict(candidates.dtypes)
     out_schema = (
-        f"{query_col} long, {id_col} long, rank int, mmr double"
+        f"{query_col} {dtypes[query_col]}, {id_col} {dtypes[id_col]}, "
+        f"rank int, mmr double"
     )
     lam_f = float(lam)
     rd = int(round_decimals)
@@ -67,7 +72,8 @@ def mmr_select(
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        ids = pdf[id_col].to_numpy(dtype="int64")
+        # no dtype coercion: object arrays (strings) sort and index fine
+        ids = pdf[id_col].to_numpy()
         rel = pdf[score_col].to_numpy(dtype="float64")
         mat = np.asarray(list(pdf[vector_col]), dtype="float64")
         q = pdf[query_col].iloc[0]

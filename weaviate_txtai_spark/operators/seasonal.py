@@ -458,10 +458,13 @@ def mann_kendall(
     """
     from weaviate_txtai_spark.operators.abtest import normal_two_sided_p
 
+    # NULL t drops UP FRONT: the tj > ti pair join would exclude such
+    # rows from S while n and the tie correction still counted them,
+    # deflating z — exclusion must be uniform across all three stats
     s = series.select(
         F.col(t_col).cast("long").alias("t"),
         F.col(y_col).cast("double").alias("y"),
-    ).filter(F.col("y").isNotNull())
+    ).filter(F.col("y").isNotNull() & F.col(t_col).isNotNull())
     a = s.select(F.col("t").alias("ti"), F.col("y").alias("yi"))
     b = s.select(F.col("t").alias("tj"), F.col("y").alias("yj"))
     sgn = F.when(F.col("yj") > F.col("yi"), 1).when(

@@ -5409,7 +5409,8 @@ WITH base AS (
 rep AS (SELECT id, x, s.b FROM base,
         unnest(generate_series(0, 49)) AS s(b)),
 u AS (SELECT x, b,
-             (((id + b * 999983) * 2654435761) % 4294967296)
+             ((((((id + b * 999983) % 2147483648) + 2147483648)
+                 % 2147483648) * 2654435761) % 4294967296)
                / 4294967296.0 AS u
       FROM rep),
 w AS (SELECT x, b,
@@ -5828,7 +5829,8 @@ WITH base AS (
 rep AS (SELECT id, n, d, s.b FROM base,
         unnest(generate_series(0, 49)) AS s(b)),
 u AS (SELECT n, d, b,
-             (((id + b * 999983) * 2654435761) % 4294967296)
+             ((((((id + b * 999983) % 2147483648) + 2147483648)
+                 % 2147483648) * 2654435761) % 4294967296)
                / 4294967296.0 AS u
       FROM rep),
 w AS (SELECT n, d, b,
@@ -7777,14 +7779,17 @@ k AS (
                   THEN 0.5 ELSE 0.0 END AS dd
   FROM agg)
 SELECT a, b, c, d, corrected,
-       round(CASE WHEN aa > 0 AND bb > 0 AND cc > 0 AND dd > 0
+       round(CASE WHEN a + b > 0 AND c + d > 0
+                   AND a + c > 0 AND b + d > 0
              THEN exp(ln(aa * dd / (bb * cc))) END, 6) AS or_,
-       round(CASE WHEN aa > 0 AND bb > 0 AND cc > 0 AND dd > 0
+       round(CASE WHEN a + b > 0 AND c + d > 0
+                   AND a + c > 0 AND b + d > 0
              THEN exp(ln(aa * dd / (bb * cc))
                   - 1.959963985
                     * sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd)) END, 6)
          AS or_lo,
-       round(CASE WHEN aa > 0 AND bb > 0 AND cc > 0 AND dd > 0
+       round(CASE WHEN a + b > 0 AND c + d > 0
+                   AND a + c > 0 AND b + d > 0
              THEN exp(ln(aa * dd / (bb * cc))
                   + 1.959963985
                     * sqrt(1 / aa + 1 / bb + 1 / cc + 1 / dd)) END, 6)
