@@ -307,6 +307,7 @@ def cliffs_delta(
     group_a,
     group_b,
     round_decimals: int = 6,
+    max_values: int = 100_000,
 ) -> DataFrame:
     """Cliff's delta (1993, public knowledge): P(a > b) − P(a < b) over
     all cross-group pairs — the ordinal, outlier-proof effect size that
@@ -328,6 +329,17 @@ def cliffs_delta(
         F.col(value_col).cast("double").alias("__v"),
     )
     vc = base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    # the prefix windows below run UNPARTITIONED over the merged value
+    # domain — bounded only while the domain is (the kendall_tau_b
+    # cardinality-guard lesson): a continuous metric with row-sized
+    # distinct values would funnel the corpus into one task
+    n_domain = vc.select("__v").distinct().count()
+    if n_domain > max_values:
+        raise ValueError(
+            f"cliffs_delta: {n_domain} distinct values > max_values="
+            f"{max_values} — the domain prefix would be single-task "
+            f"row-scale; quantize/bucket the value column first"
+        )
     # per value: counts on each side, then b-side exclusive prefix over
     # the merged value domain = #b strictly below that value
     wide = vc.groupBy("__v").agg(

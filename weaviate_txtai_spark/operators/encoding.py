@@ -148,20 +148,32 @@ def target_encode(
     encoded from their (category, fold) like any inference row — the
     standard train/score asymmetry of OOF target encoding. One join
     against the (category, fold) mapping — the corpus shuffles at most
-    once."""
-    mapping = target_encoding_map(
-        df,
-        cat_col,
-        target_col,
-        id_col=id_col,
-        fold_col=fold_col,
-        n_folds=n_folds,
-        smoothing=smoothing,
-        round_decimals=round_decimals,
-    ).select(cat_col, "fold", "enc")
-    keyed = df.withColumn(
-        "fold", _fold_expr(id_col, fold_col, n_folds)
+    once. Exactly ONE column (``out_col``) is appended: the internal
+    fold key is join-scoped and dropped (a bare ``fold`` name here
+    leaked into the output and silently overwrote any pre-existing
+    ``fold`` column of ``df``)."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"target_encode: out_col {out_col!r} already exists in df"
+        )
+    mapping = (
+        target_encoding_map(
+            df,
+            cat_col,
+            target_col,
+            id_col=id_col,
+            fold_col=fold_col,
+            n_folds=n_folds,
+            smoothing=smoothing,
+            round_decimals=round_decimals,
+        )
+        .select(cat_col, "fold", "enc")
+        .withColumnRenamed("fold", "__te_fold")
+        .withColumnRenamed("enc", out_col)
     )
-    return keyed.join(mapping, [cat_col, "fold"], "left").withColumnRenamed(
-        "enc", out_col
+    keyed = df.withColumn(
+        "__te_fold", _fold_expr(id_col, fold_col, n_folds)
+    )
+    return keyed.join(mapping, [cat_col, "__te_fold"], "left").drop(
+        "__te_fold"
     )

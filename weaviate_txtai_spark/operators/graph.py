@@ -323,19 +323,25 @@ def _local_components(edges: DataFrame) -> DataFrame:
     driver collect); input must be self-loop-free. Output: one
     ``(node, component)`` row per distinct node — component minima
     map to themselves (unlike the distributed fixpoint exit, roots are
-    already included)."""
+    already included). Id-type-agnostic like ``_local_pagerank_exact``:
+    labels are INDICES into the sorted node array, so any orderable id
+    type (string doc ids included) works and the output keeps the
+    input's id dtype — an int64 coercion here crashed
+    ``duplicate_groups`` on string-keyed dup-pair graphs."""
     import pandas as pd
+
+    id_type = dict(edges.dtypes)["u"]
 
     def finish(batches):
         import numpy as np
 
         us, vs = [], []
         for b in batches:
-            us.append(b["u"].to_numpy(dtype="int64"))
-            vs.append(b["v"].to_numpy(dtype="int64"))
+            us.append(b["u"].to_numpy())
+            vs.append(b["v"].to_numpy())
         if not us:
-            yield pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                "component": pd.Series([], dtype="int64")})
+            yield pd.DataFrame({"node": pd.Series([], dtype="object"),
+                                "component": pd.Series([], dtype="object")})
             return
         u = np.concatenate(us)
         v = np.concatenate(vs)
@@ -357,7 +363,7 @@ def _local_components(edges: DataFrame) -> DataFrame:
         yield pd.DataFrame({"node": nodes, "component": nodes[label]})
 
     return edges.repartition(1).mapInPandas(
-        finish, "node bigint, component bigint"
+        finish, f"node {id_type}, component {id_type}"
     )
 
 
@@ -1235,18 +1241,21 @@ def _local_hits_exact(e: DataFrame, n_iter: int, scale: int) -> DataFrame:
     bit-identical: the quantized-floor normalization below is the same
     pure-integer computation the distributed half-steps run, and every
     intermediate is bounded within int64 by the same argument (v2 ≤
-    ~1e6, v2·scale ≤ ~1e18). See ``hits_exact`` for the algebra."""
+    ~1e6, v2·scale ≤ ~1e18). See ``hits_exact`` for the algebra.
+    Id-type-agnostic (masses live on indices; ids only name rows)."""
     import pandas as pd
+
+    id_type = dict(e.dtypes)["s"]
 
     def run(batches):
         import numpy as np
 
         ss, ds = [], []
         for b in batches:
-            ss.append(b["s"].to_numpy(dtype="int64"))
-            ds.append(b["d"].to_numpy(dtype="int64"))
+            ss.append(b["s"].to_numpy())
+            ds.append(b["d"].to_numpy())
         if not ss:
-            yield pd.DataFrame({"node": pd.Series([], dtype="int64"),
+            yield pd.DataFrame({"node": pd.Series([], dtype="object"),
                                 "hub_fp": pd.Series([], dtype="int64"),
                                 "auth_fp": pd.Series([], dtype="int64")})
             return
@@ -1261,6 +1270,18 @@ def _local_hits_exact(e: DataFrame, n_iter: int, scale: int) -> DataFrame:
         def qnorm(vec):
             t = int(vec.sum())
             q = t // 1_000_000
+            if q <= 0:
+                # the previous half-step floored every value to 0: more
+                # active near-equal-mass nodes than the 1e6-unit
+                # quantization can resolve (independent of `scale` — at
+                # n nodes each holds ~scale/n and survives the floor
+                # only when n <= ~1e6). Raise rather than ZeroDivision:
+                # the float hits() covers wider graphs.
+                raise ValueError(
+                    "hits_exact: quantization resolution exhausted "
+                    "(> ~1e6 active equal-mass nodes); use hits() for "
+                    "graphs this wide"
+                )
             t2 = t // q
             return ((vec // q) * scale) // t2
 
@@ -1276,7 +1297,7 @@ def _local_hits_exact(e: DataFrame, n_iter: int, scale: int) -> DataFrame:
         yield pd.DataFrame({"node": nodes, "hub_fp": h, "auth_fp": a})
 
     return e.repartition(1).mapInPandas(
-        run, "node bigint, hub_fp bigint, auth_fp bigint"
+        run, f"node {id_type}, hub_fp bigint, auth_fp bigint"
     )
 
 
@@ -1316,7 +1337,12 @@ def hits_exact(
     # mirror pagerank_exact's entry validation: the quantized norm
     # floor-divides by (t div 1e6), so scale < 1e6 would raise
     # ZeroDivisionError in the local kernel but NULL-out silently in
-    # the distributed plan — reject divergent failure modes up front
+    # the distributed plan — reject divergent failure modes up front.
+    # Resolution bound (independent of scale): the 1e6-unit quantized
+    # norm can resolve at most ~1e6 active near-equal-mass nodes; past
+    # that the floor zeroes the vector and the next half-step raises
+    # (local kernel: ValueError; distributed: ANSI DIVIDE_BY_ZERO).
+    # The float ``hits`` has no such bound — use it for wider graphs.
     if scale < 1_000_000:
         raise ValueError("hits_exact: scale must be >= 1e6")
     if n_iter < 1:

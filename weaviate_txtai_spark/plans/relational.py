@@ -4942,7 +4942,7 @@ def events_sequence_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HITS_SQL = """
 WITH e AS MATERIALIZED (
-  SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+  SELECT DISTINCT o_custkey AS s, l_suppkey + 50000000 AS d
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
 h0r AS MATERIALIZED (SELECT DISTINCT s AS node FROM e),
 h0 AS MATERIALIZED (
@@ -5030,8 +5030,9 @@ def customer_supplier_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs can't re-aggregate per step; inlining re-evaluates the
     doubly-referenced chain exponentially) — replays the trajectory to
     the bit (DuckDB's sum promotes to HUGEINT, numerically identical).
-    Supplier node ids are offset by 1e6 so the two entity spaces can't
-    collide."""
+    Supplier node ids are offset by 5e7 so the two entity spaces can't
+    collide at ANY scale factor (custkey max is 150k·SF — the previous
+    1e6 offset collided from SF≈7; the scale harness always used 5e7)."""
     from weaviate_txtai_spark.operators.graph import hits_exact
 
     orders = load_table(spark, sf_dir, "orders")
@@ -5040,7 +5041,7 @@ def customer_supplier_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, orders.o_orderkey == li.l_orderkey
     ).select(
         F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + 1000000).alias("dst"),
+        (F.col("l_suppkey") + 50000000).alias("dst"),
     )
     return hits_exact(edges, n_iter=4).orderBy("node")
 
@@ -5139,7 +5140,7 @@ ORDER BY out_rows DESC, key ASC LIMIT 10
 def custkey_join_skew_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keys to salt (operators/skew.py join_skew_topk): top-10
     custkeys by SELF-join output contribution — the shape of a
-    sessionization or同-entity pairing blowup. Deterministic tie-break
+    sessionization or same-entity pairing blowup. Deterministic tie-break
     by key."""
     from weaviate_txtai_spark.operators.skew import join_skew_topk
 
