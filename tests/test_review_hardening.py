@@ -192,3 +192,87 @@ def test_target_encode_appends_exactly_one_column(spark):
     assert out.filter("fold != 99").count() == 0
     with pytest.raises(ValueError, match="already exists"):
         target_encode(df, "cat", "y", id_col="id", out_col="fold")
+
+
+def test_ztest_empty_arm_is_null_not_crash(spark):
+    from weaviate_txtai_spark.operators.abtest import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("a", 1)], "g string, s int"
+    )
+    row = two_proportion_ztest(
+        df, "g", "s", group_a="a", group_b="b"
+    ).collect()[0]
+    assert row.n_b == 0
+    assert row.rate_b is None and row.z is None
+    assert row.rate_a is not None
+
+
+def test_funnel_ab_empty_variant_is_null_not_crash(spark):
+    from weaviate_txtai_spark.operators.funnel import funnel_ab
+
+    rows = [(u, "A", float(t), s) for u in range(4)
+            for t, s in [(0, "signup"), (10, "view")]]
+    # variant B exists but never reaches step 0
+    rows += [(99, "B", 5.0, "view")]
+    df = spark.createDataFrame(
+        rows, "user_id long, v string, ts double, event_type string"
+    )
+    out = funnel_ab(
+        df, ["signup", "view"], variant_col="v",
+        group_a="A", group_b="B", window=100.0,
+    ).collect()
+    by_idx = {r.step_idx: r for r in out}
+    assert by_idx[1].rate_b is None and by_idx[1].z is None
+    assert by_idx[1].rate_a == 1.0
+
+
+def test_kcenter_coreset_string_ids(spark):
+    from weaviate_txtai_spark.operators.coreset import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.9, 0.1])],
+        "doc string, embedding array<float>",
+    )
+    out = kcenter_coreset(df, 2, id_col="doc").collect()
+    assert [r.doc for r in out] == ["a", "b"]  # seed=min id, farthest next
+    assert out[0].min_dist == 0.0
+
+
+def test_woe_iv_one_class_target_null_not_crash(spark):
+    from weaviate_txtai_spark.operators.regression import woe_iv
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 1)], "f string, y int"
+    )
+    rows = woe_iv(df, "f", "y").collect()
+    assert all(r.woe is None for r in rows)  # all-positive target
+
+
+def test_ks_drift_lazy_and_correct(spark):
+    from weaviate_txtai_spark.operators.drift import ks_drift
+
+    df = spark.createDataFrame(
+        [("g1", float(i)) for i in range(20)]
+        + [("g2", float(i) + 10.0) for i in range(20)],
+        "src string, v double",
+    )
+    # plan construction must not launch a job (no exception on empty)
+    empty = spark.createDataFrame([], "src string, v double")
+    ks_drift(empty, group_col="src", value_col="v")  # no crash eagerly
+    out = {r[0]: r.ks for r in
+           ks_drift(df, group_col="src", value_col="v").collect()}
+    # each group is half the pool, so the group-vs-pool KS is half the
+    # group-vs-group separation
+    assert out["g1"] == out["g2"] and out["g1"] >= 0.2
+
+
+def test_funnel_step_name_with_apostrophe(spark):
+    from weaviate_txtai_spark.operators.funnel import funnel
+
+    rows = [(u, float(t), s) for u in range(3)
+            for t, s in [(0, "signup"), (5, "user's click")]]
+    df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    out = {r.step: r.n_users for r in
+           funnel(df, ["signup", "user's click"], window=100.0).collect()}
+    assert out == {"signup": 3, "user's click": 3}

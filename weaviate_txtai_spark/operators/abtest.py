@@ -54,12 +54,22 @@ def two_proportion_ztest(
         .cast("long")
         .alias("successes_b"),
     )
-    pa = F.col("successes_a") / F.col("n_a")
-    pb = F.col("successes_b") / F.col("n_b")
-    pool = (F.col("successes_a") + F.col("successes_b")) / (
-        F.col("n_a") + F.col("n_b")
+    # try_divide everywhere an arm count divides: an empty arm must
+    # produce the documented NULLs, not an ANSI DIVIDE_BY_ZERO job kill
+    pa = F.try_divide(F.col("successes_a"), F.col("n_a"))
+    pb = F.try_divide(F.col("successes_b"), F.col("n_b"))
+    pool = F.try_divide(
+        F.col("successes_a") + F.col("successes_b"),
+        F.col("n_a") + F.col("n_b"),
     )
-    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (
+            F.try_divide(F.lit(1), F.col("n_a"))
+            + F.try_divide(F.lit(1), F.col("n_b"))
+        )
+    )
     return agg.select(
         "n_a",
         "n_b",

@@ -119,10 +119,12 @@ def ewma(
             F.collect_list(F.struct(F.col(order_col).alias("o"), F.col("__v")))
         ).alias("__series")
     )
-    # fold carries (index, prev_ewma); emit via transform over indices —
-    # aggregate() alone returns only the final state, so the running
-    # trajectory is rebuilt with a prefix fold per element. To stay
-    # O(n) (not O(n²)), fold ONCE accumulating the output array.
+    # fold ONCE accumulating the output array (vs a prefix fold per
+    # element, which is O(n²) FOLDS). Honest cost note: F.concat copies
+    # the accumulator per step, so element COPIES are still quadratic —
+    # acceptable only because the docstring contract bounds per-group
+    # series at aggregated-grid size (thousands); for longer series
+    # resample first or use a pandas ewm via applyInPandas.
     folded = F.aggregate(
         F.col("__series"),
         F.expr("CAST(array() AS ARRAY<DOUBLE>)"),

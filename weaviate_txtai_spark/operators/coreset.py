@@ -73,9 +73,10 @@ def kcenter_coreset(
         if not pick:
             break
         selected.append((rank, pick[0]["__id"], float(pick[0]["__dmin"])))
-        new_vec = (
-            base.filter(F.col("__id") == pick[0]["__id"]).collect()[0]["__v"]
-        )
+        # the limit(1) row already carries __v — re-fetching it with a
+        # base.filter(...).collect() launched one avoidable full-scan
+        # job per iteration (k-1 extra jobs at k picks)
+        new_vec = pick[0]["__v"]
         cur = cur.withColumn(
             "__dmin",
             F.least(
@@ -94,6 +95,9 @@ def kcenter_coreset(
         if rank % 16 == 0:
             cur = cur.localCheckpoint(eager=False)
     spark = df.sparkSession
+    # the id keeps its INPUT dtype (string doc ids are legitimate):
+    # a hardcoded LONG crashed createDataFrame for non-integer ids
+    id_type = dict(df.dtypes)[id_col]
     return spark.createDataFrame(
-        selected, f"rank INT, {id_col} LONG, min_dist DOUBLE"
+        selected, f"rank INT, {id_col} {id_type}, min_dist DOUBLE"
     )

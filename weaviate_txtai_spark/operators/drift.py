@@ -45,13 +45,19 @@ def ks_drift(
 
     counts = base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c"))
 
-    # global step points + pooled cumulative fraction at each
+    # global step points + pooled cumulative fraction at each. The
+    # total joins back LAZILY (broadcast 1-row), like jsd_drift: an
+    # eager .collect() here ran the corpus (group,value) aggregate at
+    # plan-construction time AND again in the returned plan (nothing
+    # was persisted), and crashed on an all-null value column
     gvals = counts.groupBy("__v").agg(F.sum("__c").alias("__gc"))
     wg = Window.orderBy("__v")
-    total = gvals.agg(F.sum("__gc")).collect()[0][0]
-    gcdf = gvals.withColumn(
-        "__gcum", F.sum("__gc").over(wg) / F.lit(float(total))
-    ).select("__v", "__gcum")
+    total = gvals.agg(F.sum("__gc").cast("double").alias("__tot"))
+    gcdf = (
+        gvals.join(F.broadcast(total))
+        .withColumn("__gcum", F.sum("__gc").over(wg) / F.col("__tot"))
+        .select("__v", "__gcum")
+    )
 
     groups = counts.groupBy("__g").agg(F.sum("__c").alias("__n"))
 

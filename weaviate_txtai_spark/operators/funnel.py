@@ -137,8 +137,13 @@ def funnel(
                 for i in range(len(steps))
             ]
         )
+    def _sq(s: str) -> str:
+        # step names are caller DATA interpolated into SQL literals —
+        # escape them (an apostrophe in an event type broke the parse)
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     stack_args = ", ".join(
-        f"{i}, '{s}', __n{i}" for i, s in enumerate(steps)
+        f"{i}, '{_sq(s)}', __n{i}" for i, s in enumerate(steps)
     )
     long = reached.selectExpr(
         f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
@@ -310,11 +315,22 @@ def funnel_ab(
         F.col("n_a").alias("__d_a"), F.col("n_b").alias("__d_b")
     )
     j = j.join(F.broadcast(base))
-    pa = F.col("n_a") / F.col("__d_a")
-    pb = F.col("n_b") / F.col("__d_b")
-    pool = (F.col("n_a") + F.col("n_b")) / (F.col("__d_a") + F.col("__d_b"))
+    # try_divide: a variant with zero step-0 users must yield NULL
+    # rate/z (the documented degenerate-cohort readout), not an ANSI
+    # DIVIDE_BY_ZERO — the 1/__d guards sat INSIDE the se expression
+    # and crashed before the when() could mask them
+    pa = F.try_divide(F.col("n_a"), F.col("__d_a"))
+    pb = F.try_divide(F.col("n_b"), F.col("__d_b"))
+    pool = F.try_divide(
+        F.col("n_a") + F.col("n_b"), F.col("__d_a") + F.col("__d_b")
+    )
     se = F.sqrt(
-        pool * (1 - pool) * (1 / F.col("__d_a") + 1 / F.col("__d_b"))
+        pool
+        * (1 - pool)
+        * (
+            F.try_divide(F.lit(1), F.col("__d_a"))
+            + F.try_divide(F.lit(1), F.col("__d_b"))
+        )
     )
     return j.select(
         "step_idx",

@@ -112,9 +112,12 @@ def woe_iv(
     tot = lv.agg(
         F.sum("__g").alias("__tg"), F.sum("__b").alias("__tb")
     )
-    gf = F.greatest(F.col("__g"), F.lit(0.5)) / F.col("__tg")
-    bf = F.greatest(F.col("__b"), F.lit(0.5)) / F.col("__tb")
-    woe = F.log(gf / bf)
+    # try_divide: the 0.5 Laplace floor protects per-level CELLS but a
+    # one-class target zeroes a class TOTAL — an undefined WOE must be
+    # NULL, not an ANSI DIVIDE_BY_ZERO job kill
+    gf = F.try_divide(F.greatest(F.col("__g"), F.lit(0.5)), F.col("__tg"))
+    bf = F.try_divide(F.greatest(F.col("__b"), F.lit(0.5)), F.col("__tb"))
+    woe = F.log(F.try_divide(gf, bf))
     return lv.join(F.broadcast(tot)).select(
         F.col("__f").alias(feature_col),
         "n",
