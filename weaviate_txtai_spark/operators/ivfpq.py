@@ -923,6 +923,11 @@ def tune_shortlist(
     ).collect()  # ≤ Q·k rows — bounded by the sample size, not the corpus
     for r in truth_rows:
         truth.setdefault(r["query_id"], set()).add(r[index.id_col])
+    if not truth:
+        # same guard as tune_search_params: an empty/fully-filtered
+        # corpus yields no ground truth and the recall mean below would
+        # ZeroDivisionError deep in the ladder
+        raise ValueError("tune_shortlist: no ground truth — empty corpus")
 
     curve: dict[int, float] = {}
     shortlist = 1

@@ -207,10 +207,16 @@ def knn_topk_gemm(
     # zero-norm guard matches the index side below: a zero query vector
     # must score 0 everywhere (deterministic output), not NaN — NaN made
     # the local top-k select nothing and SILENTLY dropped the query
-    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qn[qn == 0.0] = 1.0
-    qnorm = qmat / qn
-    qsq = (qmat * qmat).sum(axis=1)  # (Q,) — l2 metric only
+    # one metric-specific auxiliary array: the kernel closure serializes
+    # every captured local to every task, so computing BOTH the
+    # normalized query matrix and the squared norms shipped an unused
+    # (Q x dim) float64 array per task
+    if metric == "l2":
+        qaux = (qmat * qmat).sum(axis=1)  # (Q,) squared query norms
+    else:
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qn[qn == 0.0] = 1.0
+        qaux = qmat / qn  # (Q, dim) normalized queries
 
     # derive id types from the inputs: hardcoding LongType crashed the
     # Arrow serializer for string ids, making topk_join succeed or fail
@@ -234,7 +240,7 @@ def knn_topk_gemm(
                 # ||x||² − 2 x·q + ||q||², clipped: fp cancellation can
                 # dip a true-zero distance to ~-1e-13 and sqrt would NaN
                 xsq = (mat * mat).sum(axis=1, keepdims=True)
-                d2 = xsq - 2.0 * (mat @ qmat.T) + qsq[None, :]
+                d2 = xsq - 2.0 * (mat @ qmat.T) + qaux[None, :]
                 dists = np.sqrt(np.clip(d2, 0.0, None))  # (batch, Q)
                 if dist_round_decimals is not None:
                     # rank on the rounded key (see docstring) so the
@@ -245,7 +251,7 @@ def knn_topk_gemm(
             else:
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)
                 norms[norms == 0.0] = 1.0
-                sims = (mat / norms) @ qnorm.T  # (batch, Q)
+                sims = (mat / norms) @ qaux.T  # (batch, Q)
             ids = pdf[id_col].to_numpy()
             kk = min(k, sims.shape[0])
             # Local top-k per query. argpartition alone keeps ARBITRARY
