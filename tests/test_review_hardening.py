@@ -276,3 +276,79 @@ def test_funnel_step_name_with_apostrophe(spark):
     out = {r.step: r.n_users for r in
            funnel(df, ["signup", "user's click"], window=100.0).collect()}
     assert out == {"signup": 3, "user's click": 3}
+
+
+def test_ivfpq_append_keeps_layouts_in_sync(spark):
+    """Appending must encode the NEW batch directly (O(batch), no
+    corpus anti-join) and keep the float layout and codes table at the
+    same cardinality — including for a duplicate id, which now lands in
+    BOTH consistently (documented precondition: ids should be new)."""
+    import numpy as np
+
+    from weaviate_txtai_spark.operators.ivfpq import IVFPQIndex
+
+    rng = np.random.RandomState(7)
+    base = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = IVFPQIndex.build(base, nlist=4, m=4, k_pq=4, pq_iters=1)
+    new = spark.createDataFrame(
+        [(100, rng.randn(16).tolist()), (0, rng.randn(16).tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    idx2 = idx.append(new)
+    n_float = idx2.ivf.assigned.count()
+    n_codes = idx2.codes.count()
+    assert n_float == n_codes == 66  # 64 + 2 (dup id 0 in both, twice)
+
+
+def test_lsh_sizing_rejects_recall_one(spark):
+    from weaviate_txtai_spark.operators.simjoin import _lsh_sizing
+
+    with pytest.raises(ValueError, match="exactness mode"):
+        _lsh_sizing(
+            0.9, None, None,
+            n_total=1000, target_bucket_rows=100, target_recall=1.0,
+        )
+
+
+def test_dsir_weights_tokenless_docs_get_zero(spark):
+    from weaviate_txtai_spark.operators.importance import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "en", "alpha beta gamma"), (2, "de", "alpha beta"),
+         (3, "en", ""), (4, "de", None)],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.doc_id: r.weight for r in
+           dsir_weights(df, F.col("lang") == "en").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == 0.0 and out[4] == 0.0
+
+
+def test_ivfpq_backend_rejects_non_unit_vectors(spark):
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    class BadEncoder:
+        dim = 4
+
+        def encode(self, text):
+            return [2.0, 0.0, 0.0, 0.0]  # norm 2, not 1
+
+        def encode_many(self, texts):
+            return [self.encode(t) for t in texts]
+
+        def encode_df(self, df, text_col="text"):
+            return df.withColumn(
+                "vector",
+                F.array(F.lit(2.0), F.lit(0.0), F.lit(0.0), F.lit(0.0))
+                .cast("array<float>"),
+            )
+
+    emb = Embeddings(
+        spark, encoder=BadEncoder(), config={"backend": "ivfpq"}
+    )
+    emb.index([(i, f"doc {i}", None) for i in range(8)])
+    with pytest.raises(ValueError, match="L2-normalized"):
+        emb.search("doc 1", 2)

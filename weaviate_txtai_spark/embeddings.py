@@ -300,6 +300,33 @@ class Embeddings:
             return self._ann
         cfg = dict(self.config.get("ivfpq") or {})
         n = self._df.count()
+        # the ivfpq score contract is the unit-vector identity
+        # cos = 1 − d²/2; a pluggable encoder that does NOT L2-normalize
+        # would silently get wrong scores (exact/ivf backends rank true
+        # cosine and stay correct) — enforce the invariant once per
+        # build with one corpus aggregate
+        worst = (
+            self._df.select(
+                F.abs(
+                    F.aggregate(
+                        "vector",
+                        F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x,
+                    )
+                    - F.lit(1.0)
+                ).alias("__e")
+            )
+            .agg(F.max("__e"))
+            .collect()[0][0]
+        )
+        if worst is not None and worst > 1e-3:
+            raise ValueError(
+                "ivfpq backend requires L2-normalized vectors (the "
+                "score contract is the unit-vector identity "
+                "cos = 1 - d²/2); the configured encoder produced a "
+                f"vector with |norm² - 1| = {worst:.3g} — normalize in "
+                "the encoder or use backend='exact'/'ivf'"
+            )
         nlist = max(1, min(int(cfg.get("nlist", max(4, n // 256))), n))
         m = int(cfg.get("m", 8))
         k = max(2, min(int(cfg.get("k", 16)), n))
@@ -322,11 +349,13 @@ class Embeddings:
         re-ranked distance into the facade's score contract."""
         idx = self._ivfpq_index()
         cfg = dict(self.config.get("ivfpq") or {})
+        # `or`-defaults: an explicit None in the config dict must fall
+        # back like a missing key, not crash in int(None)
         hits = idx.search(
             qrows,
             limit + 8,
-            nprobe=int(cfg.get("nprobe", 4)),
-            shortlist=int(cfg.get("shortlist", 8)),
+            nprobe=int(cfg.get("nprobe") or 4),
+            shortlist=int(cfg.get("shortlist") or 8),
         ).select(
             F.col("query_id").cast("int").alias("qid"),
             "docid",

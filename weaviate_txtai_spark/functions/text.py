@@ -139,15 +139,10 @@ def ngrams(text, n: int) -> Column:
 
 
 def shingles(text, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; [] when fewer than n tokens."""
-    t = tokens(text)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
-    return F.array_distinct(
-        F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
-    )
+    """Distinct word n-gram shingles; [] when fewer than n tokens.
+    Defined as ``array_distinct(ngrams(...))`` so the gram construction
+    lives in exactly one place."""
+    return F.array_distinct(ngrams(text, n))
 
 
 # Profiles whose scripts are written WITHOUT spaces: token-equality

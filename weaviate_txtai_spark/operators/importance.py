@@ -102,10 +102,22 @@ def dsir_weights(
     # is data-sized, so leave the strategy to AQE there
     if num_buckets is not None and num_buckets <= 4_000_000:
         lr = F.broadcast(lr)
-    out = (
+    scored = (
         tok.join(lr, "f")
         .groupBy(id_col)
         .agg(F.sum("__lr").alias("weight"))
+    )
+    # EVERY input doc gets a weight row: a tokenless doc has zero
+    # exploded rows and would silently vanish from the output (skewing
+    # any downstream weighted resample keyed on doc id) — its log-ratio
+    # sum over zero tokens is exactly 0.0
+    out = (
+        df.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col, F.coalesce("weight", F.lit(0.0)).alias("weight")
+        )
     )
     if round_decimals is not None:
         out = out.select(

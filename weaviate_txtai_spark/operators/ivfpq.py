@@ -135,14 +135,28 @@ class IVFPQIndex:
 
         Caveat (same as any frozen quantizer): appended vectors far
         from the training distribution quantize worse — the model is
-        deliberately NOT updated so old codes stay valid."""
+        deliberately NOT updated so old codes stay valid.
+
+        Precondition (same as ``IVFIndex.append``): appended ids must be
+        NEW. A duplicate id appends a second row to BOTH the float
+        layout and the codes table consistently (it will appear twice in
+        results) — deduplicate or route updates through a delete first.
+        The previous anti-join against the coded ids silently dropped
+        the duplicate from the codes table only, desynchronizing the two
+        layouts — and it shuffled the whole corpus id set per append;
+        encoding the new batch directly is O(batch)."""
+        from weaviate_txtai_spark.operators.kmeans import assign_clusters
+
         ivf_new = self.ivf.append(new_df)
         keep = [
             c for c in self.codes.columns
             if c not in (self.id_col, "cell", "pq_code")
         ]
-        assigned_new = ivf_new.assigned.join(
-            self.codes.select(self.id_col), self.id_col, "left_anti"
+        assigned_new = assign_clusters(
+            new_df,
+            self.ivf.centroids,
+            vector_col=self.vector_col,
+            cluster_col="cell",
         )
         residual_new = _with_residual(
             assigned_new, self.ivf.centroids, vector_col=self.vector_col

@@ -424,6 +424,15 @@ def _lsh_sizing(
     docstring for the two sizing rules)."""
     import math
 
+    if not (0.0 < target_recall < 1.0):
+        # log(1 - r) below: r >= 1 hit a bare 'math domain error' from
+        # deep inside sizing — recall 1.0 is the documented EXACTNESS
+        # mode (num_planes=0, num_tables=1), not an LSH sizing target
+        raise ValueError(
+            f"_lsh_sizing: target_recall must be in (0, 1), got "
+            f"{target_recall!r}; for exact recall use the exactness "
+            f"mode (num_planes=0, num_tables=1)"
+        )
     planes_user_fixed = num_planes is not None
     if num_planes is None:
         num_planes = max(

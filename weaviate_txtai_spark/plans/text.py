@@ -863,9 +863,17 @@ WITH tok AS (
             - ln((c_raw + 0.5) / (n_raw + 0.5 * v)) AS lr
   FROM vocab, totals
 )
-SELECT tok.doc_id, round(sum(lr.lr), 6) AS weight
-FROM tok JOIN lr ON tok.f = lr.f
-GROUP BY 1 ORDER BY 1
+, scored AS (
+  SELECT tok.doc_id, sum(lr.lr) AS weight
+  FROM tok JOIN lr ON tok.f = lr.f
+  GROUP BY 1
+)
+-- every doc gets a row (tokenless docs: weight 0.0, the empty log-
+-- ratio sum) — mirrors the operator's doc-id left join
+SELECT d.doc_id, round(coalesce(s.weight, 0.0), 6) AS weight
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY 1
 """
 
 
