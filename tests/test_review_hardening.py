@@ -352,3 +352,49 @@ def test_ivfpq_backend_rejects_non_unit_vectors(spark):
     emb.index([(i, f"doc {i}", None) for i in range(8)])
     with pytest.raises(ValueError, match="L2-normalized"):
         emb.search("doc 1", 2)
+
+
+def test_bucketed_delete_recovers_pending_aside_before_reading(spark, tmp_path):
+    """Crash-recovery ordering: a mutation interrupted between the
+    move-aside and the rename-in leaves '.bucket=N.old' and no
+    'bucket=N'. A retried delete must roll the aside back BEFORE
+    reading the surviving rows — recovering it only inside the rewrite
+    (after the read) resurrected the bucket and then replaced it with a
+    frame missing its rows, silently deleting the whole bucket."""
+    import os
+    import shutil
+
+    from weaviate_txtai_spark.index import VectorIndex
+
+    idx = VectorIndex(
+        spark, str(tmp_path), config={"weaviate": {"buckets": 4}}
+    )
+    idx.create()
+    vecs = [[float(i), 1.0] for i in range(16)]
+    idx.index(vecs)
+    assert idx.count() == 16
+    # simulate the crash: bucket for docid 3 (3 % 4 = 3) moved aside,
+    # replacement never renamed in
+    data = os.path.join(str(tmp_path), idx.index_name, "data")
+    src = os.path.join(data, "bucket=3")
+    aside = os.path.join(data, ".bucket=3.old")
+    assert os.path.isdir(src)
+    os.replace(src, aside)
+    # retried delete of ONE docid in that bucket: docids 3,7,11,15 hash
+    # there; after recovery-then-read, 7/11/15 must survive
+    idx.delete([3])
+    assert idx.count() == 15
+    remaining = {r.docid for r in idx.to_df().select("docid").collect()}
+    assert {7, 11, 15} <= remaining and 3 not in remaining
+
+
+def test_embeddings_reindex_releases_previous_cache(spark):
+    from weaviate_txtai_spark.embeddings import Embeddings
+
+    emb = Embeddings(spark)
+    emb.index([(i, f"text {i}", None) for i in range(10)])
+    first = emb._df
+    emb.index([(i, f"text {i}", None) for i in range(5)])
+    # the replaced frame must not stay cached
+    assert first.storageLevel.useMemory is False
+    assert emb.count() == 5

@@ -175,6 +175,11 @@ class Embeddings:
         drop-and-recreate, weaviate.py:112-135)."""
         rows = self._to_rows(documents)
         self.offset = 0
+        # release the previous corpus cache like upsert/delete do — a
+        # reindex loop otherwise accumulates orphaned cached frames in
+        # executor storage until eviction pressure hits everything else
+        if self._df is not None:
+            self._df.unpersist()
         self._df = self._encode_df(rows, 0).cache()
         self._mutations += 1  # invalidates the cached ANN index
         self.offset = len(rows)
@@ -237,7 +242,12 @@ class Embeddings:
         compaction in a Delta/Iceberg table."""
         self._mutations += 1
         if self._mutations % 8 == 0 and self._df is not None:
-            self._df = self._df.localCheckpoint(eager=True)
+            cp = self._df.localCheckpoint(eager=True)
+            # the pre-checkpoint cache entry is orphaned once cp takes
+            # over (reads come from the checkpointed blocks) — release
+            # it instead of leaking one entry per 8 mutations
+            self._df.unpersist()
+            self._df = cp
 
     # ------------------------------------------------------------- query
 

@@ -587,6 +587,12 @@ class VectorIndex:
         bucketed index only the buckets the ids hash into are read and
         rewritten — every other bucket's files are untouched bytes.
         """
+        # recover BEFORE reading: the rewrite's own defensive recovery
+        # runs after the surviving rows were already read, so a pending
+        # aside (e.g. ".bucket=3.old" with no "bucket=3" after a crash
+        # mid-swap) would be invisible to the read, restored by the
+        # rewrite's recovery, then replaced by a frame missing its rows
+        self._recover_swaps()
         ids_df = self.spark.createDataFrame(
             [(int(i),) for i in ids], StructType([StructField("docid", LongType())])
         )
@@ -668,6 +674,9 @@ class VectorIndex:
     def _merge_df(self, new_df: DataFrame, touched: Sequence[int]) -> None:
         """Shared merge plan: new rows UNION (old rows anti-joined on the
         new docids); bucket-scoped when the layout allows it."""
+        # recover BEFORE reading (see delete): a pending aside must be
+        # rolled back before the old rows are enumerated
+        self._recover_swaps()
         if self._is_fully_bucketed():
             # partial merge: only the buckets the upserted docids hash
             # into are read + rewritten (the CDC micro-batch cost bound)
@@ -694,6 +703,8 @@ class VectorIndex:
         copy-on-write swap the mutations use). Rows, docids, and vectors
         are unchanged — only the file layout. Returns the new file count.
         """
+        # recover BEFORE reading (see delete)
+        self._recover_swaps()
         df = self.to_df()
         if self.n_buckets:
             # bucketed layout: one task per bucket, docid-sorted files,
