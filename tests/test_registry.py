@@ -25,31 +25,30 @@ _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
               "streaming_enrich", "streaming_funnel"}
 
 
-# The r10 first-time window (VERDICT r9 task 1): every slot is a gate
-# the driver has never sampled — 45 of the 48 never-sampled pre-r9
-# gates, the four r9 gates touched by this round's ADVICE fixes, and
-# the new customer_linkage_em. The §2 anchors (knn_topk, similar_sql)
-# rotate OUT this round: each holds 2-6 green driver rows from r01-r09.
-_R10_WINDOW = {
-    "events_time_weighted_avg", "quantity_weighted_price_pctl",
-    "events_rolling_avg", "customer_value_deciles", "docs_grouping_sets",
-    "revenue_percentile", "events_outliers", "quantity_rank_ties",
-    "customer_order_counts", "events_hourly_incremental",
-    "events_seasonal_outliers", "returned_items", "shipping_priority",
-    "promo_revenue", "nation_trade_volume", "large_orders",
-    "disjunctive_selection", "lapsed_high_value_customers",
-    "part_revenue_share", "top_revenue_supplier",
-    "small_quantity_revenue", "late_shipment_priority",
-    "events_distinct_users", "dedup_weights", "dedup_prefix_jaccard",
-    "winnow_pairs", "tfidf_top_terms", "bigram_top", "doc_chunks",
-    "pack_sequences", "docs_repetition", "bpe_token_counts",
-    "token_budget_waterfill", "docs_length_pctrank",
-    "docs_robust_zscores", "doc_shard_assign", "multi_phrase_match",
-    "docs_length_qnorm", "token_pmi_pairs", "streaming_interval_join",
-    "streaming_dedup", "train_test_split", "stratified_sample",
-    "label_centroids", "docs_quality_tiers",
-    "purchase_value_auc", "events_daily_sax", "purchase_simpson_check",
-    "source_shard_apportion", "customer_linkage_em",
+# The r11 ledger-closing window (VERDICT r10 task 1): the FINAL 49
+# never-sampled oracled gates plus one §2 anchor (knn_topk) in the
+# spare slot. After this window lands green, every oracled gate in the
+# registry has a driver CORRECTNESS row.
+_R11_WINDOW = {
+    "quality_weighted_sample", "source_quota_sample", "events_group_split",
+    "customer_linkage_fs", "docs_trigram_jm_nll", "events_stratified_ate",
+    "mmr_diversified", "events_sequence_triples", "events_dp_cohort_counts",
+    "part_bt_ranking", "docs_nb_langid", "source_chi2_terms",
+    "docs_textrank_terms", "part_supplier_bfs", "purchase_isotonic_fit",
+    "token_good_turing", "event_type_stationary", "events_value_ols2",
+    "events_srm_check", "embedding_intrinsic_dim", "seeded_expansion_ppr",
+    "knn_label_modularity", "event_chain_entropy_rate", "purchase_cmh",
+    "customer_rfm_segments", "user_burstiness", "revenue_theil",
+    "coverage_set_cover", "events_daily_acf",
+    "purchase_shapley_attribution", "part_abc_classes",
+    "part_return_rate_eb", "purchase_rate_jackknife",
+    "knn_label_loo_accuracy", "purchase_error_xcf",
+    "events_daily_mann_kendall", "events_daily_haar", "purchase_pass_at_k",
+    "part_return_wilson", "cohort_ltv_triangle", "purchase_odds_ratio",
+    "lineitem_kendall_tau", "events_daily_changepoint", "docs_heaps_law",
+    "events_sprt_decision", "part_pareto_frontier",
+    "signup_survival_logrank", "purchase_permutation_test",
+    "docs_quality_classifier", "knn_topk",
 }
 
 
@@ -59,14 +58,15 @@ def test_every_oracle_query_is_registered():
         assert name in qs
 
 
-def test_driver_sample_window_is_the_r10_rotation():
-    """The driver hashes the FIRST 50 queries() entries. Pin the r10
-    window: exactly the planned 50 first-time gates, every one oracled
-    — the driver has no rows-only mode, so an unoracled window entry is
-    a guaranteed-red `err: no_oracle` row (VERDICT r6 #2, r9 task 4)."""
+def test_driver_sample_window_is_the_r11_rotation():
+    """The driver hashes the FIRST 50 queries() entries. Pin the r11
+    window: the final 49 never-sampled oracled gates + knn_topk, every
+    one oracled — the driver has no rows-only mode, so an unoracled
+    window entry is a guaranteed-red `err: no_oracle` row (VERDICT r6
+    #2, r9 task 4)."""
     names = list(Q.queries())
     window = names[:50]
-    assert set(window) == _R10_WINDOW
+    assert set(window) == _R11_WINDOW
     osql = Q.oracle_sql()
     unoracled = [n for n in window if n not in osql]
     assert not unoracled, (

@@ -967,12 +967,14 @@ def sprt_bernoulli(
             F.col(successes_col).cast("long").alias("s"),
         )
         .orderBy("t")
+        # cap guard BEFORE the collect: an oversized period domain (a
+        # mis-called raw-event input) pulls at most cap+1 rows
+        .limit(max_periods + 1)
         .collect()
     )
     if len(rows) > max_periods:
         raise ValueError(
-            f"sprt_bernoulli: {len(rows)} periods exceeds cap "
-            f"{max_periods}"
+            f"sprt_bernoulli: period domain exceeds cap {max_periods}"
         )
     if not rows:
         raise ValueError("sprt_bernoulli: no periods")

@@ -618,12 +618,15 @@ def single_changepoint(
             F.col(y_col).cast("long").alias("y"),
         )
         .orderBy("t")
+        # cap guard BEFORE the collect: an oversized series (a mis-called
+        # raw-timestamp input) pulls at most cap+1 rows, never all of them
+        .limit(max_points + 1)
         .collect()
     )
     n = len(rows)
     if n > max_points:
         raise ValueError(
-            f"single_changepoint: {n} points exceeds cap {max_points}"
+            f"single_changepoint: point domain exceeds cap {max_points}"
         )
     if n < 2:
         raise ValueError("single_changepoint: need at least 2 points")

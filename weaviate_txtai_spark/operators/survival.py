@@ -143,10 +143,13 @@ def logrank_test(
         )
         .orderBy("t", "g")
     )
-    rows = grp.collect()
+    # Bound driver memory BEFORE materializing: limit(cap+1) makes an
+    # oversized domain (a mis-called raw-timestamp input) surface as the
+    # cap error after pulling at most cap+1 rows, never the full domain.
+    rows = grp.limit(_LOGRANK_CAP + 1).collect()
     if len(rows) > _LOGRANK_CAP:
         raise ValueError(
-            f"logrank_test: duration domain {len(rows)} exceeds cap "
+            f"logrank_test: duration domain exceeds cap "
             f"{_LOGRANK_CAP}; coarsen the time unit"
         )
     groups = sorted({r["g"] for r in rows})

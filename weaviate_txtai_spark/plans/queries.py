@@ -46,107 +46,70 @@ from weaviate_txtai_spark.plans.pipeline import *  # noqa: F401,F403
 
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # r10 rotation (VERDICT r9 task 1): the r9 window's 50 entries all
-    # hold fresh green r09 rows, so every slot cedes to a FIRST-TIME
-    # entry — 45 of the 48 never-sampled pre-r9 gates queued by the r9
-    # plan (quality_weighted_sample / source_quota_sample /
-    # events_group_split defer to r11; their sampling family is
-    # represented by stratified_sample + train_test_split below), the
-    # FOUR r9-oracled gates whose code or oracle the r9 ADVICE fixes
-    # touched this round (purchase_value_auc oracle NULL semantics,
-    # events_daily_sax t0-offset fix, purchase_simpson_check dead-agg
-    # removal, source_shard_apportion all-zero-weight fallback — a
-    # fresh driver row on just-changed code beats one on untouched
-    # code), and customer_linkage_em (the EM-fitted unsupervised
-    # Fellegi–Sunter gate VERDICT r9 task 5 demanded, new this round).
-    # All 50 verified green vs DuckDB at sf0.01 AND sf0.1 pre-swap.
-    # Every §2 anchor holds 2–6 green driver rows from r01–r09 and
-    # stays judge-sweep + pytest covered. The 41 remaining
-    # never-sampled gates are listed in the r11 plan at the bottom;
-    # new-gate growth this round is capped so r11 converges to zero.
-    # ------------------------------------------------------------------
-    # never-sampled pre-r9 gates (r9 plan order)
-    "events_time_weighted_avg",
-    "quantity_weighted_price_pctl",
-    "events_rolling_avg",
-    "customer_value_deciles",
-    "docs_grouping_sets",
-    "revenue_percentile",
-    "events_outliers",
-    "quantity_rank_ties",
-    "customer_order_counts",
-    "events_hourly_incremental",
-    "events_seasonal_outliers",
-    "returned_items",
-    "shipping_priority",
-    "promo_revenue",
-    "nation_trade_volume",
-    "large_orders",
-    "disjunctive_selection",
-    "lapsed_high_value_customers",
-    "part_revenue_share",
-    "top_revenue_supplier",
-    "small_quantity_revenue",
-    "late_shipment_priority",
-    "events_distinct_users",
-    "dedup_weights",
-    "dedup_prefix_jaccard",
-    "winnow_pairs",
-    "tfidf_top_terms",
-    "bigram_top",
-    "doc_chunks",
-    "pack_sequences",
-    "docs_repetition",
-    "bpe_token_counts",
-    "token_budget_waterfill",
-    "docs_length_pctrank",
-    "docs_robust_zscores",
-    "doc_shard_assign",
-    "multi_phrase_match",
-    "docs_length_qnorm",
-    "token_pmi_pairs",
-    "streaming_interval_join",
-    "streaming_dedup",
-    "train_test_split",
-    "stratified_sample",
-    "label_centroids",
-    "docs_quality_tiers",
-    # r9-oracled gates touched by this round's ADVICE fixes
-    "purchase_value_auc",
-    "events_daily_sax",
-    "purchase_simpson_check",
-    "source_shard_apportion",
-    # new this round (VERDICT r9 task 5)
-    "customer_linkage_em",
-    # ------------------------------------------------------------------
-    # r11 plan (the remaining never-sampled oracled gates — rotate ALL
-    # of them in next round; 41 + this round's few new gates fit one
-    # 50-slot window, converging driver coverage to zero never-sampled):
-    # quality_weighted_sample, source_quota_sample, events_group_split,
-    # customer_linkage_fs, docs_trigram_jm_nll, events_stratified_ate,
-    # mmr_diversified, events_sequence_triples, events_dp_cohort_counts,
-    # part_bt_ranking, docs_nb_langid, source_chi2_terms,
-    # docs_textrank_terms, part_supplier_bfs, purchase_isotonic_fit,
-    # token_good_turing, event_type_stationary, events_value_ols2,
-    # events_srm_check, embedding_intrinsic_dim, seeded_expansion_ppr,
-    # knn_label_modularity, event_chain_entropy_rate, purchase_cmh,
-    # customer_rfm_segments, user_burstiness, revenue_theil,
-    # coverage_set_cover, events_daily_acf,
-    # purchase_shapley_attribution, part_abc_classes,
-    # part_return_rate_eb, purchase_rate_jackknife,
-    # knn_label_loo_accuracy, purchase_error_xcf,
-    # events_daily_mann_kendall, events_daily_haar, purchase_pass_at_k,
-    # part_return_wilson, cohort_ltv_triangle, purchase_odds_ratio —
-    # plus the 8 never-sampled gates newly oracled in r10 (see NOTES.md
-    # r10 log): lineitem_kendall_tau, events_daily_changepoint,
-    # docs_heaps_law, events_sprt_decision, part_pareto_frontier,
-    # signup_survival_logrank, purchase_permutation_test,
-    # docs_quality_classifier — 41 + 8 = 49 gates fill the 50-slot
-    # window with one slot spare.
-    # The 7 rows-only-by-design gates (HLL/GK/CMS sketches, BPE, the
-    # SVD encoder, the nprobe tuner) are STRUCTURALLY excluded from the
+    # r11 rotation (VERDICT r10 task 1): the FINAL 49 never-sampled
+    # oracled gates — exactly the list the r10 plan wrote here — plus
+    # one §2 anchor (knn_topk, the flagship Q1) in the spare slot.
+    # After CORRECTNESS_r11 lands green, every oracled gate in the
+    # registry holds a driver CORRECTNESS row and the coverage ledger
+    # closes to zero never-sampled. The r10 window's 50 entries all
+    # hold fresh green r10 rows and cede their slots. The 7
+    # rows-only-by-design gates (HLL/GK/CMS sketches, BPE, the SVD
+    # encoder, the nprobe tuner) remain STRUCTURALLY excluded from the
     # sampled window by the oracle assert in _ordered_names().
     # ------------------------------------------------------------------
+    # the 41 never-sampled pre-r10 gates (r10 plan order)
+    "quality_weighted_sample",
+    "source_quota_sample",
+    "events_group_split",
+    "customer_linkage_fs",
+    "docs_trigram_jm_nll",
+    "events_stratified_ate",
+    "mmr_diversified",
+    "events_sequence_triples",
+    "events_dp_cohort_counts",
+    "part_bt_ranking",
+    "docs_nb_langid",
+    "source_chi2_terms",
+    "docs_textrank_terms",
+    "part_supplier_bfs",
+    "purchase_isotonic_fit",
+    "token_good_turing",
+    "event_type_stationary",
+    "events_value_ols2",
+    "events_srm_check",
+    "embedding_intrinsic_dim",
+    "seeded_expansion_ppr",
+    "knn_label_modularity",
+    "event_chain_entropy_rate",
+    "purchase_cmh",
+    "customer_rfm_segments",
+    "user_burstiness",
+    "revenue_theil",
+    "coverage_set_cover",
+    "events_daily_acf",
+    "purchase_shapley_attribution",
+    "part_abc_classes",
+    "part_return_rate_eb",
+    "purchase_rate_jackknife",
+    "knn_label_loo_accuracy",
+    "purchase_error_xcf",
+    "events_daily_mann_kendall",
+    "events_daily_haar",
+    "purchase_pass_at_k",
+    "part_return_wilson",
+    "cohort_ltv_triangle",
+    "purchase_odds_ratio",
+    # the 8 gates newly oracled in r10 (NOTES.md r10 log)
+    "lineitem_kendall_tau",
+    "events_daily_changepoint",
+    "docs_heaps_law",
+    "events_sprt_decision",
+    "part_pareto_frontier",
+    "signup_survival_logrank",
+    "purchase_permutation_test",
+    "docs_quality_classifier",
+    # spare slot: §2 anchor (Q1 kNN cosine top-k)
+    "knn_topk",
 ]
 
 
