@@ -59,7 +59,7 @@ def test_scd2_null_to_value_counts_as_change(spark):
 def test_scd2_duplicate_change_keys_raise(spark):
     hist = _hist(spark, [(1, "A", "n", D(1995, 1, 1), None)])
     ch = _ch(spark, [(1, "X", D(2000, 1, 1)), (1, "Y", D(2001, 1, 1))])
-    with pytest.raises(ValueError, match="duplicate keys"):
+    with pytest.raises(ValueError, match="duplicate or NULL"):
         scd2_apply(hist, ch, key_cols=["k"], compare_cols=["seg"])
 
 

@@ -199,11 +199,17 @@ def mixture_sample(
     a MAP-ONLY filter with binomial (not exact) per-stratum counts;
     the same trade ``quantile_buckets`` makes vs ``exact_ntile``.
 
-    Driver-side state is ≤|strata| numbers either way — never row data.
+    Rows with a NULL id have no identity to hash — their fraction is
+    NULL, which would sort FIRST in the selection order and win every
+    draw — so they are excluded (same contract as weighted_sample_k's
+    zero-weight filter). Driver-side state is ≤|strata| numbers either
+    way — never row data.
     """
     from pyspark.sql import Window
 
-    in_scope = df.filter(_c(strata_col).isin(list(weights)))
+    in_scope = df.filter(
+        _c(strata_col).isin(list(weights)) & _c(id_col).isNotNull()
+    )
     counts = {
         r[0]: r[1]
         for r in in_scope.groupBy(strata_col)
@@ -213,25 +219,59 @@ def mixture_sample(
     # strata with zero rows surface as absent keys -> mixture_quotas
     # raises its explicit absent-stratum error
     quotas = mixture_quotas({s: n for s, n in counts.items()}, weights)
+    # quota/rate attach via a broadcast join, not a |strata|-deep
+    # when-chain: past ~100 strata the chain blows the 64 KB codegen
+    # method limit and silently drops the whole stage to interpreted
+    # mode (the operators/sharding.py argmax lesson)
+    spark = df.sparkSession
+    stype = df.schema[strata_col].dataType
     if exact:
-        quota_col = F.lit(None).cast("long")
-        for s, q in quotas.items():
-            quota_col = F.when(_c(strata_col) == s, F.lit(q)).otherwise(quota_col)
+        qdf = F.broadcast(
+            spark.createDataFrame(
+                [(s, q) for s, q in quotas.items()],
+                _quota_schema(strata_col, stype, "__quota"),
+            )
+        )
         w = Window.partitionBy(_c(strata_col)).orderBy(
             split_fraction(id_col).asc(), _c(id_col).asc()
         )
         return (
             in_scope.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= quota_col)
-            .drop("__rk")
+            .join(qdf, strata_col)
+            .filter(F.col("__rk") <= F.col("__quota"))
+            .drop("__rk", "__quota")
         )
-    rate_col = F.lit(None).cast("double")
-    for s, q in quotas.items():
-        # counts[s] > 0 here: a zero-count stratum never reaches quotas
-        rate_col = F.when(
-            _c(strata_col) == s, F.lit(q / counts[s])
-        ).otherwise(rate_col)
-    return in_scope.filter(split_fraction(id_col) < rate_col)
+    # counts[s] > 0 here: a zero-count stratum never reaches quotas
+    rdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, q / counts[s]) for s, q in quotas.items()],
+            _rate_schema(strata_col, stype, "__rate"),
+        )
+    )
+    return (
+        in_scope.join(rdf, strata_col)
+        .filter(split_fraction(id_col) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def _quota_schema(strata_col: str, stype, quota_col: str):
+    """Quota-table schema with the stratum column at its INPUT dtype —
+    a hardcoded string field would make the join silently cast (or
+    crash createDataFrame) for integer strata."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType(
+        [StructField(strata_col, stype), StructField(quota_col, LongType())]
+    )
+
+
+def _rate_schema(strata_col: str, stype, rate_col: str):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType(
+        [StructField(strata_col, stype), StructField(rate_col, DoubleType())]
+    )
 
 
 def sample_fraction_open(id_col) -> Column:
@@ -250,10 +290,16 @@ def uniform_sample_k(df, k: int, *, id_col: str = "doc_id"):
     heaps + one k-row merge on the driver-side reduce), so the cost is
     one scan regardless of table size. Unlike ``sample(fraction)`` the
     count is exact; unlike a window rank there is no shuffle. The draw
-    NESTS: k' > k extends the same sample (fixed hash permutation)."""
-    return df.orderBy(
-        split_fraction(id_col).asc(), _c(id_col).asc()
-    ).limit(int(k))
+    NESTS: k' > k extends the same sample (fixed hash permutation).
+
+    Rows with a NULL id are excluded: their hash fraction is NULL,
+    which sorts FIRST under asc and would deterministically win every
+    draw — a row with no identity cannot be sampled by identity."""
+    return (
+        df.filter(_c(id_col).isNotNull())
+        .orderBy(split_fraction(id_col).asc(), _c(id_col).asc())
+        .limit(int(k))
+    )
 
 
 def weighted_sample_k(
@@ -272,10 +318,14 @@ def weighted_sample_k(
     weight-blind). The k largest keys (closest to 0) are the sample —
     still one TakeOrderedAndProject, no global sort.
 
-    Rows with zero/negative/NULL weight have inclusion probability 0
-    and are FILTERED, not padded in: if fewer than k rows carry
-    positive weight the result has fewer than k rows (padding with
-    impossible rows would violate ∝-weight semantics silently).
+    Rows with zero/negative/NULL/NaN weight — or a NULL id — have
+    inclusion probability 0 and are FILTERED, not padded in: if fewer
+    than k rows carry positive weight the result has fewer than k rows
+    (padding with impossible rows would violate ∝-weight semantics
+    silently). The NaN exclusion is load-bearing: Spark orders NaN
+    ABOVE every real number, so `NaN > 0` passes the filter and the
+    NaN key would sort first under desc, making any NaN-weight row win
+    the sample unconditionally.
 
     Keys are compared unrounded with the id as tie-break — the same
     contract as the kNN score ordering (libm ``log`` may differ in the
@@ -288,7 +338,7 @@ def weighted_sample_k(
     u = sample_fraction_open(id_col)
     key = F.log(u) / w
     return (
-        df.filter(w > 0)
+        df.filter((w > 0) & ~F.isnan(w) & _c(id_col).isNotNull())
         .withColumn("__aes_key", key)
         .orderBy(F.desc("__aes_key"), _c(id_col).asc())
         .limit(int(k))
@@ -348,12 +398,21 @@ def temperature_sample(
     ≤|strata|-row collect, integer-exact); selection within a stratum by
     the multiplicative-hash order (same fixed permutation as
     ``mixture_sample``), so the draw is reproducible on any partitioning
-    and NESTS as ``total`` grows."""
+    and NESTS as ``total`` grows.
+
+    Rows with a NULL stratum or NULL id are excluded BEFORE quota
+    allocation: a NULL stratum would be granted quota that the inner
+    quota join then silently drops (output < total with no error), and
+    a NULL id's NULL hash fraction would sort first and win its
+    stratum's draw."""
     from pyspark.sql import Window
 
+    base = df.filter(
+        _c(strata_col).isNotNull() & _c(id_col).isNotNull()
+    )
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(strata_col)
+        for r in base.groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -362,14 +421,16 @@ def temperature_sample(
     qdf = F.broadcast(
         spark.createDataFrame(
             [(s, q) for s, q in quotas.items()],
-            f"{strata_col} string, __quota long",
+            _quota_schema(
+                strata_col, df.schema[strata_col].dataType, "__quota"
+            ),
         )
     )
     # split_fraction, not a naive id*K multiply: ANSI overflow guard
     frac = split_fraction(id_col)
     w = Window.partitionBy(strata_col).orderBy(frac.asc(), _c(id_col).asc())
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        base.withColumn("__rk", F.row_number().over(w))
         .join(qdf, strata_col)
         .filter(F.col("__rk") <= F.col("__quota"))
         .drop("__rk", "__quota")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -35,9 +36,17 @@ PAYLOAD_META_SCHEMA = StructType(
         StructField("media_type", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("n_bytes", IntegerType()),
+        # long: a >2 GiB payload overflows int, an ANSI job kill
+        StructField("n_bytes", LongType()),
     ]
 )
+
+
+def _id_sql_type(df: DataFrame, id_col: str) -> str:
+    """The id column's OWN sql type for mapInPandas output schemas — a
+    hardcoded `long` corrupts (or crashes Arrow conversion for) string
+    or uuid document ids; same dtype-generic stance as coreset/MMR."""
+    return df.schema[id_col].dataType.simpleString()
 
 
 def attach_fake_payload(
@@ -54,7 +63,7 @@ def attach_fake_payload(
             F.lit(media_type).alias("media_type"),
             F.lit(8).alias("width"),
             F.lit(8).alias("height"),
-            F.length(payload).cast("int").alias("n_bytes"),
+            F.length(payload).cast("long").alias("n_bytes"),
         ),
     )
 
@@ -125,7 +134,8 @@ def resize_images(
 
     return spread(df.select(id_col, payload_col)).mapInPandas(
         compute,
-        schema=f"{id_col} long, resized binary, width int, height int",
+        schema=f"{id_col} {_id_sql_type(df, id_col)}, "
+        "resized binary, width int, height int",
     )
 
 
@@ -144,6 +154,10 @@ def sample_frames(
     n_frames evenly-spaced 8-byte windows as 'frames'; a real
     implementation swaps the window slicing for a demuxer keyframe read,
     keeping schema (id, frame_idx, frame) and batch shape identical."""
+    if n_frames < 1:
+        # range(n_frames) over a non-positive count would silently emit
+        # ZERO frames for every payload instead of failing the call
+        raise ValueError(f"sample_frames: n_frames must be >= 1, got {n_frames}")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,7 +179,9 @@ def sample_frames(
     from weaviate_txtai_spark.sources.tables import spread
 
     return spread(df.select(id_col, payload_col)).mapInPandas(
-        compute, schema=f"{id_col} long, frame_idx int, frame binary"
+        compute,
+        schema=f"{id_col} {_id_sql_type(df, id_col)}, "
+        "frame_idx int, frame binary",
     )
 
 
@@ -200,5 +216,6 @@ def extract_features(
     from weaviate_txtai_spark.sources.tables import spread
 
     return spread(df.select(id_col, payload_col)).mapInPandas(
-        compute, schema=f"{id_col} long, features array<double>"
+        compute,
+        schema=f"{id_col} {_id_sql_type(df, id_col)}, features array<double>",
     )

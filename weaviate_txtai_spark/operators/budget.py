@@ -53,9 +53,28 @@ def waterfill_allocation(
     """
     if budget < 0:
         raise ValueError(f"waterfill_allocation: negative budget {budget}")
+    amt = F.col(amount_col).cast("double")
     a = per_source.select(
         F.col(key_col).alias("__k"),
-        F.col(amount_col).cast("double").alias("__a"),
+        # in-plan validation (no extra action): a NULL/negative/NaN
+        # inventory silently corrupts the prefix sums and θ — Σ alloc
+        # would no longer equal min(budget, Σ amount)
+        F.when(
+            amt.isNull() | (amt < 0) | F.isnan(amt),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "waterfill_allocation: inventory must be a "
+                        "non-negative number; got "
+                    ),
+                    F.coalesce(amt.cast("string"), F.lit("NULL")),
+                    F.lit(" for source "),
+                    F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("double"),
+        )
+        .otherwise(amt)
+        .alias("__a"),
     )
     # deterministic total order (amount, then key) so prefix sums are
     # reproducible across runs even with tied inventories

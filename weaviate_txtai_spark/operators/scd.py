@@ -60,16 +60,24 @@ def scd2_apply(
     """
     keys = list(key_cols)
     comp = list(compare_cols)
-    dup = (
+    # one bounded action catches BOTH caller bugs: duplicate keys
+    # (ambiguous order within a batch) and NULL keys (the equi-join
+    # never matches NULL, so a NULL-key change would silently insert a
+    # parallel open version next to the NULL-key history row)
+    null_key = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    bad = (
         changes.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
+        .filter((F.col("__n") > 1) | null_key)
         .limit(1)
         .count()
     )
-    if dup:
+    if bad:
         raise ValueError(
-            "scd2_apply: changes contain duplicate keys — apply batches "
-            "sequentially, one change per key per batch"
+            "scd2_apply: changes contain duplicate or NULL keys — apply "
+            "batches sequentially with one non-NULL-keyed change per key"
         )
     ch = changes.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
@@ -194,10 +202,29 @@ def log_state_as_of(
         ).alias("__last"),
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct(F.col(version_col)).alias("__nv"),
+        # op outside {'upsert','delete'} (incl. NULL) must raise, not
+        # silently act: `op != 'delete'` is NULL for a NULL op, so the
+        # live-row filter would silently DELETE every NULL-op key
+        F.max(
+            F.when(
+                F.col(op_col).isNull()
+                | ~F.col(op_col).isin("upsert", "delete"),
+                1,
+            ).otherwise(0)
+        ).alias("__bad_op"),
     )
-    # duplicate versions within a key make last-writer-wins ambiguous
-    dup = picked.filter(F.col("__n") != F.col("__nv"))
-    if dup.limit(1).count():
+    # duplicate versions within a key make last-writer-wins ambiguous;
+    # same single bounded action also surfaces invalid ops
+    bad = picked.filter(
+        (F.col("__n") != F.col("__nv")) | (F.col("__bad_op") == 1)
+    ).limit(1).collect()
+    if bad:
+        r = bad[0]
+        if r["__bad_op"] == 1:
+            raise ValueError(
+                "log_state_as_of: op outside {'upsert','delete'} (or "
+                "NULL) in the log — a NULL op would silently delete"
+            )
         raise ValueError(
             "duplicate version within a key — ambiguous log order"
         )

@@ -63,12 +63,15 @@ def edit_distance_join(
     """All pairs (id1 < id2) with ``levenshtein(s1, s2) <= k``.
     Output: ``id1, id2, s1, s2, dist``. Null/empty-vs-long handling
     follows levenshtein itself; strings shorter than q·(k+1) take the
-    short-pool path."""
+    short-pool path. Rows with a NULL id or NULL string are excluded
+    up front: a NULL id cannot appear in an (id1 < id2) pair anyway,
+    and leaving it in would lump every NULL-id string into ONE
+    rare-gram probe group before being dropped."""
     if k < 1:
         raise ValueError("k must be >= 1")
     base = df.select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
-    ).filter(F.col("s").isNotNull())
+    ).filter(F.col("s").isNotNull() & F.col(id_col).isNotNull())
     base = base.withColumn("l", F.length("s"))
     lmin = q * (k + 1)
     long_s = base.filter(F.col("l") >= lmin)

@@ -47,6 +47,8 @@ def load_media_dir(
             F.lit(media_type).alias("media_type"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.col("length").cast("int").alias("n_bytes"),
+            # long, not int: a >2 GiB media file (video) overflows an
+            # int cast, which under ANSI mode kills the whole read job
+            F.col("length").cast("long").alias("n_bytes"),
         ).alias("payload_meta"),
     )
