@@ -65,6 +65,12 @@ def asof_join(
     would produce an ambiguous duplicate output column; that collision
     raises ``ValueError`` (rename on either side first) rather than
     silently dropping data the way ``range_join``'s exclusion does.
+
+    NULL timestamps: a right row with NULL ts matches NOTHING (there is
+    no "as of NULL"), and a left row with NULL ts gets a NULL payload —
+    without this, NULLS-FIRST window ordering silently matched NULL-ts
+    left rows to NULL-ts right rows (and, forward, would attribute the
+    first REAL outcome to a NULL exposure time).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
@@ -82,7 +88,11 @@ def asof_join(
             "an input column; pick a different name"
         )
 
-    lhs = left.select(
+    lnull = left.filter(F.col(left_ts).isNull())
+    lok = left.filter(F.col(left_ts).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
+
+    lhs = lok.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
@@ -137,7 +147,7 @@ def asof_join(
             "__f", F.first("__r", ignorenulls=True).over(w)
         )
     out_left = [c for c in left.columns if c not in keys]
-    return (
+    matched = (
         filled.filter(F.col("__is_left") == 1)
         .select(
             *keys,
@@ -146,6 +156,18 @@ def asof_join(
             F.col("__f").getField("__mts").alias(matched_ts_col),
         )
     )
+    null_out = lnull.select(
+        *keys,
+        *out_left,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in payload
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(
+            matched_ts_col
+        ),
+    )
+    return matched.unionByName(null_out)
 
 
 def range_join(
@@ -221,7 +243,11 @@ def interval_overlap_join(
     like range_join's window).
 
     Returns left columns + right payload columns (caller renames to
-    avoid collisions before the call). NULL bounds are dropped.
+    avoid collisions before the call). NULL bounds are dropped, and so
+    are INVERTED intervals (end < start): a closed interval with
+    end < start denotes the empty set, which overlaps nothing — left
+    in, its descending bucket sequence could still pair it with a right
+    interval spanning the inverted gap.
     """
     keys = list(on)
     w_us = int(bucket_seconds) * 1_000_000
@@ -253,10 +279,14 @@ def interval_overlap_join(
         return F.explode(F.sequence(guard, b1)), b0
 
     lf = left.filter(
-        F.col(left_start).isNotNull() & F.col(left_end).isNotNull()
+        F.col(left_start).isNotNull()
+        & F.col(left_end).isNotNull()
+        & (F.col(left_start) <= F.col(left_end))
     )
     rf = right.filter(
-        F.col(right_start).isNotNull() & F.col(right_end).isNotNull()
+        F.col(right_start).isNotNull()
+        & F.col(right_end).isNotNull()
+        & (F.col(right_start) <= F.col(right_end))
     )
     lex, lb0 = buckets(left_start, left_end, "left")
     rex, rb0 = buckets(right_start, right_end, "right")

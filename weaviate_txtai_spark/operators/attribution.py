@@ -59,6 +59,9 @@ def attribution(
         raise ValueError(f"lookback must be positive seconds, got {lookback!r}")
     ev = events.select(user_col, type_col, ts_col, value_col).filter(
         F.col(type_col).isin(list(touch_types) + [conversion_type])
+        # a NULL user would LUMP every unkeyed row into one pseudo-user
+        # whose unrelated touches credit each other's conversions
+        & F.col(user_col).isNotNull()
     )
     per_user = ev.groupBy(user_col).agg(
         F.sort_array(

@@ -80,7 +80,12 @@ def funnel(
     if window is not None and window <= 0:
         raise ValueError(f"window must be positive seconds, got {window!r}")
     per_user = (
-        events.filter(F.col(type_col).isin(list(steps)))
+        events.filter(
+            # NULL users would lump unrelated events into one
+            # pseudo-user that "converts" through every step
+            F.col(type_col).isin(list(steps))
+            & F.col(user_col).isNotNull()
+        )
         .select(user_col, type_col, ts_col)
         .groupBy(user_col)
         .pivot(type_col, list(steps))
@@ -186,6 +191,7 @@ def cohort_retention(
     Output: ``cohort_week (date), week_offset (int), n_users (long)``.
     """
     wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    events = events.filter(F.col(user_col).isNotNull())
     first = (
         events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
     )
@@ -231,7 +237,12 @@ def funnel_latency(
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {list(steps)!r}")
     per_user = (
-        events.filter(F.col(type_col).isin(list(steps)))
+        events.filter(
+            # NULL users would lump unrelated events into one
+            # pseudo-user that "converts" through every step
+            F.col(type_col).isin(list(steps))
+            & F.col(user_col).isNotNull()
+        )
         .select(user_col, type_col, ts_col)
         .groupBy(user_col)
         .pivot(type_col, list(steps))
@@ -372,6 +383,7 @@ def cohort_ltv(
     """
     from pyspark.sql import Window as W
 
+    events = events.filter(F.col(user_col).isNotNull())
     first = events.groupBy(user_col).agg(
         F.date_trunc("week", F.min(ts_col)).cast("date").alias(
             "cohort_week"

@@ -38,11 +38,25 @@ def gini(
 ) -> DataFrame:
     """Gini coefficient of ``value_col``, per ``group_col`` group (or
     one global row when ``group_col`` is None). Output: (group,)
-    ``n, total, gini``; gini is NULL for groups with zero total."""
+    ``n, total, gini``; gini is NULL for groups with zero total.
+    Negative values RAISE in-plan: they silently flip the statistic's
+    sign (the rank-form numerator goes negative), which is the
+    silently-corrupt failure mode, not a meaningful Gini."""
     g = F.lit("__all").alias("__g") if group_col is None else F.col(
         group_col
     ).alias("__g")
-    base = df.select(g, F.col(value_col).alias("__v")).filter(
+    v = F.col(value_col)
+    checked = F.when(
+        v < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("gini: negative value "),
+                v.cast("string"),
+                F.lit(" — Gini requires non-negative values"),
+            )
+        ).cast(df.schema[value_col].dataType),
+    ).otherwise(v)
+    base = df.select(g, checked.alias("__v")).filter(
         F.col("__v").isNotNull()
     )
     counts = base.groupBy("__g", "__v").agg(

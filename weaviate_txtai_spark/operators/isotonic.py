@@ -40,6 +40,7 @@ def isotonic_fit(
     y_col: str,
     *,
     round_decimals: int = 6,
+    max_buckets: int = 100_000,
 ) -> DataFrame:
     """Monotone (non-decreasing) least-squares fit of mean-``y_col``
     as a function of ``x_col``.
@@ -47,6 +48,13 @@ def isotonic_fit(
     Output: one row per distinct x — ``x_col, n, y_mean, y_iso`` with
     ``y_iso`` the isotonic fit (weighted by bucket size, as PAV
     requires). NULL x or y rows are excluded.
+
+    ``max_buckets`` guards the B² range self-joins against a mis-called
+    CONTINUOUS x (the kendall/cliffs_delta cardinality-guard
+    discipline): a raw-score x makes B ≈ corpus and the quadratic
+    explodes — bucket the scores first. The probe is a bounded
+    ``limit(cap+1)`` count on the already-aggregated bucket table,
+    never a corpus scan.
     """
     b = scoped_persist(
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
@@ -56,6 +64,12 @@ def isotonic_fit(
             F.count(F.lit(1)).cast("double").alias("n"),
         )
     )
+    if b.limit(max_buckets + 1).count() > max_buckets:
+        raise ValueError(
+            f"isotonic_fit: more than {max_buckets} distinct x values — "
+            "the B^2 isotonic evaluation needs a bucketed domain; "
+            "quantize x first (e.g. functions.sampling.quantile_buckets)"
+        )
     # inclusive prefix sums via a range self-join (B² pairs, B =
     # bucket-domain size); exclusive = inclusive − own bucket
     l, r = b.alias("l"), b.alias("r")

@@ -66,10 +66,19 @@ def basketize(
 ) -> DataFrame:
     """Distinct (basket, item) → one row per basket with its sorted
     array of frequent items. Baskets larger than ``max_basket_size``
-    (measured AFTER item pruning) are dropped."""
-    baskets = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    (measured AFTER item pruning) are dropped. Rows with a NULL basket
+    or NULL item are excluded: NULL baskets would otherwise LUMP every
+    unkeyed row into one giant pseudo-basket, emitting bogus pairs
+    between unrelated items (or silently hitting the size cap)."""
+    baskets = (
+        df.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
     if min_item_count > 1:
         frequent = (
             baskets.groupBy("item")

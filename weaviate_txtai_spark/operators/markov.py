@@ -59,7 +59,14 @@ def markov_stationary_exact(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
             F.col(count_col).cast("long").alias("cnt"),
-        ).filter(F.col("cnt") > 0)
+        ).filter(
+            # NULL endpoints would mint a phantom NULL state: it joins
+            # nothing (NULL ≠ NULL), so it becomes a dangling state
+            # silently absorbing a uniform mass share every iteration
+            (F.col("cnt") > 0)
+            & F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+        )
     )
     tot = scoped_persist(
         t.groupBy("src").agg(F.sum("cnt").alias("tot"))

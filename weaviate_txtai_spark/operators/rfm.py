@@ -47,7 +47,11 @@ def rfm_segments(
     if n_buckets < 2:
         raise ValueError("rfm_segments: n_buckets must be >= 2")
     base = events.filter(
-        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        # a NULL user would lump every unkeyed event into one
+        # pseudo-customer with corpus-level frequency/monetary
+        & F.col(user_col).isNotNull()
     ).select(
         F.col(user_col).alias("user"),
         F.unix_micros(F.col(ts_col)).alias("__us"),

@@ -50,7 +50,14 @@ def sequence_pairs(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
         F.unix_micros(F.col(ts_col)).alias("us"),
-    ).filter(F.col("t").isNotNull() & F.col("us").isNotNull())
+    ).filter(
+        # NULL users form no pairs (NULL ≠ NULL in the self-join) but
+        # WOULD still inflate n_users and the per-type supports,
+        # silently deflating every lift
+        F.col("t").isNotNull()
+        & F.col("us").isNotNull()
+        & F.col("u").isNotNull()
+    )
     if max_user_events is not None:
         counts = e.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
         dropped = counts.filter(F.col("__n") > max_user_events)
@@ -148,7 +155,14 @@ def sequence_triples(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
         F.unix_micros(F.col(ts_col)).alias("us"),
-    ).filter(F.col("t").isNotNull() & F.col("us").isNotNull())
+    ).filter(
+        # NULL users form no pairs (NULL ≠ NULL in the self-join) but
+        # WOULD still inflate n_users and the per-type supports,
+        # silently deflating every lift
+        F.col("t").isNotNull()
+        & F.col("us").isNotNull()
+        & F.col("u").isNotNull()
+    )
     if max_user_events is not None:
         counts = e.groupBy("u").agg(F.count(F.lit(1)).alias("__n"))
         dropped = counts.filter(F.col("__n") > max_user_events)

@@ -142,7 +142,10 @@ def sessionize_stream(
         return _sessionize_group(key, pdfs, state, gap_seconds)
 
     return (
-        events.withWatermark("ts", watermark)
+        # NULL users would share ONE state key and sessionize unrelated
+        # events together
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
