@@ -191,3 +191,23 @@ def test_funnel_null_user_excluded(spark):
     out = {r.step: r.n_users for r in funnel(
         ev, steps=["view", "buy"]).collect()}
     assert out == {"view": 1, "buy": 1}
+
+
+def test_table_diff_null_key_row_not_misreported(spark):
+    from weaviate_txtai_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(None, "x"), (1, "a")], "k long, v string"
+    )
+    # NULL-key row unchanged; row 1 changed
+    new = spark.createDataFrame(
+        [(None, "x"), (1, "b")], "k long, v string"
+    )
+    out = table_diff(old, new, key_cols=["k"]).collect()
+    # the unchanged NULL-key row must NOT appear as 'added'
+    assert len(out) == 1
+    assert out[0].k == 1 and out[0].change == "changed"
+    # and a genuinely new NULL-key row still reports
+    new2 = spark.createDataFrame([(None, "y"), (1, "a")], "k long, v string")
+    out2 = {r.change for r in table_diff(old, new2, key_cols=["k"]).collect()}
+    assert out2 == {"changed"}

@@ -58,21 +58,24 @@ def table_diff(
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__po"),
     )
     n = new.select(
         *[F.col(k).alias(f"__kn_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__pn"),
     )
     cond = o[f"__ko_{keys[0]}"].eqNullSafe(n[f"__kn_{keys[0]}"])
     for k in keys[1:]:
         cond = cond & o[f"__ko_{k}"].eqNullSafe(n[f"__kn_{k}"])
     joined = o.join(n, on=cond, how="full_outer")
 
-    # diff keys are primary keys by contract (unique, non-null — same
-    # rule as scd2_apply), so a NULL key column marks the side's row
-    # as absent after the full-outer join
-    present_old = F.col(f"__ko_{keys[0]}").isNotNull()
-    present_new = F.col(f"__kn_{keys[0]}").isNotNull()
+    # presence via literal markers, NOT the key columns: the join
+    # matches NULL keys null-safely, so keying presence off the key
+    # column would misreport an unchanged NULL-key row present on both
+    # sides as 'added'
+    present_old = F.col("__po").isNotNull()
+    present_new = F.col("__pn").isNotNull()
 
     diff_flags = F.array(
         *[
