@@ -211,3 +211,28 @@ def test_table_diff_null_key_row_not_misreported(spark):
     new2 = spark.createDataFrame([(None, "y"), (1, "a")], "k long, v string")
     out2 = {r.change for r in table_diff(old, new2, key_cols=["k"]).collect()}
     assert out2 == {"changed"}
+
+
+def test_set_cover_null_doc_id_excluded(spark):
+    from weaviate_txtai_spark.operators.setcover import greedy_set_cover
+
+    docs = spark.createDataFrame(
+        [(None, "a b c d e f g h"), (1, "a b"), (2, "c d")],
+        "doc_id long, text string",
+    )
+    out = greedy_set_cover(docs, 2).collect()
+    # the NULL mega-doc must not win rank 1
+    assert all(r.doc_id is not None for r in out)
+    assert {r.doc_id for r in out} == {1, 2}
+
+
+def test_bradley_terry_null_endpoint_excluded(spark):
+    from weaviate_txtai_spark.operators.btrank import bradley_terry_exact
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"), (None, "b"), ("a", None)],
+        "winner string, loser string",
+    )
+    out = {r.item: r.strength for r in bradley_terry_exact(pairs).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"] == 1.0 and 0 < out["b"] < 1.0  # a won 2 of 3

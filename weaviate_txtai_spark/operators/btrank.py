@@ -55,7 +55,14 @@ def bradley_terry_exact(
     1.0 and rounded (the hits_exact output convention)."""
     if n_iter < 1:
         raise ValueError("bradley_terry_exact: n_iter must be >= 1")
-    w = pairs.select(F.col(winner_col).alias("i"), F.col(loser_col).alias("j"))
+    w = pairs.select(
+        F.col(winner_col).alias("i"), F.col(loser_col).alias("j")
+    ).filter(
+        # a NULL endpoint is not a decided comparison: it would leave
+        # phantom rows in the symmetric count table whose join-misses
+        # silently skew the surviving side's denominator
+        F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+    )
     # undirected comparison counts + per-item wins
     und = scoped_persist(
         w.select("i", "j")

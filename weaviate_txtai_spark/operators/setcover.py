@@ -63,9 +63,11 @@ def greedy_set_cover(
     else:
         raise ValueError("greedy_set_cover: ngram must be 1 or 2")
     items = scoped_persist(
-        docs.select(
-            F.col(id_col).alias("doc"), item.alias("term")
-        ).distinct()
+        # a NULL doc id would lump every unkeyed document's terms into
+        # one mega-"document" that wins the first greedy pick
+        docs.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), item.alias("term"))
+        .distinct()
     )
     covered = items.select("term").filter(F.lit(False))
     picks = []
