@@ -236,3 +236,17 @@ def test_bradley_terry_null_endpoint_excluded(spark):
     out = {r.item: r.strength for r in bradley_terry_exact(pairs).collect()}
     assert set(out) == {"a", "b"}
     assert out["a"] == 1.0 and 0 < out["b"] < 1.0  # a won 2 of 3
+
+
+def test_dp_counts_null_key_group_excluded(spark):
+    from weaviate_txtai_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,)], "g long"
+    )
+    out = dp_noisy_counts(df, ["g"], epsilon=1e9).collect()
+    # with huge epsilon the noise is ~0: released counts match truth,
+    # and the NULL group (whose noise seed is undefined) is excluded
+    got = {r.g: r.noisy_count for r in out}
+    assert set(got) == {1, 2}
+    assert abs(got[1] - 2) < 0.01 and abs(got[2] - 1) < 0.01

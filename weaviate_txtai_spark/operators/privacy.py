@@ -57,7 +57,13 @@ def dp_noisy_counts(
         raise ValueError("dp_noisy_counts: no group columns")
     b = float(sensitivity) / float(epsilon)
     kc = key_col if key_col is not None else group_cols[0]
-    g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__c"))
+    # a NULL noise key would NULL the noise and release
+    # greatest(NULL, 0) = 0.0 for that group — a silently wrong count
+    g = (
+        df.filter(F.col(kc).isNotNull())
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     # mod 2^31 BEFORE the multiply keeps the product inside int64
     # under ANSI mode (2^31 · 2654435761 < 2^63)
     k = F.pmod(F.col(kc).cast("long"), F.lit(2147483648))
