@@ -250,3 +250,25 @@ def test_dp_counts_null_key_group_excluded(spark):
     got = {r.g: r.noisy_count for r in out}
     assert set(got) == {1, 2}
     assert abs(got[1] - 2) < 0.01 and abs(got[2] - 1) < 0.01
+
+
+def test_unigram_nll_null_doc_id_excluded(spark):
+    from weaviate_txtai_spark.operators.lm import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (None, "cc dd ee"), (None, "ff")],
+        "doc_id long, text string",
+    )
+    out = unigram_nll(docs).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert out[0].n_tokens == 2
+
+
+def test_trigram_jm_nll_null_doc_id_excluded(spark):
+    from weaviate_txtai_spark.operators.lm import trigram_jm_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (None, "x y z w")], "doc_id long, text string"
+    )
+    out = trigram_jm_nll(docs).collect()
+    assert {r.doc_id for r in out} == {1}

@@ -137,6 +137,10 @@ def unigram_nll(
     else:
         lp = unigram_logprobs(docs, text_col=text_col, alpha=alpha)
         logp = F.col("logp")
+    # NULL doc ids would lump every unkeyed document's tokens into one
+    # pseudo-document's NLL (and its row count) — exclude them here and
+    # from the tokenless restore below
+    docs = docs.filter(F.col(id_col).isNotNull())
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     per_tok = tok.join(lp, on="term", how="left")
     nll = -F.avg(logp)
@@ -242,6 +246,7 @@ def bigram_nll(
     feed the scoring join AND the vocab scalar (the no-common-subplan
     rule; release via ``cache_scope``).
     """
+    docs = docs.filter(F.col(id_col).isNotNull())  # no pseudo-doc lumping
     toks = tokens(text_col)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -355,6 +360,7 @@ def trigram_jm_nll(
     l3, l2, l1 = (float(x) for x in lambdas)
     if abs(l3 + l2 + l1 - 1.0) > 1e-9 or min(l3, l2, l1) <= 0:
         raise ValueError("trigram_jm_nll: lambdas must be positive and sum to 1")
+    docs = docs.filter(F.col(id_col).isNotNull())  # no pseudo-doc lumping
     toks = tokens(text_col)
     n = F.size(toks)
     tri = F.zip_with(
