@@ -49,7 +49,7 @@ HEADLINE = [
 
 # Heavy round-3 operators (multi-second at sf0.1) now tracked
 # round-over-round like the r1 set (VERDICT r3 item 3). Timed at
-# best-of-RUNS_HEAVY (default 2) so the added wall-clock stays bounded:
+# best-of-RUNS_HEAVY (default 3) so the added wall-clock stays bounded:
 # these queries are 4-10 s each and their run-to-run spread is
 # proportionally smaller than the sub-second set's.
 HEADLINE_HEAVY = [
@@ -135,7 +135,11 @@ def main() -> None:
     # load spikes of 8-12 from other tenants mid-run); a larger sample
     # keeps the reported minimum close to the true steady state
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    RUNS_HEAVY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_HEAVY", "2"))
+    # best-of-3, not 2: the r9-r11 mover adjudications all traced >1.3x
+    # heavy-set "regressions" to best-of-2 scheduler noise (solo
+    # best-of-5 re-measures landed below the flag bar every time) —
+    # one more run (~+55 s wall) buys comparable round-over-round minima
+    RUNS_HEAVY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_HEAVY", "3"))
     timings: dict[str, float] = {}
     for name, runs in [(n, RUNS) for n in HEADLINE] + [
         (n, RUNS_HEAVY) for n in HEADLINE_HEAVY
