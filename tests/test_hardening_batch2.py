@@ -272,3 +272,29 @@ def test_trigram_jm_nll_null_doc_id_excluded(spark):
     )
     out = trigram_jm_nll(docs).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_exact_dedup_null_id_never_survivor(spark):
+    from weaviate_txtai_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(None, "same text"), (5, "same text"), (6, "same text"),
+         (7, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in exact_dedup(docs).collect()}
+    # the NULL-id copy must not be crowned survivor (dropping 5 and 6)
+    assert out == {5, 7}
+
+
+def test_minhash_null_id_no_pseudo_doc(spark):
+    from weaviate_txtai_spark.operators.dedup import jaccard_pairs
+
+    text1 = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(None, text1), (1, text1), (2, text1 + " k")],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_pairs(docs, threshold=0.5).collect()
+    for r in pairs:
+        assert r.d1 is not None and r.d2 is not None

@@ -50,10 +50,14 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id document per fingerprint group."""
+    """Keep the lowest-id document per fingerprint group. NULL ids are
+    excluded first: NULLS-FIRST ordering would otherwise crown a
+    NULL-id document the canonical survivor and drop its real-id
+    duplicates."""
     w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
     return (
-        docs.withColumn("__fp", fingerprint(text_col))
+        docs.filter(F.col(id_col).isNotNull())
+        .withColumn("__fp", fingerprint(text_col))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
@@ -65,7 +69,10 @@ def exact_dedup(
 def _shingle_table(
     docs: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    return spread(docs).select(
+    # NULL ids excluded: grouped as a value they would merge every
+    # unkeyed document's shingles into one pseudo-document whose union
+    # signature near-dups half the corpus
+    return spread(docs.filter(F.col(id_col).isNotNull())).select(
         F.col(id_col).alias("__id"), F.explode(shingles(text_col, n)).alias("__sh")
     )
 
