@@ -298,3 +298,31 @@ def test_minhash_null_id_no_pseudo_doc(spark):
     pairs = jaccard_pairs(docs, threshold=0.5).collect()
     for r in pairs:
         assert r.d1 is not None and r.d2 is not None
+
+
+def test_chi2_terms_null_class_excluded(spark):
+    from weaviate_txtai_spark.operators.featsel import chi2_terms
+
+    docs = spark.createDataFrame(
+        [("x", "aa bb"), ("y", "cc dd"), (None, "ee ff")],
+        "source string, text string",
+    )
+    out = chi2_terms(docs, top_k=5).collect()
+    assert all(r["class"] is not None for r in out)
+    assert {r["class"] for r in out} == {"x", "y"}
+
+
+def test_nb_classify_null_label_and_id_excluded(spark):
+    from weaviate_txtai_spark.operators.nbayes import nb_classify
+
+    train = spark.createDataFrame(
+        [("en", "the cat sat"), ("fr", "le chat assis"),
+         (None, "zz zz zz")],
+        "lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(1, "the cat"), (None, "zz zz")], "doc_id long, text string"
+    )
+    out = nb_classify(train, test).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].pred == "en"

@@ -49,6 +49,9 @@ def chi2_terms(
     """
     if top_k < 1:
         raise ValueError("chi2_terms: top_k must be >= 1")
+    # unlabeled docs carry no class evidence: a NULL label would form
+    # its own pseudo-class AND shift every other class's N/n00 cells
+    docs = docs.filter(F.col(class_col).isNotNull())
     present = docs.select(
         F.col(class_col).alias("class"),
         F.explode(F.array_distinct(tokens(text_col))).alias("term"),

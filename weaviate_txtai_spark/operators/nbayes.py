@@ -64,6 +64,12 @@ def nb_classify(
         raise ValueError("nb_classify: alpha must be > 0")
     toks = tokens(text_col)
 
+    # a NULL train label would train a phantom class that can WIN
+    # predictions (pred=NULL); a NULL test id would lump every unkeyed
+    # test doc's tokens into one scored pseudo-document
+    train = train.filter(F.col(label_col).isNotNull())
+    test = test.filter(F.col(id_col).isNotNull())
+
     train_stream = train.select(
         F.col(label_col).alias("__c"), F.explode(toks).alias("__t")
     )
