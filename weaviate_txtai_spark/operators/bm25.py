@@ -48,7 +48,9 @@ def bm25_scores(
     # branch: the stats branch is a plain map-side aggregate and needs
     # no repartition.
     qtf = (
-        spread(docs)
+        # NULL ids excluded — one pseudo-doc would otherwise aggregate
+        # every unkeyed document's term hits into a single BM25 score
+        spread(docs.filter(F.col(id_col).isNotNull()))
         .select(
             F.col(id_col).alias("__id"),
             token_count(text_col).alias("__len"),

@@ -54,7 +54,10 @@ def build_text_index(
     """One pass over the corpus: write postings (bucket-partitioned),
     per-term document frequencies, and corpus stats."""
     tf = (
-        docs.select(
+        # NULL ids excluded: one pseudo-doc would otherwise absorb every
+        # unkeyed document's terms into the persisted postings
+        docs.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col).alias("doc_id"),
             token_count(text_col).alias("doc_len"),
             F.explode(tokens(text_col)).alias("term"),
