@@ -326,3 +326,19 @@ def test_nb_classify_null_label_and_id_excluded(spark):
     out = nb_classify(train, test).collect()
     assert len(out) == 1
     assert out[0].doc_id == 1 and out[0].pred == "en"
+
+
+def test_ranking_metrics_null_query_excluded(spark):
+    from weaviate_txtai_spark.operators.evalmetrics import ranking_metrics
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (None, 11, 1)], "query_id long, doc_id long, rank long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 10), (None, 99)], "query_id long, doc_id long"
+    )
+    out = ranking_metrics(results, truth, 5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.__dict__ if False else r[0] == 1  # only query 1 emitted
+    assert r.recall_at_k == 1.0

@@ -64,7 +64,12 @@ def ranking_metrics(
         if rel_col is not None
         else F.lit(1.0)
     )
-    t = truth.select(
+    # NULL query/doc ids excluded on both sides: a NULL query would
+    # lump unkeyed result rows into one pseudo-query whose zero scores
+    # deflate every macro average downstream
+    t = truth.filter(
+        F.col(query_col).isNotNull() & F.col(doc_col).isNotNull()
+    ).select(
         F.col(query_col).alias("__q"),
         F.col(doc_col).alias("__d"),
         rel.alias("__rel"),
@@ -92,7 +97,11 @@ def ranking_metrics(
         F.col(query_col).alias("__q"),
         F.col(doc_col).alias("__d"),
         F.col(rank_col).cast("long").alias("__r"),
-    ).filter(F.col("__r") <= k)
+    ).filter(
+        (F.col("__r") <= k)
+        & F.col("__q").isNotNull()
+        & F.col("__d").isNotNull()
+    )
 
     hits = sys.join(t, ["__q", "__d"], "left").select(
         "__q",
