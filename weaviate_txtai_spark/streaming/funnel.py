@@ -162,7 +162,12 @@ def funnel_stream(
             F.unix_micros(F.col(ts_col)).alias("us"),
             F.col(ts_col),
         )
-        .filter(F.col("step_idx").isNotNull())
+        .filter(
+            # NULL users would share one funnel state (cross-user
+            # conversions); NULL step_idx = event type outside the funnel
+            F.col("step_idx").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
     )
     window_us = int(window_seconds) * 1_000_000
     n_steps = len(steps)

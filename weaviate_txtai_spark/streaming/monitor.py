@@ -151,7 +151,9 @@ def monitor_stream(
             key, pdfs, state, alpha, target, drift, threshold
         )
 
-    ev = events.select(
+    # NULL keys would share ONE monitor state, splicing unrelated
+    # series into a single EWMA/CUSUM trajectory
+    ev = events.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).alias("key"),
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("x"),
