@@ -342,3 +342,19 @@ def test_ranking_metrics_null_query_excluded(spark):
     r = out[0]
     assert r.__dict__ if False else r[0] == 1  # only query 1 emitted
     assert r.recall_at_k == 1.0
+
+
+def test_passages_null_doc_id_excluded(spark):
+    from weaviate_txtai_spark.operators.passages import (
+        repeated_passage_stats,
+        winnow_fingerprints,
+    )
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, text), (None, text)], "doc_id long, text string"
+    )
+    stats = repeated_passage_stats(docs).collect()
+    assert {r.doc_id for r in stats} == {1}
+    fps = winnow_fingerprints(docs).collect()
+    assert all(r.doc_id is not None for r in fps)

@@ -67,7 +67,8 @@ def window_doc_pairs(
     starts = F.sequence(F.lit(1), F.size("__tok") - (k - 1))
     win = F.concat_ws(" ", F.slice(F.col("__tok"), F.col("__s"), k))
     return (
-        docs.select(F.col(id_col), tok.alias("__tok"))
+        docs.filter(F.col(id_col).isNotNull())  # no pseudo-doc lumping
+        .select(F.col(id_col), tok.alias("__tok"))
         .filter(F.size("__tok") >= k)
         .select(id_col, F.explode(starts).alias("__s"), F.col("__tok"))
         .select(id_col, _window_hash(win, hash_mode).alias("wh"))
@@ -119,7 +120,11 @@ def repeated_passage_stats(
         F.col("__nr") / F.col("__nw"),
     ).otherwise(F.lit(0.0))
     return (
-        docs.select(id_col)
+        # NULL ids excluded here too: their windows never entered the
+        # frequency table, so a restored NULL row would falsely claim
+        # "0 windows, keep" for the lumped pseudo-doc
+        docs.filter(F.col(id_col).isNotNull())
+        .select(id_col)
         .join(rep, id_col, "left")
         .select(
             id_col,
@@ -297,7 +302,8 @@ def winnow_fingerprints(
         ),
     )
     return (
-        docs.select(F.col(id_col), th.alias("__th"))
+        docs.filter(F.col(id_col).isNotNull())  # no pseudo-doc lumping
+        .select(F.col(id_col), th.alias("__th"))
         .filter(F.size("__th") >= k)
         .select(id_col, kg.alias("__kg"))
         .select(id_col, F.explode(F.array_distinct(sel)).alias("__f"))
@@ -420,7 +426,8 @@ def shared_runs(
     """
     tok = tokens(text_col)
     grams = (
-        docs.select(F.col(id_col), tok.alias("__tok"))
+        docs.filter(F.col(id_col).isNotNull())  # no pseudo-doc lumping
+        .select(F.col(id_col), tok.alias("__tok"))
         .filter(F.size("__tok") >= k)
         .select(
             id_col,
