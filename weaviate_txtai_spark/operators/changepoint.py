@@ -46,7 +46,11 @@ def cusum(
     ``s_pos, s_neg`` (rounded) and, when ``threshold`` is given, an
     ``alarm`` flag (either side exceeding it). Rows with null value
     are dropped."""
-    base = df.filter(F.col(value_col).isNotNull()).select(
+    base = df.filter(
+        # NULL series keys would splice unrelated series into one
+        # trajectory (the monitor_stream lumping class)
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         group_col, order_col, value_col
     )
     wc = (
@@ -111,7 +115,11 @@ def ewma(
     """
     if not (0 < alpha <= 1):
         raise ValueError("alpha must be in (0, 1]")
-    base = df.filter(F.col(value_col).isNotNull()).select(
+    base = df.filter(
+        # NULL series keys would splice unrelated series into one
+        # trajectory (the monitor_stream lumping class)
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         group_col, order_col, F.col(value_col).cast("double").alias("__v")
     )
     per_group = base.groupBy(group_col).agg(
@@ -196,7 +204,11 @@ def holt_linear(
     trend, forecast``."""
     if not (0 < alpha <= 1) or not (0 <= beta <= 1):
         raise ValueError("alpha must be in (0,1], beta in [0,1]")
-    base = df.filter(F.col(value_col).isNotNull()).select(
+    base = df.filter(
+        # NULL series keys would splice unrelated series into one
+        # trajectory (the monitor_stream lumping class)
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         group_col, order_col, F.col(value_col).cast("double").alias("__v")
     )
     per_group = base.groupBy(group_col).agg(
@@ -292,7 +304,11 @@ def holt_linear_exact(
     fixed-point / scale, rounded)."""
     if not (0 < alpha_num <= den) or not (0 <= beta_num <= den):
         raise ValueError("need 0 < alpha_num <= den and 0 <= beta_num <= den")
-    base = df.filter(F.col(value_col).isNotNull()).select(
+    base = df.filter(
+        # NULL series keys would splice unrelated series into one
+        # trajectory (the monitor_stream lumping class)
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         group_col, order_col, F.col(value_col).cast("double").alias("__v")
     )
     per_group = base.groupBy(group_col).agg(
