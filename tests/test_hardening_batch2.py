@@ -358,3 +358,34 @@ def test_passages_null_doc_id_excluded(spark):
     assert {r.doc_id for r in stats} == {1}
     fps = winnow_fingerprints(docs).collect()
     assert all(r.doc_id is not None for r in fps)
+
+
+def test_pack_sequences_null_keys_excluded(spark):
+    from weaviate_txtai_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("web", 1, "a b c"), ("web", 2, "d e"), (None, 3, "f"),
+         ("web", None, "g h")],
+        "source string, doc_id long, text string",
+    )
+    out = pack_sequences(
+        docs, group_col="source", id_col="doc_id", budget=4
+    ).collect()
+    assert all(r.source is not None and r.doc_id is not None for r in out)
+    assert len(out) == 2
+
+
+def test_apportion_null_source_excluded(spark):
+    from weaviate_txtai_spark.operators.sharding import (
+        largest_remainder_apportion,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 60), ("b", 40), (None, 900)], "source string, tokens long"
+    )
+    res = largest_remainder_apportion(
+        df, "source", "tokens", total=10
+    ).collect()
+    out = {r.source: r.alloc for r in res}
+    assert set(out) == {"a", "b"}
+    assert out["a"] + out["b"] == 10  # NULL got no share of the total

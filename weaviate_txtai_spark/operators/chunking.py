@@ -94,6 +94,13 @@ def pack_sequences(
     standard price of parallel packing.
     """
     toks = token_count(text_col)
+    # NULL keys excluded: a NULL group would pack unrelated sources'
+    # docs into shared sequences, and a NULL id (sorting first, with no
+    # tie-break among several NULLs) would make the packing order — and
+    # therefore every pack id — nondeterministic
+    docs = docs.filter(
+        F.col(group_col).isNotNull() & F.col(id_col).isNotNull()
+    )
     if shards is None and salt_col is None:
         w = (
             Window.partitionBy(group_col)

@@ -119,7 +119,9 @@ def largest_remainder_apportion(
     from weaviate_txtai_spark.cache import scoped_persist
 
     w = scoped_persist(
-        df.groupBy(F.col(key_col).alias("k")).agg(
+        # a NULL key would be apportioned a share as its own "source"
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k")).agg(
             # negative totals clamp to 0: a negative share is
             # meaningless and trunc-vs-floor division would diverge
             F.greatest(
