@@ -239,7 +239,10 @@ def mixture_sample(
             in_scope.withColumn("__rk", F.row_number().over(w))
             .join(qdf, strata_col)
             .filter(F.col("__rk") <= F.col("__quota"))
-            .drop("__rk", "__quota")
+            # restore the input column order: the USING join moves the
+            # strata column to position 0, silently breaking positional
+            # consumers of the previous (pre-join) implementation
+            .select(*df.columns)
         )
     # counts[s] > 0 here: a zero-count stratum never reaches quotas
     rdf = F.broadcast(
@@ -251,7 +254,8 @@ def mixture_sample(
     return (
         in_scope.join(rdf, strata_col)
         .filter(split_fraction(id_col) < F.col("__rate"))
-        .drop("__rate")
+        # restore the input column order (see the exact path above)
+        .select(*df.columns)
     )
 
 

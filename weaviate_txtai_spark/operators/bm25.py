@@ -47,10 +47,14 @@ def bm25_scores(
     # filter and reach an aggregate. spread() only wraps the explode
     # branch: the stats branch is a plain map-side aggregate and needs
     # no repartition.
+    # NULL ids excluded ONCE, before BOTH branches — one pseudo-doc
+    # would otherwise aggregate every unkeyed document's term hits into
+    # a single BM25 score, and N/avgdl/df must describe the same corpus
+    # that is actually scored (an unkeyed doc can never receive a score
+    # or count toward df, so it must not inflate N or skew avgdl).
+    docs = docs.filter(F.col(id_col).isNotNull())
     qtf = (
-        # NULL ids excluded — one pseudo-doc would otherwise aggregate
-        # every unkeyed document's term hits into a single BM25 score
-        spread(docs.filter(F.col(id_col).isNotNull()))
+        spread(docs)
         .select(
             F.col(id_col).alias("__id"),
             token_count(text_col).alias("__len"),
@@ -112,6 +116,11 @@ def qlm_scores(
     rounded to 6dp (log-likelihoods, negative; higher = better).
     """
     qt = list(dict.fromkeys(query_terms))
+    # NULL ids excluded before BOTH the hit branch and the collection
+    # stats: unkeyed docs would otherwise merge into one pseudo-doc in
+    # the groupBy AND inflate the collection token total / P(t|C)
+    # against a corpus that can never be scored.
+    docs = docs.filter(F.col(id_col).isNotNull())
     exp = spread(docs).select(
         F.col(id_col).alias("__id"),
         token_count(text_col).alias("__len"),

@@ -107,3 +107,107 @@ def waterfill_allocation(
             decimals,
         ).alias("alloc"),
     )
+
+
+def capped_weighted_waterfill(
+    per_source: DataFrame,
+    budget: int,
+    *,
+    key_col: str = "source",
+    weight_col: str = "weight",
+    cap_col: str = "cap",
+    decimals: int = 6,
+) -> DataFrame:
+    """WEIGHTED water-filling with per-source caps — the mixture-weight
+    solver: alloc_i = min(cap_i, θ·w_i) with θ chosen so that
+    Σ alloc = min(budget, Σ cap over w>0 sources). Plain water-filling
+    (:func:`waterfill_allocation`) is the w_i ≡ 1 special case; here
+    w_i encodes DESIRED mixture proportions (quality × temperature)
+    and cap_i encodes HARD constraints (inventory, max corpus share).
+    This is weighted max-min fairness (network fair queuing with
+    weights — public knowledge); sources whose cap is below their
+    fair-weighted share are taken whole and the surplus re-levels
+    among the rest, closed-form, no iteration.
+
+    ``weight_col`` and ``cap_col`` must be NON-NEGATIVE INTEGERS
+    (longs): the capped/uncapped boundary test then runs in exact
+    int64 arithmetic — w_j·Σ_{i≤j}c_i + c_j·(W − Σ_{i≤j}w_i) ≤ B·w_j
+    over sources sorted by c_i/w_i — so any SQL engine reproduces the
+    same capped set bit-for-bit (a float boundary test flips at ulp
+    granularity across engines). Weights are scale-free (θ absorbs any
+    common factor), so callers with huge magnitudes rescale weights,
+    never losing exactness. Zero-weight sources get alloc 0 and are
+    excluded from the θ computation (their cap must not absorb
+    budget). Only θ itself and the final alloc are floats, rounded to
+    ``decimals``.
+
+    Scale shape: input is the per-source AGGREGATE (one row per
+    source); the θ construction is two prefix-sum windows over
+    #sources rows — no collect, no iteration.
+
+    Output: the input columns plus ``alloc`` (double).
+    """
+    if budget < 0:
+        raise ValueError(
+            f"capped_weighted_waterfill: negative budget {budget}"
+        )
+    wl = F.col(weight_col).cast("long")
+    cl = F.col(cap_col).cast("long")
+    bad = (
+        wl.isNull() | (wl < 0) | cl.isNull() | (cl < 0)
+    )
+    checked = per_source.withColumn(
+        "__w",
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "capped_weighted_waterfill: weight and cap must "
+                        "be non-negative integers; got weight="
+                    ),
+                    F.coalesce(wl.cast("string"), F.lit("NULL")),
+                    F.lit(" cap="),
+                    F.coalesce(cl.cast("string"), F.lit("NULL")),
+                    F.lit(" for key "),
+                    F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(wl),
+    ).withColumn("__c", cl)
+    zero = checked.filter(F.col("__w") == 0).select(
+        *per_source.columns, F.lit(0.0).alias("alloc")
+    )
+    pos = checked.filter(F.col("__w") > 0)
+    # deterministic total order by the cap/weight ratio (the θ at which
+    # a source saturates), key-tiebroken; ties in the ratio commute —
+    # at θ = r the tied sources' θ·w equals their cap exactly
+    r = F.col("__c").cast("double") / F.col("__w").cast("double")
+    w = Window.orderBy(r.asc(), F.asc(key_col))
+    ranked = (
+        pos.withColumn("__pc", F.sum("__c").over(w))
+        .withColumn("__pw", F.sum("__w").over(w))
+        .withColumn("__tw", F.sum("__w").over(Window.partitionBy()))
+    )
+    b = F.lit(int(budget)).cast("long")
+    capped = (
+        F.col("__w") * F.col("__pc")
+        + F.col("__c") * (F.col("__tw") - F.col("__pw"))
+        <= b * F.col("__w")
+    )
+    ranked = ranked.withColumn("__capped", capped)
+    agg = Window.partitionBy()
+    s_c = F.max(F.when(F.col("__capped"), F.col("__pc"))).over(agg)
+    s_w = F.max(F.when(F.col("__capped"), F.col("__pw"))).over(agg)
+    theta = (b - F.coalesce(s_c, F.lit(0).cast("long"))).cast("double") / (
+        F.col("__tw") - F.coalesce(s_w, F.lit(0).cast("long"))
+    ).cast("double")
+    alloc = F.round(
+        F.when(F.col("__capped"), F.col("__c").cast("double")).otherwise(
+            F.least(F.col("__c").cast("double"), theta * F.col("__w"))
+        ),
+        decimals,
+    )
+    return ranked.select(*per_source.columns, alloc.alias("alloc")).unionByName(
+        zero
+    )

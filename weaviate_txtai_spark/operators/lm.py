@@ -132,15 +132,16 @@ def unigram_nll(
     Output: ``id_col, n_tokens, nll`` (tokenless docs: n_tokens=0,
     nll NULL — surfaced, not silently dropped).
     """
+    # NULL doc ids would lump every unkeyed document's tokens into one
+    # pseudo-document's NLL (and its row count) — exclude them BEFORE
+    # self-training so the model corpus matches the scored corpus
+    # (mirrors bigram_nll / trigram_jm_nll, which filter first)
+    docs = docs.filter(F.col(id_col).isNotNull())
     if model is not None:
         lp, logp = model.logprobs, F.coalesce("logp", F.lit(model.floor_logp))
     else:
         lp = unigram_logprobs(docs, text_col=text_col, alpha=alpha)
         logp = F.col("logp")
-    # NULL doc ids would lump every unkeyed document's tokens into one
-    # pseudo-document's NLL (and its row count) — exclude them here and
-    # from the tokenless restore below
-    docs = docs.filter(F.col(id_col).isNotNull())
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     per_tok = tok.join(lp, on="term", how="left")
     nll = -F.avg(logp)

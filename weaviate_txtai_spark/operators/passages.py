@@ -217,8 +217,12 @@ def ngram_containment(
         .select(id_col, "n_windows", "n_hit", ratio.alias("containment"))
     )
     shorts = (
+        # NULL ids stay excluded here too: the scored branch drops them
+        # via window_doc_pairs, and restoring them as a NULL row would
+        # falsely claim an unkeyed doc has zero windows
         eval_docs.filter(
-            F.col(text_col).isNull() | (F.size(tokens(text_col)) < k)
+            F.col(id_col).isNotNull()
+            & (F.col(text_col).isNull() | (F.size(tokens(text_col)) < k))
         )
         .select(
             F.col(id_col),
@@ -478,4 +482,119 @@ def shared_runs(
     return runs.groupBy("d1", "d2").agg(
         F.max("run_tokens").cast("long").alias("max_run_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
+
+
+def decontamination_report(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    winnow_k: int = 5,
+    winnow_w: int = 4,
+    drop_at: float = 0.5,
+    review_at: float = 0.2,
+    hash_mode: str = "xxhash64",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Benchmark-decontamination REPORT: one row per eval document with
+    every overlap signal and an explicit keep/review/drop decision —
+    the end-product a training run consumes (the GPT-3 appendix-C /
+    PaLM decontamination workflow: score each benchmark item against
+    the pretraining corpus, then act on a threshold).
+
+    Two complementary signals per eval doc, each a composition of this
+    module's kernels:
+
+    - ``containment``: fraction of the doc's distinct ``k``-token
+      windows found anywhere in the training corpus
+      (:func:`ngram_containment` — catches verbatim inclusions).
+    - ``fp_overlap``: fraction of the doc's winnowed fingerprints
+      (:func:`winnow_fingerprints`, MOSS selection) present in the
+      training corpus's fingerprint set — the SPARSE variant that
+      survives small edits and costs ~2/(w+1) of the dense windows.
+
+    ``evidence`` = max of the available signals (a doc too short for
+    one signal is judged on the other); decision thresholds:
+    evidence >= ``drop_at`` -> 'drop', >= ``review_at`` -> 'review',
+    else 'keep'; docs too short for BOTH signals -> 'short' (surfaced,
+    never silently kept).
+
+    Scale shape: both training-side structures are DISTINCT hash SETS
+    (aggregates — never pair-joined against the corpus); each eval doc
+    meets them through two hash joins and one per-doc groupBy each.
+    The report join is per-eval-doc 1:1. Nothing is all-pairs and the
+    only corpus-granularity shuffles are the two distinct-set builds.
+
+    Output: ``id_col, n_windows, containment, n_fps, fp_overlap,
+    evidence, decision``.
+    """
+    cont = ngram_containment(
+        eval_docs,
+        train_docs,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+        hash_mode=hash_mode,
+        round_decimals=round_decimals,
+    ).select(id_col, "n_windows", "containment")
+    ev_fps = (
+        winnow_fingerprints(
+            eval_docs, text_col=text_col, id_col=id_col,
+            k=winnow_k, w=winnow_w,
+        )
+        .select(id_col, "fp")
+        .distinct()
+    )
+    train_fp_set = (
+        winnow_fingerprints(
+            train_docs, text_col=text_col, id_col=id_col,
+            k=winnow_k, w=winnow_w,
+        )
+        .select("fp")
+        .distinct()
+    )
+    ratio = F.col("n_fp_hit") / F.col("n_fps")
+    if round_decimals is not None:
+        ratio = F.round(ratio, round_decimals)
+    fp_scored = (
+        ev_fps.join(train_fp_set.withColumn("__hit", F.lit(1)), "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_fp_hit"),
+        )
+        .select(id_col, "n_fps", ratio.alias("fp_overlap"))
+    )
+    # cont covers EVERY keyed eval doc (shorts restored with NULL
+    # containment); fp_scored is a subset (docs with >= winnow_k
+    # tokens), so a left join from cont is complete
+    evidence = F.when(
+        F.col("containment").isNull() & F.col("fp_overlap").isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.greatest(
+            F.coalesce("containment", F.lit(0.0)),
+            F.coalesce("fp_overlap", F.lit(0.0)),
+        )
+    )
+    return (
+        cont.join(fp_scored, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            "containment",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            "fp_overlap",
+            evidence.alias("evidence"),
+        )
+        .withColumn(
+            "decision",
+            F.when(F.col("evidence").isNull(), F.lit("short"))
+            .when(F.col("evidence") >= drop_at, F.lit("drop"))
+            .when(F.col("evidence") >= review_at, F.lit("review"))
+            .otherwise(F.lit("keep")),
+        )
     )

@@ -2004,3 +2004,222 @@ def docs_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# r12 end-products: decontamination report, mixture-weight solver
+# --------------------------------------------------------------------------
+
+_DECONTAM_REPORT_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(substring(source, 4, 10) AS INT) % 2 AS side,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id, side, md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
+  FROM t, unnest(generate_series(1, len(tok) - 7)) AS s(x)
+  WHERE len(tok) >= 8
+),
+dw AS (SELECT DISTINCT doc_id, side, wh FROM w),
+train_set AS (SELECT DISTINCT wh FROM dw WHERE side = 0),
+ev AS (SELECT doc_id, wh FROM dw WHERE side = 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM ev GROUP BY 1),
+hit AS (
+  SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM ev JOIN train_set USING (wh) GROUP BY 1
+),
+cont AS (
+  SELECT tot.doc_id, tot.n_windows,
+         round(coalesce(hit.n_hit, 0) * 1.0 / tot.n_windows, 6) AS containment
+  FROM tot LEFT JOIN hit USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM t WHERE side = 1 AND (tok IS NULL OR len(tok) < 8)
+),
+wth AS (
+  SELECT doc_id, side,
+         list_transform(tok, tk -> CAST(ascii(tk) * 31 + length(tk) AS BIGINT))
+           AS th
+  FROM t
+),
+wkgt AS (
+  SELECT doc_id, side,
+         list_transform(generate_series(1, len(th) - 4),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 4)),
+                            (a, x) -> (a * 131 + x) % 1000000007)) AS kg
+  FROM wth WHERE len(th) >= 5
+),
+wsel AS (
+  SELECT doc_id, side,
+         list_transform(
+           generate_series(1, len(kg) - least(len(kg), 4) + 1),
+           j -> list_reduce(
+                  list_prepend({'fp': CAST(1000000008 AS BIGINT), 'pos': -1},
+                    list_transform(generate_series(j, j + least(len(kg), 4) - 1),
+                                   p -> {'fp': kg[p], 'pos': CAST(p AS INT)})),
+                  (acc, x) -> CASE WHEN x.fp <= acc.fp THEN x ELSE acc END)) AS sel
+  FROM wkgt WHERE len(kg) >= 1
+),
+wfps AS (
+  SELECT DISTINCT doc_id, side, f.fp AS fp
+  FROM (SELECT doc_id, side, unnest(sel) AS f FROM wsel)
+),
+train_fps AS (SELECT DISTINCT fp FROM wfps WHERE side = 0),
+efps AS (SELECT doc_id, fp FROM wfps WHERE side = 1),
+ftot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM efps GROUP BY 1),
+fhit AS (
+  SELECT efps.doc_id, CAST(count(*) AS BIGINT) AS n_fp_hit
+  FROM efps JOIN train_fps USING (fp) GROUP BY 1
+),
+fp AS (
+  SELECT ftot.doc_id, ftot.n_fps,
+         round(coalesce(fhit.n_fp_hit, 0) * 1.0 / ftot.n_fps, 6) AS fp_overlap
+  FROM ftot LEFT JOIN fhit USING (doc_id)
+),
+rep AS (
+  SELECT c.doc_id, c.n_windows, c.containment,
+         CAST(coalesce(f.n_fps, 0) AS BIGINT) AS n_fps, f.fp_overlap,
+         CASE WHEN c.containment IS NULL AND f.fp_overlap IS NULL
+              THEN CAST(NULL AS DOUBLE)
+              ELSE greatest(coalesce(c.containment, 0.0),
+                            coalesce(f.fp_overlap, 0.0)) END AS evidence
+  FROM cont c LEFT JOIN fp f USING (doc_id)
+)
+SELECT doc_id, n_windows, containment, n_fps, fp_overlap, evidence,
+       CASE WHEN evidence IS NULL THEN 'short'
+            WHEN evidence >= 0.5 THEN 'drop'
+            WHEN evidence >= 0.2 THEN 'review'
+            ELSE 'keep' END AS decision
+FROM rep ORDER BY doc_id
+"""
+
+
+@register("decontamination_report", _DECONTAM_REPORT_SQL)
+def decontamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination REPORT (operators/passages.py
+    decontamination_report): per eval doc (odd sources), BOTH overlap
+    signals — 8-token-window containment (GPT-3/PaLM) and winnowed-
+    fingerprint overlap (MOSS sparse variant) — fused into an evidence
+    score and a keep/review/drop/short decision. The second end-product
+    gate after pretraining_manifest: it composes the passage kernels
+    the way a real decontamination pass consumes them. Both train-side
+    structures are distinct hash SETS (never pair-joined); md5 window
+    mode for the byte-exact oracle."""
+    from weaviate_txtai_spark.operators.passages import (
+        decontamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
+    tagged = docs.select("doc_id", "text", side)
+    return decontamination_report(
+        tagged.filter(F.col("side") == 1),
+        tagged.filter(F.col("side") == 0),
+        k=8,
+        winnow_k=5,
+        winnow_w=4,
+        hash_mode="md5",
+    ).orderBy("doc_id")
+
+
+_MIXTURE_SOLVER_SQL = """
+WITH tok AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS nt,
+         CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS good
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(sum(nt) AS BIGINT) AS tokens,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(good) AS BIGINT) AS n_good
+  FROM tok GROUP BY 1
+),
+b AS (SELECT CAST(sum(tokens) AS BIGINT) // 2 AS budget FROM per_src),
+wt AS (
+  SELECT source, tokens,
+         CAST(round(n_good * 1.0 / n_docs * sqrt(tokens) * 1000000, 0)
+              AS BIGINT) AS weight,
+         least(tokens, (SELECT 3 * budget // 10 FROM b)) AS cap
+  FROM per_src
+),
+pos AS (SELECT * FROM wt WHERE weight > 0),
+ranked AS (
+  SELECT source, tokens, weight, cap,
+         CAST(sum(cap) OVER (ORDER BY cap * 1.0 / weight, source) AS BIGINT)
+           AS pc,
+         CAST(sum(weight) OVER (ORDER BY cap * 1.0 / weight, source) AS BIGINT)
+           AS pw,
+         CAST(sum(weight) OVER () AS BIGINT) AS tw
+  FROM pos
+),
+flagged AS (
+  SELECT *,
+         weight * pc + cap * (tw - pw) <= (SELECT budget FROM b) * weight
+           AS capped
+  FROM ranked
+),
+lvl AS (
+  SELECT max(CASE WHEN capped THEN pc END) AS s_c,
+         max(CASE WHEN capped THEN pw END) AS s_w
+  FROM flagged
+)
+SELECT source, tokens, weight, cap,
+       round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+             ELSE least(CAST(cap AS DOUBLE),
+                  (((SELECT budget FROM b)
+                    - coalesce((SELECT s_c FROM lvl), 0)) * 1.0
+                   / (tw - coalesce((SELECT s_w FROM lvl), 0)))
+                  * weight) END, 6) AS alloc
+FROM flagged
+UNION ALL
+SELECT source, tokens, weight, cap, 0.0 AS alloc FROM wt WHERE weight = 0
+ORDER BY source
+"""
+
+
+@register("mixture_weight_solver", _MIXTURE_SOLVER_SQL)
+def mixture_weight_solver_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weight solver (operators/budget.py
+    capped_weighted_waterfill): per-source token budgets from
+    quality × temperature × cap constraints. Desired weight
+    w_i = quality_i · tokens_i^0.5 (quality = fraction of the source's
+    docs in the 200–2000-char band; sqrt = temperature alpha 0.5),
+    scaled to integers at 1e6; hard caps = min(inventory, 30% of the
+    budget); budget = half the corpus's tokens. alloc = min(cap, θ·w)
+    with the θ boundary test in exact int64 arithmetic so Spark and
+    the oracle flag identical capped sources. Raw token counting is
+    the fully-distributed groupBy; the solver is a closed-form
+    prefix-sum window over #sources rows."""
+    from weaviate_txtai_spark.functions.text import token_count
+    from weaviate_txtai_spark.operators.budget import (
+        capped_weighted_waterfill,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count("text").cast("long")).alias("tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_chars").between(200, 2000), 1).otherwise(0)
+        ).alias("n_good"),
+    )
+    total = per.agg(F.sum("tokens")).collect()[0][0]  # 1 scalar
+    budget = int(total) // 2
+    cap_tokens = 3 * budget // 10
+    wt = per.select(
+        "source",
+        "tokens",
+        F.round(
+            F.col("n_good") * F.lit(1.0) / F.col("n_docs")
+            * F.sqrt(F.col("tokens"))
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("weight"),
+        F.least(F.col("tokens"), F.lit(cap_tokens).cast("long")).alias("cap"),
+    )
+    return capped_weighted_waterfill(wt, budget).orderBy("source")
