@@ -25,30 +25,27 @@ _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
               "streaming_enrich", "streaming_funnel"}
 
 
-# The r11 ledger-closing window (VERDICT r10 task 1): the FINAL 49
-# never-sampled oracled gates plus one §2 anchor (knn_topk) in the
-# spare slot. After this window lands green, every oracled gate in the
-# registry has a driver CORRECTNESS row.
-_R11_WINDOW = {
-    "quality_weighted_sample", "source_quota_sample", "events_group_split",
-    "customer_linkage_fs", "docs_trigram_jm_nll", "events_stratified_ate",
-    "mmr_diversified", "events_sequence_triples", "events_dp_cohort_counts",
-    "part_bt_ranking", "docs_nb_langid", "source_chi2_terms",
-    "docs_textrank_terms", "part_supplier_bfs", "purchase_isotonic_fit",
-    "token_good_turing", "event_type_stationary", "events_value_ols2",
-    "events_srm_check", "embedding_intrinsic_dim", "seeded_expansion_ppr",
-    "knn_label_modularity", "event_chain_entropy_rate", "purchase_cmh",
-    "customer_rfm_segments", "user_burstiness", "revenue_theil",
-    "coverage_set_cover", "events_daily_acf",
-    "purchase_shapley_attribution", "part_abc_classes",
-    "part_return_rate_eb", "purchase_rate_jackknife",
-    "knn_label_loo_accuracy", "purchase_error_xcf",
-    "events_daily_mann_kendall", "events_daily_haar", "purchase_pass_at_k",
-    "part_return_wilson", "cohort_ltv_triangle", "purchase_odds_ratio",
-    "lineitem_kendall_tau", "events_daily_changepoint", "docs_heaps_law",
-    "events_sprt_decision", "part_pareto_frontier",
-    "signup_survival_logrank", "purchase_permutation_test",
-    "docs_quality_classifier", "knn_topk",
+# The r12 re-verification window (VERDICT r11 task 1): the ledger
+# closed in r11, so slots rotate to the 12 §2 anchors, the 2 new r12
+# end-product gates, and 36 gates whose operator code changed in r11
+# but which the r11 window did not sample.
+_R12_WINDOW = {
+    "knn_topk", "knn_batch", "streaming_ingest", "full_scan",
+    "docid_lookup", "scan_limit", "vector_delete", "vector_count",
+    "vector_upsert", "similarity_brute", "similar_sql", "agg_stats_txtai",
+    "decontamination_report", "mixture_weight_solver",
+    "bm25_topk", "qlm_topk", "bm25_index_topk", "docs_unigram_nll",
+    "docs_bigram_nll", "mixture_sample", "weighted_sample_k",
+    "stratified_sample", "token_budget_waterfill", "source_shard_apportion",
+    "dedup_minhash", "dedup_simhash", "dedup_incremental", "winnow_pairs",
+    "eval_containment", "events_daily_cusum", "events_daily_ewma",
+    "events_holt_forecast", "pack_sequences", "customer_scd2",
+    "orders_snapshot_diff", "events_asof", "events_funnel_onepass",
+    "retrieval_eval", "supplier_name_matches", "purchase_attribution",
+    "token_pmi_pairs", "revenue_gini", "events_sequence_pairs",
+    "ab_experiment_panel", "signup_to_purchase_survival",
+    "events_volume_anomalies", "streaming_monitor", "streaming_funnel",
+    "streaming_sessions", "multimodal_features",
 }
 
 
@@ -58,15 +55,15 @@ def test_every_oracle_query_is_registered():
         assert name in qs
 
 
-def test_driver_sample_window_is_the_r11_rotation():
-    """The driver hashes the FIRST 50 queries() entries. Pin the r11
-    window: the final 49 never-sampled oracled gates + knn_topk, every
-    one oracled — the driver has no rows-only mode, so an unoracled
-    window entry is a guaranteed-red `err: no_oracle` row (VERDICT r6
-    #2, r9 task 4)."""
+def test_driver_sample_window_is_the_r12_rotation():
+    """The driver hashes the FIRST 50 queries() entries. Pin the r12
+    window: §2 anchors + new gates + r11-changed gates, every one
+    oracled — the driver has no rows-only mode, so an unoracled window
+    entry is a guaranteed-red `err: no_oracle` row (VERDICT r6 #2,
+    r9 task 4)."""
     names = list(Q.queries())
     window = names[:50]
-    assert set(window) == _R11_WINDOW
+    assert set(window) == _R12_WINDOW
     osql = Q.oracle_sql()
     unoracled = [n for n in window if n not in osql]
     assert not unoracled, (

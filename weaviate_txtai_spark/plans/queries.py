@@ -46,70 +46,75 @@ from weaviate_txtai_spark.plans.pipeline import *  # noqa: F401,F403
 
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # r11 rotation (VERDICT r10 task 1): the FINAL 49 never-sampled
-    # oracled gates — exactly the list the r10 plan wrote here — plus
-    # one §2 anchor (knn_topk, the flagship Q1) in the spare slot.
-    # After CORRECTNESS_r11 lands green, every oracled gate in the
-    # registry holds a driver CORRECTNESS row and the coverage ledger
-    # closes to zero never-sampled. The r10 window's 50 entries all
-    # hold fresh green r10 rows and cede their slots. The 7
-    # rows-only-by-design gates (HLL/GK/CMS sketches, BPE, the SVD
-    # encoder, the nprobe tuner) remain STRUCTURALLY excluded from the
-    # sampled window by the oracle assert in _ordered_names().
+    # r12 rotation (VERDICT r11 task 1): the cross-round ledger closed
+    # in r11 (311/311 oracled gates hold a green driver row), so window
+    # slots now go to RE-verification on a rotation cadence — the 12
+    # SURVEY §2 anchor gates, this round's 2 new end-product gates
+    # (each new gate enters the window within one round of creation),
+    # and 36 gates whose operator code changed in r11's hostile-input
+    # hardening but which the r11 window did not sample (the other 32
+    # r11-changed gates already hold fresh post-fix r11 rows). The 7
+    # rows-only-by-design gates remain STRUCTURALLY excluded by the
+    # oracle assert in _ordered_names().
     # ------------------------------------------------------------------
-    # the 41 never-sampled pre-r10 gates (r10 plan order)
-    "quality_weighted_sample",
-    "source_quota_sample",
-    "events_group_split",
-    "customer_linkage_fs",
-    "docs_trigram_jm_nll",
-    "events_stratified_ate",
-    "mmr_diversified",
-    "events_sequence_triples",
-    "events_dp_cohort_counts",
-    "part_bt_ranking",
-    "docs_nb_langid",
-    "source_chi2_terms",
-    "docs_textrank_terms",
-    "part_supplier_bfs",
-    "purchase_isotonic_fit",
-    "token_good_turing",
-    "event_type_stationary",
-    "events_value_ols2",
-    "events_srm_check",
-    "embedding_intrinsic_dim",
-    "seeded_expansion_ppr",
-    "knn_label_modularity",
-    "event_chain_entropy_rate",
-    "purchase_cmh",
-    "customer_rfm_segments",
-    "user_burstiness",
-    "revenue_theil",
-    "coverage_set_cover",
-    "events_daily_acf",
-    "purchase_shapley_attribution",
-    "part_abc_classes",
-    "part_return_rate_eb",
-    "purchase_rate_jackknife",
-    "knn_label_loo_accuracy",
-    "purchase_error_xcf",
-    "events_daily_mann_kendall",
-    "events_daily_haar",
-    "purchase_pass_at_k",
-    "part_return_wilson",
-    "cohort_ltv_triangle",
-    "purchase_odds_ratio",
-    # the 8 gates newly oracled in r10 (NOTES.md r10 log)
-    "lineitem_kendall_tau",
-    "events_daily_changepoint",
-    "docs_heaps_law",
-    "events_sprt_decision",
-    "part_pareto_frontier",
-    "signup_survival_logrank",
-    "purchase_permutation_test",
-    "docs_quality_classifier",
-    # spare slot: §2 anchor (Q1 kNN cosine top-k)
+    # the 12 §2 anchors (VERDICT coverage table S3/S7, Q1, Q4-Q9, T1-T3)
     "knn_topk",
+    "knn_batch",
+    "streaming_ingest",
+    "full_scan",
+    "docid_lookup",
+    "scan_limit",
+    "vector_delete",
+    "vector_count",
+    "vector_upsert",
+    "similarity_brute",
+    "similar_sql",
+    "agg_stats_txtai",
+    # the 2 new r12 end-product gates
+    "decontamination_report",
+    "mixture_weight_solver",
+    # 36 r11-changed-but-unsampled gates, one-or-more per fix family:
+    # bm25/textindex, lm, sampling, budget, apportionment, dedup,
+    # passages, cusum/ewma/holt, pack_sequences, scd/diff, asof,
+    # funnel, evalmetrics, stringjoin, attribution, itemsets,
+    # inequality, seqmine, abtest, survival, seasonal, streaming
+    # NULL-slot fixes, multimodal n_bytes widening
+    "bm25_topk",
+    "qlm_topk",
+    "bm25_index_topk",
+    "docs_unigram_nll",
+    "docs_bigram_nll",
+    "mixture_sample",
+    "weighted_sample_k",
+    "stratified_sample",
+    "token_budget_waterfill",
+    "source_shard_apportion",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_incremental",
+    "winnow_pairs",
+    "eval_containment",
+    "events_daily_cusum",
+    "events_daily_ewma",
+    "events_holt_forecast",
+    "pack_sequences",
+    "customer_scd2",
+    "orders_snapshot_diff",
+    "events_asof",
+    "events_funnel_onepass",
+    "retrieval_eval",
+    "supplier_name_matches",
+    "purchase_attribution",
+    "token_pmi_pairs",
+    "revenue_gini",
+    "events_sequence_pairs",
+    "ab_experiment_panel",
+    "signup_to_purchase_survival",
+    "events_volume_anomalies",
+    "streaming_monitor",
+    "streaming_funnel",
+    "streaming_sessions",
+    "multimodal_features",
 ]
 
 
