@@ -659,7 +659,17 @@ class VectorIndex:
         stats = new_df.agg(
             F.max("docid").alias("mx"),
             F.collect_set(bucket_expr).alias("bks"),
+            # piggybacked on the existing 1-row agg (no extra action):
+            # a NULL docid would dedupe/anti-join as its own key and
+            # poison the index with an unaddressable row forever
+            F.count(F.when(F.col("docid").isNull(), 1)).alias("nnull"),
         ).collect()[0]
+        if int(stats["nnull"] or 0) > 0:
+            new_df.unpersist()
+            raise ValueError(
+                f"upsert_df: {stats['nnull']} change rows have a NULL "
+                f"{docid_col!r} — every merge row needs an integral docid"
+            )
         if stats["mx"] is None:  # empty micro-batch
             new_df.unpersist()
             return

@@ -494,7 +494,13 @@ def stratified_ate(
             f"{sdt!r}; an integral stratum is required (the long cast "
             f"in the output would NULL every non-numeric label)"
         )
-    cell = df.groupBy(
+    # NULL strata/arms excluded: a grouped NULL stratum would form a
+    # pseudo-stratum of unkeyed units, and a NULL (uncastable) treat
+    # flag would form a third arm that silently breaks the two-arm pivot
+    cell = df.filter(
+        F.col(stratum_col).isNotNull()
+        & F.col(treat_col).cast("boolean").isNotNull()
+    ).groupBy(
         F.col(stratum_col).alias("stratum"),
         F.col(treat_col).cast("boolean").alias("__t"),
     ).agg(

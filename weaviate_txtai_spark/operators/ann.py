@@ -332,6 +332,9 @@ class IVFIndex:
         salt count (queries × nprobe × S — the small side); the corpus
         still shuffles exactly once."""
         spark = query_df.sparkSession
+        # NULL query ids excluded: per-query probe/rank steps key on the
+        # id, so unkeyed queries would lump into one merged result list
+        query_df = query_df.filter(F.col(query_id_col).isNotNull())
         base = self.assigned
         if where is not None:
             base = base.filter(

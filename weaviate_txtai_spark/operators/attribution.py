@@ -193,7 +193,9 @@ def shapley_attribution(
             F.when(F.col(type_col) == ch, F.lit(1 << i)).otherwise(0)
         )
         bit = term if bit is None else bit + term
-    users = events.groupBy(user_col).agg(
+    # NULL users excluded: one pseudo-user would otherwise merge every
+    # unkeyed event into a single exposure set (and conversion flag)
+    users = events.filter(F.col(user_col).isNotNull()).groupBy(user_col).agg(
         bit.cast("long").alias("mask"),
         F.max(
             F.when(F.col(type_col) == conversion_type, 1).otherwise(0)

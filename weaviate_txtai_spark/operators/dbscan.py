@@ -89,7 +89,11 @@ def dbscan(
     )
     assigned = core_out.unionByName(border)
     noise = (
-        ids.select(F.col(id_col))
+        # NULL ids excluded: the pair table drops them by comparison
+        # semantics, so restoring them here would mislabel an unkeyed
+        # row as a real 'noise' point
+        ids.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col))
         .join(assigned.select(id_col), id_col, "left_anti")
         .select(
             id_col,

@@ -313,6 +313,9 @@ def pass_at_k(
     """
     if not ks or min(ks) < 1:
         raise ValueError("pass_at_k: ks must be positive")
+    # NULL task ids excluded: one pseudo-task would otherwise pool every
+    # unkeyed attempt and skew the across-task mean
+    df = df.filter(F.col(task_col).isNotNull())
     per = df.groupBy(F.col(task_col).alias("__t")).agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum(F.col(success_col).cast("int")).cast("long").alias("__c"),
@@ -367,7 +370,11 @@ def wilson_interval(
 
     Scale: one groupBy(key); everything else is a map.
     """
-    per = df.groupBy(F.col(key_col).alias("__k")).agg(
+    # NULL keys excluded: a grouped NULL would emit a pseudo-key row
+    # pooling every unkeyed trial's successes
+    per = df.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("__k")
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.col(success_col).cast("int")).cast("double").alias("c"),
     )

@@ -63,7 +63,11 @@ def pagerank(
     # recomputed that join once per consumer (measured: doc_centrality
     # 2x slower without this)
     e = scoped_persist(
+        # NULL endpoints excluded: an edge without an endpoint is not an
+        # edge, and a grouped NULL src would mint one pseudo-node
+        # absorbing every unkeyed edge's rank mass
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
     nodes = scoped_persist(
         e.select(F.col("src").alias("id"))
@@ -208,7 +212,11 @@ def pagerank_exact(
         raise ValueError("pagerank_exact: invalid damping/scale")
     # see pagerank: the edge frame feeds every iteration — persist it
     e = scoped_persist(
+        # NULL endpoints excluded: an edge without an endpoint is not an
+        # edge, and a grouped NULL src would mint one pseudo-node
+        # absorbing every unkeyed edge's rank mass
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
     nodes = scoped_persist(
         e.select(F.col("src").alias("id"))
@@ -1445,10 +1453,15 @@ def bfs_hops(
     if max_hops < 0:
         raise ValueError("bfs_hops: max_hops must be >= 0")
     e = scoped_persist(
+        # NULL endpoints excluded: a NULL dst would surface as a
+        # reachable pseudo-"node" in the output (NULL src edges are
+        # already unjoinable, but filter both for one clear contract)
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
     )
     dist = (
         seeds.select(F.col(seed_col).alias("node"))
+        .filter(F.col("node").isNotNull())  # a NULL seed is not a node
         .distinct()
         .select("node", F.lit(0).cast("int").alias("dist"))
     )
@@ -1507,10 +1520,17 @@ def personalized_pagerank_exact(
     if iters < 1:
         raise ValueError("personalized_pagerank_exact: iters must be >= 1")
     e = scoped_persist(
+        # NULL endpoints excluded (same reason as pagerank: a grouped
+        # NULL endpoint mints a mass-absorbing pseudo-node)
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
     s = scoped_persist(
-        seeds.select(F.col(seed_col).alias("id")).distinct()
+        # a NULL seed has no identity to teleport to — and it would
+        # inflate n_seeds, diluting every real seed's share
+        seeds.select(F.col(seed_col).alias("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
     )
     n_seeds = s.count()
     if n_seeds == 0:

@@ -74,6 +74,11 @@ def dsir_weights(
     either model and OOV cannot occur (the vocab is built from the
     same rows being scored)."""
     feat = F.explode(tokens(F.col(text_col))).alias("f")
+    # NULL doc ids excluded ONCE, before every branch: the per-doc
+    # weight aggregate would lump every unkeyed document's features
+    # into one pseudo-doc's weight, and the tokenless-restore branch
+    # below would re-admit a NULL row claiming weight 0
+    df = df.filter(F.col(id_col).isNotNull())
     tok = df.select(
         F.col(id_col), target.alias("__is_t"), feat
     )

@@ -211,7 +211,11 @@ def abc_classes(
         raise ValueError("abc_classes: need 0 < a_cut < b_cut < 1")
     from weaviate_txtai_spark.operators.rankstats import _prefix_sums
 
-    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+    # NULL keys excluded: a grouped NULL would rank a pseudo-key's
+    # pooled mass into the A/B/C cut points
+    per_key = df.filter(F.col(key_col).isNotNull()).groupBy(
+        F.col(key_col).alias("__k")
+    ).agg(
         F.sum(F.col(value_col).cast("decimal(28,8)")).alias("__v")
     )
     # the prefix machinery is integer-only (long __before), so carry

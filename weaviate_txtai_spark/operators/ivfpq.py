@@ -357,6 +357,10 @@ class IVFPQIndex:
 
         if not queries:
             raise ValueError("IVFPQIndex.search: empty query batch")
+        # a None query id would merge its candidates with every other
+        # unkeyed query's in the per-query windows downstream — raise
+        if any(q[0] is None for q in queries):
+            raise ValueError("IVFPQIndex.search: query ids must not be None")
         spark = self.codes.sparkSession
         cents = sorted(self.ivf.centroids)
         cmat = np.asarray([c for _, c in cents], dtype=np.float64)
@@ -550,6 +554,9 @@ class IVFPQIndex:
         import pandas as pd
 
         spark = self.codes.sparkSession
+        # NULL query ids excluded: per-query LUT/window steps key on the
+        # id, so unkeyed queries would lump into one merged result list
+        query_df = query_df.filter(F.col(query_id_col).isNotNull())
         take = n if shortlist is None else shortlist * n
         m, kq, d = self.pq.m, self.pq.k, self.pq.sub_dim
         id_col = self.id_col

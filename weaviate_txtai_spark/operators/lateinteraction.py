@@ -64,7 +64,14 @@ def maxsim_scores(
     """
     import numpy as np
 
-    qrows = query_tokens.select(query_id, query_vec).collect()
+    # NULL ids excluded on both sides: unkeyed query tokens would merge
+    # into one pseudo-query's MaxSim sum, and unkeyed doc tokens would
+    # share ONE applyInPandas group as a pseudo-document
+    qrows = (
+        query_tokens.filter(F.col(query_id).isNotNull())
+        .select(query_id, query_vec)
+        .collect()
+    )
     if not qrows:
         raise ValueError("maxsim_scores: empty query_tokens")
     qids_all = [r[0] for r in qrows]
@@ -104,7 +111,7 @@ def maxsim_scores(
             }
         )
 
-    d = doc_tokens.select(
+    d = doc_tokens.filter(F.col(doc_id).isNotNull()).select(
         F.col(doc_id).alias("__did"), F.col(doc_vec).alias("__dv")
     )
     return d.groupBy("__did").applyInPandas(score_group, schema=out_schema)

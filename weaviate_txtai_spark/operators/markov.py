@@ -149,7 +149,15 @@ def markov_entropy_rate(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(count_col).cast("long").alias("cnt"),
-    ).filter(F.col("cnt") > 0)
+    ).filter(
+        # mirror the stationary solve's NULL-endpoint exclusion: a NULL
+        # dst would otherwise count toward a real src's p̂ row (and its
+        # entropy) for a transition π never saw — the two branches must
+        # describe the same chain
+        (F.col("cnt") > 0)
+        & F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+    )
     tot = t.groupBy("src").agg(F.sum("cnt").alias("tot"))
     per_state = (
         t.join(tot, "src")

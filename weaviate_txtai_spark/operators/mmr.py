@@ -107,4 +107,14 @@ def mmr_select(
             }
         )
 
-    return candidates.groupBy(query_col).applyInPandas(pick, out_schema)
+    # NULL query ids excluded: they would share ONE applyInPandas group,
+    # running a single greedy MMR over unrelated queries' candidates;
+    # NULL doc ids have no identity to select (and break the id-ASC
+    # tie rule), so they are excluded from every pool
+    return (
+        candidates.filter(
+            F.col(query_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        .groupBy(query_col)
+        .applyInPandas(pick, out_schema)
+    )

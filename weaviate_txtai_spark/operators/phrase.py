@@ -48,7 +48,10 @@ def build_postings(
     """Positional postings: one row per token occurrence —
     ``(doc_id, pos, term)``, pos 0-based. Materialize once (partitioned
     by term) to amortize across phrase queries."""
-    return docs.select(
+    # NULL ids excluded: a grouped/aggregated NULL doc_id would surface
+    # a pseudo-doc in match counts (k=1 phrases never join on doc_id,
+    # so nothing downstream filters it implicitly)
+    return docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text_col)).alias("pos", "term"),
     )

@@ -56,6 +56,13 @@ def resample_ffill(
     # relative to the events it summarizes. Released via cache_scope.
     from weaviate_txtai_spark.cache import scoped_persist
 
+    # NULL series keys / timestamps excluded: a grouped NULL key would
+    # splice every unkeyed event into one pseudo-series, and a NULL ts
+    # (NULL bucket) would add a phantom grid row outside the span
+    guard = F.col(ts_col).isNotNull()
+    for kc in keys:
+        guard = guard & F.col(kc).isNotNull()
+    df = df.filter(guard)
     aggd = scoped_persist(
         df.groupBy(*keys, bucket.alias("bucket_ts")).agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -110,7 +117,12 @@ def rolling_distinct(
     """
     if window_days < 1:
         raise ValueError("window_days must be >= 1")
-    kd = df.select(
+    # NULL keys/timestamps excluded: a NULL ts would emit a phantom
+    # NULL-day window; a NULL key would land count-0 days on the grid
+    # (countDistinct skips NULLs) — neither is an observation
+    kd = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(key_col).alias("__k"),
         F.date_trunc("day", F.col(ts_col)).cast("date").alias("__d"),
     ).distinct()

@@ -190,6 +190,11 @@ def log_state_as_of(
     base = log if as_of is None else log.filter(
         F.col(version_col) <= as_of
     )
+    # NULL business keys excluded: a grouped NULL would fold every
+    # unkeyed mutation into one pseudo-entity whose last-writer-wins
+    # state is meaningless
+    for kc in key_cols:
+        base = base.filter(F.col(kc).isNotNull())
     payload = [
         c
         for c in log.columns

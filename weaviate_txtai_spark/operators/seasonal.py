@@ -22,9 +22,14 @@ def daily_counts(
     group_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """The (group, day, n) grid everything here runs on."""
+    """The (group, day, n) grid everything here runs on. NULL group
+    keys are excluded alongside NULL timestamps: a grouped NULL would
+    splice every unkeyed event into one pseudo-series that then flows
+    through every profile/trend/anomaly consumer of this grid."""
     return (
-        events.filter(F.col(ts_col).isNotNull())
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(group_col).isNotNull()
+        )
         .groupBy(
             F.col(group_col).alias("grp"),
             F.to_date(ts_col).alias("day"),

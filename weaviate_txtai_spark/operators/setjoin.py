@@ -62,7 +62,12 @@ def prefix_filtered_pairs(
             f"{threshold}"
         )
     t = float(threshold)
-    s = items.select(
+    # NULL ids/items excluded: a grouped NULL id would merge every
+    # unkeyed row into one pseudo-set (whose prefix then candidates
+    # against half the corpus); a NULL item is not a set element
+    s = items.filter(
+        F.col(id_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
         F.col(id_col).alias("__id"), F.col(item_col).alias("__it")
     ).distinct()
     s = scoped_persist(s)

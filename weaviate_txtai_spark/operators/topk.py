@@ -61,7 +61,10 @@ def knn_topk(
     oracle-hashable.
     """
     q = F.broadcast(
-        query_df.select(
+        # NULL query ids excluded: the rank window partitions by query
+        # id, so every unkeyed query's candidates would lump into ONE
+        # ranked list interleaving unrelated queries' neighbors
+        query_df.filter(F.col(query_id_col).isNotNull()).select(
             F.col(query_id_col).alias("__qid"), F.col(query_vector_col).alias("__qv")
         )
     )
@@ -189,6 +192,11 @@ def knn_topk_gemm(
     else:
         qids = np.asarray([q[0] for q in queries])
         qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    # a None query id would lump queries under one window partition
+    # downstream (and np.asarray silently object-types the whole id
+    # array) — a query without an identity is a caller bug, raise
+    if any(q is None for q in qids.tolist()):
+        raise ValueError("knn_topk_gemm: query ids must not be None")
     if len(qids) == 0:
         # empty query set → empty result, not an AxisError mid-pipeline;
         # the id type honors query_id_type instead of hardcoding Long so

@@ -164,6 +164,9 @@ def sessionize_batch(
     running-sum), for streaming-vs-batch equivalence tests."""
     from pyspark.sql import Window
 
+    # mirror the streaming path's r11 NULL-key exclusion: a grouped
+    # NULL user would splice every unkeyed event into one session chain
+    events = events.filter(F.col("user_id").isNotNull())
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond precision: the streaming path compares in micros, and
     # whole-second truncation disagrees with it (and with the gate SQL's
