@@ -387,3 +387,45 @@ def test_upsert_df_rejects_null_docids(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL 'docid'"):
         idx.upsert_df(changes)
+
+
+def test_embedding_lsh_excludes_null_ids(spark):
+    from weaviate_txtai_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", VEC)]
+    )
+    emb = _df(
+        spark,
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (None, [1.0, 0.0, 0.0]),  # would pair with both as NULL d1/d2
+        ],
+        schema,
+    )
+    res = embedding_dup_pairs_lsh(emb, threshold=0.9).collect()
+    assert [(r["d1"], r["d2"]) for r in res] == [(1, 2)]
+
+
+def test_hourly_aggregate_excludes_null_keys(spark):
+    import datetime as dt
+
+    from weaviate_txtai_spark.streaming.events import hourly_aggregate
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rows = [
+        ("click", dt.datetime(2025, 1, 1, 10, 5), 1.0),
+        (None, dt.datetime(2025, 1, 1, 10, 6), 2.0),
+        ("click", None, 3.0),
+    ]
+    # withWatermark is a no-op on a batch frame, so the plan runs as-is
+    res = hourly_aggregate(_df(spark, rows, schema)).collect()
+    assert len(res) == 1
+    assert res[0]["event_type"] == "click" and res[0]["n_events"] == 1

@@ -776,7 +776,10 @@ def embedding_dup_pairs_lsh(
     # double-typed embeddings in flight and move verify-stage cosines off
     # the exact path's 6dp values
     blocked = spread(
-        emb.select(
+        # NULL ids excluded: inside a bucket group they would emit
+        # candidate pairs with NULL d1/d2 (an unkeyed vector has no
+        # identity to pair) — same contract as _shingle_table
+        emb.filter(F.col(id_col).isNotNull()).select(
             F.col(id_col).alias("__id"),
             F.col(vector_col).cast("array<double>").alias("__v"),
         )

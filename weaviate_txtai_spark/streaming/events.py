@@ -49,7 +49,14 @@ def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame
     Late data beyond the watermark is dropped; with availableNow over a
     static file the result is exact and equals the batch groupBy."""
     return (
-        events.withWatermark("ts", watermark)
+        # NULL keys excluded (the r11 streaming NULL-slot rule): a NULL
+        # event_type would roll up as a pseudo-type, and a NULL ts has
+        # no window (watermarking drops it anyway on real streams —
+        # filter explicitly so batch equivalence shares the contract)
+        events.filter(
+            F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -100,7 +100,13 @@ def run_segment_rollup(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
     rolled = (
-        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+        # the equijoin already drops NULL user ids; exclude NULL rollup
+        # keys too — a NULL segment/type would aggregate as a pseudo-group
+        ev.filter(F.col("event_type").isNotNull())
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment").isNotNull())),
+            ev["user_id"] == cust["c_custkey"],
+        )
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
