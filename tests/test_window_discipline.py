@@ -45,6 +45,9 @@ _WHITELIST = {
     " domain - one row per test id, tiny by construction",
     "token_budget_waterfill": "water-filling over the SOURCE domain"
     " (|sources| rows after aggregation)",
+    "mixture_weight_solver": "capped weighted water-filling over the"
+    " SOURCE domain (|sources| rows after the token aggregation; the"
+    " prefix-sum theta construction is the documented closed form)",
     "running_revenue": "cumulative sum over the calendar-month domain"
     " (bounded by the date range)",
     # --- vocab-domain rank windows, already capped by TakeOrdered ---
