@@ -26,17 +26,21 @@ _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
 
 
 # The r12 re-verification window (VERDICT r11 task 1): the ledger
-# closed in r11, so slots rotate to the 12 §2 anchors, the 2 new r12
-# end-product gates, and 36 gates whose operator code changed in r11
-# but which the r11 window did not sample.
+# closed in r11, so slots rotate to the 12 §2 anchors, the 3 new r12
+# end-product gates, and 35 gates whose operator code changed in r11
+# but which the r11 window did not sample (stratified_sample ceded its
+# slot to corpus_datasheet; its sampling-family fix is covered by the
+# mixture_sample + weighted_sample_k slots and was oracle-verified at
+# sf0.01 and sf0.1 this round).
 _R12_WINDOW = {
     "knn_topk", "knn_batch", "streaming_ingest", "full_scan",
     "docid_lookup", "scan_limit", "vector_delete", "vector_count",
     "vector_upsert", "similarity_brute", "similar_sql", "agg_stats_txtai",
     "decontamination_report", "mixture_weight_solver",
+    "corpus_datasheet",
     "bm25_topk", "qlm_topk", "bm25_index_topk", "docs_unigram_nll",
     "docs_bigram_nll", "mixture_sample", "weighted_sample_k",
-    "stratified_sample", "token_budget_waterfill", "source_shard_apportion",
+    "token_budget_waterfill", "source_shard_apportion",
     "dedup_minhash", "dedup_simhash", "dedup_incremental", "winnow_pairs",
     "eval_containment", "events_daily_cusum", "events_daily_ewma",
     "events_holt_forecast", "pack_sequences", "customer_scd2",

@@ -2223,3 +2223,105 @@ def mixture_weight_solver_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("tokens"), F.lit(cap_tokens).cast("long")).alias("cap"),
     )
     return capped_weighted_waterfill(wt, budget).orderBy("source")
+
+
+_DATASHEET_SQL = """
+WITH base AS (
+  SELECT source, lang, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt,
+         md5(text) AS fp
+  FROM documents
+),
+per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens,
+         round(CAST(sum(n_chars) AS BIGINT) * 1.0 / count(*), 6) AS avg_chars,
+         round(CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END)
+               AS BIGINT) * 1.0 / count(*), 6) AS quality_share,
+         round(CAST(sum(CASE WHEN nt < 8 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+               / count(*), 6) AS short_share,
+         round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate
+  FROM base GROUP BY 1
+),
+langs AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+dom AS (
+  SELECT source, lang AS dominant_lang, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+  FROM langs
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.avg_chars, p.quality_share,
+       p.short_share, p.dup_rate, d.dominant_lang,
+       round(d.c * 1.0 / p.n_docs, 6) AS lang_share
+FROM per_src p JOIN dom d ON p.source = d.source AND d.rn = 1
+ORDER BY p.source
+"""
+
+
+@register("corpus_datasheet", _DATASHEET_SQL)
+def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DATASHEET ("Datasheets for Datasets", Gebru et
+    al. 2021 — the provenance card a training-data release ships with):
+    volume (docs, whitespace tokens), mean length, quality-band share
+    (200–2000 chars), exact-duplicate rate (1 − distinct md5(text) /
+    docs — the doc-level fingerprint dedup's summary statistic), and
+    the dominant language with its share. The third end-product gate
+    after pretraining_manifest and decontamination_report.
+
+    Every statistic is an exact-integer ratio rounded at the output
+    (sums of longs, distinct counts), so Spark and DuckDB agree
+    bit-for-bit. Scale shape: ONE corpus scan feeding two map-side-
+    combined aggregates (per-source and per-(source, lang)) — the only
+    non-combinable piece is countDistinct(fp), which Spark plans as a
+    two-phase distinct aggregate partitioned by source — plus a
+    |sources|-domain window and a broadcast-sized join. Nothing
+    row-scale after the aggregates."""
+    from weaviate_txtai_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        token_count("text").cast("long").alias("nt"),
+        F.md5("text").alias("fp"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("__chars"),
+        F.sum(
+            F.when(F.col("n_chars").between(200, 2000), 1).otherwise(0)
+        ).cast("long").alias("__q"),
+        F.sum(F.when(F.col("nt") < 8, 1).otherwise(0)).cast("long").alias("__s"),
+        F.countDistinct("fp").alias("__fps"),
+    )
+    langs = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    dom = (
+        langs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("dominant_lang"), "c")
+    )
+    n = F.col("n_docs").cast("double")
+    return (
+        per.join(F.broadcast(dom), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("__chars") * F.lit(1.0) / n, 6).alias("avg_chars"),
+            F.round(F.col("__q") * F.lit(1.0) / n, 6).alias("quality_share"),
+            F.round(F.col("__s") * F.lit(1.0) / n, 6).alias("short_share"),
+            F.round(
+                F.lit(1.0) - F.col("__fps") * F.lit(1.0) / n, 6
+            ).alias("dup_rate"),
+            "dominant_lang",
+            F.round(F.col("c") * F.lit(1.0) / n, 6).alias("lang_share"),
+        )
+        .orderBy("source")
+    )

@@ -49,9 +49,9 @@ _PRIORITY = [
     # r12 rotation (VERDICT r11 task 1): the cross-round ledger closed
     # in r11 (311/311 oracled gates hold a green driver row), so window
     # slots now go to RE-verification on a rotation cadence — the 12
-    # SURVEY §2 anchor gates, this round's 2 new end-product gates
+    # SURVEY §2 anchor gates, this round's 3 new end-product gates
     # (each new gate enters the window within one round of creation),
-    # and 36 gates whose operator code changed in r11's hostile-input
+    # and 35 gates whose operator code changed in r11's hostile-input
     # hardening but which the r11 window did not sample (the other 32
     # r11-changed gates already hold fresh post-fix r11 rows). The 7
     # rows-only-by-design gates remain STRUCTURALLY excluded by the
@@ -70,10 +70,12 @@ _PRIORITY = [
     "similarity_brute",
     "similar_sql",
     "agg_stats_txtai",
-    # the 2 new r12 end-product gates
+    # the 3 new r12 end-product gates (each enters the window in its
+    # creation round)
     "decontamination_report",
     "mixture_weight_solver",
-    # 36 r11-changed-but-unsampled gates, one-or-more per fix family:
+    "corpus_datasheet",
+    # 35 r11-changed-but-unsampled gates, one-or-more per fix family:
     # bm25/textindex, lm, sampling, budget, apportionment, dedup,
     # passages, cusum/ewma/holt, pack_sequences, scd/diff, asof,
     # funnel, evalmetrics, stringjoin, attribution, itemsets,
@@ -86,7 +88,6 @@ _PRIORITY = [
     "docs_bigram_nll",
     "mixture_sample",
     "weighted_sample_k",
-    "stratified_sample",
     "token_budget_waterfill",
     "source_shard_apportion",
     "dedup_minhash",
