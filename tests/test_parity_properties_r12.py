@@ -2,7 +2,11 @@
 program to families that lacked one — graph (SCC vs brute-force
 transitive closure; exact-integer PPR vs a Python replay of the same
 fixed-point arithmetic), survival (Kaplan-Meier vs a hand-rolled
-product-limit), and conformal (qhat vs a direct rank computation).
+product-limit), and conformal (qhat vs a direct rank computation) —
+plus the two r12 end-product kernels: capped weighted water-filling vs
+the textbook iterative cap-and-redistribute algorithm, and the
+decontamination signals (containment + winnowed-fingerprint overlap)
+vs a pure-Python window/winnow brute force on random tiny corpora.
 
 Each oracle is an INDEPENDENT re-derivation (no Spark, no shared
 helpers), so agreement on randomized inputs is evidence the plan
@@ -210,3 +214,165 @@ def test_conformal_qhat_matches_rank_oracle(spark, rows, alpha):
         assert got["qhat"] is None
     else:
         assert abs(got["qhat"] - want) <= 1e-9
+
+
+# ------------------------------------------- capped weighted waterfill
+
+@st.composite
+def _waterfill_case(draw):
+    n = draw(st.integers(1, 8))
+    rows = [
+        (
+            f"s{i}",
+            draw(st.integers(0, 20)),       # weight
+            draw(st.integers(0, 1000)),     # cap
+        )
+        for i in range(n)
+    ]
+    budget = draw(st.integers(0, 3000))
+    return rows, budget
+
+
+def _waterfill_iterative(rows, budget):
+    """Independent oracle: iterative cap-and-redistribute (the textbook
+    weighted max-min fairness algorithm) instead of the closed-form
+    theta construction."""
+    alloc = {k: 0.0 for k, _, _ in rows}
+    active = {k: (w, c) for k, w, c in rows if w > 0}
+    b = float(budget)
+    while active and b > 1e-12:
+        tw = sum(w for w, _ in active.values())
+        theta = b / tw
+        capped = {k for k, (w, c) in active.items() if c <= theta * w + 1e-12}
+        if not capped:
+            for k, (w, c) in active.items():
+                alloc[k] = theta * w
+            return alloc
+        for k in capped:
+            w, c = active.pop(k)
+            alloc[k] = float(c)
+            b -= c
+    return alloc
+
+
+@settings(**_SETTINGS)
+@given(case=_waterfill_case())
+def test_capped_waterfill_matches_iterative_oracle(spark, case):
+    from weaviate_txtai_spark.operators.budget import (
+        capped_weighted_waterfill,
+    )
+
+    rows, budget = case
+    df = spark.createDataFrame(rows, "source string, weight long, cap long")
+    got = {
+        r["source"]: r["alloc"]
+        for r in capped_weighted_waterfill(df, budget).collect()
+    }
+    want = _waterfill_iterative(rows, budget)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-5, (k, got[k], want[k], case)
+    # the invariant the solver promises: sum alloc = min(budget, sum cap
+    # over positive-weight sources)
+    cap_pos = sum(c for _, w, c in rows if w > 0)
+    assert abs(sum(got.values()) - min(budget, cap_pos)) <= 1e-4
+
+
+# --------------------------------------- decontamination report signals
+
+def _tokens(text):
+    return [t for t in text.split(" ") if t != ""]
+
+
+def _containment_brute(ev_text, train_texts, k):
+    toks = _tokens(ev_text)
+    if len(toks) < k:
+        return 0, None
+    wins = {
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    }
+    train = set()
+    for t in train_texts:
+        tt = _tokens(t)
+        train |= {
+            " ".join(tt[i : i + k]) for i in range(len(tt) - k + 1)
+        }
+    hit = len(wins & train)
+    return len(wins), round(hit / len(wins), 6)
+
+
+def _winnow_brute(text, k, w):
+    """Independent re-derivation of the repo's winnowing fingerprints
+    (rightmost-min over k-gram rolling hashes, short-doc single window)."""
+    toks = _tokens(text)
+    th = [(ord(t[0]) * 31 + len(t)) for t in toks]
+    if len(th) < k:
+        return set()
+    kg = []
+    for i in range(len(th) - k + 1):
+        a = 0
+        for x in th[i : i + k]:
+            a = (a * 131 + x) % 1_000_000_007
+        kg.append(a)
+    wl = min(len(kg), w)
+    fps = set()
+    for j in range(len(kg) - wl + 1):
+        best, pos = 1_000_000_008, -1
+        for p in range(j, j + wl):
+            if kg[p] <= best:
+                best, pos = kg[p], p
+        fps.add(best)
+    return fps
+
+
+@st.composite
+def _decontam_case(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    word = st.sampled_from(vocab)
+
+    def text(lo, hi):
+        n = draw(st.integers(lo, hi))
+        return " ".join(draw(word) for _ in range(n))
+
+    train = [(i, text(0, 14)) for i in range(draw(st.integers(1, 3)))]
+    ev = [(100 + i, text(0, 14)) for i in range(draw(st.integers(1, 3)))]
+    return train, ev
+
+
+@settings(**_SETTINGS)
+@given(case=_decontam_case())
+def test_decontamination_signals_match_bruteforce(spark, case):
+    from weaviate_txtai_spark.operators.passages import (
+        decontamination_report,
+    )
+
+    train, ev = case
+    k, wk, ww = 4, 3, 2
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontamination_report(
+            edf, tdf, k=k, winnow_k=wk, winnow_w=ww
+        ).collect()
+    }
+    train_fps = set()
+    for _, t in train:
+        train_fps |= _winnow_brute(t, wk, ww)
+    assert set(got) == {d for d, _ in ev}
+    for d, text in ev:
+        r = got[d]
+        n_win, cont = _containment_brute(
+            text, [t for _, t in train], k
+        )
+        assert r["n_windows"] == n_win, (d, text)
+        assert (r["containment"] is None) == (cont is None)
+        if cont is not None:
+            assert abs(r["containment"] - cont) <= 1e-6
+        fps = _winnow_brute(text, wk, ww)
+        assert r["n_fps"] == len(fps), (d, text)
+        if fps:
+            want = round(len(fps & train_fps) / len(fps), 6)
+            assert abs(r["fp_overlap"] - want) <= 1e-6
+        else:
+            assert r["fp_overlap"] is None
