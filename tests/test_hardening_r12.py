@@ -429,3 +429,39 @@ def test_hourly_aggregate_excludes_null_keys(spark):
     res = hourly_aggregate(_df(spark, rows, schema)).collect()
     assert len(res) == 1
     assert res[0]["event_type"] == "click" and res[0]["n_events"] == 1
+
+
+def test_dedup_survivors_exclude_null_ids(spark):
+    from weaviate_txtai_spark.operators.dedup import (
+        dedup_survivors,
+        dedup_survivors_by,
+    )
+
+    docs = _df(
+        spark,
+        [(1, "x"), (2, "x"), (None, "ghost")],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    pairs = spark.createDataFrame([(1, 2, 1.0)], "d1 long, d2 long, jaccard double")
+    surv = dedup_survivors(docs, pairs).collect()
+    assert {r["doc_id"] for r in surv} == {1}
+    docs_q = docs.withColumn("q", F.col("doc_id").cast("double"))
+    surv2 = dedup_survivors_by(docs_q, pairs, quality_col="q").collect()
+    assert {r["doc_id"] for r in surv2} == {2}  # higher quality wins
+
+
+def test_semantic_survivors_exclude_null_ids(spark):
+    from weaviate_txtai_spark.operators.kmeans import semantic_dedup_survivors
+
+    df = _df(
+        spark,
+        [(1, [1.0]), (2, [1.0]), (None, [9.0])],
+        StructType(
+            [StructField("vec_id", LongType()), StructField("embedding", VEC)]
+        ),
+    )
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    surv = semantic_dedup_survivors(df, pairs).collect()
+    assert {r["vec_id"] for r in surv} == {1}

@@ -457,7 +457,12 @@ def dedup_survivors(
     # NO forced broadcast: at corpus scale the drop set can be a large
     # fraction of the corpus (dup-heavy crawls run >50%); AQE broadcasts
     # it when it is actually small, else this is one hash anti-join.
-    return docs.join(drop, id_col, "left_anti")
+    # NULL-id docs are excluded, not "survivors": they can never appear
+    # in the (guarded) pair graph, so the anti-join would re-admit them
+    # as phantom survivors
+    return docs.filter(F.col(id_col).isNotNull()).join(
+        drop, id_col, "left_anti"
+    )
 
 
 def dedup_survivors_by(
@@ -513,7 +518,10 @@ def dedup_survivors_by(
         .filter(F.col("doc_id") != F.col("__best_id"))
         .select(F.col("doc_id").alias(id_col))
     )
-    return docs.join(drop, id_col, "left_anti")
+    # same phantom-survivor exclusion as dedup_survivors above
+    return docs.filter(F.col(id_col).isNotNull()).join(
+        drop, id_col, "left_anti"
+    )
 
 
 # ---------------------------------------------------------------- SimHash

@@ -556,7 +556,12 @@ def semantic_dedup_survivors(
     (same reasoning as ``dedup_survivors``, r2).
     """
     drops = pairs.select(F.col("d2").alias(id_col)).distinct()
-    return df.join(drops, on=id_col, how="left_anti")
+    # NULL-id rows are excluded, not "survivors": they can never appear
+    # in the pair graph, so the anti-join would re-admit them as
+    # phantom survivors (same contract as dedup_survivors)
+    return df.filter(F.col(id_col).isNotNull()).join(
+        drops, on=id_col, how="left_anti"
+    )
 
 
 def cluster_top_terms(
