@@ -158,6 +158,11 @@ class IVFIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        # An id-keyed index cannot return, delete, or upsert an unkeyed
+        # row; a NULL-id row admitted here would later vanish silently
+        # at the rerank/shortlist joins (NULL never equi-joins) after
+        # consuming a result slot (r13 join census)
+        df = df.filter(F.col(id_col).isNotNull())
         feat = df.withColumn(
             "__feat", array_to_vector(F.col(vector_col).cast("array<double>"))
         )
@@ -190,6 +195,9 @@ class IVFIndex:
         # the cell a rebuild would have chosen
         from weaviate_txtai_spark.operators.kmeans import assign_clusters
 
+        # same NULL-id exclusion as build() — appended unkeyed rows
+        # would silently vanish at the search-time rerank joins
+        new_df = new_df.filter(F.col(self.id_col).isNotNull())
         assigned_new = assign_clusters(
             new_df,
             self.centroids,
@@ -237,6 +245,8 @@ class IVFIndex:
                 f"(column, saved, new): {mismatched} — cast before appending"
             )
         expected = [f.name for f in expected]
+        # same NULL-id exclusion as build/append (r13 join census)
+        new_df = new_df.filter(F.col(self.id_col).isNotNull())
         assign_clusters(
             new_df.select(*expected),
             self.centroids,

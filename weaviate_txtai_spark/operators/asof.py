@@ -184,6 +184,10 @@ def range_join(
     Returns left columns + right payload columns (caller renames to avoid
     collisions before the call). Equi-join on (keys…, epoch bucket) — the
     ×2 left explosion replaces the quadratic inequality join.
+
+    Rows with a NULL timestamp or NULL key never pair (inner-join
+    semantics) and are absent from the output — the SQL contract, and
+    what the DuckDB oracles compute (r13 join census).
     """
     keys = list(on)
     w_us = int(window_seconds) * 1_000_000

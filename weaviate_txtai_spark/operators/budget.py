@@ -136,7 +136,11 @@ def capped_weighted_waterfill(
     same capped set bit-for-bit (a float boundary test flips at ulp
     granularity across engines). Weights are scale-free (θ absorbs any
     common factor), so callers with huge magnitudes rescale weights,
-    never losing exactness. Zero-weight sources get alloc 0 and are
+    never losing exactness — ENFORCED: the solver raises if the
+    boundary-test terms could exceed 2^62 (checked in double, which
+    cannot itself overflow), rather than wrapping silently on
+    non-ANSI engines. Fractional weights/caps are rejected, not
+    truncated. Zero-weight sources get alloc 0 and are
     excluded from the θ computation (their cap must not absorb
     budget). Only θ itself and the final alloc are floats, rounded to
     ``decimals``.
@@ -155,6 +159,12 @@ def capped_weighted_waterfill(
     cl = F.col(cap_col).cast("long")
     bad = (
         wl.isNull() | (wl < 0) | cl.isNull() | (cl < 0)
+        # a fractional weight/cap (e.g. 2.9) would be silently
+        # truncated by the long cast, quietly changing the allocation;
+        # integral values round-trip the double comparison exactly
+        # (both sides pass through the same long->double conversion)
+        | (F.col(weight_col).cast("double") != wl.cast("double"))
+        | (F.col(cap_col).cast("double") != cl.cast("double"))
     )
     checked = per_source.withColumn(
         "__w",
@@ -184,18 +194,53 @@ def capped_weighted_waterfill(
     # at θ = r the tied sources' θ·w equals their cap exactly
     r = F.col("__c").cast("double") / F.col("__w").cast("double")
     w = Window.orderBy(r.asc(), F.asc(key_col))
+    agg0 = Window.partitionBy()
     ranked = (
         pos.withColumn("__pc", F.sum("__c").over(w))
         .withColumn("__pw", F.sum("__w").over(w))
-        .withColumn("__tw", F.sum("__w").over(Window.partitionBy()))
+        .withColumn("__tw", F.sum("__w").over(agg0))
     )
     b = F.lit(int(budget)).cast("long")
+    # Overflow headroom for the exact-int64 boundary test below: each
+    # term is bounded by max(w)*sum(c), max(c)*sum(w), and B*max(w).
+    # The check runs in DOUBLE (so it cannot itself overflow) against
+    # 2^62 — a 2x safety margin that dwarfs the 53-bit mantissa error.
+    # Without it, huge weights (e.g. 1e6-scaled multi-billion-token
+    # sources) would wrap silently on non-ANSI Spark and mis-flag the
+    # capped set; weights are scale-free, so callers rescale.
+    mw = F.max(F.col("__w").cast("double")).over(agg0)
+    mc = F.max(F.col("__c").cast("double")).over(agg0)
+    sc = F.sum(F.col("__c").cast("double")).over(agg0)
+    sw = F.col("__tw").cast("double")
+    headroom_bad = (
+        (mw * sc + mc * sw >= F.lit(float(2 ** 62)))
+        | (b.cast("double") * mw >= F.lit(float(2 ** 62)))
+    )
     capped = (
         F.col("__w") * F.col("__pc")
         + F.col("__c") * (F.col("__tw") - F.col("__pw"))
         <= b * F.col("__w")
     )
-    ranked = ranked.withColumn("__capped", capped)
+    ranked = ranked.withColumn(
+        "__capped",
+        F.when(
+            headroom_bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "capped_weighted_waterfill: weight/cap magnitudes "
+                        "exceed int64 headroom for the exact boundary test "
+                        "(max(w)*sum(c)+max(c)*sum(w) or budget*max(w) >= "
+                        "2^62); weights are scale-free — divide them by a "
+                        "common factor. max(w)="
+                    ),
+                    mw.cast("string"),
+                    F.lit(" sum(c)="),
+                    sc.cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(capped),
+    )
     agg = Window.partitionBy()
     s_c = F.max(F.when(F.col("__capped"), F.col("__pc"))).over(agg)
     s_w = F.max(F.when(F.col("__capped"), F.col("__pw"))).over(agg)

@@ -147,6 +147,9 @@ class IVFPQIndex:
         encoding the new batch directly is O(batch)."""
         from weaviate_txtai_spark.operators.kmeans import assign_clusters
 
+        # same NULL-id exclusion as IVFIndex.build/append: keeps the
+        # float layout and the codes table symmetric (r13 join census)
+        new_df = new_df.filter(F.col(self.id_col).isNotNull())
         ivf_new = self.ivf.append(new_df)
         keep = [
             c for c in self.codes.columns
@@ -215,6 +218,8 @@ class IVFPQIndex:
                 f"index (column, saved, new): {mismatched} — cast before "
                 "appending"
             )
+        # same NULL-id exclusion as build/append (r13 join census)
+        new_df = new_df.filter(F.col(self.id_col).isNotNull())
         assigned_new = assign_clusters(
             new_df.select(*[f.name for f in expected]),
             self.ivf.centroids,

@@ -586,6 +586,10 @@ def cluster_top_terms(
     never the corpus). Ties break to the lexicographically first term so
     the output is deterministic and oracle-able.
 
+    NULL-id docs (either side) cannot be matched to an assignment and
+    are absent from the term counts — the inner join IS the contract
+    (r13 join census).
+
     Output: cluster, rank (1..n_terms), term, n_occ.
     """
     from weaviate_txtai_spark.functions.text import tokens

@@ -531,6 +531,14 @@ def decontamination_report(
     Output: ``id_col, n_windows, containment, n_fps, fp_overlap,
     evidence, decision``.
     """
+    # review_at > drop_at would silently make 'review' unreachable and
+    # a negative review_at makes 'keep' unreachable — fail loud instead
+    if not (0.0 <= review_at <= drop_at):
+        raise ValueError(
+            "decontamination_report: thresholds must satisfy "
+            f"0 <= review_at <= drop_at; got review_at={review_at} "
+            f"drop_at={drop_at}"
+        )
     cont = ngram_containment(
         eval_docs,
         train_docs,

@@ -517,6 +517,12 @@ def adc_topk(
     :func:`adc_scores`)."""
     if strategy not in ("auto", "gemm", "expr"):
         raise ValueError(f"adc_topk: unknown strategy {strategy!r}")
+    # NULL-id rows are excluded up front (r13 join census): results are
+    # keyed by id, and in adc_topk_rerank an unkeyed shortlist row can
+    # never re-join its float vector — it would silently waste a
+    # shortlist slot and shrink the final top-n. (Unkeyed ids would
+    # also surface as NaN through the Arrow kernel's id gather.)
+    codes = codes.filter(F.col(id_col).isNotNull())
     if strategy == "expr":
         scored = adc_scores(codes, model, query, code_col=code_col).select(
             id_col, "adc_dist"

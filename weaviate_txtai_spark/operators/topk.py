@@ -316,6 +316,11 @@ def hamming_topk(
     rank."""
     from weaviate_txtai_spark.functions.vector import hamming_dist
 
+    # NULL-id rows are excluded up front (r13 join census): results are
+    # keyed by id, and in the rerank composition an unkeyed shortlist
+    # row can never re-join its float vector — it would silently waste
+    # a shortlist slot and shrink the final top-n
+    codes = codes.filter(F.col(id_col).isNotNull())
     qlit = F.array(*[F.lit(int(w)).cast("long") for w in query_code])
     scored = codes.select(
         id_col, hamming_dist(F.col(code_col), qlit).alias("hamming")

@@ -2140,7 +2140,7 @@ per_src AS (
 b AS (SELECT CAST(sum(tokens) AS BIGINT) // 2 AS budget FROM per_src),
 wt AS (
   SELECT source, tokens,
-         CAST(round(n_good * 1.0 / n_docs * sqrt(tokens) * 1000000, 0)
+         CAST(round(n_good * 1.0 / n_docs * sqrt(tokens) * 1000, 0)
               AS BIGINT) AS weight,
          least(tokens, (SELECT 3 * budget // 10 FROM b)) AS cap
   FROM per_src
@@ -2187,7 +2187,7 @@ def mixture_weight_solver_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality × temperature × cap constraints. Desired weight
     w_i = quality_i · tokens_i^0.5 (quality = fraction of the source's
     docs in the 200–2000-char band; sqrt = temperature alpha 0.5),
-    scaled to integers at 1e6; hard caps = min(inventory, 30% of the
+    scaled to integers at 1e3; hard caps = min(inventory, 30% of the
     budget); budget = half the corpus's tokens. alloc = min(cap, θ·w)
     with the θ boundary test in exact int64 arithmetic so Spark and
     the oracle flag identical capped sources. Raw token counting is
@@ -2215,7 +2215,10 @@ def mixture_weight_solver_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_good") * F.lit(1.0) / F.col("n_docs")
             * F.sqrt(F.col("tokens"))
-            * F.lit(1000000.0),
+            # 1e3 scale (not 1e6): keeps max(w)*(sum(c)+budget) far
+            # inside the solver's 2^62 headroom even for
+            # multi-billion-token sources (ADVICE r12)
+            * F.lit(1000.0),
             0,
         )
         .cast("long")
@@ -2249,7 +2252,8 @@ langs AS (
 ),
 dom AS (
   SELECT source, lang AS dominant_lang, c,
-         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang NULLS LAST) AS rn
   FROM langs
 )
 SELECT p.source, p.n_docs, p.n_tokens, p.avg_chars, p.quality_share,
@@ -2301,7 +2305,13 @@ def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = base.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    # NULLS LAST on the lang tie-break: Spark's plain asc sorts NULLs
+    # FIRST while DuckDB's ORDER BY defaults to NULLS LAST, so a count
+    # tie involving a NULL-lang group would pick different
+    # dominant_lang rows across engines (ADVICE r12)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("c"), F.asc_nulls_last("lang")
+    )
     dom = (
         langs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

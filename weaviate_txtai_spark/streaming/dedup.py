@@ -116,7 +116,10 @@ def stream_near_dedup(
     which equally means two genuinely different documents sharing an id
     across batches are never compared, so a reused id silently skips
     dedup for that pair. Crawl pipelines should use a content- or
-    URL-derived id (e.g. uuid5), never a per-batch counter.
+    URL-derived id (e.g. uuid5), never a per-batch counter. NULL-id
+    docs are excluded from the survivor output (they never receive
+    signatures, so the final left_semi drops them) — the same contract
+    as batch ``dedup_survivors`` (r13 join census).
 
     Returns the StreamingQuery (caller awaits termination).
     """
