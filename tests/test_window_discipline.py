@@ -48,6 +48,9 @@ _WHITELIST = {
     "mixture_weight_solver": "capped weighted water-filling over the"
     " SOURCE domain (|sources| rows after the token aggregation; the"
     " prefix-sum theta construction is the documented closed form)",
+    "curation_run": "the embedded waterfill stage's source-domain"
+    " prefix windows (|sources| rows after the per-source aggregate);"
+    " every corpus-granularity window partitions by source",
     "running_revenue": "cumulative sum over the calendar-month domain"
     " (bounded by the date range)",
     # --- vocab-domain rank windows, already capped by TakeOrdered ---

@@ -219,3 +219,162 @@ def extract_features(
         compute,
         schema=f"{id_col} {_id_sql_type(df, id_col)}, features array<double>",
     )
+
+
+# ------------------------------------------------------ byte-level dedup
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def byte_shingle_table(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    k: int = 16,
+    sample_hex: int = 4,
+) -> DataFrame:
+    """Distinct (``__id``, ``__sh``) table of content-defined-sampled
+    k-byte windows of a BINARY payload — the shingle layer for
+    byte-level media dedup (images/audio/video near-dup BY BYTES,
+    before any perceptual hash exists; Broder-style mod-p shingle
+    sampling, public sketching literature).
+
+    Every k-byte window (stride 1) is considered; a window is KEPT iff
+    the last hex digit of md5(hex(window)) falls in the first
+    ``sample_hex`` digits — selection depends on window CONTENT only,
+    so two payloads sharing a byte run sample the SAME windows
+    regardless of byte offset (a positional stride would misalign
+    after any insertion). Fraction kept = sample_hex/16. md5-of-hex
+    (not of raw bytes) because the DuckDB oracle can only slice/hash
+    the hex image of a blob — both engines hash the identical string.
+
+    Kept windows are hashed to int64 (xxhash64 over the raw bytes) for
+    8-byte shuffle keys — same collision stance as
+    ``operators.dedup.jaccard_pairs``. NULL ids/payloads and payloads
+    shorter than k are excluded (an unkeyed or sub-window payload can
+    never pair). One explode + filter (map-side, ~1/4 of windows
+    survive) and one distinct shuffle on the sampled rows.
+    """
+    if not 1 <= int(sample_hex) <= 16:
+        raise ValueError(f"byte_shingle_table: sample_hex {sample_hex} "
+                         "must be in 1..16")
+    from weaviate_txtai_spark.sources.tables import spread
+
+    base = spread(
+        df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(payload_col).isNotNull()
+            & (F.length(payload_col) >= k)
+        )
+    ).select(F.col(id_col).alias("__id"), F.col(payload_col).alias("__pl"))
+    win = F.col("__pl").substr(F.col("__p"), F.lit(k))
+    keep = list(_HEX_DIGITS[: int(sample_hex)])
+    return (
+        base.select(
+            "__id",
+            "__pl",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__pl") - F.lit(k - 1))
+            ).alias("__p"),
+        )
+        .select("__id", win.alias("__w"))
+        .filter(F.substring(F.md5(F.hex("__w")), 32, 1).isin(keep))
+        .select("__id", F.xxhash64("__w").alias("__sh"))
+        .distinct()
+    )
+
+
+def binary_jaccard_pairs(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    k: int = 16,
+    threshold: float = 0.8,
+    sample_hex: int = 4,
+) -> DataFrame:
+    """All payload pairs with byte-shingle Jaccard >= threshold (exact
+    over the content-defined-sampled window universe) — the
+    specification twin of :func:`binary_dup_pairs`, same
+    inverted-index join shape as ``operators.dedup.jaccard_pairs``.
+    Output: d1, d2 (d1 < d2), jaccard rounded to 6dp."""
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    sh = scoped_persist(
+        byte_shingle_table(
+            df, payload_col=payload_col, id_col=id_col, k=k,
+            sample_hex=sample_hex,
+        )
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    shz = sh.join(F.broadcast(sizes), "__id")
+    a, b = shz.alias("a"), shz.alias("b")
+    t = F.lit(threshold)
+    common = (
+        a.join(
+            b,
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("a.__sz") >= t * F.col("b.__sz"))
+            & (F.col("b.__sz") >= t * F.col("a.__sz")),
+        )
+        .groupBy(F.col("a.__id").alias("d1"), F.col("b.__id").alias("d2"))
+        .agg(
+            F.count(F.lit(1)).alias("__common"),
+            F.first(F.col("a.__sz")).alias("__sz1"),
+            F.first(F.col("b.__sz")).alias("__sz2"),
+        )
+    )
+    jac = F.col("__common") / (
+        F.col("__sz1") + F.col("__sz2") - F.col("__common")
+    )
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def binary_dup_pairs(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    k: int = 16,
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    bands: int = 16,
+    sample_hex: int = 4,
+) -> DataFrame:
+    """Byte-level near-dup pairs via MinHash-LSH banding over sampled
+    k-byte windows, verified with exact (sampled-universe) Jaccard —
+    the SCALE path: shuffle is O(payloads x bands) bucket rows plus
+    the verify join on candidates only, reusing
+    ``operators.dedup.minhash_lsh_pairs``'s banding + pair-granularity
+    array_intersect verify wholesale via its ``signatures`` seam.
+    Output: d1, d2, jaccard — equal to :func:`binary_jaccard_pairs` up
+    to LSH recall (pytest pins equality on the fixture corpus)."""
+    from weaviate_txtai_spark.cache import scoped_persist
+    from weaviate_txtai_spark.operators.dedup import minhash_lsh_pairs
+
+    sh = byte_shingle_table(
+        df, payload_col=payload_col, id_col=id_col, k=k,
+        sample_hex=sample_hex,
+    )
+    per_doc = scoped_persist(
+        sh.groupBy("__id").agg(
+            F.collect_set("__sh").alias("__set"),
+            *[
+                F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
+                for p in range(num_perms)
+            ],
+        )
+    )
+    return minhash_lsh_pairs(
+        df,
+        threshold=threshold,
+        num_perms=num_perms,
+        bands=bands,
+        signatures=per_doc,
+    )

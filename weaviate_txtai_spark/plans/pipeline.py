@@ -2335,3 +2335,364 @@ def corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Full curation-run composition: dedup -> decontaminate -> mixture-solve
+# -> quota-sample -> pack -> per-source report (r13, VERDICT task 3)
+# --------------------------------------------------------------------------
+
+_CURATION_RUN_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, text, n_chars,
+         CAST(substring(source, 4, 10) AS INT) % 2 AS side
+  FROM documents
+),
+train AS (SELECT doc_id, source, text, n_chars FROM base WHERE side = 0),
+ev AS (SELECT doc_id, text FROM base WHERE side = 1),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM train)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+  FROM common
+  JOIN sz s1 ON common.d1 = s1.doc_id
+  JOIN sz s2 ON common.d2 = s2.doc_id
+),
+edges AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 0.8),
+undirected AS (
+  SELECT d1 AS a, d2 AS b FROM edges
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM edges
+),
+reach AS (
+  SELECT a AS node, a AS r FROM undirected
+  UNION
+  SELECT u.b AS node, reach.r AS r
+  FROM reach JOIN undirected u ON reach.node = u.a
+),
+surv AS (
+  SELECT doc_id, source, text, n_chars FROM train
+  WHERE doc_id IS NOT NULL AND doc_id NOT IN (
+    SELECT node FROM reach GROUP BY node HAVING min(r) < node
+  )
+),
+tokse AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM ev
+),
+evw AS (
+  SELECT DISTINCT md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
+  FROM tokse, unnest(generate_series(1, len(tok) - 7)) AS s(x)
+  WHERE len(tok) >= 8
+),
+tokss AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM surv
+),
+sw AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
+  FROM tokss, unnest(generate_series(1, len(tok) - 7)) AS s(x)
+  WHERE len(tok) >= 8
+),
+stot AS (SELECT doc_id, count(*) AS n_w FROM sw GROUP BY 1),
+shit AS (
+  SELECT sw.doc_id, count(*) AS n_hit FROM sw JOIN evw USING (wh) GROUP BY 1
+),
+contam AS (
+  SELECT stot.doc_id,
+         round(coalesce(shit.n_hit, 0) * 1.0 / stot.n_w, 6) AS containment
+  FROM stot LEFT JOIN shit USING (doc_id)
+),
+clean AS (
+  SELECT s.doc_id, s.source, s.n_chars,
+         CAST(len(list_filter(string_split(s.text, ' '), x -> x <> ''))
+              AS BIGINT) AS nt
+  FROM surv s LEFT JOIN contam c USING (doc_id)
+  WHERE c.containment IS NULL OR c.containment < 0.2
+),
+per_src AS (
+  SELECT source,
+         CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens,
+         CAST(count(*) AS BIGINT) AS n_clean,
+         CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_good
+  FROM clean GROUP BY 1
+),
+b AS (SELECT CAST(sum(tokens) AS BIGINT) // 2 AS budget FROM per_src),
+wt AS (
+  SELECT source, tokens, n_clean,
+         CAST(round(n_good * 1.0 / n_clean * sqrt(tokens) * 1000, 0)
+              AS BIGINT) AS weight,
+         least(tokens, (SELECT 3 * budget // 10 FROM b)) AS cap
+  FROM per_src
+),
+pos AS (SELECT * FROM wt WHERE weight > 0),
+ranked AS (
+  SELECT source, tokens, n_clean, weight, cap,
+         CAST(sum(cap) OVER (ORDER BY cap * 1.0 / weight, source) AS BIGINT)
+           AS pc,
+         CAST(sum(weight) OVER (ORDER BY cap * 1.0 / weight, source)
+              AS BIGINT) AS pw,
+         CAST(sum(weight) OVER () AS BIGINT) AS tw
+  FROM pos
+),
+flagged AS (
+  SELECT *,
+         weight * pc + cap * (tw - pw) <= (SELECT budget FROM b) * weight
+           AS capped
+  FROM ranked
+),
+lvl AS (
+  SELECT max(CASE WHEN capped THEN pc END) AS s_c,
+         max(CASE WHEN capped THEN pw END) AS s_w
+  FROM flagged
+),
+alloc AS (
+  SELECT source, tokens, n_clean, weight, cap,
+         round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+               ELSE least(CAST(cap AS DOUBLE),
+                    (((SELECT budget FROM b)
+                      - coalesce((SELECT s_c FROM lvl), 0)) * 1.0
+                     / (tw - coalesce((SELECT s_w FROM lvl), 0)))
+                    * weight) END, 6) AS alloc
+  FROM flagged
+  UNION ALL
+  SELECT source, tokens, n_clean, weight, cap, 0.0 AS alloc
+  FROM wt WHERE weight = 0
+),
+q AS (SELECT *, CAST(floor(alloc) AS BIGINT) AS quota FROM alloc),
+cand AS (SELECT doc_id, source, nt FROM clean WHERE nt > 0),
+ordered AS (
+  SELECT doc_id, source, nt,
+         sum(nt) OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761 % 4294967296) / 4294967296.0,
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cand
+),
+sampled AS (
+  SELECT o.doc_id, o.source, o.nt
+  FROM ordered o JOIN q USING (source) WHERE o.cum <= q.quota
+),
+pk AS (
+  SELECT source, doc_id, nt,
+         coalesce(sum(nt) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM sampled
+),
+per_samp AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(nt) AS BIGINT) AS sampled_tokens,
+         CAST(count(DISTINCT CAST(floor(cb / 512.0) AS BIGINT)) AS BIGINT)
+           AS n_packs
+  FROM pk GROUP BY 1
+),
+nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY 1
+),
+ns AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_survivors FROM surv GROUP BY 1
+)
+SELECT nd.source, nd.n_docs,
+       CAST(coalesce(ns.n_survivors, 0) AS BIGINT) AS n_survivors,
+       CAST(coalesce(a.n_clean, 0) AS BIGINT) AS n_clean,
+       CAST(coalesce(a.tokens, 0) AS BIGINT) AS clean_tokens,
+       CAST(coalesce(a.weight, 0) AS BIGINT) AS weight,
+       CAST(coalesce(a.cap, 0) AS BIGINT) AS cap,
+       CAST(coalesce(a.alloc, 0.0) AS DOUBLE) AS alloc,
+       CAST(coalesce(p.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(p.sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+       CAST(coalesce(p.n_packs, 0) AS BIGINT) AS n_packs
+FROM nd
+LEFT JOIN ns USING (source)
+LEFT JOIN q a USING (source)
+LEFT JOIN per_samp p USING (source)
+ORDER BY nd.source
+"""
+
+
+@register("curation_run", _CURATION_RUN_SQL)
+def curation_run_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation run in ONE plan (VERDICT r12 task 3): the four
+    end products exist as separate gates; a real training-data release
+    CHAINS them, and this gate proves the compositions do not fight.
+
+    Stage chain over the train side (even-numbered sources; odd sources
+    play the held-out eval benchmark):
+
+    1. near-dup dedup — ``jaccard_pairs`` + ``dedup_survivors``
+       (MinHash-verified 0.8 Jaccard, min-id connected-component
+       survivor rule);
+    2. decontamination — every SURVIVOR scored by 8-token-window
+       containment against the eval set's distinct window-hash SET
+       (``ngram_containment``, md5 mode); containment >= 0.2 drops the
+       training doc (the GPT-3 appendix-C direction: scrub TRAIN, keep
+       eval fixed). Short docs (<8 tokens, containment NULL) are kept
+       — they cannot leak a full eval window;
+    3. mixture solve — per-source aggregates OVER THE CLEANED
+       SURVIVORS feed ``capped_weighted_waterfill`` (quality x
+       sqrt(tokens) weights at 1e3 scale, caps = min(inventory, 30% of
+       budget), budget = half the clean tokens) — the dedup/decontam
+       stages shrink the aggregates the solver sees, which is exactly
+       the composition being proved;
+    4. quota sampling — per source, docs in deterministic hash order
+       fill the source's floor(alloc) token quota (a doc is taken only
+       if it fits whole — exact integer cumsum vs integer quota, no
+       float boundary);
+    5. packing — the sampled docs concat-then-split into 512-token
+       sequences per source (same rule as ``pack_sequences``);
+    6. the report — one row per train source: funnel counts
+       (n_docs -> n_survivors -> n_clean), clean_tokens, solver inputs
+       (weight, cap) and output (alloc), and the sampled/packed yield
+       (n_sampled, sampled_tokens, n_packs).
+
+    Scale shape: each stage keeps its own gate's plan (shingle
+    inverted-index join, distinct window-hash set + hash join, two
+    #sources-row prefix windows, one per-source window for sampling,
+    one for packing); the only corpus-granularity shuffles are the
+    ones the component gates already pay. The survivor projection is
+    persisted once (three consumers: containment scoring, per-source
+    aggregate, survivor count). The oracle replays all six stages in
+    SQL (recursive-CTE components, window-hash sets, the int64
+    waterfill boundary, integer quota fill, pack windows)."""
+    from weaviate_txtai_spark.cache import scoped_persist
+    from weaviate_txtai_spark.functions.text import token_count
+    from weaviate_txtai_spark.operators.budget import (
+        capped_weighted_waterfill,
+    )
+    from weaviate_txtai_spark.operators.dedup import (
+        dedup_survivors,
+        jaccard_pairs,
+    )
+    from weaviate_txtai_spark.operators.passages import ngram_containment
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
+    tagged = docs.select("doc_id", "source", "text", "n_chars", side)
+    train = tagged.filter(F.col("side") == 0).drop("side")
+    ev = tagged.filter(F.col("side") == 1).select("doc_id", "text")
+
+    surv = scoped_persist(
+        dedup_survivors(train, jaccard_pairs(train, threshold=0.8)).select(
+            "doc_id", "source", "text", "n_chars"
+        )
+    )
+    cont = ngram_containment(
+        surv.select("doc_id", "text"), ev, k=8, hash_mode="md5"
+    )
+    clean = scoped_persist(
+        surv.join(cont.select("doc_id", "containment"), "doc_id")
+        .filter(
+            F.col("containment").isNull() | (F.col("containment") < 0.2)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            token_count("text").cast("long").alias("nt"),
+        )
+    )
+    per = clean.groupBy("source").agg(
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_clean"),
+        F.sum(
+            F.when(F.col("n_chars").between(200, 2000), 1).otherwise(0)
+        ).cast("long").alias("n_good"),
+    )
+    total = per.agg(F.sum("tokens")).collect()[0][0]  # 1 scalar
+    budget = int(total or 0) // 2
+    cap_tokens = 3 * budget // 10
+    wt = per.select(
+        "source",
+        "tokens",
+        "n_clean",
+        F.round(
+            F.col("n_good") * F.lit(1.0) / F.col("n_clean")
+            * F.sqrt(F.col("tokens"))
+            * F.lit(1000.0),
+            0,
+        ).cast("long").alias("weight"),
+        F.least(F.col("tokens"), F.lit(cap_tokens).cast("long")).alias("cap"),
+    )
+    q = capped_weighted_waterfill(wt, budget).withColumn(
+        "quota", F.floor("alloc").cast("long")
+    )
+
+    frac = (
+        F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296)
+    ) / F.lit(4294967296.0)
+    w_fill = (
+        Window.partitionBy("source")
+        .orderBy(frac.asc(), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sampled = (
+        clean.filter(F.col("nt") > 0)
+        .withColumn("__cum", F.sum("nt").over(w_fill))
+        .join(F.broadcast(q.select("source", "quota")), "source")
+        .filter(F.col("__cum") <= F.col("quota"))
+        .select("doc_id", "source", "nt")
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_samp = (
+        sampled.withColumn(
+            "__cb", F.coalesce(F.sum("nt").over(w_pack), F.lit(0))
+        )
+        .withColumn(
+            "__pk", F.floor(F.col("__cb") / F.lit(512.0)).cast("long")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("nt").cast("long").alias("sampled_tokens"),
+            F.countDistinct("__pk").cast("long").alias("n_packs"),
+        )
+    )
+    nd = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ns = surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_survivors")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        nd.join(ns, "source", "left")
+        .join(
+            q.select("source", "tokens", "n_clean", "weight", "cap", "alloc"),
+            "source",
+            "left",
+        )
+        .join(per_samp, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_survivors", zero).alias("n_survivors"),
+            F.coalesce("n_clean", zero).alias("n_clean"),
+            F.coalesce("tokens", zero).alias("clean_tokens"),
+            F.coalesce("weight", zero).alias("weight"),
+            F.coalesce("cap", zero).alias("cap"),
+            F.coalesce("alloc", F.lit(0.0)).alias("alloc"),
+            F.coalesce("n_sampled", zero).alias("n_sampled"),
+            F.coalesce("sampled_tokens", zero).alias("sampled_tokens"),
+            F.coalesce("n_packs", zero).alias("n_packs"),
+        )
+        .orderBy("source")
+    )

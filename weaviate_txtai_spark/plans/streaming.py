@@ -461,3 +461,59 @@ def streaming_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("funnel_stream_gate").orderBy(
         "user_id", "anchor_us"
     )
+
+
+_BYTE_DEDUP_SQL = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND octet_length(encode(text)) >= 16
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(h, 2 * s.x - 1, 32) AS win
+  FROM p, unnest(generate_series(1, len(h) // 2 - 15)) AS s(x)
+  WHERE substring(md5(substring(h, 2 * s.x - 1, 32)), 32, 1)
+        IN ('0', '1', '2', '3')
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.win = b.win AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+  FROM common
+  JOIN sz s1 ON common.d1 = s1.doc_id
+  JOIN sz s2 ON common.d2 = s2.doc_id
+)
+SELECT d1, d2, jaccard FROM pairs WHERE jaccard >= 0.8 ORDER BY d1, d2
+"""
+
+
+@register("multimodal_byte_dedup", _BYTE_DEDUP_SQL)
+def multimodal_byte_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level near-dup over BINARY payloads (multimodal/binary.py
+    binary_dup_pairs): MinHash-LSH banding over content-defined-sampled
+    16-byte windows, exact-Jaccard-verified — dedup media BY BYTES
+    before any perceptual hash exists (reference parity: txtai's binary
+    ``object`` payloads, examples/01_simple.ipynb cell 29; the dedup
+    itself is the crawl-pipeline need the reference lacks).
+
+    The fixture payload is the document text's UTF-8 bytes (the
+    container has no codecs to decode real media; the OPERATOR is
+    byte-native — BinaryType substr windows, hex only for the sampling
+    hash both engines can replay). The oracle computes the exact
+    sampled-universe Jaccard over raw windows via DuckDB's hex image
+    of the blob (DuckDB 1.0 cannot slice BLOBs; the hex string is a
+    lossless bijection); with 16 bands x 4 rows a 0.8-Jaccard pair
+    escapes banding with p ~ 2e-5, so LSH output == exact output on
+    the fixture and a recall miss FAILS the gate (the dedup_minhash
+    stance)."""
+    from weaviate_txtai_spark.multimodal.binary import binary_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_dup_pairs(media, k=16, threshold=0.8).orderBy("d1", "d2")
