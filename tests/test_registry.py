@@ -25,31 +25,29 @@ _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
               "streaming_enrich", "streaming_funnel"}
 
 
-# The r12 re-verification window (VERDICT r11 task 1): the ledger
-# closed in r11, so slots rotate to the 12 §2 anchors, the 3 new r12
-# end-product gates, and 35 gates whose operator code changed in r11
-# but which the r11 window did not sample (stratified_sample ceded its
-# slot to corpus_datasheet; its sampling-family fix is covered by the
-# mixture_sample + weighted_sample_k slots and was oracle-verified at
-# sf0.01 and sf0.1 this round).
-_R12_WINDOW = {
+# The r13 re-verification window (VERDICT r12 task 1): the 12 §2
+# anchors, the 2 new r13 gates, 13 r13-changed gates (ADVICE fixes +
+# join-census ANN NULL-id fixes), 9 r12-changed gates whose latest
+# driver rows predate the r12 fixes, and 14 r12-NULL-audit-family
+# gates never driver-re-sampled post-fix plus the order_scc watch
+# item — 38 of 50 slots on recently-changed gates.
+_R13_WINDOW = {
     "knn_topk", "knn_batch", "streaming_ingest", "full_scan",
     "docid_lookup", "scan_limit", "vector_delete", "vector_count",
     "vector_upsert", "similarity_brute", "similar_sql", "agg_stats_txtai",
-    "decontamination_report", "mixture_weight_solver",
-    "corpus_datasheet",
-    "bm25_topk", "qlm_topk", "bm25_index_topk", "docs_unigram_nll",
-    "docs_bigram_nll", "mixture_sample", "weighted_sample_k",
-    "token_budget_waterfill", "source_shard_apportion",
-    "dedup_minhash", "dedup_simhash", "dedup_incremental", "winnow_pairs",
-    "eval_containment", "events_daily_cusum", "events_daily_ewma",
-    "events_holt_forecast", "pack_sequences", "customer_scd2",
-    "orders_snapshot_diff", "events_asof", "events_funnel_onepass",
-    "retrieval_eval", "supplier_name_matches", "purchase_attribution",
-    "token_pmi_pairs", "revenue_gini", "events_sequence_pairs",
-    "ab_experiment_panel", "signup_to_purchase_survival",
-    "events_volume_anomalies", "streaming_monitor", "streaming_funnel",
-    "streaming_sessions", "multimodal_features",
+    "curation_run", "multimodal_byte_dedup",
+    "mixture_weight_solver", "corpus_datasheet", "decontamination_report",
+    "ann_ivf", "ann_ivf_filtered", "ivfpq_knn", "ivfpq_append_search",
+    "sim_join_ivfpq", "pq_knn", "pq_knn_rerank", "pq_codes",
+    "binary_hamming_knn", "binary_hamming_rerank",
+    "dedup_survivors", "dedup_survivors_longest", "semantic_dedup",
+    "dedup_weights", "dedup_groups", "pretraining_manifest",
+    "dedup_embedding_lsh", "streaming_hourly", "streaming_enrich",
+    "order_scc", "doc_centrality", "knn_batch_gemm", "mmr_diversified",
+    "maxsim_topk", "events_resample", "dedup_prefix_jaccard",
+    "embedding_dbscan", "dsir_importance", "part_abc_classes",
+    "events_stratified_ate", "purchase_shapley_attribution",
+    "purchase_pass_at_k", "part_return_wilson",
 }
 
 
@@ -59,15 +57,15 @@ def test_every_oracle_query_is_registered():
         assert name in qs
 
 
-def test_driver_sample_window_is_the_r12_rotation():
-    """The driver hashes the FIRST 50 queries() entries. Pin the r12
-    window: §2 anchors + new gates + r11-changed gates, every one
+def test_driver_sample_window_is_the_r13_rotation():
+    """The driver hashes the FIRST 50 queries() entries. Pin the r13
+    window: §2 anchors + new gates + r12/r13-changed gates, every one
     oracled — the driver has no rows-only mode, so an unoracled window
     entry is a guaranteed-red `err: no_oracle` row (VERDICT r6 #2,
     r9 task 4)."""
     names = list(Q.queries())
     window = names[:50]
-    assert set(window) == _R12_WINDOW
+    assert set(window) == _R13_WINDOW
     osql = Q.oracle_sql()
     unoracled = [n for n in window if n not in osql]
     assert not unoracled, (

@@ -46,16 +46,18 @@ from weaviate_txtai_spark.plans.pipeline import *  # noqa: F401,F403
 
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # r12 rotation (VERDICT r11 task 1): the cross-round ledger closed
-    # in r11 (311/311 oracled gates hold a green driver row), so window
-    # slots now go to RE-verification on a rotation cadence — the 12
-    # SURVEY §2 anchor gates, this round's 3 new end-product gates
-    # (each new gate enters the window within one round of creation),
-    # and 35 gates whose operator code changed in r11's hostile-input
-    # hardening but which the r11 window did not sample (the other 32
-    # r11-changed gates already hold fresh post-fix r11 rows). The 7
-    # rows-only-by-design gates remain STRUCTURALLY excluded by the
-    # oracle assert in _ordered_names().
+    # r13 rotation (VERDICT r12 task 1): the 12 SURVEY §2 anchors, this
+    # round's 2 new gates (each new gate enters the window in its
+    # creation round), 13 gates whose code changed in r13 (the four
+    # ADVICE fixes: waterfill headroom/fractional-reject + 1e3 weight
+    # scale, datasheet NULLS-LAST tie-break, decontamination threshold
+    # validation; and the join-census NULL-id fixes in
+    # adc_topk/hamming_topk/IVF/IVFPQ build+append), 9 r12-changed
+    # gates whose latest DRIVER rows predate the r12 fixes (NOTES r13
+    # item 1), and 14 r12-NULL-audit-family gates never re-sampled
+    # post-fix plus the order_scc watch item. 38 of 50 slots sit on
+    # recently-changed gates. The rows-only-by-design gates remain
+    # STRUCTURALLY excluded by the oracle assert in _ordered_names().
     # ------------------------------------------------------------------
     # the 12 §2 anchors (VERDICT coverage table S3/S7, Q1, Q4-Q9, T1-T3)
     "knn_topk",
@@ -70,52 +72,50 @@ _PRIORITY = [
     "similarity_brute",
     "similar_sql",
     "agg_stats_txtai",
-    # the 3 new r12 end-product gates (each enters the window in its
-    # creation round)
-    "decontamination_report",
+    # the 2 new r13 gates
+    "curation_run",
+    "multimodal_byte_dedup",
+    # 13 r13-changed gates (ADVICE fixes + join-census ANN fixes)
     "mixture_weight_solver",
     "corpus_datasheet",
-    # 35 r11-changed-but-unsampled gates, one-or-more per fix family:
-    # bm25/textindex, lm, sampling, budget, apportionment, dedup,
-    # passages, cusum/ewma/holt, pack_sequences, scd/diff, asof,
-    # funnel, evalmetrics, stringjoin, attribution, itemsets,
-    # inequality, seqmine, abtest, survival, seasonal, streaming
-    # NULL-slot fixes, multimodal n_bytes widening
-    "bm25_topk",
-    "qlm_topk",
-    "bm25_index_topk",
-    "docs_unigram_nll",
-    "docs_bigram_nll",
-    "mixture_sample",
-    "weighted_sample_k",
-    "token_budget_waterfill",
-    "source_shard_apportion",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_incremental",
-    "winnow_pairs",
-    "eval_containment",
-    "events_daily_cusum",
-    "events_daily_ewma",
-    "events_holt_forecast",
-    "pack_sequences",
-    "customer_scd2",
-    "orders_snapshot_diff",
-    "events_asof",
-    "events_funnel_onepass",
-    "retrieval_eval",
-    "supplier_name_matches",
-    "purchase_attribution",
-    "token_pmi_pairs",
-    "revenue_gini",
-    "events_sequence_pairs",
-    "ab_experiment_panel",
-    "signup_to_purchase_survival",
-    "events_volume_anomalies",
-    "streaming_monitor",
-    "streaming_funnel",
-    "streaming_sessions",
-    "multimodal_features",
+    "decontamination_report",
+    "ann_ivf",
+    "ann_ivf_filtered",
+    "ivfpq_knn",
+    "ivfpq_append_search",
+    "sim_join_ivfpq",
+    "pq_knn",
+    "pq_knn_rerank",
+    "pq_codes",
+    "binary_hamming_knn",
+    "binary_hamming_rerank",
+    # 9 r12-changed gates whose latest driver rows predate the fixes
+    "dedup_survivors",
+    "dedup_survivors_longest",
+    "semantic_dedup",
+    "dedup_weights",
+    "dedup_groups",
+    "pretraining_manifest",
+    "dedup_embedding_lsh",
+    "streaming_hourly",
+    "streaming_enrich",
+    # 14 r12-NULL-audit-family gates never driver-re-sampled post-fix
+    # (pagerank/knn-gemm/mmr/maxsim/resample/prefix-filter/dbscan/
+    # dsir/abc/ate/shapley/pass@k/wilson) + the order_scc watch item
+    "order_scc",
+    "doc_centrality",
+    "knn_batch_gemm",
+    "mmr_diversified",
+    "maxsim_topk",
+    "events_resample",
+    "dedup_prefix_jaccard",
+    "embedding_dbscan",
+    "dsir_importance",
+    "part_abc_classes",
+    "events_stratified_ate",
+    "purchase_shapley_attribution",
+    "purchase_pass_at_k",
+    "part_return_wilson",
 ]
 
 
