@@ -125,6 +125,10 @@ def exact_ntile(
     same histogram without the global sort; bucket sizes off by only
     the sketch error). Pass ``warn_rows=None`` to opt out of the probe
     when the caller knows the input is small.
+
+    ``order_cols`` must end in a unique key (an id): ``ntile`` under
+    order ties assigns buckets by physical row order, which Spark does
+    not define across partitionings (r13 window-order census).
     """
     import warnings
 

@@ -53,8 +53,15 @@ def asof_join(
 
     Right payload = every right column except keys/ts; its values ride
     along unchanged; ``matched_ts_col`` carries the matched right ts.
-    Unmatched left rows keep NULLs (left-join semantics). Right rows are
-    expected unique per (keys…, ts). The whole payload is stitched from
+    Unmatched left rows keep NULLs (left-join semantics). Right rows
+    should be unique per (keys…, ts); when they are NOT, the tie is
+    resolved CONTENT-deterministically (r13 window-order census): the
+    payload struct itself is the final window sort key, so backward
+    matches the greatest payload and forward the least — never the
+    physical row order, which Spark does not define across
+    partitionings/AQE plans. (If a payload column is a non-orderable
+    type — a map — the struct tiebreak is skipped and ties fall back to
+    any-of-equals.) The whole payload is stitched from
     ONE matched right row: the window fills a single struct(ts,
     payload…) — never per-column — so a NULL in one payload column stays
     NULL rather than being back-filled from a different, farther right
@@ -123,12 +130,35 @@ def asof_join(
             ),
         ),
     )
+    # Duplicate (keys…, ts) right rows: the payload struct is the final
+    # sort key, so the pick among ties depends only on CONTENT, never on
+    # the physical row order (which changes across partitionings). Ties
+    # among left rows are harmless — right rows sort strictly before
+    # (backward) / after (forward) them, so each left row's frame sees
+    # the same right rows regardless. Maps are not orderable in Spark;
+    # a map payload column disables the tiebreak (documented fallback).
+    from pyspark.sql.types import ArrayType, MapType, StructType as _St
+
+    def _orderable(dt):
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, _St):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tiebreak = (
+        [F.col("__r").asc()]
+        if all(_orderable(right.schema[c].dataType) for c in payload)
+        else []
+    )
     if direction == "backward":
         # Right rows sort before left rows at equal ts (__is_left ASC),
         # making the as-of inclusive: a right row AT left_ts matches.
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts"), F.col("__is_left"))
+            .orderBy(F.col("__ts"), F.col("__is_left"), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = packed.withColumn(
@@ -140,7 +170,7 @@ def asof_join(
         # the left row's [current, following] frame -> inclusive match
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts"), F.col("__is_left").desc())
+            .orderBy(F.col("__ts"), F.col("__is_left").desc(), *tiebreak)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         filled = packed.withColumn(

@@ -90,9 +90,11 @@ def stream_upsert(
 
     Within a micro-batch the same docid may appear multiple times (rapid
     updates); last-writer-wins is enforced by keeping the max-``ts``
-    row per docid when a ``ts`` column exists, else an arbitrary single
-    row (dropDuplicates) — the deterministic variant a real CDC feed
-    gets from its log sequence number. Batches apply in order, so
+    row per docid when a ``ts`` column exists, with the VECTOR as the
+    tie key for equal-``ts`` duplicates (content-deterministic — never
+    the physical row order; a real CDC feed avoids ties entirely via
+    its log sequence number). Without a ``ts`` column, an arbitrary
+    single row survives (dropDuplicates). Batches apply in order, so
     cross-batch last-writer-wins follows from per-batch application.
 
     Cost bound at scale: create the index with ``weaviate.buckets: N``
@@ -118,7 +120,15 @@ def stream_upsert(
             pass
         else:
             if "ts" in batch_df.columns:
-                w = Window.partitionBy(docid_col).orderBy(F.desc("ts"))
+                # vector tiebreak (r13 window-order census): two updates
+                # to the same docid at the SAME ts would otherwise pick a
+                # winner by physical row order — undefined after a
+                # shuffle. Arrays are orderable, so the pick depends only
+                # on content (greatest vector wins; any fixed rule works,
+                # it just must not be the partitioning)
+                w = Window.partitionBy(docid_col).orderBy(
+                    F.desc("ts"), F.desc(vector_col)
+                )
                 batch_df = (
                     batch_df.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") == 1)
