@@ -81,3 +81,26 @@ def test_sampling_fraction_roughly_quarter(spark):
     ).count()
     n_kept = byte_shingle_table(_media(spark, [(1, blob)])).count()
     assert 0.15 < n_kept / n_all < 0.35
+
+
+def test_shared_header_does_not_pair_and_cap_drops_it(spark):
+    # the production reality: every media file shares its format's
+    # magic-byte header. Headers alone must not create pairs (they are
+    # a minority of each doc's windows), planted body-dups must still
+    # pair, and max_doc_freq must drop the corpus-universal windows
+    # from the exact path's candidate join
+    header = b"FFD8FFE0JFIFHDR!" * 4
+    rows = [
+        (1, header + b"alpha-body-one|" * 8),
+        (2, header + b"alpha-body-one|" * 8),   # near-dup of 1
+        (3, header + b"totally-different-body|" * 8),
+        (4, header + b"yet-another-payload-x|" * 8),
+    ]
+    df = _media(spark, rows)
+    got = {(r["d1"], r["d2"]) for r in
+           binary_dup_pairs(df, threshold=0.5).collect()}
+    assert got == {(1, 2)}
+    capped = {(r["d1"], r["d2"]) for r in
+              binary_jaccard_pairs(df, threshold=0.5,
+                                   max_doc_freq=2).collect()}
+    assert capped == {(1, 2)}

@@ -203,6 +203,46 @@ results["stringjoin_low_entropy"] = profile(
     [low_entropy_names(NS), low_entropy_names(2 * NS), low_entropy_names(4 * NS)],
 )
 
+# ---- binary media dedup: universal format-header hot window -----------
+# Every payload starts with the SAME 64-byte "magic header" (the JPEG/
+# PNG reality: format magic is corpus-universal), followed by a distinct
+# body with planted near-dup pairs. The header contributes ~49 sampled
+# hot windows each with df = N; the LSH path must stay input-linear
+# (banding never joins on a single shingle; signatures are dominated by
+# body windows) where the uncapped exact path would go O(N^2).
+from weaviate_txtai_spark.multimodal.binary import binary_dup_pairs
+
+
+def header_media(n):
+    header = F.lit("FFD8FFE0JFIFHDR!" * 4)  # 64-byte shared magic
+    body = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda j: F.concat(
+                F.lit("b"),
+                (F.floor(F.col("id") / 2).cast("long") * 24 + j
+                 ).cast("string"),
+                F.lit("|"),
+            ),
+        ),
+    )
+    # ids 2k/2k+1 share a body -> planted near-dup pairs (headers alone
+    # must NOT pair documents)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(header, body), "UTF-8").alias("payload"),
+    )
+
+
+NB = 4000
+results["binary_header_hot_window"] = profile(
+    "binary_header_hot_window",
+    lambda d: binary_dup_pairs(d, k=16, threshold=0.5),
+    header_media(NB),
+    [header_media(NB), header_media(2 * NB), header_media(4 * NB)],
+)
+
 path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CHECK.json")
 doc = json.load(open(path))
 doc["skew_4x"] = results

@@ -293,11 +293,25 @@ def binary_jaccard_pairs(
     k: int = 16,
     threshold: float = 0.8,
     sample_hex: int = 4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All payload pairs with byte-shingle Jaccard >= threshold (exact
     over the content-defined-sampled window universe) — the
     specification twin of :func:`binary_dup_pairs`, same
     inverted-index join shape as ``operators.dedup.jaccard_pairs``.
+
+    ``max_doc_freq`` (opt-in, same contract as ``jaccard_pairs``):
+    media corpora GUARANTEE hot shingles — every JPEG/PNG/MP4 shares
+    its format's magic-byte header, so a header window appears in the
+    whole corpus and alone contributes O(n²) candidate pairs. Capping
+    document frequency drops exactly those keys; Jaccard is then
+    computed consistently over the capped universe (sizes AND commons
+    both exclude capped windows). Near-dups still share plenty of
+    content windows; format headers carry zero dedup signal anyway.
+    The LSH path (:func:`binary_dup_pairs`) is structurally immune —
+    a hot window is one of many signature positions and banding never
+    joins on a single shingle.
+
     Output: d1, d2 (d1 < d2), jaccard rounded to 6dp."""
     from weaviate_txtai_spark.cache import scoped_persist
 
@@ -307,6 +321,13 @@ def binary_jaccard_pairs(
             sample_hex=sample_hex,
         )
     )
+    if max_doc_freq is not None:
+        dfc = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = scoped_persist(
+            sh.join(
+                dfc.filter(F.col("__df") <= int(max_doc_freq)), "__sh"
+            ).select("__id", "__sh")
+        )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     shz = sh.join(F.broadcast(sizes), "__id")
     a, b = shz.alias("a"), shz.alias("b")
