@@ -53,6 +53,8 @@ FLAGSHIPS = [
     ("part_pareto_frontier", "2-D skyline: hierarchical suffix max (per-x max, bucket max, buckets-squared), no unpartitioned window, no quadratic anti-join"),
     ("docs_heaps_law", "heaps fit: corpus reduced to step-bucket totals + first-occurrence counts, buckets-squared prefix, one moment aggregate"),
     ("docs_quality_classifier", "classifier quality tier: scoring is a literal-weight projection over the persisted feature table; the one exchange above the cache is the output sort"),
+    ("curation_run", "curation composition: each stage keeps its component gate's plan; only corpus-granularity shuffles are the ones the stages already pay; solver windows run on the #sources domain"),
+    ("multimodal_byte_dedup", "byte dedup: map-side window explode + mod-p filter, banded LSH bucket join, pair-granularity verify — never an all-pairs join"),
 ]
 
 
