@@ -47,7 +47,7 @@ _R13_WINDOW = {
     "maxsim_topk", "events_resample", "dedup_prefix_jaccard",
     "embedding_dbscan", "dsir_importance", "part_abc_classes",
     "events_stratified_ate", "purchase_shapley_attribution",
-    "purchase_pass_at_k", "part_return_wilson",
+    "purchase_pass_at_k", "dedup_span_removal",
 }
 
 

@@ -606,3 +606,114 @@ def decontamination_report(
             .otherwise(F.lit("keep")),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """EXACT repeated-substring removal at token granularity — the
+    span-level complement to whole-document dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499: delete every substring that occurs more than
+    once in the corpus, ALL occurrences, both copies). Whole-doc dedup
+    drops near-identical pages; this removes the boilerplate banner
+    repeated across ten million otherwise-distinct pages — the
+    dominant duplication mode in crawled pretraining data.
+
+    Semantics: a token is removed iff it is covered by at least one
+    k-token window whose hash occurs >= ``min_count`` times in the
+    corpus (across OR within documents — intra-doc repetition counts,
+    matching the paper). Docs shorter than k tokens have no windows
+    and pass through whole. Tokens are whitespace tokens; the cleaned
+    text re-joins survivors with single spaces.
+
+    Scale shape — everything is linear in total tokens, nothing
+    pairwise: one window explode + one groupBy(hash) partial-agg
+    (the hot-hash SET), one semi join of positions against that set
+    (a corpus-universal boilerplate hash meets a 1-row set entry —
+    AQE-skew-splittable, never a pair join), a k-wide explode of HOT
+    positions only, one anti join at token granularity, and one
+    per-doc re-collect whose order key (token position) is unique by
+    construction (r13 window-order census discipline). The paper's
+    suffix-array formulation needs a global sort; this is the
+    shuffle-native re-expression with min-match-length = k tokens.
+
+    Output: ``id_col, n_tokens, n_removed, cleaned_text``
+    (cleaned_text NULL iff the input text is NULL; n_tokens 0 then).
+    """
+    if k < 1 or min_count < 2:
+        raise ValueError(
+            f"remove_repeated_spans: need k >= 1 and min_count >= 2, "
+            f"got k={k} min_count={min_count}"
+        )
+    from weaviate_txtai_spark.cache import scoped_persist
+    from weaviate_txtai_spark.functions.text import tokens
+    from weaviate_txtai_spark.sources.tables import spread
+
+    base = scoped_persist(
+        spread(docs.filter(F.col(id_col).isNotNull())).select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__text"),
+            tokens(text_col).alias("__tok"),
+        )
+    )
+    starts = F.sequence(F.lit(1), F.size("__tok") - (k - 1))
+    win = F.concat_ws(" ", F.slice(F.col("__tok"), F.col("__p"), k))
+    posh = scoped_persist(
+        base.filter(F.size("__tok") >= k)
+        .select("__id", F.explode(starts).alias("__p"), "__tok")
+        .select("__id", "__p", _window_hash(win, hash_mode).alias("wh"))
+    )
+    hot = (
+        posh.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= int(min_count))
+        .select("wh")
+    )
+    covered = (
+        posh.join(hot, "wh", "left_semi")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + (k - 1))
+            ).alias("__t"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "__id", F.posexplode("__tok").alias("__i0", "__tkn")
+    ).select("__id", (F.col("__i0") + 1).alias("__t"), "__tkn")
+    kept = toks.join(covered, ["__id", "__t"], "left_anti")
+    cleaned = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__t", "__tkn"))
+                ),
+                lambda s: s["__tkn"],
+            ),
+        ).alias("__cleaned"),
+    )
+    nt = F.coalesce(F.size("__tok"), F.lit(0))
+    return (
+        base.join(cleaned, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            nt.cast("long").alias("n_tokens"),
+            (nt - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.when(
+                F.col("__text").isNotNull(),
+                F.coalesce("__cleaned", F.lit("")),
+            ).alias("cleaned_text"),
+        )
+    )

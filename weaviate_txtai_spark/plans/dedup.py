@@ -746,3 +746,72 @@ def shared_run_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_runs(
         docs, k=8, min_run_tokens=12, max_occ=20, hash_mode="md5"
     ).orderBy("d1", "d2")
+
+
+_SPAN_REMOVAL_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tok
+  FROM documents WHERE doc_id IS NOT NULL
+),
+w AS (
+  SELECT doc_id, s.x AS p,
+         md5(array_to_string(tok[s.x : s.x + 7], ' ')) AS wh
+  FROM t, unnest(generate_series(1, len(tok) - 7)) AS s(x)
+  WHERE len(tok) >= 8
+),
+hot AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, s2.y AS i
+  FROM w JOIN hot USING (wh), unnest(generate_series(w.p, w.p + 7)) AS s2(y)
+),
+tk AS (
+  SELECT doc_id, s.x AS i, tok[s.x] AS tkn
+  FROM t, unnest(generate_series(1, len(tok))) AS s(x)
+),
+kept AS (
+  SELECT tk.doc_id, tk.i, tk.tkn
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.i = cov.i
+  WHERE cov.i IS NULL
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tkn, ' ' ORDER BY i)) AS fp
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(coalesce(len(tok), 0) AS BIGINT) AS n_tokens FROM t
+)
+SELECT tot.doc_id, tot.n_tokens,
+       CAST(tot.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.fp, md5('')) AS cleaned_fp
+FROM tot LEFT JOIN agg a USING (doc_id)
+ORDER BY tot.doc_id
+"""
+
+
+@register("dedup_span_removal", _SPAN_REMOVAL_SQL)
+def dedup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN removal (operators/passages.py
+    remove_repeated_spans — Lee et al. 2021, arXiv:2107.06499): every
+    token covered by an 8-token window occurring >= 2 times in the
+    corpus is deleted, ALL occurrences. The span-level complement to
+    whole-document dedup: it cuts the boilerplate banner repeated
+    across otherwise-distinct pages. The gate hashes the CLEANED TEXT
+    (md5) per doc, so the oracle verifies the actual reconstructed
+    output string, not just counts; md5 window mode for the byte-exact
+    replay. Everything is token-linear — hot-hash set + semi join +
+    anti join — never pairwise (the suffix-array formulation's
+    shuffle-native twin)."""
+    from weaviate_txtai_spark.operators.passages import (
+        remove_repeated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_repeated_spans(docs, k=8, min_count=2, hash_mode="md5")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.coalesce("cleaned_text", F.lit(""))).alias("cleaned_fp"),
+    ).orderBy("doc_id")

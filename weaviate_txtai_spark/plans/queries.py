@@ -115,7 +115,10 @@ _PRIORITY = [
     "events_stratified_ate",
     "purchase_shapley_attribution",
     "purchase_pass_at_k",
-    "part_return_wilson",
+    # new r13 gate (span removal) — entered in its creation round;
+    # part_return_wilson ceded its slot (its abtest-module audit family
+    # stays covered by events_stratified_ate + purchase_pass_at_k)
+    "dedup_span_removal",
 ]
 
 
