@@ -56,14 +56,22 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    from weaviate_txtai_spark.cache import cache_scope
+
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
-            srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
-            scols = sorted(sdf.columns)
+            # per-gate cache scope: a full 300+-gate sweep otherwise
+            # accumulates every operator-internal persist (shingle
+            # tables, signature sets, probe fan-outs) until session end
+            # — hundreds of leaked cached frames competing for executor
+            # memory by the sweep's tail (r13 cache-lifecycle review)
+            with cache_scope():
+                sdf = fn(spark, SF_DIR)
+                srows = [tuple(norm(v) for v in r) for r in sdf.collect()]
+                scols = sorted(sdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
