@@ -153,3 +153,20 @@ def test_datasheet_null_lang_tie_breaks_nulls_last(spark, tmp_path):
     finally:
         con.close()
     assert oracle == got
+
+
+def test_kendall_decimal_mode_matches_long_mode(spark):
+    from decimal import Decimal
+
+    from weaviate_txtai_spark.operators.rankstats import kendall_tau_b
+
+    df = spark.createDataFrame(
+        [(i % 5, (i * 3) % 7) for i in range(200)], "x long, y long"
+    )
+    a = kendall_tau_b(df, "x", "y").collect()[0]
+    b = kendall_tau_b(df, "x", "y", count_type="decimal").collect()[0]
+    assert a["tau_b"] == b["tau_b"]
+    assert Decimal(a["n_concordant"]) == b["n_concordant"]
+    assert Decimal(a["tie_x"]) == b["tie_x"]
+    with __import__("pytest").raises(ValueError, match="count_type"):
+        kendall_tau_b(df, "x", "y", count_type="float")

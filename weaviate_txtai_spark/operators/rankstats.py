@@ -948,6 +948,7 @@ def kendall_tau_b(
     *,
     round_decimals: int = 6,
     max_cells: int = 100_000,
+    count_type: str = "long",
 ) -> DataFrame:
     """Kendall rank correlation τ-b between two columns (Kendall 1938,
     tie-corrected form) — the concordant-vs-discordant companion to the
@@ -968,7 +969,21 @@ def kendall_tau_b(
     guards the quadratic: a near-continuous column makes the cell
     table row-sized and the pair join a disaster — fail loudly and
     tell the caller to bucket first.
+
+    All count ARITHMETIC runs in decimal(38,0): C ≈ n²/2 passes int64
+    at n ≈ 4.3e9 rows, trivially reached at corpus scale, and a long
+    pipeline would die mid-aggregate under ANSI (r13 overflow review).
+    ``count_type`` sets the OUTPUT type of the pair/tie counts:
+    ``'long'`` (default — raises loudly on a genuine int64 overflow,
+    the right readout at oracle-able scales) or ``'decimal'``
+    (decimal(38,0), exact to 1e38 — the 1e12-row mode; τ itself is a
+    double either way).
     """
+    if count_type not in ("long", "decimal"):
+        raise ValueError(
+            f"kendall_tau_b: count_type must be 'long' or 'decimal', "
+            f"got {count_type!r}"
+        )
     cells = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(
@@ -997,33 +1012,42 @@ def kendall_tau_b(
     # coalesce(0): a constant-x input empties the cell-pair join, and a
     # sum over zero rows is NULL — the counts must come back 0 (tau_b
     # itself is NULL then, via try_divide's 0 denominator)
+    # decimal(19,0) factors -> decimal(38,0) products/sums: exact to
+    # 1e38 where long products die at 9.2e18 (ca·cb > int64 the moment
+    # two cells each hold >3e9 rows)
+    d19 = "decimal(19,0)"
+    ca_d, cb_d = F.col("ca").cast(d19), F.col("cb").cast(d19)
+    zero38 = F.lit(0).cast("decimal(38,0)")
     pairs = a.join(b, F.col("xa") < F.col("xb")).agg(
         F.coalesce(
             F.sum(
-                F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb"))
-                .otherwise(F.lit(0))
+                F.when(F.col("ya") < F.col("yb"), ca_d * cb_d)
+                .otherwise(zero38)
             ),
-            F.lit(0),
-        ).cast("long").alias("__C"),
+            zero38,
+        ).alias("__C"),
         F.coalesce(
             F.sum(
-                F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb"))
-                .otherwise(F.lit(0))
+                F.when(F.col("ya") > F.col("yb"), ca_d * cb_d)
+                .otherwise(zero38)
             ),
-            F.lit(0),
-        ).cast("long").alias("__D"),
+            zero38,
+        ).alias("__D"),
     )
+    cx_d = F.col("__cx").cast(d19)
+    cy_d = F.col("__cy").cast(d19)
     xm = cells.groupBy("__x").agg(F.sum("__c").alias("__cx")).agg(
-        F.sum(F.col("__cx") * (F.col("__cx") - 1)).cast("long").alias("__tx2")
+        F.coalesce(F.sum(cx_d * (cx_d - 1)), zero38).alias("__tx2")
     )
     ym = cells.groupBy("__y").agg(F.sum("__c").alias("__cy")).agg(
-        F.sum(F.col("__cy") * (F.col("__cy") - 1)).cast("long").alias("__ty2")
+        F.coalesce(F.sum(cy_d * (cy_d - 1)), zero38).alias("__ty2")
     )
     tot = cells.agg(F.sum("__c").cast("long").alias("__n"))
     joined = pairs.join(F.broadcast(xm)).join(F.broadcast(ym)).join(
         F.broadcast(tot)
     )
-    n0x2 = F.col("__n") * (F.col("__n") - 1)  # 2·n₀ (exact long)
+    nd = F.col("__n").cast(d19)
+    n0x2 = nd * (nd - 1)  # 2·n₀, decimal(38,0)-exact at any n
     tau = F.round(
         F.try_divide(
             (F.col("__C") - F.col("__D")).cast("double") * F.lit(2.0),
@@ -1034,11 +1058,12 @@ def kendall_tau_b(
         ),
         round_decimals,
     )
+    ct = "decimal(38,0)" if count_type == "decimal" else "long"
     return joined.select(
         F.col("__n").alias("n"),
-        F.col("__C").alias("n_concordant"),
-        F.col("__D").alias("n_discordant"),
-        (F.col("__tx2") / 2).cast("long").alias("tie_x"),
-        (F.col("__ty2") / 2).cast("long").alias("tie_y"),
+        F.col("__C").cast(ct).alias("n_concordant"),
+        F.col("__D").cast(ct).alias("n_discordant"),
+        (F.col("__tx2") / 2).cast(ct).alias("tie_x"),
+        (F.col("__ty2") / 2).cast(ct).alias("tie_y"),
         tau.alias("tau_b"),
     )
