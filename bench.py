@@ -103,6 +103,12 @@ HEADLINE_HEAVY = [
     # round-10 continuation: the classifier-quality tier (8 fixed-point
     # GD aggregates over the cached feature table + map-only scoring)
     "docs_quality_classifier",
+    # round-13 representatives (newly baselined this round): the full
+    # curation-run composition, byte-level media near-dup (banded LSH
+    # over sampled byte windows), exact repeated-span removal
+    "curation_run",
+    "multimodal_byte_dedup",
+    "dedup_span_removal",
 ]
 
 
