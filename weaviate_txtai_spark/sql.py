@@ -109,6 +109,11 @@ class TxtaiSQL:
         """Encode + store: adds a ``vector`` column (Arrow-batched map-only
         encode) and keeps all metadata columns (content storage is free in
         columnar form — T6)."""
+        # re-indexing releases the previous cached corpus — without
+        # this, every index() call leaks a cached frame for the session
+        # lifetime (r13 persist-lifecycle review)
+        if self._indexed is not None:
+            self._indexed.unpersist()
         self._indexed = self.encoder.encode_df(docs, text_col=text_col).cache()
         return self._indexed
 
