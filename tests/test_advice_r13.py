@@ -170,3 +170,19 @@ def test_kendall_decimal_mode_matches_long_mode(spark):
     assert Decimal(a["tie_x"]) == b["tie_x"]
     with __import__("pytest").raises(ValueError, match="count_type"):
         kendall_tau_b(df, "x", "y", count_type="float")
+
+
+def test_knuth_term_safe_and_identical_for_huge_ids(spark):
+    # the naive id*K product overflows int64 at id >= ~3.47e9 (ANSI
+    # raises); the split multiply must agree with Python bigint truth
+    # at ANY long id
+    from weaviate_txtai_spark.functions.sampling import knuth_term
+
+    ids = [0, 1, 2**31 - 1, 2**31, 3_470_000_000, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", knuth_term("id").alias("t")).collect()
+    }
+    for i in ids:
+        assert got[i] == (i % 2**32) * 2654435761 % 2**32, i

@@ -26,11 +26,11 @@ _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
 
 
 # The r13 re-verification window (VERDICT r12 task 1): the 12 §2
-# anchors, the 2 new r13 gates, 13 r13-changed gates (ADVICE fixes +
+# anchors, the 3 new r13 gates, 13 r13-changed gates (ADVICE fixes +
 # join-census ANN NULL-id fixes), 9 r12-changed gates whose latest
-# driver rows predate the r12 fixes, and 14 r12-NULL-audit-family
-# gates never driver-re-sampled post-fix plus the order_scc watch
-# item — 38 of 50 slots on recently-changed gates.
+# driver rows predate the r12 fixes, and 13 r12-NULL-audit-family
+# gates never driver-re-sampled post-fix (incl. the order_scc watch
+# item) — 38 of 50 slots on recently-changed gates.
 _R13_WINDOW = {
     "knn_topk", "knn_batch", "streaming_ingest", "full_scan",
     "docid_lookup", "scan_limit", "vector_delete", "vector_count",

@@ -83,8 +83,6 @@ def run(orders):
     tracker = spark.sparkContext.statusTracker()
     for _ in range(2):
         with cache_scope():
-            j0 = max(tracker.getJobIdsForGroup() or [0], default=0)
-            before = len(tracker.getJobIdsForGroup() or [])
             t = time.time()
             n = strongly_connected_components(scc_graph(orders)).count()
             ts.append(time.time() - t)

@@ -136,61 +136,11 @@ def q_scc(orders):
     )
 
 def q_curation(d):
-    # the curation_run gate body, parameterized on the corpus (r13):
-    # dedup -> decontaminate -> waterfill -> quota fill -> pack -> report
-    from pyspark.sql import Window
-    from weaviate_txtai_spark.cache import scoped_persist
-    from weaviate_txtai_spark.functions.text import token_count
-    from weaviate_txtai_spark.operators.budget import capped_weighted_waterfill
-    from weaviate_txtai_spark.operators.dedup import dedup_survivors, jaccard_pairs
-    from weaviate_txtai_spark.operators.passages import ngram_containment
-    side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
-    tagged = d.select("doc_id", "source", "text", "n_chars", side)
-    train = tagged.filter(F.col("side") == 0).drop("side")
-    ev = tagged.filter(F.col("side") == 1).select("doc_id", "text")
-    surv = scoped_persist(
-        dedup_survivors(train, jaccard_pairs(train, threshold=0.8)).select(
-            "doc_id", "source", "text", "n_chars"))
-    cont = ngram_containment(surv.select("doc_id", "text"), ev, k=8,
-                             hash_mode="md5")
-    clean = scoped_persist(
-        surv.join(cont.select("doc_id", "containment"), "doc_id")
-        .filter(F.col("containment").isNull() | (F.col("containment") < 0.2))
-        .select("doc_id", "source", "n_chars",
-                token_count("text").cast("long").alias("nt")))
-    per = clean.groupBy("source").agg(
-        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_clean"),
-        F.sum(F.when(F.col("n_chars").between(200, 2000), 1).otherwise(0))
-        .cast("long").alias("n_good"))
-    total = per.agg(F.sum("tokens")).collect()[0][0]
-    budget = int(total or 0) // 2
-    wt = per.select("source", "tokens", "n_clean",
-        F.round(F.col("n_good") * F.lit(1.0) / F.col("n_clean")
-                * F.sqrt(F.col("tokens")) * F.lit(1000.0), 0)
-        .cast("long").alias("weight"),
-        F.least(F.col("tokens"),
-                F.lit(3 * budget // 10).cast("long")).alias("cap"))
-    q = capped_weighted_waterfill(wt, budget).withColumn(
-        "quota", F.floor("alloc").cast("long"))
-    frac = (F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296)) / F.lit(4294967296.0)
-    w_fill = (Window.partitionBy("source").orderBy(frac.asc(), F.asc("doc_id"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    sampled = (clean.filter(F.col("nt") > 0)
-        .withColumn("__cum", F.sum("nt").over(w_fill))
-        .join(F.broadcast(q.select("source", "quota")), "source")
-        .filter(F.col("__cum") <= F.col("quota")).select("doc_id", "source", "nt"))
-    w_pack = (Window.partitionBy("source").orderBy("doc_id")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    per_samp = (sampled.withColumn("__cb", F.coalesce(F.sum("nt").over(w_pack), F.lit(0)))
-        .withColumn("__pk", F.floor(F.col("__cb") / F.lit(512.0)).cast("long"))
-        .groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n_sampled"),
-            F.sum("nt").cast("long").alias("sampled_tokens"),
-            F.countDistinct("__pk").cast("long").alias("n_packs")))
-    nd = train.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    return (nd.join(q.select("source", "alloc"), "source", "left")
-            .join(per_samp, "source", "left"))
+    # the curation_run gate body, shared with the gate itself
+    # (plans/pipeline.py curation_report) so this profile can never
+    # drift from the plan it is evidence for
+    from weaviate_txtai_spark.plans.pipeline import curation_report
+    return curation_report(d)
 
 def q_manifest(d):
     # the pretraining_manifest gate body, parameterized on the corpus

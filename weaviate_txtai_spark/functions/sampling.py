@@ -39,15 +39,23 @@ def split_fraction(id_col) -> Column:
     the naive ``pmod(id * K, 2^32)`` wherever that didn't overflow, so
     existing assignments and oracles are unchanged.
     """
+    return knuth_term(id_col) / F.lit(float(_MOD))
+
+
+def knuth_term(id_col) -> Column:
+    """The integer multiplicative-hash term ``(id · K) mod 2^32`` via
+    the same overflow-safe split multiply as :func:`split_fraction`
+    (never leaves int64 for ANY long id — the naive product dies under
+    ANSI at id ≥ ~3.47e9). Exposed for call sites that consume the
+    integer (parity bits, bucketing) rather than the fraction."""
     folded = F.pmod(_c(id_col), F.lit(_MOD))
     hi = F.floor(folded / F.lit(65536))
     lo = folded - hi * F.lit(65536)
-    term = F.pmod(
+    return F.pmod(
         F.pmod(hi * F.lit(_KNUTH), F.lit(_MOD)) * F.lit(65536)
         + lo * F.lit(_KNUTH),
         F.lit(_MOD),
     )
-    return term / F.lit(float(_MOD))
 
 
 def assign_split(

@@ -256,6 +256,10 @@ def byte_shingle_table(
     never pair). One explode + filter (map-side, ~1/4 of windows
     survive) and one distinct shuffle on the sampled rows.
     """
+    if int(k) < 1:
+        # k=0 would reduce every payload to identical empty windows —
+        # all pairs jaccard 1.0, a dedup pass deleting the whole corpus
+        raise ValueError(f"byte_shingle_table: k {k} must be >= 1")
     if not 1 <= int(sample_hex) <= 16:
         raise ValueError(f"byte_shingle_table: sample_hex {sample_hex} "
                          "must be in 1..16")
@@ -377,20 +381,17 @@ def binary_dup_pairs(
     Output: d1, d2, jaccard — equal to :func:`binary_jaccard_pairs` up
     to LSH recall (pytest pins equality on the fixture corpus)."""
     from weaviate_txtai_spark.cache import scoped_persist
-    from weaviate_txtai_spark.operators.dedup import minhash_lsh_pairs
+    from weaviate_txtai_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        signatures_from_hashed_shingles,
+    )
 
     sh = byte_shingle_table(
         df, payload_col=payload_col, id_col=id_col, k=k,
         sample_hex=sample_hex,
     )
     per_doc = scoped_persist(
-        sh.groupBy("__id").agg(
-            F.collect_set("__sh").alias("__set"),
-            *[
-                F.min(F.xxhash64("__sh", F.lit(p))).alias(f"__m{p}")
-                for p in range(num_perms)
-            ],
-        )
+        signatures_from_hashed_shingles(sh, num_perms=num_perms)
     )
     return minhash_lsh_pairs(
         df,

@@ -307,6 +307,19 @@ def minhash_signatures_with_sets(
     sh = _shingle_table(docs, text_col, id_col, n).select(
         "__id", F.xxhash64("__sh").alias("__sh")
     )
+    return signatures_from_hashed_shingles(sh, num_perms=num_perms)
+
+
+def signatures_from_hashed_shingles(
+    sh: DataFrame, *, num_perms: int = 64
+) -> DataFrame:
+    """Per-doc (``__set``, ``__m0..__m{P-1}``) from an
+    (``__id``, ``__sh`` int64) shingle table — the ONE construction the
+    LSH banding and the pair-granularity verify depend on
+    (``__m{p} = min(xxhash64(__sh, p))``). Shared by the text path
+    (:func:`minhash_signatures_with_sets`) and the byte-payload path
+    (``multimodal.binary.binary_dup_pairs``) so the two can never
+    drift apart (r13 review)."""
     return sh.groupBy("__id").agg(
         F.collect_set("__sh").alias("__set"),
         *[

@@ -1034,26 +1034,38 @@ def kendall_tau_b(
             zero38,
         ).alias("__D"),
     )
-    cx_d = F.col("__cx").cast(d19)
-    cy_d = F.col("__cy").cast(d19)
+    def _choose2(c):
+        # c·(c−1)/2 without decimal DIVISION (Spark types decimal/int
+        # as (38,6), capping exactness at 1e32 — r13 review): halve the
+        # EVEN factor via shiftright (exact long, unlike `/2` which
+        # routes through double and drops bits past 2^53), then one
+        # decimal(38,0) product
+        cl = F.col(c)
+        return F.when(
+            cl % 2 == 0,
+            F.shiftright(cl, 1).cast(d19) * (cl.cast(d19) - 1),
+        ).otherwise(cl.cast(d19) * F.shiftright(cl - 1, 1).cast(d19))
+
     xm = cells.groupBy("__x").agg(F.sum("__c").alias("__cx")).agg(
-        F.coalesce(F.sum(cx_d * (cx_d - 1)), zero38).alias("__tx2")
+        F.coalesce(F.sum(_choose2("__cx")), zero38).alias("__t1x")
     )
     ym = cells.groupBy("__y").agg(F.sum("__c").alias("__cy")).agg(
-        F.coalesce(F.sum(cy_d * (cy_d - 1)), zero38).alias("__ty2")
+        F.coalesce(F.sum(_choose2("__cy")), zero38).alias("__t1y")
     )
     tot = cells.agg(F.sum("__c").cast("long").alias("__n"))
     joined = pairs.join(F.broadcast(xm)).join(F.broadcast(ym)).join(
         F.broadcast(tot)
     )
-    nd = F.col("__n").cast(d19)
-    n0x2 = nd * (nd - 1)  # 2·n₀, decimal(38,0)-exact at any n
+    nl = F.col("__n")
+    n0 = F.when(  # n·(n−1)/2, same even-factor halving, (38,0)-exact
+        nl % 2 == 0, F.shiftright(nl, 1).cast(d19) * (nl.cast(d19) - 1)
+    ).otherwise(nl.cast(d19) * F.shiftright(nl - 1, 1).cast(d19))
     tau = F.round(
         F.try_divide(
-            (F.col("__C") - F.col("__D")).cast("double") * F.lit(2.0),
+            (F.col("__C") - F.col("__D")).cast("double"),
             F.sqrt(
-                (n0x2 - F.col("__tx2")).cast("double")
-                * (n0x2 - F.col("__ty2")).cast("double")
+                (n0 - F.col("__t1x")).cast("double")
+                * (n0 - F.col("__t1y")).cast("double")
             ),
         ),
         round_decimals,
@@ -1063,7 +1075,7 @@ def kendall_tau_b(
         F.col("__n").alias("n"),
         F.col("__C").cast(ct).alias("n_concordant"),
         F.col("__D").cast(ct).alias("n_discordant"),
-        (F.col("__tx2") / 2).cast(ct).alias("tie_x"),
-        (F.col("__ty2") / 2).cast(ct).alias("tie_y"),
+        F.col("__t1x").cast(ct).alias("tie_x"),
+        F.col("__t1y").cast(ct).alias("tie_y"),
         tau.alias("tau_b"),
     )

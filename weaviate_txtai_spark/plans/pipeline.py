@@ -2569,6 +2569,15 @@ def curation_run_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, survivor count). The oracle replays all six stages in
     SQL (recursive-CTE components, window-hash sets, the int64
     waterfill boundary, integer quota fill, pack windows)."""
+    return curation_report(load_table(spark, sf_dir, "documents"))
+
+
+def curation_report(docs: DataFrame) -> DataFrame:
+    """The curation_run gate body, parameterized on the corpus — the
+    ONE implementation both the gate and the scale profiler
+    (tools/tail4x.py) run, so profile evidence can never drift from
+    the gate it is cited for (r13 review). See :func:`curation_run_q`
+    for the stage-by-stage contract."""
     from weaviate_txtai_spark.cache import scoped_persist
     from weaviate_txtai_spark.functions.text import token_count
     from weaviate_txtai_spark.operators.budget import (
@@ -2580,7 +2589,6 @@ def curation_run_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from weaviate_txtai_spark.operators.passages import ngram_containment
 
-    docs = load_table(spark, sf_dir, "documents")
     side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
     tagged = docs.select("doc_id", "source", "text", "n_chars", side)
     train = tagged.filter(F.col("side") == 0).drop("side")
@@ -2632,9 +2640,12 @@ def curation_run_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quota", F.floor("alloc").cast("long")
     )
 
-    frac = (
-        F.col("doc_id") * F.lit(2654435761) % F.lit(4294967296)
-    ) / F.lit(4294967296.0)
+    # overflow-safe split multiply (functions/sampling.py) — the naive
+    # doc_id·K product overflows int64 at doc_id ≥ ~3.47e9 (r13 review);
+    # value-identical to the oracle's inline form at any id < 2^31
+    from weaviate_txtai_spark.functions.sampling import split_fraction
+
+    frac = split_fraction("doc_id")
     w_fill = (
         Window.partitionBy("source")
         .orderBy(frac.asc(), F.asc("doc_id"))

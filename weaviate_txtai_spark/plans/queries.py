@@ -47,16 +47,17 @@ from weaviate_txtai_spark.plans.pipeline import *  # noqa: F401,F403
 _PRIORITY = [
     # ------------------------------------------------------------------
     # r13 rotation (VERDICT r12 task 1): the 12 SURVEY §2 anchors, this
-    # round's 2 new gates (each new gate enters the window in its
+    # round's 3 new gates (each new gate enters the window in its
     # creation round), 13 gates whose code changed in r13 (the four
     # ADVICE fixes: waterfill headroom/fractional-reject + 1e3 weight
     # scale, datasheet NULLS-LAST tie-break, decontamination threshold
     # validation; and the join-census NULL-id fixes in
     # adc_topk/hamming_topk/IVF/IVFPQ build+append), 9 r12-changed
     # gates whose latest DRIVER rows predate the r12 fixes (NOTES r13
-    # item 1), and 14 r12-NULL-audit-family gates never re-sampled
-    # post-fix plus the order_scc watch item. 38 of 50 slots sit on
-    # recently-changed gates. The rows-only-by-design gates remain
+    # item 1), and 13 r12-NULL-audit-family gates never re-sampled
+    # post-fix (incl. the order_scc watch item); the third new gate
+    # (dedup_span_removal) took part_return_wilson's slot. 38 of 50
+    # slots sit on recently-changed gates. The rows-only-by-design gates remain
     # STRUCTURALLY excluded by the oracle assert in _ordered_names().
     # ------------------------------------------------------------------
     # the 12 §2 anchors (VERDICT coverage table S3/S7, Q1, Q4-Q9, T1-T3)
@@ -99,7 +100,7 @@ _PRIORITY = [
     "dedup_embedding_lsh",
     "streaming_hourly",
     "streaming_enrich",
-    # 14 r12-NULL-audit-family gates never driver-re-sampled post-fix
+    # 13 r12-NULL-audit-family gates never driver-re-sampled post-fix
     # (pagerank/knn-gemm/mmr/maxsim/resample/prefix-filter/dbscan/
     # dsir/abc/ate/shapley/pass@k/wilson) + the order_scc watch item
     "order_scc",

@@ -6238,6 +6238,7 @@ def events_stratified_ate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fitted propensity model; strata lacking 2 units in either arm
     are trimmed (positivity). One groupBy(user) + one groupBy(stratum,
     arm) shuffle; everything after is strata-domain."""
+    from weaviate_txtai_spark.functions.sampling import knuth_term
     from weaviate_txtai_spark.operators.abtest import stratified_ate
 
     ev = load_table(spark, sf_dir, "events")
@@ -6248,10 +6249,10 @@ def events_stratified_ate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.hour(F.min("ts")).cast("int") / 6).cast("int").alias("stratum"),
     ).select(
         "user_id",
-        (
-            (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2
-            == 0
-        ).alias("treat"),
+        # overflow-safe split multiply (r13 review): the naive
+        # user_id·K product dies under ANSI at id ≥ ~3.47e9;
+        # value-identical parity bit at any id < 2^31
+        (knuth_term("user_id") % 2 == 0).alias("treat"),
         "y",
         "stratum",
     )
