@@ -133,6 +133,90 @@ def probe_cells_gemm(
     return src.mapInPandas(probe, schema=out_schema)
 
 
+def _train_centroids_sampled(
+    df: DataFrame,
+    nlist: int,
+    *,
+    id_col: str,
+    vector_col: str,
+    seed: int,
+    max_iter: int,
+    train_sample: int,
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer training on a bounded deterministic sample,
+    entirely driver-side (numpy k-means++ init + Lloyd's).
+
+    Why not distributed k-means over the full corpus: centroid quality
+    saturates long before the sample does (FAISS trains IVF coarse
+    quantizers on O(100k) samples regardless of corpus size — public
+    knowledge), while every distributed Lloyd iteration is a full
+    corpus pass plus a scheduler round-trip. Training on
+    ``train_sample`` rows caps driver work at sample×dim doubles (64k ×
+    64 ≈ 32 MB) and replaces O(iters) corpus passes with ONE bounded
+    TakeOrdered scan; the corpus is then touched exactly once more by
+    the map-only assignment. The sample is hash-ordered
+    (``uniform_sample_k``), so the trained centroids are a pure
+    function of the corpus — no partitioning or cluster-layout
+    dependence (MLlib's k-means|| init had both).
+
+    Exactness-mode gates (nprobe == nlist) are invariant to WHICH
+    centroids come out; production recall only needs balanced cells,
+    which k-means++ on a uniform sample delivers.
+    """
+    import numpy as np
+
+    from weaviate_txtai_spark.functions.sampling import uniform_sample_k
+
+    rows = (
+        uniform_sample_k(
+            df.select(id_col, F.col(vector_col).cast("array<double>").alias("__v")),
+            int(train_sample),
+            id_col=id_col,
+        )
+        .select("__v")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("IVFIndex.build: empty input")
+    X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    n = X.shape[0]
+    k = min(int(nlist), n)
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding (Arthur & Vassilvitskii 2007) on the sample
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.integers(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        tot = d2.sum()
+        if tot <= 0.0:  # all points identical to chosen centers
+            centers[i:] = X[rng.integers(n, size=k - i)]
+            break
+        centers[i] = X[rng.choice(n, p=d2 / tot)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+
+    x_sq = (X * X).sum(axis=1, keepdims=True)
+    for _ in range(int(max_iter)):
+        scores = x_sq - 2.0 * (X @ centers.T) + (centers * centers).sum(axis=1)
+        labels = np.argmin(scores, axis=1)
+        new_centers = centers.copy()
+        for c in range(k):
+            members = X[labels == c]
+            if len(members):
+                new_centers[c] = members.mean(axis=0)
+        shift = float(((new_centers - centers) ** 2).sum())
+        centers = new_centers
+        if shift <= 1e-12:
+            break
+
+    if k < int(nlist):
+        # fewer rows than cells: duplicate-free padding is pointless —
+        # keep k real centroids (every search still probes all of them
+        # when nprobe >= nlist, and probe_cells_gemm clamps nprobe)
+        pass
+    return [(i, [float(v) for v in c]) for i, c in enumerate(centers)]
+
+
 class IVFIndex:
     """nlist-cell IVF index materialized as a DataFrame (cache or write
     partitionBy('cell') for reuse)."""
@@ -154,28 +238,32 @@ class IVFIndex:
         vector_col: str = "embedding",
         seed: int = 42,
         max_iter: int = 20,
+        train_sample: int = 65536,
     ) -> "IVFIndex":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
         # An id-keyed index cannot return, delete, or upsert an unkeyed
         # row; a NULL-id row admitted here would later vanish silently
         # at the rerank/shortlist joins (NULL never equi-joins) after
         # consuming a result slot (r13 join census)
         df = df.filter(F.col(id_col).isNotNull())
-        feat = df.withColumn(
-            "__feat", array_to_vector(F.col(vector_col).cast("array<double>"))
+        centroids = _train_centroids_sampled(
+            df,
+            nlist,
+            id_col=id_col,
+            vector_col=vector_col,
+            seed=seed,
+            max_iter=max_iter,
+            train_sample=train_sample,
         )
-        km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__feat",
-                    predictionCol="cell")
-        model = km.fit(feat)
         # keep EVERY input column (not just id+vector): metadata rides
         # along into the cell layout so filtered search (`where=`) can
-        # push its predicate into the same scan as the cell pruning
-        assigned = model.transform(feat).drop("__feat")
-        centroids = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
+        # push its predicate into the same scan as the cell pruning.
+        # assign_clusters is the SAME deterministic argmin append() uses,
+        # so build-time and append-time routing agree by construction.
+        from weaviate_txtai_spark.operators.kmeans import assign_clusters
+
+        assigned = assign_clusters(
+            df, centroids, vector_col=vector_col, cluster_col="cell"
+        )
         return cls(assigned, centroids, id_col, vector_col)
 
     def append(self, new_df: DataFrame) -> "IVFIndex":

@@ -436,7 +436,11 @@ def connected_components(
         .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy, like the round checkpoints below: the initial
+        # fingerprint job is the first action and doubles as the
+        # materialization job — eager=True paid a separate job to
+        # materialize before fingerprinting (r13 opt)
+        .localCheckpoint(eager=False)
     )
     isolated = edges.select(F.col(src).alias("node")).filter(
         F.col(src) == F.col(dst)

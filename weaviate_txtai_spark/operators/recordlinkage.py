@@ -153,11 +153,32 @@ def fs_weights_blocked(
     cb = b.groupBy(F.col(b_block).alias("__blk")).agg(
         F.count(F.lit(1)).alias("__cb")
     )
-    total = (
+    # ONE action for the blocked total and every per-field agreement
+    # total: tagged 1-row union branches collected together (the
+    # previous per-field collect() paid K+1 sequential job barriers —
+    # same fix as fs_pattern_counts_blocked, r13 opt)
+    frames = [
         ca.join(cb, "__blk")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__t"))
-        .collect()[0]["__t"]
-    ) or 0
+        .select(F.lit("__total").alias("__tag"), "__t")
+    ]
+    for name, (fa, fb) in fields.items():
+        ga = a.groupBy(
+            F.col(a_block).alias("__blk"), F.col(fa).alias("__v")
+        ).agg(F.count(F.lit(1)).alias("__ca"))
+        gb = b.groupBy(
+            F.col(b_block).alias("__blk"), F.col(fb).alias("__v")
+        ).agg(F.count(F.lit(1)).alias("__cb"))
+        frames.append(
+            ga.join(gb, ["__blk", "__v"])
+            .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__t"))
+            .select(F.lit(name).alias("__tag"), "__t")
+        )
+    allf = frames[0]
+    for fr in frames[1:]:
+        allf = allf.unionByName(fr)
+    totals = {r["__tag"]: int(r["__t"] or 0) for r in allf.collect()}
+    total = totals["__total"]
     nu = total - nm
     if nm == 0 or nu == 0:
         raise ValueError(
@@ -167,17 +188,7 @@ def fs_weights_blocked(
     lo, hi = clamp, 1.0 - clamp
     out = {}
     for name, (fa, fb) in fields.items():
-        ga = a.groupBy(
-            F.col(a_block).alias("__blk"), F.col(fa).alias("__v")
-        ).agg(F.count(F.lit(1)).alias("__ca"))
-        gb = b.groupBy(
-            F.col(b_block).alias("__blk"), F.col(fb).alias("__v")
-        ).agg(F.count(F.lit(1)).alias("__cb"))
-        agree = (
-            ga.join(gb, ["__blk", "__v"])
-            .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__s"))
-            .collect()[0]["__s"]
-        ) or 0
+        agree = totals[name]
         am = row_m[f"__am_{name}"] or 0
         au = agree - am
         mm = min(max(am / nm, lo), hi)
@@ -244,7 +255,13 @@ def fs_pattern_counts_blocked(
     if not names:
         raise ValueError("fs_pattern_counts_blocked: no fields")
     K = len(names)
-    at_least: dict[int, int] = {}
+    # ONE action for all 2^K at-least-T totals: each subset's
+    # count-product aggregate becomes a tagged 1-row branch of a union,
+    # collected together — the branches run as concurrent stages inside
+    # a single job, where the previous per-subset collect() paid 2^K
+    # SEQUENTIAL barriers of pure scheduler latency (r13 opt; the
+    # aggregate work itself is unchanged)
+    frames = []
     for tbits in range(1 << K):
         acols = [a_block] + [fields[names[i]][0] for i in range(K)
                              if tbits & (1 << i)]
@@ -257,12 +274,16 @@ def fs_pattern_counts_blocked(
             *[F.col(c).alias(f"__j{j}") for j, c in enumerate(bcols)]
         ).agg(F.count(F.lit(1)).alias("__cb"))
         keys = [f"__j{j}" for j in range(len(acols))]
-        tot = (
+        frames.append(
             ga.join(gb, keys)
             .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__t"))
-            .collect()[0]["__t"]
+            .select(F.lit(tbits).alias("__tbits"), "__t")
         )
-        at_least[tbits] = int(tot or 0)
+    allf = frames[0]
+    for fr in frames[1:]:
+        allf = allf.unionByName(fr)
+    at_least = {int(r["__tbits"]): int(r["__t"] or 0)
+                for r in allf.collect()}
     out: dict[int, int] = {}
     for sbits in range(1 << K):
         n = 0

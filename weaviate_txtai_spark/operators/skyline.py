@@ -166,19 +166,32 @@ def skyline_2d(
     gx = scoped_persist(
         pts.groupBy("__x").agg(F.max("__y").alias("__ymax"))
     )
+    # auto bucket count ⌈√|x-domain|⌉ as a COLUMN of the same 1-row span
+    # aggregate rather than a separate gx.count() action: the count was
+    # a full barrier job before any bucketing work could plan (r13 opt).
+    # floor(sqrt(n)) in doubles can land one too high at n = k²−1-style
+    # boundaries (sqrt rounds up to k); the m−(m·m>n) correction makes
+    # it exact isqrt for any int64 n. The answer is bucketing-invariant
+    # (pinned in tests), so this only shapes the plan.
     if n_buckets is None:
-        n_buckets = max(1, _math.isqrt(gx.count()))
+        nb = F.expr(
+            "greatest(1L, cast(floor(sqrt(cast(count(1) as double))) as bigint)"
+            " - cast(cast(floor(sqrt(cast(count(1) as double))) as bigint)"
+            "        * cast(floor(sqrt(cast(count(1) as double))) as bigint)"
+            "        > count(1) as int))"
+        ).alias("__nb")
+    else:
+        nb = F.lit(int(n_buckets)).cast("long").alias("__nb")
     span = gx.agg(
         F.min("__x").alias("__lo"),
         (F.max("__x") - F.min("__x") + 1).alias("__w"),
+        nb,
     )
     binned = scoped_persist(
         gx.join(F.broadcast(span)).select(
             "__x",
             "__ymax",
-            F.expr(
-                f"((__x - __lo) * {int(n_buckets)}L) div __w"
-            ).alias("__b"),
+            F.expr("((__x - __lo) * __nb) div __w").alias("__b"),
         )
     )
     bmax = binned.groupBy("__b").agg(F.max("__ymax").alias("__bm"))

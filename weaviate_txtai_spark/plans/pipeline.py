@@ -2614,18 +2614,66 @@ def curation_report(docs: DataFrame) -> DataFrame:
             token_count("text").cast("long").alias("nt"),
         )
     )
-    per = clean.groupBy("source").agg(
-        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_clean"),
-        F.sum(
-            F.when(F.col("n_chars").between(200, 2000), 1).otherwise(0)
-        ).cast("long").alias("n_good"),
+    # ONE per-source aggregate for the whole funnel: train, survivor
+    # and clean rows union-tagged into a single groupBy(source) pass
+    # (guide §2.4 — the three separate aggregates paid three exchanges
+    # and the report then paid three joins to glue them back; r13 opt).
+    # NULL-source semantics match the previous shape exactly: survivor
+    # rows with a NULL source are excluded (the old ns equi-join
+    # dropped them), but NULL-source CLEAN rows still flow into the
+    # aggregate — the old solver input (per-source aggregate over
+    # `clean`) had a NULL group participating in the θ computation;
+    # the report masks that group's solver columns below, as the old
+    # NULL-dropping joins did.
+    notnull = F.col("source").isNotNull()
+    zl = F.lit(None).cast("long")
+    stats = (
+        train.select("source", F.lit(0).alias("__tag"), zl.alias("nt"),
+                     zl.alias("n_chars"))
+        .unionByName(
+            surv.filter(notnull).select(
+                "source", F.lit(1).alias("__tag"), zl.alias("nt"),
+                zl.alias("n_chars"),
+            )
+        )
+        .unionByName(
+            clean.select(
+                "source", F.lit(2).alias("__tag"), F.col("nt"),
+                F.col("n_chars").cast("long").alias("n_chars"),
+            )
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("__tag") == 0, 1).otherwise(0))
+            .cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__tag") == 1, 1).otherwise(0))
+            .cast("long").alias("n_survivors"),
+            F.sum(F.when(F.col("__tag") == 2, 1).otherwise(0))
+            .cast("long").alias("n_clean"),
+            F.coalesce(
+                F.sum(F.when(F.col("__tag") == 2, F.col("nt"))), F.lit(0)
+            ).cast("long").alias("tokens"),
+            F.sum(
+                F.when(
+                    (F.col("__tag") == 2)
+                    & F.col("n_chars").between(200, 2000),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_good"),
+        )
+        # tiny (#sources rows); lazy checkpoint so the budget collect
+        # below doubles as its materialization job and the report/solver
+        # branches reuse it instead of re-running the union aggregate
+        .localCheckpoint(eager=False)
     )
-    total = per.agg(F.sum("tokens")).collect()[0][0]  # 1 scalar
+    total = stats.agg(F.sum(F.when(F.col("n_clean") > 0, F.col("tokens")))
+                      ).collect()[0][0]  # 1 scalar
     budget = int(total or 0) // 2
     cap_tokens = 3 * budget // 10
-    wt = per.select(
+    wt = stats.filter(F.col("n_clean") > 0).select(
         "source",
+        "n_docs",
+        "n_survivors",
         "tokens",
         "n_clean",
         F.round(
@@ -2677,30 +2725,44 @@ def curation_report(docs: DataFrame) -> DataFrame:
             F.countDistinct("__pk").cast("long").alias("n_packs"),
         )
     )
-    nd = train.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    ns = surv.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_survivors")
-    )
+    # report = solver output (already carrying the funnel counts from
+    # the union aggregate) ∪ the no-clean-docs sources, + ONE left join
+    # for the sampled/packed yield — where the previous shape joined
+    # nd ⟕ ns ⟕ q ⟕ per_samp (three joins over three aggregates)
     zero = F.lit(0).cast("long")
-    return (
-        nd.join(ns, "source", "left")
-        .join(
-            q.select("source", "tokens", "n_clean", "weight", "cap", "alloc"),
-            "source",
-            "left",
+
+    def _mask(c, z):
+        # a NULL-source group's solver row reports zeros (the old
+        # report's equi-joins dropped it) even though it participated
+        # in the θ computation above — exact old behavior
+        return F.when(F.col("source").isNull(), z).otherwise(F.col(c)).alias(c)
+
+    rep = q.select(
+        "source", "n_docs", "n_survivors",
+        _mask("n_clean", zero),
+        F.when(F.col("source").isNull(), zero)
+        .otherwise(F.col("tokens")).alias("clean_tokens"),
+        _mask("weight", zero), _mask("cap", zero),
+        _mask("alloc", F.lit(0.0)),
+    ).unionByName(
+        stats.filter(F.col("n_clean") == 0).select(
+            "source", "n_docs", "n_survivors", "n_clean",
+            F.col("tokens").alias("clean_tokens"),
+            zero.alias("weight"), zero.alias("cap"),
+            F.lit(0.0).alias("alloc"),
         )
-        .join(per_samp, "source", "left")
+    )
+    return (
+        rep.join(per_samp, "source", "left")
         .select(
             "source",
             "n_docs",
-            F.coalesce("n_survivors", zero).alias("n_survivors"),
-            F.coalesce("n_clean", zero).alias("n_clean"),
-            F.coalesce("tokens", zero).alias("clean_tokens"),
-            F.coalesce("weight", zero).alias("weight"),
-            F.coalesce("cap", zero).alias("cap"),
-            F.coalesce("alloc", F.lit(0.0)).alias("alloc"),
+            "n_survivors",
+            "n_clean",
+            "clean_tokens",
+            "weight",
+            "cap",
+            "alloc",
             F.coalesce("n_sampled", zero).alias("n_sampled"),
             F.coalesce("sampled_tokens", zero).alias("sampled_tokens"),
             F.coalesce("n_packs", zero).alias("n_packs"),
