@@ -120,21 +120,56 @@ def jaccard_pairs(
     that's the documented quality trade, so the cap is off unless asked
     for.
     """
-    sh = _shingle_table(docs, text_col, id_col, n).select(
-        "__id", F.xxhash64("__sh").alias("__sh")
-    )
-    # persist BEFORE the df-cap branch: the cap's frequency aggregate and
-    # the capped table's own materialization would otherwise each re-run
-    # the tokenize+shingle+hash pipeline — the dominant map-side cost
-    sh = scoped_persist(sh)
-    if max_doc_freq is not None:
+    if max_doc_freq is None:
+        # exact mode (the oracle-pinned default): shingles are DISTINCT
+        # per doc (functions.text.shingles = array_distinct), so each
+        # doc's size is just the array length BEFORE the explode — the
+        # __sz column rides along map-only. The previous shape computed
+        # sizes as a groupBy and re-attached them with a forced
+        # broadcast join: a per-DOC table, corpus-sized at 100 TB (past
+        # the 8 GB broadcast cap), and an avoidable aggregate+join
+        # locally (r13 opt; guide §2.4 — remove the shuffle outright).
+        #
+        # The persist sits BEFORE the explode, on the compact
+        # (id, size, array) form: exploding directly from the raw
+        # expression lets InferFiltersFromGenerate push a
+        # `size(<full shingle expr>)>0` filter below the spread
+        # exchange — the heavy array evaluated per row on the ONE
+        # pre-repartition input partition (measured 2.2× slower; the
+        # r12 mapInPandas-input-edge lesson, Generate edition). From
+        # the cached array column the inferred filter is a cheap
+        # column reference, and the two self-join consumers re-run
+        # only the explode+hash, not tokenize+shingle.
+        base = scoped_persist(
+            spread(docs.filter(F.col(id_col).isNotNull()))
+            .select(
+                F.col(id_col).alias("__id"), shingles(text_col, n).alias("__a")
+            )
+            .select("__id", F.size("__a").alias("__sz"), F.col("__a"))
+        )
+        shz = base.select(
+            "__id", "__sz", F.explode("__a").alias("__sh")
+        ).select("__id", "__sz", F.xxhash64("__sh").alias("__sh"))
+    else:
+        sh = _shingle_table(docs, text_col, id_col, n).select(
+            "__id", F.xxhash64("__sh").alias("__sh")
+        )
+        # persist BEFORE the df-cap: the cap's frequency aggregate and
+        # the capped table's own materialization would otherwise each
+        # re-run the tokenize+shingle+hash pipeline — the dominant
+        # map-side cost
+        sh = scoped_persist(sh)
         df_counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = scoped_persist(
             sh.join(df_counts.filter(F.col("__df") <= int(max_doc_freq)), "__sh")
             .select("__id", "__sh")
         )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    shz = sh.join(F.broadcast(sizes), "__id")
+        # capped mode: Jaccard is defined over the CAPPED shingle
+        # universe, so sizes must be counted post-cap — an array-length
+        # shortcut would be wrong here. No forced broadcast: per-doc
+        # table, corpus-sized at scale; AQE broadcasts while small
+        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+        shz = sh.join(sizes, "__id")
     a = shz.alias("a")
     b = shz.alias("b")
     t = F.lit(threshold)

@@ -161,7 +161,8 @@ def _local_pagerank_exact(
         nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
         si, di = inv[: len(s)], inv[len(s):]
         n = len(nodes)
-        assert n == n_nodes
+        if n_nodes is not None:
+            assert n == n_nodes
         deg = np.zeros(n, dtype="int64")
         np.add.at(deg, si, 1)
         base = ((damping_den - damping_num) * scale) // (
@@ -218,22 +219,26 @@ def pagerank_exact(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
+    # the edge count first (one job, doubling as the persist's
+    # materialization): below the local-finish bound the kernel derives
+    # the node set itself, so the `nodes` frame + its distinct + count
+    # — two more jobs — only exist on the distributed path (r13 opt)
+    n_edges = e.count()
+    if n_edges == 0:
+        raise ValueError("pagerank_exact: empty edge frame")
+    # small graph ⇒ the iterations are pure job overhead: finish in one
+    # task, BIT-IDENTICALLY (integer arithmetic — same reasoning as
+    # connected_components' local finish; 0 disables).
+    if local_finish_edges and n_edges <= local_finish_edges:
+        return _local_pagerank_exact(
+            e, iters, damping_num, damping_den, scale, None
+        )
     nodes = scoped_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
     n_nodes = nodes.count()
-    if n_nodes == 0:
-        raise ValueError("pagerank_exact: empty edge frame")
-    # small graph ⇒ the iterations are pure job overhead: finish in one
-    # task, BIT-IDENTICALLY (integer arithmetic — same reasoning as
-    # connected_components' local finish; 0 disables). The edge count
-    # reads the already-persisted frame — one cheap job.
-    if local_finish_edges and e.count() <= local_finish_edges:
-        return _local_pagerank_exact(
-            e, iters, damping_num, damping_den, scale, n_nodes
-        )
     deg = scoped_persist(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     base = ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
     ranks = nodes.select("id", F.lit(scale // n_nodes).alias("r"))
@@ -424,16 +429,19 @@ def connected_components(
     the component (every node appears exactly once; isolated nodes of
     the edge list, i.e. self-loops, keep themselves).
     """
-    # canonical undirected edge list (u, v) with u != v, deduped
-    e = (
-        edges.select(
-            F.col(src).alias("u"), F.col(dst).alias("v")
-        )
+    # canonical undirected edge list (u, v) with u != v, deduped.
+    # The input selection is persisted ONCE: both the canonical list
+    # and the self-loop `isolated` set below derive from it, and
+    # without the persist each branch re-ran the caller's full edge
+    # lineage — for the dedup/curation composites that lineage is the
+    # shingle self-join pair table, recomputed wholesale just to find
+    # (usually zero) self-loops (r13 opt; no-common-subplan rule)
+    ed = scoped_persist(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     )
     e = (
-        e.select("u", "v")
-        .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         # lazy, like the round checkpoints below: the initial
@@ -442,8 +450,8 @@ def connected_components(
         # materialize before fingerprinting (r13 opt)
         .localCheckpoint(eager=False)
     )
-    isolated = edges.select(F.col(src).alias("node")).filter(
-        F.col(src) == F.col(dst)
+    isolated = ed.filter(F.col("u") == F.col("v")).select(
+        F.col("u").alias("node")
     ).distinct()
 
     wu = Window.partitionBy("u")
@@ -689,9 +697,14 @@ def strongly_connected_components(
     Output: ``node, scc`` — scc is the minimum node id in the SCC;
     every node of the edge frame (self-loops included) appears exactly
     once."""
-    e0 = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # the input selection is persisted once: all_nodes and e both
+    # derive from it, and unpersisted each materialization re-ran the
+    # caller's full edge lineage (the gate's window chain) — same
+    # no-common-subplan fix as connected_components (r13 opt)
+    e0 = scoped_persist(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
     all_nodes = scoped_persist(
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))

@@ -205,12 +205,26 @@ def assign_clusters(
 @dataclass
 class KMeansModel:
     """Output of :func:`lloyd`: final centroids, the final (closing)
-    assignment of the training frame, and per-cluster sizes under it."""
+    assignment of the training frame, and per-cluster sizes under it
+    (``sizes`` is computed lazily on first access — most consumers use
+    only ``assigned``/``centroids``, and the eager size aggregate was a
+    barrier job every lloyd() call paid regardless; r13 opt)."""
 
     centroids: list[tuple[int, list[float]]]
     assigned: DataFrame
-    sizes: dict[int, int]
     iters_run: int
+    _sizes: "dict[int, int] | None" = None
+
+    @property
+    def sizes(self) -> "dict[int, int]":
+        if self._sizes is None:
+            self._sizes = {
+                r["cluster"]: r["n"]
+                for r in self.assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        return self._sizes
 
     def assign(self, df: DataFrame, **kw) -> DataFrame:
         return assign_clusters(df, self.centroids, **kw)
@@ -318,12 +332,8 @@ def lloyd(
         dist_round_decimals=dist_round_decimals,
         strategy=strategy,
     )
-    sizes = {
-        r["cluster"]: r["n"]
-        for r in final.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
     return KMeansModel(
-        centroids=cents, assigned=final, sizes=sizes, iters_run=iters
+        centroids=cents, assigned=final, iters_run=iters
     )
 
 

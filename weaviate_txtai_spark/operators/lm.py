@@ -264,18 +264,25 @@ def bigram_nll(
     )
     bcounts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab_v"))
-    scored = (
-        big.join(bcounts, ["w1", "w2"])
-        .join(uni.withColumnRenamed("term", "w1"), "w1")
+    # logp is a function of the bigram TYPE: score the (much smaller)
+    # bigram-count table through the unigram join and attach logp to
+    # the occurrence stream with ONE join — the previous plan shuffled
+    # the full stream twice (bigram join, then unigram join). Same
+    # types-then-attach shape as trigram_jm_nll (r13 opt, guide §2.3);
+    # per-occurrence doubles identical.
+    types = (
+        bcounts.join(uni.withColumnRenamed("term", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            id_col,
+            "w1",
+            "w2",
             F.log(
                 (F.col("cb") + F.lit(alpha))
                 / (F.col("cu") + F.lit(alpha) * F.col("vocab_v"))
             ).alias("logp"),
         )
     )
+    scored = big.join(types, ["w1", "w2"]).select(id_col, "logp")
     nll = -F.avg("logp")
     if round_decimals is not None:
         nll = F.round(nll, round_decimals)
@@ -404,9 +411,15 @@ def trigram_jm_nll(
         F.count(F.lit(1)).alias("ct")
     )
     total = uni.agg(F.sum("cu").alias("tot"))
-    scored = (
-        stream.join(tcounts, ["w1", "w2", "w3"])
-        .join(
+    # every probability factor is a function of the trigram TYPE, so
+    # score the DISTINCT-trigram table through the four count joins and
+    # attach logp to the occurrence stream with ONE join — the previous
+    # plan dragged the full occurrence stream through five sequential
+    # shuffle joins (guide §2.3: shuffle the small proxy, not the
+    # corpus-sized stream; the per-occurrence logp doubles are
+    # bit-identical, same factors, same arithmetic)
+    types = (
+        tcounts.join(
             bigr.select(
                 F.col("b1").alias("w1"), F.col("b2").alias("w2"),
                 F.col("cb").alias("c12"),
@@ -430,7 +443,9 @@ def trigram_jm_nll(
         )
         .crossJoin(F.broadcast(total))
         .select(
-            id_col,
+            "w1",
+            "w2",
+            "w3",
             F.log(
                 F.lit(l3) * (F.col("ct") / F.col("c12"))
                 + F.lit(l2) * (F.col("c23") / F.col("c2"))
@@ -438,6 +453,7 @@ def trigram_jm_nll(
             ).alias("logp"),
         )
     )
+    scored = stream.join(types, ["w1", "w2", "w3"]).select(id_col, "logp")
     nll = -F.avg("logp")
     if round_decimals is not None:
         nll = F.round(nll, round_decimals)

@@ -235,8 +235,12 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
+    # no forced broadcast of dfreq: it is VOCABULARY-sized — billions
+    # of rows on a web corpus, far past the 8 GB broadcast cap. AQE
+    # broadcasts it while small (it is at every test SF) and falls back
+    # to a hash join on term at scale (guide §3.1)
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf_raw",
