@@ -35,7 +35,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    b = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("opt-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
@@ -45,8 +45,13 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .getOrCreate()
     )
+    # config experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            b = b.config(k.strip(), v.strip())
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from weaviate_txtai_spark.plans.queries import queries

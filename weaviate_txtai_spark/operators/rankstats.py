@@ -75,7 +75,7 @@ def _prefix_sums(
     keys = [by] if by else []
     n_part = max(2, min(32, vc.sparkSession.sparkContext.defaultParallelism))
     if pre_materialize:
-        vc = vc.localCheckpoint(eager=True)
+        vc = vc.localCheckpoint(eager=False)
     ordered = (
         vc.repartitionByRange(
             n_part, *[F.col(k) for k in keys], F.col(value_col)
@@ -88,7 +88,7 @@ def _prefix_sums(
         # sampling, so a re-evaluation could re-draw them and the
         # collected offsets would describe the wrong partitioning —
         # pin ONE materialization (table is distinct-values sized)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # per-partition subtotal + intra-partition running sum stay narrow;
     # only the ≤n_part·|by| subtotal rows are collected to build offsets
@@ -295,7 +295,7 @@ def _spearman_listwise_moments(
             "__val",
             "__cnt",
             F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__b"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         doms.append(dom)
     if n is None:
         # hint mode: every column shares the listwise population, so any
@@ -358,7 +358,7 @@ def _spearman_listwise_moments(
             allj = (
                 sub.groupBy(*small)
                 .agg(F.count(F.lit(1)).alias("__c2"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             joint_src = {
                 (x, y): allj.groupBy(x, y).agg(
@@ -421,7 +421,7 @@ def _spearman_listwise_moments(
         per_x = base.groupBy(x).agg(
             F.count(F.lit(1)).alias("__cnt"),
             *[F.sum(f"__cr_{y}").alias(f"__s_{y}") for y in partners],
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         pair_ids = []
         for i, (px, py) in enumerate(pairs):
             if x in (px, py):
