@@ -512,6 +512,13 @@ def connected_components(
         return (row["n"], row["h"])
 
     members = None
+    # the edge frame `members` was derived from — its u∪v node set
+    # provably equals nodes(members) on every exit (kernel contract on
+    # the local exits; {u}∪roots = {u}∪({v}−{u}) on the fixpoint exit),
+    # so the `lonely` anti-join below can probe it instead of
+    # re-planning the members subtree (which ran the single-task kernel
+    # TWICE — once per union branch; r13 opt)
+    msrc = e
     fp = fingerprint(e)
     if fp[0] <= local_finish_edges:
         members = _local_components(e)
@@ -529,6 +536,7 @@ def connected_components(
             nfp = fingerprint(nxt)
             if nfp[0] <= local_finish_edges:
                 members = _local_components(nxt)
+                msrc = nxt
                 break
             if nfp == fp:
                 changed = (
@@ -537,9 +545,11 @@ def connected_components(
                 )
                 if changed == 0:
                     e = nxt
+                    msrc = nxt
                     break
             fp = nfp
             e = nxt
+            msrc = nxt
         else:
             raise RuntimeError(
                 f"connected_components: no fixpoint within "
@@ -561,9 +571,13 @@ def connected_components(
         ).select("node", F.col("node").alias("component"))
         members = members.unionByName(roots)
 
-    # self-loop isolates keep themselves
+    # self-loop isolates keep themselves; probe the edge frame's node
+    # set (== nodes(members), see msrc above) so the members subtree —
+    # and on the local exits its Python kernel — stays single-reference
     lonely = isolated.join(
-        members.select("node").distinct(),
+        msrc.select(F.col("u").alias("node"))
+        .unionByName(msrc.select(F.col("v").alias("node")))
+        .distinct(),
         "node",
         "left_anti",
     ).select("node", F.col("node").alias("component"))
@@ -729,9 +743,19 @@ def strongly_connected_components(
             done.append(nodes.select("node", F.col("node").alias("scc")))
             break
         if n_edges <= local_finish_edges:
+            # the lonely anti-join probes the EDGE frame's node set, not
+            # the kernel output: referencing `m` here planned — and ran —
+            # the single-task Tarjan subtree twice (once per union
+            # branch; Spark does not dedupe non-cached common subplans).
+            # nodes(m) == u∪v(e) by the kernel's contract, so the probe
+            # set is identical and e is already materialized (r13 opt)
             m = _local_scc(e)
             lonely = nodes.join(
-                m.select("node"), "node", "left_anti"
+                e.select(F.col("u").alias("node"))
+                .unionByName(e.select(F.col("v").alias("node")))
+                .distinct(),
+                "node",
+                "left_anti",
             ).select("node", F.col("node").alias("scc"))
             done.append(m)
             done.append(lonely)
@@ -775,9 +799,16 @@ def strongly_connected_components(
                 hit_local = True
                 break
             if n_e <= local_finish_edges:
+                # same single-kernel discipline as the entry local
+                # finish: probe with u∪v of the (checkpointed) e, never
+                # with the Tarjan output
                 m = _local_scc(e)
                 lonely = nodes.join(
-                    m.select("node"), "node", "left_anti"
+                    e.select(F.col("u").alias("node"))
+                    .unionByName(e.select(F.col("v").alias("node")))
+                    .distinct(),
+                    "node",
+                    "left_anti",
                 ).select("node", F.col("node").alias("scc"))
                 done.append(m)
                 done.append(lonely)
@@ -1379,7 +1410,16 @@ def hits_exact(
     )
 
     if local_finish_edges and e.count() <= local_finish_edges:
-        fp = _local_hits_exact(e, n_iter, scale)
+        # lazy checkpoint: the final score projection references the
+        # fixed-point frame twice (the max aggregate's broadcast build
+        # + the probe side), and a non-pinned reference re-planned —
+        # and re-RAN — the whole single-task recursion per branch
+        # (three copies in the gate plan before this; r13 opt). The
+        # broadcast build materializes the RDD, the probe side reads
+        # the cached partition — no extra job
+        fp = _local_hits_exact(e, n_iter, scale).localCheckpoint(
+            eager=False
+        )
     else:
         srcs = e.select(F.col("s").alias("node")).distinct()
         n_src = srcs.count()
@@ -1422,11 +1462,13 @@ def hits_exact(
             )
         )
 
-    hmax = fp.agg(F.max("hub_fp").alias("__mh"))
-    amax = fp.agg(F.max("auth_fp").alias("__ma"))
+    # ONE fused max aggregate (not one per score): two aggregates paid
+    # two broadcast subtrees, each a full re-plan of fp's lineage
+    mx = fp.agg(
+        F.max("hub_fp").alias("__mh"), F.max("auth_fp").alias("__ma")
+    )
     return (
-        fp.join(F.broadcast(hmax))
-        .join(F.broadcast(amax))
+        fp.join(F.broadcast(mx))
         .select(
             "node",
             F.round(
