@@ -412,7 +412,13 @@ def item_similarity(
         min_item_count=min_item_count,
         max_basket_size=max_basket_size,
     )
-    counts = (
+    # the item-domain count table feeds BOTH broadcast attaches below;
+    # without the persist each broadcast re-planned its full lineage —
+    # a second corpus scan + distinct just to rebuild the same bounded
+    # table (the basket_rules persist rationale, n1/n2 edition; r13 opt)
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    counts = scoped_persist(
         df.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
@@ -476,15 +482,29 @@ def also_bought_topk(
         max_basket_size=max_basket_size,
         round_decimals=round_decimals,
     )
+    # both orientations are emitted MAP-SIDE from each pair row (the
+    # small_star explode idiom): a union of two `sim` selects planned —
+    # and ran — the whole pair-generation pipeline twice (Spark does
+    # not dedupe non-cached common subtrees; r13 opt). Same row
+    # multiset, so the deterministic ranking below is unchanged.
     both = sim.select(
-        F.col("p1").alias("item"), F.col("p2").alias("neighbor"),
-        "cosine", "pair_count",
-    ).unionByName(
-        sim.select(
-            F.col("p2").alias("item"), F.col("p1").alias("neighbor"),
-            "cosine", "pair_count",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("item"),
+                    F.col("p2").alias("neighbor"),
+                    F.col("cosine"),
+                    F.col("pair_count"),
+                ),
+                F.struct(
+                    F.col("p2").alias("item"),
+                    F.col("p1").alias("neighbor"),
+                    F.col("cosine"),
+                    F.col("pair_count"),
+                ),
+            )
+        ).alias("__o")
+    ).select("__o.*")
     w = Window.partitionBy("item").orderBy(
         F.desc("cosine"), F.desc("pair_count"), F.asc("neighbor")
     )

@@ -64,8 +64,14 @@ def sequence_pairs(
         e = e.join(dropped.select("u"), "u", "left_anti")
     # distinct (user, type, ts µs) — duplicate identical events would
     # only re-derive the same (u, a, b) pattern rows the later distinct
-    # removes, but pruning them first shrinks the self-join input
-    e = e.distinct()
+    # removes, but pruning them first shrinks the self-join input.
+    # Persisted: the frame feeds FIVE branches (both self-join sides,
+    # the user-count scalar, the type-support table twice), and without
+    # the persist each re-planned the source scan + distinct shuffle
+    # (the basket_rules shared-frame rationale; r13 opt)
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    e = scoped_persist(e.distinct())
 
     w_us = int(window_seconds) * 1_000_000
     a = e.select(F.col("u"), F.col("t").alias("a"), F.col("us").alias("ta"))
@@ -83,7 +89,9 @@ def sequence_pairs(
     n_users = e.select("u").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("__nu")
     )
-    type_support = (
+    # type-domain sized; referenced by BOTH broadcast attaches below —
+    # persisted so the (user, type) distinct over e runs once, not twice
+    type_support = scoped_persist(
         e.select("u", "t").distinct().groupBy("t").agg(
             F.count(F.lit(1)).alias("__su")
         )

@@ -69,10 +69,21 @@ def edit_distance_join(
     rare-gram probe group before being dropped."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    # base feeds SEVEN plan branches (long/short pools, the gram
+    # table, the probe-selection join-back, the boundary band):
+    # without the persist every branch re-planned — and re-ran — the
+    # source scan (8 source scans in the captured gate plan). The
+    # compact (id, s, l) frame persists; the gram EXPLODE is left to
+    # recompute per consumer — it is map-side work from the cached
+    # frame, while persisting it would pin an occurrence-sized table
+    # that duplicates the full string per gram (the jaccard §7 rule:
+    # persist the compact frame before the explode, not the explode).
     base = df.select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
     ).filter(F.col("s").isNotNull() & F.col(id_col).isNotNull())
-    base = base.withColumn("l", F.length("s"))
+    base = scoped_persist(base.withColumn("l", F.length("s")))
     lmin = q * (k + 1)
     long_s = base.filter(F.col("l") >= lmin)
     short_s = base.filter(F.col("l") < lmin)
@@ -80,7 +91,10 @@ def edit_distance_join(
     w = k + 1  # bucket width
     gr = long_s.select(
         "id", "s", "l", F.explode(_grams(F.col("s"), q)).alias("g")
-    ).select("id", "s", "l", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    ).select(
+        "id", "s", "l",
+        F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"),
+    )
     # Ed-Join-style rare-gram probe selection (Xiao et al. 2008): k
     # edits destroy at most q·k gram OCCURRENCES, so among any q·k+1
     # occurrences one survives into the partner string with its

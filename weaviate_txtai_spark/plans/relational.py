@@ -2722,16 +2722,30 @@ def order_scc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.lag("o_orderkey", 3).over(w).alias("back"),
     )
-    chain = pos.select(
-        F.col("k").alias("src"),
-        F.coalesce(F.col("nxt"), F.col("k")).alias("dst"),
-    )
-    cycles = pos.filter(
-        (F.col("rn") % 4 == 0) & F.col("back").isNotNull()
-    ).select(F.col("k").alias("src"), F.col("back").alias("dst"))
-    return strongly_connected_components(
-        chain.unionByName(cycles)
-    ).orderBy("node")
+    # chain and cycle edges are emitted MAP-SIDE from each window row
+    # (explode of two structs, NULL dst marking "no cycle edge here"):
+    # the previous union of two `pos` selects re-planned — and re-ran —
+    # the window twice (two source scans in the captured plan; r13
+    # opt). Same edge multiset: chain dst is never NULL (coalesce to
+    # k), the cycle struct's dst is non-NULL exactly when rn%4==0 and
+    # a back-edge target exists.
+    edges = pos.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("k").alias("src"),
+                    F.coalesce(F.col("nxt"), F.col("k")).alias("dst"),
+                ),
+                F.struct(
+                    F.col("k").alias("src"),
+                    F.when(F.col("rn") % 4 == 0, F.col("back")).alias(
+                        "dst"
+                    ),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.*").filter(F.col("dst").isNotNull())
+    return strongly_connected_components(edges).orderBy("node")
 
 
 # --------------------------------------------------------------------------

@@ -1347,18 +1347,29 @@ def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_sim(F.col("embedding").cast("array<double>"), "qv"), 6).alias("cs"),
         F.round(dist, 6).alias("dist"),
     )
+    # BOTH rankings come from ONE scoring pass: system rank and truth
+    # rank are windows over the same qid partitioning (one exchange,
+    # two sorts), and the union of the two top-10s — a k-sized frame —
+    # is persisted before fan-out. Previously `pairs` (the full
+    # crossJoin scoring) was re-planned per consumer: the sys window,
+    # the truth window, and ranking_metrics' two reads of truth = the
+    # corpus scored three times (6 source scans in the captured plan;
+    # r13 opt). Ranks are computed over ALL pairs before any filter,
+    # so the values are unchanged.
+    from weaviate_txtai_spark.cache import scoped_persist
+
     wsys = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
-    sys = (
-        pairs.withColumn("r", F.row_number().over(wsys))
-        .filter(F.col("r") <= 10)
-        .select("qid", "vec_id", F.col("r").alias("rank"))
-    )
     wtr = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    truth = (
-        pairs.withColumn("tr", F.row_number().over(wtr))
-        .filter(F.col("tr") <= 10)
-        .select("qid", "vec_id")
+    ranked = scoped_persist(
+        pairs.withColumn("r", F.row_number().over(wsys))
+        .withColumn("tr", F.row_number().over(wtr))
+        .filter((F.col("r") <= 10) | (F.col("tr") <= 10))
+        .select("qid", "vec_id", "r", "tr")
     )
+    sys = ranked.filter(F.col("r") <= 10).select(
+        "qid", "vec_id", F.col("r").alias("rank")
+    )
+    truth = ranked.filter(F.col("tr") <= 10).select("qid", "vec_id")
     return ranking_metrics(
         sys, truth, 10, query_col="qid", doc_col="vec_id", rank_col="rank"
     ).select(
