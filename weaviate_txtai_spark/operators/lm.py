@@ -131,24 +131,49 @@ def unigram_nll(
 
     Output: ``id_col, n_tokens, nll`` (tokenless docs: n_tokens=0,
     nll NULL — surfaced, not silently dropped).
+
+    Plan shape: the token-occurrence stream reduces ONCE into a
+    persisted per-(doc, term) count table — every occurrence of a term
+    scores the same logp, so nothing downstream needs occurrence-sized
+    rows: the self-trained corpus model is this table's term-marginal
+    (same longs as a direct ``count(*)``, same logp arithmetic as
+    :func:`unigram_logprobs`), the scoring join shuffles (doc, term)
+    rows, and the per-doc mean is the cnt-weighted mean over the
+    identical logp multiset (``n_tokens`` = Σcnt, exact; guide §2.4 —
+    aggregate early, shuffle the reduced form). Release the persist via
+    ``cache_scope``.
     """
     # NULL doc ids would lump every unkeyed document's tokens into one
     # pseudo-document's NLL (and its row count) — exclude them BEFORE
     # self-training so the model corpus matches the scored corpus
     # (mirrors bigram_nll / trigram_jm_nll, which filter first)
     docs = docs.filter(F.col(id_col).isNotNull())
+    dt = scoped_persist(
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     if model is not None:
         lp, logp = model.logprobs, F.coalesce("logp", F.lit(model.floor_logp))
     else:
-        lp = unigram_logprobs(docs, text_col=text_col, alpha=alpha)
+        counts = dt.groupBy("term").agg(F.sum("cnt").alias("c"))
+        scalars = counts.agg(
+            F.sum("c").alias("total_t"), F.count(F.lit(1)).alias("vocab_v")
+        )
+        lp = counts.crossJoin(F.broadcast(scalars)).select(
+            "term",
+            F.log(
+                (F.col("c") + F.lit(alpha))
+                / (F.col("total_t") + F.lit(alpha) * F.col("vocab_v"))
+            ).alias("logp"),
+        )
         logp = F.col("logp")
-    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    per_tok = tok.join(lp, on="term", how="left")
-    nll = -F.avg(logp)
+    per_term = dt.join(lp, on="term", how="left")
+    nll = -(F.sum(F.col("cnt") * logp) / F.sum("cnt"))
     if round_decimals is not None:
         nll = F.round(nll, round_decimals)
-    scored = per_tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"), nll.alias("nll")
+    scored = per_term.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"), nll.alias("nll")
     )
     # docs whose token list is empty (or whose text is NULL — tokens()
     # is NULL there and explode drops the row, while size(NULL) is
@@ -236,16 +261,19 @@ def bigram_nll(
 
     Plan shape: the bigram stream is the SAME narrow explode as the
     token stream (zip tokens with their own tail — no join, no extra
-    pass over the text); counts are one partial-agg shuffle on the
-    bigram key; scoring joins the bigram stream with bigram counts and
-    the context's unigram counts (two term-keyed joins, both
-    AQE-broadcastable when the vocab is small), then one doc-key mean.
-    The bigram count table is the scale risk (|bigrams| >> |vocab|) —
-    it stays shuffle-side data, never driver-side, and is NOT persisted
-    (single consumer — pinning the operator's largest table in storage
-    memory would buy nothing). Only the unigram counts persist: they
-    feed the scoring join AND the vocab scalar (the no-common-subplan
-    rule; release via ``cache_scope``).
+    pass over the text), and it reduces ONCE into a persisted
+    per-(doc, bigram) count table — every occurrence of a bigram type
+    scores the same logp, so nothing downstream needs
+    occurrence-sized rows: the global bigram counts are the table's
+    type-marginal (same longs as a direct ``count(*)``), the scoring
+    join shuffles (doc, bigram) rows, and the per-doc mean is the
+    cnt-weighted mean over the identical logp multiset (``n_bigrams``
+    = Σcnt, exact; guide §2.4 — aggregate early, shuffle the reduced
+    form). The unigram counts still persist separately: the last
+    token of each doc never opens a bigram, so the token marginal is
+    not derivable from the bigram table, and the table feeds the
+    scoring join AND the vocab scalar (the no-common-subplan rule;
+    release via ``cache_scope``).
     """
     docs = docs.filter(F.col(id_col).isNotNull())  # no pseudo-doc lumping
     toks = tokens(text_col)
@@ -254,22 +282,23 @@ def bigram_nll(
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    big = docs.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
-        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    dt = scoped_persist(
+        docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     uni = scoped_persist(
         docs.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    bcounts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    bcounts = dt.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab_v"))
     # logp is a function of the bigram TYPE: score the (much smaller)
     # bigram-count table through the unigram join and attach logp to
-    # the occurrence stream with ONE join — the previous plan shuffled
-    # the full stream twice (bigram join, then unigram join). Same
-    # types-then-attach shape as trigram_jm_nll (r13 opt, guide §2.3);
-    # per-occurrence doubles identical.
+    # the per-(doc, bigram) count table with ONE join. Same
+    # types-then-attach shape as trigram_jm_nll (r13 opt, guide §2.3).
     types = (
         bcounts.join(uni.withColumnRenamed("term", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
@@ -282,12 +311,12 @@ def bigram_nll(
             ).alias("logp"),
         )
     )
-    scored = big.join(types, ["w1", "w2"]).select(id_col, "logp")
-    nll = -F.avg("logp")
+    scored = dt.join(types, ["w1", "w2"]).select(id_col, "cnt", "logp")
+    nll = -(F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt"))
     if round_decimals is not None:
         nll = F.round(nll, round_decimals)
     out = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"), nll.alias("nll")
+        F.sum("cnt").alias("n_bigrams"), nll.alias("nll")
     )
     shorts = docs.filter(
         F.col(text_col).isNull() | (F.size(toks) < 2)
@@ -357,13 +386,18 @@ def trigram_jm_nll(
     < 3 tokens surface with n_trigrams=0 and NULL nll.
 
     Plan shape: the trigram stream is the same narrow zip-with-tail
-    explode as the bigram one (no join against the text); counts are
-    three partial-agg shuffles (trigram / bigram / unigram keys);
-    scoring joins the stream against the three count tables plus the
-    1-row total (broadcast). The bigram and unigram tables each feed
+    explode as the bigram one (no join against the text), and it
+    reduces ONCE into a persisted per-(doc, trigram) count table — the
+    plan's only occurrence-sized shuffle. The global trigram counts
+    are its type-marginal (same longs as a direct ``count(*)``), the
+    scoring join shuffles (doc, trigram) rows, and the per-doc mean is
+    the cnt-weighted mean over the identical logp multiset
+    (``n_trigrams`` = Σcnt, exact; guide §2.4 — aggregate early,
+    shuffle the reduced form). The bigram and unigram tables still
+    need their own corpus passes (trailing tokens never open a
+    trigram, so neither marginal is derivable from it) and each feeds
     TWO joins (context and continuation), so they persist
-    (no-common-subplan rule; release via ``cache_scope``); the trigram
-    table has one consumer and stays shuffle-side.
+    (no-common-subplan rule; release via ``cache_scope``).
     """
     l3, l2, l1 = (float(x) for x in lambdas)
     if abs(l3 + l2 + l1 - 1.0) > 1e-9 or min(l3, l2, l1) <= 0:
@@ -382,11 +416,16 @@ def trigram_jm_nll(
             ab["w1"].alias("w1"), ab["w2"].alias("w2"), c.alias("w3")
         ),
     )
-    stream = docs.select(F.col(id_col), F.explode(tri).alias("t")).select(
-        id_col,
-        F.col("t.w1").alias("w1"),
-        F.col("t.w2").alias("w2"),
-        F.col("t.w3").alias("w3"),
+    dt = scoped_persist(
+        docs.select(F.col(id_col), F.explode(tri).alias("t"))
+        .select(
+            id_col,
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     uni = scoped_persist(
         docs.select(F.explode(toks).alias("term"))
@@ -407,17 +446,14 @@ def trigram_jm_nll(
         .groupBy("b1", "b2")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
-    tcounts = stream.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
+    tcounts = dt.groupBy("w1", "w2", "w3").agg(F.sum("cnt").alias("ct"))
     total = uni.agg(F.sum("cu").alias("tot"))
     # every probability factor is a function of the trigram TYPE, so
     # score the DISTINCT-trigram table through the four count joins and
-    # attach logp to the occurrence stream with ONE join — the previous
-    # plan dragged the full occurrence stream through five sequential
-    # shuffle joins (guide §2.3: shuffle the small proxy, not the
-    # corpus-sized stream; the per-occurrence logp doubles are
-    # bit-identical, same factors, same arithmetic)
+    # attach logp to the per-(doc, trigram) table with ONE join
+    # (guide §2.3: shuffle the small proxy, not the corpus-sized
+    # stream; the logp doubles are bit-identical — same factors, same
+    # arithmetic — and the per-doc mean weights each by its cnt)
     types = (
         tcounts.join(
             bigr.select(
@@ -453,12 +489,12 @@ def trigram_jm_nll(
             ).alias("logp"),
         )
     )
-    scored = stream.join(types, ["w1", "w2", "w3"]).select(id_col, "logp")
-    nll = -F.avg("logp")
+    scored = dt.join(types, ["w1", "w2", "w3"]).select(id_col, "cnt", "logp")
+    nll = -(F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt"))
     if round_decimals is not None:
         nll = F.round(nll, round_decimals)
     out = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_trigrams"), nll.alias("nll")
+        F.sum("cnt").alias("n_trigrams"), nll.alias("nll")
     )
     shorts = docs.filter(F.col(text_col).isNull() | (n < 3)).select(
         F.col(id_col),

@@ -556,8 +556,16 @@ def heaps_fit(
     new_per_bucket = first_occ.groupBy(
         F.expr(f"__fd div {int(step)}L").alias("__b")
     ).agg(F.count(F.lit(1)).cast("long").alias("__nv"))
-    per_bucket = tok_per_bucket.join(new_per_bucket, "__b", "left").select(
-        "__b", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv")
+    # persisted: the bucket-domain table (≤ max_doc/step rows) feeds
+    # BOTH sides of the prefix self-join below — without the persist
+    # each side re-ran the corpus-sized token / first-occurrence
+    # reductions (r13 opt; release via ``cache_scope``)
+    from weaviate_txtai_spark.cache import scoped_persist
+
+    per_bucket = scoped_persist(
+        tok_per_bucket.join(new_per_bucket, "__b", "left").select(
+            "__b", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv")
+        )
     )
     a, b = per_bucket.alias("a"), per_bucket.alias("b")
     ckpt = (

@@ -1973,7 +1973,10 @@ def docs_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("term").cast("long").alias("nd"),
         F.sum(F.length("term")).cast("long").alias("tl"),
     )
-    f0 = docs.join(tf, "doc_id", "left").select(
+    # persisted: normalized_features references its input twice (the
+    # corpus-max aggregate + the normalize join) and each copy would
+    # re-run the tokenize + metadata join; 6 longs/doc cached (r13 opt)
+    f0 = scoped_persist(docs.join(tf, "doc_id", "left").select(
         "doc_id",
         F.when(
             F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 1
@@ -1982,7 +1985,7 @@ def docs_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("nd", F.lit(0)).cast("long").alias("nd"),
         F.coalesce("n_chars", F.lit(0)).cast("long").alias("nc"),
         F.coalesce("tl", F.lit(0)).cast("long").alias("tl"),
-    )
+    ))
     # persisted: the GD loop runs n_iter aggregates + one scoring pass
     # over the 4-long-per-doc feature table (~40 bytes/doc cached)
     xcols = ["x1", "x2", "x3", "x4"]

@@ -714,11 +714,17 @@ def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's events in the next 10 minutes. Epoch-bucketed equi-join
     (operators/asof.range_join) — linear shuffle, never the quadratic
     inequality cross-join Catalyst would plan."""
+    from weaviate_txtai_spark.cache import scoped_persist
     from weaviate_txtai_spark.operators.asof import range_join
 
     ev = load_table(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
+    # persisted: the filtered 3-column frame feeds range_join's left
+    # side AND the final NULL-restoring join-back — without the persist
+    # each consumer re-scanned events (r13 opt)
+    errors = scoped_persist(
+        ev.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
     )
     follow = ev.select(
         "user_id",
