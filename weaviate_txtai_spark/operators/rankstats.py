@@ -297,17 +297,63 @@ def _spearman_listwise_moments(
             F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__b"),
         ).localCheckpoint(eager=False)
         doms.append(dom)
+    # ---- ONE action: n (hint mode) + a domain-size probe per big
+    # column. The only decision the per-x domain size feeds is the
+    # local-vs-distributed finish threshold, and BOTH finishes are
+    # value-identical (parity-pinned), so approx_count_distinct is
+    # safe — it replaces what used to be a sequential corpus-pass
+    # per_x.count() job per big column. The branches fuse into one
+    # tagged-union collect (the fs_pattern_counts fused-barrier idiom):
+    # the n branch's aggregate doubles as the dom checkpoint's
+    # materialization, the probe branches scan `sub` directly and run
+    # as concurrent stages of the same job (r13 opt).
+    probes_u: list[DataFrame] = []
     if n is None:
-        # hint mode: every column shares the listwise population, so any
-        # small column's counts sum to n — a 1-row agg over the tiny
-        # checkpointed domain, not a corpus job
+        # hint mode: every column shares the listwise population, so
+        # any small column's counts sum to n — a 1-row agg over the
+        # tiny checkpointed domain, not a corpus job
         if doms:
             first_col = next(iter(by_dtype.values()))[0]
-            n = doms[0].filter(F.col("__col") == first_col).agg(
-                F.sum("__cnt")
-            ).collect()[0][0] or 0
+            probes_u.append(
+                doms[0].filter(F.col("__col") == first_col).agg(
+                    F.coalesce(F.sum("__cnt"), F.lit(0))
+                    .cast("long").alias("__v")
+                ).select(F.lit("__n").alias("__k"), "__v")
+            )
         else:
-            n = sub.count()
+            probes_u.append(
+                sub.agg(F.count(F.lit(1)).cast("long").alias("__v"))
+                .select(F.lit("__n").alias("__k"), "__v")
+            )
+    if big:
+        probes_u.append(
+            sub.agg(
+                *[
+                    F.approx_count_distinct(x).cast("long").alias(x)
+                    for x in big
+                ]
+            ).select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(x).alias("__k"),
+                                F.col(x).alias("__v"),
+                            )
+                            for x in big
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.__k", "s.__v")
+        )
+    got: dict[str, int] = {}
+    if probes_u:
+        u = probes_u[0]
+        for p in probes_u[1:]:
+            u = u.unionByName(p)
+        got = {r["__k"]: int(r["__v"]) for r in u.collect()}
+    if n is None:
+        n = got.get("__n", 0)
         if n == 0:
             return None
     mean = (n + 1) / 2.0
@@ -402,7 +448,9 @@ def _spearman_listwise_moments(
                     ).alias(f"__sxy_{i}")
                 )
             )
-    # big columns: one corpus groupBy each, carrying partner Σcy
+    # big columns: one corpus groupBy each, carrying partner Σcy; the
+    # table stays LAZY (materialized by the final action, not by a
+    # build-time count — the finish choice uses the fused approx probe)
     for x in big:
         partners = sorted(
             {y for p in pairs for y in p if x in p and y != x}
@@ -426,7 +474,7 @@ def _spearman_listwise_moments(
         for i, (px, py) in enumerate(pairs):
             if x in (px, py):
                 pair_ids.append((i, py if px == x else px))
-        n_vals = per_x.count()
+        n_vals = got[x]
         if n_vals <= local_finish_domain:
             # single-task numpy finish (the connected_components /
             # hits_exact local-finish discipline): the value-domain
