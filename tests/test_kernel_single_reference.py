@@ -33,7 +33,12 @@ def test_cc_local_finish_single_kernel(spark):
         [(1, 2), (2, 3), (7, 7)], "src long, dst long"
     )
     out = connected_components(edges)
-    assert physical_plan(out).count("MapInPandas") == 1
+    # r14: the kernel output is eager-localCheckpoint-pinned (the hits
+    # discipline) — the recursion ran ONCE already and the plan scans
+    # its RDD; no MapInPandas copy may remain
+    plan = physical_plan(out)
+    assert plan.count("MapInPandas") == 0
+    assert "ExistingRDD" in plan
     got = {(r.node, r.component) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7)}
 
@@ -45,7 +50,11 @@ def test_scc_local_finish_single_kernel(spark):
         [(1, 2), (2, 1), (2, 3), (9, 9)], "src long, dst long"
     )
     out = strongly_connected_components(edges)
-    assert physical_plan(out).count("MapInPandas") == 1
+    # r14: same eager-checkpoint pin as CC — kernel ran once, plan
+    # scans the RDD
+    plan = physical_plan(out)
+    assert plan.count("MapInPandas") == 0
+    assert "ExistingRDD" in plan
     got = {(r.node, r.scc) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 3), (9, 9)}
 

@@ -1,7 +1,8 @@
-"""Dump `.explain("formatted")` for bench queries to plans/r13/.
+"""Dump `.explain("formatted")` for bench queries to plans/$SPARK_GRAFT_PLANS_DIR
+(default r14).
 
 Usage: python tools/opt_plans.py before|after [name ...]
-Writes plans/r13/<name>_<tag>.txt for each bench query (default: all of
+Writes plans/<dir>/<name>_<tag>.txt for each bench query (default: all of
 bench.HEADLINE + bench.HEADLINE_HEAVY), using the same session shape as
 bench.py (local[$SPARK_GRAFT_CPUS], shuffle.partitions=CPUS, AQE on) so
 the captured plans are the ones the bench actually runs.
@@ -16,7 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
+)
 
 
 def main() -> None:

@@ -41,14 +41,31 @@ def _stack() -> list:
     return _local.stack
 
 
-def scoped_persist(df: DataFrame, level=None) -> DataFrame:
+def scoped_persist(df: DataFrame, level=None, *, eager: bool = False) -> DataFrame:
     """persist() that registers the frame with the innermost active
     ``cache_scope`` (if any) for release on scope exit. Operators use
-    this instead of bare ``.persist()`` for every internal cache."""
+    this instead of bare ``.persist()`` for every internal cache.
+
+    ``eager=True`` additionally runs one ``count()`` so the cache is
+    FILLED before the function returns. Use it for every frame that
+    feeds two or more branches of ONE downstream action: AQE
+    materializes independent query stages (shuffle AND broadcast builds)
+    concurrently, and concurrent consumer stages that reference a
+    not-yet-filled cache race to compute its partitions — duplicate
+    upstream work that GROWS with available task slots (the r13
+    regression: part_also_bought 7.5 s on 32 cores vs 1.8 s on 8 on the
+    lazy shape, driver BENCH_r13/BENCH_r13_c8). The barrier costs one
+    job whose work — filling the cache — was owed anyway; after it every
+    consumer reads cached partitions. Leave ``eager=False`` only when a
+    SEQUENTIAL action between the persist and the fan-out already
+    materializes the frame (e.g. connected_components' fingerprint
+    collect, pagerank's edge count)."""
     df = df.persist(level) if level is not None else df.persist()
     st = _stack()
     if st:
         st[-1].append(df)
+    if eager:
+        df.count()
     return df
 
 

@@ -319,18 +319,21 @@ def binary_jaccard_pairs(
     Output: d1, d2 (d1 < d2), jaccard rounded to 6dp."""
     from weaviate_txtai_spark.cache import scoped_persist
 
+    # eager (both): multi-consumer fan-outs race a lazy fill (r14 opt)
     sh = scoped_persist(
         byte_shingle_table(
             df, payload_col=payload_col, id_col=id_col, k=k,
             sample_hex=sample_hex,
-        )
+        ),
+        eager=True,
     )
     if max_doc_freq is not None:
         dfc = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = scoped_persist(
             sh.join(
                 dfc.filter(F.col("__df") <= int(max_doc_freq)), "__sh"
-            ).select("__id", "__sh")
+            ).select("__id", "__sh"),
+            eager=True,
         )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     shz = sh.join(F.broadcast(sizes), "__id")
@@ -390,8 +393,10 @@ def binary_dup_pairs(
         df, payload_col=payload_col, id_col=id_col, k=k,
         sample_hex=sample_hex,
     )
+    # eager: feeds the banding self-join sides + the verify join (r14)
     per_doc = scoped_persist(
-        signatures_from_hashed_shingles(sh, num_perms=num_perms)
+        signatures_from_hashed_shingles(sh, num_perms=num_perms),
+        eager=True,
     )
     return minhash_lsh_pairs(
         df,

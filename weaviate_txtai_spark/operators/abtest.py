@@ -536,7 +536,7 @@ def stratified_ate(
         (F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")).alias(
             "__vw"
         ),
-    ))
+    ), eager=True)  # r14: fill before the consumer fan-out
     tot = kept.agg(F.sum("ns").alias("__n"))
     per = kept.join(F.broadcast(tot)).select(
         F.col("stratum").cast("long").alias("stratum"),
@@ -1066,7 +1066,7 @@ def permutation_test_rates(
     )
     from weaviate_txtai_spark.cache import scoped_persist
 
-    units = scoped_persist(units)
+    units = scoped_persist(units, eager=True)  # r14: fill before fan-out
     obs = units.agg(
         F.sum("__t").cast("long").alias("n1"),
         F.sum(1 - F.col("__t")).cast("long").alias("n0"),

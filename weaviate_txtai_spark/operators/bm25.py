@@ -64,7 +64,9 @@ def bm25_scores(
         .groupBy("__id", "__len", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    qtf = scoped_persist(qtf)  # feeds df and the score aggregate
+    # eager: the df broadcast build and the score aggregate fan out
+    # concurrently and raced the lazy fill (r14 opt)
+    qtf = scoped_persist(qtf, eager=True)
     n_avg = docs.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg(token_count(text_col)).alias("__avgdl"),
@@ -131,7 +133,9 @@ def qlm_scores(
         .groupBy("__id", "__len", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    hits = scoped_persist(hits)  # feeds cf and the score aggregate
+    # eager: the cf broadcast build and the score aggregate fan out
+    # concurrently and raced the lazy fill (r14 opt)
+    hits = scoped_persist(hits, eager=True)
     ctot = docs.agg(
         F.sum(token_count(text_col)).cast("double").alias("__c")
     )

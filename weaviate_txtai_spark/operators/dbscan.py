@@ -52,7 +52,7 @@ def dbscan(
     both = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     from weaviate_txtai_spark.cache import scoped_persist
 
-    both = scoped_persist(both.distinct())
+    both = scoped_persist(both.distinct(), eager=True)  # r14: fill first
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
     core = deg.filter(F.col("__deg") >= min_neighbors).select(
         F.col("a").alias("n")

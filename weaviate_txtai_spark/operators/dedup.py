@@ -140,12 +140,17 @@ def jaccard_pairs(
         # the cached array column the inferred filter is a cheap
         # column reference, and the two self-join consumers re-run
         # only the explode+hash, not tokenize+shingle.
+        # EAGER: the two self-join sides re-run explode+hash from this
+        # cache as concurrent stages of one action — on a lazy fill they
+        # raced the tokenize+shingle pass (the r13 fan-out regression;
+        # r14 opt)
         base = scoped_persist(
             spread(docs.filter(F.col(id_col).isNotNull()))
             .select(
                 F.col(id_col).alias("__id"), shingles(text_col, n).alias("__a")
             )
-            .select("__id", F.size("__a").alias("__sz"), F.col("__a"))
+            .select("__id", F.size("__a").alias("__sz"), F.col("__a")),
+            eager=True,
         )
         shz = base.select(
             "__id", "__sz", F.explode("__a").alias("__sh")
@@ -158,11 +163,12 @@ def jaccard_pairs(
         # the capped table's own materialization would otherwise each
         # re-run the tokenize+shingle+hash pipeline — the dominant
         # map-side cost
-        sh = scoped_persist(sh)
+        sh = scoped_persist(sh, eager=True)  # 2 consumers fan out (r14)
         df_counts = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = scoped_persist(
             sh.join(df_counts.filter(F.col("__df") <= int(max_doc_freq)), "__sh")
-            .select("__id", "__sh")
+            .select("__id", "__sh"),
+            eager=True,  # sizes agg + the pair join fan out (r14)
         )
         # capped mode: Jaccard is defined over the CAPPED shingle
         # universe, so sizes must be counted post-cap — an array-length
@@ -270,10 +276,14 @@ def minhash_lsh_pairs(
     # corpus-sized shingle table is never persisted (at 100 TB caching it
     # would be hostile; the per-doc table is docs-sized and caches
     # cheaply).
+    # EAGER: the banding self-join's two sides and the verify join all
+    # fan out over this table as concurrent stages of one action — on a
+    # lazy fill they raced the one shingle pass (r14 opt)
     per_doc = signatures if signatures is not None else scoped_persist(
         minhash_signatures_with_sets(
             docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
-        )
+        ),
+        eager=True,
     )
     band_structs = F.array(
         *[
@@ -420,12 +430,12 @@ def minhash_lsh_pairs_incremental(
     new_pd = (
         new_signatures
         if new_signatures is not None
-        else scoped_persist(per_doc(new_docs))
+        else scoped_persist(per_doc(new_docs), eager=True)  # r14
     )
     old_pd = (
         corpus_signatures
         if corpus_signatures is not None
-        else scoped_persist(per_doc(corpus))
+        else scoped_persist(per_doc(corpus), eager=True)  # r14
     )
     cand = (
         buckets(new_pd)

@@ -512,16 +512,20 @@ def connected_components(
         return (row["n"], row["h"])
 
     members = None
-    # the edge frame `members` was derived from — its u∪v node set
-    # provably equals nodes(members) on every exit (kernel contract on
-    # the local exits; {u}∪roots = {u}∪({v}−{u}) on the fixpoint exit),
-    # so the `lonely` anti-join below can probe it instead of
-    # re-planning the members subtree (which ran the single-task kernel
-    # TWICE — once per union branch; r13 opt)
+    # local exits: eager-checkpoint the kernel output and let `lonely`
+    # probe IT — kernel runs once (the r13 single-kernel invariant, now
+    # enforced by the checkpoint), the probe is one anti-join against
+    # the cached node-sized RDD instead of the u∪v union+distinct
+    # shuffles, and the kernel executes as its own job (r14 opt). The
+    # fixpoint exit keeps the u∪v probe over msrc: its members frame is
+    # a cheap projection of the checkpointed e, and {u}∪roots =
+    # {u}∪({v}−{u}) makes the probe set identical (r13 opt).
+    local_probe = None
     msrc = e
     fp = fingerprint(e)
     if fp[0] <= local_finish_edges:
-        members = _local_components(e)
+        members = _local_components(e).localCheckpoint(eager=True)
+        local_probe = members.select("node")
     else:
         for _ in range(max_iter):
             # lazy checkpoint: the fingerprint job right below is the
@@ -535,7 +539,10 @@ def connected_components(
             # terminate early with wrong labels.
             nfp = fingerprint(nxt)
             if nfp[0] <= local_finish_edges:
-                members = _local_components(nxt)
+                members = _local_components(nxt).localCheckpoint(
+                    eager=True
+                )
+                local_probe = members.select("node")
                 msrc = nxt
                 break
             if nfp == fp:
@@ -571,16 +578,19 @@ def connected_components(
         ).select("node", F.col("node").alias("component"))
         members = members.unionByName(roots)
 
-    # self-loop isolates keep themselves; probe the edge frame's node
-    # set (== nodes(members), see msrc above) so the members subtree —
-    # and on the local exits its Python kernel — stays single-reference
-    lonely = isolated.join(
-        msrc.select(F.col("u").alias("node"))
+    # self-loop isolates keep themselves; local exits probe the
+    # checkpointed kernel output, the fixpoint exit probes the edge
+    # frame's node set (== nodes(members), see above)
+    probe = (
+        local_probe
+        if local_probe is not None
+        else msrc.select(F.col("u").alias("node"))
         .unionByName(msrc.select(F.col("v").alias("node")))
-        .distinct(),
-        "node",
-        "left_anti",
-    ).select("node", F.col("node").alias("component"))
+        .distinct()
+    )
+    lonely = isolated.join(probe, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
     return members.unionByName(lonely)
 
 
@@ -611,35 +621,42 @@ def _local_scc(edges: DataFrame) -> DataFrame:
         a, b = inv[: len(u)], inv[len(u):]
         n = len(nodes)
         order = np.argsort(a, kind="stable")
-        b_s = b[order]
-        starts = np.searchsorted(a[order], np.arange(n + 1))
-        index_of = np.full(n, -1, dtype=np.int64)
-        low = np.zeros(n, dtype=np.int64)
-        on_stack = np.zeros(n, dtype=bool)
+        # plain lists / bytearray for the per-element loop state: numpy
+        # SCALAR indexing dominates a Python-level graph walk (~2x list
+        # indexing; measured 0.46 s -> 0.26 s at the order_scc gate's
+        # 150k nodes). label/nodes stay arrays — they are only touched
+        # with vectorized fancy indexing. Same algorithm, same output
+        # (r14 opt; parity pinned in test_components/test_kernel_*).
+        b_s = b[order].tolist()
+        starts = np.searchsorted(a[order], np.arange(n + 1)).tolist()
+        index_of = [-1] * n
+        low = [0] * n
+        on_stack = bytearray(n)
         label = np.full(n, -1, dtype=np.int64)
         counter = 0
         stack: list[int] = []
         for root in range(n):
             if index_of[root] != -1:
                 continue
-            work = [(root, int(starts[root]))]
+            work = [(root, starts[root])]
             index_of[root] = low[root] = counter
             counter += 1
             stack.append(root)
-            on_stack[root] = True
+            on_stack[root] = 1
             while work:
                 vtx, ei = work[-1]
                 advanced = False
-                while ei < starts[vtx + 1]:
-                    w = int(b_s[ei])
+                lim = starts[vtx + 1]
+                while ei < lim:
+                    w = b_s[ei]
                     ei += 1
                     if index_of[w] == -1:
                         work[-1] = (vtx, ei)
                         index_of[w] = low[w] = counter
                         counter += 1
                         stack.append(w)
-                        on_stack[w] = True
-                        work.append((w, int(starts[w])))
+                        on_stack[w] = 1
+                        work.append((w, starts[w]))
                         advanced = True
                         break
                     elif on_stack[w]:
@@ -652,7 +669,7 @@ def _local_scc(edges: DataFrame) -> DataFrame:
                     comp = []
                     while True:
                         w = stack.pop()
-                        on_stack[w] = False
+                        on_stack[w] = 0
                         comp.append(w)
                         if w == vtx:
                             break
@@ -743,19 +760,16 @@ def strongly_connected_components(
             done.append(nodes.select("node", F.col("node").alias("scc")))
             break
         if n_edges <= local_finish_edges:
-            # the lonely anti-join probes the EDGE frame's node set, not
-            # the kernel output: referencing `m` here planned — and ran —
-            # the single-task Tarjan subtree twice (once per union
-            # branch; Spark does not dedupe non-cached common subplans).
-            # nodes(m) == u∪v(e) by the kernel's contract, so the probe
-            # set is identical and e is already materialized (r13 opt)
-            m = _local_scc(e)
+            # eager-checkpoint the kernel output and probe IT: the
+            # kernel runs exactly once (the r13 single-kernel invariant,
+            # now enforced by the checkpoint instead of by rerouting the
+            # probe), the probe is one anti-join against the cached
+            # node-sized RDD (the r13 u∪v union+distinct shuffles are
+            # gone), and the kernel executes as its own job instead of
+            # inside the final action (r14 opt)
+            m = _local_scc(e).localCheckpoint(eager=True)
             lonely = nodes.join(
-                e.select(F.col("u").alias("node"))
-                .unionByName(e.select(F.col("v").alias("node")))
-                .distinct(),
-                "node",
-                "left_anti",
+                m.select("node"), "node", "left_anti"
             ).select("node", F.col("node").alias("scc"))
             done.append(m)
             done.append(lonely)
@@ -799,16 +813,11 @@ def strongly_connected_components(
                 hit_local = True
                 break
             if n_e <= local_finish_edges:
-                # same single-kernel discipline as the entry local
-                # finish: probe with u∪v of the (checkpointed) e, never
-                # with the Tarjan output
-                m = _local_scc(e)
+                # same eager-checkpointed single-kernel discipline as
+                # the entry local finish (r14 opt)
+                m = _local_scc(e).localCheckpoint(eager=True)
                 lonely = nodes.join(
-                    e.select(F.col("u").alias("node"))
-                    .unionByName(e.select(F.col("v").alias("node")))
-                    .distinct(),
-                    "node",
-                    "left_anti",
+                    m.select("node"), "node", "left_anti"
                 ).select("node", F.col("node").alias("scc"))
                 done.append(m)
                 done.append(lonely)
@@ -1410,15 +1419,19 @@ def hits_exact(
     )
 
     if local_finish_edges and e.count() <= local_finish_edges:
-        # lazy checkpoint: the final score projection references the
+        # EAGER checkpoint: the final score projection references the
         # fixed-point frame twice (the max aggregate's broadcast build
         # + the probe side), and a non-pinned reference re-planned —
         # and re-RAN — the whole single-task recursion per branch
-        # (three copies in the gate plan before this; r13 opt). The
-        # broadcast build materializes the RDD, the probe side reads
-        # the cached partition — no extra job
+        # (three copies in the gate plan before this; r13 opt). Lazy
+        # left the kernel's first execution INSIDE the max aggregate's
+        # broadcast-exchange thread (observed in the r14 job trace as a
+        # multi-second single-task stage under withThreadLocalCaptured)
+        # — racing any sibling consumer and, at scale, burning
+        # spark.sql.broadcastTimeout; eager runs the kernel once as its
+        # own job before any consumer plans against it (r14 opt)
         fp = _local_hits_exact(e, n_iter, scale).localCheckpoint(
-            eager=False
+            eager=True
         )
     else:
         srcs = e.select(F.col("s").alias("node")).distinct()

@@ -49,7 +49,7 @@ def categorical_dependence(
     )
     from weaviate_txtai_spark.cache import scoped_persist
 
-    joint = scoped_persist(joint)
+    joint = scoped_persist(joint, eager=True)  # r14: fill before fan-out
     rx = joint.groupBy("__x").agg(F.sum("__c").alias("__cx"))
     ry = joint.groupBy("__y").agg(F.sum("__c").alias("__cy"))
     tot = joint.agg(

@@ -56,13 +56,16 @@ def isotonic_fit(
     ``limit(cap+1)`` count on the already-aggregated bucket table,
     never a corpus scan.
     """
+    # eager: the limit-count probe below stops early and would leave
+    # the cache PARTIALLY filled for the B^2 self-join consumers (r14)
     b = scoped_persist(
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy(F.col(x_col).alias("x"))
         .agg(
             F.sum(F.col(y_col).cast("double")).alias("sy"),
             F.count(F.lit(1)).cast("double").alias("n"),
-        )
+        ),
+        eager=True,
     )
     if b.limit(max_buckets + 1).count() > max_buckets:
         raise ValueError(
@@ -85,7 +88,8 @@ def isotonic_fit(
             "x", "sy", "n", "s_incl", "n_incl",
             (F.col("s_incl") - F.col("sy")).alias("s_excl"),
             (F.col("n_incl") - F.col("n")).alias("n_excl"),
-        )
+        ),
+        eager=True,  # r14: fill before the consumer fan-out
     )
     j = pref.select(
         F.col("x").alias("xj"),

@@ -160,6 +160,11 @@ def association_rules(
     """
     from weaviate_txtai_spark.cache import scoped_persist
 
+    # eager: item_counts' two broadcast builds, the n_baskets build
+    # and the pair explode fan out over `b` as concurrent stages of one
+    # action and raced the lazy fill; item_counts itself feeds TWO
+    # broadcast builds (ante + cons), so it persists eagerly too — one
+    # basket pass instead of a racy two (r14 opt)
     b = scoped_persist(
         basketize(
             df,
@@ -167,12 +172,14 @@ def association_rules(
             item_col,
             min_item_count=min_item_count,
             max_basket_size=max_basket_size,
-        )
+        ),
+        eager=True,
     )
-    item_counts = (
+    item_counts = scoped_persist(
         b.select(F.explode("items").alias("item"))
         .groupBy("item")
-        .agg(F.count(F.lit(1)).cast("long").alias("item_count"))
+        .agg(F.count(F.lit(1)).cast("long").alias("item_count")),
+        eager=True,
     )
     n_baskets = b.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
     pairs = (
@@ -340,10 +347,13 @@ def pmi_pairs(
             .select("item")
         )
         base = base.join(keep, "item")
+    # eager: n_docs' broadcast build, dfreq and the pair explode fan
+    # out over `b` as concurrent stages of one action (r14 opt)
     b = scoped_persist(
         base.groupBy("basket").agg(
             F.sort_array(F.collect_set("item")).alias("items")
-        )
+        ),
+        eager=True,
     )
     n_docs = b.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     dfreq = (
@@ -415,7 +425,10 @@ def item_similarity(
     # the item-domain count table feeds BOTH broadcast attaches below;
     # without the persist each broadcast re-planned its full lineage —
     # a second corpus scan + distinct just to rebuild the same bounded
-    # table (the basket_rules persist rationale, n1/n2 edition; r13 opt)
+    # table (the basket_rules persist rationale, n1/n2 edition; r13 opt).
+    # EAGER: the two broadcast builds are concurrent AQE stages, and on
+    # a lazy cache they raced to fill it — duplicate corpus passes that
+    # grew with task slots (7.5 s@32c vs 1.8 s@8c, driver r13; r14 opt)
     from weaviate_txtai_spark.cache import scoped_persist
 
     counts = scoped_persist(
@@ -424,7 +437,8 @@ def item_similarity(
         )
         .distinct()
         .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.count(F.lit(1)).alias("__n")),
+        eager=True,
     )
     return (
         co.join(

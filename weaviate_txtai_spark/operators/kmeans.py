@@ -452,10 +452,13 @@ def semantic_dedup_pairs(
     # N·k-FLOP assignment pass runs TWICE (release via cache_scope)
     from weaviate_txtai_spark.cache import scoped_persist
 
+    # eager: the self-join sides fan out as concurrent stages of one
+    # action and raced the lazy fill (r14 opt)
     a = scoped_persist(
         model.assigned.select(
             F.col(id_col).alias("__id"), F.col(vector_col).alias("__vec"), "cluster"
-        )
+        ),
+        eager=True,
     )
     if pair_strategy == "gemm":
         return _cluster_pairs_gemm(

@@ -80,7 +80,7 @@ def unigram_logprobs(
     without the persist the corpus explode + term shuffle runs TWICE
     (the measured r3 hazard class; release via ``cache_scope``)."""
     counts, scalars = unigram_counts(docs, text_col=text_col)
-    counts = scoped_persist(counts)
+    counts = scoped_persist(counts, eager=True)  # r14: fill before fan-out
     return counts.crossJoin(F.broadcast(scalars)).select(
         "term",
         F.log(
@@ -148,10 +148,15 @@ def unigram_nll(
     # self-training so the model corpus matches the scored corpus
     # (mirrors bigram_nll / trigram_jm_nll, which filter first)
     docs = docs.filter(F.col(id_col).isNotNull())
+    # EAGER: the self-trained model branch (counts → scalars → lp) and
+    # the scoring join fan out as concurrent stages of one action and
+    # raced the unfilled cache on the lazy shape (2.1 s@32c vs 1.0 s@8c,
+    # driver r13; r14 opt)
     dt = scoped_persist(
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        eager=True,
     )
     if model is not None:
         lp, logp = model.logprobs, F.coalesce("logp", F.lit(model.floor_logp))
@@ -259,21 +264,15 @@ def bigram_nll(
     n_bigrams=0, NULL nll — surfaced like tokenless docs in
     :func:`unigram_nll`).
 
-    Plan shape: the bigram stream is the SAME narrow explode as the
-    token stream (zip tokens with their own tail — no join, no extra
-    pass over the text), and it reduces ONCE into a persisted
-    per-(doc, bigram) count table — every occurrence of a bigram type
-    scores the same logp, so nothing downstream needs
-    occurrence-sized rows: the global bigram counts are the table's
-    type-marginal (same longs as a direct ``count(*)``), the scoring
-    join shuffles (doc, bigram) rows, and the per-doc mean is the
-    cnt-weighted mean over the identical logp multiset (``n_bigrams``
-    = Σcnt, exact; guide §2.4 — aggregate early, shuffle the reduced
-    form). The unigram counts still persist separately: the last
-    token of each doc never opens a bigram, so the token marginal is
-    not derivable from the bigram table, and the table feeds the
-    scoring join AND the vocab scalar (the no-common-subplan rule;
-    release via ``cache_scope``).
+    Plan shape (re-adjudicated r14, VERDICT r13 item 2): the r13
+    per-(doc, bigram) count table was REVERTED alongside the trigram one
+    (same family, same occurrence-sized-persist economics measured
+    slower at both core counts). The types-then-attach scoring stays:
+    logp is a function of the bigram TYPE, so the bigram-count table
+    takes the unigram join + vocab broadcast and the occurrence stream
+    joins the scored types ONCE. uni persists EAGERLY (feeds the
+    context join AND the vocab scalar; the r14 fill-before-fan-out
+    rule).
     """
     docs = docs.filter(F.col(id_col).isNotNull())  # no pseudo-doc lumping
     toks = tokens(text_col)
@@ -282,23 +281,23 @@ def bigram_nll(
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    dt = scoped_persist(
-        docs.select(F.col(id_col), F.explode(bigrams).alias("bg"))
-        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    big = docs.select(F.col(id_col), F.explode(bigrams).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
     uni = scoped_persist(
         docs.select(F.explode(toks).alias("term"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cu"))
+        .agg(F.count(F.lit(1)).alias("cu")),
+        eager=True,
     )
-    bcounts = dt.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
+    bcounts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     vocab = uni.agg(F.count(F.lit(1)).alias("vocab_v"))
     # logp is a function of the bigram TYPE: score the (much smaller)
     # bigram-count table through the unigram join and attach logp to
-    # the per-(doc, bigram) count table with ONE join. Same
-    # types-then-attach shape as trigram_jm_nll (r13 opt, guide §2.3).
+    # the occurrence stream with ONE join — the previous plan shuffled
+    # the full stream twice (bigram join, then unigram join). Same
+    # types-then-attach shape as trigram_jm_nll (r13 opt, guide §2.3);
+    # per-occurrence doubles identical.
     types = (
         bcounts.join(uni.withColumnRenamed("term", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
@@ -311,12 +310,12 @@ def bigram_nll(
             ).alias("logp"),
         )
     )
-    scored = dt.join(types, ["w1", "w2"]).select(id_col, "cnt", "logp")
-    nll = -(F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt"))
+    scored = big.join(types, ["w1", "w2"]).select(id_col, "logp")
+    nll = -F.avg("logp")
     if round_decimals is not None:
         nll = F.round(nll, round_decimals)
     out = scored.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_bigrams"), nll.alias("nll")
+        F.count(F.lit(1)).alias("n_bigrams"), nll.alias("nll")
     )
     shorts = docs.filter(
         F.col(text_col).isNull() | (F.size(toks) < 2)
@@ -385,19 +384,18 @@ def trigram_jm_nll(
     add-alpha is needed — interpolation IS the smoothing. Docs with
     < 3 tokens surface with n_trigrams=0 and NULL nll.
 
-    Plan shape: the trigram stream is the same narrow zip-with-tail
-    explode as the bigram one (no join against the text), and it
-    reduces ONCE into a persisted per-(doc, trigram) count table — the
-    plan's only occurrence-sized shuffle. The global trigram counts
-    are its type-marginal (same longs as a direct ``count(*)``), the
-    scoring join shuffles (doc, trigram) rows, and the per-doc mean is
-    the cnt-weighted mean over the identical logp multiset
-    (``n_trigrams`` = Σcnt, exact; guide §2.4 — aggregate early,
-    shuffle the reduced form). The bigram and unigram tables still
-    need their own corpus passes (trailing tokens never open a
-    trigram, so neither marginal is derivable from it) and each feeds
-    TWO joins (context and continuation), so they persist
-    (no-common-subplan rule; release via ``cache_scope``).
+    Plan shape (re-adjudicated r14, VERDICT r13 item 2): the r13
+    per-(doc, trigram) count table was REVERTED — the driver measured it
+    slower at BOTH core counts (2.83 s@32c / 3.36 s@8c vs 2.24 s r12)
+    and the r14 interleaved A/B agreed (median 0.72x): at sf0.1-scale
+    documents within-doc trigram repetition is ~zero, so the table is
+    occurrence-sized and its materialization costs more than the one
+    occurrence shuffle it saves. What stays from r13 is the
+    types-then-attach scoring (guide §2.3): every probability factor is
+    a function of the trigram TYPE, so the distinct-type table takes the
+    four count joins + the broadcast total and the occurrence stream
+    joins the scored types ONCE. uni/bigr persist EAGERLY (each feeds
+    two joins + a broadcast build — the r14 fill-before-fan-out rule).
     """
     l3, l2, l1 = (float(x) for x in lambdas)
     if abs(l3 + l2 + l1 - 1.0) > 1e-9 or min(l3, l2, l1) <= 0:
@@ -416,21 +414,17 @@ def trigram_jm_nll(
             ab["w1"].alias("w1"), ab["w2"].alias("w2"), c.alias("w3")
         ),
     )
-    dt = scoped_persist(
-        docs.select(F.col(id_col), F.explode(tri).alias("t"))
-        .select(
-            id_col,
-            F.col("t.w1").alias("w1"),
-            F.col("t.w2").alias("w2"),
-            F.col("t.w3").alias("w3"),
-        )
-        .groupBy(id_col, "w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    stream = docs.select(F.col(id_col), F.explode(tri).alias("t")).select(
+        id_col,
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
     )
     uni = scoped_persist(
         docs.select(F.explode(toks).alias("term"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cu"))
+        .agg(F.count(F.lit(1)).alias("cu")),
+        eager=True,
     )
     bigr = scoped_persist(
         docs.select(
@@ -444,16 +438,20 @@ def trigram_jm_nll(
         )
         .select(F.col("b.b1").alias("b1"), F.col("b.b2").alias("b2"))
         .groupBy("b1", "b2")
-        .agg(F.count(F.lit(1)).alias("cb"))
+        .agg(F.count(F.lit(1)).alias("cb")),
+        eager=True,
     )
-    tcounts = dt.groupBy("w1", "w2", "w3").agg(F.sum("cnt").alias("ct"))
+    tcounts = stream.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
     total = uni.agg(F.sum("cu").alias("tot"))
     # every probability factor is a function of the trigram TYPE, so
     # score the DISTINCT-trigram table through the four count joins and
-    # attach logp to the per-(doc, trigram) table with ONE join
-    # (guide §2.3: shuffle the small proxy, not the corpus-sized
-    # stream; the logp doubles are bit-identical — same factors, same
-    # arithmetic — and the per-doc mean weights each by its cnt)
+    # attach logp to the occurrence stream with ONE join — the previous
+    # plan dragged the full occurrence stream through five sequential
+    # shuffle joins (guide §2.3: shuffle the small proxy, not the
+    # corpus-sized stream; the per-occurrence logp doubles are
+    # bit-identical, same factors, same arithmetic)
     types = (
         tcounts.join(
             bigr.select(
@@ -489,12 +487,12 @@ def trigram_jm_nll(
             ).alias("logp"),
         )
     )
-    scored = dt.join(types, ["w1", "w2", "w3"]).select(id_col, "cnt", "logp")
-    nll = -(F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt"))
+    scored = stream.join(types, ["w1", "w2", "w3"]).select(id_col, "logp")
+    nll = -F.avg("logp")
     if round_decimals is not None:
         nll = F.round(nll, round_decimals)
     out = scored.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_trigrams"), nll.alias("nll")
+        F.count(F.lit(1)).alias("n_trigrams"), nll.alias("nll")
     )
     shorts = docs.filter(F.col(text_col).isNull() | (n < 3)).select(
         F.col(id_col),

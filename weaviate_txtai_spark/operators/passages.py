@@ -665,10 +665,14 @@ def remove_repeated_spans(
     )
     starts = F.sequence(F.lit(1), F.size("__tok") - (k - 1))
     win = F.concat_ws(" ", F.slice(F.col("__tok"), F.col("__p"), k))
+    # eager: computing posh scans every base partition, so ONE count
+    # barrier fills BOTH caches sequentially before the hot aggregate
+    # and the covered semi-join fan out over them (r14 opt)
     posh = scoped_persist(
         base.filter(F.size("__tok") >= k)
         .select("__id", F.explode(starts).alias("__p"), "__tok")
-        .select("__id", "__p", _window_hash(win, hash_mode).alias("wh"))
+        .select("__id", "__p", _window_hash(win, hash_mode).alias("wh")),
+        eager=True,
     )
     hot = (
         posh.groupBy("wh")

@@ -325,6 +325,22 @@ def _spearman_listwise_moments(
                 sub.agg(F.count(F.lit(1)).cast("long").alias("__v"))
                 .select(F.lit("__n").alias("__k"), "__v")
             )
+    # materialize EVERY dom checkpoint inside the same fused collect
+    # (one 1-row count branch per dom): the doms feed many concurrent
+    # consumer stages of the final action (the maps broadcasts, the
+    # variance aggregates), and on an unfilled lazy checkpoint those
+    # racers each recomputed the stacked corpus pass (4.5 s@32c vs
+    # 2.6 s@8c, driver r13; r14 opt). In hint mode doms[0] is already
+    # fully scanned by the n branch above — skip its extra branch.
+    first_materialized = 0 if (n is None and doms) else -1
+    for di, dom in enumerate(doms):
+        if di == first_materialized:
+            continue
+        probes_u.append(
+            dom.agg(F.count(F.lit(1)).cast("long").alias("__v")).select(
+                F.lit(f"__dom{di}").alias("__k"), "__v"
+            )
+        )
     if big:
         probes_u.append(
             sub.agg(
@@ -401,10 +417,15 @@ def _spearman_listwise_moments(
         for c in small:
             est *= max(int(probe[c]), 1)
         if len(small) <= 4 and est <= 4_000_000:
+            # eager iff several joint groupBys will fan out over it as
+            # concurrent stages of the final action — a lazy checkpoint
+            # had them racing the fill, each racer a corpus groupBy
+            # (the r13 fan-out regression; r14 opt). Single-consumer
+            # stays lazy: the one consumer materializes it.
             allj = (
                 sub.groupBy(*small)
                 .agg(F.count(F.lit(1)).alias("__c2"))
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=len(ss_pairs) > 1)
             )
             joint_src = {
                 (x, y): allj.groupBy(x, y).agg(
@@ -1041,7 +1062,7 @@ def kendall_tau_b(
     )
     from weaviate_txtai_spark.cache import scoped_persist
 
-    cells = scoped_persist(cells)
+    cells = scoped_persist(cells, eager=True)  # r14: fill before fan-out
     n_cells = cells.limit(int(max_cells) + 1).count()
     if n_cells > max_cells:
         raise ValueError(

@@ -67,7 +67,8 @@ def resample_ffill(
         df.groupBy(*keys, bucket.alias("bucket_ts")).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.avg(value_col), agg_round).alias("avg_value"),
-        )
+        ),
+        eager=True,  # r14: fill before the consumer fan-out
     )
     spans = aggd.groupBy(*keys).agg(
         F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")

@@ -90,11 +90,18 @@ def sequence_pairs(
         F.count(F.lit(1)).cast("double").alias("__nu")
     )
     # type-domain sized; referenced by BOTH broadcast attaches below —
-    # persisted so the (user, type) distinct over e runs once, not twice
+    # persisted so the (user, type) distinct over e runs once, not twice.
+    # EAGER: the one count barrier fills BOTH caches sequentially before
+    # any consumer fans out (computing it scans every partition of `e`,
+    # so `e` materializes inside the same job) — on the lazy shape the
+    # self-join sides, the user-count scalar and the two broadcast
+    # builds raced the unfilled caches as concurrent AQE stages
+    # (4.3 s@32c vs 1.2 s@8c, driver r13; r14 opt)
     type_support = scoped_persist(
         e.select("u", "t").distinct().groupBy("t").agg(
             F.count(F.lit(1)).alias("__su")
-        )
+        ),
+        eager=True,
     )
     sup = pats.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
     return (
@@ -179,6 +186,8 @@ def sequence_triples(
     w_us = int(window_seconds) * 1_000_000
     from weaviate_txtai_spark.cache import scoped_persist
 
+    # eager: both sides of the second-hop self-join fan out over this
+    # frame as concurrent stages of one action (r14 opt)
     hops = scoped_persist(
         e.select(F.col("u"), F.col("t").alias("x"), F.col("us").alias("tx"))
         .join(
@@ -190,7 +199,8 @@ def sequence_triples(
         .filter(
             (F.col("ty") > F.col("tx"))
             & (F.col("ty") - F.col("tx") <= F.lit(w_us))
-        )
+        ),
+        eager=True,
     )
     pats = (
         hops.select("u", F.col("x").alias("a"), F.col("y").alias("b"),

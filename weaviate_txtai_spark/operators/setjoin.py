@@ -70,7 +70,7 @@ def prefix_filtered_pairs(
     ).select(
         F.col(id_col).alias("__id"), F.col(item_col).alias("__it")
     ).distinct()
-    s = scoped_persist(s)
+    s = scoped_persist(s, eager=True)  # r14: fill before fan-out
 
     # global rarest-first order: (document frequency, item) — ties on
     # frequency break by item value so the order is total and both join
@@ -85,7 +85,7 @@ def prefix_filtered_pairs(
         F.row_number().over(wp).alias("__pos"),
         F.count(F.lit(1)).over(wn).alias("__sz"),
     )
-    ranked = scoped_persist(ranked)
+    ranked = scoped_persist(ranked, eager=True)  # r14: fill before fan-out
 
     # prefix length p = n − ⌈θ·n⌉ + 1. The 1e-9 nudge keeps ⌈·⌉ exact
     # when θ·n IS an integer in real arithmetic but lands a hair above

@@ -138,13 +138,16 @@ def largest_remainder_apportion(
     # exceed the key count, breaking Σ alloc == total (ADVICE r9)
     we = "(CASE WHEN __W0 = 0 THEN 1L ELSE w END)"
     big = "(CASE WHEN __W0 = 0 THEN __K ELSE __W0 END)"
+    # eager: one barrier fills w (scanned by the big_w broadcast build
+    # inside the same job) AND quot0 before the fan-out (r14)
     quot0 = scoped_persist(
         w.join(F.broadcast(big_w)).select(
             "k",
             "w",
             F.expr(f"({total}L * {we}) div {big}").alias("base"),
             F.expr(f"({total}L * {we}) % {big}").alias("rem"),
-        )
+        ),
+        eager=True,
     )
     base_sum = quot0.agg(F.sum("base").cast("long").alias("__bs"))
     quot = quot0.join(F.broadcast(base_sum)).select(

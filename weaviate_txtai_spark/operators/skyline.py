@@ -163,8 +163,12 @@ def skyline_2d(
         ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     )
 
+    # eager: computing gx scans every pts partition, so ONE count
+    # barrier fills BOTH caches sequentially before the span broadcast
+    # build and the downstream consumers fan out over them (r14 opt)
     gx = scoped_persist(
-        pts.groupBy("__x").agg(F.max("__y").alias("__ymax"))
+        pts.groupBy("__x").agg(F.max("__y").alias("__ymax")),
+        eager=True,
     )
     # auto bucket count ⌈√|x-domain|⌉ as a COLUMN of the same 1-row span
     # aggregate rather than a separate gx.count() action: the count was
@@ -187,12 +191,16 @@ def skyline_2d(
         (F.max("__x") - F.min("__x") + 1).alias("__w"),
         nb,
     )
+    # eager: bmax, the within self-join sides and the suffix join all
+    # fan out over this frame as concurrent stages of one action and
+    # raced the lazy fill (r14 opt)
     binned = scoped_persist(
         gx.join(F.broadcast(span)).select(
             "__x",
             "__ymax",
             F.expr("((__x - __lo) * __nb) div __w").alias("__b"),
-        )
+        ),
+        eager=True,
     )
     bmax = binned.groupBy("__b").agg(F.max("__ymax").alias("__bm"))
     hi, lo = bmax.alias("hi"), bmax.alias("lo")

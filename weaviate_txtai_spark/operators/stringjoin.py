@@ -83,7 +83,10 @@ def edit_distance_join(
     base = df.select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
     ).filter(F.col("s").isNotNull() & F.col(id_col).isNotNull())
-    base = scoped_persist(base.withColumn("l", F.length("s")))
+    # EAGER: the seven consumers fan out as concurrent AQE stages of one
+    # action and raced the unfilled cache on the lazy shape (2.5 s@32c
+    # vs 1.3 s@8c, driver r13; r14 opt)
+    base = scoped_persist(base.withColumn("l", F.length("s")), eager=True)
     lmin = q * (k + 1)
     long_s = base.filter(F.col("l") >= lmin)
     short_s = base.filter(F.col("l") < lmin)

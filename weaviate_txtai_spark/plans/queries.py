@@ -46,19 +46,16 @@ from weaviate_txtai_spark.plans.pipeline import *  # noqa: F401,F403
 
 _PRIORITY = [
     # ------------------------------------------------------------------
-    # r13 rotation (VERDICT r12 task 1): the 12 SURVEY §2 anchors, this
-    # round's 3 new gates (each new gate enters the window in its
-    # creation round), 13 gates whose code changed in r13 (the four
-    # ADVICE fixes: waterfill headroom/fractional-reject + 1e3 weight
-    # scale, datasheet NULLS-LAST tie-break, decontamination threshold
-    # validation; and the join-census NULL-id fixes in
-    # adc_topk/hamming_topk/IVF/IVFPQ build+append), 9 r12-changed
-    # gates whose latest DRIVER rows predate the r12 fixes (NOTES r13
-    # item 1), and 13 r12-NULL-audit-family gates never re-sampled
-    # post-fix (incl. the order_scc watch item); the third new gate
-    # (dedup_span_removal) took part_return_wilson's slot. 38 of 50
-    # slots sit on recently-changed gates. The rows-only-by-design gates remain
-    # STRUCTURALLY excluded by the oracle assert in _ordered_names().
+    # r14 rotation (VERDICT r13 task 3): the 12 SURVEY §2 anchors stay,
+    # then every gate whose OPERATOR INTERNALS the r13/r14 optimization
+    # sessions rewrote — the r13 optimizer's 18 rewrites were verified
+    # only by the builder's own oracle runs (the r13 window had rotated
+    # onto the partial build round before the optimizer ran), and the
+    # r14 materialize-before-fan-out wave + graph-probe/kernel changes
+    # touch largely the same paths, so this window closes BOTH ledgers:
+    # 38 of 50 slots sit on optimizer-rewritten gates. The rows-only-
+    # by-design gates remain STRUCTURALLY excluded by the oracle assert
+    # in _ordered_names().
     # ------------------------------------------------------------------
     # the 12 §2 anchors (VERDICT coverage table S3/S7, Q1, Q4-Q9, T1-T3)
     "knn_topk",
@@ -73,53 +70,52 @@ _PRIORITY = [
     "similarity_brute",
     "similar_sql",
     "agg_stats_txtai",
-    # the 2 new r13 gates
-    "curation_run",
-    "multimodal_byte_dedup",
-    # 13 r13-changed gates (ADVICE fixes + join-census ANN fixes)
-    "mixture_weight_solver",
-    "corpus_datasheet",
-    "decontamination_report",
-    "ann_ivf",
-    "ann_ivf_filtered",
-    "ivfpq_knn",
-    "ivfpq_append_search",
-    "sim_join_ivfpq",
-    "pq_knn",
-    "pq_knn_rerank",
-    "pq_codes",
-    "binary_hamming_knn",
-    "binary_hamming_rerank",
-    # 9 r12-changed gates whose latest driver rows predate the fixes
-    "dedup_survivors",
-    "dedup_survivors_longest",
-    "semantic_dedup",
-    "dedup_weights",
-    "dedup_groups",
-    "pretraining_manifest",
-    "dedup_embedding_lsh",
-    "streaming_hourly",
-    "streaming_enrich",
-    # 13 r12-NULL-audit-family gates never driver-re-sampled post-fix
-    # (pagerank/knn-gemm/mmr/maxsim/resample/prefix-filter/dbscan/
-    # dsir/abc/ate/shapley/pass@k/wilson) + the order_scc watch item
+    # the 18 r13-optimizer-rewritten gates the driver has not re-sampled
+    # since (VERDICT r13 "what's wrong" §3), all additionally touched by
+    # the r14 eager-materialization wave
+    "docs_unigram_nll",
+    "docs_bigram_nll",
+    "docs_trigram_jm_nll",
+    "lineitem_spearman",
+    "dedup_ngram_jaccard",
+    "tfidf_top_terms",
+    "customer_linkage_em",
+    "customer_linkage_fs",
+    "part_pareto_frontier",
+    "part_also_bought",
+    "events_sequence_pairs",
+    "supplier_name_matches",
+    "retrieval_eval",
+    "docs_heaps_law",
+    "docs_quality_classifier",
+    "events_range_join",
+    "customer_supplier_hits",
+    "order_chain_components",
+    # r14-changed gates beyond that set: the graph local-finish probe +
+    # Tarjan kernel (order_scc, CC consumers), the eager shared-frame
+    # fills in bm25/qlm/minhash/semantic-dedup/basket/skyline/pmi/
+    # triples/span-removal/byte-dedup/prefix-filter/resample/dbscan/
+    # kendall paths, and the composed pipelines that inherit them
     "order_scc",
     "doc_centrality",
-    "knn_batch_gemm",
-    "mmr_diversified",
-    "maxsim_topk",
-    "events_resample",
-    "dedup_prefix_jaccard",
-    "embedding_dbscan",
-    "dsir_importance",
-    "part_abc_classes",
-    "events_stratified_ate",
-    "purchase_shapley_attribution",
-    "purchase_pass_at_k",
-    # new r13 gate (span removal) — entered in its creation round;
-    # part_return_wilson ceded its slot (its abtest-module audit family
-    # stays covered by events_stratified_ate + purchase_pass_at_k)
+    "dedup_groups",
+    "dedup_survivors",
+    "semantic_dedup_survivors",
+    "pretraining_manifest",
+    "curation_run",
+    "bm25_topk",
+    "qlm_topk",
+    "dedup_minhash",
+    "dedup_incremental",
+    "basket_rules",
+    "basket_triples",
+    "part_skyline",
+    "token_pmi_pairs",
+    "events_sequence_triples",
     "dedup_span_removal",
+    "multimodal_byte_dedup",
+    "lineitem_kendall_tau",
+    "source_shard_apportion",
 ]
 
 

@@ -721,10 +721,13 @@ def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the filtered 3-column frame feeds range_join's left
     # side AND the final NULL-restoring join-back — without the persist
     # each consumer re-scanned events (r13 opt)
+    # eager: both consumers fan out as concurrent stages of one
+    # action and raced the lazy fill (r14 opt)
     errors = scoped_persist(
         ev.filter(F.col("event_type") == "error").select(
             "event_id", "user_id", "ts"
-        )
+        ),
+        eager=True,
     )
     follow = ev.select(
         "user_id",

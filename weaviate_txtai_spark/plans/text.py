@@ -229,9 +229,12 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the doc-term table is corpus-sized.
     from weaviate_txtai_spark.cache import scoped_persist
 
+    # EAGER: the df aggregate and the scoring join fan out as
+    # concurrent stages of one action and raced the lazy fill (r14 opt)
     tf = scoped_persist(
         tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        eager=True,
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))

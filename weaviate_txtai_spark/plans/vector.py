@@ -1360,11 +1360,16 @@ def retrieval_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wsys = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
     wtr = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    # EAGER: ranking_metrics reads this k-sized frame from four plan
+    # branches of one action; on the lazy shape they raced the unfilled
+    # cache — each racer a full corpus re-score (1.6 s@32c vs 1.0 s@8c,
+    # driver r13; r14 opt)
     ranked = scoped_persist(
         pairs.withColumn("r", F.row_number().over(wsys))
         .withColumn("tr", F.row_number().over(wtr))
         .filter((F.col("r") <= 10) | (F.col("tr") <= 10))
-        .select("qid", "vec_id", "r", "tr")
+        .select("qid", "vec_id", "r", "tr"),
+        eager=True,
     )
     sys = ranked.filter(F.col("r") <= 10).select(
         "qid", "vec_id", F.col("r").alias("rank")
