@@ -25,29 +25,29 @@ _EXECUTING = {"streaming_hourly", "streaming_ingest", "streaming_sessions",
               "streaming_enrich", "streaming_funnel"}
 
 
-# The r13 re-verification window (VERDICT r12 task 1): the 12 §2
-# anchors, the 3 new r13 gates, 13 r13-changed gates (ADVICE fixes +
-# join-census ANN NULL-id fixes), 9 r12-changed gates whose latest
-# driver rows predate the r12 fixes, and 13 r12-NULL-audit-family
-# gates never driver-re-sampled post-fix (incl. the order_scc watch
-# item) — 38 of 50 slots on recently-changed gates.
-_R13_WINDOW = {
+# The r14 re-verification window (VERDICT r13 task 3): the 12 §2
+# anchors, the 18 r13-optimizer-rewritten gates the driver never
+# re-sampled, and 20 r14-changed gates (graph kernel/probe changes,
+# eager shared-frame fills, composed pipelines) — 38 of 50 slots on
+# optimizer-rewritten gates.
+_R14_WINDOW = {
     "knn_topk", "knn_batch", "streaming_ingest", "full_scan",
     "docid_lookup", "scan_limit", "vector_delete", "vector_count",
     "vector_upsert", "similarity_brute", "similar_sql", "agg_stats_txtai",
-    "curation_run", "multimodal_byte_dedup",
-    "mixture_weight_solver", "corpus_datasheet", "decontamination_report",
-    "ann_ivf", "ann_ivf_filtered", "ivfpq_knn", "ivfpq_append_search",
-    "sim_join_ivfpq", "pq_knn", "pq_knn_rerank", "pq_codes",
-    "binary_hamming_knn", "binary_hamming_rerank",
-    "dedup_survivors", "dedup_survivors_longest", "semantic_dedup",
-    "dedup_weights", "dedup_groups", "pretraining_manifest",
-    "dedup_embedding_lsh", "streaming_hourly", "streaming_enrich",
-    "order_scc", "doc_centrality", "knn_batch_gemm", "mmr_diversified",
-    "maxsim_topk", "events_resample", "dedup_prefix_jaccard",
-    "embedding_dbscan", "dsir_importance", "part_abc_classes",
-    "events_stratified_ate", "purchase_shapley_attribution",
-    "purchase_pass_at_k", "dedup_span_removal",
+    "docs_unigram_nll", "docs_bigram_nll", "docs_trigram_jm_nll",
+    "lineitem_spearman", "dedup_ngram_jaccard", "tfidf_top_terms",
+    "customer_linkage_em", "customer_linkage_fs", "part_pareto_frontier",
+    "part_also_bought", "events_sequence_pairs", "supplier_name_matches",
+    "retrieval_eval", "docs_heaps_law", "docs_quality_classifier",
+    "events_range_join", "customer_supplier_hits",
+    "order_chain_components",
+    "order_scc", "doc_centrality", "dedup_groups", "dedup_survivors",
+    "semantic_dedup_survivors", "pretraining_manifest", "curation_run",
+    "bm25_topk", "qlm_topk", "dedup_minhash", "dedup_incremental",
+    "basket_rules", "basket_triples", "part_skyline", "token_pmi_pairs",
+    "events_sequence_triples", "dedup_span_removal",
+    "multimodal_byte_dedup", "lineitem_kendall_tau",
+    "source_shard_apportion",
 }
 
 
@@ -57,15 +57,15 @@ def test_every_oracle_query_is_registered():
         assert name in qs
 
 
-def test_driver_sample_window_is_the_r13_rotation():
-    """The driver hashes the FIRST 50 queries() entries. Pin the r13
-    window: §2 anchors + new gates + r12/r13-changed gates, every one
+def test_driver_sample_window_is_the_r14_rotation():
+    """The driver hashes the FIRST 50 queries() entries. Pin the r14
+    window: §2 anchors + optimizer-rewritten gates, every one
     oracled — the driver has no rows-only mode, so an unoracled window
     entry is a guaranteed-red `err: no_oracle` row (VERDICT r6 #2,
     r9 task 4)."""
     names = list(Q.queries())
     window = names[:50]
-    assert set(window) == _R13_WINDOW
+    assert set(window) == _R14_WINDOW
     osql = Q.oracle_sql()
     unoracled = [n for n in window if n not in osql]
     assert not unoracled, (

@@ -143,13 +143,20 @@ def jaccard_pairs(
         # EAGER: the two self-join sides re-run explode+hash from this
         # cache as concurrent stages of one action — on a lazy fill they
         # raced the tokenize+shingle pass (the r13 fan-out regression;
-        # r14 opt)
+        # r14 opt). StorageLevel (r14 audit): docs-sized rows carrying
+        # the distinct-shingle ARRAY — roughly corpus-scale bytes;
+        # MEMORY_AND_DISK_DESER deliberately (spill bounds the worst
+        # case at a disk round-trip; recompute = tokenize+shingle per
+        # self-join side).
+        from pyspark import StorageLevel
+
         base = scoped_persist(
             spread(docs.filter(F.col(id_col).isNotNull()))
             .select(
                 F.col(id_col).alias("__id"), shingles(text_col, n).alias("__a")
             )
             .select("__id", F.size("__a").alias("__sz"), F.col("__a")),
+            StorageLevel.MEMORY_AND_DISK_DESER,
             eager=True,
         )
         shz = base.select(
@@ -278,11 +285,18 @@ def minhash_lsh_pairs(
     # cheaply).
     # EAGER: the banding self-join's two sides and the verify join all
     # fan out over this table as concurrent stages of one action — on a
-    # lazy fill they raced the one shingle pass (r14 opt)
+    # lazy fill they raced the one shingle pass (r14 opt). StorageLevel
+    # (r14 audit): docs-sized rows carrying num_perms longs + the
+    # hashed-shingle SET (corpus-scale bytes in the set column);
+    # MEMORY_AND_DISK_DESER deliberately — all three consumers need the
+    # rows, recompute = the full shingle pass per consumer.
+    from pyspark import StorageLevel
+
     per_doc = signatures if signatures is not None else scoped_persist(
         minhash_signatures_with_sets(
             docs, text_col=text_col, id_col=id_col, n=n, num_perms=num_perms
         ),
+        StorageLevel.MEMORY_AND_DISK_DESER,
         eager=True,
     )
     band_structs = F.array(

